@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregations, top-k, reconciliation (SURVEY.md §2.5 A1-A10, §2.6 T1-T5).
+  *
+  * Every aggregate here shuffles once on its group key and benefits from
+  * map-side partial aggregation; at 100 TB the groupBy cardinalities involved
+  * (group keys, categories, cycles) are small, so the reduce side is tiny and
+  * AQE coalesces the post-shuffle partitions.
+  */
+object Aggregations {
+
+  /** A1/A2/A8: group-sum over one key (pac_data_processor.py:69,98). */
+  def groupSum(df: DataFrame, key: String, amount: String, as: String = "total"): DataFrame =
+    df.groupBy(key).agg(sum(col(amount)).as(as))
+
+  /** A3: per-cycle sum + count, sorted by key (pac_data_processor.py:357-360). */
+  def cycleBreakdown(df: DataFrame, cycle: String, amount: String): DataFrame =
+    df.groupBy(cycle)
+      .agg(sum(col(amount)).as("total"), count(lit(1)).as("n"))
+      .orderBy(cycle)
+
+  /** A4: conditional pivot aggregation (pac_snowflake_realtime.py:90-128):
+    * per (ticker, cycle) sum amounts into party buckets decided by the D3
+    * classifier; rows with null/blank ticker or non-positive amount are
+    * skipped pre-aggregation (P15/P16); groups where both buckets are 0 are
+    * dropped. One shuffle; the classifier is a codegen'd `when` chain.
+    */
+  def partyPivot(df: DataFrame, ticker: String, cycle: String,
+                 committee: String, amount: String): DataFrame =
+    conditionalPivot(
+      df.filter(col(ticker).isNotNull && col(ticker) =!= ""),
+      Seq(col(ticker), col(cycle)),
+      Derivations.partyClass(col(committee)),
+      col(amount),
+      Seq("democrat" -> "democrat_total", "republican" -> "republican_total"))
+      .filter(col("democrat_total") > 0 || col("republican_total") > 0)
+
+  /** Generic conditional pivot: one bucket column per classifier label, each
+    * `sum(when(cls === label, amount) otherwise 0)`. Rows with null or
+    * non-positive amounts are skipped pre-aggregation, matching
+    * pac_snowflake_realtime.py:106-107 (P16). Single shuffle regardless of
+    * bucket count. */
+  def conditionalPivot(df: DataFrame, groupKeys: Seq[Column], classifier: Column,
+                       amount: Column, buckets: Seq[(String, String)]): DataFrame = {
+    val aggs = buckets.map { case (label, name) =>
+      sum(when(classifier === label, amount).otherwise(0.0)).as(name)
+    }
+    df.filter(amount.isNotNull && amount > 0)
+      .groupBy(groupKeys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A5: frequency count (`value_counts`, pac_data_processor.py:352). */
+  def freqCount(df: DataFrame, key: String): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n")).orderBy(desc("n"), col(key))
+
+  /** A6/A7: distinct count + sorted distinct values
+    * (pac_data_processor.py:22-23,342-343). */
+  def distinctCount(df: DataFrame, key: String): DataFrame =
+    df.agg(countDistinct(col(key)).as("n_distinct"))
+  def distinctValues(df: DataFrame, key: String): DataFrame =
+    df.select(key).distinct().orderBy(key)
+
+  /** A10: count-reconciliation report (check_duplicates.py:124-172;
+    * pac_snowflake_pipeline.py:252-290): incoming vs existing counts per
+    * collection key, full-outer joined, with the reference's duplicate
+    * heuristic `existing >= incoming`. */
+  def reconcile(incoming: DataFrame, existing: DataFrame, key: String): DataFrame = {
+    val in = incoming.groupBy(key).agg(count(lit(1)).as("incoming_n"))
+    val ex = existing.groupBy(key).agg(count(lit(1)).as("existing_n"))
+    in.join(ex, Seq(key), "full_outer")
+      .select(
+        col(key),
+        coalesce(col("incoming_n"), lit(0L)).as("incoming_n"),
+        coalesce(col("existing_n"), lit(0L)).as("existing_n"))
+      .withColumn("projected_total", col("incoming_n") + col("existing_n"))
+      .withColumn("possible_duplicates", col("existing_n") >= col("incoming_n"))
+      .orderBy(key)
+  }
+
+  /** T1: top-k rows by a column (`nlargest`, pac_data_processor.py:64).
+    * Tie-broken for determinism; `orderBy.limit` compiles to TakeOrderedAndProject
+    * — no global sort, each partition keeps k rows. */
+  def topKRows(df: DataFrame, by: Column, tieBreak: Seq[Column], k: Int): DataFrame =
+    df.orderBy(by.desc +: tieBreak: _*).limit(k)
+
+  /** T2: top-k groups by aggregated total (pac_data_processor.py:69,347). */
+  def topKGroups(df: DataFrame, key: String, amount: String, k: Int): DataFrame =
+    df.groupBy(key).agg(sum(col(amount)).as("total"))
+      .orderBy(desc("total"), col(key)).limit(k)
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines (engine
+  * extension beyond the reference — SURVEY.md §7.5(8)): tokenization, token
+  * counting, language-ID heuristic, quality scoring, fingerprinting, and the
+  * MinHash/SimHash machinery used by the dedup suite.
+  *
+  * Everything here is pure Catalyst expressions (split/transform/aggregate
+  * higher-order functions) — no UDFs — so the whole suite stays inside
+  * whole-stage codegen and scales linearly with input partitions: per-doc
+  * work only, no driver-side loops. The only shuffles in the dedup paths are
+  * the LSH band group-bys, which is the point of LSH.
+  *
+  * Hash constants are shared with the DuckDB oracle generators in
+  * `graft.queries.TextQueries` so both engines compute identical signatures.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of lowercased, trimmed text; empty text → empty
+    * array (plain `split` would yield `[""]`). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array())
+      .otherwise(split(lower(trim(text)), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens exactly equal to `word`. */
+  def tokenMatches(toks: Column, word: String): Column =
+    size(filter(toks, t => t === word))
+
+  /** Language-ID marker words: per language, three high-frequency function
+    * words; the predicted language is the argmax of summed token matches,
+    * ties broken in declaration order (en, de, es, fr). A deliberately simple
+    * deterministic n-gram-style heuristic — SQL-expressible for the oracle. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "que", "los"),
+    "fr" -> Seq("le", "et", "les"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, words) =>
+      lang -> words.map(w => tokenMatches(toks, w)).reduce(_ + _)
+    }
+
+  def predictedLang(toks: Column): Column = {
+    val scores = langScores(toks)
+    // argmax with first-declared tie-break: lang_i wins if its score >= all
+    // later scores and > -1 (scores are >= 0 so the first max wins).
+    val cols = scores.map(_._2)
+    scores.zipWithIndex.init.foldRight(lit(scores.last._1)) {
+      case (((lang, score), i), elseCol) =>
+        when(cols.drop(i + 1).map(score >= _).reduce(_ && _), lang).otherwise(elseCol)
+    }
+  }
+
+  /** Quality metrics (length / punctuation / stopword ratios + mean token
+    * length), each an exact integer ratio so rounding is oracle-stable. */
+  val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def punctChars(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("__toks", tokens(t))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("punct_ratio",
+        round(punctChars(t).cast("double") / nullif(length(t), lit(0)), 4))
+      .withColumn("stopword_ratio",
+        round(Stopwords.map(w => tokenMatches(col("__toks"), w)).reduce(_ + _).cast("double")
+          / nullif(col("n_tokens"), lit(0L)), 4))
+      .withColumn("mean_token_len",
+        round(length(regexp_replace(t, "\\s", "")).cast("double")
+          / nullif(col("n_tokens"), lit(0L)), 4))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 10 && coalesce(col("punct_ratio") <= 0.05, lit(false)) &&
+          coalesce(col("stopword_ratio") <= 0.5, lit(false)))
+      .drop("__toks")
+  }
+
+  /** Document fingerprint: sha256 of whitespace-collapsed lowercased text —
+    * the exact-dedup key for near-identical formatting variants. */
+  def fingerprint(text: Column): Column =
+    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  // ------------------------------------------------------------------ hashing
+
+  /** Prime modulus for MinHash permutations. */
+  val P: Long = 1000000007L
+
+  /** 60-bit integer hash of a string via md5 hex — chosen because DuckDB can
+    * compute the identical value (`('0x' || substr(md5(s),1,15))::BIGINT`),
+    * making MinHash signatures oracle-checkable. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash permutation parameters (a, b): deterministic from a fixed seed
+    * so Spark and the generated oracle SQL agree. */
+  val NumHashes = 16
+  val BandRows = 4
+  def numBands: Int = NumHashes / BandRows
+  val hashParams: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)(
+      ((rnd.nextLong() & Long.MaxValue) % (P - 1) + 1,
+       (rnd.nextLong() & Long.MaxValue) % P))
+  }
+
+  /** Word n-gram shingles (default 3). Documents shorter than n words yield
+    * a single shingle of the whole text so they still participate. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(toks, (i + k + 1).cast("int"))): _*)))
+
+  /** 16-hash MinHash signature as an array column. h_i(doc) =
+    * min over shingles s of (a_i * (md5h(s) mod P) + b_i) mod P. */
+  def minhashSignature(shingleCol: Column): Column = {
+    val hashed = transform(shingleCol, s => md5Hash60(s) % P)
+    array(hashParams.map { case (a, b) =>
+      array_min(transform(hashed, h => (h * a + b) % P))
+    }: _*)
+  }
+
+  /** LSH band signatures: numBands strings, each concatenating BandRows
+    * minhash values — docs sharing any band signature are candidates. */
+  def bandSignatures(sig: Column): Column =
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until BandRows).map(r => element_at(sig, b * BandRows + r + 1)): _*)
+          .as("sig"))
+    }: _*)
+
+  /** Exact Jaccard similarity of the distinct-token sets. */
+  def jaccard(toksA: Column, toksB: Column): Column = {
+    val inter = size(array_intersect(array_distinct(toksA), array_distinct(toksB)))
+    val union = size(array_union(toksA, toksB))
+    inter.cast("double") / nullif(union, lit(0))
+  }
+
+  /** 32-bit SimHash over the distinct tokens of a document (unit weights):
+    * bit j set iff Σ_tokens (2*((h(t)>>j)&1) - 1) > 0. */
+  val SimHashBits = 32
+  def simhash(toks: Column): Column = {
+    val hashed = transform(array_distinct(toks), t => md5Hash60(t))
+    (0 until SimHashBits).map { j =>
+      val bitSum = aggregate(hashed, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: shingle → signature → band buckets →
+    * candidate pairs (shared band) → exact-Jaccard verification.
+    *
+    * Scale path: the only shuffle is the band-signature groupBy/self-join;
+    * bucket sizes are bounded by LSH collision probability, so the candidate
+    * set is ~linear in the number of true near-dup clusters, never O(n²).
+    * `df` must have columns (id, textCol). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame = {
+    val toked = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("sig", minhashSignature(shingles(col("toks"))))
+    val banded = toked
+      .select(col("id"), col("toks"), explode(bandSignatures(col("sig"))).as("b"))
+      .select(col("id"), col("toks"), col("b.band").as("band"), col("b.sig").as("bsig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.toks").as("toks_a"), col("b.toks").as("toks_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard", round(jaccard(col("toks_a"), col("toks_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators (engine extension — SURVEY.md
+  * §7.5(8)): exact cosine top-k as the correctness baseline, and
+  * random-hyperplane LSH bucketing as the scale path (candidate generation is
+  * a hash-bucket join instead of an all-pairs cross join).
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions — pure
+  * Catalyst, codegen-friendly, sequential left-to-right summation (matching
+  * DuckDB's list_inner_product order for oracle parity).
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two array<numeric> columns, computed in
+    * doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Exact brute-force cosine top-k neighbours of one query vector.
+    * The single-row query side is broadcast; the scan side streams — at
+    * cluster scale this is one pass over the embedding table with a
+    * TakeOrderedAndProject, no shuffle of the vectors themselves. */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    embeddings.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 6).as("sim_r"))
+      .orderBy(desc("sim_r"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes for LSH: `planes(i)(j)` from a fixed
+    * seed, inlined as literals on both the Spark and oracle sides. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 7L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    // 3-decimal values parse to identical doubles in any engine.
+    Seq.fill(numPlanes)(Array.fill(dim)((rnd.nextInt(2001) - 1000) / 1000.0))
+  }
+
+  def planeColumn(plane: Array[Double]): Column =
+    array(plane.map(lit): _*)
+
+  /** Sign-of-dot-product LSH bucket id: bit i set iff dot(v, plane_i) > 0. */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, planeColumn(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: candidates = vectors sharing the query's LSH bucket, then
+    * exact cosine within the bucket. Scale path: the bucket id is a
+    * partitionable join key, so candidate generation is a hash join on
+    * `bucket`, never O(n²). */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, planes: Seq[Array[Double]]): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", lshBucket(col(vecCol), planes))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col("bucket"), col(vecCol).as("__qv"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), "bucket")
+      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 6).as("sim_r"))
+      .orderBy(desc("sim_r"), col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by a partition key (e.g.
+    * label or LSH bucket) so the pairwise comparison is bounded per block. */
+  def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val a = embeddings.select(col(blockCol).as("block"),
+      col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = embeddings.select(col(blockCol).as("block"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim_r"))
+      .filter(col("sim_r") >= threshold)
+  }
+}

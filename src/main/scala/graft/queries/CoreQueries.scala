@@ -1,0 +1,410 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregations, Cleaning, Dedup, Derivations}
+import graft.sources.Tables
+
+/** Core relational operator queries — one oracle-checked query per operator
+  * family in SURVEY.md §2 (P/D/J/A/T), expressed on the driver testdata.
+  *
+  * Conventions for DuckDB-oracle parity:
+  *  - every aggregate / computed column is aliased identically on both sides;
+  *  - arithmetic double results are `round(x, 2)` on both sides (pass-through
+  *    doubles are left raw — they are bit-identical out of parquet);
+  *  - every query ends in a fully tie-broken ORDER BY so row order is
+  *    deterministic on both sides;
+  *  - int32 columns are cast to long (DuckDB aggregates/joins promote to
+  *    BIGINT; keeps dtypes aligned).
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // ---------------------------------------------------------------- A1/A8
+    // Group-sum over sort keys (pac_data_processor.py:69) — TPC-H Q1 shape.
+    "a1_group_sum" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ------------------------------------------------------------------- A3
+    // Per-cycle sum + count sorted by key (pac_data_processor.py:357-360);
+    // order year stands in for election_cycle.
+    "a3_cycle_breakdown" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .withColumn("cycle", year(col("o_orderdate")).cast("long"))
+        .groupBy("cycle")
+        .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy("cycle")
+    }),
+
+    // ------------------------------------------------------------ A4+P15+P16
+    // Conditional pivot aggregation (pac_snowflake_realtime.py:90-128): the
+    // keyword classifier (D3, precedence-ordered) buckets amounts per
+    // (user, day); zero-only groups dropped.
+    "a4_conditional_pivot" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cls = when(lower(col("event_type")).contains("purchase") ||
+                     lower(col("event_type")).contains("signup"), "conversion")
+        .when(lower(col("event_type")).contains("click") ||
+              lower(col("event_type")).contains("view"), "engagement")
+        .otherwise(lit(null))
+      Aggregations.conditionalPivot(
+          t.events.filter(col("user_id").isNotNull),
+          Seq(col("user_id"), to_date(col("ts")).as("day")),
+          cls, col("value"),
+          Seq("conversion" -> "conversion_total", "engagement" -> "engagement_total"))
+        .filter(col("conversion_total") > 0 || col("engagement_total") > 0)
+        .select(col("user_id"), col("day"),
+          round(col("conversion_total"), 2).as("conversion_total"),
+          round(col("engagement_total"), 2).as("engagement_total"))
+        .orderBy("user_id", "day")
+    }),
+
+    // ---------------------------------------------------------------- D1+A5
+    // Right-closed pd.cut binning (pac_data_processor.py:45-49) + frequency
+    // count (value_counts, :352).
+    "d1_amount_bins" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .select(Derivations.amountCategory(col("o_totalprice")).as("amount_category"))
+        .groupBy("amount_category")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("amount_category"))
+    }),
+
+    // ------------------------------------------------------------------- D2
+    // isin classification (pac_data_processor.py:52).
+    "d2_company_type" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .withColumn("company_type",
+          Derivations.companyType(col("c_mktsegment"), Seq("AUTOMOBILE", "MACHINERY")))
+        .groupBy("company_type")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+        .orderBy("company_type")
+    }),
+
+    // -------------------------------------------------------------- D4+P10
+    // Composite dedup key (pac_data_processor.py:174-178) and the
+    // deterministic variant of the uuid id (SURVEY.md §7.3).
+    "d4_composite_key" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.nation
+        .select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          Derivations.compositeKey(col("n_name"), col("n_nationkey")).as("composite_key"),
+          Cleaning.deterministicId(col("n_name"), col("n_nationkey").cast("string")).as("det_id"))
+        .orderBy("n_nationkey")
+    }),
+
+    // ------------------------------------------------------------------- A7
+    "a7_distinct_values" -> ((s, dir) =>
+      Aggregations.distinctValues(Tables(s, dir).orders, "o_orderpriority")),
+
+    // ---------------------------------------------------------------- A6+A8+A9
+    "a8_global_stats" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        round(sum("o_totalprice"), 2).as("total"),
+        round(avg("o_totalprice"), 2).as("avg_price"))
+    }),
+
+    // ------------------------------------------------------------------ A10
+    // Count reconciliation (check_duplicates.py:124-172): incoming
+    // (customers) vs existing (suppliers) per nation key.
+    "a10_reconcile" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Aggregations.reconcile(
+        t.customer.select(col("c_nationkey").cast("long").as("nationkey")),
+        t.supplier.select(col("s_nationkey").cast("long").as("nationkey")),
+        "nationkey")
+    }),
+
+    // ------------------------------------------------------------------- T1
+    // nlargest top-k rows (pac_data_processor.py:64), tie-broken.
+    "t1_topk_rows" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Aggregations.topKRows(
+        t.orders.select("o_orderkey", "o_totalprice"),
+        col("o_totalprice"), Seq(col("o_orderkey")), 5)
+    }),
+
+    // ------------------------------------------------------------------- T2
+    // Top-k groups by total (pac_data_processor.py:347).
+    "t2_topk_groups" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.groupBy("l_suppkey")
+        .agg(round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy(desc("total"), col("l_suppkey"))
+        .limit(10)
+    }),
+
+    // ------------------------------------------------------------------- J1
+    // Broadcast lookup join (pac_snowflake_realtime.py:135-148): fact rows
+    // join two small dims; both joins broadcast, zero extra shuffles.
+    "j1_lookup_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.lookupJoin(
+          Dedup.lookupJoin(t.customer.withColumnRenamed("c_nationkey", "n_nationkey"),
+            t.nation, "n_nationkey"),
+          t.region.withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey")
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+        .orderBy("r_name")
+    }),
+
+    // ------------------------------------------------------------- J2 (keep-first)
+    // Deterministic keep-first dedup (SURVEY.md §7.4(3)).
+    "j2_dedup_keepfirst" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.keepFirst(t.lineitem,
+          Seq("l_partkey", "l_suppkey"),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        .agg(count(lit(1)).as("n_survivors"), round(sum("l_quantity"), 2).as("qty"))
+    }),
+
+    // ------------------------------------------------------------- J2 (anti-join)
+    // Upload-vs-existing dedup shape (pac_snowflake_pipeline.py:209-250):
+    // customers with no urgent order.
+    "j2_anti_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Dedup.antiJoinExisting(
+          t.customer.select(col("c_custkey")),
+          t.orders.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    // --------------------------------------------------------------- P3+P4
+    // Trim + lower + numeric coercion (pac_data_processor.py:30-39).
+    "p3_clean_normalize" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.select(
+          col("c_custkey"),
+          trim(col("c_name")).as("c_name"),
+          lower(col("c_mktsegment")).as("segment"),
+          Cleaning.toNumericFill0(col("c_acctbal")).as("acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // ------------------------------------------------------------------- P5
+    // Name-pattern type coercion (pac_snowflake_pipeline.py:88-113) applied
+    // to an all-string frame: *id → long, *date → timestamp, *value → money.
+    "p5_name_coercion" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events.select(
+          col("event_id").cast("string").as("record_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_date"),
+          col("value").cast("string").as("amount_value"))
+        .transform(Cleaning.cleanGeneric)
+        .orderBy("record_id")
+    }),
+
+    // --------------------------------------------------------------- P7+P8
+    // Null handling: injected nulls, then fill 0 / fill '' and re-aggregate
+    // (pac_snowflake_pipeline.py:95,116; pac_snowflake_realtime.py:85).
+    "p8_null_fill" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("v", when(col("value") < 50, lit(null)).otherwise(col("value")))
+        .withColumn("et", when(col("event_type") === "error", lit(null)).otherwise(col("event_type")))
+        .na.fill(0.0, Seq("v")).na.fill("", Seq("et"))
+        .groupBy("et")
+        .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("v_total"))
+        .orderBy("et")
+    }),
+
+    // ------------------------------------------------------------------ P11
+    // Timestamp → ISO-8601 string (.isoformat(), pac_data_processor.py:118).
+    "p11_iso8601" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.select(col("o_orderkey"), Cleaning.toIso8601(col("o_orderdate")).as("iso"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ------------------------------------------------------------- P13+P14
+    // Filter + projection pushdown (TPC-H Q6 shape): both the date predicate
+    // and the 2-column read reach the parquet scan.
+    "p14_pushdown_filter" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_discount") > 0.05)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ------------------------------------------------------------------ P18'
+    // JSON extraction over the events props column (engine extension noted in
+    // SURVEY.md §2.8 — the reference only serializes JSON).
+    "p18_json_extract" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("k_sum"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ------------------------------------------------------- multi-way join
+    // TPC-H Q3 shape: 3-way join, segment filter, top-10 revenue orders.
+    "join_q3_revenue" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ------------------------------------------------------- multi-way join
+    // TPC-H Q5 shape: 6-way join with co-located supplier/customer nation.
+    "join_q5_nation_revenue" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier,
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+        .join(t.region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "a1_group_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),2) AS avg_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "a3_cycle_breakdown" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS cycle,
+         round(sum(o_totalprice),2) AS total, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "a4_conditional_pivot" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+         round(sum(CASE WHEN lower(event_type) LIKE '%purchase%' OR lower(event_type) LIKE '%signup%' THEN value ELSE 0 END),2) AS conversion_total,
+         round(sum(CASE WHEN NOT (lower(event_type) LIKE '%purchase%' OR lower(event_type) LIKE '%signup%') AND (lower(event_type) LIKE '%click%' OR lower(event_type) LIKE '%view%') THEN value ELSE 0 END),2) AS engagement_total
+         FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL AND value > 0
+         GROUP BY 1,2
+         HAVING conversion_total > 0 OR engagement_total > 0
+         ORDER BY 1,2""",
+    "d1_amount_bins" ->
+      """SELECT CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN NULL
+                WHEN o_totalprice <= 10000 THEN 'Small (<$10K)'
+                WHEN o_totalprice <= 100000 THEN 'Medium ($10K-$100K)'
+                WHEN o_totalprice <= 500000 THEN 'Large ($100K-$500K)'
+                ELSE 'Very Large (>$500K)' END AS amount_category,
+         count(*) AS n FROM orders GROUP BY 1
+         ORDER BY n DESC, amount_category NULLS FIRST""",
+    "d2_company_type" ->
+      """SELECT CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN 'Tech' ELSE 'Other' END AS company_type,
+         count(*) AS n, round(sum(c_acctbal),2) AS total_acctbal
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "d4_composite_key" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+         concat_ws('_', n_name, n_nationkey) AS composite_key,
+         sha256(concat_ws('§', n_name, n_nationkey)) AS det_id
+         FROM nation ORDER BY 1""",
+    "a7_distinct_values" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1",
+    "a8_global_stats" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_custs,
+         round(sum(o_totalprice),2) AS total, round(avg(o_totalprice),2) AS avg_price
+         FROM orders""",
+    "a10_reconcile" ->
+      """SELECT COALESCE(i.nationkey, e.nationkey) AS nationkey,
+         COALESCE(i.n,0) AS incoming_n, COALESCE(e.n,0) AS existing_n,
+         COALESCE(i.n,0)+COALESCE(e.n,0) AS projected_total,
+         COALESCE(e.n,0) >= COALESCE(i.n,0) AS possible_duplicates
+         FROM (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n FROM customer GROUP BY 1) i
+         FULL OUTER JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n FROM supplier GROUP BY 1) e
+         ON i.nationkey = e.nationkey
+         ORDER BY 1""",
+    "t1_topk_rows" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+    "t2_topk_groups" ->
+      """SELECT l_suppkey, round(sum(l_extendedprice),2) AS total
+         FROM lineitem GROUP BY 1 ORDER BY total DESC, l_suppkey LIMIT 10""",
+    "j1_lookup_join" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal),2) AS total_acctbal
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "j2_dedup_keepfirst" ->
+      """SELECT count(*) AS n_survivors, round(sum(l_quantity),2) AS qty FROM (
+           SELECT l_quantity, row_number() OVER (
+             PARTITION BY l_partkey, l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn = 1""",
+    "j2_anti_join" ->
+      """SELECT c_custkey FROM customer WHERE NOT EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY 1""",
+    "p3_clean_normalize" ->
+      """SELECT c_custkey, trim(c_name) AS c_name, lower(c_mktsegment) AS segment,
+         COALESCE(CAST(c_acctbal AS DOUBLE), 0) AS acctbal
+         FROM customer ORDER BY 1""",
+    "p5_name_coercion" ->
+      """SELECT CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS record_id,
+         CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS event_date,
+         COALESCE(CAST(CAST(value AS VARCHAR) AS DOUBLE), 0) AS amount_value
+         FROM events ORDER BY 1""",
+    "p8_null_fill" ->
+      """SELECT COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE event_type END, '') AS et,
+         count(*) AS n,
+         round(sum(COALESCE(CASE WHEN value < 50 THEN NULL ELSE value END, 0)),2) AS v_total
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "p11_iso8601" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso
+         FROM orders ORDER BY 1""",
+    "p14_pushdown_filter" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.05
+         GROUP BY 1 ORDER BY 1""",
+    "p18_json_extract" ->
+      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+         count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
+    "join_q3_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "join_q5_nation_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY revenue DESC, n_name"""
+  )
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-time window aggregations over the `events` table — the batch
+  * equivalents of the Structured Streaming surface in
+  * `graft.streaming.EventStreams` (same `window`/`session_window` calls run
+  * under `readStream` there; SURVEY.md §2.9 declares this the engine's
+  * streaming extension).
+  *
+  * Oracle-parity note: events.ts is nanosecond-precision parquet; Spark
+  * truncates to microseconds while DuckDB keeps TIMESTAMP_NS — so raw `ts`
+  * values must never be emitted, only bucketed/derived values (window starts,
+  * counts, epoch-second diffs).
+  */
+object WindowQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Tumbling 1-hour window per event_type; window() keeps the plan
+    // streaming-compatible (same expression works under readStream).
+    "w1_tumbling_window" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v_total"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("v_total"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Sliding 1-hour window every 30 minutes: each event lands in 2 windows.
+    "w2_sliding_window" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v_total"))
+        .select(col("w.start").as("window_start"), col("n"), col("v_total"))
+        .orderBy("window_start")
+    }),
+
+    // Session windows (30-minute gap) per user, rolled up to per-user session
+    // stats so the output is precision-safe.
+    "w3_session_window" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("session_events"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum("session_events").as("n_events"),
+          max("session_events").as("max_session_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "w1_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start, event_type,
+         count(*) AS n, round(sum(value),2) AS v_total
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "w2_sliding_window" ->
+      """WITH slid AS (
+           SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start, value FROM events
+           UNION ALL
+           SELECT (time_bucket(INTERVAL '1 hour', ts - INTERVAL '30 minutes') + INTERVAL '30 minutes')::TIMESTAMP AS window_start, value FROM events)
+         SELECT window_start, count(*) AS n, round(sum(value),2) AS v_total
+         FROM slid GROUP BY 1 ORDER BY 1""",
+    "w3_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged),
+         per_session AS (
+           SELECT user_id, session_id, count(*) AS session_events
+           FROM sessions GROUP BY 1,2)
+         SELECT user_id, count(*) AS n_sessions, sum(session_events) AS n_events,
+           max(session_events) AS max_session_events
+         FROM per_session GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source layer (SURVEY.md §2.1 S1-S6).
+  *
+  * The reference ingests CSV (pac_data_processor.py:19), SQL cursor results
+  * (pac_snowflake_pipeline.py:38-65), and `pd.read_sql` frames
+  * (index_align_to_firebase.py:118-141). Here every source is a lazy
+  * DataFrame over the driver-generated parquet testdata; CSV/JDBC entry
+  * points are provided for parity with the reference's surface.
+  *
+  * Scale note: parquet scans are the 100 TB path — columnar, predicate
+  * pushdown, partition pruning all come from the DataSource V2 reader.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    * rejects outright. Read nanos as raw longs (legacy conf) and convert to a
+    * microsecond TimestampType column — the sub-microsecond part is dropped,
+    * so queries must only emit bucketed/derived time values (the DuckDB
+    * oracle keeps TIMESTAMP_NS). */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** S1: CSV scan with header + schema inference
+    * (pac_data_processor.py:19 `pd.read_csv`). */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S2/S3/S4: external SQL relation via JDBC (Snowflake cursor at
+    * pac_snowflake_pipeline.py:38-65, read_sql at
+    * pac_snowflake_realtime.py:64-72, MySQL at
+    * index_align_to_firebase.py:118-141). The query text is pushed to the
+    * remote engine exactly as the reference pushes its SELECTs; Spark adds
+    * automatic projection/filter pushdown on top. */
+  def jdbc(spark: SparkSession, url: String, query: String,
+           props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.option("url", url).option("query", query)
+      .format("jdbc").options(Map.empty[String, String]).jdbc(url, s"($query) q", props)
+
+  /** S5: schema discovery (`SHOW COLUMNS`, index_align_to_firebase.py:103-116)
+    * is just `df.schema` in Spark — exposed for API parity. */
+  def discoverColumns(df: DataFrame): Seq[String] = df.schema.fieldNames.toSeq
+
+  /** S6: scan back a document sink's own JSON output (the Firestore
+    * collection re-read in pac_data_processor.py:169-186). */
+  def documentSinkScan(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.json(sinkDir)
+}

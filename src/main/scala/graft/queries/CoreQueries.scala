@@ -389,7 +389,7 @@ object CoreQueries {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.05
          GROUP BY 1 ORDER BY 1""",
     "p18_json_extract" ->
-      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
          count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
     "join_q3_revenue" ->
       """SELECT l_orderkey, o_orderdate,

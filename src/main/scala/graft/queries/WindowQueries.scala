@@ -70,9 +70,9 @@ object WindowQueries {
          FROM slid GROUP BY 1 ORDER BY 1""",
     "w3_session_window" ->
       """WITH flagged AS (
-           SELECT user_id, ts,
+           SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+                       >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
            FROM events),
          sessions AS (
            SELECT user_id,
@@ -82,7 +82,8 @@ object WindowQueries {
          per_session AS (
            SELECT user_id, session_id, count(*) AS session_events
            FROM sessions GROUP BY 1,2)
-         SELECT user_id, count(*) AS n_sessions, sum(session_events) AS n_events,
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(session_events) AS BIGINT) AS n_events,
            max(session_events) AS max_session_events
          FROM per_session GROUP BY 1 ORDER BY 1"""
   )

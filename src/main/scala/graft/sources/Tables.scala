@@ -26,12 +26,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame = t("lineitem")
 
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects outright. Read nanos as raw longs (legacy conf) and convert to a
+    * rejects outright. Read nanos as raw longs (legacy conf, set once at
+    * session construction by [[Tables.configure]]) and convert to a
     * microsecond TimestampType column — the sub-microsecond part is dropped,
     * so queries must only emit bucketed/derived time values (the DuckDB
     * oracle keeps TIMESTAMP_NS). */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.configure(spark)
     t("events").withColumn("ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
@@ -40,6 +41,14 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Session-level source configuration — call once at SparkSession
+    * construction (Verify/Bench/tests do). Idempotent; `events` calls it
+    * defensively so ad-hoc sessions still work. */
+  def configure(spark: SparkSession): Unit = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+  }
+
   /** S1: CSV scan with header + schema inference
     * (pac_data_processor.py:19 `pd.read_csv`). */
   def csv(spark: SparkSession, path: String): DataFrame =
@@ -50,11 +59,17 @@ object Tables {
     * pac_snowflake_realtime.py:64-72, MySQL at
     * index_align_to_firebase.py:118-141). The query text is pushed to the
     * remote engine exactly as the reference pushes its SELECTs; Spark adds
-    * automatic projection/filter pushdown on top. */
+    * automatic projection/filter pushdown on top.
+    *
+    * Note: Spark's JDBCOptions rejects `query` and `dbtable` together, so the
+    * query is passed solely via the `query` option. */
   def jdbc(spark: SparkSession, url: String, query: String,
-           props: java.util.Properties = new java.util.Properties()): DataFrame =
-    spark.read.option("url", url).option("query", query)
-      .format("jdbc").options(Map.empty[String, String]).jdbc(url, s"($query) q", props)
+           props: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+      .options(props)
+      .load()
 
   /** S5: schema discovery (`SHOW COLUMNS`, index_align_to_firebase.py:103-116)
     * is just `df.schema` in Spark — exposed for API parity. */

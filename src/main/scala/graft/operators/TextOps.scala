@@ -159,26 +159,29 @@ object TextOps {
   /** MinHash+LSH near-duplicate pairs: shingle → signature → band buckets →
     * candidate pairs (shared band) → exact-Jaccard verification.
     *
-    * Scale path: the only shuffle is the band-signature groupBy/self-join;
-    * bucket sizes are bounded by LSH collision probability, so the candidate
-    * set is ~linear in the number of true near-dup clusters, never O(n²).
-    * `df` must have columns (id, textCol). */
+    * Scale path: the band self-join ships ONLY (id, band, bsig) — never the
+    * token arrays — and candidate pairs are deduplicated (a pair sharing k
+    * bands appears once) *before* the token arrays are re-joined by id for
+    * the exact-Jaccard check. Bucket sizes are bounded by LSH collision
+    * probability, so the candidate set is ~linear in the number of true
+    * near-dup clusters, never O(n²). At cluster scale, persist/checkpoint
+    * `toked` so tokenization is not recomputed for the verify join.
+    * `df` must have columns (idCol, textCol). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
     val toked = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .withColumn("sig", minhashSignature(shingles(col("toks"))))
     val banded = toked
-      .select(col("id"), col("toks"), explode(bandSignatures(col("sig"))).as("b"))
-      .select(col("id"), col("toks"), col("b.band").as("band"), col("b.sig").as("bsig"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val pairs = a.join(b,
+      .withColumn("sig", minhashSignature(shingles(col("toks"))))
+      .select(col("id"), explode(bandSignatures(col("sig"))).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.toks").as("toks_a"), col("b.toks").as("toks_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
+      .join(toked.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toked.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("jaccard", round(jaccard(col("toks_a"), col("toks_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

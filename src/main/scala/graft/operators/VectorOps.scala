@@ -74,14 +74,19 @@ object VectorOps {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked by a partition key (e.g.
-    * label or LSH bucket) so the pairwise comparison is bounded per block. */
+  /** Embedding-cosine near-duplicate pairs, blocked by LSH bucket so the
+    * pairwise comparison is bounded per block. The block key is always
+    * derived from [[lshBucket]] — never a low-cardinality label column,
+    * which would make each block a self-cross-product (O(n²/k) at 100 TB).
+    * With p hyperplanes there are 2^p buckets, so per-block size is ~n/2^p
+    * and the self-join is a partitionable hash join on `block`. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-                   blockCol: String, threshold: Double): DataFrame = {
-    val a = embeddings.select(col(blockCol).as("block"),
-      col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = embeddings.select(col(blockCol).as("block"),
-      col(idCol).as("id_b"), col(vecCol).as("vb"))
+                   planes: Seq[Array[Double]], threshold: Double): DataFrame = {
+    val bucketed = embeddings.select(
+      lshBucket(col(vecCol), planes).as("block"),
+      col(idCol).as("id"), col(vecCol).as("v"))
+    val a = bucketed.select(col("block"), col("id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("block"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Oracle-checked queries for the text-analysis / dedup suite (engine
+  * extension — SURVEY.md §7.5(8)) over the `documents` table.
+  *
+  * The DuckDB oracle SQL is GENERATED from the same Scala constants
+  * ([[TextOps.hashParams]], [[TextOps.LangMarkers]], [[TextOps.Stopwords]])
+  * that drive the Spark expressions, so both engines compute identical
+  * signatures by construction. Key building blocks and their DuckDB twins:
+  *
+  *  - tokens:       `split(lower(trim(text)), "\\s+")`  ↔
+  *                  `string_split_regex(lower(trim(text)), '\s+')`
+  *  - md5Hash60:    `conv(substring(md5(s),1,15),16,10)::long` ↔
+  *                  `('0x' || substr(md5(s),1,15))::BIGINT`
+  *  - regexp_replace is replace-all in Spark; DuckDB needs the 'g' flag.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Near-dup Jaccard threshold (shared by query and oracle). */
+  val NearDupThreshold = 0.8
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------ x1
+    // Document fingerprint (sha256 of whitespace-collapsed lowercased text)
+    // — the exact-dedup key; verified per-document.
+    "x1_fingerprint" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ------------------------------------------------------------------ x2
+    // Quality metrics: token count, punctuation / stopword ratios, mean
+    // token length, and the boolean quality gate.
+    "x2_quality_metrics" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.qualityMetrics(t.documents.select("doc_id", "text"), "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+          "mean_token_len", "quality_ok")
+        .orderBy("doc_id")
+    }),
+
+    // ------------------------------------------------------------------ x3
+    // Language-ID confusion matrix: marker-word argmax per document (first
+    // declared language wins ties) crossed with the labeled `lang` column,
+    // plus the per-cell total marker score — exercises every score branch.
+    "x3_lang_id" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      val totalScore = TextOps.langScores(toks).map(_._2).reduce(_ + _)
+      t.documents
+        .select(col("lang"), TextOps.predictedLang(toks).as("pred_lang"),
+          totalScore.cast("long").as("score"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"), sum("score").as("total_score"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // ------------------------------------------------------------------ x4
+    // MinHash+LSH near-duplicate pairs, exact-Jaccard verified. The oracle
+    // replicates the full LSH pipeline (same 16 permutations, 4 bands), so
+    // the candidate sets — not just the final pairs — must agree.
+    "x4_minhash_neardups" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.minhashNearDups(t.documents, "doc_id", "text", NearDupThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ------------------------------------------------------------------ x5
+    // 32-bit SimHash per document over distinct tokens.
+    "x5_simhash" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id"), TextOps.simhash(TextOps.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // --------------------------------------------------------- oracle SQL gen
+
+  /** DuckDB tokens expression (empty text → empty list, like [[TextOps.tokens]]). */
+  private val toksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN []
+      | ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin
+
+  /** DuckDB 60-bit md5 hash of a string expression. */
+  private def md5h(e: String): String = s"('0x' || substr(md5($e),1,15))::BIGINT"
+
+  /** DuckDB count-of-token-matches (TextOps.tokenMatches). */
+  private def matchesSql(toksExpr: String, word: String): String =
+    s"len(list_filter($toksExpr, t -> t = '$word'))"
+
+  private def langIdSql: String = {
+    val scores = TextOps.LangMarkers.map { case (lang, words) =>
+      lang -> words.map(w => matchesSql("toks", w)).mkString("(", " + ", ")")
+    }
+    // First-declared argmax: lang_i wins iff its score >= every later score.
+    val cases = scores.zipWithIndex.init.map { case ((lang, score), i) =>
+      val laterGe = scores.drop(i + 1).map { case (_, s2) => s"$score >= $s2" }
+        .mkString(" AND ")
+      s"WHEN $laterGe THEN '$lang'"
+    }.mkString(" ")
+    val total = scores.map(_._2).mkString(" + ")
+    s"""WITH toked AS (SELECT lang, $toksSql AS toks FROM documents),
+       |scored AS (
+       |  SELECT lang, CASE $cases ELSE '${scores.last._1}' END AS pred_lang,
+       |    CAST($total AS BIGINT) AS score
+       |  FROM toked)
+       |SELECT lang, pred_lang, count(*) AS n, CAST(sum(score) AS BIGINT) AS total_score
+       |FROM scored GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  }
+
+  private def minhashSql: String = {
+    val p = TextOps.P
+    val sigExprs = TextOps.hashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h*$a + $b) % $p)) AS h$i"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until TextOps.numBands).map { b =>
+      val parts = (0 until TextOps.BandRows).map(r => s"h${b * TextOps.BandRows + r}")
+      s"{'band': $b, 'bsig': concat_ws(':', ${parts.mkString(", ")})}"
+    }.mkString(", ")
+    s"""WITH toked AS (
+       |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT id, toks, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(range(0, len(toks)-2),
+       |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) END AS shingles
+       |  FROM toked),
+       |hashed AS (
+       |  SELECT id, list_transform(shingles, s -> ${md5h("s")} % $p) AS hs FROM sh),
+       |sigs AS (
+       |  SELECT id, $sigExprs FROM hashed),
+       |banded AS (
+       |  SELECT id, u.b.band AS band, u.b.bsig AS bsig
+       |  FROM sigs, UNNEST([$bandStructs]) u(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_distinct(list_intersect(ta.toks, tb.toks)))::DOUBLE
+       |          / nullif(len(list_distinct(ta.toks || tb.toks)), 0), 4) AS jaccard
+       |  FROM pairs JOIN toked ta ON pairs.id_a = ta.id
+       |             JOIN toked tb ON pairs.id_b = tb.id)
+       |SELECT id_a, id_b, jaccard FROM jac
+       |WHERE jaccard >= $NearDupThreshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val bits = (0 until TextOps.SimHashBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, list_transform(list_distinct(toks), t -> ${md5h("t")}) AS hs
+       |  FROM toked)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hashed ORDER BY doc_id""".stripMargin
+  }
+
+  private def qualitySql: String = {
+    val stop = TextOps.Stopwords.map(w => matchesSql("toks", w)).mkString("(", " + ", ")")
+    s"""WITH toked AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+       |          / nullif(length(text), 0), 4) AS punct_ratio,
+       |    round($stop::DOUBLE / nullif(len(toks), 0), 4) AS stopword_ratio,
+       |    round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+       |          / nullif(len(toks), 0), 4) AS mean_token_len
+       |  FROM toked)
+       |SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+       |  (n_tokens >= 10 AND COALESCE(punct_ratio <= 0.05, false)
+       |   AND COALESCE(stopword_ratio <= 0.5, false)) AS quality_ok
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "x1_fingerprint" ->
+      """SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x2_quality_metrics" -> qualitySql,
+    "x3_lang_id" -> langIdSql,
+    "x4_minhash_neardups" -> minhashSql,
+    "x5_simhash" -> simhashSql
+  )
+}

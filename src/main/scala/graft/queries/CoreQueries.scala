@@ -20,6 +20,63 @@ import graft.sources.Tables
 object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** PAC-shaped frame synthesized from orders: keyword-bearing committee
+    * names (one value carries both republican+democrat keywords for the
+    * precedence test), blank/null tickers (P15) and non-positive amounts
+    * (P16). Shared by d3_party_pivot and the tree-sink round-trip. */
+  def pacFrame(t: Tables): DataFrame =
+    t.orders.select(
+      when(col("o_custkey") % 89 === 0, lit(null))
+        .when(col("o_custkey") % 97 === 0, lit(""))
+        .otherwise(concat(lit("T"), (col("o_custkey") % 50).cast("string")))
+        .as("ticker"),
+      year(col("o_orderdate")).cast("long").as("cycle"),
+      when(col("o_orderpriority") === "1-URGENT", "GOP Victory Fund")
+        .when(col("o_orderpriority") === "2-HIGH", "Democrats for Conservative Values")
+        .when(col("o_orderpriority") === "3-MEDIUM", "Progressive Future PAC")
+        .when(col("o_orderpriority") === "4-NOT SPECIFIED", "Neutral Business Alliance")
+        .otherwise("Liberal Action Network").as("committee_name"),
+      when(col("o_orderkey") % 101 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("amount"))
+
+  /** DuckDB SQL equivalent of [[pacFrame]] + the D3 classifier, as CTEs
+    * `src` and `cls` (party column) — shared by oracle generators. */
+  def pacFrameSql: String = {
+    def likes(keywords: Seq[String]) =
+      keywords.map(k => s"lower(committee_name) LIKE '%$k%'").mkString("(", " OR ", ")")
+    s"""src AS (
+       |  SELECT CASE WHEN o_custkey % 89 = 0 THEN NULL
+       |              WHEN o_custkey % 97 = 0 THEN ''
+       |              ELSE 'T' || CAST(o_custkey % 50 AS VARCHAR) END AS ticker,
+       |    CAST(year(o_orderdate) AS BIGINT) AS cycle,
+       |    CASE o_orderpriority
+       |      WHEN '1-URGENT' THEN 'GOP Victory Fund'
+       |      WHEN '2-HIGH' THEN 'Democrats for Conservative Values'
+       |      WHEN '3-MEDIUM' THEN 'Progressive Future PAC'
+       |      WHEN '4-NOT SPECIFIED' THEN 'Neutral Business Alliance'
+       |      ELSE 'Liberal Action Network' END AS committee_name,
+       |    CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice ELSE o_totalprice END AS amount
+       |  FROM orders),
+       |cls AS (
+       |  SELECT *, CASE WHEN ${likes(Derivations.RepublicanKeywords)} THEN 'republican'
+       |                 WHEN ${likes(Derivations.DemocratKeywords)} THEN 'democrat'
+       |            END AS party
+       |  FROM src)""".stripMargin
+  }
+
+  /** DuckDB SQL for the party pivot over [[pacFrameSql]] (CTE `agg`). */
+  def partyPivotSql: String =
+    s"""${pacFrameSql},
+       |agg AS (
+       |  SELECT ticker, cycle,
+       |    round(sum(CASE WHEN party = 'democrat' THEN amount ELSE 0 END), 2) AS democrat_total,
+       |    round(sum(CASE WHEN party = 'republican' THEN amount ELSE 0 END), 2) AS republican_total
+       |  FROM cls
+       |  WHERE ticker IS NOT NULL AND ticker <> '' AND amount IS NOT NULL AND amount > 0
+       |  GROUP BY 1,2
+       |  HAVING sum(CASE WHEN party = 'democrat' THEN amount ELSE 0 END) > 0
+       |      OR sum(CASE WHEN party = 'republican' THEN amount ELSE 0 END) > 0)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     // ---------------------------------------------------------------- A1/A8
     // Group-sum over sort keys (pac_data_processor.py:69) — TPC-H Q1 shape.
@@ -106,6 +163,21 @@ object CoreQueries {
           Derivations.compositeKey(col("n_name"), col("n_nationkey")).as("composite_key"),
           Cleaning.deterministicId(col("n_name"), col("n_nationkey").cast("string")).as("det_id"))
         .orderBy("n_nationkey")
+    }),
+
+    // --------------------------------------------------------------- D3+A4
+    // The reference's flagship realtime aggregation (pac_snowflake_realtime
+    // .py:90-128) on a PAC-shaped frame synthesized from orders: committee
+    // names are keyword-bearing (including a both-keywords row that must
+    // classify republican by precedence, SURVEY.md §7.4(6)); blank/null
+    // tickers and non-positive amounts exercise the P15/P16 skip filters.
+    "d3_party_pivot" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Aggregations.partyPivot(pacFrame(t), "ticker", "cycle", "committee_name", "amount")
+        .select(col("ticker"), col("cycle"),
+          round(col("democrat_total"), 2).as("democrat_total"),
+          round(col("republican_total"), 2).as("republican_total"))
+        .orderBy("ticker", "cycle")
     }),
 
     // ------------------------------------------------------------------- A7
@@ -330,6 +402,10 @@ object CoreQueries {
          concat_ws('_', n_name, n_nationkey) AS composite_key,
          sha256(concat_ws('§', n_name, n_nationkey)) AS det_id
          FROM nation ORDER BY 1""",
+    "d3_party_pivot" ->
+      s"""WITH $partyPivotSql
+         |SELECT ticker, cycle, democrat_total, republican_total
+         |FROM agg ORDER BY 1,2""".stripMargin,
     "a7_distinct_values" ->
       "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1",
     "a8_global_stats" ->

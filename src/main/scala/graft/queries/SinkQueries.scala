@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregations, Dedup}
+import graft.sinks.{DocumentSink, TreeSink}
+import graft.sources.Tables
+
+/** Oracle-checked round-trip queries for the sink layer (SURVEY.md §2.1
+  * S6-S11): each query WRITES through a sink, READS the output back through
+  * the corresponding scan (S6), and aggregates the read-back rows — the
+  * DuckDB oracle computes the same aggregate straight from the source
+  * parquet, so a pass proves the write+read round-trip is lossless.
+  *
+  * Side-effect note: sink output lives under java.io.tmpdir/graft_sinks and
+  * is recreated (overwrite / clean-then-write) on every run, so results are
+  * deterministic across reruns.
+  */
+object SinkQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sinkDir(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_sinks/$name"
+
+  /** Recursive local delete (for sinks that append uniquely-named files). */
+  private def clean(dir: String): Unit = {
+    val root = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+  }
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------ S7
+    // Per-document sink: nation → {collection, document_id, data-JSON} →
+    // collection-partitioned JSON → scan back (S6) → per-collection count +
+    // key checksum parsed out of the data JSON.
+    "s7_sink_roundtrip" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val out = sinkDir("s7")
+      val src = t.nation.select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      val recs = DocumentSink.prepare(src,
+        concat(lit("nations_"), (col("n_nationkey") % 2).cast("string")),
+        col("n_nationkey"))
+      DocumentSink.write(recs, out)
+      Tables.documentSinkScan(s, out)
+        .groupBy("collection")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("data"), "$.n_nationkey").cast("long")).as("key_sum"))
+        .select(col("collection").cast("string").as("collection"), col("n"), col("key_sum"))
+        .orderBy("collection")
+    }),
+
+    // ------------------------------------------------------------------ S8
+    // Batched sink: customer → executor-side batches of 256 through the
+    // local batch transport → read back → count + checksum + the reference's
+    // ≥0.8 success accounting (pac_snowflake_pipeline.py:365).
+    "s8_batched_sink" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val out = sinkDir("s8")
+      clean(out)
+      val src = t.customer.select(col("c_custkey"), col("c_acctbal"))
+      val recs = DocumentSink.prepare(src, lit("customers"), col("c_custkey"))
+      val report = DocumentSink.writeBatched(recs,
+        new DocumentSink.LocalJsonBatchWriter(out), batchSize = 256)
+      Tables.documentSinkScan(s, out)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(get_json_object(col("data"), "$.c_custkey").cast("long")).as("key_sum"))
+        .select(col("n_docs"), col("key_sum"),
+          lit(report.succeeded).as("n_succeeded"), lit(report.ok).as("success_ok"))
+    }),
+
+    // ------------------------------------------------------------------ S9
+    // Whole keyed tree: supplier → one {id → record} JSON object → read-back
+    // verification (count + checksum), index_align_to_firebase.py:223-259.
+    "s9_tree_roundtrip" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val out = sinkDir("s9/tree.json")
+      val src = t.supplier.select(
+        col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"), col("s_acctbal"))
+      TreeSink.writeWholeTree(src, col("s_suppkey"), out)
+      TreeSink.readWholeTree(s, out)
+        .agg(count(lit(1)).as("n"),
+          round(sum(get_json_object(col("rec"), "$.s_acctbal").cast("double")), 2)
+            .as("acctbal_total"))
+    }),
+
+    // ----------------------------------------------------------------- S10
+    // Per-path tree sink: the realtime pipeline end-to-end — party pivot
+    // (A4) → ticker→brand lookup join (J1, misses skipped) → nested pac node
+    // → path-keyed JSON rows → read back and flatten.
+    "s10_tree_paths" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val out = sinkDir("s10")
+      val agg = Aggregations.partyPivot(
+        CoreQueries.pacFrame(t), "ticker", "cycle", "committee_name", "amount")
+      // Single-digit tickers get brands; the rest exercise the skip path.
+      val mapping = agg.select("ticker").distinct()
+        .filter(length(col("ticker")) === 2)
+        .withColumn("brand_id", concat(lit("B_"), col("ticker")))
+      val joined = Dedup.lookupJoin(agg, mapping, "ticker")
+      val paths = TreeSink.preparePaths(
+        joined,
+        Seq(lit("brands"), col("brand_id"), lit("records"), col("cycle"), lit("pac")),
+        TreeSink.pacNode(round(col("democrat_total"), 2), round(col("republican_total"), 2)))
+      TreeSink.writePerPath(paths, out)
+      s.read.json(out)
+        .select(col("path"),
+          get_json_object(col("value"), "$.pac.democrat").cast("double").as("democrat"),
+          get_json_object(col("value"), "$.pac.republican").cast("double").as("republican"))
+        .orderBy("path")
+    }),
+
+    // ----------------------------------------------------------------- S11
+    // Dry-run sink: deterministic preview of the first 5 documents, no
+    // write (pac_data_processor.py:227-239).
+    "s11_dryrun" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val src = t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+      val recs = DocumentSink.prepare(src, lit("orders"), col("o_orderkey"))
+      DocumentSink.dryRun(recs, Seq(col("document_id").cast("long")), 5)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s7_sink_roundtrip" ->
+      """SELECT 'nations_' || CAST(n_nationkey % 2 AS VARCHAR) AS collection,
+        |  count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s8_batched_sink" ->
+      """SELECT count(*) AS n_docs, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  count(*) AS n_succeeded, true AS success_ok
+        |FROM customer""".stripMargin,
+    "s9_tree_roundtrip" ->
+      """SELECT count(*) AS n, round(sum(s_acctbal), 2) AS acctbal_total
+        |FROM supplier""".stripMargin,
+    "s10_tree_paths" ->
+      s"""WITH ${CoreQueries.partyPivotSql},
+         |mapping AS (
+         |  SELECT DISTINCT ticker, 'B_' || ticker AS brand_id
+         |  FROM agg WHERE length(ticker) = 2)
+         |SELECT 'brands/' || brand_id || '/records/' || CAST(cycle AS VARCHAR) || '/pac' AS path,
+         |  democrat_total AS democrat, republican_total AS republican
+         |FROM agg JOIN mapping USING (ticker)
+         |ORDER BY path""".stripMargin,
+    "s11_dryrun" ->
+      """SELECT 'orders' AS collection, CAST(o_orderkey AS VARCHAR) AS document_id,
+        |  '{"o_orderkey":' || o_orderkey || ',"o_orderpriority":"' || o_orderpriority || '"}' AS data
+        |FROM orders ORDER BY o_orderkey LIMIT 5""".stripMargin
+  )
+}

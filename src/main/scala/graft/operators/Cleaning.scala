@@ -33,16 +33,17 @@ object Cleaning {
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** P4: numeric coercion, pandas `to_numeric(errors='coerce')` ≡ cast→null
-    * (pac_data_processor.py:33). */
-  def toNumeric(c: Column): Column = c.cast(DoubleType)
+  /** P4: numeric coercion, pandas `to_numeric(errors='coerce')` ≡ null on
+    * malformed input (pac_data_processor.py:33). `try_cast`, not `cast`:
+    * under ANSI mode (Spark 4 default) a plain cast THROWS on bad input. */
+  def toNumeric(c: Column): Column = c.try_cast(DoubleType)
 
   /** P4 variant: coerce + fill 0 (pac_snowflake_pipeline.py:95). */
-  def toNumericFill0(c: Column): Column = coalesce(c.cast(DoubleType), lit(0.0))
+  def toNumericFill0(c: Column): Column = coalesce(c.try_cast(DoubleType), lit(0.0))
 
   /** P6: datetime coercion, `pd.to_datetime(errors='coerce')`
-    * (pac_snowflake_pipeline.py:108-113). */
-  def toDatetime(c: Column): Column = to_timestamp(c)
+    * (pac_snowflake_pipeline.py:108-113); null on unparseable input. */
+  def toDatetime(c: Column): Column = try_to_timestamp(c)
 
   /** P5: name-pattern type inference (pac_snowflake_pipeline.py:88-113).
     * Columns whose (lowercased) name contains `amount`/`value`/`price` become
@@ -63,7 +64,7 @@ object Cleaning {
       else if (money.exists(n.contains)) toNumericFill0(col(f.name)).as(f.name)
       else if (n.contains("date")) toDatetime(col(f.name)).as(f.name)
       else if (numeric.exists(n.contains) && f.dataType == StringType)
-        col(f.name).cast(LongType).as(f.name)
+        col(f.name).try_cast(LongType).as(f.name)
       else col(f.name)
     }
     df.select(cols.toIndexedSeq: _*)

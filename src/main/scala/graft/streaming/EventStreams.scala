@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.9 —
+  * a declared engine extension; the reference's pipelines are one-shot
+  * batches, its only stream-adjacent mechanics being batched sinks and
+  * idempotent re-runs).
+  *
+  * The window/session expressions here are the SAME ones
+  * [[graft.queries.WindowQueries]] runs in batch mode — `window()` /
+  * `session_window()` plans compile under both `read` and `readStream`, so
+  * batch results (oracle-checked by the driver) certify the streaming
+  * transforms' semantics, and the streaming tests certify the wiring
+  * (watermarks, state, output modes).
+  *
+  * Scale: streaming aggregations shuffle on the group key exactly like
+  * batch; watermarks bound state size; `dropDuplicates` state is pruned by
+  * the event-time watermark.
+  */
+object EventStreams {
+
+  /** Events parquet schema with `ts` as raw nanosecond long (the files are
+    * TIMESTAMP(NANOS); see [[graft.sources.Tables.events]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events directory as a file stream (one-file-per-trigger keeps
+    * tests deterministic; production would point at an arriving directory). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.configure(spark)
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour counts per event type with a 1-hour watermark — the
+    * streaming twin of batch query w1. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v_total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("v_total"))
+
+  /** Session windows (30-minute gap) per user — the streaming twin of w3's
+    * inner aggregation. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("session_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("session_events"))
+
+  /** Exactly-once-style dedup on event_id within the watermark horizon
+    * (SURVEY.md §2.9: idempotent re-run via dedup-before-upload). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+}

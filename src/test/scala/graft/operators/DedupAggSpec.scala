@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** J1/J2 dedup + lookup join and the A4 party pivot over in-memory PAC
+  * fixtures (FIXTURES.md §3). */
+class DedupAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dupFrame = Seq(
+    // (ticker, cycle, committee, amount, ingest_ts) — first two share a key
+    ("AAPL", 2024, "Apple PAC", 100.0, 2),
+    ("AAPL", 2024, "Apple PAC", 100.0, 1), // earlier ingest — must survive
+    ("MSFT", 2024, "Microsoft PAC", 200.0, 1)
+  ).toDF("ticker", "cycle", "committee", "amount", "ingest_ts")
+
+  test("keepFirst keeps exactly the earliest row per composite key") {
+    val keyed = dupFrame.withColumn("key",
+      Derivations.compositeKey($"ticker", $"cycle", $"committee", $"amount"))
+    val out = Dedup.keepFirst(keyed, Seq("key"), Seq($"ingest_ts"))
+    assert(out.count() === 2L)
+    assert(out.filter($"ticker" === "AAPL").select("ingest_ts").head.getInt(0) === 1)
+  }
+
+  test("keepFirst is deterministic across reshuffles") {
+    val keyed = dupFrame.repartition(4).withColumn("key",
+      Derivations.compositeKey($"ticker", $"cycle"))
+    val a = Dedup.keepFirst(keyed, Seq("key"), Seq($"ingest_ts", $"amount"))
+      .orderBy("ticker").collect().toSeq
+    val b = Dedup.keepFirst(keyed.repartition(7), Seq("key"), Seq($"ingest_ts", $"amount"))
+      .orderBy("ticker").collect().toSeq
+    assert(a === b)
+  }
+
+  test("antiJoinExisting drops rows whose keys exist in the sink") {
+    val incoming = Seq(("A", 1), ("B", 2), ("C", 3)).toDF("k", "v")
+    val existing = Seq(("B", 99), ("B", 100)).toDF("k", "v")
+    val out = Dedup.antiJoinExisting(incoming, existing, Seq("k"))
+    assert(out.select("k").collect().map(_.getString(0)).sorted.toSeq === Seq("A", "C"))
+  }
+
+  test("lookupJoin keeps matches, droppedKeys reports misses") {
+    val facts = Seq(("AAPL", 1.0), ("MSFT", 2.0), ("XXXX", 3.0)).toDF("ticker", "amt")
+    val mapping = Seq(("AAPL", "b1"), ("MSFT", "b2")).toDF("ticker", "brand_id")
+    assert(Dedup.lookupJoin(facts, mapping, "ticker").count() === 2L)
+    assert(Dedup.droppedKeys(facts, mapping, "ticker").collect()
+      .map(_.getString(0)).toSeq === Seq("XXXX"))
+  }
+
+  test("partyPivot: precedence, zero-group drop, blank-ticker and amount filters") {
+    val pac = Seq(
+      ("AAPL", 2024, "Democrats for Conservative Values", 10.0), // → republican (precedence)
+      ("AAPL", 2024, "Progressive PAC", 5.0),                    // → democrat
+      ("MSFT", 2024, "Neutral PAC", 50.0),                       // unclassified → group drops
+      ("", 2024, "GOP Fund", 30.0),                              // blank ticker skipped
+      ("TSLA", 2024, "GOP Fund", -1.0),                          // non-positive skipped → drops
+      ("NVDA", 2024, "Liberal Fund", 7.5)
+    ).toDF("ticker", "cycle", "committee_name", "amount")
+    val out = Aggregations.partyPivot(pac, "ticker", "cycle", "committee_name", "amount")
+      .orderBy("ticker").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("AAPL", "NVDA"))
+    val aapl = out(0)
+    assert(aapl.getAs[Double]("republican_total") === 10.0)
+    assert(aapl.getAs[Double]("democrat_total") === 5.0)
+  }
+
+  test("reconcile full-outer joins counts with the existing>=incoming heuristic") {
+    val incoming = Seq("a", "a", "b").toDF("k")
+    val existing = Seq("a", "c").toDF("k")
+    val rows = Aggregations.reconcile(incoming, existing, "k").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(rows("a") === ((2L, 1L, 3L, false)))
+    assert(rows("b") === ((1L, 0L, 1L, false)))
+    assert(rows("c") === ((0L, 1L, 1L, true)))
+  }
+}

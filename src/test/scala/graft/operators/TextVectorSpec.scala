@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and vector operators: tokenization edges, Jaccard, MinHash
+  * near-dup recall, SimHash invariance, cosine identities, LSH blocking. */
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: empty and whitespace-only text yield an empty array") {
+    val out = Seq("", "   ", "One  Two\tthree").toDF("text")
+      .select(size(TextOps.tokens($"text")).as("n")).collect().map(_.getInt(0))
+    assert(out.toSeq === Seq(0, 0, 3))
+  }
+
+  test("jaccard: identical token sets → 1.0, disjoint → 0.0, half overlap") {
+    val df = Seq(
+      ("a b c", "a b c"), ("a b", "c d"), ("a b c", "a b d")
+    ).toDF("x", "y")
+      .select(TextOps.jaccard(TextOps.tokens($"x"), TextOps.tokens($"y")).as("j"))
+    val js = df.collect().map(_.getDouble(0))
+    assert(js(0) === 1.0)
+    assert(js(1) === 0.0)
+    assert(math.abs(js(2) - 0.5) < 1e-9)
+  }
+
+  test("minhashNearDups finds a true near-duplicate and skips unrelated docs") {
+    val doc = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " other"
+    val unrelated = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, nearDup), (3L, unrelated)).toDF("id", "text")
+    val pairs = TextOps.minhashNearDups(df, "id", "text", 0.5).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) === ((1L, 2L)))
+    assert(pairs(0).getDouble(2) > 0.9)
+  }
+
+  test("simhash: identical distinct-token sets hash equal; order-invariant") {
+    val out = Seq("alpha beta gamma", "gamma beta alpha beta", "totally different words")
+      .toDF("text")
+      .select(TextOps.simhash(TextOps.tokens($"text")).as("h")).collect().map(_.getLong(0))
+    assert(out(0) === out(1))   // same distinct set, different order/multiplicity
+    assert(out(0) !== out(2))
+    assert(out(0) >= 0L && out(0) < (1L << 32))
+  }
+
+  test("fingerprint collapses whitespace and case, distinguishes content") {
+    val out = Seq("Hello   World", "hello world", "hello  worlds")
+      .toDF("t").select(TextOps.fingerprint($"t")).collect().map(_.getString(0))
+    assert(out(0) === out(1))
+    assert(out(0) !== out(2))
+  }
+
+  test("cosine: orthogonal → 0, parallel → 1, known value") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(1.0, 2.0), Array(2.0, 4.0)),
+      (Array(1.0, 0.0), Array(1.0, 1.0))
+    ).toDF("a", "b").select(VectorOps.cosine($"a", $"b").as("c"))
+    val cs = df.collect().map(_.getDouble(0))
+    assert(cs(0) === 0.0)
+    assert(math.abs(cs(1) - 1.0) < 1e-12)
+    assert(math.abs(cs(2) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks the most similar vector first and excludes the query") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.bruteForceTopK(df, "vec_id", "embedding", 0L, 2).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("nearDupPairs blocks by LSH bucket and finds identical vectors") {
+    val planes = VectorOps.hyperplanes(4, 3)
+    val df = Seq(
+      (1L, Array(0.5f, 0.5f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, 0.0f)),   // identical → same bucket, sim 1.0
+      (3L, Array(-0.5f, -0.5f, 0.0f))  // antipodal → different bucket
+    ).toDF("vec_id", "embedding")
+    val pairs = VectorOps.nearDupPairs(df, "vec_id", "embedding", planes, 0.99).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(1), pairs(0).getLong(2)) === ((1L, 2L)))
+    assert(pairs(0).getDouble(3) === 1.0)
+  }
+
+  test("language ID picks the marker-word argmax with declaration-order ties") {
+    val out = Seq(
+      "the cat and the dog of note",  // en markers
+      "der hund und die katze",       // de markers
+      "no markers here whatsoever"    // zero scores → first language wins
+    ).toDF("text")
+      .select(TextOps.predictedLang(TextOps.tokens($"text"))).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("en", "de", "en"))
+  }
+}

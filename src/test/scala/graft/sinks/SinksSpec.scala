@@ -1,0 +1,89 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** S7-S11 sink semantics: round-trips, batching, success accounting below
+  * the 0.8 threshold, dry-run side-effect freedom, whole-tree read-back. */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink-test").toString
+
+  private def records = DocumentSink.prepare(
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"),
+    lit("things"), col("id"))
+
+  test("document sink round-trips rows losslessly through JSON") {
+    val dir = tmp()
+    DocumentSink.write(records, dir)
+    val back = graft.sources.Tables.documentSinkScan(spark, dir)
+    assert(back.count() === 3L)
+    val names = back.select(get_json_object($"data", "$.name").as("n"))
+      .collect().map(_.getString(0)).sorted
+    assert(names.toSeq === Seq("a", "b", "c"))
+    assert(back.select("collection").distinct().head.getString(0) === "things")
+  }
+
+  test("batched sink: all records committed → report ok, files readable") {
+    val dir = tmp() + "/batches"
+    val report = DocumentSink.writeBatched(records,
+      new DocumentSink.LocalJsonBatchWriter(dir), batchSize = 2)
+    assert(report.total === 3L)
+    assert(report.succeeded === 3L)
+    assert(report.ok)
+    assert(spark.read.json(dir).count() === 3L)
+  }
+
+  test("batched sink: failing transport → warn-and-continue, ok=false below 0.8") {
+    val failing = new DocumentSink.BatchWriter {
+      def commit(batch: Seq[(String, String, String)]): Int =
+        throw new RuntimeException("transport down")
+    }
+    val report = DocumentSink.writeBatched(records, failing, batchSize = 1)
+    assert(report.total === 3L)
+    assert(report.succeeded === 0L)
+    assert(!report.ok)
+  }
+
+  test("success ratio boundary: exactly 0.8 passes, below fails") {
+    assert(DocumentSink.UploadReport(10, 8).ok)
+    assert(!DocumentSink.UploadReport(10, 7).ok)
+    assert(DocumentSink.UploadReport(0, 0).ok) // vacuous success
+  }
+
+  test("dry run previews deterministically and writes nothing") {
+    val dir = tmp() + "/never-created"
+    val preview = DocumentSink.dryRun(records, Seq(col("document_id").cast("long")), 2)
+      .collect()
+    assert(preview.length === 2)
+    assert(preview.map(_.getAs[String]("document_id")).toSeq === Seq("1", "2"))
+    assert(!new java.io.File(dir).exists)
+  }
+
+  test("whole-tree sink writes one keyed JSON object; read-back verifies") {
+    val file = tmp() + "/tree.json"
+    val df = Seq((10L, "x", 1.5), (20L, "y", 2.5)).toDF("id", "name", "score")
+    TreeSink.writeWholeTree(df, col("id"), file)
+    val back = TreeSink.readWholeTree(spark, file)
+    assert(back.count() === 2L)
+    val scores = back.select(get_json_object($"rec", "$.score").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(scores.toSeq === Seq(1.5, 2.5))
+    // single JSON object on disk
+    val raw = new String(Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+    assert(raw.startsWith("{") && raw.endsWith("}"))
+  }
+
+  test("pac node + per-path rows produce the reference tree shape") {
+    val agg = Seq(("b1", 2024L, 10.0, 20.0)).toDF("brand_id", "cycle", "democrat", "republican")
+    val paths = TreeSink.preparePaths(agg,
+      Seq(lit("brands"), $"brand_id", lit("records"), $"cycle", lit("pac")),
+      TreeSink.pacNode($"democrat", $"republican"))
+    val row = paths.head
+    assert(row.getString(0) === "brands/b1/records/2024/pac")
+    assert(row.getString(1) === """{"pac":{"democrat":10.0,"republican":20.0}}""")
+  }
+}

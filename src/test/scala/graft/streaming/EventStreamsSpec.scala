@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming smoke: the streaming transforms must reproduce
+  * their batch twins' results when fed the same files (SURVEY.md §2.9). */
+class EventStreamsSpec extends SparkSpec {
+
+  /** The file-stream source requires a directory; stage the events parquet
+    * file into one. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming tumbling counts equal the batch window aggregation") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.tumblingCounts(stream), "w1_stream", "complete")
+    val streamed = spark.table("w1_stream")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = graft.queries.WindowQueries.queries("w1_tumbling_window")(
+      spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("streaming dedup on event_id passes distinct events through") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.dedupEvents(stream)
+      .select("event_id", "user_id", "event_type"), "dedup_stream", "append")
+    val n = spark.table("dedup_stream").count()
+    val distinctIds = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+      .events.select(countDistinct(col("event_id"))).head.getLong(0)
+    assert(n === distinctIds)
+  }
+
+  test("streaming session windows produce per-user sessions") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.sessionCounts(stream), "w3_stream", "complete")
+    val sessions = spark.table("w3_stream")
+    assert(sessions.count() > 0)
+    // every (user, session) is unique
+    assert(sessions.count() ===
+      sessions.select("user_id", "session_start").distinct().count())
+  }
+}

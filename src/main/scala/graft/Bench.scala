@@ -1,23 +1,51 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":"total",...,"queries":{...}}.
+  *
+  * Measurement rules (round-2 verdict "What's wrong #1"):
+  *  - a WARMUP pass runs every query once unmeasured, so JVM/codegen/
+  *    classloading warmup does not land on the first measured query;
+  *  - queries materialize through the `noop` datasource writer — every
+  *    column expression is computed (a bare count() lets Catalyst prune
+  *    unreferenced projections such as date_format/sha256 columns);
+  *  - per-query errors PROPAGATE: a broken query aborts the bench with a
+  *    nonzero exit instead of being recorded as a fast timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    graft.sources.Tables.configure(spark)
+
+    def materialize(name: String): Unit =
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query $name failed: ${e.getMessage}")
+        throw e
+      }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(materialize) // warmup: full pass, unmeasured
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      materialize(name)
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

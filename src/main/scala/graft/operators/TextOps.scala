@@ -120,12 +120,32 @@ object TextOps {
           (0 until n).map(k => element_at(toks, (i + k + 1).cast("int"))): _*)))
 
   /** 16-hash MinHash signature as an array column. h_i(doc) =
-    * min over shingles s of (a_i * (md5h(s) mod P) + b_i) mod P. */
+    * min over shingles s of (a_i * (md5h(s) mod P) + b_i) mod P.
+    *
+    * NOTE: prefer [[minhashSignatures]] for whole-table signatures — this
+    * single-column form duplicates the md5 transform 16× after projection
+    * collapse (higher-order-function lambdas are interpreted, not
+    * codegen'd), so each shingle gets hashed once per permutation. */
   def minhashSignature(shingleCol: Column): Column = {
     val hashed = transform(shingleCol, s => md5Hash60(s) % P)
     array(hashParams.map { case (a, b) =>
       array_min(transform(hashed, h => (h * a + b) % P))
     }: _*)
+  }
+
+  /** Whole-table MinHash signatures via explode → codegen'd min aggregates:
+    * each shingle is md5-hashed exactly ONCE, the 16 permutations are plain
+    * `min()` aggregates with map-side partial aggregation, and the only
+    * data movement is one shuffle of 16 longs per document on `id`. This is
+    * the 100 TB path — per-doc work linear in shingle count, no interpreted
+    * lambda re-evaluation. Returns (id, h0..h15). */
+  def minhashSignatures(toked: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val exploded = toked.select(col(idCol).as("id"),
+      explode(transform(shingles(col(toksCol)), s => md5Hash60(s) % P)).as("h"))
+    val aggs = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"h$i")
+    }
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band signatures: numBands strings, each concatenating BandRows
@@ -145,7 +165,10 @@ object TextOps {
   }
 
   /** 32-bit SimHash over the distinct tokens of a document (unit weights):
-    * bit j set iff Σ_tokens (2*((h(t)>>j)&1) - 1) > 0. */
+    * bit j set iff Σ_tokens (2*((h(t)>>j)&1) - 1) > 0.
+    *
+    * NOTE: prefer [[simhashes]] for whole-table hashing — this form
+    * re-evaluates the interpreted md5 transform once per bit (32×). */
   val SimHashBits = 32
   def simhash(toks: Column): Column = {
     val hashed = transform(array_distinct(toks), t => md5Hash60(t))
@@ -154,6 +177,24 @@ object TextOps {
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Whole-table SimHash via explode → 32 codegen'd sum aggregates: each
+    * distinct token is md5-hashed exactly once; bit sums are plain `sum()`
+    * with map-side partial aggregation (one shuffle of 32 longs per doc).
+    * `explode_outer` keeps empty documents, whose simhash is 0 — matching
+    * [[simhash]] on an empty array. Returns (id, simhash). */
+  def simhashes(toked: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val exploded = toked.select(col(idCol).as("id"),
+      explode_outer(transform(array_distinct(col(toksCol)), t => md5Hash60(t))).as("h"))
+    val aggs = (0 until SimHashBits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"b$j")
+    }
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until SimHashBits).map { j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** MinHash+LSH near-duplicate pairs: shingle → signature → band buckets →
@@ -170,9 +211,13 @@ object TextOps {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
     val toked = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-    val banded = toked
-      .withColumn("sig", minhashSignature(shingles(col("toks"))))
-      .select(col("id"), explode(bandSignatures(col("sig"))).as("b"))
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
+          .as("sig"))
+    }
+    val banded = minhashSignatures(toked, "id", "toks")
+      .select(col("id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&

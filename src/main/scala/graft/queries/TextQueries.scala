@@ -74,11 +74,14 @@ object TextQueries {
     }),
 
     // ------------------------------------------------------------------ x5
-    // 32-bit SimHash per document over distinct tokens.
+    // 32-bit SimHash per document over distinct tokens (explode+aggregate
+    // form: one md5 pass, codegen'd bit sums).
     "x5_simhash" -> ((s, dir) => {
       val t = Tables(s, dir)
-      t.documents
-        .select(col("doc_id"), TextOps.simhash(TextOps.tokens(col("text"))).as("simhash"))
+      TextOps.simhashes(
+          t.documents.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+          "doc_id", "toks")
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     })
   )

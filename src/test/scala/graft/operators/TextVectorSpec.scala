@@ -45,6 +45,29 @@ class TextVectorSpec extends SparkSpec {
     assert(out(0) >= 0L && out(0) < (1L << 32))
   }
 
+  test("simhashes (explode+agg) equals the per-column simhash expression") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "one two three"), (3L, ""))
+      .toDF("id", "text")
+      .select($"id", TextOps.tokens($"text").as("toks"))
+    val viaAgg = TextOps.simhashes(df, "id", "toks")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = df.select($"id", TextOps.simhash($"toks").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaCol)
+  }
+
+  test("minhashSignatures (explode+agg) equals the per-column signature") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"), (2L, "tiny"))
+      .toDF("id", "text")
+      .select($"id", TextOps.tokens($"text").as("toks"))
+    val viaAgg = TextOps.minhashSignatures(df, "id", "toks")
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i)).toSeq).toMap
+    val viaCol = df.select($"id",
+        TextOps.minhashSignature(TextOps.shingles($"toks")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(viaAgg === viaCol)
+  }
+
   test("fingerprint collapses whitespace and case, distinguishes content") {
     val out = Seq("Hello   World", "hello world", "hello  worlds")
       .toDF("t").select(TextOps.fingerprint($"t")).collect().map(_.getString(0))

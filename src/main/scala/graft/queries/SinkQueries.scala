@@ -19,11 +19,11 @@ import graft.sources.Tables
 object SinkQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def sinkDir(name: String): String =
+  private[queries] def sinkDir(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_sinks/$name"
 
   /** Recursive local delete (for sinks that append uniquely-named files). */
-  private def clean(dir: String): Unit = {
+  private[queries] def clean(dir: String): Unit = {
     val root = new java.io.File(dir)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

@@ -46,16 +46,17 @@ object TextOps {
       lang -> words.map(w => tokenMatches(toks, w)).reduce(_ + _)
     }
 
-  def predictedLang(toks: Column): Column = {
-    val scores = langScores(toks)
-    // argmax with first-declared tie-break: lang_i wins if its score >= all
-    // later scores and > -1 (scores are >= 0 so the first max wins).
+  /** Argmax with first-declared tie-break: label_i wins if its score >= all
+    * later scores (scores are >= 0 so the first max wins). */
+  def argmaxFirst(scores: Seq[(String, Column)]): Column = {
     val cols = scores.map(_._2)
     scores.zipWithIndex.init.foldRight(lit(scores.last._1)) {
-      case (((lang, score), i), elseCol) =>
-        when(cols.drop(i + 1).map(score >= _).reduce(_ && _), lang).otherwise(elseCol)
+      case (((label, score), i), elseCol) =>
+        when(cols.drop(i + 1).map(score >= _).reduce(_ && _), label).otherwise(elseCol)
     }
   }
+
+  def predictedLang(toks: Column): Column = argmaxFirst(langScores(toks))
 
   /** Quality metrics (length / punctuation / stopword ratios + mean token
     * length), each an exact integer ratio so rounding is oracle-stable. */
@@ -86,6 +87,22 @@ object TextOps {
     * the exact-dedup key for near-identical formatting variants. */
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  /** Whole-table per-document word counts via explode → codegen'd sums:
+    * emits (idCol, extraCols..., n_tokens, cnt_<word>...). The scale form of
+    * [[tokenMatches]] — each token is examined once total instead of once
+    * per word by an interpreted lambda; partial aggregation collapses each
+    * document to one row of counters before the shuffle.
+    * `extraCols` must be functionally determined by `idCol` (they join the
+    * group key). */
+  def wordCounts(toked: DataFrame, idCol: String, toksCol: String,
+                 words: Seq[String], extraCols: Seq[String] = Nil): DataFrame = {
+    val keys = (idCol +: extraCols).map(col)
+    val exploded = toked.select(keys :+ explode_outer(col(toksCol)).as("__t"): _*)
+    val aggs = count(col("__t")).cast("long").as("n_tokens") +:
+      words.map(w => sum(when(col("__t") === w, 1L).otherwise(0L)).as(s"cnt_$w"))
+    exploded.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   // ------------------------------------------------------------------ hashing
 

@@ -120,7 +120,7 @@ object Pipelines {
       val verified =
         if (cfg.dryRun) 0L
         else {
-          TreeSink.writeWholeTree(normalized, col(idCol.toLowerCase), treeFile)
+          TreeSink.writeWholeTree(normalized, idCol.toLowerCase, treeFile)
           TreeSink.readWholeTree(spark, treeFile).count() // read-back verification
         }
       Result(normalized, treeFile, verified)

@@ -33,6 +33,21 @@ object SinkQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------ S1
+    // CSV scan round-trip: write orders as headered CSV, read it back with
+    // schema inference (pd.read_csv ≡ Tables.csv), re-aggregate — proves
+    // the inferred-schema CSV path parses types losslessly.
+    "s1_csv_scan" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val out = sinkDir("s1_csv")
+      t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      Tables.csv(s, out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ------------------------------------------------------------------ S7
     // Per-document sink: nation → {collection, document_id, data-JSON} →
     // collection-partitioned JSON → scan back (S6) → per-collection count +
@@ -81,7 +96,7 @@ object SinkQueries {
       val out = sinkDir("s9/tree.json")
       val src = t.supplier.select(
         col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"), col("s_acctbal"))
-      TreeSink.writeWholeTree(src, col("s_suppkey"), out)
+      TreeSink.writeWholeTree(src, "s_suppkey", out)
       TreeSink.readWholeTree(s, out)
         .agg(count(lit(1)).as("n"),
           round(sum(get_json_object(col("rec"), "$.s_acctbal").cast("double")), 2)
@@ -126,6 +141,9 @@ object SinkQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "s1_csv_scan" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "s7_sink_roundtrip" ->
       """SELECT 'nations_' || CAST(n_nationkey % 2 AS VARCHAR) AS collection,
         |  count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum

@@ -38,10 +38,29 @@ object TextQueries {
 
     // ------------------------------------------------------------------ x2
     // Quality metrics: token count, punctuation / stopword ratios, mean
-    // token length, and the boolean quality gate.
+    // token length, and the boolean quality gate. Explode+aggregate form:
+    // string-level metrics are computed once pre-explode, token-level
+    // counters are codegen'd sums (no interpreted lambda per stopword).
     "x2_quality_metrics" -> ((s, dir) => {
       val t = Tables(s, dir)
-      TextOps.qualityMetrics(t.documents.select("doc_id", "text"), "text")
+      val toked = t.documents.select(
+        col("doc_id"),
+        TextOps.punctChars(col("text")).as("punct"),
+        length(col("text")).as("len"),
+        length(regexp_replace(col("text"), "\\s", "")).as("nonws"),
+        TextOps.tokens(col("text")).as("toks"))
+      val stopSum = TextOps.Stopwords.map(w => col(s"cnt_$w")).reduce(_ + _)
+      TextOps.wordCounts(toked, "doc_id", "toks", TextOps.Stopwords,
+          extraCols = Seq("punct", "len", "nonws"))
+        .withColumn("punct_ratio",
+          round(col("punct").cast("double") / nullif(col("len"), lit(0)), 4))
+        .withColumn("stopword_ratio",
+          round(stopSum.cast("double") / nullif(col("n_tokens"), lit(0L)), 4))
+        .withColumn("mean_token_len",
+          round(col("nonws").cast("double") / nullif(col("n_tokens"), lit(0L)), 4))
+        .withColumn("quality_ok",
+          col("n_tokens") >= 10 && coalesce(col("punct_ratio") <= 0.05, lit(false)) &&
+            coalesce(col("stopword_ratio") <= 0.5, lit(false)))
         .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
           "mean_token_len", "quality_ok")
         .orderBy("doc_id")
@@ -53,11 +72,17 @@ object TextQueries {
     // plus the per-cell total marker score — exercises every score branch.
     "x3_lang_id" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val toks = TextOps.tokens(col("text"))
-      val totalScore = TextOps.langScores(toks).map(_._2).reduce(_ + _)
-      t.documents
-        .select(col("lang"), TextOps.predictedLang(toks).as("pred_lang"),
-          totalScore.cast("long").as("score"))
+      val allMarkers = TextOps.LangMarkers.flatMap(_._2)
+      val toked = t.documents.select(
+        col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+      val counts = TextOps.wordCounts(toked, "doc_id", "toks", allMarkers,
+        extraCols = Seq("lang"))
+      val scores = TextOps.LangMarkers.map { case (lang, words) =>
+        lang -> words.map(w => col(s"cnt_$w")).reduce(_ + _)
+      }
+      counts
+        .select(col("lang"), TextOps.argmaxFirst(scores).as("pred_lang"),
+          scores.map(_._2).reduce(_ + _).cast("long").as("score"))
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n"), sum("score").as("total_score"))
         .orderBy("lang", "pred_lang")

@@ -39,11 +39,14 @@ object TreeSink {
 
   /** S9: whole keyed tree `{id → record}` as ONE JSON object, written by a
     * single task (the reference's atomic `set('issues', dict)`). Rows are
-    * streamed — constant memory apart from the output buffer. */
-  def writeWholeTree(df: DataFrame, idCol: Column, outFile: String): Unit = {
+    * streamed — constant memory apart from the output buffer. The id column
+    * is EXCLUDED from the record payload once it becomes the map key (P18,
+    * index_align_to_firebase.py:198-203). */
+  def writeWholeTree(df: DataFrame, idCol: String, outFile: String): Unit = {
+    val recCols = df.columns.filterNot(_ == idCol)
     val keyed = df.select(
-      idCol.cast("string").as("__id"),
-      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("__rec"))
+      col(idCol).cast("string").as("__id"),
+      to_json(struct(recCols.map(col).toIndexedSeq: _*)).as("__rec"))
     val path = new org.apache.hadoop.fs.Path(outFile)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = path.getFileSystem(conf)

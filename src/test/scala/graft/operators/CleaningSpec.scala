@@ -62,6 +62,12 @@ class CleaningSpec extends SparkSpec {
     assert(once.collect().toSeq === twice.collect().toSeq)
   }
 
+  test("normalizeColumns strips, lowercases, and underscores names (P2)") {
+    val df = Seq((1, 2)).toDF("  Total  Value ", "Created Date")
+      .transform(Cleaning.normalizeColumns)
+    assert(df.columns.toSeq === Seq("total_value", "created_date"))
+  }
+
   test("toIso8601 formats like .isoformat()") {
     val df = Seq("2024-03-05 07:08:09").toDF("s")
       .select(Cleaning.toIso8601(to_timestamp($"s")).as("iso"))

@@ -68,6 +68,22 @@ class TextVectorSpec extends SparkSpec {
     assert(viaAgg === viaCol)
   }
 
+  test("wordCounts (explode+agg) equals per-column tokenMatches") {
+    val df = Seq((1L, "en", "the cat and the dog"), (2L, "de", ""), (3L, "fr", "le le le"))
+      .toDF("id", "lang", "text")
+      .select($"id", $"lang", TextOps.tokens($"text").as("toks"))
+    val words = Seq("the", "le")
+    val viaAgg = TextOps.wordCounts(df, "id", "toks", words, extraCols = Seq("lang"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("cnt_the"), r.getAs[Long]("cnt_le")))).toMap
+    val viaCol = df.select($"id", size($"toks").cast("long"),
+        TextOps.tokenMatches($"toks", "the").cast("long"),
+        TextOps.tokenMatches($"toks", "le").cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(viaAgg === viaCol)
+    assert(viaAgg(2L) === ((0L, 0L, 0L))) // empty doc survives explode_outer
+  }
+
   test("fingerprint collapses whitespace and case, distinguishes content") {
     val out = Seq("Hello   World", "hello world", "hello  worlds")
       .toDF("t").select(TextOps.fingerprint($"t")).collect().map(_.getString(0))

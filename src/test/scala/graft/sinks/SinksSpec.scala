@@ -66,12 +66,14 @@ class SinksSpec extends SparkSpec {
   test("whole-tree sink writes one keyed JSON object; read-back verifies") {
     val file = tmp() + "/tree.json"
     val df = Seq((10L, "x", 1.5), (20L, "y", 2.5)).toDF("id", "name", "score")
-    TreeSink.writeWholeTree(df, col("id"), file)
+    TreeSink.writeWholeTree(df, "id", file)
     val back = TreeSink.readWholeTree(spark, file)
     assert(back.count() === 2L)
     val scores = back.select(get_json_object($"rec", "$.score").cast("double"))
       .collect().map(_.getDouble(0)).sorted
     assert(scores.toSeq === Seq(1.5, 2.5))
+    // id column excluded from the record once it is the map key (P18)
+    assert(back.select(get_json_object($"rec", "$.id")).head.isNullAt(0))
     // single JSON object on disk
     val raw = new String(Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
     assert(raw.startsWith("{") && raw.endsWith("}"))

@@ -26,16 +26,19 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
   /** Exact brute-force cosine top-k neighbours of one query vector.
-    * The single-row query side is broadcast; the scan side streams — at
-    * cluster scale this is one pass over the embedding table with a
+    * The single-row query side (vector + precomputed norm) is broadcast;
+    * the scan side streams, computing each row's norm once — at cluster
+    * scale this is one pass over the embedding table with a
     * TakeOrderedAndProject, no shuffle of the vectors themselves. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qv"))
+      .select(col(vecCol).as("__qv"), norm2(col(vecCol)).as("__qn"))
     embeddings.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 6).as("sim_r"))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("__qv")) / (norm2(col(vecCol)) * col("__qn")), 6)
+          .as("sim_r"))
       .orderBy(desc("sim_r"), col(idCol))
       .limit(k)
   }
@@ -66,10 +69,12 @@ object VectorOps {
     val bucketed = embeddings
       .withColumn("bucket", lshBucket(col(vecCol), planes))
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col("bucket"), col(vecCol).as("__qv"))
+      .select(col("bucket"), col(vecCol).as("__qv"), norm2(col(vecCol)).as("__qn"))
     bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(q), "bucket")
-      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 6).as("sim_r"))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("__qv")) / (norm2(col(vecCol)) * col("__qn")), 6)
+          .as("sim_r"))
       .orderBy(desc("sim_r"), col(idCol))
       .limit(k)
   }
@@ -82,15 +87,19 @@ object VectorOps {
     * and the self-join is a partitionable hash join on `block`. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                    planes: Seq[Array[Double]], threshold: Double): DataFrame = {
+    // Norms are computed ONCE per vector before the self-join — inside the
+    // pair projection each norm would be re-evaluated per candidate pair.
     val bucketed = embeddings.select(
       lshBucket(col(vecCol), planes).as("block"),
-      col(idCol).as("id"), col(vecCol).as("v"))
-    val a = bucketed.select(col("block"), col("id").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("block"), col("id").as("id_b"), col("v").as("vb"))
+      col(idCol).as("id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n"))
+    val a = bucketed.select(col("block"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = bucketed.select(col("block"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("sim_r"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim_r"))
       .filter(col("sim_r") >= threshold)
   }
 }

@@ -79,4 +79,18 @@ object Tables {
     * collection re-read in pac_data_processor.py:169-186). */
   def documentSinkScan(spark: SparkSession, sinkDir: String): DataFrame =
     spark.read.json(sinkDir)
+
+  /** Register a bucketed copy of a table: co-locates rows by `keys` into
+    * `numBuckets` buckets so subsequent joins/aggregations on those keys
+    * need NO shuffle on the bucketed side — the 100 TB path for repeated
+    * big-big joins on a stable key (SURVEY.md §4 physical-execution notes).
+    * Requires a warehouse dir (any local/remote path Spark can write). */
+  def bucketize(df: DataFrame, tableName: String,
+                keys: Seq[String], numBuckets: Int): Unit =
+    df.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

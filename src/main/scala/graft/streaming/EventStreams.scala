@@ -65,4 +65,30 @@ object EventStreams {
     * (SURVEY.md §2.9: idempotent re-run via dedup-before-upload). */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** The reference's batched micro-sink as a streaming sink (SURVEY.md §2.9:
+    * S8 ↔ `foreachBatch`): every micro-batch is deduplicated, shaped into
+    * documents, and delivered through the batched document transport with
+    * per-record success accounting. Checkpointing + watermarked dedup give
+    * the idempotent re-run semantics the reference approximates with its
+    * dedup-before-upload pass. Returns the started query; reports accumulate
+    * into `reports` (one per micro-batch). */
+  def streamToDocumentSink(
+      events: DataFrame,
+      writer: graft.sinks.DocumentSink.BatchWriter,
+      checkpointDir: String,
+      batchSize: Int = 1000,
+      reports: scala.collection.mutable.Buffer[graft.sinks.DocumentSink.UploadReport] = null)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    dedupEvents(events).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = graft.sinks.DocumentSink.prepare(
+          batch, lit("events"), col("event_id"))
+        val report = graft.sinks.DocumentSink.writeBatched(docs, writer, batchSize)
+        if (reports != null) reports += report
+        ()
+      }
+      .start()
 }

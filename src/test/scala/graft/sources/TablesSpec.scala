@@ -1,0 +1,59 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Source-layer specs: CSV inference, schema discovery, bucketized
+  * co-located joins (the no-shuffle path), metadata columns. */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv scan infers schema from a headered file (S1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "score")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val back = Tables.csv(spark, dir)
+    assert(back.count() === 2L)
+    val types = back.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("name") === "string")
+    assert(types("score") === "double")
+    assert(back.agg(sum("score")).head.getDouble(0) === 4.0)
+  }
+
+  test("discoverColumns exposes the schema like SHOW COLUMNS (S5)") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    assert(Tables.discoverColumns(df) === Seq("id", "name"))
+  }
+
+  test("bucketized tables join without a shuffle on the bucketed key") {
+    val n = 4
+    val left = (1 to 100).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    Tables.bucketize(left, "graft_bkt_left", Seq("k"), n)
+    Tables.bucketize(right, "graft_bkt_right", Seq("k"), n)
+    // Force a sort-merge join — broadcast would trivially avoid shuffles.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bkt_left")
+        .join(spark.table("graft_bkt_right"), "k")
+      assert(joined.count() === 100L)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, "bucketed join must not shuffle either side")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("withMetadata adds processed_date/data_source/record_type (P9)") {
+    val out = Seq((1, "x")).toDF("id", "name")
+      .transform(df => graft.operators.Cleaning.withMetadata(df, "csv", "contribution"))
+    assert(out.columns.takeRight(3).toSeq ===
+      Seq("processed_date", "data_source", "record_type"))
+    val row = out.head
+    assert(row.getAs[String]("data_source") === "csv")
+    assert(row.getAs[String]("record_type") === "contribution")
+    assert(!row.isNullAt(row.fieldIndex("processed_date")))
+  }
+}

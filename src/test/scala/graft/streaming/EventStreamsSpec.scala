@@ -51,6 +51,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(n === distinctIds)
   }
 
+  test("foreachBatch document sink delivers each event exactly once") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val reports = scala.collection.mutable.Buffer.empty[graft.sinks.DocumentSink.UploadReport]
+    val q = EventStreams.streamToDocumentSink(
+      EventStreams.readEvents(spark, eventsDir),
+      new graft.sinks.DocumentSink.LocalJsonBatchWriter(outDir),
+      checkpointDir = java.nio.file.Files.createTempDirectory("graft-ckpt-sink").toString,
+      batchSize = 128, reports = reports)
+    q.processAllAvailable()
+    q.stop()
+    val delivered = spark.read.json(outDir)
+    val expected = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+      .events.select(countDistinct(col("event_id"))).head.getLong(0)
+    assert(delivered.count() === expected)
+    assert(delivered.select("document_id").distinct().count() === expected)
+    assert(reports.nonEmpty && reports.forall(_.ok))
+  }
+
   test("streaming session windows produce per-user sessions") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     runToMemory(EventStreams.sessionCounts(stream), "w3_stream", "complete")

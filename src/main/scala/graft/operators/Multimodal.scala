@@ -60,4 +60,45 @@ object Multimodal {
       rows.map(FakeDecoder.decode)
     }
   }
+
+  /** A resized media payload (decode → scale → re-encode in a real codec). */
+  case class ResizedMedia(doc_id: Long, payload: Array[Byte], media_type: String,
+                          width: Long, height: Long)
+
+  /** Resize plumbing: batched per-partition transform preserving the opaque
+    * payload column. The pixel scaling itself is STUBBED (no codecs in this
+    * container) — the fake deterministically truncates the payload to
+    * width*height bytes so output sizes are checkable; a real codec swaps in
+    * behind the same row iterator without touching schema or partitioning. */
+  def resize(spark: SparkSession, media: DataFrame, width: Int, height: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.map { blob =>
+        val n = math.min(blob.payload.length, width * height)
+        ResizedMedia(blob.doc_id, blob.payload.take(n), blob.media_type,
+          width.toLong, height.toLong)
+      }
+    }
+  }
+
+  /** One sampled frame of a media payload. */
+  case class Frame(doc_id: Long, frame_index: Long, frame_bytes: Array[Byte])
+
+  /** Frame-sampling plumbing: each payload fans out to every `stride`-th
+    * fixed-size chunk — the iterator-to-iterator flatMap shape a real video
+    * demuxer needs (one row in, N frame rows out, streamed; no
+    * per-partition buffering). The chunking stands in for frame decode. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && stride > 0)
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { blob =>
+        blob.payload.grouped(frameBytes).zipWithIndex
+          .collect { case (chunk, i) if i % stride == 0 =>
+            Frame(blob.doc_id, i.toLong, chunk)
+          }
+      }
+    }
+  }
 }

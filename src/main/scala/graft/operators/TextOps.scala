@@ -27,6 +27,26 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword tokenization: a GPT-2-style regex split into
+    * contraction suffixes, space-prefixed letter runs, digit runs, and
+    * punctuation runs — deliberately lookahead-free so Java regex (Spark)
+    * and RE2 (DuckDB/most engines) agree. */
+  val BpePattern = "'[A-Za-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Polynomial rolling hash of the whole text (Rabin-Karp base 31 mod P):
+    * h ← (h*31 + codepoint) per character, left to right. The chunk-level
+    * dedup key for shift-tolerant fingerprinting; `aggregate` is a
+    * sequential left fold, so DuckDB's `list_reduce` computes the identical
+    * value. Empty text hashes to 0. */
+  def rollingHash(text: Column): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => ascii(substr(text, i, lit(1))).cast("long")),
+        lit(0L), (h, c) => (h * 31 + c) % P))
+
   /** Count of tokens exactly equal to `word`. */
   def tokenMatches(toks: Column, word: String): Column =
     size(filter(toks, t => t === word))

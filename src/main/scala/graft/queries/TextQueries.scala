@@ -98,6 +98,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ------------------------------------------------------------------ x9
+    // Token statistics: whitespace vs BPE-ish regex token counts and the
+    // Rabin-Karp rolling-hash fingerprint, per document.
+    "x9_token_stats" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+          size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+          TextOps.rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------------------------------ x5
     // 32-bit SimHash per document over distinct tokens (explode+aggregate
     // form: one md5 pass, codegen'd bit sums).
@@ -216,6 +229,17 @@ object TextQueries {
       """SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x2_quality_metrics" -> qualitySql,
+    "x9_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}')) AS BIGINT)
+         |    AS n_bpe_tokens,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(range(1, length(text)+1),
+         |        i -> ascii(substr(text, i, 1))::BIGINT)),
+         |    (h, c) -> (h*31 + c) % ${TextOps.P}) AS rhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "x3_lang_id" -> langIdSql,
     "x4_minhash_neardups" -> minhashSql,
     "x5_simhash" -> simhashSql

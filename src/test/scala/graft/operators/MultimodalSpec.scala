@@ -17,6 +17,25 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[String]("media_type") === "text/plain")
   }
 
+  test("resize preserves schema and bounds payload size") {
+    val docs = Seq((1L, "a" * 100, "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.resize(spark, Multimodal.asMediaTable(docs), 8, 8).collect()
+    assert(out.length === 1)
+    assert(out(0).payload.length === 64)   // truncated to width*height
+    assert(out(0).width === 8L && out(0).height === 8L)
+  }
+
+  test("sampleFrames fans one payload out to strided fixed-size chunks") {
+    val docs = Seq((1L, "x" * 100, "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.sampleFrames(spark, Multimodal.asMediaTable(docs),
+      frameBytes = 10, stride = 2).collect().sortBy(_.frame_index)
+    // 10 chunks of 10 bytes, every 2nd kept → indices 0,2,4,6,8
+    assert(frames.map(_.frame_index).toSeq === Seq(0L, 2L, 4L, 6L, 8L))
+    assert(frames.forall(_.frame_bytes.length === 10))
+  }
+
   test("extractFeatures runs batched per-partition and is deterministic") {
     val docs = Seq(
       (1L, "hello", "en", "s", 5L), (2L, "world!", "de", "s", 6L)

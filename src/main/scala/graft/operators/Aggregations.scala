@@ -53,6 +53,21 @@ object Aggregations {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Skew-safe two-stage group-sum: stage 1 pre-aggregates on (key, salt)
+    * so a hot key's rows spread over `salts` reducers; stage 2 merges the
+    * partial sums per key. For algebraic aggregates Spark's map-side partial
+    * aggregation usually suffices — reach for this when a single key
+    * dominates so heavily that even the merged partials skew one reducer
+    * (the 100 TB hot-key case). The salt derives from spark_partition_id,
+    * so stage 1 never shuffles a hot key's rows to one place. */
+  def skewSafeGroupSum(df: DataFrame, key: String, amount: String,
+                       salts: Int, as: String = "total"): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(amount)).as("__partial"), count(lit(1)).as("__n"))
+      .groupBy(key)
+      .agg(sum(col("__partial")).as(as), sum(col("__n")).as("n"))
+
   /** A5: frequency count (`value_counts`, pac_data_processor.py:352). */
   def freqCount(df: DataFrame, key: String): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("n")).orderBy(desc("n"), col(key))

@@ -26,6 +26,22 @@ object TextQueries {
   val NearDupThreshold = 0.8
 
   def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------ x0
+    // Exact dedup by hash-groupBy: fingerprint → one shuffle → per-key
+    // keeper (min doc_id) + redundancy accounting. The canonical exact
+    // dedup pass a training-data pipeline runs first.
+    "x0_exact_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper_doc_id"))
+        .agg(count(lit(1)).as("n_fingerprints"),
+          sum("n").as("n_docs"),
+          sum(col("n") - 1).as("n_redundant"),
+          min("keeper_doc_id").as("first_keeper"))
+    }),
+
     // ------------------------------------------------------------------ x1
     // Document fingerprint (sha256 of whitespace-collapsed lowercased text)
     // — the exact-dedup key; verified per-document.
@@ -225,6 +241,15 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "x0_exact_dedup" ->
+      """WITH fp AS (
+        |  SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    count(*) AS n, min(doc_id) AS keeper_doc_id
+        |  FROM documents GROUP BY 1)
+        |SELECT count(*) AS n_fingerprints, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(n - 1) AS BIGINT) AS n_redundant,
+        |  min(keeper_doc_id) AS first_keeper
+        |FROM fp""".stripMargin,
     "x1_fingerprint" ->
       """SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

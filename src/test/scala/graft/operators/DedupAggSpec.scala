@@ -65,6 +65,30 @@ class DedupAggSpec extends SparkSpec {
     assert(aapl.getAs[Double]("democrat_total") === 5.0)
   }
 
+  test("skewSafeGroupSum equals the plain group-sum on a skewed key") {
+    val skewed = (1 to 1000).map(i => ("hot", i.toDouble)) ++
+      Seq(("cold", 1.0), ("cold", 2.0))
+    val df = skewed.toDF("k", "v").repartition(8)
+    val expected = Aggregations.groupSum(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Aggregations.skewSafeGroupSum(df, "k", "v", salts = 4)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted("hot")._1 === expected("hot"))
+    assert(salted("cold")._1 === expected("cold"))
+    assert(salted("hot")._2 === 1000L)
+  }
+
+  test("typed contributions dataset round-trips the pacFrame shape") {
+    import graft.model.Schemas
+    val pac = Seq(("AAPL", 2024L, "Apple PAC", 10.5), (null, 2024L, "X", 1.0))
+      .toDF("ticker", "cycle", "committee_name", "amount")
+    val ds = Schemas.asContributions(spark, pac)
+    val rows = ds.collect().sortBy(_.committee_name)
+    assert(rows(0) === Schemas.Contribution("AAPL", 2024L, "Apple PAC", 10.5))
+    assert(rows(1).ticker === "") // null ticker collapses like fillna('')
+    assert(ds.filter(_.amount > 5.0).count() === 1L)
+  }
+
   test("reconcile full-outer joins counts with the existing>=incoming heuristic") {
     val incoming = Seq("a", "a", "b").toDF("k")
     val existing = Seq("a", "c").toDF("k")

@@ -60,16 +60,25 @@ object VectorOps {
       when(dot(vec, planeColumn(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN top-k: candidates = vectors sharing the query's LSH bucket, then
-    * exact cosine within the bucket. Scale path: the bucket id is a
-    * partitionable join key, so candidate generation is a hash join on
-    * `bucket`, never O(n²). */
+  /** ANN top-k with multi-probe LSH: candidates are vectors in the query's
+    * bucket OR any bucket within Hamming distance 1 of it (flip one
+    * hyperplane bit) — recovers neighbours that fall just across one
+    * hyperplane, the classic multi-probe recall fix. The probe buckets are
+    * exploded on the (single-row) query side so candidate generation stays
+    * an equi hash join on `bucket` — partitionable, never O(n²). */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, planes: Seq[Array[Double]]): DataFrame = {
+              queryId: Long, k: Int, planes: Seq[Array[Double]],
+              multiProbe: Boolean = true): DataFrame = {
     val bucketed = embeddings
       .withColumn("bucket", lshBucket(col(vecCol), planes))
+    val probes =
+      if (multiProbe)
+        array(col("bucket") +:
+          planes.indices.map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+      else array(col("bucket"))
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col("bucket"), col(vecCol).as("__qv"), norm2(col(vecCol)).as("__qn"))
+      .select(explode(probes).as("bucket"),
+        col(vecCol).as("__qv"), norm2(col(vecCol)).as("__qn"))
     bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(q), "bucket")
       .select(col(idCol),

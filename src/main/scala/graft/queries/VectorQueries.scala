@@ -81,14 +81,18 @@ object VectorQueries {
          |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r
          |FROM embeddings e, q WHERE e.vec_id <> $QueryVecId
          |ORDER BY sim_r DESC, e.vec_id LIMIT $K""".stripMargin,
-    "x7_ann_topk" ->
+    "x7_ann_topk" -> {
+      val probeList = ("q.bucket" +:
+        planes.indices.map(i => s"xor(q.bucket, ${1L << i})")).mkString(", ")
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
-         |q AS (SELECT bucket, embedding AS qv FROM bkt WHERE vec_id = $QueryVecId)
-         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r
-         |FROM bkt e JOIN q ON e.bucket = q.bucket
+         |q AS (SELECT bucket, embedding AS qv FROM bkt WHERE vec_id = $QueryVecId),
+         |probes AS (SELECT u.pb AS bucket, q.qv FROM q, UNNEST([$probeList]) u(pb))
+         |SELECT e.vec_id, ${cosSql("e.embedding", "p.qv")} AS sim_r
+         |FROM bkt e JOIN probes p ON e.bucket = p.bucket
          |WHERE e.vec_id <> $QueryVecId
-         |ORDER BY sim_r DESC, e.vec_id LIMIT $K""".stripMargin,
+         |ORDER BY sim_r DESC, e.vec_id LIMIT $K""".stripMargin
+    },
     "x8_embed_neardups" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS block FROM embeddings),

@@ -114,6 +114,19 @@ class TextVectorSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
 
+  test("multi-probe ANN recalls at least as much as single-probe") {
+    val planes = VectorOps.hyperplanes(4, 8)
+    val rnd = new scala.util.Random(5)
+    val df = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val single = VectorOps.annTopK(df, "vec_id", "embedding", 0L, 10, planes,
+      multiProbe = false).count()
+    val multi = VectorOps.annTopK(df, "vec_id", "embedding", 0L, 10, planes,
+      multiProbe = true).count()
+    assert(multi >= single)
+    assert(multi > 0)
+  }
+
   test("nearDupPairs blocks by LSH bucket and finds identical vectors") {
     val planes = VectorOps.hyperplanes(4, 3)
     val df = Seq(

@@ -14,9 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two array<numeric> columns, computed in
-    * doubles. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two array<float|double> columns,
+    * computed in doubles — a custom codegen'd Catalyst expression
+    * ([[graft.functions.DotProduct]]): Spark's `zip_with`/`aggregate`
+    * lambdas run interpreted, which dominates the similarity hot paths;
+    * the expression compiles to a primitive loop with the identical
+    * ascending fold order (bit-equal results). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The pre-codegen HOF formulation of [[dot]], kept as the reference
+    * semantics the custom expression is tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

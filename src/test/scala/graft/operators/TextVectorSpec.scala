@@ -91,6 +91,30 @@ class TextVectorSpec extends SparkSpec {
     assert(out(0) !== out(2))
   }
 
+  test("codegen'd dot product is bit-identical to the HOF fold on floats and doubles") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "fv", "dv")
+    val out = df.select(
+      VectorOps.dot($"fv", $"fv").as("cf"),
+      VectorOps.dotHof($"fv", $"fv").as("hf"),
+      VectorOps.dot($"dv", $"dv").as("cd"),
+      VectorOps.dotHof($"dv", $"dv").as("hd"),
+      VectorOps.dot($"fv", $"dv").as("cm"),
+      VectorOps.dotHof($"fv", $"dv").as("hm")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(5)))
+    }
+  }
+
   test("cosine: orthogonal → 0, parallel → 1, known value") {
     val df = Seq(
       (Array(1.0, 0.0), Array(0.0, 1.0)),

@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** Session extensions for the engine's custom expressions — the documented
+  * public registration path (`spark.sql.extensions=graft.plans.
+  * GraftExtensions` or `builder.withExtensions(new GraftExtensions)`).
+  * Registers SQL surface for expressions the DataFrame layer reaches via
+  * [[graft.operators.VectorOps]]:
+  *
+  *   SELECT dot_product(a.embedding, b.embedding) FROM ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions registration path: dot_product must be
+  * callable from plain SQL in a session built with GraftExtensions. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("dot_product is callable from SQL via GraftExtensions") {
+    // getOrCreate returns any existing session and silently ignores
+    // withExtensions — clear the active/default handles first so a NEW
+    // session (sharing the JVM's SparkContext) is built with extensions.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val withExt = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val out = withExt.sql(
+        "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+        .head.getDouble(0)
+      assert(out === 32.0)
+      // mixed float/double arrays resolve too
+      val f = withExt.sql(
+        "SELECT dot_product(array(CAST(1.5 AS FLOAT)), array(2.0D)) AS d")
+        .head.getDouble(0)
+      assert(f === 3.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}

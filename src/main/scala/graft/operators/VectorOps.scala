@@ -100,6 +100,81 @@ object VectorOps {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Squared L2 distance in the algebraic form dot(a,a) − 2·dot(a,b) +
+    * dot(b,b) — fixed so the oracle computes the bit-identical value
+    * (each dot is an ascending sequential fold). */
+  def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Deterministic k-means coarse quantizer for IVF: centroids initialized
+    * from the first k vectors by id, `iters` Lloyd iterations. Centroid
+    * coordinates are ROUNDED to 6 decimals each update — this makes the
+    * result independent of floating-point summation order (Spark's partial
+    * aggregation vs any sequential engine), so an external oracle replays
+    * the identical iteration. Assignment ties break on lowest cid. Empty
+    * clusters drop out (deterministically on both sides).
+    *
+    * Scale: each iteration is one broadcast of k centroids, one pass for
+    * assignment, and one k×dim-sized aggregation — no all-pairs work. */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    var cent = embeddings.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"),
+        transform(col(vecCol), _.cast("double")).as("c"))
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(embeddings, idCol, vecCol, cent)
+      cent = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "e")))
+        .groupBy("cid", "pos")
+        .agg(round(avg(col("e").cast("double")), 6).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), s => s.getField("m")).as("c"))
+    }
+    cent
+  }
+
+  /** Nearest-centroid assignment: broadcast the k centroids, one pass over
+    * the vectors, per-vector top-1 by (distance, cid). Returns
+    * (vec_id, v, cid). */
+  def assignToCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("__dist"), col("cid"))
+    embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__dist", l2sq(col("v"), col("c")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** IVF top-k: assign every vector to its nearest k-means centroid, probe
+    * the `nprobe` centroids nearest the query, exact cosine within the
+    * probed cells. The inverted-file analogue of [[annTopK]]: candidate
+    * generation is an equi join on the cell id. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val assigned = assignToCentroids(embeddings, idCol, vecCol, centroids)
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), norm2(col(vecCol)).as("__qn"))
+    val probeCells = centroids.crossJoin(broadcast(q))
+      .select(col("cid"), l2sq(col("__qv"), col("c")).as("__dist"))
+      .orderBy(col("__dist"), col("cid"))
+      .limit(nprobe)
+      .select("cid")
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probeCells), "cid")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("__qv")) / (norm2(col("v")) * col("__qn")), 6)
+          .as("sim_r"))
+      .orderBy(desc("sim_r"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by LSH bucket so the
     * pairwise comparison is bounded per block. The block key is always
     * derived from [[lshBucket]] — never a low-cardinality label column,

@@ -23,6 +23,9 @@ object VectorQueries {
   val NumPlanes = 6
   val Dim = 64
   val NearDupThreshold = 0.3
+  val KClusters = 8
+  val KmeansIters = 2
+  val NProbe = 2
 
   /** Fixed hyperplane set shared by the ANN query and its oracle. */
   val planes: Seq[Array[Double]] = VectorOps.hyperplanes(NumPlanes, Dim)
@@ -42,6 +45,20 @@ object VectorQueries {
     "x7_ann_topk" -> ((s, dir) => {
       val t = Tables(s, dir)
       VectorOps.annTopK(t.embeddings, "vec_id", "embedding", QueryVecId, K, planes)
+    }),
+
+    // ----------------------------------------------------------------- x11
+    // IVF top-k: deterministic k-means coarse quantizer (first-k init,
+    // 2 Lloyd iterations, round-6 centroids), nprobe nearest cells probed,
+    // exact cosine within cells. The oracle replays the identical
+    // iteration in SQL, so centroids, assignments, and the final top-k
+    // must all agree.
+    "x11_ivf_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cent = VectorOps.kmeansCentroids(
+        t.embeddings, "vec_id", "embedding", KClusters, KmeansIters)
+      VectorOps.ivfTopK(t.embeddings, "vec_id", "embedding",
+        QueryVecId, K, cent, NProbe)
     }),
 
     // ------------------------------------------------------------------ x8
@@ -75,6 +92,33 @@ object VectorQueries {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
 
+  /** Squared L2 in the same algebraic form as [[VectorOps.l2sq]]. */
+  private def l2Sql(a: String, b: String): String =
+    s"(${dotSql(a, a)} - 2*${dotSql(a, b)} + ${dotSql(b, b)})"
+
+  /** The deterministic k-means replay: CTEs c0..c{iters}, each iteration =
+    * assign (row_number over distance, cid) + per-coordinate round-6 mean. */
+  private def kmeansSql: String = {
+    val init =
+      s"""c0 AS (
+         |  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c
+         |  FROM embeddings WHERE vec_id < $KClusters)""".stripMargin
+    val iterations = (1 to KmeansIters).map { t =>
+      s"""a$t AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN c${t - 1} c) WHERE rn = 1),
+         |m$t AS (
+         |  SELECT cid, j, round(avg(embedding[j]::DOUBLE), 6) AS mj
+         |  FROM a$t, range(1, ${Dim + 1}) r(j) GROUP BY cid, j),
+         |c$t AS (
+         |  SELECT cid, list(mj ORDER BY j) AS c FROM m$t GROUP BY cid)""".stripMargin
+    }
+    (init +: iterations).mkString(",\n")
+  }
+
   def oracles: Map[String, String] = Map(
     "x6_brute_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
@@ -92,6 +136,24 @@ object VectorQueries {
          |FROM bkt e JOIN probes p ON e.bucket = p.bucket
          |WHERE e.vec_id <> $QueryVecId
          |ORDER BY sim_r DESC, e.vec_id LIMIT $K""".stripMargin
+    },
+    "x11_ivf_topk" -> {
+      val cN = s"c$KmeansIters"
+      s"""WITH $kmeansSql,
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN $cN c) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |probes AS (
+         |  SELECT c.cid FROM $cN c CROSS JOIN q
+         |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbe)
+         |SELECT a.vec_id, ${cosSql("a.embedding", "q.qv")} AS sim_r
+         |FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+         |WHERE a.vec_id <> $QueryVecId
+         |ORDER BY sim_r DESC, a.vec_id LIMIT $K""".stripMargin
     },
     "x8_embed_neardups" ->
       s"""WITH bkt AS (

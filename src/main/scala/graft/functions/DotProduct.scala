@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * that interpreted per-element dispatch dominates the profile. This
   * expression compiles to a tight primitive loop instead.
   *
-  * Pairs are consumed up to the shorter length; a null array yields null
-  * (matching the HOF composition on the engine's equal-length embeddings).
+  * Null semantics exactly match the HOF composition, so the
+  * [[graft.plans.GraftExtensions]] optimizer rule may substitute it for
+  * the HOF pattern: a null array, arrays of different lengths (zip_with
+  * pads with null, poisoning the fold), or a null element all yield null.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,18 +40,26 @@ case class DotProduct(left: Expression, right: Expression)
           s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  override def nullable: Boolean = true
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def mayHaveNullElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val leftIsFloat = elemType(left) == FloatType
     val rightIsFloat = elemType(right) == FloatType
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElements && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -69,13 +79,22 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullElemCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${lGet(a, i)} * ${rGet(b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    $acc += ${lGet(a, i)} * ${rGet(b, i)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    // Rewrite HOF dot-product folds (aggregate∘zip_with) into the codegen'd
+    // expression — see DotProductRewrite for the soundness argument.
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

@@ -29,6 +29,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT dot_product(array(CAST(1.5 AS FLOAT)), array(2.0D)) AS d")
         .head.getDouble(0)
       assert(f === 3.0)
+
+      // null semantics: length mismatch and null element yield null
+      val nulls = withExt.sql(
+        """SELECT dot_product(array(1.0D, 2.0D), array(1.0D)) AS mismatch,
+          |       dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS nullelem
+          |""".stripMargin).head
+      assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+
+      // the optimizer rule rewrites the HOF fold into DotProduct
+      import org.apache.spark.sql.functions._
+      import graft.operators.VectorOps
+      // column-dependent operand so ConstantFolding can't pre-evaluate
+      val hofDf = withExt.range(1)
+        .select(VectorOps.dotHof(
+          array(col("id").cast("double") + 1.0, lit(2.0)),
+          array(lit(3.0), lit(4.0))).as("d"))
+      val rewritten = hofDf.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.DotProduct]))
+      assert(rewritten, "HOF dot pattern should rewrite to DotProduct")
+      assert(hofDf.head.getDouble(0) === 11.0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

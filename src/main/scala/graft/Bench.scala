@@ -38,11 +38,16 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(materialize) // warmup: full pass, unmeasured
 
-    val results = names.map { name =>
+    // Two measured passes, keep the per-query minimum: sink round-trip
+    // queries do real filesystem IO, and min-of-2 suppresses that noise
+    // without hiding systematic regressions.
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
       materialize(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val pass1 = names.map(n => n -> timed(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), timed(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -47,6 +47,37 @@ object TextOps {
           i => ascii(substr(text, i, lit(1))).cast("long")),
         lit(0L), (h, c) => (h * 31 + c) % P))
 
+  /** Max text length [[rollingHashes]] supports; longer texts must be
+    * pre-truncated or chunked (the power table is inlined to this size). */
+  val RollingHashMaxLen = 2048
+
+  /** 31^e mod P for e < RollingHashMaxLen. */
+  private lazy val pow31: Array[Long] =
+    Iterator.iterate(1L)(p => (p * 31) % P).take(RollingHashMaxLen).toArray
+
+  /** Whole-table rolling hashes via the order-independent positional form:
+    * fold((h*31+c) mod P) ≡ Σ c_i · 31^(n-1-i) (mod P), with each power
+    * reduced mod P (terms ≤ 255·P fit a long for any n ≤ MaxLen). The sum
+    * commutes, so it runs as split → explode → ONE codegen'd sum aggregate
+    * — linear per document, unlike [[rollingHash]] whose per-char
+    * `substr(text, i, 1)` seeks make it O(n²) per doc. Documents absent
+    * after the explode (empty text) are left-joined back as hash 0.
+    * Returns (id, rhash). */
+  def rollingHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pow = array(pow31.map(lit).toIndexedSeq: _*)
+    val hashed = df
+      .select(col(idCol).as("id"), length(col(textCol)).as("n"),
+        posexplode(split(col(textCol), "")).as(Seq("pos", "c")))
+      .filter(col("c") =!= "") // Java split(-1) keeps a trailing empty
+      .select(col("id"),
+        (ascii(col("c")).cast("long") *
+          element_at(pow, (col("n") - col("pos")).cast("int"))).as("term"))
+      .groupBy("id")
+      .agg((sum("term") % P).as("rhash"))
+    df.select(col(idCol).as("id")).join(hashed, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rhash"), lit(0L)).as("rhash"))
+  }
+
   /** Count of tokens exactly equal to `word`. */
   def tokenMatches(toks: Column, word: String): Column =
     size(filter(toks, t => t === word))

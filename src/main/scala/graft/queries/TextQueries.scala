@@ -119,12 +119,13 @@ object TextQueries {
     // Rabin-Karp rolling-hash fingerprint, per document.
     "x9_token_stats" -> ((s, dir) => {
       val t = Tables(s, dir)
-      t.documents.select(
-          col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
-          size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
-          TextOps.rollingHash(col("text")).as("rhash"))
-        .orderBy("doc_id")
+      val counts = t.documents.select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))
+      val rh = TextOps.rollingHashes(t.documents, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      counts.join(rh, "doc_id").orderBy("doc_id")
     }),
 
     // ------------------------------------------------------------------ x5

@@ -84,6 +84,17 @@ class TextVectorSpec extends SparkSpec {
     assert(viaAgg(2L) === ((0L, 0L, 0L))) // empty doc survives explode_outer
   }
 
+  test("rollingHashes (positional sum) equals the sequential fold rollingHash") {
+    val df = Seq((1L, "hello world!"), (2L, ""), (3L, "a"), (4L, "Z" * 577))
+      .toDF("id", "text")
+    val viaFold = df.select($"id", TextOps.rollingHash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSum = TextOps.rollingHashes(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSum === viaFold)
+    assert(viaSum(2L) === 0L)
+  }
+
   test("fingerprint collapses whitespace and case, distinguishes content") {
     val out = Seq("Hello   World", "hello world", "hello  worlds")
       .toDF("t").select(TextOps.fingerprint($"t")).collect().map(_.getString(0))

@@ -46,6 +46,18 @@ class TablesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("jdbc reader passes options validation and fails only at connection (S2-S4)") {
+    // No JDBC endpoint exists in this environment; the point is that the
+    // failure is a driver/connection error, NOT an options error like the
+    // query+dbtable conflict this helper once had.
+    val e = intercept[Exception] {
+      Tables.jdbc(spark, "jdbc:nosuchdb://nowhere/x", "SELECT 1 AS one").count()
+    }
+    val msg = e.getMessage.toLowerCase
+    assert(!msg.contains("dbtable"), s"options conflict resurfaced: $msg")
+    assert(msg.contains("driver") || msg.contains("connect"), s"unexpected error: $msg")
+  }
+
   test("withMetadata adds processed_date/data_source/record_type (P9)") {
     val out = Seq((1, "x")).toDF("id", "name")
       .transform(df => graft.operators.Cleaning.withMetadata(df, "csv", "contribution"))

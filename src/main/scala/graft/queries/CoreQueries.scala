@@ -239,7 +239,9 @@ object CoreQueries {
     }),
 
     // ------------------------------------------------------------- J2 (keep-first)
-    // Deterministic keep-first dedup (SURVEY.md §7.4(3)).
+    // Deterministic keep-first dedup (SURVEY.md §7.4(3)). Window form: at
+    // lineitem's ~7 rows/key the min_by aggregation form ships whole-row
+    // structs for little partial-agg reduction and measures slower.
     "j2_dedup_keepfirst" -> ((s, dir) => {
       val t = Tables(s, dir)
       Dedup.keepFirst(t.lineitem,

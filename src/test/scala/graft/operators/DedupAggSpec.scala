@@ -33,6 +33,18 @@ class DedupAggSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("keepFirstAgg (min_by) selects the same survivors as the window form") {
+    val keyed = dupFrame.repartition(5).withColumn("key",
+      Derivations.compositeKey($"ticker", $"cycle"))
+    val order = Seq($"ingest_ts", $"amount")
+    val win = Dedup.keepFirst(keyed, Seq("key"), order)
+      .orderBy("ticker").collect().toSeq
+    val agg = Dedup.keepFirstAgg(keyed, Seq("key"), order)
+      .select(win.head.schema.fieldNames.map(col): _*)
+      .orderBy("ticker").collect().toSeq
+    assert(agg === win)
+  }
+
   test("antiJoinExisting drops rows whose keys exist in the sink") {
     val incoming = Seq(("A", 1), ("B", 2), ("C", 3)).toDF("k", "v")
     val existing = Seq(("B", 99), ("B", 100)).toDF("k", "v")

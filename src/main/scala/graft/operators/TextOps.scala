@@ -225,6 +225,31 @@ object TextOps {
           .as("sig"))
     }: _*)
 
+  /** Fixed-size chunk hashes: split the text into `size`-char substrings
+    * and 60-bit-hash each — the chunk-level dedup key (documents sharing
+    * chunks are shift-aligned near-dups or boilerplate carriers). Chunk
+    * count per doc is ⌈n/size⌉, so per-doc work is linear. */
+  def chunkHashes(text: Column, size: Int): Column =
+    when(length(text) === 0, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((length(text) - 1) / size).cast("int")),
+        i => md5Hash60(substr(text, (i * size + 1).cast("int"), lit(size)))))
+
+  /** Chunk-sharing candidate pairs: explode chunk hashes, self-join on the
+    * hash (distinct per doc first), count shared chunks per pair. The same
+    * partitionable-join-key shape as the LSH paths — never all-pairs. */
+  def chunkNearDups(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, minShared: Int): DataFrame = {
+    val chunks = df
+      .select(col(idCol).as("id"), explode(chunkHashes(col(textCol), chunkSize)).as("ch"))
+      .distinct()
+    chunks.as("a").join(chunks.as("b"),
+        col("a.ch") === col("b.ch") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .filter(col("n_shared_chunks") >= minShared)
+  }
+
   /** Exact Jaccard similarity of the distinct-token sets. */
   def jaccard(toksA: Column, toksB: Column): Column = {
     val inter = size(array_intersect(array_distinct(toksA), array_distinct(toksB)))

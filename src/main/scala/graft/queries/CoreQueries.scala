@@ -180,6 +180,28 @@ object CoreQueries {
         .orderBy("ticker", "cycle")
     }),
 
+    // ------------------------------------------------------------------ A11
+    // Exact interpolated percentiles per group — beyond the reference's
+    // aggregate surface (SURVEY.md §2.5 notes these come free in Spark).
+    "a11_percentiles" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.groupBy("o_orderpriority")
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.5)), 2).as("median_price"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ------------------------------------------------------------------ A12
+    // ROLLUP grouping sets over the Q1 keys — subtotal + grand-total rows.
+    "a12_rollup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
     // ------------------------------------------------------------------- A7
     "a7_distinct_values" -> ((s, dir) =>
       Aggregations.distinctValues(Tables(s, dir).orders, "o_orderpriority")),
@@ -408,6 +430,17 @@ object CoreQueries {
       s"""WITH $partyPivotSql
          |SELECT ticker, cycle, democrat_total, republican_total
          |FROM agg ORDER BY 1,2""".stripMargin,
+    "a11_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a12_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "a7_distinct_values" ->
       "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1",
     "a8_global_stats" ->

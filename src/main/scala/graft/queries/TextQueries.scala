@@ -24,6 +24,8 @@ object TextQueries {
 
   /** Near-dup Jaccard threshold (shared by query and oracle). */
   val NearDupThreshold = 0.8
+  val ChunkSize = 64
+  val MinSharedChunks = 2
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
@@ -126,6 +128,14 @@ object TextQueries {
       val rh = TextOps.rollingHashes(t.documents, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
       counts.join(rh, "doc_id").orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x12
+    // Chunk-level dedup: 64-char chunk hashes, pairs sharing ≥2 chunks.
+    "x12_chunk_neardups" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.chunkNearDups(t.documents, "doc_id", "text", ChunkSize, MinSharedChunks)
+        .orderBy("id_a", "id_b")
     }),
 
     // ------------------------------------------------------------------ x5
@@ -268,6 +278,17 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x3_lang_id" -> langIdSql,
     "x4_minhash_neardups" -> minhashSql,
-    "x5_simhash" -> simhashSql
+    "x5_simhash" -> simhashSql,
+    "x12_chunk_neardups" ->
+      s"""WITH chunks AS (
+         |  SELECT DISTINCT doc_id AS id, ${md5h("u.c")} AS ch
+         |  FROM documents,
+         |    UNNEST(list_transform(range(0, ((length(text)-1) // $ChunkSize) + 1),
+         |      i -> substr(text, i*$ChunkSize + 1, $ChunkSize))) u(c)
+         |  WHERE length(text) > 0)
+         |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_chunks
+         |FROM chunks a JOIN chunks b ON a.ch = b.ch AND a.id < b.id
+         |GROUP BY 1,2 HAVING count(*) >= $MinSharedChunks
+         |ORDER BY 1,2""".stripMargin
   )
 }

@@ -40,6 +40,23 @@ object WindowQueries {
         .orderBy("window_start")
     }),
 
+    // Ranking window function: the busiest event type per 1-hour window
+    // (row_number over the per-window counts, tie-broken by type name).
+    "w4_window_rank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val counts = t.events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start").orderBy(desc("n"), col("event_type"))
+      counts
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") === 1)
+        .select(col("window_start"), col("event_type").as("top_event_type"), col("n"))
+        .orderBy("window_start")
+    }),
+
     // Session windows (30-minute gap) per user, rolled up to per-user session
     // stats so the output is precision-safe.
     "w3_session_window" -> ((s, dir) => {
@@ -68,6 +85,17 @@ object WindowQueries {
            SELECT (time_bucket(INTERVAL '1 hour', ts - INTERVAL '30 minutes') + INTERVAL '30 minutes')::TIMESTAMP AS window_start, value FROM events)
          SELECT window_start, count(*) AS n, round(sum(value),2) AS v_total
          FROM slid GROUP BY 1 ORDER BY 1""",
+    "w4_window_rank" ->
+      """WITH counts AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1,2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY window_start
+        |    ORDER BY n DESC, event_type) AS rn
+        |  FROM counts)
+        |SELECT window_start, event_type AS top_event_type, n
+        |FROM ranked WHERE rn = 1 ORDER BY window_start""".stripMargin,
     "w3_session_window" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

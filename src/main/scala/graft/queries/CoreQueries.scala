@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Aggregations, Cleaning, Dedup, Derivations}
+import graft.operators.{Aggregations, Cleaning, Dedup, Derivations, Joins}
 import graft.sources.Tables
 
 /** Core relational operator queries — one oracle-checked query per operator
@@ -285,6 +285,37 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // ------------------------------------------------------------------- J3
+    // As-of join (engine extension): each event picks up the latest order
+    // of the same customer with o_orderdate <= ts, via union + keyed
+    // carry-forward (one shuffle, no inequality join). Aggregated per
+    // matched order priority.
+    "j3_asof_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Joins.asofJoin(
+          t.events.select(col("event_id"), col("user_id"), col("ts")),
+          col("user_id"), col("ts"),
+          t.orders, col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"),
+          carryCols = Seq("o_orderpriority", "o_totalprice"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("o_totalprice"), 2).as("matched_total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ------------------------------------------------------------------- J4
+    // Bounded range self-join (engine extension): order pairs of the same
+    // customer within 30 days, banded into radius-wide buckets so the
+    // plan is an equi hash join (never O(n²)).
+    "j4_range_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Joins.rangeSelfPairs(t.orders, "o_custkey", "o_orderdate", "o_orderkey",
+          radiusSec = 30L * 24 * 3600)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("key")).as("n_customers"))
+    }),
+
     // --------------------------------------------------------------- P3+P4
     // Trim + lower + numeric coercion (pac_data_processor.py:30-39).
     "p3_clean_normalize" -> ((s, dir) => {
@@ -476,6 +507,30 @@ object CoreQueries {
       """SELECT c_custkey FROM customer WHERE NOT EXISTS (
            SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY 1""",
+    "j3_asof_join" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS key, o_orderdate AS t, 0 AS is_left,
+        |    o_orderkey AS tie, o_orderpriority, o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL, NULL, NULL FROM events),
+        |c AS (
+        |  SELECT *,
+        |    last_value(o_orderpriority IGNORE NULLS) OVER (
+        |      PARTITION BY key ORDER BY t, is_left, tie
+        |      ROWS UNBOUNDED PRECEDING) AS pri,
+        |    last_value(o_totalprice IGNORE NULLS) OVER (
+        |      PARTITION BY key ORDER BY t, is_left, tie
+        |      ROWS UNBOUNDED PRECEDING) AS price
+        |  FROM u)
+        |SELECT pri AS o_orderpriority, count(*) AS n_events,
+        |  round(sum(price), 2) AS matched_total
+        |FROM c WHERE is_left = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j4_range_join" ->
+      """SELECT count(*) AS n_pairs, count(DISTINCT a.o_custkey) AS n_customers
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND abs(epoch(a.o_orderdate) - epoch(b.o_orderdate)) <= 2592000""".stripMargin,
     "p3_clean_normalize" ->
       """SELECT c_custkey, trim(c_name) AS c_name, lower(c_mktsegment) AS segment,
          COALESCE(CAST(c_acctbal AS DOUBLE), 0) AS acctbal

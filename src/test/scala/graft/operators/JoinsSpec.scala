@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join and banded range join semantics: boundary inclusion,
+  * no-match nulls, tie-breaks, radius edges. */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0, 1L),
+      (1L, ts("2024-01-01 11:00:00"), 110.0, 2L),
+      (2L, ts("2024-01-01 10:30:00"), 200.0, 3L)
+    ).toDF("key", "qts", "price", "qid")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:30:00")), // after q1 → 100.0
+      (11L, 1L, ts("2024-01-01 11:00:00")), // exactly at q2 → 110.0 (<=)
+      (12L, 2L, ts("2024-01-01 10:00:00")), // before any quote → null
+      (13L, 3L, ts("2024-01-01 12:00:00"))  // key with no quotes → null
+    ).toDF("trade_id", "key", "tts")
+    val out = Joins.asofJoin(trades, $"key", $"tts",
+        quotes, $"key", $"qts", $"qid", Seq("price"))
+      .select("trade_id", "price").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(10L) === 100.0)
+    assert(out(11L) === 110.0)
+    assert(out(12L) === null)
+    assert(out(13L) === null)
+  }
+
+  test("asofJoin breaks right-side ties by the tie-break column (highest wins)") {
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "first", 1L),
+      (1L, ts("2024-01-01 00:00:00"), "second", 2L)
+    ).toDF("key", "rts", "tag", "rid")
+    val left = Seq((9L, 1L, ts("2024-01-02 00:00:00"))).toDF("lid", "key", "lts")
+    val out = Joins.asofJoin(left, $"key", $"lts", right, $"key", $"rts",
+      $"rid", Seq("tag")).select("tag").head.getString(0)
+    assert(out === "second") // latest by (ts, tie) carries forward
+  }
+
+  test("rangeSelfPairs includes the exact radius boundary and excludes beyond") {
+    val df = Seq(
+      (1L, 100L, ts("2024-01-01 00:00:00")),
+      (1L, 101L, ts("2024-01-01 01:00:00")), // 3600s from 100 → included at r=3600
+      (1L, 102L, ts("2024-01-01 02:00:01")), // 3601s from 101 → excluded
+      (2L, 103L, ts("2024-01-01 00:30:00"))  // other key
+    ).toDF("k", "id", "t")
+    val pairs = Joins.rangeSelfPairs(df, "k", "t", "id", radiusSec = 3600L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)))
+  }
+
+  test("rangeSelfPairs finds each qualifying pair exactly once across buckets") {
+    // Timestamps straddling bucket boundaries must not duplicate pairs.
+    val df = (0L until 20L).map(i =>
+      (1L, i, ts(f"2024-01-01 00:${i % 60}%02d:00"))).toDF("k", "id", "t")
+    val pairs = Joins.rangeSelfPairs(df, "k", "t", "id", radiusSec = 120L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === pairs.distinct.length)
+    // brute-force check
+    val rows = df.collect().map(r => (r.getLong(1), r.getTimestamp(2).getTime / 1000))
+    val expected = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows
+      if ia < ib && math.abs(ta - tb) <= 120
+    } yield (ia, ib)).toSet
+    assert(pairs.toSet === expected)
+  }
+}

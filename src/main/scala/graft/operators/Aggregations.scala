@@ -76,6 +76,15 @@ object Aggregations {
     * (pac_data_processor.py:22-23,342-343). */
   def distinctCount(df: DataFrame, key: String): DataFrame =
     df.agg(countDistinct(col(key)).as("n_distinct"))
+
+  /** A6 scale path: HyperLogLog++ approximate distinct count. Exact
+    * `countDistinct` shuffles every distinct value; at 100 TB cardinality
+    * the sketch (fixed-size, mergeable, map-side combined) is the right
+    * default, with `rsd` trading memory for error. Not oracle-checked —
+    * sketch internals are engine-specific — so verified by a
+    * relative-error unit test instead. */
+  def approxDistinctCount(df: DataFrame, key: String, rsd: Double = 0.05): DataFrame =
+    df.agg(approx_count_distinct(col(key), rsd).as("n_distinct_approx"))
   def distinctValues(df: DataFrame, key: String): DataFrame =
     df.select(key).distinct().orderBy(key)
 

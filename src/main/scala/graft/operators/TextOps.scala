@@ -250,6 +250,19 @@ object TextOps {
       .filter(col("n_shared_chunks") >= minShared)
   }
 
+  /** Token-window chunking for training-sample construction: windows of
+    * `size` tokens every `step` tokens (overlap = size − step). Chunk i
+    * covers tokens [i·step+1, i·step+size]; the last window may be short;
+    * empty docs yield no chunks. Returns an array of token-array chunks —
+    * explode it to fan documents out to samples. */
+  def tokenChunks(toks: Column, windowSize: Int, step: Int): Column = {
+    require(windowSize > 0 && step > 0)
+    when(size(toks) === 0, array().cast("array<array<string>>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(toks) - 1) / step).cast("int")),
+        i => slice(toks, i * step + 1, lit(windowSize))))
+  }
+
   /** Exact Jaccard similarity of the distinct-token sets. */
   def jaccard(toksA: Column, toksB: Column): Column = {
     val inter = size(array_intersect(array_distinct(toksA), array_distinct(toksB)))

@@ -26,6 +26,8 @@ object TextQueries {
   val NearDupThreshold = 0.8
   val ChunkSize = 64
   val MinSharedChunks = 2
+  val ChunkTokens = 32
+  val ChunkStep = 16
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
@@ -128,6 +130,22 @@ object TextQueries {
       val rh = TextOps.rollingHashes(t.documents, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
       counts.join(rh, "doc_id").orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x13
+    // Token-window chunking (context-window fan-out): 32-token windows
+    // every 16 tokens, one row per chunk with its token count and
+    // fingerprint — the document→training-sample explosion.
+    "x13_token_chunks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id"),
+          posexplode(TextOps.tokenChunks(TextOps.tokens(col("text")), ChunkTokens, ChunkStep))
+            .as(Seq("chunk_index", "chunk")))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          sha2(concat_ws(" ", col("chunk")), 256).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_index")
     }),
 
     // ----------------------------------------------------------------- x12
@@ -279,6 +297,16 @@ object TextQueries {
     "x3_lang_id" -> langIdSql,
     "x4_minhash_neardups" -> minhashSql,
     "x5_simhash" -> simhashSql,
+    "x13_token_chunks" ->
+      s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, u.i AS chunk_index,
+         |    list_slice(toks, u.i*$ChunkStep + 1, u.i*$ChunkStep + $ChunkTokens) AS chunk
+         |  FROM toked, UNNEST(range(0, CASE WHEN len(toks) = 0 THEN 0
+         |    ELSE ((len(toks)-1) // $ChunkStep) + 1 END)) u(i))
+         |SELECT doc_id, chunk_index, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+         |  sha256(array_to_string(chunk, ' ')) AS chunk_fp
+         |FROM chunks ORDER BY doc_id, chunk_index""".stripMargin,
     "x12_chunk_neardups" ->
       s"""WITH chunks AS (
          |  SELECT DISTINCT doc_id AS id, ${md5h("u.c")} AS ch

@@ -101,6 +101,14 @@ class DedupAggSpec extends SparkSpec {
     assert(ds.filter(_.amount > 5.0).count() === 1L)
   }
 
+  test("approxDistinctCount lands within the requested relative error") {
+    val n = 5000
+    val df = (1 to n).map(i => i % 1000).toDF("k") // 1000 distinct
+    val approx = Aggregations.approxDistinctCount(df, "k", rsd = 0.05)
+      .head.getLong(0)
+    assert(math.abs(approx - 1000.0) / 1000.0 < 0.15) // 3x rsd headroom
+  }
+
   test("reconcile full-outer joins counts with the existing>=incoming heuristic") {
     val incoming = Seq("a", "a", "b").toDF("k")
     val existing = Seq("a", "c").toDF("k")

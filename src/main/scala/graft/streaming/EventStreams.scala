@@ -66,6 +66,26 @@ object EventStreams {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Stream-stream attribution join: each click joined to purchases by the
+    * same user within the following hour. Both sides are watermarked and
+    * the join carries an event-time range constraint, so Spark bounds the
+    * buffered state on each side — the standard stream-stream join recipe.
+    * Works identically under batch `read` (the spec compares the two). */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+  }
+
   /** The reference's batched micro-sink as a streaming sink (SURVEY.md §2.9:
     * S8 ↔ `foreachBatch`): every micro-batch is deduplicated, shaped into
     * documents, and delivered through the batched document transport with

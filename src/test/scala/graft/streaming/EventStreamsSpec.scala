@@ -69,6 +69,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(reports.nonEmpty && reports.forall(_.ok))
   }
 
+  test("stream-stream attribution join matches the batch join") {
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.attributionJoin(stream), "attr_stream", "append")
+    val streamed = spark.table("attr_stream")
+      .orderBy("user_id", "click_id", "purchase_id").collect().toSeq
+    val batchEvents = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+    val batch = EventStreams.attributionJoin(batchEvents)
+      .orderBy("user_id", "click_id", "purchase_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming session windows produce per-user sessions") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     runToMemory(EventStreams.sessionCounts(stream), "w3_stream", "complete")

@@ -28,6 +28,7 @@ object TextQueries {
   val MinSharedChunks = 2
   val ChunkTokens = 32
   val ChunkStep = 16
+  val FuzzyMaxDist = 6
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
@@ -130,6 +131,46 @@ object TextQueries {
       val rh = TextOps.rollingHashes(t.documents, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
       counts.join(rh, "doc_id").orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x14
+    // Blocked fuzzy entity matching (the committee-name near-duplicate
+    // problem): distinct part names, blocked on the first token so the
+    // edit-distance comparison is bounded per block, pairs within
+    // levenshtein ≤ 6.
+    "x14_fuzzy_names" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val names = t.part.select(col("p_name").as("name")).distinct()
+        .withColumn("blk", split(col("name"), " ").getItem(0))
+      names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+          levenshtein(col("a.name"), col("b.name")).as("dist"))
+        .filter(col("dist") <= FuzzyMaxDist)
+        .orderBy("name_a", "name_b")
+    }),
+
+    // ----------------------------------------------------------------- x15
+    // TF-IDF top term per document: term frequencies and document
+    // frequencies via two keyed aggregations, score = tf·ln(N/df), the
+    // argmax term per doc (ties → lexicographically first term).
+    "x15_tfidf_top_term" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nDocs = t.documents.count()
+      val df = docs.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score"), col("term"))
+      tf.join(df, "term")
+        .withColumn("score",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("score"))
+        .orderBy("doc_id")
     }),
 
     // ----------------------------------------------------------------- x13
@@ -297,6 +338,30 @@ object TextQueries {
     "x3_lang_id" -> langIdSql,
     "x4_minhash_neardups" -> minhashSql,
     "x5_simhash" -> simhashSql,
+    "x14_fuzzy_names" ->
+      s"""WITH names AS (
+         |  SELECT DISTINCT p_name AS name, string_split(p_name, ' ')[1] AS blk FROM part)
+         |SELECT a.name AS name_a, b.name AS name_b,
+         |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+         |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+         |WHERE levenshtein(a.name, b.name) <= $FuzzyMaxDist
+         |ORDER BY 1, 2""".stripMargin,
+    "x15_tfidf_top_term" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM docs GROUP BY 1,2),
+         |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM docs) GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 4) AS score
+         |  FROM tf JOIN df USING (term), n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |SELECT doc_id, term AS top_term, score FROM ranked WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
     "x13_token_chunks" ->
       s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |chunks AS (

@@ -134,6 +134,16 @@ object TextOps {
       .drop("__toks")
   }
 
+  /** PII scrubbing for training text: emails and URLs replaced with typed
+    * placeholder tokens. Pure codegen'd regexp_replace passes — linear per
+    * document; lookahead-free patterns so any RE2-based engine matches. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
   /** Document fingerprint: sha256 of whitespace-collapsed lowercased text —
     * the exact-dedup key for near-identical formatting variants. */
   def fingerprint(text: Column): Column =

@@ -81,16 +81,23 @@ object DocumentSink {
     * accounting. Each partition buffers `batchSize` records and commits them
     * through the writer; a failed commit is counted (warn-and-continue,
     * pac_snowflake_pipeline.py:335-346), never fail-fast. Memory per task is
-    * bounded by batchSize; no driver-side data movement. */
+    * bounded by batchSize; no driver-side data movement.
+    * `interBatchPauseMs` reproduces the reference's politeness pause between
+    * batch commits (0.1 s sleep, pac_snowflake_pipeline.py:358-360) — per
+    * task, for rate-limited document stores; 0 disables. */
   def writeBatched(records: DataFrame, writer: BatchWriter,
-                   batchSize: Int = 1000): UploadReport = {
+                   batchSize: Int = 1000,
+                   interBatchPauseMs: Long = 0L): UploadReport = {
     val spark = records.sparkSession
     val total = spark.sparkContext.longAccumulator("docs_total")
     val succeeded = spark.sparkContext.longAccumulator("docs_succeeded")
     records.select("collection", "document_id", "data").foreachPartition {
       rows: Iterator[org.apache.spark.sql.Row] =>
+        var first = true
         rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
           .grouped(batchSize).foreach { batch =>
+            if (!first && interBatchPauseMs > 0) Thread.sleep(interBatchPauseMs)
+            first = false
             total.add(batch.size)
             try succeeded.add(writer.commit(batch))
             catch { case scala.util.control.NonFatal(_) => /* warn-and-continue */ }

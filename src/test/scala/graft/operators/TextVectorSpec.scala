@@ -175,6 +175,31 @@ class TextVectorSpec extends SparkSpec {
     assert(pairs(0).getDouble(3) === 1.0)
   }
 
+  test("scrubPii replaces emails and URLs with placeholders, leaves text intact") {
+    val out = Seq(
+      "contact me at john.doe+spam@example.co.uk today",
+      "see https://example.com/a?b=1 and http://x.io",
+      "no pii here at all"
+    ).toDF("t").select(TextOps.scrubPii($"t")).collect().map(_.getString(0))
+    assert(out(0) === "contact me at <EMAIL> today")
+    assert(out(1) === "see <URL> and <URL>")
+    assert(out(2) === "no pii here at all")
+  }
+
+  test("tokenChunks windows with overlap; short tail kept; empty doc empty") {
+    val toks = TextOps.tokens(lit((1 to 10).map(i => s"t$i").mkString(" ")))
+    val chunks = Seq(1).toDF("x")
+      .select(TextOps.tokenChunks(toks, windowSize = 4, step = 3).as("c"))
+      .head.getSeq[Seq[String]](0)
+    assert(chunks.length === 4)                      // starts 1,4,7,10
+    assert(chunks(0) === Seq("t1", "t2", "t3", "t4"))
+    assert(chunks(1) === Seq("t4", "t5", "t6", "t7")) // overlap of 1
+    assert(chunks(3) === Seq("t10"))                  // short tail
+    val empty = Seq(1).toDF("x")
+      .select(TextOps.tokenChunks(TextOps.tokens(lit("")), 4, 3)).head.getSeq[Any](0)
+    assert(empty.isEmpty)
+  }
+
   test("language ID picks the marker-word argmax with declaration-order ties") {
     val out = Seq(
       "the cat and the dog of note",  // en markers

@@ -25,6 +25,12 @@ object Joins {
                right: DataFrame, rightKey: Column, rightTs: Column,
                rightTieBreak: Column, carryCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val reserved = Seq("__key", "__t", "__isLeft", "__tie")
+    require(leftCols.intersect(carryCols).isEmpty,
+      s"carryCols ${leftCols.intersect(carryCols).mkString(",")} collide with left columns " +
+        "— rename one side before the as-of join")
+    require(leftCols.intersect(reserved).isEmpty && carryCols.intersect(reserved).isEmpty,
+      s"column names ${reserved.mkString(",")} are reserved by asofJoin")
     val l = left.select(
       (leftKey.as("__key") +: leftTs.as("__t") +: lit(1).as("__isLeft") +:
         lit(null).cast("long").as("__tie") +:

@@ -72,9 +72,12 @@ object Multimodal {
     * behind the same row iterator without touching schema or partitioning. */
   def resize(spark: SparkSession, media: DataFrame, width: Int, height: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
+    require(width > 0 && height > 0, s"invalid target size ${width}x$height")
     media.as[MediaBlob].mapPartitions { rows =>
       rows.map { blob =>
-        val n = math.min(blob.payload.length, width * height)
+        // long product: width*height in Int overflows at 46341^2 and would
+        // silently truncate every payload to empty
+        val n = math.min(blob.payload.length.toLong, width.toLong * height).toInt
         ResizedMedia(blob.doc_id, blob.payload.take(n), blob.media_type,
           width.toLong, height.toLong)
       }

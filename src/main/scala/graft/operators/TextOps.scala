@@ -65,9 +65,12 @@ object TextOps {
     * Returns (id, rhash). */
   def rollingHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pow = array(pow31.map(lit).toIndexedSeq: _*)
+    // Truncate to the power-table size: without this, a text longer than
+    // RollingHashMaxLen would index past the array and throw under ANSI.
+    val text = substring(col(textCol), 1, RollingHashMaxLen)
     val hashed = df
-      .select(col(idCol).as("id"), length(col(textCol)).as("n"),
-        posexplode(split(col(textCol), "")).as(Seq("pos", "c")))
+      .select(col(idCol).as("id"), length(text).as("n"),
+        posexplode(split(text, "")).as(Seq("pos", "c")))
       .filter(col("c") =!= "") // Java split(-1) keeps a trailing empty
       .select(col("id"),
         (ascii(col("c")).cast("long") *

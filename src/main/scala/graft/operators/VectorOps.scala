@@ -110,11 +110,14 @@ object VectorOps {
 
   /** Deterministic k-means coarse quantizer for IVF: centroids initialized
     * from the first k vectors by id, `iters` Lloyd iterations. Centroid
-    * coordinates are ROUNDED to 6 decimals each update — this makes the
-    * result independent of floating-point summation order (Spark's partial
-    * aggregation vs any sequential engine), so an external oracle replays
-    * the identical iteration. Assignment ties break on lowest cid. Empty
-    * clusters drop out (deterministically on both sides).
+    * coordinates are ROUNDED to 6 decimals each update so an external
+    * oracle can replay the iteration: summation-order ulp differences
+    * (Spark partial aggregation vs a sequential engine) are absorbed by the
+    * rounding unless a true mean lies within ~1 ulp of a 0.5e-6 boundary —
+    * ~1e-10 per coordinate, ~1e-7 per run at k=8×dim=64×2 iters — a residual
+    * (not zero) divergence risk, acceptable for a coarse quantizer.
+    * Assignment ties break on lowest cid. Empty clusters drop out
+    * (deterministically on both sides).
     *
     * Scale: each iteration is one broadcast of k centroids, one pass for
     * assignment, and one k×dim-sized aggregation — no all-pairs work. */

@@ -66,10 +66,15 @@ object Pipelines {
       val docs = DocumentSink.prepare(cleaned, lit("records"),
         Cleaning.deterministicId(idCols.map(col): _*))
       val sinkDir = s"${cfg.outputDir}/records"
-      // Dedup vs existing sink output (idempotent re-run, :338-346).
+      // Dedup vs existing sink output (idempotent re-run, :338-346). Only a
+      // genuinely ABSENT sink counts as empty — read failures (permissions,
+      // corrupt JSON) must propagate, or the anti-join silently re-uploads
+      // everything the dedup exists to prevent.
+      val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+      val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val existing =
-        try Tables.documentSinkScan(spark, sinkDir).select("document_id")
-        catch { case _: Exception => spark.emptyDataFrame.withColumn("document_id", lit("")) }
+        if (fs.exists(sinkPath)) Tables.documentSinkScan(spark, sinkDir).select("document_id")
+        else spark.emptyDataFrame.withColumn("document_id", lit(""))
       val fresh = Dedup.antiJoinExisting(docs, existing, Seq("document_id"))
       val report =
         if (cfg.dryRun) {

@@ -525,7 +525,7 @@ object CoreQueries {
         |  FROM u)
         |SELECT pri AS o_orderpriority, count(*) AS n_events,
         |  round(sum(price), 2) AS matched_total
-        |FROM c WHERE is_left = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM c WHERE is_left = 1 GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "j4_range_join" ->
       """SELECT count(*) AS n_pairs, count(DISTINCT a.o_custkey) AS n_customers
         |FROM orders a JOIN orders b

@@ -159,14 +159,17 @@ object TextQueries {
       val docs = t.documents.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("term"))
       val tf = docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val nDocs = t.documents.count()
+      // N stays in the plan (broadcast 1-row cross join) — an eager count()
+      // here would run a full-scan job on every query-function invocation.
+      val nDocs = t.documents.agg(count(lit(1)).cast("double").as("__n"))
       val df = docs.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(desc("score"), col("term"))
       tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
         .withColumn("score",
-          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+          round(col("tf") * log(col("__n") / col("df")), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("term").as("top_term"), col("score"))
@@ -325,16 +328,20 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x2_quality_metrics" -> qualitySql,
     "x9_token_stats" ->
-      s"""SELECT doc_id,
+      s"""WITH rh AS (
+         |  SELECT doc_id, substr(text, 1, ${TextOps.RollingHashMaxLen}) AS rtext
+         |  FROM documents)
+         |SELECT d.doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}')) AS BIGINT)
          |    AS n_bpe_tokens,
          |  list_reduce(
          |    list_prepend(0::BIGINT,
-         |      list_transform(range(1, length(text)+1),
-         |        i -> ascii(substr(text, i, 1))::BIGINT)),
+         |      list_transform(range(1, length(rtext)+1),
+         |        i -> ascii(substr(rtext, i, 1))::BIGINT)),
          |    (h, c) -> (h*31 + c) % ${TextOps.P}) AS rhash
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM documents d JOIN rh ON d.doc_id = rh.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "x3_lang_id" -> langIdSql,
     "x4_minhash_neardups" -> minhashSql,
     "x5_simhash" -> simhashSql,

@@ -45,15 +45,20 @@ object DocumentSink {
     def commit(batch: Seq[(String, String, String)]): Int
   }
 
-  /** Local-filesystem batch transport: each commit appends one NDJSON file
-    * named by partition + batch index (task-unique, so speculative retries
-    * never interleave). Stands in for a doc-store client. */
+  /** Local-filesystem batch transport: each commit writes one NDJSON file
+    * named DETERMINISTICALLY by (partition, per-partition batch index) and
+    * truncates any existing file — so a task retry or losing speculative
+    * attempt overwrites its own earlier output instead of duplicating it
+    * (commit idempotency). Stands in for a doc-store client. */
   final class LocalJsonBatchWriter(dir: String) extends BatchWriter {
+    // Deserialized fresh per task, so the counter restarts per partition
+    // attempt — retries regenerate the same file names.
+    private var batchIndex = -1
     def commit(batch: Seq[(String, String, String)]): Int = {
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val batchId = java.util.UUID.randomUUID().toString.take(8)
+      batchIndex += 1
       Files.createDirectories(Paths.get(dir))
-      val out = Paths.get(dir, s"batch-$pid-$batchId.json")
+      val out = Paths.get(dir, f"batch-$pid%05d-$batchIndex%05d.json")
       val sb = new StringBuilder
       batch.foreach { case (c, id, data) =>
         sb.append(s"""{"collection":${q(c)},"document_id":${q(id)},"data":${q(data)}}""")
@@ -63,11 +68,7 @@ object DocumentSink {
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       batch.size
     }
-    private def q(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+    private def q(s: String): String = JsonEscape(s)
   }
 
   /** Outcome of a batched upload (pac_snowflake_pipeline.py:361-365). */
@@ -100,7 +101,13 @@ object DocumentSink {
             first = false
             total.add(batch.size)
             try succeeded.add(writer.commit(batch))
-            catch { case scala.util.control.NonFatal(_) => /* warn-and-continue */ }
+            catch { case scala.util.control.NonFatal(e) =>
+              // warn-and-continue (pac_snowflake_pipeline.py:335-346) — but
+              // never silently: the loss must be visible in executor logs.
+              System.err.println(
+                s"[DocumentSink] batch of ${batch.size} failed in partition " +
+                  s"${org.apache.spark.TaskContext.getPartitionId()}: ${e.getMessage}")
+            }
           }
     }
     UploadReport(total.value, succeeded.value)

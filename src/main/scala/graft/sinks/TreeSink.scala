@@ -67,11 +67,7 @@ object TreeSink {
     } finally out.close()
   }
 
-  private def jsonKey(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+  private def jsonKey(s: String): String = JsonEscape(s)
 
   /** S9 read-back verification (index_align_to_firebase.py:249-251): parse
     * the tree back into (id, record-json) rows for count/checksum assertions.

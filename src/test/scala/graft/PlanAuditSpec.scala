@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** Plan audits as tests: the scale-critical physical-plan properties the
+  * engine promises (broadcasts on small dims, filter/projection pushdown,
+  * bounded shuffle counts, top-k without global sort) must not regress
+  * silently when a query or operator is edited. Queries are executed first
+  * so AQE's final plan (with materialized query stages) is what's audited;
+  * sf0.001 keeps that fast. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Execute and return the AQE-final physical plan. */
+  private def finalPlan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Flatten the plan, descending into AQE query-stage wrappers. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case q: QueryStageExec => p +: allNodes(q.plan)
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  private def shuffleCount(p: SparkPlan): Int =
+    allNodes(p).count(_.isInstanceOf[ShuffleExchangeExec])
+
+  private def joins(p: SparkPlan): Seq[SparkPlan] = allNodes(p).filter(n =>
+    n.isInstanceOf[BroadcastHashJoinExec] || n.isInstanceOf[SortMergeJoinExec])
+
+  test("j1 lookup join broadcasts both dims — no sort-merge join") {
+    val p = finalPlan("j1_lookup_join")
+    assert(allNodes(p).count(_.isInstanceOf[BroadcastHashJoinExec]) === 2)
+    assert(allNodes(p).count(_.isInstanceOf[SortMergeJoinExec]) === 0)
+    // aggregation + the oracle-mandated deterministic ORDER BY — the joins
+    // themselves contribute zero shuffles
+    assert(shuffleCount(p) <= 2)
+  }
+
+  test("p14 pushes filters and prunes columns at the parquet scan") {
+    val s = finalPlan("p14_pushdown_filter").toString
+    assert(s.contains("PushedFilters: [IsNotNull"), "filters must reach the scan")
+    assert(!s.contains("l_partkey"), "unreferenced columns must be pruned")
+  }
+
+  test("a1 aggregates with one shuffle plus the deterministic output sort") {
+    assert(shuffleCount(finalPlan("a1_group_sum")) === 2)
+  }
+
+  test("t2 top-k groups compiles to TakeOrdered, not a global sort") {
+    assert(finalPlan("t2_topk_groups").toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("x6 brute-force top-k broadcasts the query row and never shuffles vectors") {
+    val p = finalPlan("x6_brute_topk")
+    assert(p.toString.contains("TakeOrderedAndProject"))
+    assert(shuffleCount(p) === 0)
+  }
+
+  test("x4 minhash band join carries only ids and band signatures") {
+    val p = finalPlan("x4_minhash_neardups")
+    val bandJoins = joins(p).filter(j =>
+      (j.children.flatMap(_.output) ++ j.output).exists(_.name == "bsig"))
+    assert(bandJoins.nonEmpty, s"band self-join not found in:\n$p")
+    bandJoins.foreach { j =>
+      val inputNames = j.children.flatMap(_.output).map(_.name)
+      assert(!inputNames.exists(_.startsWith("toks")),
+        s"token arrays must not cross the band join: $inputNames")
+    }
+  }
+}

@@ -5,9 +5,43 @@ import org.apache.spark.sql.SparkSession
 /** Plan-audit tool: print the formatted physical plan (and optionally run)
   * any declared query. Usage:
   *   runMain graft.Explain <queryName> [sfDir] [--run]
-  * With no query name, lists all declared queries.
+  *   runMain graft.Explain --audit [sfDir]     # all queries: shuffles/joins
+  * With no arguments, lists all declared queries.
   */
 object Explain {
+
+  /** Flatten an executed plan, descending into AQE stages. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: allNodes(q.plan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: allNodes(a.executedPlan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  private def audit(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins._
+    println(f"${"query"}%-26s shuffles  bhj  smj  bnlj  cartesian")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.collect()
+        val nodes = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allNodes(a.executedPlan)
+          case p => allNodes(p)
+        }
+        def n(pred: Any => Boolean) = nodes.count(pred)
+        println(f"$name%-26s ${n(_.isInstanceOf[ShuffleExchangeExec])}%8d " +
+          f"${n(_.isInstanceOf[BroadcastHashJoinExec])}%4d " +
+          f"${n(_.isInstanceOf[SortMergeJoinExec])}%4d " +
+          f"${n(_.isInstanceOf[BroadcastNestedLoopJoinExec])}%5d " +
+          f"${n(_.isInstanceOf[CartesianProductExec])}%9d")
+      } catch { case e: Throwable => println(f"$name%-26s ERROR ${e.getMessage}") }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -20,6 +54,8 @@ object Explain {
     graft.sources.Tables.configure(spark)
     if (args.isEmpty) {
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+    } else if (args(0) == "--audit") {
+      audit(spark, if (args.length > 1) args(1) else "/root/testdata/sf0.001")
     } else {
       val name = args(0)
       val sfDir = if (args.length > 1 && !args(1).startsWith("--")) args(1)

@@ -66,6 +66,36 @@ object EventStreams {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Per-user running totals carried across micro-batches. */
+  case class UserRunning(user_id: Long, n_events: Long, v_total: Double)
+
+  /** Custom keyed state via `mapGroupsWithState` (SURVEY.md §2.9 /
+    * builder brief): each user's event count and value total accumulate in
+    * GroupState across micro-batches — the arbitrary-state API for
+    * semantics window/session aggregations can't express. State is one
+    * fixed-size record per key; at scale, pair with a timeout policy
+    * (NoTimeout here because the test data is bounded). Update output mode:
+    * each batch emits the keys it touched. */
+  def runningUserTotals(events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.select(col("user_id"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          var n = 0L
+          var v = 0.0
+          rows.foreach { r => n += 1; v += r._2 }
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val next = UserRunning(uid, prev.n_events + n, prev.v_total + v)
+          state.update(next)
+          next
+      }
+  }
+
   /** Stream-stream attribution join: each click joined to purchases by the
     * same user within the following hour. Both sides are watermarked and
     * the join carries an event-time range constraint, so Spark bounds the

@@ -69,6 +69,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(reports.nonEmpty && reports.forall(_.ok))
   }
 
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // Stage events as TWO files so maxFilesPerTrigger=1 forces two
+    // micro-batches — the state must carry between them.
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-2batch").toString
+    val batchEvents = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+    val raw = spark.read.schema(EventStreams.rawSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    raw.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/a")
+    raw.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/b")
+    val stream = spark.readStream.schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.runningUserTotals(stream).toDF().writeStream
+      .format("memory").queryName("running_totals").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-state").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // final state per user = the row with the highest running count
+    val finalState = spark.table("running_totals")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("v_total"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.v_total"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = batchEvents
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("value"), lit(0.0))).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finalState.keySet === expected.keySet)
+    finalState.foreach { case (uid, (n, v)) =>
+      assert(n === expected(uid)._1, s"user $uid count")
+      assert(math.abs(v - expected(uid)._2) < 1e-6, s"user $uid total")
+    }
+  }
+
   test("stream-stream attribution join matches the batch join") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     runToMemory(EventStreams.attributionJoin(stream), "attr_stream", "append")

@@ -10,28 +10,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
 
-  /** Flatten an executed plan, descending into AQE stages. */
-  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: allNodes(q.plan)
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      p +: allNodes(a.executedPlan)
-    case other => other +: other.children.flatMap(allNodes)
-  }
-
   private def audit(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins._
+    import graft.plans.PlanNodes
     println(f"${"query"}%-26s shuffles  bhj  smj  bnlj  cartesian")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.collect()
-        val nodes = df.queryExecution.executedPlan match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            allNodes(a.executedPlan)
-          case p => allNodes(p)
-        }
+        val nodes = PlanNodes.allNodes(PlanNodes.finalPlan(df))
         def n(pred: Any => Boolean) = nodes.count(pred)
         println(f"$name%-26s ${n(_.isInstanceOf[ShuffleExchangeExec])}%8d " +
           f"${n(_.isInstanceOf[BroadcastHashJoinExec])}%4d " +

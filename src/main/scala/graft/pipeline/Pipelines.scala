@@ -72,8 +72,13 @@ object Pipelines {
       // everything the dedup exists to prevent.
       val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
       val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // "Exists" must mean has-files: a failed first upload can leave the
+      // directory created but empty, and schema inference over an empty
+      // dir throws at planning time.
+      val hasSinkData = fs.exists(sinkPath) &&
+        fs.listStatus(sinkPath).exists(f => f.isFile && f.getLen > 0)
       val existing =
-        if (fs.exists(sinkPath)) Tables.documentSinkScan(spark, sinkDir).select("document_id")
+        if (hasSinkData) Tables.documentSinkScan(spark, sinkDir).select("document_id")
         else spark.emptyDataFrame.withColumn("document_id", lit(""))
       val fresh = Dedup.antiJoinExisting(docs, existing, Seq("document_id"))
       val report =

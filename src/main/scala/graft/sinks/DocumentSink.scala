@@ -45,20 +45,28 @@ object DocumentSink {
     def commit(batch: Seq[(String, String, String)]): Int
   }
 
-  /** Local-filesystem batch transport: each commit writes one NDJSON file
-    * named DETERMINISTICALLY by (partition, per-partition batch index) and
-    * truncates any existing file — so a task retry or losing speculative
-    * attempt overwrites its own earlier output instead of duplicating it
-    * (commit idempotency). Stands in for a doc-store client. */
+  /** Local-filesystem batch transport. File names are
+    * `batch-<writerId>-<stageId>-<partition>-<batchIndex>.json`:
+    *  - writerId is fixed at (driver-side) construction, so distinct
+    *    writer instances — e.g. separate pipeline runs — never collide;
+    *  - stageId distinguishes invocations sharing one writer instance
+    *    (each foreachBatch micro-batch runs as its own stage);
+    *  - (partition, batchIndex) is deterministic WITHIN a task attempt, so
+    *    a retry or losing speculative attempt overwrites its own earlier
+    *    files instead of duplicating documents (commit idempotency).
+    * Stands in for a doc-store client. */
   final class LocalJsonBatchWriter(dir: String) extends BatchWriter {
+    private val writerId = java.util.UUID.randomUUID().toString.take(8)
     // Deserialized fresh per task, so the counter restarts per partition
     // attempt — retries regenerate the same file names.
     private var batchIndex = -1
     def commit(batch: Seq[(String, String, String)]): Int = {
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val stage = tc.stageId()
       batchIndex += 1
       Files.createDirectories(Paths.get(dir))
-      val out = Paths.get(dir, f"batch-$pid%05d-$batchIndex%05d.json")
+      val out = Paths.get(dir, f"batch-$writerId-$stage%05d-$pid%05d-$batchIndex%05d.json")
       val sb = new StringBuilder
       batch.foreach { case (c, id, data) =>
         sb.append(s"""{"collection":${q(c)},"document_id":${q(id)},"data":${q(data)}}""")

@@ -81,7 +81,10 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    events.select(col("user_id"), coalesce(col("value"), lit(0.0)).as("value"))
+    // Null-user events carry no identity to accumulate under — drop them
+    // (a null key would also fail the primitive Long encoder).
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), coalesce(col("value"), lit(0.0)).as("value"))
       .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {

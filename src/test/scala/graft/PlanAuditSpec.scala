@@ -15,22 +15,11 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Execute and return the AQE-final physical plan. */
-  private def finalPlan(name: String): SparkPlan = {
-    val df = SparkEntry.queries(name)(spark, dir)
-    df.collect()
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-  }
+  private def finalPlan(name: String): SparkPlan =
+    graft.plans.PlanNodes.finalPlan(SparkEntry.queries(name)(spark, dir))
 
-  /** Flatten the plan, descending into AQE query-stage wrappers. */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
-    case q: QueryStageExec => p +: allNodes(q.plan)
-    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
-    case other => other +: other.children.flatMap(allNodes)
-  }
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    graft.plans.PlanNodes.allNodes(p)
 
   private def shuffleCount(p: SparkPlan): Int =
     allNodes(p).count(_.isInstanceOf[ShuffleExchangeExec])

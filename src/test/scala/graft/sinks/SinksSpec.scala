@@ -37,6 +37,17 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.json(dir).count() === 3L)
   }
 
+  test("batched sink: successive invocations to one dir append, never clobber") {
+    val dir = tmp() + "/multi"
+    DocumentSink.writeBatched(records, new DocumentSink.LocalJsonBatchWriter(dir), 2)
+    DocumentSink.writeBatched(records, new DocumentSink.LocalJsonBatchWriter(dir), 2)
+    // same writer instance reused across separate jobs must not clobber either
+    val shared = new DocumentSink.LocalJsonBatchWriter(dir)
+    DocumentSink.writeBatched(records, shared, 2)
+    DocumentSink.writeBatched(records, shared, 2)
+    assert(spark.read.json(dir).count() === 12L)
+  }
+
   test("batched sink: failing transport → warn-and-continue, ok=false below 0.8") {
     val failing = new DocumentSink.BatchWriter {
       def commit(batch: Seq[(String, String, String)]): Int =

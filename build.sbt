@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench/Verify run ~170 codegen'd queries in one JVM; the default JIT
+  // code cache (240 MB) fills and late queries silently fall back to
+  // interpreted whole-stage code, inflating their timings several-fold.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -36,7 +36,14 @@ object Bench {
       }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+
+    /** Between passes: GC so the ContextCleaner reclaims the previous
+      * pass's shuffle files and broadcasts — otherwise ~170 executions
+      * accumulate state that inflates late queries' timings. */
+    def reclaim(): Unit = { System.gc(); Thread.sleep(500) }
+
     names.foreach(materialize) // warmup: full pass, unmeasured
+    reclaim()
 
     // Two measured passes, keep the per-query minimum: sink round-trip
     // queries do real filesystem IO, and min-of-2 suppresses that noise
@@ -47,6 +54,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val pass1 = names.map(n => n -> timed(n)).toMap
+    reclaim()
     val results = names.map(n => n -> math.min(pass1(n), timed(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -51,9 +51,12 @@ object Explain {
       println(s"=== $name @ $sfDir ===")
       df.explain("formatted")
       if (args.contains("--run")) {
+        // noop write, like Bench: count() would let Catalyst prune
+        // unreferenced (often the expensive) columns.
         val t0 = System.nanoTime()
-        val n = df.count()
-        println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        df.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"rows=${df.count()} time=$secs%.2fs (noop-materialized)")
       }
     }
     spark.stop()

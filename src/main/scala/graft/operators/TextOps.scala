@@ -47,38 +47,21 @@ object TextOps {
           i => ascii(substr(text, i, lit(1))).cast("long")),
         lit(0L), (h, c) => (h * 31 + c) % P))
 
-  /** Max text length [[rollingHashes]] supports; longer texts must be
-    * pre-truncated or chunked (the power table is inlined to this size). */
-  val RollingHashMaxLen = 2048
-
-  /** 31^e mod P for e < RollingHashMaxLen. */
-  private lazy val pow31: Array[Long] =
-    Iterator.iterate(1L)(p => (p * 31) % P).take(RollingHashMaxLen).toArray
-
-  /** Whole-table rolling hashes via the order-independent positional form:
-    * fold((h*31+c) mod P) ≡ Σ c_i · 31^(n-1-i) (mod P), with each power
-    * reduced mod P (terms ≤ 255·P fit a long for any n ≤ MaxLen). The sum
-    * commutes, so it runs as split → explode → ONE codegen'd sum aggregate
-    * — linear per document, unlike [[rollingHash]] whose per-char
-    * `substr(text, i, 1)` seeks make it O(n²) per doc. Documents absent
-    * after the explode (empty text) are left-joined back as hash 0.
+  /** Whole-table rolling hashes via the codegen'd
+    * [[graft.functions.RollingHash]] expression — a tight per-char loop,
+    * linear per document, no explode/shuffle/length cap. (An earlier
+    * explode+aggregate form paid the regex engine per character through
+    * `split(text, "")` — seconds per million chars; the [[rollingHash]]
+    * HOF fold is O(n²) per doc from `substr` seeks. Per-char work is the
+    * one shape that genuinely needs a custom expression.)
     * Returns (id, rhash). */
   def rollingHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pow = array(pow31.map(lit).toIndexedSeq: _*)
-    // Truncate to the power-table size: without this, a text longer than
-    // RollingHashMaxLen would index past the array and throw under ANSI.
-    val text = substring(col(textCol), 1, RollingHashMaxLen)
-    val hashed = df
-      .select(col(idCol).as("id"), length(text).as("n"),
-        posexplode(split(text, "")).as(Seq("pos", "c")))
-      .filter(col("c") =!= "") // Java split(-1) keeps a trailing empty
-      .select(col("id"),
-        (ascii(col("c")).cast("long") *
-          element_at(pow, (col("n") - col("pos")).cast("int"))).as("term"))
-      .groupBy("id")
-      .agg((sum("term") % P).as("rhash"))
-    df.select(col(idCol).as("id")).join(hashed, Seq("id"), "left")
-      .select(col("id"), coalesce(col("rhash"), lit(0L)).as("rhash"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.select(col(idCol).as("id"),
+      coalesce(
+        ColumnBridge.column(graft.functions.RollingHash(
+          ColumnBridge.expression(col(textCol)))),
+        lit(0L)).as("rhash"))
   }
 
   /** Count of tokens exactly equal to `word`. */

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, RollingHash}
 
 /** Session extensions for the engine's custom expressions — the documented
   * public registration path (`spark.sql.extensions=graft.plans.
@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "rolling_hash takes exactly 1 argument")
+        RollingHash(children.head)
       }))
     // Rewrite HOF dot-product folds (aggregate∘zip_with) into the codegen'd
     // expression — see DotProductRewrite for the soundness argument.

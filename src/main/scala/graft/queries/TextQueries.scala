@@ -328,20 +328,16 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x2_quality_metrics" -> qualitySql,
     "x9_token_stats" ->
-      s"""WITH rh AS (
-         |  SELECT doc_id, substr(text, 1, ${TextOps.RollingHashMaxLen}) AS rtext
-         |  FROM documents)
-         |SELECT d.doc_id,
+      s"""SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextOps.BpePattern.replace("'", "''")}')) AS BIGINT)
          |    AS n_bpe_tokens,
          |  list_reduce(
          |    list_prepend(0::BIGINT,
-         |      list_transform(range(1, length(rtext)+1),
-         |        i -> ascii(substr(rtext, i, 1))::BIGINT)),
+         |      list_transform(range(1, length(text)+1),
+         |        i -> ascii(substr(text, i, 1))::BIGINT)),
          |    (h, c) -> (h*31 + c) % ${TextOps.P}) AS rhash
-         |FROM documents d JOIN rh ON d.doc_id = rh.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "x3_lang_id" -> langIdSql,
     "x4_minhash_neardups" -> minhashSql,
     "x5_simhash" -> simhashSql,

@@ -84,8 +84,9 @@ class TextVectorSpec extends SparkSpec {
     assert(viaAgg(2L) === ((0L, 0L, 0L))) // empty doc survives explode_outer
   }
 
-  test("rollingHashes (positional sum) equals the sequential fold rollingHash") {
-    val df = Seq((1L, "hello world!"), (2L, ""), (3L, "a"), (4L, "Z" * 577))
+  test("rollingHashes (codegen'd expression) equals the sequential fold rollingHash") {
+    val df = Seq((1L, "hello world!"), (2L, ""), (3L, "a"), (4L, "Z" * 577),
+      (5L, "mix 123 !@# " * 250)) // 3000 chars — no length cap
       .toDF("id", "text")
     val viaFold = df.select($"id", TextOps.rollingHash($"text").as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

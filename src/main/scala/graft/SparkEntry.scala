@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CoreQueries, PipelineQueries, SinkQueries, TextQueries, VectorQueries, WindowQueries}
+import graft.queries.{CoreQueries, MediaQueries, PipelineQueries, SinkQueries, TextQueries, VectorQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,13 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ WindowQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++ SinkQueries.queries ++
-      PipelineQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++ MediaQueries.queries ++
+      SinkQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ WindowQueries.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles ++ SinkQueries.oracles ++
-      PipelineQueries.oracles
+      TextQueries.oracles ++ VectorQueries.oracles ++ MediaQueries.oracles ++
+      SinkQueries.oracles ++ PipelineQueries.oracles
 }

@@ -14,9 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * from the start (O(n²) per document). This expression is a tight loop —
   * ~ns per character.
   *
-  * Characters are UTF-16 units (`String.charAt`), identical to
-  * codepoint-based folds (DuckDB `ascii(substr(s,i,1))`, Spark
-  * `ascii`) for all ASCII and BMP text; only surrogate pairs diverge.
+  * The fold iterates Unicode CODE POINTS, matching the declared-equivalent
+  * HOF fold ([[graft.operators.TextOps.rollingHash]], Spark
+  * `ascii(substr(s,i,1))`) and the DuckDB oracle (`ascii(substr(s,i,1))`)
+  * for ALL inputs, including surrogate pairs (emoji) — a UTF-16-unit fold
+  * would silently diverge on non-BMP text.
   */
 case class RollingHash(child: Expression) extends UnaryExpression {
 
@@ -45,15 +47,17 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object RollingHash {
   val P: Long = 1000000007L
 
-  /** Static hot loop, called from both interpreted eval and generated code. */
+  /** Static hot loop, called from both interpreted eval and generated code.
+    * Steps by code point, not UTF-16 unit — see class doc. */
   def hash(s: UTF8String): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     val n = str.length
     while (i < n) {
-      h = (h * 31 + str.charAt(i)) % P
-      i += 1
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
     }
     h
   }

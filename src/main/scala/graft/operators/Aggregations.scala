@@ -61,12 +61,21 @@ object Aggregations {
     * (the 100 TB hot-key case). The salt derives from spark_partition_id,
     * so stage 1 never shuffles a hot key's rows to one place. */
   def skewSafeGroupSum(df: DataFrame, key: String, amount: String,
-                       salts: Int, as: String = "total"): DataFrame =
+                       salts: Int, as: String = "total"): DataFrame = {
+    // Helper/output names are reserved (mirrors asofJoin's guard): an input
+    // frame already carrying one would be silently replaced or collide with
+    // the output schema.
+    val reserved = Set("__salt", "__partial", "__n", "n", as) - key
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"skewSafeGroupSum reserves columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")}")
     df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(amount)).as("__partial"), count(lit(1)).as("__n"))
       .groupBy(key)
       .agg(sum(col("__partial")).as(as), sum(col("__n")).as("n"))
+  }
 
   /** A5: frequency count (`value_counts`, pac_data_processor.py:352). */
   def freqCount(df: DataFrame, key: String): DataFrame =

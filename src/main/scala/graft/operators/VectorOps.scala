@@ -119,40 +119,67 @@ object VectorOps {
     * Assignment ties break on lowest cid. Empty clusters drop out
     * (deterministically on both sides).
     *
-    * Scale: each iteration is one broadcast of k centroids, one pass for
-    * assignment, and one k×dim-sized aggregation — no all-pairs work. */
+    * Scale: each Lloyd iteration is one scan of the vectors — a zero-shuffle
+    * argmin projection ([[assignToCentroids]]) feeding a k×dim-sized
+    * aggregation with map-side partial combine. Centroids live on the
+    * driver between iterations (k×dim doubles — the same design as Spark
+    * MLlib's KMeans), so lineage does not stack across iterations; the
+    * returned frame is a local k-row table, free to reuse downstream. */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
-    var cent = embeddings.filter(col(idCol) < k)
-      .select(col(idCol).cast("long").as("cid"),
-        transform(col(vecCol), _.cast("double")).as("c"))
+    val spark = embeddings.sparkSession
+    var cents = collectCentroids(
+      embeddings.filter(col(idCol) < k)
+        .select(col(idCol).cast("long").as("cid"),
+          transform(col(vecCol), _.cast("double")).as("c")))
     for (_ <- 1 to iters) {
-      val assigned = assignToCentroids(embeddings, idCol, vecCol, cent)
-      cent = assigned
+      val assigned = argminAssign(embeddings, idCol, vecCol, cents)
+      cents = collectCentroids(assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "e")))
         .groupBy("cid", "pos")
         .agg(round(avg(col("e").cast("double")), 6).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), s => s.getField("m")).as("c"))
+        .select(col("cid"), transform(col("pm"), s => s.getField("m")).as("c")))
     }
-    cent
+    spark.createDataFrame(cents).toDF("cid", "c")
   }
 
-  /** Nearest-centroid assignment: broadcast the k centroids, one pass over
-    * the vectors, per-vector top-1 by (distance, cid). Returns
+  /** Materializes a centroid frame as (cid, coordinates) pairs, sorted by
+    * cid. k×dim doubles — bounded by the cluster count, never the data. */
+  def collectCentroids(centroids: DataFrame): Seq[(Long, Seq[Double])] =
+    centroids.select(col("cid").cast("long"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+  /** Nearest-centroid assignment as a SINGLE zero-shuffle projection: the k
+    * centroids are inlined as literal arrays and the argmin is
+    * `array_min` over `struct(distance, cid)` candidates (struct ordering =
+    * lexicographic, so ties break on lowest cid — identical to the oracle's
+    * `row_number() OVER (ORDER BY dist, cid)`). Replaces the previous
+    * crossJoin + row_number window, which shuffled k copies of every row
+    * *carrying the full embedding* — k× vector amplification through a
+    * sort, the dominant cost of IVF at scale. Distances keep the exact
+    * [[l2sq]] algebraic form so assignment is bit-identical to the replayed
+    * oracle; the constant `dot(c,c)` terms fold at plan time. */
+  private def argminAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                           cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "argminAssign requires at least one centroid")
+    val v = col(vecCol)
+    val candidates = cents.map { case (cid, c) =>
+      val cl = array(c.map(lit): _*)
+      struct(l2sq(v, cl).as("d"), lit(cid).as("cid"))
+    }
+    embeddings.select(col(idCol).as("vec_id"), v.as("v"),
+      array_min(array(candidates: _*)).getField("cid").as("cid"))
+  }
+
+  /** Nearest-centroid assignment: collects the (small, k-row) centroid frame
+    * and delegates to the literal-array argmin projection. Returns
     * (vec_id, v, cid). */
   def assignToCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-                        centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("__dist"), col("cid"))
-    embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__dist", l2sq(col("v"), col("c")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
-  }
+                        centroids: DataFrame): DataFrame =
+    argminAssign(embeddings, idCol, vecCol, collectCentroids(centroids))
 
   /** IVF top-k: assign every vector to its nearest k-means centroid, probe
     * the `nprobe` centroids nearest the query, exact cosine within the

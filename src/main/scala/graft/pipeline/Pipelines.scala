@@ -63,8 +63,11 @@ object Pipelines {
     def run(spark: SparkSession, source: DataFrame, idCols: Seq[String],
             cfg: PipelineConfig): Result = {
       val cleaned = source.transform(Cleaning.cleanGeneric)
+      // `docs` is consumed twice — the anti-join dedup AND the final
+      // reconciliation — so persist it for the pipeline's scope; without
+      // this the source scan + clean + id derivation re-executes per leg.
       val docs = DocumentSink.prepare(cleaned, lit("records"),
-        Cleaning.deterministicId(idCols.map(col): _*))
+        Cleaning.deterministicId(idCols.map(col): _*)).persist()
       val sinkDir = s"${cfg.outputDir}/records"
       // Dedup vs existing sink output (idempotent re-run, :338-346). Only a
       // genuinely ABSENT sink counts as empty — read failures (permissions,
@@ -74,9 +77,19 @@ object Pipelines {
       val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // "Exists" must mean has-files: a failed first upload can leave the
       // directory created but empty, and schema inference over an empty
-      // dir throws at planning time.
-      val hasSinkData = fs.exists(sinkPath) &&
-        fs.listStatus(sinkPath).exists(f => f.isFile && f.getLen > 0)
+      // dir throws at planning time. Listing is RECURSIVE because sinks may
+      // use a partitioned layout (data files under subdirectories with only
+      // _SUCCESS at the top level) — a top-level-only check would misread
+      // such a sink as empty and silently skip the dedup.
+      val hasSinkData = fs.exists(sinkPath) && {
+        val it = fs.listFiles(sinkPath, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val f = it.next()
+          found = f.getLen > 0 && !f.getPath.getName.startsWith("_")
+        }
+        found
+      }
       val existing =
         if (hasSinkData) Tables.documentSinkScan(spark, sinkDir).select("document_id")
         else spark.emptyDataFrame.withColumn("document_id", lit(""))
@@ -103,7 +116,11 @@ object Pipelines {
                             droppedTickers: DataFrame)
 
     def run(pac: DataFrame, brandMapping: DataFrame, cfg: PipelineConfig): Result = {
+      // The pivot feeds BOTH the brand join (→ tree paths) and the
+      // dropped-keys anti-join, and callers typically aggregate the result
+      // again — persist so the scan + pivot executes once, not 2-3×.
       val agg = Aggregations.partyPivot(pac, "ticker", "cycle", "committee_name", "amount")
+        .persist()
       val joined = Dedup.lookupJoin(agg, brandMapping, "ticker")
       val dropped = Dedup.droppedKeys(agg, brandMapping, "ticker")
       val paths = TreeSink.preparePaths(

@@ -341,6 +341,35 @@ object CoreQueries {
         .orderBy("record_id")
     }),
 
+    // --------------------------------------------------------------- P2+P7
+    // Strict column normalization + drop-all-null-rows, both firing on real
+    // data: a messy extract (spaced/mixed-case headers, the shape Snowflake
+    // exports arrive in) plus an injected all-null row. normalizeColumns
+    // must produce the clean names the aggregate references (analysis
+    // fails otherwise); dropAllNullRows must remove the injected row (row
+    // counts mismatch otherwise). (pac_snowflake_realtime.py:78;
+    // pac_snowflake_pipeline.py:116)
+    "p2_normalize_dropnull" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val messy = t.customer.select(
+        col("c_custkey").as("  Cust Key "),
+        col("c_name").as("Cust  Name"),
+        col("c_mktsegment").as("Market Segment"))
+      val allNull = s.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(null, null, null)),
+        org.apache.spark.sql.types.StructType(
+          messy.schema.fields.map(_.copy(nullable = true))))
+      messy.union(allNull)
+        .transform(Cleaning.normalizeColumns)
+        .transform(Cleaning.cleanGeneric)
+        .groupBy("market_segment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cust_key")).as("key_sum"),
+          max(length(col("cust_name"))).cast("long").as("max_name_len"))
+        .orderBy("market_segment")
+    }),
+
     // --------------------------------------------------------------- P7+P8
     // Null handling: injected nulls, then fill 0 / fill '' and re-aggregate
     // (pac_snowflake_pipeline.py:95,116; pac_snowflake_realtime.py:85).
@@ -535,6 +564,11 @@ object CoreQueries {
       """SELECT c_custkey, trim(c_name) AS c_name, lower(c_mktsegment) AS segment,
          COALESCE(CAST(c_acctbal AS DOUBLE), 0) AS acctbal
          FROM customer ORDER BY 1""",
+    "p2_normalize_dropnull" ->
+      """SELECT trim(c_mktsegment) AS market_segment, count(*) AS n,
+         CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+         CAST(max(length(trim(c_name))) AS BIGINT) AS max_name_len
+         FROM customer GROUP BY 1 ORDER BY 1""",
     "p5_name_coercion" ->
       """SELECT CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS record_id,
          CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS event_date,

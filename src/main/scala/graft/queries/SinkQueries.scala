@@ -12,15 +12,22 @@ import graft.sources.Tables
   * DuckDB oracle computes the same aggregate straight from the source
   * parquet, so a pass proves the write+read round-trip is lossless.
   *
-  * Side-effect note: sink output lives under java.io.tmpdir/graft_sinks and
-  * is recreated (overwrite / clean-then-write) on every run, so results are
-  * deterministic across reruns.
+  * Side-effect note: sink output lives under a PER-PROCESS directory
+  * (java.io.tmpdir/graft_sinks_run<pid>) and is recreated (overwrite /
+  * clean-then-write) on every run, so results are deterministic across
+  * reruns AND two concurrent drivers on one machine (e.g. Verify and Bench)
+  * cannot race on each other's clean/write/read-back. Within one process,
+  * repeated runs of a query reuse the same path, preserving the
+  * idempotent-rerun semantics the pipeline queries exercise. Stale
+  * directories from dead processes are left to tmpdir cleanup.
   */
 object SinkQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  private val runId: Long = ProcessHandle.current().pid()
+
   private[queries] def sinkDir(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_sinks/$name"
+    s"${sys.props("java.io.tmpdir")}/graft_sinks_run$runId/$name"
 
   /** Recursive local delete (for sinks that append uniquely-named files). */
   private[queries] def clean(dir: String): Unit = {

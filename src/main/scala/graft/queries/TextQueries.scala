@@ -135,13 +135,21 @@ object TextQueries {
 
     // ----------------------------------------------------------------- x14
     // Blocked fuzzy entity matching (the committee-name near-duplicate
-    // problem): distinct part names, blocked on the first token so the
-    // edit-distance comparison is bounded per block, pairs within
-    // levenshtein ≤ 6.
+    // problem): distinct part names, pairs within levenshtein ≤ 6. The
+    // block key is COMPOSITE — first token × length band (len DIV 4) — so
+    // block cardinality grows with the data: first-token-only blocking has
+    // data-independent cardinality (~92 TPC-H name prefixes), which makes
+    // per-block size, and thus the pairwise edit-distance work, grow
+    // O(n²/92) with scale. The length band multiplies the block count by
+    // the name-length spread while still co-locating plausible matches
+    // (standard blocking recall/cost trade-off, applied identically on the
+    // oracle side).
     "x14_fuzzy_names" -> ((s, dir) => {
       val t = Tables(s, dir)
       val names = t.part.select(col("p_name").as("name")).distinct()
-        .withColumn("blk", split(col("name"), " ").getItem(0))
+        .withColumn("blk", concat_ws("|",
+          split(col("name"), " ").getItem(0),
+          floor(length(col("name")) / 4)))
       names.as("a").join(names.as("b"),
           col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
         .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
@@ -343,7 +351,10 @@ object TextQueries {
     "x5_simhash" -> simhashSql,
     "x14_fuzzy_names" ->
       s"""WITH names AS (
-         |  SELECT DISTINCT p_name AS name, string_split(p_name, ' ')[1] AS blk FROM part)
+         |  SELECT DISTINCT p_name AS name,
+         |    string_split(p_name, ' ')[1] || '|' ||
+         |      CAST(length(p_name) // 4 AS VARCHAR) AS blk
+         |  FROM part)
          |SELECT a.name AS name_a, b.name AS name_b,
          |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
          |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name

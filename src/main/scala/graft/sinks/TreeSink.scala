@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * Spark-first realization: the nested node is a `struct`/`map` column
   * (SURVEY.md §2.8), serialized with `to_json`. Per-path writes stay fully
   * distributed (one row per path, native JSON writer). The whole-tree write
-  * is inherently a single JSON object — it streams through ONE task (no
-  * driver collect), which is the correct contract for the reference's
-  * small keyed trees; anything 100 TB-sized belongs in the per-path sink.
+  * is inherently a single JSON object — rows are STREAMED TO THE DRIVER
+  * (`toLocalIterator`, constant memory, never a bulk collect) which writes
+  * the one file. A driver-side write is the honest cost of the reference's
+  * atomic single-object `set()` contract and is fine for its small keyed
+  * trees; at scale the driver's network bandwidth becomes the bottleneck,
+  * so anything 100 TB-sized belongs in the distributed per-path sink.
   */
 object TreeSink {
 
@@ -37,10 +40,12 @@ object TreeSink {
   def writePerPath(paths: DataFrame, outPath: String): Unit =
     paths.write.mode(SaveMode.Overwrite).json(outPath)
 
-  /** S9: whole keyed tree `{id → record}` as ONE JSON object, written by a
-    * single task (the reference's atomic `set('issues', dict)`). Rows are
-    * streamed — constant memory apart from the output buffer. The id column
-    * is EXCLUDED from the record payload once it becomes the map key (P18,
+  /** S9: whole keyed tree `{id → record}` as ONE JSON object (the
+    * reference's atomic `set('issues', dict)`). JSON serialization happens
+    * distributed; the serialized rows then stream through the DRIVER via
+    * `toLocalIterator` — constant memory, but driver-bandwidth-bound, which
+    * the single-object contract makes unavoidable. The id column is
+    * EXCLUDED from the record payload once it becomes the map key (P18,
     * index_align_to_firebase.py:198-203). */
   def writeWholeTree(df: DataFrame, idCol: String, outFile: String): Unit = {
     val recCols = df.columns.filterNot(_ == idCol)
@@ -50,7 +55,10 @@ object TreeSink {
     val path = new org.apache.hadoop.fs.Path(outFile)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = path.getFileSystem(conf)
-    val rows = keyed.coalesce(1).toLocalIterator()
+    // toLocalIterator streams partition-by-partition in partition order —
+    // the to_json work above stays parallel, only the final byte stream is
+    // driver-sequential.
+    val rows = keyed.toLocalIterator()
     val out = fs.create(path, true)
     try {
       out.write('{')

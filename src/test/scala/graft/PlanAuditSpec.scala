@@ -56,6 +56,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(p) === 0)
   }
 
+  test("x11 IVF assignment is a zero-shuffle argmin projection — no window/sort/join") {
+    val t = graft.sources.Tables(spark, dir)
+    val cent = graft.operators.VectorOps.kmeansCentroids(
+      t.embeddings, "vec_id", "embedding", k = 8, iters = 1)
+    val assigned = graft.operators.VectorOps.assignToCentroids(
+      t.embeddings, "vec_id", "embedding", cent)
+    val p = graft.plans.PlanNodes.finalPlan(assigned)
+    assert(shuffleCount(p) === 0, s"assignment must not shuffle:\n$p")
+    assert(!allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "assignment must not use a window")
+    assert(!allNodes(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "assignment must not sort")
+    assert(joins(p).isEmpty, "assignment must not join")
+  }
+
   test("x4 minhash band join carries only ids and band signatures") {
     val p = finalPlan("x4_minhash_neardups")
     val bandJoins = joins(p).filter(j =>

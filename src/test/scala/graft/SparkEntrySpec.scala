@@ -18,6 +18,7 @@ class SparkEntrySpec extends SparkSpec {
       "window" -> WindowQueries.queries.keySet,
       "text" -> TextQueries.queries.keySet,
       "vector" -> VectorQueries.queries.keySet,
+      "media" -> MediaQueries.queries.keySet,
       "sink" -> SinkQueries.queries.keySet,
       "pipeline" -> PipelineQueries.queries.keySet)
     for {

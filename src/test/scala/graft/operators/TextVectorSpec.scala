@@ -86,7 +86,9 @@ class TextVectorSpec extends SparkSpec {
 
   test("rollingHashes (codegen'd expression) equals the sequential fold rollingHash") {
     val df = Seq((1L, "hello world!"), (2L, ""), (3L, "a"), (4L, "Z" * 577),
-      (5L, "mix 123 !@# " * 250)) // 3000 chars — no length cap
+      (5L, "mix 123 !@# " * 250), // 3000 chars — no length cap
+      (6L, "café 世界"), // BMP multibyte
+      (7L, "emoji 😀 pair 🔥")) // non-BMP surrogate pairs
       .toDF("id", "text")
     val viaFold = df.select($"id", TextOps.rollingHash($"text").as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -59,7 +59,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Regression guardrail: compare against the checked-in expectation
+    // snapshot (only meaningful at its own scale factor) and fail loudly on
+    // a >2× per-query regression — round-over-round perf claims are
+    // enforced here, not reconstructed from old logs.
+    val atExpectedSf = sfDir.endsWith("sf0.1")
+    val regressions = if (atExpectedSf) results.collect {
+      case (n, v) if BenchExpectations.secondsAtSf01.get(n)
+        .exists(e => v > e * BenchExpectations.RegressionFactor) =>
+        val e = BenchExpectations.secondsAtSf01(n)
+        s"""{"query":"$n","expected":$e,"measured":$v}"""
+    } else Nil
+    val regs = regressions.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
+    if (regressions.nonEmpty) {
+      System.err.println(s"[bench] ${regressions.size} per-query regression(s) > " +
+        s"${BenchExpectations.RegressionFactor}x vs BenchExpectations")
+      sys.exit(1)
+    }
   }
 }

@@ -58,6 +58,37 @@ class TablesSpec extends SparkSpec {
     assert(msg.contains("driver") || msg.contains("connect"), s"unexpected error: $msg")
   }
 
+  test("jdbc scan round-trips rows through an embedded Derby database (S2-S4 loopback)") {
+    // Derby ships on the Spark classpath, so the JDBC scan path — Spark's
+    // JDBCRelation planning, query pushdown via the `query` option,
+    // per-partition cursor reads — is verified against a real SQL engine
+    // in-process, not just options-validated.
+    val tmp = sys.props("java.io.tmpdir")
+    System.setProperty("derby.system.home", tmp) // keep derby.log out of the repo
+    val dbDir = s"$tmp/graft_derby_${ProcessHandle.current().pid()}"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE contributions (id INT, ticker VARCHAR(10), amount DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO contributions VALUES (?, ?, ?)")
+      for (i <- 1 to 25) {
+        ps.setInt(1, i); ps.setString(2, s"T${i % 5}"); ps.setDouble(3, i * 10.5)
+        ps.addBatch()
+      }
+      assert(ps.executeBatch().length === 25)
+    } finally conn.close()
+    // Pushed query: the GROUP BY executes inside Derby, as the reference
+    // pushes its SELECTs to Snowflake/MySQL.
+    val agg = Tables.jdbc(spark, url,
+      "SELECT ticker, CAST(sum(amount) AS DOUBLE) AS total FROM contributions GROUP BY ticker")
+    val out = agg.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.size === 5)
+    assert(out("T1") === (1 + 6 + 11 + 16 + 21) * 10.5)
+    // Whole-table scan path.
+    assert(Tables.jdbc(spark, url, "SELECT * FROM contributions").count() === 25L)
+  }
+
   test("withMetadata adds processed_date/data_source/record_type (P9)") {
     val out = Seq((1, "x")).toDF("id", "name")
       .transform(df => graft.operators.Cleaning.withMetadata(df, "csv", "contribution"))

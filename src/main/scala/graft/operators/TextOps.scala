@@ -259,6 +259,17 @@ object TextOps {
         i => slice(toks, i * step + 1, lit(windowSize))))
   }
 
+  /** Word n-grams of a token array, space-joined — the unit for exact
+    * n-gram Jaccard dedup. Array element access is O(1), so per-doc work is
+    * linear (unlike char-level substr seeks). Fewer than n tokens → empty
+    * (the `when` guard matters: `sequence(0, negative)` counts DOWN). */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n > 0)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
   /** Exact Jaccard similarity of the distinct-token sets. */
   def jaccard(toksA: Column, toksB: Column): Column = {
     val inter = size(array_intersect(array_distinct(toksA), array_distinct(toksB)))

@@ -34,9 +34,13 @@ object Pipelines {
 
     def run(contributions: DataFrame, cfg: PipelineConfig): Result = {
       val cleaned = contributions.transform(Cleaning.cleanGeneric)
+      // `enriched` feeds the report sections AND the document-prepare/dedup
+      // leg (whose dry-run preview executes eagerly) — persist so the
+      // scan + clean + derivations run once across the pipeline's legs.
       val enriched = cleaned
         .withColumn("amount_category", Derivations.amountCategory(col("amount")))
         .withColumn("company_type", Derivations.companyType(col("ticker")))
+        .persist()
       val report = Report.analysisReport(
         enriched, "ticker", "cycle", "amount", col("amount_category"))
       val docs = DocumentSink.prepare(

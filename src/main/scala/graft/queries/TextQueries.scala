@@ -161,7 +161,11 @@ object TextQueries {
     // ----------------------------------------------------------------- x15
     // TF-IDF top term per document: term frequencies and document
     // frequencies via two keyed aggregations, score = tf·ln(N/df), the
-    // argmax term per doc (ties → lexicographically first term).
+    // argmax term per doc (ties → lexicographically first term). The
+    // argmax is a min_by HASH AGGREGATE over struct(-score, term) — ordered
+    // identically to the oracle's `row_number OVER (ORDER BY score DESC,
+    // term)` but with map-side partial combine and no per-doc sort, where
+    // a window form would shuffle + sort every (doc, term) row.
     "x15_tfidf_top_term" -> ((s, dir) => {
       val t = Tables(s, dir)
       val docs = t.documents.select(col("doc_id"),
@@ -172,15 +176,15 @@ object TextQueries {
       val nDocs = t.documents.agg(count(lit(1)).cast("double").as("__n"))
       val df = docs.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(desc("score"), col("term"))
       tf.join(df, "term")
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
           round(col("tf") * log(col("__n") / col("df")), 4))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("term").as("top_term"), col("score"))
+        .groupBy("doc_id")
+        .agg(min_by(struct(col("term"), col("score")),
+          struct(negate(col("score")), col("term"))).as("best"))
+        .select(col("doc_id"), col("best.term").as("top_term"),
+          col("best.score").as("score"))
         .orderBy("doc_id")
     }),
 
@@ -206,6 +210,53 @@ object TextQueries {
       val t = Tables(s, dir)
       TextOps.chunkNearDups(t.documents, "doc_id", "text", ChunkSize, MinSharedChunks)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ----------------------------------------------------------------- x16
+    // Exact word-bigram Jaccard over chunk-blocked candidate pairs: the
+    // n-gram-Jaccard dedup method as a first-class op — candidates come
+    // from the partitionable chunk-hash join (never all-pairs), gram sets
+    // are computed ONCE per document and shipped to the pair join.
+    "x16_ngram_jaccard" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // Candidates are persisted (small: pairs of ids) because they feed
+      // three legs — the two id sides and the final pair join; without the
+      // persist each leg re-runs the chunk-hash self-join.
+      val cands = TextOps.chunkNearDups(t.documents, "doc_id", "text",
+        ChunkSize, MinSharedChunks).select("id_a", "id_b").persist()
+      // Gram sets are computed ONLY for candidate documents (semi-join
+      // filter first): n-gram materialization is the expensive step, and
+      // candidates are a vanishing fraction of the corpus at scale.
+      val ids = cands.select(col("id_a").as("doc_id"))
+        .union(cands.select(col("id_b").as("doc_id"))).distinct()
+      val grams = t.documents.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextOps.ngrams(TextOps.tokens(col("text")), 2).as("g"))
+      cands
+        .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
+        .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("ga"), col("gb"))).cast("double")
+            / nullif(size(array_union(col("ga"), col("gb"))), lit(0)), 4)
+            .as("bigram_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ----------------------------------------------------------------- x17
+    // PII scrubbing: synthetic per-document email + URL appended to the
+    // text (the testdata carries no live PII), then scrubbed to typed
+    // placeholders; the sha256 of the scrubbed text proves byte-exact
+    // replacement. Patterns are the shared Scala constants on both sides.
+    "x17_pii_scrub" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val dirty = concat_ws(" ", col("text"),
+        concat(lit("contact"), col("doc_id"), lit("@example.com")),
+        concat(lit("https://example.com/d/"), col("doc_id")))
+      t.documents
+        .select(col("doc_id"), TextOps.scrubPii(dirty).as("scrubbed"))
+        .select(col("doc_id"),
+          length(col("scrubbed")).cast("long").as("scrub_len"),
+          sha2(col("scrubbed"), 256).as("scrub_fp"))
+        .orderBy("doc_id")
     }),
 
     // ------------------------------------------------------------------ x5
@@ -387,15 +438,48 @@ object TextQueries {
          |  sha256(array_to_string(chunk, ' ')) AS chunk_fp
          |FROM chunks ORDER BY doc_id, chunk_index""".stripMargin,
     "x12_chunk_neardups" ->
-      s"""WITH chunks AS (
-         |  SELECT DISTINCT doc_id AS id, ${md5h("u.c")} AS ch
-         |  FROM documents,
-         |    UNNEST(list_transform(range(0, ((length(text)-1) // $ChunkSize) + 1),
-         |      i -> substr(text, i*$ChunkSize + 1, $ChunkSize))) u(c)
-         |  WHERE length(text) > 0)
+      s"""WITH $chunksCte
          |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_chunks
          |FROM chunks a JOIN chunks b ON a.ch = b.ch AND a.id < b.id
          |GROUP BY 1,2 HAVING count(*) >= $MinSharedChunks
-         |ORDER BY 1,2""".stripMargin
+         |ORDER BY 1,2""".stripMargin,
+    "x16_ngram_jaccard" ->
+      s"""WITH $chunksCte,
+         |cand AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM chunks a JOIN chunks b ON a.ch = b.ch AND a.id < b.id
+         |  GROUP BY 1,2 HAVING count(*) >= $MinSharedChunks),
+         |grams AS (
+         |  SELECT doc_id, CASE WHEN len(toks) < 2 THEN []
+         |    ELSE list_transform(range(0, len(toks)-1),
+         |      i -> concat_ws(' ', toks[i+1], toks[i+2])) END AS g
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+         |SELECT c.id_a, c.id_b,
+         |  round(len(list_distinct(list_intersect(ga.g, gb.g)))::DOUBLE
+         |    / nullif(len(list_distinct(ga.g || gb.g)), 0), 4) AS bigram_jaccard
+         |FROM cand c JOIN grams ga ON c.id_a = ga.doc_id
+         |            JOIN grams gb ON c.id_b = gb.doc_id
+         |ORDER BY 1, 2""".stripMargin,
+    "x17_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+         |  sha256(scrubbed) AS scrub_fp
+         |FROM (
+         |  SELECT doc_id, regexp_replace(regexp_replace(
+         |      text || ' contact' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |        || ' https://example.com/d/' || CAST(doc_id AS VARCHAR),
+         |      '${TextOps.UrlPattern}', '<URL>', 'g'),
+         |    '${TextOps.EmailPattern}', '<EMAIL>', 'g') AS scrubbed
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared chunk-hash CTE (x12 candidate generation, reused by x16). */
+  private def chunksCte: String =
+    s"""chunks AS (
+       |  SELECT DISTINCT doc_id AS id, ${md5h("u.c")} AS ch
+       |  FROM documents,
+       |    UNNEST(list_transform(range(0, ((length(text)-1) // $ChunkSize) + 1),
+       |      i -> substr(text, i*$ChunkSize + 1, $ChunkSize))) u(c)
+       |  WHERE length(text) > 0)""".stripMargin
 }

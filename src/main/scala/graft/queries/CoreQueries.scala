@@ -341,6 +341,23 @@ object CoreQueries {
         .orderBy("record_id")
     }),
 
+    // --------------------------------------------------------------- §2.7
+    // Set operations surfaced as first-class ops (the reference never
+    // unions its datasets; Spark gives union/intersect/except free):
+    // customers active in 1995 vs 1996 — overlapping sets, so all three
+    // counts are non-trivial. INTERSECT/EXCEPT are distinct-semantics on
+    // both engines.
+    "u1_set_ops" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def buyers(yr: Int) =
+        t.orders.filter(year(col("o_orderdate")) === yr).select("o_custkey")
+      val a = buyers(1995)
+      val b = buyers(1996)
+      a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+        .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
+    }),
+
     // --------------------------------------------------------------- P2+P7
     // Strict column normalization + drop-all-null-rows, both firing on real
     // data: a messy extract (spaced/mixed-case headers, the shape Snowflake
@@ -564,6 +581,20 @@ object CoreQueries {
       """SELECT c_custkey, trim(c_name) AS c_name, lower(c_mktsegment) AS segment,
          COALESCE(CAST(c_acctbal AS DOUBLE), 0) AS acctbal
          FROM customer ORDER BY 1""",
+    "u1_set_ops" ->
+      """SELECT
+        | (SELECT count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |    UNION
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_union,
+        | (SELECT count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_intersect,
+        | (SELECT count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_except""".stripMargin,
     "p2_normalize_dropnull" ->
       """SELECT trim(c_mktsegment) AS market_segment, count(*) AS n,
          CAST(sum(c_custkey) AS BIGINT) AS key_sum,

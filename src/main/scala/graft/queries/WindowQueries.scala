@@ -57,6 +57,24 @@ object WindowQueries {
         .orderBy("window_start")
     }),
 
+    // Analytic window functions: per-customer running spend (cumulative sum
+    // over a tie-broken order) and days since the previous order (lag).
+    // Identical ORDER BY on both sides makes the running double sum
+    // accumulate in the same sequence — bit-equal, not just close.
+    "w5_lag_cumsum" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t.orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)), 2).as("cum_spend"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Session windows (30-minute gap) per user, rolled up to per-user session
     // stats so the output is precision-safe.
     "w3_session_window" -> ((s, dir) => {
@@ -96,6 +114,13 @@ object WindowQueries {
         |  FROM counts)
         |SELECT window_start, event_type AS top_event_type, n
         |FROM ranked WHERE rn = 1 ORDER BY window_start""".stripMargin,
+    "w5_lag_cumsum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+        |  date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), o_orderdate) AS days_since_prev
+        |FROM orders ORDER BY 1, 2""".stripMargin,
     "w3_session_window" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

@@ -65,8 +65,9 @@ object Bench {
     // enforced here, not reconstructed from old logs.
     val atExpectedSf = sfDir.endsWith("sf0.1")
     val regressions = if (atExpectedSf) results.collect {
-      case (n, v) if BenchExpectations.secondsAtSf01.get(n)
-        .exists(e => v > e * BenchExpectations.RegressionFactor) =>
+      case (n, v) if BenchExpectations.secondsAtSf01.get(n).exists(e =>
+        v > math.max(e * BenchExpectations.RegressionFactor,
+          BenchExpectations.NoiseFloorSec)) =>
         val e = BenchExpectations.secondsAtSf01(n)
         s"""{"query":"$n","expected":$e,"measured":$v}"""
     } else Nil

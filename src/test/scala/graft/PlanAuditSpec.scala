@@ -72,6 +72,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins(p).isEmpty, "assignment must not join")
   }
 
+  test("x16 ngram jaccard joins stay hash-based — no cartesian/BNLJ fan-out") {
+    val p = finalPlan("x16_ngram_jaccard")
+    assert(!allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "candidate generation must never be all-pairs")
+    assert(!allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "every join must be an equi hash join")
+    assert(shuffleCount(p) <= 6, s"unexpected shuffle growth:\n$p")
+  }
+
   test("x4 minhash band join carries only ids and band signatures") {
     val p = finalPlan("x4_minhash_neardups")
     val bandJoins = joins(p).filter(j =>

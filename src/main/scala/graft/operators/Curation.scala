@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines
+  * (engine extension — SURVEY.md §7.5(8)): deterministic sampling, per-group
+  * quota caps, benchmark decontamination, hash-sharded training-order
+  * shuffle, and shard-local sequence packing.
+  *
+  * Everything is driven by ONE deterministic 60-bit hash of the row id
+  * ([[idHash]]), never an RNG: re-running a sample/shuffle/pack over the
+  * same corpus yields byte-identical output (reproducible training sets),
+  * any subset of the data can be processed independently (the keep/drop
+  * decision for a row needs only that row), and the DuckDB oracle replays
+  * the exact selection. `rand()`-based sampling has neither property.
+  *
+  * Scale notes per operator are inline; the common theme is that nothing
+  * here requires a global ordering — every window runs inside a hash
+  * partition whose count (`shards`) is a tuning knob, so a 1000-executor
+  * cluster processes shards in parallel and no single task sees more than
+  * ~n/shards rows.
+  */
+object Curation {
+
+  /** Deterministic 60-bit hash of a row id (md5-derived, same construction
+    * as [[TextOps.md5Hash60]] so the oracle computes the identical value).
+    * Uniform over [0, 2^60); non-negative. */
+  def idHash(id: Column): Column = TextOps.md5Hash60(id.cast("string"))
+
+  /** Hash bucket in [0, buckets) — the sampling coin. */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    require(buckets > 0)
+    idHash(id) % buckets
+  }
+
+  /** Deterministic stratified sampling: keep a row iff its hash bucket is
+    * below the stratum's rate (per-mille by default). A pure per-row filter
+    * — ZERO shuffles, pushes past column pruning to the scan — which is the
+    * only sampling shape that survives 100 TB: no global count, no sort, no
+    * state. Rates are exact in expectation and reproducible run-to-run.
+    * Strata absent from `rates` fall back to `defaultRate`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Int], defaultRate: Int,
+                       buckets: Int = 1000): DataFrame = {
+    require(defaultRate >= 0 && rates.values.forall(_ >= 0))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), buckets) < rate)
+  }
+
+  /** Per-group quota cap: keep at most `k` rows per group, selected by hash
+    * order (deterministic, unbiased by any value column). The canonical
+    * "at most N documents per domain" pass. One keyed shuffle on the group
+    * column + an in-partition rank — the same shape as keep-first dedup; at
+    * scale a skewed group bounds the task at the group's size, which the cap
+    * itself is about to cut to k, so a pre-filter on a cheaper bound (e.g.
+    * [[hashBucket]] < p) can shrink monster groups before the shuffle when
+    * group sizes are pathological. */
+  def quotaCap(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * `minShared` distinct word `n`-grams with any document of the eval set.
+    * Candidate generation is an equi-join on the 60-bit gram hash — the
+    * partitionable-join-key shape of the dedup suite, never all-pairs; the
+    * eval side is DISTINCT gram hashes only (benchmarks are tiny next to a
+    * training corpus, so at cluster scale that side is a broadcast — ids
+    * and text never cross the wire). Returns (idCol, n_shared_grams) for
+    * flagged training docs only. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int, minShared: Long = 1L): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), explode(
+        TextOps.ngrams(TextOps.tokens(col(textCol)), n)).as("__g"))
+      .select(col(idCol), TextOps.md5Hash60(col("__g")).as("gh"))
+      .distinct()
+    val evalGrams = broadcast(grams(eval).select("gh").distinct())
+    grams(train)
+      .join(evalGrams, "gh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
+  /** Hash-sharded training-order shuffle: shard = idHash mod `shards`,
+    * position = rank of idHash within the shard. This is how training data
+    * is shuffled at 100 TB — a global `ORDER BY random()` needs a total
+    * sort (and an RNG seed nobody can replay); hash-sharding gives each
+    * reader shard-parallel, reproducible, well-mixed order with one keyed
+    * shuffle and shard-local sorts of ~n/shards rows. */
+  def shardedShuffle(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0)
+    val h = idHash(col(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Shard-local sequence packing: assign size-bearing rows (e.g. token
+    * counts) to contiguous bins of capacity `budget` in shard hash order —
+    * bin = exclusive-prefix-sum(sizes) DIV budget. The deterministic
+    * first-fit-in-hash-order packer for building fixed-token training
+    * batches. Packing is shard-local by design: a globally optimal packing
+    * needs a global sort, but bins only have to be *full enough*, so at
+    * scale each of `shards` partitions packs independently (parallel,
+    * reproducible) and waste stays < one document per bin on average.
+    * Oversized single rows (> budget) get a bin of their own rather than
+    * being dropped. Returns the input plus (shard, bin). */
+  def packSequences(df: DataFrame, idCol: String, sizeCol: String,
+                    budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val h = idHash(col(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % shards).cast("int"))
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col(sizeCol)) / budget).cast("long"))
+      .drop("__h", "__cum")
+  }
+}

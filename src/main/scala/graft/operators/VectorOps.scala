@@ -211,6 +211,39 @@ object VectorOps {
       .limit(k)
   }
 
+  // ---------------------------------------------------------- quantization
+
+  /** Scalar int8 quantization of an embedding to the fixed range [-1, 1]:
+    * q_i = round(clamp(v_i) · 127) ∈ [-127, 127]. The standard 4×
+    * compression for ANN indexes at scale — a 100 TB float corpus becomes
+    * 25 TB of int8 codes, and distance scans read a quarter of the bytes.
+    * A pure per-row projection: zero shuffles, codegen'd, linear in dim.
+    * Fixed-range (not per-vector max-abs) so the code of a vector never
+    * depends on another pass over the data. */
+  val QuantScale = 127
+  def quantizeInt8(vec: Column): Column =
+    transform(vec, x =>
+      round(least(greatest(x.cast("double"), lit(-1.0)), lit(1.0)) * QuantScale)
+        .cast("int"))
+
+  /** Dequantized reconstruction of [[quantizeInt8]] codes. */
+  def dequantize(codes: Column): Column =
+    transform(codes, q => q.cast("double") / QuantScale)
+
+  /** Per-vector reconstruction error of the int8 code: mean squared error
+    * and max absolute error across dimensions, each a sequential fold so
+    * the oracle replays the exact summation order. For in-range inputs the
+    * per-dimension error is bounded by 1/(2·127), so mse ≤ ~1.55e-5 — the
+    * spec asserts that bound. */
+  def quantError(vec: Column): Column = {
+    val err = zip_with(vec, dequantize(quantizeInt8(vec)),
+      (x, r) => x.cast("double") - r)
+    struct(
+      (aggregate(err, lit(0.0), (acc, e) => acc + e * e)
+        / nullif(size(vec), lit(0))).as("mse"),
+      array_max(transform(err, e => abs(e))).as("max_abs_err"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by LSH bucket so the
     * pairwise comparison is bounded per block. The block key is always
     * derived from [[lshBucket]] — never a low-cardinality label column,

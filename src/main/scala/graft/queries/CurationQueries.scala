@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, TextOps, VectorOps}
+import graft.sources.Tables
+
+/** Oracle-checked queries for the corpus-curation suite (engine extension —
+  * SURVEY.md §7.5(8)): SimHash dedup, deterministic sampling, quota caps,
+  * benchmark decontamination, int8 quantization, sharded training shuffle,
+  * and sequence packing.
+  *
+  * As with [[TextQueries]], the DuckDB oracle SQL is GENERATED from the
+  * same Scala constants that drive the Spark expressions ([[TextOps]] hash
+  * construction, band layout, [[Curation]] rates/shard counts), so both
+  * engines compute identical selections by construction.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Max Hamming distance for SimHash near-dups — must stay below
+    * [[TextOps.SimHashBands]] for the band-blocking recall guarantee. */
+  val HammingMaxDist = 3
+
+  /** Per-mille sampling rates by language; zh (present in the data) is
+    * deliberately absent so the default-rate fallback is exercised. */
+  val SampleRates: Map[String, Int] = Map("en" -> 200, "de" -> 400, "es" -> 600, "fr" -> 800)
+  val DefaultRate = 500
+  val SampleBuckets = 1000
+
+  val DomainQuota = 15
+  val DecontamGramSize = 5
+  val EvalModulus = 10
+  val ShuffleShards = 8
+  val PackBudget = 2048L
+  val PackShards = 4
+
+  def queries: Map[String, Q] = Map(
+    // ----------------------------------------------------------------- x18
+    // SimHash near-duplicate pairs: 15-bit band blocking over 60-bit
+    // shingle signatures, exact bit_count(xor) Hamming verification —
+    // completes x5 (signatures) into a dedup operator. Recall is exact for
+    // distance ≤ 3 by pigeonhole over the 4 bands.
+    "x18_simhash_neardups" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.simhashNearDups(t.documents, "doc_id", "text", HammingMaxDist)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ----------------------------------------------------------------- x19
+    // Deterministic stratified sampling: per-language hash-bucket rates
+    // (zero-shuffle keep/drop filter), aggregated to per-language
+    // before/after counts.
+    "x19_stratified_sample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+      val kept = Curation.stratifiedSample(docs, "lang", "doc_id",
+          SampleRates, DefaultRate, SampleBuckets)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // ----------------------------------------------------------------- x20
+    // Per-domain quota cap: at most 15 documents per source, selected in
+    // hash order — the "cap boilerplate-heavy domains" pass.
+    "x20_domain_cap" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Curation.quotaCap(t.documents, "source", "doc_id", DomainQuota)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x21
+    // Benchmark decontamination: training docs (doc_id % 10 ≠ 0) sharing
+    // any distinct 5-gram with the eval split (doc_id % 10 = 0), joined on
+    // the 60-bit gram hash with the eval side broadcast.
+    "x21_decontaminate" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+      Curation.decontaminate(
+          docs.filter(col("doc_id") % EvalModulus =!= 0),
+          docs.filter(col("doc_id") % EvalModulus === 0),
+          "doc_id", "text", DecontamGramSize)
+        .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x22
+    // Int8 scalar quantization round-trip: per-vector reconstruction MSE
+    // and max abs error (sequential folds — bit-identical to the oracle).
+    "x22_int8_quant" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.embeddings
+        .select(col("vec_id"), VectorOps.quantError(col("embedding")).as("e"))
+        .select(col("vec_id"),
+          round(col("e.mse"), 8).as("mse_r"),
+          round(col("e.max_abs_err"), 8).as("max_err_r"))
+        .orderBy("vec_id")
+    }),
+
+    // ----------------------------------------------------------------- x23
+    // Hash-sharded training-order shuffle: 8 shards, reproducible in-shard
+    // positions — the scale-safe substitute for ORDER BY random().
+    "x23_train_shuffle" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Curation.shardedShuffle(t.documents.select("doc_id"), "doc_id", ShuffleShards)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x24
+    // Shard-local sequence packing: token counts packed into 2048-token
+    // bins in shard hash order; per-bin document and token totals.
+    "x24_sequence_pack" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sized = t.documents.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.packSequences(sized, "doc_id", "n_tokens", PackBudget, PackShards)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("shard", "bin")
+    })
+  )
+
+  // --------------------------------------------------------- oracle SQL gen
+
+  /** DuckDB tokens expression (shared shape with TextQueries). */
+  private val toksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN []
+      | ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin
+
+  /** DuckDB 60-bit md5 hash of a string expression. */
+  private def md5h(e: String): String = s"('0x' || substr(md5($e),1,15))::BIGINT"
+
+  /** DuckDB id hash (Curation.idHash: md5Hash60 of the id rendered as a
+    * decimal string — both engines print int64 identically). */
+  private def idh(idExpr: String): String = md5h(s"CAST($idExpr AS VARCHAR)")
+
+  private def simhashNearDupSql: String = {
+    val bits = (0 until TextOps.SimHashBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val mask = (1L << TextOps.SimHashBandBits) - 1
+    val bandStructs = (0 until TextOps.SimHashBands).map { b =>
+      s"{'band': $b, 'bits': (simhash >> ${b * TextOps.SimHashBandBits}) & $mask}"
+    }.mkString(", ")
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(range(0, len(toks)-2),
+       |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) END AS shingles
+       |  FROM toked),
+       |hashed AS (
+       |  SELECT doc_id, list_transform(list_distinct(shingles), t -> ${md5h("t")}) AS hs
+       |  FROM sh),
+       |sigs AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hashed),
+       |banded AS (
+       |  SELECT doc_id, simhash, u.b.band AS band, u.b.bits AS bits
+       |  FROM sigs, UNNEST([$bandStructs]) u(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= $HammingMaxDist
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  private def stratifiedSampleSql: String = {
+    val cases = SampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""SELECT lang, count(*) AS n_docs,
+       |  count(*) FILTER (WHERE ${idh("doc_id")} % $SampleBuckets <
+       |    CASE lang $cases ELSE $DefaultRate END) AS n_kept
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  private def decontaminateSql: String = {
+    val n = DecontamGramSize
+    val gramList = (1 to n).map(k => s"toks[i+$k]").mkString(", ")
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, ${md5h("g")} AS gh FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(toks) < $n THEN []
+       |      ELSE list_transform(range(0, len(toks)-${n - 1}),
+       |        i -> concat_ws(' ', $gramList)) END) AS g
+       |    FROM toked)
+       |  GROUP BY 1, 2),
+       |eg AS (SELECT DISTINCT gh FROM grams WHERE doc_id % $EvalModulus = 0)
+       |SELECT t.doc_id, count(*) AS n_shared_grams
+       |FROM (SELECT * FROM grams WHERE doc_id % $EvalModulus <> 0) t
+       |JOIN eg USING (gh)
+       |GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""".stripMargin
+  }
+
+  private def quantSql: String = {
+    val s = VectorOps.QuantScale
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(x AS DOUBLE) -
+       |        CAST(round(least(greatest(CAST(x AS DOUBLE), -1.0), 1.0) * $s) AS INT)
+       |          / $s.0) AS err,
+       |    len(embedding) AS d
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  round(list_reduce(list_prepend(0.0, list_transform(err, x -> x*x)),
+       |    (a, b) -> a + b) / nullif(d, 0), 8) AS mse_r,
+       |  round(list_max(list_transform(err, x -> abs(x))), 8) AS max_err_r
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "x18_simhash_neardups" -> simhashNearDupSql,
+    "x19_stratified_sample" -> stratifiedSampleSql,
+    "x20_domain_cap" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id, row_number() OVER (
+         |    PARTITION BY source ORDER BY ${idh("doc_id")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, doc_id FROM r WHERE rk <= $DomainQuota
+         |ORDER BY 1, 2""".stripMargin,
+    "x21_decontaminate" -> decontaminateSql,
+    "x22_int8_quant" -> quantSql,
+    "x23_train_shuffle" ->
+      s"""SELECT doc_id, CAST(h % $ShuffleShards AS INT) AS shard,
+         |  row_number() OVER (PARTITION BY h % $ShuffleShards ORDER BY h, doc_id) AS pos
+         |FROM (SELECT doc_id, ${idh("doc_id")} AS h FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "x24_sequence_pack" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ${idh("doc_id")} AS h
+         |  FROM documents),
+         |packed AS (
+         |  SELECT CAST(h % $PackShards AS INT) AS shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY h % $PackShards
+         |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sized)
+         |SELECT shard, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

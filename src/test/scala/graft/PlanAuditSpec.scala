@@ -83,6 +83,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(p) <= 6, s"unexpected shuffle growth:\n$p")
   }
 
+  test("x19 stratified sample is a pure pushed filter — zero shuffles pre-agg") {
+    val t = graft.sources.Tables(spark, dir)
+    val sampled = graft.operators.Curation.stratifiedSample(
+      t.documents, "lang", "doc_id",
+      graft.queries.CurationQueries.SampleRates,
+      graft.queries.CurationQueries.DefaultRate)
+    val p = graft.plans.PlanNodes.finalPlan(sampled)
+    assert(shuffleCount(p) === 0, s"sampling must be a per-row filter:\n$p")
+    assert(joins(p).isEmpty)
+  }
+
+  test("x18 simhash band self-join is an equi hash join, never all-pairs") {
+    val p = finalPlan("x18_simhash_neardups")
+    assert(!allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(!allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+  }
+
+  test("x21 decontamination broadcasts the eval gram side") {
+    val p = finalPlan("x21_decontaminate")
+    assert(allNodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"eval grams must broadcast:\n$p")
+    assert(allNodes(p).count(_.isInstanceOf[SortMergeJoinExec]) === 0)
+  }
+
   test("x4 minhash band join carries only ids and band signatures") {
     val p = finalPlan("x4_minhash_neardups")
     val bandJoins = joins(p).filter(j =>

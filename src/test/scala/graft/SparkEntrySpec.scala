@@ -19,6 +19,7 @@ class SparkEntrySpec extends SparkSpec {
       "text" -> TextQueries.queries.keySet,
       "vector" -> VectorQueries.queries.keySet,
       "media" -> MediaQueries.queries.keySet,
+      "curation" -> CurationQueries.queries.keySet,
       "sink" -> SinkQueries.queries.keySet,
       "pipeline" -> PipelineQueries.queries.keySet)
     for {

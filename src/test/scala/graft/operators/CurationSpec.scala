@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: SimHash near-dup recall, deterministic
+  * sampling, quota caps, decontamination, quantization bounds, sharded
+  * shuffle, and sequence packing invariants. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ simhash dedup
+
+  test("simhashNearDups: identical docs pair at hamming 0; pigeonhole recall") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, "entirely different other words here"))
+      .toDF("id", "text")
+    val pairs = TextOps.simhashNearDups(df, "id", "text", maxDist = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(pairs(0).getInt(2) === 0)
+  }
+
+  test("simhashNearDups rejects maxDist >= band count (recall not guaranteed)") {
+    val df = Seq((1L, "a")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.simhashNearDups(df, "id", "text", maxDist = TextOps.SimHashBands)
+    }
+  }
+
+  test("simhashBands: reassembling the band slices reproduces the signature") {
+    val bb = TextOps.SimHashBandBits
+    val sigs = Seq(0L, 0xDEADBEEFCAFEL, (1L << TextOps.SimHashBits) - 1).toDF("sig")
+      .select($"sig", TextOps.simhashBands($"sig").as("b"))
+      .select($"sig", expr(
+        s"aggregate(transform(b, s -> shiftleft(s.bits, s.band * $bb)), 0L, (a, x) -> a + x)")
+        .as("rebuilt"))
+      .collect()
+    sigs.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  // --------------------------------------------------------------- sampling
+
+  test("stratifiedSample: rate 0 drops the stratum, rate=buckets keeps it all") {
+    val df = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "lang")
+    val out = Curation.stratifiedSample(df, "lang", "id",
+      Map("a" -> 1000, "b" -> 0), defaultRate = 500, buckets = 1000)
+    val langs = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs === Map("a" -> 100L))
+  }
+
+  test("stratifiedSample is deterministic and a subset of the input") {
+    val df = (1 to 500).map(i => (i.toLong, "x")).toDF("id", "lang")
+    val once = Curation.stratifiedSample(df, "lang", "id", Map.empty, 300)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val twice = Curation.stratifiedSample(df, "lang", "id", Map.empty, 300)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(once === twice)
+    assert(once.subsetOf((1 to 500).map(_.toLong).toSet))
+    // ~30% expected; the md5 hash should land well inside (15%, 45%)
+    assert(once.size > 75 && once.size < 225)
+  }
+
+  // -------------------------------------------------------------- quota cap
+
+  test("quotaCap keeps at most k per group and all of smaller groups") {
+    val df = ((1 to 30).map(i => (i.toLong, "big")) ++ (31 to 33).map(i => (i.toLong, "small")))
+      .toDF("id", "grp")
+    val out = Curation.quotaCap(df, "grp", "id", 10)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("big" -> 10L, "small" -> 3L))
+  }
+
+  test("quotaCap selection is deterministic across runs") {
+    val df = (1 to 50).map(i => (i.toLong, "g")).toDF("id", "grp")
+    def ids = Curation.quotaCap(df, "grp", "id", 7).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === ids)
+    assert(ids.size === 7)
+  }
+
+  // -------------------------------------------------------- decontamination
+
+  test("decontaminate flags exactly the training docs sharing an n-gram") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta"
+    val contaminated = "prefix alpha beta gamma delta epsilon suffix"   // shares 5-grams
+    val clean = "one two three four five six seven"
+    val train = Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "alpha beta gamma delta epsilon" is the single shared 5-gram
+    assert(out === Map(1L -> 1L))
+  }
+
+  test("decontaminate counts distinct shared grams once per training doc") {
+    val evalDoc = "a b c d e f g"                      // grams: abcde, bcdef, cdefg
+    val train = Seq((1L, "a b c d e f g")).toDF("doc_id", "text") // shares all 3
+    val eval = Seq((9L, evalDoc)).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, eval, "doc_id", "text", n = 5).collect()
+    assert(out.length === 1 && out(0).getLong(1) === 3L)
+  }
+
+  // ------------------------------------------------------------ quantization
+
+  test("quantizeInt8: codes bounded, out-of-range inputs clamp") {
+    val codes = Seq(Seq(0.0f, 1.0f, -1.0f, 2.5f, -7.0f, 0.5f)).toDF("v")
+      .select(VectorOps.quantizeInt8($"v").as("q"))
+      .collect()(0).getSeq[Int](0)
+    assert(codes === Seq(0, 127, -127, 127, -127, 64))
+  }
+
+  test("quantError: in-range reconstruction error within the half-step bound") {
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.fill(50)(Seq.fill(16)(rnd.nextFloat() * 2 - 1)).map(Tuple1(_))
+    val out = vecs.toDF("v")
+      .select(VectorOps.quantError($"v").as("e"))
+      .select($"e.mse", $"e.max_abs_err").collect()
+    val halfStep = 1.0 / (2 * VectorOps.QuantScale)
+    out.foreach { r =>
+      assert(r.getDouble(1) <= halfStep + 1e-12)
+      assert(r.getDouble(0) <= halfStep * halfStep + 1e-12)
+    }
+  }
+
+  // --------------------------------------------------------- sharded shuffle
+
+  test("shardedShuffle: dense 1..n positions per shard, all rows kept once") {
+    val df = (1 to 200).map(_.toLong).toDF("id")
+    val out = Curation.shardedShuffle(df, "id", shards = 4)
+      .select("id", "shard", "pos").collect()
+    assert(out.length === 200)
+    assert(out.map(_.getLong(0)).toSet.size === 200)
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps === (1L to rows.length.toLong))
+    }
+  }
+
+  // --------------------------------------------------------------- packing
+
+  test("packSequences: bins respect the budget except oversized singletons") {
+    val rows = (1 to 100).map(i => (i.toLong, (i % 7) * 100L + 50L)) :+ (999L, 5000L)
+    val df = rows.toDF("id", "n")
+    val bins = Curation.packSequences(df, "id", "n", budget = 2048L, shards = 2)
+      .groupBy("shard", "bin")
+      .agg(sum("n").as("total"), count(lit(1)).as("cnt"), max("n").as("mx"))
+      .collect()
+    bins.foreach { r =>
+      val (total, cnt, mx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // a bin is within budget, or it closes an overflow: its last row pushed
+      // it past the boundary (first-fit keeps a row in the bin its prefix
+      // starts in), so total - one row must be under budget
+      assert(total <= 2048L || total - mx < 2048L || cnt === 1L)
+    }
+    // every row lands in exactly one bin
+    assert(bins.map(_.getLong(3)).sum === 101L)
+  }
+
+  test("packSequences: bins are contiguous from 0 within each shard") {
+    val df = (1 to 60).map(i => (i.toLong, 700L)).toDF("id", "n")
+    val out = Curation.packSequences(df, "id", "n", budget = 2048L, shards = 2)
+      .select("shard", "bin").collect().map(r => (r.getInt(0), r.getLong(1)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val bins = rows.map(_._2).distinct.sorted
+      assert(bins === (0L until bins.length))
+    }
+  }
+}

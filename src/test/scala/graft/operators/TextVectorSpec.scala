@@ -42,7 +42,7 @@ class TextVectorSpec extends SparkSpec {
       .select(TextOps.simhash(TextOps.tokens($"text")).as("h")).collect().map(_.getLong(0))
     assert(out(0) === out(1))   // same distinct set, different order/multiplicity
     assert(out(0) !== out(2))
-    assert(out(0) >= 0L && out(0) < (1L << 32))
+    assert(out(0) >= 0L && out(0) < (1L << TextOps.SimHashBits))
   }
 
   test("simhashes (explode+agg) equals the per-column simhash expression") {

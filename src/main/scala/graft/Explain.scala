@@ -52,11 +52,14 @@ object Explain {
       df.explain("formatted")
       if (args.contains("--run")) {
         // noop write, like Bench: count() would let Catalyst prune
-        // unreferenced (often the expensive) columns.
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        val secs = (System.nanoTime() - t0) / 1e9
-        println(f"rows=${df.count()} time=$secs%.2fs (noop-materialized)")
+        // unreferenced (often the expensive) columns. Three passes so the
+        // first (JVM/codegen warmup) is distinguishable from steady state.
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"rows=${df.count()} times=${times.map(t => f"$t%.2f").mkString("s, ")}s (noop-materialized)")
       }
     }
     spark.stop()

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Dev-only micro-probe: times isolated stages of the text pipelines so
+  * perf work targets measured bottlenecks, not guesses. Not part of the
+  * library surface. Usage: runMain graft.Probe [sfDir] */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(spark)
+    val docs = graft.sources.Tables(spark, sfDir).documents
+
+    def timed(name: String)(f: => Long): Unit = {
+      f // warmup
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-46s ${(System.nanoTime() - t0) / 1e9}%6.2fs  n=$n")
+    }
+
+    timed("tokens explode count") {
+      docs.select(explode(TextOps.tokens(col("text"))).as("t")).count()
+    }
+    timed("ngram5 array sizes sum") {
+      docs.select(size(TextOps.ngrams(TextOps.tokens(col("text")), 5)).as("s"))
+        .agg(sum("s")).head.getLong(0)
+    }
+    timed("ngram5 explode strings") {
+      docs.select(explode(TextOps.ngrams(TextOps.tokens(col("text")), 5)).as("g"))
+        .count()
+    }
+    timed("ngram5 MATERIALIZED toks: array sizes sum") {
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(size(TextOps.ngrams(col("__tk"), 5)).as("s"))
+        .agg(sum("s")).head.getLong(0)
+    }
+    timed("ngram5 materialized + explode + md5 + distinct") {
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), explode(TextOps.ngrams(col("__tk"), 5)).as("g"))
+        .select(col("doc_id"), TextOps.md5Hash60(col("g")).as("gh"))
+        .distinct().count()
+    }
+    timed("shingle3 materialized, hash in transform (x4 form)") {
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(explode(transform(
+          TextOps.shingles(col("__tk")),
+          s => TextOps.md5Hash60(s))).as("h"))
+        .count()
+    }
+    timed("simhash 60-agg over materialized shingles (x18 sig)") {
+      TextOps.simhashes(
+        docs.select(col("doc_id").as("id"), TextOps.tokens(col("text")).as("__tk"))
+          .select(col("id"), TextOps.shingles(col("__tk")).as("toks")),
+        "id", "toks").select(max("simhash")).head.getLong(0)
+    }
+    spark.stop()
+  }
+}

@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Rejects input frames that already carry columns this operator will
+    * introduce — silent ambiguity otherwise (same guard discipline as
+    * `Aggregations.skewSafeGroupSum` / `Joins.asofJoin`). */
+  private def requireAbsent(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved column(s): ${clash.mkString(", ")}")
+  }
+
   /** Deterministic 60-bit hash of a row id (md5-derived, same construction
     * as [[TextOps.md5Hash60]] so the oracle computes the identical value).
     * Uniform over [0, 2^60); non-negative. */
@@ -61,6 +70,7 @@ object Curation {
     * group sizes are pathological. */
   def quotaCap(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
     require(k > 0)
+    requireAbsent(df, "__rk")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(idHash(col(idCol)), col(idCol))
     df.withColumn("__rk", row_number().over(w))
@@ -78,9 +88,16 @@ object Curation {
     * flagged training docs only. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, n: Int, minShared: Long = 1L): DataFrame = {
+    // Tokens are MATERIALIZED into an attribute before ngrams: the n-gram
+    // lambda references its array n+2 times, and interpreted higher-order
+    // functions have no common-subexpression elimination, so an inline
+    // tokens(...) expression would re-run the regex split once per
+    // element_at — measured 50× slower on this exact path. CollapseProject
+    // keeps the boundary (it never inlines a non-cheap expression that is
+    // referenced more than once).
     def grams(df: DataFrame) = df
-      .select(col(idCol), explode(
-        TextOps.ngrams(TextOps.tokens(col(textCol)), n)).as("__g"))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(TextOps.ngrams(col("__tk"), n)).as("__g"))
       .select(col(idCol), TextOps.md5Hash60(col("__g")).as("gh"))
       .distinct()
     val evalGrams = broadcast(grams(eval).select("gh").distinct())
@@ -99,6 +116,7 @@ object Curation {
     * shuffle and shard-local sorts of ~n/shards rows. */
   def shardedShuffle(df: DataFrame, idCol: String, shards: Int): DataFrame = {
     require(shards > 0)
+    requireAbsent(df, "__h", "shard", "pos")
     val h = idHash(col(idCol))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
     df.withColumn("__h", h)
@@ -120,6 +138,7 @@ object Curation {
   def packSequences(df: DataFrame, idCol: String, sizeCol: String,
                     budget: Long, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0)
+    requireAbsent(df, "__h", "__cum", "shard", "bin")
     val h = idHash(col(idCol))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -156,10 +156,20 @@ object TextOps {
   /** Prime modulus for MinHash permutations. */
   val P: Long = 1000000007L
 
-  /** 60-bit integer hash of a string via md5 hex — chosen because DuckDB can
+  /** 60-bit integer hash of a string via md5 — chosen because DuckDB can
     * compute the identical value (`('0x' || substr(md5(s),1,15))::BIGINT`),
-    * making MinHash signatures oracle-checkable. */
-  def md5Hash60(c: Column): Column =
+    * making MinHash signatures oracle-checkable. Computed by the codegen'd
+    * [[graft.functions.Md5Hash60]] expression (digest bytes → long, no hex
+    * round-trip); [[md5Hash60Composed]] is the built-in composition it is
+    * proven bit-identical to. */
+  def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.Md5Hash60(ColumnBridge.expression(c)))
+  }
+
+  /** The built-in-composed definition of [[md5Hash60]], kept as the
+    * reference semantics the custom expression is spec-tested against. */
+  def md5Hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** MinHash permutation parameters (a, b): deterministic from a fixed seed
@@ -175,7 +185,16 @@ object TextOps {
   }
 
   /** Word n-gram shingles (default 3). Documents shorter than n words yield
-    * a single shingle of the whole text so they still participate. */
+    * a single shingle of the whole text so they still participate.
+    *
+    * PERF CONTRACT (also [[ngrams]], [[tokenChunks]]): pass a MATERIALIZED
+    * array column (an attribute from a prior select), never an inline
+    * `tokens(...)` expression — the lambda references `toks` once per
+    * element_at and interpreted higher-order functions have no
+    * common-subexpression elimination, so an inline expression re-runs the
+    * regex split per reference (measured 50× slower). CollapseProject
+    * preserves the select boundary: it never inlines a non-cheap
+    * expression referenced more than once. */
   def shingles(toks: Column, n: Int = 3): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
@@ -355,9 +374,13 @@ object TextOps {
                       maxDist: Int): DataFrame = {
     require(maxDist < SimHashBands,
       s"band blocking only guarantees recall for maxDist <= ${SimHashBands - 1}")
+    // Two-step select: tokens materialize to an attribute BEFORE the
+    // shingle lambda references them (3 element_at per shingle — an inline
+    // tokens(...) would re-run the regex split per reference; interpreted
+    // HOF lambdas have no subexpression elimination).
     val sigs = simhashes(
-      df.select(col(idCol).as("id"),
-        shingles(tokens(col(textCol))).as("toks")), "id", "toks")
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+        .select(col("id"), shingles(col("__tk")).as("toks")), "id", "toks")
     val banded = sigs
       .select(col("id"), col("simhash"), explode(simhashBands(col("simhash"))).as("b"))
       .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.bits").as("bits"))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{DotProduct, Md5Hash60, RollingHash}
 
 /** Session extensions for the engine's custom expressions — the documented
   * public registration path (`spark.sql.extensions=graft.plans.
@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "rolling_hash takes exactly 1 argument")
         RollingHash(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_hash60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "md5_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "md5_hash60 takes exactly 1 argument")
+        Md5Hash60(children.head)
       }))
     // Rewrite HOF dot-product folds (aggregate∘zip_with) into the codegen'd
     // expression — see DotProductRewrite for the soundness argument.

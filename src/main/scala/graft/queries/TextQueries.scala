@@ -195,8 +195,9 @@ object TextQueries {
     "x13_token_chunks" -> ((s, dir) => {
       val t = Tables(s, dir)
       t.documents
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
         .select(col("doc_id"),
-          posexplode(TextOps.tokenChunks(TextOps.tokens(col("text")), ChunkTokens, ChunkStep))
+          posexplode(TextOps.tokenChunks(col("__tk"), ChunkTokens, ChunkStep))
             .as(Seq("chunk_index", "chunk")))
         .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
           size(col("chunk")).cast("long").as("n_chunk_tokens"),
@@ -229,8 +230,10 @@ object TextQueries {
       // candidates are a vanishing fraction of the corpus at scale.
       val ids = cands.select(col("id_a").as("doc_id"))
         .union(cands.select(col("id_b").as("doc_id"))).distinct()
+      // tokens materialized before the ngram lambda (see TextOps.ngrams doc)
       val grams = t.documents.join(ids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), TextOps.ngrams(TextOps.tokens(col("text")), 2).as("g"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), TextOps.ngrams(col("__tk"), 2).as("g"))
       cands
         .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
         .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")

@@ -80,6 +80,16 @@ class CurationSpec extends SparkSpec {
     assert(ids.size === 7)
   }
 
+  test("reserved helper columns are rejected, not silently clobbered") {
+    val df = (1 to 5).map(i => (i.toLong, "g", 1L)).toDF("id", "grp", "pos")
+    intercept[IllegalArgumentException] {
+      Curation.shardedShuffle(df, "id", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.quotaCap(df.withColumnRenamed("pos", "__rk"), "grp", "id", 3)
+    }
+  }
+
   // -------------------------------------------------------- decontamination
 
   test("decontaminate flags exactly the training docs sharing an n-gram") {

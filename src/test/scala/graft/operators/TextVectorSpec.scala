@@ -98,6 +98,21 @@ class TextVectorSpec extends SparkSpec {
     assert(viaSum(2L) === 0L)
   }
 
+  test("md5Hash60 (codegen'd expression) equals the conv∘substring∘md5 composition") {
+    val df = (Seq("", "a", "hello world", "café 世界", "emoji 😀", "x" * 1000) ++
+      (1 to 100).map(i => s"shingle number $i word"))
+      .toDF("s")
+    val out = df.select(
+      TextOps.md5Hash60($"s").as("fast"),
+      TextOps.md5Hash60Composed($"s").as("composed")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // null propagates; range is [0, 2^60)
+    val nullRow = Seq(Tuple1(null: String)).toDF("s")
+      .select(TextOps.md5Hash60($"s")).head
+    assert(nullRow.isNullAt(0))
+    out.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60)))
+  }
+
   test("fingerprint collapses whitespace and case, distinguishes content") {
     val out = Seq("Hello   World", "hello world", "hello  worlds")
       .toDF("t").select(TextOps.fingerprint($"t")).collect().map(_.getString(0))

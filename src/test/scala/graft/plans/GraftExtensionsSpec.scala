@@ -30,6 +30,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head.getDouble(0)
       assert(f === 3.0)
 
+      // md5_hash60 registered too: matches the composed built-in form
+      val h = withExt.sql(
+        """SELECT md5_hash60('abc') AS fast,
+          |       CAST(conv(substring(md5('abc'),1,15),16,10) AS BIGINT) AS composed
+          |""".stripMargin).head
+      assert(h.getLong(0) === h.getLong(1))
+
       // null semantics: length mismatch and null element yield null
       val nulls = withExt.sql(
         """SELECT dot_product(array(1.0D, 2.0D), array(1.0D)) AS mismatch,

@@ -378,9 +378,16 @@ object TextOps {
     // shingle lambda references them (3 element_at per shingle — an inline
     // tokens(...) would re-run the regex split per reference; interpreted
     // HOF lambdas have no subexpression elimination).
+    // Persisted: the band self-join reads the signature frame twice and
+    // Spark does not reuse the aggregation exchange across the self-join's
+    // two (re-aliased) branches — without the persist the whole
+    // tokenize→shingle→hash→aggregate pipeline runs twice. The frame is
+    // (id, 60-bit sig): 16 bytes/doc, the cheapest thing in the query to
+    // keep and the most expensive to recompute.
     val sigs = simhashes(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
         .select(col("id"), shingles(col("__tk")).as("toks")), "id", "toks")
+      .persist()
     val banded = sigs
       .select(col("id"), col("simhash"), explode(simhashBands(col("simhash"))).as("b"))
       .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.bits").as("bits"))
@@ -406,7 +413,14 @@ object TextOps {
     * `df` must have columns (idCol, textCol). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
+    // Persisted: `toked` feeds the signature pipeline AND both legs of the
+    // exact-Jaccard re-join (3 reads); `banded` feeds both sides of the
+    // band self-join (2 reads, each otherwise recomputing the signature
+    // aggregation — Spark does not reuse the exchange across re-aliased
+    // self-join branches). Persisting trades n×(sig) memory for not
+    // re-tokenizing the corpus per leg — the right trade at every scale.
     val toked = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .persist()
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
@@ -415,6 +429,7 @@ object TextOps {
     val banded = minhashSignatures(toked, "id", "toks")
       .select(col("id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
+      .persist()
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))

@@ -15,6 +15,11 @@ import graft.sources.Tables
 object MediaQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  val FrameBytes = 64
+  val FrameStride = 2
+  val ResizeW = 16
+  val ResizeH = 16
+
   def queries: Map[String, Q] = Map(
     // ----------------------------------------------------------------- x10
     // Media feature extraction: documents → opaque binary payload table →
@@ -24,6 +29,35 @@ object MediaQueries {
       Multimodal.extractFeatures(s, Multimodal.asMediaTable(t.documents))
         .toDF()
         .select("doc_id", "payload_bytes", "fake_width", "payload_sha256", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x25
+    // Frame sampling: every 2nd 64-byte chunk of each payload, streamed
+    // through the iterator-to-iterator flatMap a real demuxer needs. Frame
+    // bytes are compared as hex strings — exact binary equality, no
+    // hash-function availability assumptions on the oracle side.
+    "x25_frame_sample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.sampleFrames(s, Multimodal.asMediaTable(t.documents),
+          FrameBytes, FrameStride)
+        .toDF()
+        .select(col("doc_id"), col("frame_index"),
+          length(col("frame_bytes")).cast("long").as("frame_len"),
+          upper(hex(col("frame_bytes"))).as("frame_hex"))
+        .orderBy("doc_id", "frame_index")
+    }),
+
+    // ----------------------------------------------------------------- x26
+    // Resize plumbing: payload truncated to width×height bytes (the stub
+    // for decode→scale→re-encode), verified byte-exact via hex.
+    "x26_media_resize" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.resize(s, Multimodal.asMediaTable(t.documents), ResizeW, ResizeH)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("out_bytes"),
+          upper(hex(col("payload"))).as("payload_hex"))
         .orderBy("doc_id")
     })
   )
@@ -37,6 +71,29 @@ object MediaQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
         |  sha256(text) AS payload_sha256, lang
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Byte slicing replayed over hex(payload): 2 hex chars per byte, so
+    // frame i covers hex chars [i·2F+1, 2F] (F = frame bytes). DuckDB 1.0
+    // has no BLOB substring, hex round-trips exactly.
+    "x25_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents),
+         |f AS (
+         |  SELECT doc_id, u.i AS frame_index,
+         |    upper(substring(ph, (u.i * ${2 * FrameBytes} + 1)::BIGINT, ${2 * FrameBytes})) AS fh
+         |  FROM m, UNNEST(range(0, CASE WHEN length(ph) = 0 THEN 0
+         |    ELSE ((length(ph) - 1) // ${2 * FrameBytes}) + 1 END)) u(i)
+         |  WHERE u.i % $FrameStride = 0)
+         |SELECT doc_id, frame_index,
+         |  CAST(length(fh) // 2 AS BIGINT) AS frame_len, fh AS frame_hex
+         |FROM f ORDER BY doc_id, frame_index""".stripMargin,
+    "x26_media_resize" ->
+      s"""SELECT doc_id, CAST($ResizeW AS BIGINT) AS width,
+         |  CAST($ResizeH AS BIGINT) AS height,
+         |  CAST(length(ph) // 2 AS BIGINT) AS out_bytes,
+         |  upper(ph) AS payload_hex
+         |FROM (SELECT doc_id,
+         |  substring(hex(encode(text)), 1, ${2 * ResizeW * ResizeH}) AS ph
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
   )
 }

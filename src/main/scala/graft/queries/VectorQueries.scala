@@ -68,6 +68,27 @@ object VectorQueries {
       val t = Tables(s, dir)
       VectorOps.nearDupPairs(t.embeddings, "vec_id", "embedding", planes, NearDupThreshold)
         .orderBy("block", "id_a", "id_b")
+    }),
+
+    // ----------------------------------------------------------------- x27
+    // Quantized brute-force top-k: the same scan as x6 but over int8 codes
+    // (x22's quantizer) — the 4×-less-IO form a 100 TB index actually
+    // scans; cosine on the dequantized codes, exact double parity with the
+    // oracle's replayed quantization. Dequantized arrays materialize to an
+    // attribute before the norm/dot projection references them 3×.
+    "x27_quant_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val deq = t.embeddings.select(col("vec_id"),
+        VectorOps.dequantize(VectorOps.quantizeInt8(col("embedding"))).as("dv"))
+      val q = deq.filter(col("vec_id") === QueryVecId)
+        .select(col("dv").as("__qv"), VectorOps.norm2(col("dv")).as("__qn"))
+      deq.filter(col("vec_id") =!= QueryVecId)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorOps.dot(col("dv"), col("__qv"))
+            / (VectorOps.norm2(col("dv")) * col("__qn")), 6).as("sim_q"))
+        .orderBy(desc("sim_q"), col("vec_id"))
+        .limit(K)
     })
   )
 
@@ -154,6 +175,16 @@ object VectorQueries {
          |FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
          |WHERE a.vec_id <> $QueryVecId
          |ORDER BY sim_r DESC, a.vec_id LIMIT $K""".stripMargin
+    },
+    "x27_quant_topk" -> {
+      val s = VectorOps.QuantScale
+      val dq =
+        s"list_transform(embedding, x -> CAST(round(least(greatest(x::DOUBLE, -1.0), 1.0) * $s) AS INT) / $s.0)"
+      s"""WITH dq AS (SELECT vec_id, $dq AS dv FROM embeddings),
+         |q AS (SELECT dv AS qv FROM dq WHERE vec_id = $QueryVecId)
+         |SELECT e.vec_id, ${cosSql("e.dv", "q.qv")} AS sim_q
+         |FROM dq e, q WHERE e.vec_id <> $QueryVecId
+         |ORDER BY sim_q DESC, e.vec_id LIMIT $K""".stripMargin
     },
     "x8_embed_neardups" ->
       s"""WITH bkt AS (

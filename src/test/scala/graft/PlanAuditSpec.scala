@@ -56,6 +56,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(p) === 0)
   }
 
+  test("x27 quantized top-k keeps x6's shape: TakeOrdered, zero shuffles") {
+    val p = finalPlan("x27_quant_topk")
+    assert(p.toString.contains("TakeOrderedAndProject"))
+    assert(shuffleCount(p) === 0)
+  }
+
   test("x11 IVF assignment is a zero-shuffle argmin projection — no window/sort/join") {
     val t = graft.sources.Tables(spark, dir)
     val cent = graft.operators.VectorOps.kmeansCentroids(

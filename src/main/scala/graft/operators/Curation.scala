@@ -78,6 +78,30 @@ object Curation {
       .drop("__rk")
   }
 
+  /** Skew-safe two-phase [[quotaCap]]: phase 1 ranks within (group, salt)
+    * sub-shards and keeps top-k per sub-shard; phase 2 ranks the ≤ k·salts
+    * survivors per group exactly. Selects the IDENTICAL rows as
+    * [[quotaCap]] (phase 1 can never evict a global top-k row: a row in
+    * the group's hash-order top k is also in its own sub-shard's top k) —
+    * spec-proven equivalent — while bounding any single task at
+    * ~groupSize/salts instead of groupSize. Use when one monster group
+    * (a crawl's top domain) would otherwise dominate the cap's wall
+    * clock; for ordinary distributions [[quotaCap]]'s single pass wins. */
+  def quotaCapSkewSafe(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int, salts: Int = 16): DataFrame = {
+    require(k > 0 && salts > 0)
+    requireAbsent(df, "__salt", "__rk1", "__rk")
+    val h = idHash(col(idCol))
+    val w1 = Window.partitionBy(col(groupCol), col("__salt")).orderBy(h, col(idCol))
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("__salt", h % salts)
+      .withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= k)
+      .withColumn("__rk", row_number().over(w2))
+      .filter(col("__rk") <= k)
+      .drop("__salt", "__rk1", "__rk")
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` distinct word `n`-grams with any document of the eval set.
     * Candidate generation is an equi-join on the 60-bit gram hash — the

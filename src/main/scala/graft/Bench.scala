@@ -37,10 +37,17 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
-    /** Between passes: GC so the ContextCleaner reclaims the previous
-      * pass's shuffle files and broadcasts — otherwise ~170 executions
-      * accumulate state that inflates late queries' timings. */
-    def reclaim(): Unit = { System.gc(); Thread.sleep(500) }
+    /** Between passes: drop persisted frames and GC so the ContextCleaner
+      * reclaims the previous pass's shuffle files and broadcasts.
+      * clearCache matters for honesty, not just memory: operators that
+      * persist() (near-dup signature frames) are deduped by canonicalized
+      * plan in the CacheManager, so without it the measured passes would
+      * read the WARMUP pass's cache instead of executing the pipeline —
+      * each measured pass must pay its own build-and-use cost. */
+    def reclaim(): Unit = {
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(500)
+    }
 
     names.foreach(materialize) // warmup: full pass, unmeasured
     reclaim()

@@ -62,6 +62,20 @@ object Probe {
           .select(col("id"), TextOps.shingles(col("__tk")).as("toks")),
         "id", "toks").select(max("simhash")).head.getLong(0)
     }
+    // Does a wide HashAggregate fall out of codegen? Compare k sum buffers
+    // on the same exploded hash frame.
+    for (nAggs <- Seq(8, 16, 32, 60)) {
+      timed(s"scaling: $nAggs sum aggs over exploded shingle hashes") {
+        val exploded = docs
+          .select(col("doc_id").as("id"), TextOps.tokens(col("text")).as("__tk"))
+          .select(col("id"), explode(transform(TextOps.shingles(col("__tk")),
+            s => TextOps.md5Hash60(s))).as("h"))
+        val aggs = (0 until nAggs).map { j =>
+          sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"b$j")
+        }
+        exploded.groupBy("id").agg(aggs.head, aggs.tail: _*).count()
+      }
+    }
     spark.stop()
   }
 }

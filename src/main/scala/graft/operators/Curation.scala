@@ -123,9 +123,12 @@ object Curation {
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), explode(TextOps.ngrams(col("__tk"), n)).as("__g"))
       .select(col(idCol), TextOps.md5Hash60(col("__g")).as("gh"))
-      .distinct()
+    // Eval side needs only distinct gram hashes — a per-(id, gh) distinct
+    // first would be a second full aggregation thrown away immediately.
+    // The train side keeps per-doc distinct grams: each shared gram counts
+    // once per training document.
     val evalGrams = broadcast(grams(eval).select("gh").distinct())
-    grams(train)
+    grams(train).distinct()
       .join(evalGrams, "gh")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared_grams"))

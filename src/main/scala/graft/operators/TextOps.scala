@@ -314,9 +314,10 @@ object TextOps {
     }.reduce(_ + _)
   }
 
-  /** Whole-table SimHash via explode → 32 codegen'd sum aggregates: each
-    * distinct token is md5-hashed exactly once; bit sums are plain `sum()`
-    * with map-side partial aggregation (one shuffle of 32 longs per doc).
+  /** Whole-table SimHash via explode → SimHashBits codegen'd sum
+    * aggregates: each distinct feature is md5-hashed exactly once; bit
+    * sums are plain `sum()` with map-side partial aggregation (one shuffle
+    * of SimHashBits longs per doc).
     * `explode_outer` keeps empty documents, whose simhash is 0 — matching
     * [[simhash]] on an empty array. Returns (id, simhash). */
   def simhashes(toked: DataFrame, idCol: String, toksCol: String): DataFrame = {

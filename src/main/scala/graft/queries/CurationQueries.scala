@@ -56,10 +56,14 @@ object CurationQueries {
       val docs = t.documents
       val kept = Curation.stratifiedSample(docs, "lang", "doc_id",
           SampleRates, DefaultRate, SampleBuckets)
-        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-      docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-        .join(kept, Seq("lang"), "left")
-        .na.fill(0L, Seq("n_kept"))
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+      // Null-SAFE join key: a NULL-lang stratum groups on both sides but
+      // `=` never matches NULL — <=> keeps Spark and the oracle's
+      // single-pass `count(*) FILTER` in agreement for that group.
+      val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      totals.join(kept, totals("lang") <=> kept("lang"), "left")
+        .select(totals("lang"), col("n_docs"),
+          coalesce(col("kept"), lit(0L)).as("n_kept"))
         .orderBy("lang")
     }),
 

@@ -114,6 +114,42 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // ----------------------------------------------------------------- pl5
+    // End-to-end corpus-curation pipeline — the nightly job a training-data
+    // engine runs, composed from the suite's own operators: quality gate →
+    // MinHash near-dup removal (keep-lowest-id) → stratified sample →
+    // per-domain cap → sequence packing. Output is the funnel: per-stage
+    // surviving documents and tokens, plus the packed-bin count — so the
+    // oracle verifies every stage boundary, not just the end state.
+    "pl5_curation_pipeline" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      val metrics = TextOps.qualityMetrics(t.documents, "text")
+        .select("doc_id", "lang", "source", "text", "n_tokens", "quality_ok")
+      val quality = metrics.filter(col("quality_ok"))
+      val dropIds = TextOps.minhashNearDups(quality, "doc_id", "text",
+          TextQueries.NearDupThreshold)
+        .select(col("id_b").as("doc_id")).distinct()
+      val deduped = quality.join(dropIds, Seq("doc_id"), "left_anti")
+      val sampled = Curation.stratifiedSample(deduped, "lang", "doc_id",
+        SampleRates, DefaultRate, SampleBuckets)
+      val capped = Curation.quotaCap(sampled, "source", "doc_id", DomainQuota)
+      val bins = Curation.packSequences(
+          capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+          PackBudget, PackShards)
+        .groupBy("shard", "bin").agg(sum("n_tokens").as("n_tokens"))
+      stage("0_raw", metrics)
+        .union(stage("1_quality", quality))
+        .union(stage("2_neardup", deduped))
+        .union(stage("3_sample", sampled))
+        .union(stage("4_cap", capped))
+        .union(stage("5_pack_bins", bins))
+        .orderBy("stage")
+    }),
+
     // ----------------------------------------------------------------- x24
     // Shard-local sequence packing: token counts packed into 2048-token
     // bins in shard hash order; per-bin document and token totals.
@@ -217,7 +253,55 @@ object CurationQueries {
        |FROM e ORDER BY vec_id""".stripMargin
   }
 
+  /** Funnel replay: every stage boundary of pl5 as CTEs, reusing the exact
+    * metric/near-dup SQL generators of the standalone oracles. */
+  private def curationPipelineSql: String = {
+    val cases = SampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    def funnelRow(name: String, from: String, tokCol: String = "n_tokens") =
+      s"""SELECT '$name' AS stage, count(*) AS n_docs,
+         |  CAST(coalesce(sum($tokCol), 0) AS BIGINT) AS n_tokens FROM $from""".stripMargin
+    s"""WITH rawd AS (
+       |  SELECT doc_id, lang, source, text, $toksSql AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, source, text, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    ${TextQueries.punctRatioSql("text")} AS pr,
+       |    ${TextQueries.stopRatioSql("toks")} AS sr
+       |  FROM rawd),
+       |q AS (SELECT * FROM m WHERE ${TextQueries.qualityOkSql("n_tokens", "pr", "sr")}),
+       |qsrc AS (SELECT doc_id AS id, toks FROM q),
+       |${TextQueries.minhashPairCtes("qsrc")},
+       |drops AS (SELECT DISTINCT id_b FROM jac
+       |  WHERE jaccard >= ${TextQueries.NearDupThreshold}),
+       |dedup AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT id_b FROM drops)),
+       |samp AS (SELECT * FROM dedup
+       |  WHERE ${idh("doc_id")} % $SampleBuckets < CASE lang $cases ELSE $DefaultRate END),
+       |cap AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY source ORDER BY ${idh("doc_id")}, doc_id) AS rk FROM samp)
+       |  WHERE rk <= $DomainQuota),
+       |packed AS (
+       |  SELECT CAST(h % $PackShards AS INT) AS shard, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY h % $PackShards
+       |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (SELECT doc_id, n_tokens, ${idh("doc_id")} AS h FROM cap)),
+       |bins AS (
+       |  SELECT shard, (cum - n_tokens) // $PackBudget AS bin,
+       |    CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |  FROM packed GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  ${funnelRow("0_raw", "m")}
+       |  UNION ALL ${funnelRow("1_quality", "q")}
+       |  UNION ALL ${funnelRow("2_neardup", "dedup")}
+       |  UNION ALL ${funnelRow("3_sample", "samp")}
+       |  UNION ALL ${funnelRow("4_cap", "cap")}
+       |  UNION ALL ${funnelRow("5_pack_bins", "bins", "bin_tokens")}
+       |) ORDER BY stage""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "pl5_curation_pipeline" -> curationPipelineSql,
     "x18_simhash_neardups" -> simhashNearDupSql,
     "x19_stratified_sample" -> stratifiedSampleSql,
     "x20_domain_cap" ->

@@ -278,7 +278,7 @@ object TextQueries {
   // --------------------------------------------------------- oracle SQL gen
 
   /** DuckDB tokens expression (empty text → empty list, like [[TextOps.tokens]]). */
-  private val toksSql =
+  private[queries] val toksSql =
     """CASE WHEN length(trim(text)) = 0 THEN []
       | ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin
 
@@ -309,7 +309,12 @@ object TextQueries {
        |FROM scored GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   }
 
-  private def minhashSql: String = {
+  /** The MinHash+LSH near-dup CTE chain (sh→hashed→sigs→banded→pairs→jac)
+    * over a source CTE `src`(id, toks) — replays [[TextOps.minhashNearDups]]
+    * exactly. Reused by the x4 oracle and the pl5 curation-pipeline oracle
+    * so both replay the identical pipeline. `jac` holds
+    * (id_a, id_b, jaccard) BEFORE the threshold filter. */
+  private[queries] def minhashPairCtes(src: String): String = {
     val p = TextOps.P
     val sigExprs = TextOps.hashParams.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h*$a + $b) % $p)) AS h$i"
@@ -318,13 +323,11 @@ object TextQueries {
       val parts = (0 until TextOps.BandRows).map(r => s"h${b * TextOps.BandRows + r}")
       s"{'band': $b, 'bsig': concat_ws(':', ${parts.mkString(", ")})}"
     }.mkString(", ")
-    s"""WITH toked AS (
-       |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
-       |sh AS (
+    s"""sh AS (
        |  SELECT id, toks, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |    ELSE list_transform(range(0, len(toks)-2),
        |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) END AS shingles
-       |  FROM toked),
+       |  FROM $src),
        |hashed AS (
        |  SELECT id, list_transform(shingles, s -> ${md5h("s")} % $p) AS hs FROM sh),
        |sigs AS (
@@ -340,11 +343,16 @@ object TextQueries {
        |  SELECT id_a, id_b,
        |    round(len(list_distinct(list_intersect(ta.toks, tb.toks)))::DOUBLE
        |          / nullif(len(list_distinct(ta.toks || tb.toks)), 0), 4) AS jaccard
-       |  FROM pairs JOIN toked ta ON pairs.id_a = ta.id
-       |             JOIN toked tb ON pairs.id_b = tb.id)
+       |  FROM pairs JOIN $src ta ON pairs.id_a = ta.id
+       |             JOIN $src tb ON pairs.id_b = tb.id)""".stripMargin
+  }
+
+  private def minhashSql: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
+       |${minhashPairCtes("toked")}
        |SELECT id_a, id_b, jaccard FROM jac
        |WHERE jaccard >= $NearDupThreshold ORDER BY id_a, id_b""".stripMargin
-  }
 
   private def simhashSql: String = {
     val bits = (0 until TextOps.SimHashBits).map { j =>
@@ -357,23 +365,33 @@ object TextQueries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hashed ORDER BY doc_id""".stripMargin
   }
 
-  private def qualitySql: String = {
-    val stop = TextOps.Stopwords.map(w => matchesSql("toks", w)).mkString("(", " + ", ")")
+  /** Quality-metric expressions over a text column and a toks list column —
+    * the exact [[TextOps.qualityMetrics]] arithmetic; shared by the x2
+    * oracle and the pl5 curation-pipeline oracle. */
+  private[queries] def punctRatioSql(t: String): String =
+    s"""round(length(regexp_replace($t, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+       |          / nullif(length($t), 0), 4)""".stripMargin
+  private[queries] def stopRatioSql(toks: String): String = {
+    val stop = TextOps.Stopwords.map(w => matchesSql(toks, w)).mkString("(", " + ", ")")
+    s"round($stop::DOUBLE / nullif(len($toks), 0), 4)"
+  }
+  private[queries] def qualityOkSql(nTokens: String, punct: String, stop: String): String =
+    s"""($nTokens >= 10 AND COALESCE($punct <= 0.05, false)
+       | AND COALESCE($stop <= 0.5, false))""".stripMargin
+
+  private def qualitySql: String =
     s"""WITH toked AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
        |m AS (
        |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-       |    round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-       |          / nullif(length(text), 0), 4) AS punct_ratio,
-       |    round($stop::DOUBLE / nullif(len(toks), 0), 4) AS stopword_ratio,
+       |    ${punctRatioSql("text")} AS punct_ratio,
+       |    ${stopRatioSql("toks")} AS stopword_ratio,
        |    round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
        |          / nullif(len(toks), 0), 4) AS mean_token_len
        |  FROM toked)
        |SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
-       |  (n_tokens >= 10 AND COALESCE(punct_ratio <= 0.05, false)
-       |   AND COALESCE(stopword_ratio <= 0.5, false)) AS quality_ok
+       |  ${qualityOkSql("n_tokens", "punct_ratio", "stopword_ratio")} AS quality_ok
        |FROM m ORDER BY doc_id""".stripMargin
-  }
 
   def oracles: Map[String, String] = Map(
     "x0_exact_dedup" ->

@@ -127,13 +127,18 @@ object CurationQueries {
         df.agg(count(lit(1)).as("n_docs"),
             coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
           .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      // The funnel reads each boundary from multiple stage branches —
+      // persist the two expensive ones (metric computation feeds stages
+      // 0-2 + the minhash input; the dedup output feeds stages 2-5) so the
+      // six-branch union is one pipeline pass, not six.
       val metrics = TextOps.qualityMetrics(t.documents, "text")
         .select("doc_id", "lang", "source", "text", "n_tokens", "quality_ok")
+        .persist()
       val quality = metrics.filter(col("quality_ok"))
       val dropIds = TextOps.minhashNearDups(quality, "doc_id", "text",
           TextQueries.NearDupThreshold)
         .select(col("id_b").as("doc_id")).distinct()
-      val deduped = quality.join(dropIds, Seq("doc_id"), "left_anti")
+      val deduped = quality.join(dropIds, Seq("doc_id"), "left_anti").persist()
       val sampled = Curation.stratifiedSample(deduped, "lang", "doc_id",
         SampleRates, DefaultRate, SampleBuckets)
       val capped = Curation.quotaCap(sampled, "source", "doc_id", DomainQuota)

@@ -119,6 +119,36 @@ object EventStreams {
       .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
   }
 
+  /** Documents parquet schema (matches the testdata `documents` table). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Open a documents directory as a file stream. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Streaming corpus intake: the curation front door as a stream — the
+    * quality gate (stateless per-row columns, the SAME expressions batch
+    * query x2 oracle-checks) plus exact dedup on the content fingerprint
+    * (x0's key; keyed streaming state). Batch certifies the semantics;
+    * this certifies the wiring. Dedup state is unbounded here because
+    * documents carry no event time — a production intake would stamp an
+    * ingest timestamp and watermark it, exactly like [[dedupEvents]].
+    * Emits (doc_id, lang, source, n_tokens, fp) for surviving documents. */
+  def curateDocuments(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.qualityMetrics(docs, "text")
+      .filter(col("quality_ok"))
+      .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .select("doc_id", "lang", "source", "n_tokens", "fp")
+
   /** The reference's batched micro-sink as a streaming sink (SURVEY.md §2.9:
     * S8 ↔ `foreachBatch`): every micro-batch is deduplicated, shaped into
     * documents, and delivered through the batched document transport with

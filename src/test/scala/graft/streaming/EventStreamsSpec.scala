@@ -129,4 +129,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions.count() ===
       sessions.select("user_id", "session_start").distinct().count())
   }
+
+  test("streaming corpus intake (quality gate + exact dedup) equals batch") {
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val stream = EventStreams.readDocuments(spark, docsDir)
+    runToMemory(EventStreams.curateDocuments(stream), "curate_stream", "append")
+    // Compare the surviving CONTENT set (fp, n_tokens), not row identities:
+    // when two docs share a fingerprint, keep-which-row under
+    // dropDuplicates is nondeterministic in batch, deterministic-by-arrival
+    // in streaming — the dedup contract is about the set of contents kept.
+    def contents(df: org.apache.spark.sql.DataFrame) =
+      df.select("fp", "n_tokens").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val streamed = contents(spark.table("curate_stream"))
+    val batch = contents(EventStreams.curateDocuments(
+      graft.sources.Tables(spark, "/root/testdata/sf0.001").documents))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }

@@ -171,10 +171,10 @@ object CurationQueries {
 
   // --------------------------------------------------------- oracle SQL gen
 
-  /** DuckDB tokens expression (shared shape with TextQueries). */
-  private val toksSql =
-    """CASE WHEN length(trim(text)) = 0 THEN []
-      | ELSE string_split_regex(lower(trim(text)), '\s+') END""".stripMargin
+  /** DuckDB tokens expression — the ONE shared definition: pl5 feeds this
+    * tokenization into TextQueries' CTE builders, so both must be the same
+    * string or the oracle silently diverges from the Spark pipeline. */
+  private def toksSql: String = TextQueries.toksSql
 
   /** DuckDB 60-bit md5 hash of a string expression. */
   private def md5h(e: String): String = s"('0x' || substr(md5($e),1,15))::BIGINT"

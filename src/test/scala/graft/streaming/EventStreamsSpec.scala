@@ -131,11 +131,20 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("streaming corpus intake (quality gate + exact dedup) equals batch") {
+    // Stage the corpus as TWO parquet files: with maxFilesPerTrigger=1 the
+    // stream runs two micro-batches, so the keyed dedup state must carry
+    // across triggers — one file would make state restore dead code here.
     val docsDir = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-docs-split")
+      graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+        .repartition(2).write.mode("overwrite").parquet(staging.toString)
       val dir = java.nio.file.Files.createTempDirectory("graft-docs-stream")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
-        dir.resolve("documents.parquet"))
+      val parts = new java.io.File(staging.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(parts.length == 2)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, dir.resolve(s"docs_$i.parquet"))
+      }
       dir.toString
     }
     val stream = EventStreams.readDocuments(spark, docsDir)

@@ -1,13 +1,13 @@
 package graft
 
 /** Checked-in per-query bench expectations (seconds at sf0.1, local[32],
-  * min-of-2 after warmup, cache cleared between passes) — the round-4
-  * final measured numbers (73 queries). [[Bench]] compares each measured
-  * query against its expectation and reports (and fails on) a
-  * >[[RegressionFactor]]x regression, so round-over-round performance
-  * claims are enforced by the harness instead of reconstructed from old
-  * logs. Queries added after this snapshot simply have no entry and are
-  * not regression-checked until the snapshot is refreshed.
+  * min-of-2 after warmup, caches released per query) — [[Bench]] compares
+  * each measured query against its expectation and REPORTS (never fails
+  * on: the artifact must survive a slow box) a >[[RegressionFactor]]x
+  * regression, so round-over-round performance claims are carried by the
+  * harness instead of reconstructed from old logs. Queries added after
+  * this snapshot simply have no entry and are not regression-checked
+  * until the snapshot is refreshed.
   *
   * Refresh by pasting the `queries` object of a trusted bench run — one
   * run with NOTHING else on the machine: a concurrent sbt/test JVM
@@ -17,12 +17,13 @@ package graft
 object BenchExpectations {
   val RegressionFactor = 2.0
 
-  /** Sub-second queries jitter with filesystem/GC/page-cache noise; a
-    * measured time must exceed BOTH the factor and this absolute floor to
-    * count as a regression. 0.75 because the same untouched query measured
-    * 0.21 s and 0.78 s on back-to-back clean runs of this box — anything
-    * below this band is weather, not signal. */
-  val NoiseFloorSec = 0.75
+  /** A regression must also exceed the baseline by this absolute slack:
+    * the factor alone flags 0.2s->0.5s box jitter on cheap queries, while
+    * a pure absolute floor (round 4 used 0.75s) exempts the majority of
+    * the suite from any coverage. Relative-AND-absolute keeps sub-second
+    * queries checked (0.2s->0.8s still flags: 4x and +0.6s) without
+    * flagging weather. */
+  val AbsSlackSec = 0.5
 
   val secondsAtSf01: Map[String, Double] = Map(
     "a10_reconcile" -> 0.3990,

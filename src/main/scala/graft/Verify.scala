@@ -22,9 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Operators that persist() intermediates would otherwise accumulate
-      // cached blocks across all queries of the dump.
-      finally spark.catalog.clearCache()
+      // Operators that persist intermediates (via GraftCache) would
+      // otherwise accumulate cached blocks across all queries of the dump;
+      // clearCache is the belt-and-braces sweep for anything untracked.
+      finally { GraftCache.release(); spark.catalog.clearCache() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -106,12 +106,19 @@ object Curation {
     * `minShared` distinct word `n`-grams with any document of the eval set.
     * Candidate generation is an equi-join on the 60-bit gram hash — the
     * partitionable-join-key shape of the dedup suite, never all-pairs; the
-    * eval side is DISTINCT gram hashes only (benchmarks are tiny next to a
-    * training corpus, so at cluster scale that side is a broadcast — ids
-    * and text never cross the wire). Returns (idCol, n_shared_grams) for
-    * flagged training docs only. */
+    * eval side is DISTINCT gram hashes only, so ids and text never cross
+    * the wire. Returns (idCol, n_shared_grams) for flagged training docs.
+    *
+    * `broadcastEval` (default true) hard-hints the eval side as a
+    * broadcast. That is the right plan for the intended use — benchmark
+    * suites are MBs next to a training corpus — but a broadcast must fit
+    * the driver and executors (Spark hard-caps broadcasts at 8 GB and
+    * OOMs well before): if the eval side's distinct gram hashes can be
+    * large, pass false and the planner/AQE picks a shuffled join from
+    * actual runtime sizes. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
-                    textCol: String, n: Int, minShared: Long = 1L): DataFrame = {
+                    textCol: String, n: Int, minShared: Long = 1L,
+                    broadcastEval: Boolean = true): DataFrame = {
     // Tokens are MATERIALIZED into an attribute before ngrams: the n-gram
     // lambda references its array n+2 times, and interpreted higher-order
     // functions have no common-subexpression elimination, so an inline
@@ -127,7 +134,8 @@ object Curation {
     // first would be a second full aggregation thrown away immediately.
     // The train side keeps per-doc distinct grams: each shared gram counts
     // once per training document.
-    val evalGrams = broadcast(grams(eval).select("gh").distinct())
+    val evalDistinct = grams(eval).select("gh").distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalDistinct) else evalDistinct
     grams(train).distinct()
       .join(evalGrams, "gh")
       .groupBy(idCol)
@@ -153,15 +161,26 @@ object Curation {
   }
 
   /** Shard-local sequence packing: assign size-bearing rows (e.g. token
-    * counts) to contiguous bins of capacity `budget` in shard hash order —
+    * counts) to contiguous bins in shard hash order —
     * bin = exclusive-prefix-sum(sizes) DIV budget. The deterministic
     * first-fit-in-hash-order packer for building fixed-token training
     * batches. Packing is shard-local by design: a globally optimal packing
     * needs a global sort, but bins only have to be *full enough*, so at
     * scale each of `shards` partitions packs independently (parallel,
-    * reproducible) and waste stays < one document per bin on average.
-    * Oversized single rows (> budget) get a bin of their own rather than
-    * being dropped. Returns the input plus (shard, bin). */
+    * reproducible).
+    *
+    * Bin-capacity contract (what prefix-sum DIV budget actually gives):
+    * a bin holds every row whose START offset falls inside it, so the row
+    * that straddles a bin boundary OVERFILLS its bin — each bin's total is
+    * bounded by `budget + closingRowSize − 1`, equivalently
+    * `total − max(rowSize) < budget` (the property the spec pins), not by
+    * `budget` itself. An oversized row (> budget) is never dropped, but it
+    * does NOT always get a bin of its own: if its start offset lands
+    * mid-bin it shares that bin with the preceding rows (sizes [100, 5000]
+    * at budget 2048 both land in bin 0). Downstream fixed-capacity batch
+    * builders must therefore handle the closing row (truncate or split);
+    * rows already bounded by the model's sequence length make overflow
+    * ≤ seqLen−1 tokens. Returns the input plus (shard, bin). */
   def packSequences(df: DataFrame, idCol: String, sizeCol: String,
                     budget: Long, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0)

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.GraftCache
+
 /** Text-analysis operators for large-scale training-data pipelines (engine
   * extension beyond the reference — SURVEY.md §7.5(8)): tokenization, token
   * counting, language-ID heuristic, quality scoring, fingerprinting, and the
@@ -370,7 +372,11 @@ object TextOps {
     * token arrays, the verification payload is the 8-byte signature itself,
     * so it rides ALONG the band join (cheaper than a re-join by id; there
     * is nothing bigger to re-fetch). Recall is exact for
-    * `maxDist` ≤ SimHashBands − 1 by the pigeonhole bound above. */
+    * `maxDist` ≤ SimHashBands − 1 by the pigeonhole bound above.
+    *
+    * Caching contract: the signature frame persists via [[graft.GraftCache]]
+    * (the self-join reads it twice); call `GraftCache.release()` after
+    * consuming the result. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int): DataFrame = {
     require(maxDist < SimHashBands,
@@ -379,16 +385,15 @@ object TextOps {
     // shingle lambda references them (3 element_at per shingle — an inline
     // tokens(...) would re-run the regex split per reference; interpreted
     // HOF lambdas have no subexpression elimination).
-    // Persisted: the band self-join reads the signature frame twice and
-    // Spark does not reuse the aggregation exchange across the self-join's
-    // two (re-aliased) branches — without the persist the whole
-    // tokenize→shingle→hash→aggregate pipeline runs twice. The frame is
-    // (id, 60-bit sig): 16 bytes/doc, the cheapest thing in the query to
-    // keep and the most expensive to recompute.
-    val sigs = simhashes(
+    // Persisted (via GraftCache — caller releases): the band self-join reads
+    // the signature frame twice and Spark does not reuse the aggregation
+    // exchange across the self-join's two (re-aliased) branches — without
+    // the persist the whole tokenize→shingle→hash→aggregate pipeline runs
+    // twice. The frame is (id, 60-bit sig): 16 bytes/doc, the cheapest
+    // thing in the query to keep and the most expensive to recompute.
+    val sigs = GraftCache.persist(simhashes(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
-        .select(col("id"), shingles(col("__tk")).as("toks")), "id", "toks")
-      .persist()
+        .select(col("id"), shingles(col("__tk")).as("toks")), "id", "toks"))
     val banded = sigs
       .select(col("id"), col("simhash"), explode(simhashBands(col("simhash"))).as("b"))
       .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.bits").as("bits"))
@@ -409,28 +414,31 @@ object TextOps {
     * bands appears once) *before* the token arrays are re-joined by id for
     * the exact-Jaccard check. Bucket sizes are bounded by LSH collision
     * probability, so the candidate set is ~linear in the number of true
-    * near-dup clusters, never O(n²). At cluster scale, persist/checkpoint
-    * `toked` so tokenization is not recomputed for the verify join.
+    * near-dup clusters, never O(n²).
+    *
+    * Caching contract: the tokenized corpus and the band frame persist via
+    * [[graft.GraftCache]] (multi-branch reuse); call `GraftCache.release()`
+    * after consuming the result, or the blocks outlive the query.
     * `df` must have columns (idCol, textCol). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
-    // Persisted: `toked` feeds the signature pipeline AND both legs of the
-    // exact-Jaccard re-join (3 reads); `banded` feeds both sides of the
-    // band self-join (2 reads, each otherwise recomputing the signature
-    // aggregation — Spark does not reuse the exchange across re-aliased
-    // self-join branches). Persisting trades n×(sig) memory for not
-    // re-tokenizing the corpus per leg — the right trade at every scale.
-    val toked = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .persist()
+    // Persisted (via GraftCache — caller releases): `toked` feeds the
+    // signature pipeline AND both legs of the exact-Jaccard re-join (3
+    // reads); `banded` feeds both sides of the band self-join (2 reads,
+    // each otherwise recomputing the signature aggregation — Spark does not
+    // reuse the exchange across re-aliased self-join branches). Persisting
+    // trades n×(sig) memory for not re-tokenizing the corpus per leg — the
+    // right trade at every scale.
+    val toked = GraftCache.persist(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")))
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
           .as("sig"))
     }
-    val banded = minhashSignatures(toked, "id", "toks")
+    val banded = GraftCache.persist(minhashSignatures(toked, "id", "toks")
       .select(col("id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
-      .persist()
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig")))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))

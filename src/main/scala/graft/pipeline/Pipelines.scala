@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftCache
 import graft.operators.{Aggregations, Cleaning, Dedup, Derivations}
 import graft.report.Report
 import graft.sinks.{DocumentSink, TreeSink}
@@ -37,10 +38,9 @@ object Pipelines {
       // `enriched` feeds the report sections AND the document-prepare/dedup
       // leg (whose dry-run preview executes eagerly) — persist so the
       // scan + clean + derivations run once across the pipeline's legs.
-      val enriched = cleaned
+      val enriched = GraftCache.persist(cleaned
         .withColumn("amount_category", Derivations.amountCategory(col("amount")))
-        .withColumn("company_type", Derivations.companyType(col("ticker")))
-        .persist()
+        .withColumn("company_type", Derivations.companyType(col("ticker"))))
       val report = Report.analysisReport(
         enriched, "ticker", "cycle", "amount", col("amount_category"))
       val docs = DocumentSink.prepare(
@@ -70,8 +70,8 @@ object Pipelines {
       // `docs` is consumed twice — the anti-join dedup AND the final
       // reconciliation — so persist it for the pipeline's scope; without
       // this the source scan + clean + id derivation re-executes per leg.
-      val docs = DocumentSink.prepare(cleaned, lit("records"),
-        Cleaning.deterministicId(idCols.map(col): _*)).persist()
+      val docs = GraftCache.persist(DocumentSink.prepare(cleaned, lit("records"),
+        Cleaning.deterministicId(idCols.map(col): _*)))
       val sinkDir = s"${cfg.outputDir}/records"
       // Dedup vs existing sink output (idempotent re-run, :338-346). Only a
       // genuinely ABSENT sink counts as empty — read failures (permissions,
@@ -123,8 +123,8 @@ object Pipelines {
       // The pivot feeds BOTH the brand join (→ tree paths) and the
       // dropped-keys anti-join, and callers typically aggregate the result
       // again — persist so the scan + pivot executes once, not 2-3×.
-      val agg = Aggregations.partyPivot(pac, "ticker", "cycle", "committee_name", "amount")
-        .persist()
+      val agg = GraftCache.persist(Aggregations.partyPivot(
+        pac, "ticker", "cycle", "committee_name", "amount"))
       val joined = Dedup.lookupJoin(agg, brandMapping, "ticker")
       val dropped = Dedup.droppedKeys(agg, brandMapping, "ticker")
       val paths = TreeSink.preparePaths(

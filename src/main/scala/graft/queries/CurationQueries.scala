@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftCache
 import graft.operators.{Curation, TextOps, VectorOps}
 import graft.sources.Tables
 
@@ -131,14 +132,14 @@ object CurationQueries {
       // persist the two expensive ones (metric computation feeds stages
       // 0-2 + the minhash input; the dedup output feeds stages 2-5) so the
       // six-branch union is one pipeline pass, not six.
-      val metrics = TextOps.qualityMetrics(t.documents, "text")
-        .select("doc_id", "lang", "source", "text", "n_tokens", "quality_ok")
-        .persist()
+      val metrics = GraftCache.persist(TextOps.qualityMetrics(t.documents, "text")
+        .select("doc_id", "lang", "source", "text", "n_tokens", "quality_ok"))
       val quality = metrics.filter(col("quality_ok"))
       val dropIds = TextOps.minhashNearDups(quality, "doc_id", "text",
           TextQueries.NearDupThreshold)
         .select(col("id_b").as("doc_id")).distinct()
-      val deduped = quality.join(dropIds, Seq("doc_id"), "left_anti").persist()
+      val deduped = GraftCache.persist(
+        quality.join(dropIds, Seq("doc_id"), "left_anti"))
       val sampled = Curation.stratifiedSample(deduped, "lang", "doc_id",
         SampleRates, DefaultRate, SampleBuckets)
       val capped = Curation.quotaCap(sampled, "source", "doc_id", DomainQuota)

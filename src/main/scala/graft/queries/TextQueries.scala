@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftCache
 import graft.operators.TextOps
 import graft.sources.Tables
 
@@ -223,8 +224,8 @@ object TextQueries {
       // Candidates are persisted (small: pairs of ids) because they feed
       // three legs — the two id sides and the final pair join; without the
       // persist each leg re-runs the chunk-hash self-join.
-      val cands = TextOps.chunkNearDups(t.documents, "doc_id", "text",
-        ChunkSize, MinSharedChunks).select("id_a", "id_b").persist()
+      val cands = GraftCache.persist(TextOps.chunkNearDups(t.documents,
+        "doc_id", "text", ChunkSize, MinSharedChunks).select("id_a", "id_b"))
       // Gram sets are computed ONLY for candidate documents (semi-join
       // filter first): n-gram materialization is the expensive step, and
       // candidates are a vanishing fraction of the corpus at scale.

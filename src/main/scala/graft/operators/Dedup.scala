@@ -60,4 +60,71 @@ object Dedup {
 
   def droppedKeys(facts: DataFrame, mapping: DataFrame, key: String): DataFrame =
     facts.join(broadcast(mapping), Seq(key), "left_anti").select(key).distinct()
+
+  /** Connected components over an undirected edge list: turns near-dup
+    * PAIRS (the output of minhash/simhash/chunk/embedding near-dup
+    * operators) into dedup CLUSTERS — the step a real corpus dedup needs
+    * before it can keep one canonical document per cluster, because
+    * near-duplicate relations are not transitive pairwise (a~b, b~c does
+    * not imply the pair (a,c) was emitted) yet all three must dedup
+    * together. Returns (id, component) for every id appearing in an edge;
+    * component = the minimum id reachable, so `id === component` selects
+    * the canonical survivor per cluster.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint. Each round
+    * is one equi-join (labels into symmetric edges) + one min-aggregation —
+    * both partitionable keyed shuffles, no driver-side data. Rounds =
+    * cluster diameter, and LSH near-dup clusters are dense (members share
+    * band buckets), so diameter is small — 2-4 rounds in practice. The
+    * driver loop holds only the converged/changed flag, never rows. For
+    * adversarial long-chain graphs the round count degrades to O(diameter);
+    * the published fix (alternating large-star/small-star contraction,
+    * O(log n) rounds) keeps the same join-agg shape and can replace the
+    * propagation step without changing this contract — near-dup clustering
+    * does not need it.
+    *
+    * Scale notes: the vertex set here is only the docs that appear in a
+    * near-dup pair — a vanishing fraction of a 100 TB corpus. Each round's
+    * label frame is LOCAL-CHECKPOINTED, not merely persisted: truncating
+    * the logical plan matters as much as caching the data, because the
+    * naive persist-only loop builds a plan that embeds the previous
+    * round's plan twice (union + message join), doubling analyzer and
+    * optimizer work per round — exponential in the round count (measured:
+    * heap exhaustion by round ~12). Local checkpoint keeps the per-round
+    * plan O(1); blocks of finished rounds are reclaimed by the
+    * ContextCleaner once unreferenced. On a cluster with long-running
+    * jobs, reliable `checkpoint()` trades speed for fault tolerance (a
+    * lost executor invalidates local checkpoints).
+    *
+    * Caching contract: the symmetric edge list persists via
+    * [[graft.GraftCache]] (read every round); call `GraftCache.release()`
+    * after consuming the result. The returned frame's checkpoint blocks
+    * free themselves once the caller drops the reference. Throws if
+    * `maxIter` rounds do not converge (silently-partial components would
+    * be wrong, not slow). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val sym = graft.GraftCache.persist(
+      e.union(e.select(col("d").as("s"), col("s").as("d"))).distinct())
+    var labels = sym.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val msgs = sym.join(labels, sym("s") === labels("id"))
+        .select(col("d").as("id"), col("comp"))
+      // eager localCheckpoint: materializes the round AND flattens its plan
+      val next = labels.select("id", "comp").union(msgs)
+        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "comp_prev"), "id")
+        .filter(col("comp") =!= col("comp_prev")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component labels would be incomplete; raise maxIter")
+    labels.withColumnRenamed("comp", "component")
+  }
 }

@@ -122,6 +122,34 @@ object TextOps {
       .drop("__toks")
   }
 
+  /** Within-document repetition metrics — the duplicate-n-gram family of
+    * quality filters (Rae et al., "Scaling Language Models: ... Gopher",
+    * 2021, §A.1.1: high duplicate-n-gram-fraction documents are templated/
+    * boilerplate text that degrades training): per document, the total
+    * bigram occurrences, the fraction of occurrences that are repeats
+    * (1 − distinct/total), and the share held by the single most frequent
+    * bigram. Documents with fewer than 2 tokens emit no row (no bigrams to
+    * measure).
+    *
+    * Shape: explode → two keyed aggregations on (id, gram) then (id) —
+    * both codegen'd with map-side partial aggregation, partitioned by
+    * document id, no joins; linear in corpus token count at any scale.
+    * (A per-row higher-order-function form would avoid the shuffles but
+    * top-frequency-within-array needs an interpreted aggregate lambda —
+    * the exploded form stays inside whole-stage codegen.) */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(ngrams(col("__tk"), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum("__n").as("n_bigrams"),
+        count(lit(1)).as("__distinct"),
+        max("__n").as("__top"))
+      .select(col(idCol), col("n_bigrams"),
+        round(lit(1.0) - col("__distinct") / col("n_bigrams"), 4)
+          .as("dup_bigram_frac"),
+        round(col("__top") / col("n_bigrams"), 4).as("top_bigram_frac"))
+
   /** PII scrubbing for training text: emails and URLs replaced with typed
     * placeholder tokens. Pure codegen'd regexp_replace passes — linear per
     * document; lookahead-free patterns so any RE2-based engine matches. */

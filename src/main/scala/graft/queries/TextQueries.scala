@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftCache
-import graft.operators.TextOps
+import graft.operators.{Dedup, TextOps}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the text-analysis / dedup suite (engine
@@ -118,6 +118,32 @@ object TextQueries {
       val t = Tables(s, dir)
       TextOps.minhashNearDups(t.documents, "doc_id", "text", NearDupThreshold)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ----------------------------------------------------------------- x28
+    // Near-dup CLUSTERS: the minhash pair list is only the edge set — a
+    // corpus dedup must group transitively connected docs (a~b, b~c dedup
+    // together even when the pair (a,c) was never emitted) and keep one
+    // canonical per cluster. Connected components by iterative min-label
+    // propagation; canonical = minimum doc_id of the cluster.
+    "x28_dedup_clusters" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = TextOps.minhashNearDups(t.documents, "doc_id", "text",
+        NearDupThreshold)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x29
+    // Gopher-style repetition filters: duplicate-bigram fraction and
+    // top-bigram share per document — the boilerplate/templated-text
+    // signal the length/punct/stopword metrics (x2) cannot see.
+    "x29_repetition_metrics" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.repetitionMetrics(t.documents, "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // ------------------------------------------------------------------ x9
@@ -355,6 +381,27 @@ object TextQueries {
        |SELECT id_a, id_b, jaccard FROM jac
        |WHERE jaccard >= $NearDupThreshold ORDER BY id_a, id_b""".stripMargin
 
+  /** Connected components as a recursive CTE: `reach` enumerates every
+    * (node, reachable-label) pair over the symmetric near-dup edge list —
+    * set-semantics UNION terminates the recursion — and min(label) per node
+    * is the component, exactly [[graft.operators.Dedup.connectedComponents]]'s
+    * fixpoint. The edge set replays the x4 minhash pipeline via the shared
+    * [[minhashPairCtes]] builder. */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE toked AS (
+       |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
+       |${minhashPairCtes("toked")},
+       |e AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $NearDupThreshold),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM e
+       |        UNION SELECT id_b AS s, id_a AS d FROM e),
+       |reach AS (
+       |  SELECT s AS id, s AS label FROM sym
+       |  UNION
+       |  SELECT sym.d AS id, r.label FROM reach r JOIN sym ON sym.s = r.id)
+       |SELECT id AS doc_id, min(label) AS component,
+       |  (id = min(label)) AS is_canonical
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   private def simhashSql: String = {
     val bits = (0 until TextOps.SimHashBits).map { j =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
@@ -421,6 +468,18 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x3_lang_id" -> langIdSql,
     "x4_minhash_neardups" -> minhashSql,
+    "x28_dedup_clusters" -> dedupClustersSql,
+    "x29_repetition_metrics" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+         |    ELSE list_transform(range(0, len(toks)-1),
+         |      i -> concat_ws(' ', toks[i+1], toks[i+2])) END) AS g
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |counts AS (SELECT doc_id, g, count(*) AS n FROM grams GROUP BY 1,2)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |  round(1 - count(*)::DOUBLE / sum(n), 4) AS dup_bigram_frac,
+         |  round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_frac
+         |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x5_simhash" -> simhashSql,
     "x14_fuzzy_names" ->
       s"""WITH names AS (

@@ -119,4 +119,37 @@ class DedupAggSpec extends SparkSpec {
     assert(rows("b") === ((1L, 0L, 1L, false)))
     assert(rows("c") === ((0L, 1L, 1L, true)))
   }
+
+  test("connectedComponents groups transitive chains; labels are min ids") {
+    // chain d1-d2-d3 (d1,d3 never paired directly) + separate pair d8-d9
+    val edges = Seq(("d2", "d1"), ("d2", "d3"), ("d8", "d9"))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    graft.GraftCache.release()
+    assert(comp === Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
+      "d8" -> "d8", "d9" -> "d8"))
+  }
+
+  test("connectedComponents converges on a long path (multi-round fixpoint)") {
+    // path v00-v01-...-v12: diameter 12 forces many propagation rounds and
+    // exercises the per-round persist/unpersist handover
+    val n = 13
+    val edges = (0 until n - 1)
+      .map(i => (f"v$i%02d", f"v${i + 1}%02d")).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    graft.GraftCache.release()
+    assert(comp.size === n)
+    assert(comp.values.toSet === Set("v00"))
+  }
+
+  test("connectedComponents throws rather than return partial labels") {
+    val edges = (0 until 6).map(i => (s"p$i", s"p${i + 1}")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, "id_a", "id_b", maxIter = 1)
+    }
+    graft.GraftCache.release()
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

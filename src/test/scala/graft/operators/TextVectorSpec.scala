@@ -227,4 +227,23 @@ class TextVectorSpec extends SparkSpec {
       .select(TextOps.predictedLang(TextOps.tokens($"text"))).collect().map(_.getString(0))
     assert(out.toSeq === Seq("en", "de", "en"))
   }
+
+  test("repetitionMetrics: hand-computed duplicate/top bigram fractions") {
+    // "a b a b a b": bigrams [a b, b a, a b, b a, a b] -> total 5,
+    // distinct 2, top ("a b") 3 => dup = 1 - 2/5 = 0.6, top = 3/5 = 0.6
+    // "w x y z": 3 distinct bigrams, no repeats => dup 0.0, top 1/3
+    // "solo": < 2 tokens => no row
+    val docs = Seq(
+      ("d1", "a b a b a b"),
+      ("d2", "w x y z"),
+      ("d3", "solo")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet === Set("d1", "d2"))
+    assert(out("d1") === ((5L, 0.6, 0.6)))
+    assert(out("d2") === ((3L, 0.0, 0.3333)))
+  }
 }

@@ -202,6 +202,22 @@ object CoreQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // ------------------------------------------------------------------ A13
+    // Second-moment statistics per group: stddev, Pearson correlation and
+    // sample covariance between quantity and unit price — single-pass
+    // codegen'd aggregates (sum/sum-of-squares/cross-sums under the hood),
+    // one keyed shuffle with map-side partials; no window, no self-join.
+    "a13_group_stats" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ------------------------------------------------------------------- A7
     "a7_distinct_values" -> ((s, dir) =>
       Aggregations.distinctValues(Tables(s, dir).orders, "o_orderpriority")),
@@ -518,6 +534,13 @@ object CoreQueries {
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "a13_group_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS qty_stddev,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a7_distinct_values" ->
       "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1",
     "a8_global_stats" ->

@@ -55,6 +55,40 @@ object SinkQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // ----------------------------------------------------------------- s12
+    // ORC scan round-trip: write lineitem columns as ORC, read back, re-
+    // aggregate — proves the ORC path preserves decimals/dates/strings
+    // (the second columnar source format next to parquet).
+    "s12_orc_scan" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val out = sinkDir("s12_orc")
+      t.lineitem.select("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+        .write.mode("overwrite").orc(out)
+      Tables.orc(s, out)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("qty_total"),
+          max("l_shipdate").cast("string").as("last_ship"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ----------------------------------------------------------------- s13
+    // JSON-lines scan round-trip: write customer columns as JSON lines,
+    // read back with schema inference, re-aggregate — the generic
+    // landing-zone ingest path (API exports, event dumps).
+    "s13_json_scan" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val out = sinkDir("s13_json")
+      t.customer.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .write.mode("overwrite").json(out)
+      Tables.json(s, out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("c_custkey").as("key_sum"),
+          round(sum("c_acctbal"), 2).as("bal_total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ------------------------------------------------------------------ S7
     // Per-document sink: nation → {collection, document_id, data-JSON} →
     // collection-partitioned JSON → scan back (S6) → per-collection count +
@@ -151,6 +185,16 @@ object SinkQueries {
     "s1_csv_scan" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s12_orc_scan" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_total,
+        |  CAST(max(l_shipdate) AS VARCHAR) AS last_ship
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s13_json_scan" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  round(sum(c_acctbal), 2) AS bal_total
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "s7_sink_roundtrip" ->
       """SELECT 'nations_' || CAST(n_nationkey % 2 AS VARCHAR) AS collection,
         |  count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum

@@ -71,6 +71,18 @@ object Tables {
       .options(props)
       .load()
 
+  /** ORC scan — the second columnar format large warehouses standardize on
+    * (schema evolution + predicate pushdown via the built-in DSv2 reader,
+    * same scan contract as parquet). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON-lines scan with schema inference — the generic landing-zone
+    * format (API exports, event dumps). Inference costs one extra pass;
+    * pass an explicit schema at scale via `spark.read.schema(...).json`. */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** S5: schema discovery (`SHOW COLUMNS`, index_align_to_firebase.py:103-116)
     * is just `df.schema` in Spark — exposed for API parity. */
   def discoverColumns(df: DataFrame): Seq[String] = df.schema.fieldNames.toSeq

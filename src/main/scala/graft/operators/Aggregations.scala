@@ -124,4 +124,25 @@ object Aggregations {
   def topKGroups(df: DataFrame, key: String, amount: String, k: Int): DataFrame =
     df.groupBy(key).agg(sum(col(amount)).as("total"))
       .orderBy(desc("total"), col(key)).limit(k)
+
+  /** Table profiler (engine extension): per column — row count, non-null
+    * count, exact distinct count, min/max rendered as strings. One branch
+    * per column, unioned: each branch's scan is COLUMN-PRUNED to that one
+    * column (parquet reads one column chunk), so the cost is one pass over
+    * each column, not |columns| passes over the table, and the branches run
+    * concurrently as independent stages. Exact distinct keeps the profile
+    * oracle-checkable; at 100 TB swap `countDistinct` for the
+    * [[approxDistinctCount]] HLL sketch — same shape, one pass, no exact
+    * distinct shuffle per column. */
+  def profile(df: DataFrame): DataFrame =
+    df.columns.toIndexedSeq.map { c =>
+      df.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
 }

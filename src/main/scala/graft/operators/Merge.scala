@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-merge (CDC upsert) operator — engine extension. The reference's
+  * idempotent re-run path deduplicates before upload (`pac_snowflake_pipeline
+  * .py:338-346`, realized as [[Dedup.antiJoinExisting]]); this operator is
+  * the full merge generalization a warehouse needs: apply a keyed changeset
+  * of upserts and deletes to a base snapshot in one pass.
+  */
+object Merge {
+
+  /** Apply `changes` to `base`, keyed by `keyCols`. `changes` carries the
+    * base schema plus `opCol`: op "U" upserts (replaces the row when the
+    * key exists, inserts otherwise), op "D" deletes (a delete for an absent
+    * key is a no-op). `changes` must be unique per key — resolve multiple
+    * ops per key upstream (e.g. [[Dedup.keepFirst]] by change sequence),
+    * since merge semantics are undefined for conflicting same-key ops.
+    *
+    * Plan shape: ONE full-outer equi-join on `keyCols` — the canonical
+    * distributed merge (what Delta/Iceberg MERGE lowers to): both sides
+    * hash-partition by key, AQE broadcasts a small changeset and splits
+    * skewed keys; no windows, no secondary pass. Non-key columns resolve
+    * with a null-safe "change wins" rule on the op marker, so a null VALUE
+    * in an upsert row correctly overwrites the base value. */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                   opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(changes.columns.toSet == base.columns.toSet + opCol,
+      s"changes must carry the base schema plus '$opCol' " +
+        s"(base: ${base.columns.mkString(",")}; changes: ${changes.columns.mkString(",")})")
+    val dataCols = base.columns.filterNot(keyCols.contains).toIndexedSeq
+    val reserved = ("__op" +: dataCols.map("__c_" + _)) ++ dataCols.map("__b_" + _)
+    require(base.columns.intersect(reserved).isEmpty,
+      s"column names ${reserved.take(3).mkString(",")}… are reserved by applyChanges")
+    val b = base.select(keyCols.map(col) ++ dataCols.map(c => col(c).as("__b_" + c)): _*)
+    val ch = changes.select(keyCols.map(col) ++
+      (dataCols.map(c => col(c).as("__c_" + c)) :+ col(opCol).as("__op")): _*)
+    b.join(ch, keyCols, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(keyCols.map(col) ++ dataCols.map(c =>
+        when(col("__op").isNotNull, col("__c_" + c))
+          .otherwise(col("__b_" + c)).as(c)): _*)
+  }
+}

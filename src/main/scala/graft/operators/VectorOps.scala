@@ -267,4 +267,34 @@ object VectorOps {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim_r"))
       .filter(col("sim_r") >= threshold)
   }
+
+  /** Exact cosine kNN JOIN for a query SUBSET: top-k neighbours of every
+    * vector matching `queryPred`, in one pass over the embedding table.
+    * The batch form of [[bruteForceTopK]] (which serves one query).
+    *
+    * Plan shape: the |Q|-row query side (vectors + precomputed norms) is
+    * broadcast; the scan side computes its norm once per row, then the
+    * |Q|×N similarity rows are cut to (qid, id, sim) — the embedding
+    * itself NEVER enters the per-query ranking shuffle, so the
+    * `row_number` window moves skinny 3-column rows hash-partitioned by
+    * qid. Exact and linear in |Q|·N: right for a sampled/bounded query set
+    * (the oracle-checkable baseline); for |Q| ~ N use the LSH-bucketed
+    * candidate generation of [[annTopK]]/[[nearDupPairs]] instead. */
+  def knnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        norm2(col(vecCol)).as("__qn"))
+    val scan = embeddings.select(col(idCol), col(vecCol).as("__v"),
+      norm2(col(vecCol)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("sim_r"), col(idCol))
+    scan.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(dot(col("__v"), col("__qv")) / (col("__n") * col("__qn")), 6)
+          .as("sim_r"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Aggregations, Cleaning, Dedup, Derivations, Joins}
+import graft.operators.{Aggregations, Cleaning, Dedup, Derivations, Joins, Merge}
 import graft.sources.Tables
 
 /** Core relational operator queries — one oracle-checked query per operator
@@ -19,6 +19,12 @@ import graft.sources.Tables
   */
 object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** The `orders` column set, shared by the a14 profile oracle generator —
+    * row parity with `Aggregations.profile(orders)` needs the same SET of
+    * columns (both sides order by column name at the end). */
+  private val OrdersProfileCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
   /** PAC-shaped frame synthesized from orders: keyword-bearing committee
     * names (one value carries both republican+democrat keywords for the
@@ -332,6 +338,39 @@ object CoreQueries {
           countDistinct(col("key")).as("n_customers"))
     }),
 
+    // ------------------------------------------------------------------- J5
+    // CDC snapshot merge (engine extension): apply a deterministic
+    // changeset (updates %7, deletes %11, inserts %13 with shifted keys,
+    // delete-wins on overlap) to the customer snapshot via ONE full-outer
+    // keyed join, then aggregate the merged state per segment.
+    "j5_upsert_merge" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer
+      val upserts = c
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 3)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1000)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 7 === 0, lit("UPDATED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          when(col("c_custkey") % 11 === 3, lit("D")).otherwise(lit("U")).as("op"))
+      val inserts = c.filter(col("c_custkey") % 13 === 1)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"),
+          lit("U").as("op"))
+      Merge.applyChanges(c, upserts.unionByName(inserts), Seq("c_custkey"), "op")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal_total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ------------------------------------------------------------------ A14
+    // Table profiler (engine extension): per-column row/non-null/distinct
+    // counts and min/max — one column-pruned scan per column, unioned.
+    "a14_profile" -> ((s, dir) =>
+      Aggregations.profile(Tables(s, dir).orders).orderBy("column")),
+
     // --------------------------------------------------------------- P3+P4
     // Trim + lower + numeric coercion (pac_data_processor.py:30-39).
     "p3_clean_normalize" -> ((s, dir) => {
@@ -600,6 +639,32 @@ object CoreQueries {
         |FROM orders a JOIN orders b
         |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
         | AND abs(epoch(a.o_orderdate) - epoch(b.o_orderdate)) <= 2592000""".stripMargin,
+    "j5_upsert_merge" ->
+      """WITH ch AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 11 = 3 THEN 'D' ELSE 'U' END AS op
+        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+        |    c_nationkey, CAST(0.0 AS DOUBLE), c_mktsegment, 'U'
+        |  FROM customer WHERE c_custkey % 13 = 1
+        |), merged AS (
+        |  SELECT
+        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE b.c_acctbal END AS c_acctbal
+        |  FROM customer b FULL OUTER JOIN ch ON b.c_custkey = ch.c_custkey
+        |  WHERE ch.op IS NULL OR ch.op <> 'D')
+        |SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal_total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a14_profile" -> OrdersProfileCols.map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows, count($c) AS n_nonnull,
+         |    count(DISTINCT $c) AS n_distinct,
+         |    CAST(min($c) AS VARCHAR) AS min_value,
+         |    CAST(max($c) AS VARCHAR) AS max_value
+         |  FROM orders""".stripMargin)
+      .mkString("SELECT * FROM (\n", "\n  UNION ALL\n", "\n) ORDER BY \"column\""),
     "p3_clean_normalize" ->
       """SELECT c_custkey, trim(c_name) AS c_name, lower(c_mktsegment) AS segment,
          COALESCE(CAST(c_acctbal AS DOUBLE), 0) AS acctbal

@@ -23,6 +23,8 @@ object VectorQueries {
   val NumPlanes = 6
   val Dim = 64
   val NearDupThreshold = 0.3
+  val KnnQueryMod = 50L
+  val KnnK = 3
   val KClusters = 8
   val KmeansIters = 2
   val NProbe = 2
@@ -89,6 +91,18 @@ object VectorQueries {
             / (VectorOps.norm2(col("dv")) * col("__qn")), 6).as("sim_q"))
         .orderBy(desc("sim_q"), col("vec_id"))
         .limit(K)
+    }),
+
+    // ----------------------------------------------------------------- x30
+    // Exact kNN JOIN for a sampled query subset (vec_id % KnnQueryMod):
+    // top-KnnK neighbours of EVERY sampled vector in one pass — query side
+    // broadcast, embeddings cut to (qid, id, sim) before the per-query
+    // ranking shuffle.
+    "x30_knn_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      VectorOps.knnJoin(t.embeddings, "vec_id", "embedding",
+          col("vec_id") % KnnQueryMod === 0, KnnK)
+        .orderBy("qid", "rk")
     })
   )
 
@@ -194,6 +208,19 @@ object VectorQueries {
          |    ${cosSql("a.embedding", "b.embedding")} AS sim_r
          |  FROM bkt a JOIN bkt b ON a.block = b.block AND a.vec_id < b.vec_id)
          |SELECT block, id_a, id_b, sim_r FROM pairs
-         |WHERE sim_r >= $NearDupThreshold ORDER BY block, id_a, id_b""".stripMargin
+         |WHERE sim_r >= $NearDupThreshold ORDER BY block, id_a, id_b""".stripMargin,
+    "x30_knn_join" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $KnnQueryMod = 0),
+         |pairs AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INT) AS rk
+         |  FROM pairs)
+         |SELECT qid, vec_id, sim_r, rk FROM ranked
+         |WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.EventAnalytics
 import graft.sources.Tables
 
 /** Event-time window aggregations over the `events` table — the batch
@@ -88,6 +89,29 @@ object WindowQueries {
           sum("session_events").as("n_events"),
           max("session_events").as("max_session_events"))
         .orderBy("user_id")
+    }),
+
+    // ------------------------------------------------------------------ w6
+    // Ordered funnel over the event log (engine extension): users whose
+    // events complete view → click → purchase strictly in order. Each step
+    // is a filtered keyed agg + an equi-join against the previous step's
+    // ≤|users| frame — no windows over the raw log.
+    "w6_funnel" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      EventAnalytics.funnel(t.events, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
+    // ------------------------------------------------------------------ w7
+    // Cohort retention (engine extension): cohort = first-activity day;
+    // distinct users active per (cohort_day, day_offset).
+    "w7_retention" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      EventAnalytics.retention(t.events, "user_id", "ts")
+        .select(col("cohort_day").cast("string").as("cohort_day"),
+          col("day_offset").cast("long").as("day_offset"), col("users"))
+        .orderBy("cohort_day", "day_offset")
     })
   )
 
@@ -138,6 +162,32 @@ object WindowQueries {
          SELECT user_id, count(*) AS n_sessions,
            CAST(sum(session_events) AS BIGINT) AS n_events,
            max(session_events) AS max_session_events
-         FROM per_session GROUP BY 1 ORDER BY 1"""
+         FROM per_session GROUP BY 1 ORDER BY 1""",
+    "w6_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_type, (SELECT count(*) FROM s1) AS users
+        |UNION ALL
+        |SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL
+        |SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "w7_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1)
+        |SELECT CAST(c.d0 AS VARCHAR) AS cohort_day,
+        |  CAST(date_diff('day', c.d0, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot-merge (CDC upsert) operator — engine extension. The reference's
@@ -42,5 +43,26 @@ object Merge {
       .select(keyCols.map(col) ++ dataCols.map(c =>
         when(col("__op").isNotNull, col("__c_" + c))
           .otherwise(col("__b_" + c)).as(c)): _*)
+  }
+
+  /** SCD type-2 history from a keyed change log: every log row becomes a
+    * version with `valid_from` = its own `tsCol`, `valid_to` = the key's
+    * NEXT version timestamp (null ⇒ current version), and `is_current`.
+    * `tieBreak` columns make same-timestamp versions totally ordered.
+    *
+    * Plan shape: one `lead` window per key — a single hash-partition on the
+    * key columns with an in-key sort, the minimal plan for "look one
+    * version ahead" (version counts per key are bounded by change
+    * frequency, so in-key sorts stay small even when the table is huge). */
+  def scd2History(log: DataFrame, keyCols: Seq[String], tsCol: String,
+                  tieBreak: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    require(!log.columns.exists(Set("valid_from", "valid_to", "is_current")),
+      "column names valid_from/valid_to/is_current are reserved by scd2History")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    log.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }

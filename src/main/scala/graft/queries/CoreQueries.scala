@@ -365,6 +365,40 @@ object CoreQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // ------------------------------------------------------------------- J6
+    // SCD type-2 history build (engine extension): orders as a per-customer
+    // change log → versioned rows with validity intervals, aggregated per
+    // priority (version counts, open versions, total closed-interval days).
+    "j6_scd2" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Merge.scd2History(
+          t.orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"),
+          Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+          sum(when(col("is_current"), 0L)
+            .otherwise(datediff(col("valid_to"), col("valid_from")).cast("long")))
+            .as("closed_days"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ------------------------------------------------------------------- U2
+    // Unpivot/melt (wide → long reshape): lineitem measures to
+    // (metric, value) rows, re-aggregated per metric. The inverse of the
+    // A4 pivot; `unpivot` is a zero-shuffle row-local fan-out.
+    "u2_unpivot" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("value_total"))
+        .orderBy("metric")
+    }),
+
     // ------------------------------------------------------------------ A14
     // Table profiler (engine extension): per-column row/non-null/distinct
     // counts and min/max — one column-pruned scan per column, unioned.
@@ -658,6 +692,26 @@ object CoreQueries {
         |  WHERE ch.op IS NULL OR ch.op <> 'D')
         |SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal_total
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j6_scd2" ->
+      """WITH hist AS (
+        |  SELECT o_orderpriority,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_versions,
+        |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+        |  CAST(sum(CASE WHEN valid_to IS NULL THEN 0
+        |    ELSE date_diff('day', valid_from, valid_to) END) AS BIGINT) AS closed_days
+        |FROM hist GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u2_unpivot" ->
+      """WITH long AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n, round(sum(value), 2) AS value_total
+        |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
     "a14_profile" -> OrdersProfileCols.map(c =>
       s"""SELECT '$c' AS "column", count(*) AS n_rows, count($c) AS n_nonnull,
          |    count(DISTINCT $c) AS n_distinct,

@@ -299,6 +299,25 @@ object TextQueries {
           "doc_id", "toks")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x31
+    // Corpus vocabulary statistics: token/type/hapax counts and the top
+    // token — the Zipf-profile numbers a curation run reports per corpus.
+    // Shape: explode → one keyed agg on token (map-side partials absorb
+    // the Zipf head) → a 1-row rollup + TakeOrdered(1) top token.
+    "x31_vocab_stats" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val freqs = t.documents
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+      val stats = freqs.agg(
+        sum("f").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      val top = freqs.orderBy(desc("f"), desc("tok")).limit(1)
+        .select(col("tok").as("top_tok"), col("f").as("top_f"))
+      stats.crossJoin(top)
     })
   )
 
@@ -552,7 +571,17 @@ object TextQueries {
          |      '${TextOps.UrlPattern}', '<URL>', 'g'),
          |    '${TextOps.EmailPattern}', '<EMAIL>', 'g') AS scrubbed
          |  FROM documents)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "x31_vocab_stats" ->
+      s"""WITH toked AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |freqs AS (SELECT tok, count(*) AS f FROM toked GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(sum(f) AS BIGINT) AS n_tokens, count(*) AS n_types,
+         |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM freqs),
+         |top AS (SELECT tok AS top_tok, f AS top_f FROM freqs
+         |  ORDER BY f DESC, tok DESC LIMIT 1)
+         |SELECT * FROM stats, top""".stripMargin
   )
 
   /** Shared chunk-hash CTE (x12 candidate generation, reused by x16). */

@@ -112,6 +112,30 @@ object WindowQueries {
         .select(col("cohort_day").cast("string").as("cohort_day"),
           col("day_offset").cast("long").as("day_offset"), col("users"))
         .orderBy("cohort_day", "day_offset")
+    }),
+
+    // ------------------------------------------------------------------ w8
+    // Rate-anomaly detection: z-score of each hourly event count against
+    // its type's distribution, flagged at |z| > 2. The analytic windows
+    // run over the AGGREGATED hourly frame (|types|×|hours| rows), never
+    // the raw log — at 100 TB the raw scan reduces map-side into hourly
+    // partials first, and only the small hourly frame is re-partitioned by
+    // type for the stats pass.
+    "w8_anomaly" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val hourly = t.events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"))
+      val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      hourly
+        .withColumn("z", (col("n") - avg("n").over(byType))
+          / stddev_samp("n").over(byType))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_anomalies"),
+          round(max("z"), 4).as("max_z"))
+        .orderBy("event_type")
     })
   )
 
@@ -188,6 +212,20 @@ object WindowQueries {
         |  CAST(date_diff('day', c.d0, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
         |  count(DISTINCT e.user_id) AS users
         |FROM events e JOIN cohorts c ON e.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w8_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type,
+        |    (n - avg(n) OVER (PARTITION BY event_type))
+        |      / stddev_samp(n) OVER (PARTITION BY event_type) AS z
+        |  FROM hourly)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  round(max(z), 4) AS max_z
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -114,6 +114,22 @@ class AnalyticsMergeSpec extends SparkSpec {
     assert(out("s") === ((3L, 2L, 2L, "x", "y")))
   }
 
+  test("scd2History chains validity intervals per key, ties broken") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "v1"),
+      (1L, ts("2024-01-05 00:00:00"), 3L, "v2b"), // same ts as next: tie
+      (1L, ts("2024-01-05 00:00:00"), 2L, "v2a"), // tie-break by seq
+      (2L, ts("2024-02-01 00:00:00"), 4L, "w1")
+    ).toDF("k", "t", "seq", "tag")
+    val out = Merge.scd2History(log, Seq("k"), "t", Seq("seq"))
+      .collect().map(r => r.getString(3) ->
+        (Option(r.getTimestamp(5)).map(_.toString), r.getBoolean(6))).toMap
+    assert(out("v1") === ((Some("2024-01-05 00:00:00.0"), false)))
+    assert(out("v2a") === ((Some("2024-01-05 00:00:00.0"), false))) // closed by v2b
+    assert(out("v2b") === ((None, true)))
+    assert(out("w1") === ((None, true)))
+  }
+
   test("knnJoin ranks exact cosine neighbours per query") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),  // query

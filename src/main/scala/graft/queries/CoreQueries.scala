@@ -208,6 +208,16 @@ object CoreQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // ------------------------------------------------------------------ A15
+    // CUBE: all four grouping combinations in one Expand+aggregate pass
+    // (the flag×status slice a12's ROLLUP cannot produce).
+    "a15_cube" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
     // ------------------------------------------------------------------ A13
     // Second-moment statistics per group: stddev, Pearson correlation and
     // sample covariance between quantity and unit price — single-pass
@@ -606,6 +616,11 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "a15_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "a13_group_stats" ->
       """SELECT l_returnflag,

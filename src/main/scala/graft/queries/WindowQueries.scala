@@ -136,6 +136,34 @@ object WindowQueries {
           sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_anomalies"),
           round(max("z"), 4).as("max_z"))
         .orderBy("event_type")
+    }),
+
+    // ------------------------------------------------------------------ w9
+    // Time-series gap filling: a generated hour spine × observed types,
+    // left-joined against hourly counts so silent hours materialize as
+    // zero rows (resample semantics). The spine is TINY by construction
+    // (time range ÷ granularity — here ~720 rows), so the cross join is a
+    // broadcast fan-out, never data-sized; the only data-sized work is the
+    // map-side-reduced hourly aggregation.
+    "w9_gapfill" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val hourly = t.events
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = t.events
+        .agg(date_trunc("hour", min("ts")).as("h0"),
+          date_trunc("hour", max("ts")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+      val types = t.events.select("event_type").distinct()
+      spine.crossJoin(types)
+        .join(hourly, Seq("h", "event_type"), "left")
+        .na.fill(0L, Seq("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("n") === 0, 1L).otherwise(0L)).as("n_gap_hours"),
+          sum("n").as("n_events"))
+        .orderBy("event_type")
     })
   )
 
@@ -226,6 +254,24 @@ object WindowQueries {
         |SELECT event_type, count(*) AS n_hours,
         |  CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
         |  round(max(z), 4) AS max_z
-        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w9_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |filled AS (
+        |  SELECT s.h, t.event_type, COALESCE(hourly.n, 0) AS n
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN hourly ON hourly.h = s.h AND hourly.event_type = t.event_type)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_hours,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM filled GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -99,6 +99,48 @@ object EventStreams {
       }
   }
 
+  /** Per-user funnel progression carried across micro-batches. */
+  case class FunnelProgress(user_id: Long, stage: Int, last_ts: Long)
+
+  /** Streaming twin of [[graft.operators.EventAnalytics.funnel]]: a per-user
+    * state machine over `flatMapGroupsWithState`-style keyed state — stage k
+    * advances to k+1 on the first `steps(k)` event STRICTLY LATER than the
+    * stage-k completion time, which reproduces batch min-completion
+    * semantics exactly (the greedy in-order machine binds each stage to its
+    * earliest qualifying event). Update mode: each micro-batch emits the
+    * touched users' current progress; the batch-certified oracle is the
+    * equivalence spec against `EventAnalytics.funnel`.
+    *
+    * Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    * micro-batch (per-user per-batch buffers, bounded by batch size); the
+    * machine is exact when per-user event order is preserved ACROSS
+    * micro-batches (time-ordered file arrival — this harness). An intake
+    * with cross-batch disorder needs a watermark-buffered sort upstream.
+    * State is one fixed-size record per user; production pairs it with an
+    * event-time timeout to retire idle users. */
+  def funnelProgress(events: DataFrame, steps: Seq[String])
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.filter(col("user_id").isNotNull && col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(uid, 0, Long.MinValue))
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, et, t, _) =>
+            if (st.stage < steps.length && et == steps(st.stage) && t > st.last_ts)
+              st = FunnelProgress(uid, st.stage + 1, t)
+          }
+          state.update(st)
+          st
+      }
+  }
+
   /** Stream-stream attribution join: each click joined to purchases by the
     * same user within the following hour. Both sides are watermarked and
     * the join carries an event-time range constraint, so Spark bounds the

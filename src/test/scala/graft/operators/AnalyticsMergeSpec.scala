@@ -87,6 +87,15 @@ class AnalyticsMergeSpec extends SparkSpec {
       1L -> ("a", 10.0), 2L -> ("b2", 25.0), 4L -> ("d", 40.0)))
   }
 
+  test("applyChanges is idempotent: re-applying the same changeset is a no-op") {
+    val changes = Seq(
+      (2L, "b2", 25.0, "U"), (3L, "c", 30.0, "D"), (4L, "d", 40.0, "U")
+    ).toDF("k", "name", "v", "op")
+    val once = Merge.applyChanges(base, changes, Seq("k"), "op")
+    val twice = Merge.applyChanges(once, changes, Seq("k"), "op")
+    assert(twice.collect().toSet === once.collect().toSet)
+  }
+
   test("applyChanges lets an upsert write a null over a base value") {
     val changes = Seq((1L, null.asInstanceOf[String], 11.0, "U"))
       .toDF("k", "name", "v", "op")

@@ -162,4 +162,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("streaming funnel state machine equals the batch funnel") {
+    val steps = Seq("view", "click", "purchase")
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.funnelProgress(stream, steps).toDF(),
+      "funnel_stream", "update")
+    // final stage per user = the max stage emitted across micro-batches
+    val streamedByStage = spark.table("funnel_stream")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .groupBy("stage").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // batch per-step user counts → users whose FINAL stage is exactly k
+    val batchEvents = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+    val reach = graft.operators.EventAnalytics
+      .funnel(batchEvents, "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    graft.GraftCache.release()
+    // the stream's universe: users with ≥1 funnel-step event
+    val nUsers = batchEvents.filter(col("user_id").isNotNull &&
+        col("event_type").isin(steps: _*))
+      .select("user_id").distinct().count()
+    val expectedExact = Map(
+      0 -> (nUsers - reach(1)),
+      1 -> (reach(1) - reach(2)),
+      2 -> (reach(2) - reach(3)),
+      3 -> reach(3))
+    // the stream only emits users with at least one funnel-step event; all
+    // users have view/click/purchase events at this sf, so sets align
+    assert(streamedByStage === expectedExact.filter(_._2 > 0))
+  }
 }

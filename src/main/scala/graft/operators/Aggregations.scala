@@ -125,6 +125,24 @@ object Aggregations {
     df.groupBy(key).agg(sum(col(amount)).as("total"))
       .orderBy(desc("total"), col(key)).limit(k)
 
+  /** Incremental aggregate maintenance (engine extension): merge aggregate
+    * SNAPSHOTS — frames of (keys, additive measures) such as counts and
+    * sums — into the aggregate of the union, WITHOUT rescanning the
+    * underlying data. This is how a 100 TB rollup stays fresh: each new
+    * partition/day aggregates alone, and history is only ever merged at
+    * snapshot granularity (sum-of-sums re-aggregation; one keyed shuffle
+    * over |keys| rows, not |data| rows). Non-additive measures (avg,
+    * distinct) must be carried as their additive parts (sum+count, HLL
+    * sketches) and finalized at read time. */
+  def mergeAggSnapshots(snapshots: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(snapshots.nonEmpty, "at least one snapshot")
+    val all = snapshots.reduce(_ unionByName _)
+    val measures = all.columns.filterNot(keyCols.contains).toIndexedSeq
+    require(measures.nonEmpty, "snapshots need at least one measure column")
+    val sums = measures.map(c => sum(col(c)).as(c))
+    all.groupBy(keyCols.map(col): _*).agg(sums.head, sums.tail: _*)
+  }
+
   /** Table profiler (engine extension): per column — row count, non-null
     * count, exact distinct count, min/max rendered as strings. One branch
     * per column, unioned: each branch's scan is COLUMN-PRUNED to that one

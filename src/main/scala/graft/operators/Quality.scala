@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks (engine extension): a rule set evaluated
+  * into one (rule, n_violations) report — the contract-enforcement layer a
+  * production pipeline runs before publishing a snapshot.
+  *
+  * Scale shape: every row-local rule ([[notNull]], [[inRange]], [[matches]])
+  * folds into a SINGLE conditional-sum aggregation pass over the table
+  * (one scan, map-side partials, no shuffle beyond the 1-row rollup);
+  * [[uniqueKey]] adds one keyed distinct, and [[refIntegrity]] one
+  * left-anti join per referenced dimension (broadcast when small). Rules
+  * never collect data — a report row is (name, count).
+  */
+object Quality {
+
+  /** A named predicate whose FAILURES are counted. */
+  final case class Rule(name: String, violation: Column)
+
+  def notNull(c: String): Rule =
+    Rule(s"not_null($c)", col(c).isNull)
+
+  def inRange(c: String, lo: Double, hi: Double): Rule =
+    Rule(s"in_range($c)", col(c).isNotNull && !(col(c) >= lo && col(c) <= hi))
+
+  def matches(c: String, pattern: String): Rule =
+    Rule(s"matches($c)", col(c).isNotNull && !col(c).rlike(pattern))
+
+  /** Row-local rules → one aggregation pass: each rule is a conditional sum.
+    * Rules are aliased positionally (`__r0`…) through the wide row — rule
+    * names carry parentheses, which column resolution would mis-parse —
+    * and mapped back to names in the long form. */
+  def rowChecks(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val sums = rules.zipWithIndex.map { case (r, i) =>
+      sum(when(r.violation, 1L).otherwise(0L)).as(s"__r$i")
+    }
+    val wide = df.agg(sums.head, sums.tail: _*)
+    val names = map(rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(lit(s"__r$i"), lit(r.name))
+    }: _*)
+    // wide (1 row, |rules| cols) → long (rule, n_violations)
+    wide.unpivot(Array.empty[Column],
+        rules.indices.map(i => col(s"__r$i")).toArray, "rule", "n_violations")
+      .withColumn("rule", element_at(names, col("rule")))
+  }
+
+  /** Key-uniqueness check: #rows − #distinct keys (0 ⇔ unique). */
+  def uniqueKey(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val name = s"unique_key(${keyCols.mkString(",")})"
+    df.agg((count(lit(1)) -
+        count_distinct(struct(keyCols.map(col): _*))).as("n_violations"))
+      .select(lit(name).as("rule"), col("n_violations"))
+  }
+
+  /** Referential integrity: fact keys absent from the dimension (nulls are
+    * not violations — compose with [[notNull]] to forbid them). The anti
+    * join broadcasts a small dimension; at scale both sides hash-partition
+    * on the key. */
+  def refIntegrity(fact: DataFrame, factKey: String,
+                   dim: DataFrame, dimKey: String): DataFrame = {
+    val name = s"ref_integrity($factKey->$dimKey)"
+    fact.filter(col(factKey).isNotNull)
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("rule"), col("n_violations"))
+  }
+
+  /** A full report: row rules in one pass + key/reference checks, unioned. */
+  def report(df: DataFrame, rowRules: Seq[Rule],
+             keyCols: Option[Seq[String]] = None,
+             refs: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+    val parts =
+      (if (rowRules.nonEmpty) Seq(rowChecks(df, rowRules)) else Nil) ++
+        keyCols.map(k => uniqueKey(df, k)).toSeq ++
+        refs.map { case (fk, dim, dk) => refIntegrity(df, fk, dim, dk) }
+    require(parts.nonEmpty, "at least one check")
+    parts.reduce(_ unionByName _)
+  }
+}

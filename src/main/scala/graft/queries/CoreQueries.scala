@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Aggregations, Cleaning, Dedup, Derivations, Joins, Merge}
+import graft.operators.{Aggregations, Cleaning, Dedup, Derivations, Joins, Merge, Quality}
 import graft.sources.Tables
 
 /** Core relational operator queries — one oracle-checked query per operator
@@ -409,6 +409,41 @@ object CoreQueries {
         .orderBy("metric")
     }),
 
+    // ------------------------------------------------------------------ A16
+    // Incremental aggregate maintenance: two half-snapshots (orders before/
+    // since 1998) each aggregate alone, then merge by sum-of-sums — the
+    // never-rescan-history rollup. The oracle aggregates the full table
+    // directly, so the merge must be exactly re-aggregable.
+    "a16_incremental_agg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def snap(cond: org.apache.spark.sql.Column) =
+        t.orders.filter(cond).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      Aggregations.mergeAggSnapshots(
+          Seq(snap(year(col("o_orderdate")) < 1998),
+            snap(year(col("o_orderdate")) >= 1998)),
+          Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("total"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ------------------------------------------------------------------ A17
+    // Declarative data-quality report: row rules fold into ONE conditional-
+    // sum scan; uniqueness adds a keyed distinct; referential integrity an
+    // anti join against the broadcast dimension.
+    "a17_quality_checks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Quality.report(t.customer,
+          rowRules = Seq(
+            Quality.notNull("c_name"),
+            Quality.inRange("c_acctbal", 0, 5000),
+            Quality.matches("c_mktsegment", "^(AUTOMOBILE|BUILDING)$")),
+          keyCols = Some(Seq("c_custkey")),
+          refs = Seq(("c_nationkey", t.nation.select(col("n_nationkey")), "n_nationkey")))
+        .orderBy("rule")
+    }),
+
     // ------------------------------------------------------------------ A14
     // Table profiler (engine extension): per-column row/non-null/distinct
     // counts and min/max — one column-pruned scan per column, unioned.
@@ -727,6 +762,34 @@ object CoreQueries {
         |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
         |SELECT metric, count(*) AS n, round(sum(value), 2) AS value_total
         |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a16_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a17_quality_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null(c_name)' AS rule,
+        |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations FROM customer
+        |  UNION ALL
+        |  SELECT 'in_range(c_acctbal)',
+        |    CAST(sum(CASE WHEN c_acctbal IS NOT NULL
+        |      AND NOT (c_acctbal >= 0 AND c_acctbal <= 5000)
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 'matches(c_mktsegment)',
+        |    CAST(sum(CASE WHEN c_mktsegment IS NOT NULL
+        |      AND NOT regexp_matches(c_mktsegment, '^(AUTOMOBILE|BUILDING)$')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 'unique_key(c_custkey)',
+        |    count(*) - count(DISTINCT c_custkey) FROM customer
+        |  UNION ALL
+        |  SELECT 'ref_integrity(c_nationkey->n_nationkey)',
+        |    CAST(count(*) AS BIGINT) FROM customer
+        |  WHERE c_nationkey IS NOT NULL
+        |    AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |) ORDER BY rule""".stripMargin,
     "a14_profile" -> OrdersProfileCols.map(c =>
       s"""SELECT '$c' AS "column", count(*) AS n_rows, count($c) AS n_nonnull,
          |    count(DISTINCT $c) AS n_distinct,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quality rule semantics on violation-bearing frames (the a17 query runs
+  * the same checks on clean TPC-H data, where several counts are zero). */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some("ok"), Some(5.0)),
+    (2L, None, Some(50.0)),      // null name; out of range
+    (2L, Some("BAD!"), None),    // dup key; pattern violation; null range is OK
+    (3L, Some("ok"), Some(-1.0)) // out of range
+  ).toDF("k", "name", "v")
+
+  test("rowChecks counts violations per rule in one pass") {
+    val out = Quality.rowChecks(df, Seq(
+        Quality.notNull("name"),
+        Quality.inRange("v", 0, 10),
+        Quality.matches("name", "^[a-z]+$")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("not_null(name)") === 1L)
+    assert(out("in_range(v)") === 2L)   // 50.0 and -1.0; null v not counted
+    assert(out("matches(name)") === 1L) // BAD!; null name not counted
+  }
+
+  test("uniqueKey counts surplus rows over distinct keys") {
+    val out = Quality.uniqueKey(df, Seq("k")).head
+    assert(out.getString(0) === "unique_key(k)")
+    assert(out.getLong(1) === 1L) // 4 rows, 3 distinct keys
+  }
+
+  test("refIntegrity counts fact keys missing from the dimension") {
+    val dim = Seq(1L, 3L).toDF("id")
+    val out = Quality.refIntegrity(df, "k", dim, "id").head
+    assert(out.getLong(1) === 2L) // both k=2 rows dangle
+  }
+
+  test("report unions row, key, and reference checks") {
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val out = Quality.report(df,
+        rowRules = Seq(Quality.notNull("name")),
+        keyCols = Some(Seq("k")),
+        refs = Seq(("k", dim, "id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size === 3)
+    assert(out("not_null(name)") === 1L)
+    assert(out("unique_key(k)") === 1L)
+    assert(out("ref_integrity(k->id)") === 0L)
+  }
+}

@@ -99,4 +99,24 @@ class SinksSpec extends SparkSpec {
     assert(row.getString(0) === "brands/b1/records/2024/pac")
     assert(row.getString(1) === """{"pac":{"democrat":10.0,"republican":20.0}}""")
   }
+
+  test("range layout writes files covering disjoint sorted key ranges") {
+    val df = spark.range(0, 10000).toDF("k")
+      .select((col("k") * 2654435761L % 10000).as("k")) // scrambled input
+    val out = tmp()
+    LayoutSink.writeRangeLayout(df, "k", 4, out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length === 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // disjoint, ordered ranges: every file's min exceeds the previous max
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(lo2 > hi, s"file ranges overlap: $ranges")
+    }
+    // nothing lost through the shuffle+sort
+    assert(spark.read.parquet(out).count() === 10000)
+  }
 }

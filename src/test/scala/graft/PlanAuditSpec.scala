@@ -115,6 +115,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(allNodes(p).count(_.isInstanceOf[SortMergeJoinExec]) === 0)
   }
 
+  test("a14 profile branches read ONE column each (column-pruned scans)") {
+    val p = finalPlan("a14_profile")
+    val scans = allNodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, s"no parquet scans found in:\n$p")
+    scans.foreach { s =>
+      assert(s.output.length <= 1,
+        s"profile branch scan must be pruned to its column: ${s.output.map(_.name)}")
+    }
+  }
+
+  test("j5 merge is ONE keyed join, no window, no second pass") {
+    val p = finalPlan("j5_upsert_merge")
+    assert(joins(p).length === 1, s"merge must be a single full-outer join:\n$p")
+    assert(!allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
+
+  test("x30 knn join ranks skinny rows — no embedding crosses the window shuffle") {
+    val p = finalPlan("x30_knn_join")
+    val windows = allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"per-query ranking window not found:\n$p")
+    windows.foreach { w =>
+      val inputNames = w.child.output.map(_.name)
+      assert(!inputNames.exists(n => n.contains("embedding") || n.startsWith("__v")),
+        s"embedding must be projected away before the ranking shuffle: $inputNames")
+    }
+  }
+
+  test("w7 retention broadcasts the cohort frame onto the event scan") {
+    val p = finalPlan("w7_retention")
+    assert(allNodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"cohort join must broadcast:\n$p")
+    assert(allNodes(p).count(_.isInstanceOf[SortMergeJoinExec]) === 0)
+  }
+
   test("x4 minhash band join carries only ids and band signatures") {
     val p = finalPlan("x4_minhash_neardups")
     val bandJoins = joins(p).filter(j =>

@@ -150,6 +150,32 @@ object TextOps {
           .as("dup_bigram_frac"),
         round(col("__top") / col("n_bigrams"), 4).as("top_bigram_frac"))
 
+  /** Corpus-trained bigram language-model score per document: avg
+    * ln P(w₂|w₁) with P = C(w₁w₂)/C(w₁·), counts from the corpus itself —
+    * the KenLM-style perplexity proxy curation pipelines use to rank text
+    * naturalness (templated/garbled text scores low). No smoothing needed:
+    * every scored bigram is in the counts by construction.
+    *
+    * Scale shape: bigrams hash to 60-bit keys IMMEDIATELY (strings never
+    * cross a shuffle), corpus counts are two keyed aggs with map-side
+    * partials (Zipf heads combine in-map), scoring is two equi joins on
+    * the hash + one per-doc agg. The gram frame feeds three consumers, so
+    * it is [[graft.GraftCache]]-persisted — callers release after
+    * consuming. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = graft.GraftCache.persist(
+      df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+        .select(col(idCol), explode(ngrams(col("__tk"), 2)).as("__g"))
+        .select(col(idCol), md5Hash60(col("__g")).as("__gh"),
+          md5Hash60(element_at(split(col("__g"), " "), 1)).as("__wh")))
+    val biCounts = grams.groupBy("__gh").agg(count(lit(1)).as("__c12"))
+    val headCounts = grams.groupBy("__wh").agg(count(lit(1)).as("__c1"))
+    grams.join(biCounts, "__gh").join(headCounts, "__wh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("__c12") / col("__c1"))), 4).as("avg_logp"))
+  }
+
   /** PII scrubbing for training text: emails and URLs replaced with typed
     * placeholder tokens. Pure codegen'd regexp_replace passes — linear per
     * document; lookahead-free patterns so any RE2-based engine matches. */

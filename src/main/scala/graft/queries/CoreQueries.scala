@@ -409,6 +409,25 @@ object CoreQueries {
         .orderBy("metric")
     }),
 
+    // ------------------------------------------------------------------ A18
+    // Per-group mode (most frequent value): two keyed aggregations with a
+    // max_by argmax — no window, no in-group sort; ties break to the
+    // lowest value via the (count, -value) ordering struct.
+    "a18_group_mode" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("c_mktsegment")
+        .agg(
+          max_by(col("c_nationkey"),
+            struct(col("cnt"), (-col("c_nationkey")).as("neg"))).cast("long")
+            .as("mode_nation"),
+          max(struct(col("cnt"), (-col("c_nationkey")).as("neg")))
+            .getField("cnt").as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ------------------------------------------------------------------ A16
     // Incremental aggregate maintenance: two half-snapshots (orders before/
     // since 1998) each aggregate alone, then merge by sum-of-sums — the
@@ -762,6 +781,17 @@ object CoreQueries {
         |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
         |SELECT metric, count(*) AS n, round(sum(value), 2) AS value_total
         |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a18_group_mode" ->
+      """WITH counts AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY cnt DESC, c_nationkey ASC) AS rn
+        |  FROM counts)
+        |SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS mode_nation,
+        |  cnt AS n
+        |FROM ranked WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
     "a16_incremental_agg" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total

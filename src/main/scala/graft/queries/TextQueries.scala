@@ -301,6 +301,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ----------------------------------------------------------------- x32
+    // Bigram LM scoring (perplexity proxy): avg ln P(w2|w1) per document
+    // under the corpus's own bigram counts — grams hashed to 60 bits
+    // before any shuffle, two keyed count aggs, two equi joins.
+    "x32_bigram_logprob" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.bigramLogProb(t.documents, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------------------- x31
     // Corpus vocabulary statistics: token/type/hapax counts and the top
     // token — the Zipf-profile numbers a curation run reports per corpus.
@@ -572,6 +582,22 @@ object TextQueries {
          |    '${TextOps.EmailPattern}', '<EMAIL>', 'g') AS scrubbed
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "x32_bigram_logprob" ->
+      s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, ${md5h("g")} AS gh,
+         |    ${md5h("string_split(g, ' ')[1]")} AS wh
+         |  FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+         |      ELSE list_transform(range(0, len(toks)-1),
+         |        i -> concat_ws(' ', toks[i+1], toks[i+2])) END) AS g
+         |    FROM toked)),
+         |bi AS (SELECT gh, count(*) AS c12 FROM grams GROUP BY 1),
+         |heads AS (SELECT wh, count(*) AS c1 FROM grams GROUP BY 1)
+         |SELECT g.doc_id, count(*) AS n_bigrams,
+         |  round(avg(ln(c12::DOUBLE / c1)), 4) AS avg_logp
+         |FROM grams g JOIN bi USING (gh) JOIN heads USING (wh)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x31_vocab_stats" ->
       s"""WITH toked AS (SELECT unnest($toksSql) AS tok FROM documents),
          |freqs AS (SELECT tok, count(*) AS f FROM toked GROUP BY 1),

@@ -138,6 +138,49 @@ object WindowQueries {
         .orderBy("event_type")
     }),
 
+    // ----------------------------------------------------------------- pl6
+    // Composed event-analytics pipeline: sessionization + ordered funnel +
+    // cohort retention + rate-anomaly detection over one event log, rolled
+    // into a (section, metric, value) report — the product-analytics twin
+    // of pl5's curation funnel. Every branch is an already-oracle-checked
+    // shape (w3/w6/w7/w8); the pipeline verifies their composition.
+    "pl6_events_pipeline" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val events = t.events
+      def row(section: String, metric: String, agg1: DataFrame): DataFrame =
+        agg1.select(lit(section).as("section"), lit(metric).as("metric"),
+          col("value"))
+      val funnelRows = EventAnalytics
+        .funnelSteps(events, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .zipWithIndex.map { case (df, i) =>
+          row("funnel", s"step${i + 1}_users", df.agg(count(lit(1)).as("value")))
+        }
+      val sessions = row("sessions", "n_sessions",
+        events.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("value")))
+      val ret = EventAnalytics.retention(events, "user_id", "ts")
+      val cohorts = row("retention", "n_cohorts",
+        ret.agg(countDistinct(col("cohort_day")).as("value")))
+      val d7 = row("retention", "d7_users",
+        ret.filter(col("day_offset") === 7)
+          .agg(coalesce(sum("users"), lit(0L)).as("value")))
+      val hourly = events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"))
+      val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val anomalies = row("anomaly", "n_anomalies",
+        hourly
+          .withColumn("z", (col("n") - avg("n").over(byType))
+            / stddev_samp("n").over(byType))
+          .agg(sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("value")))
+      (funnelRows :+ sessions :+ cohorts :+ d7 :+ anomalies)
+        .reduce(_ unionByName _)
+        .orderBy("section", "metric")
+    }),
+
     // ------------------------------------------------------------------ w9
     // Time-series gap filling: a generated hour spine × observed types,
     // left-joined against hourly counts so silent hours materialize as
@@ -255,6 +298,60 @@ object WindowQueries {
         |  CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
         |  round(max(z), 4) AS max_z
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pl6_events_pipeline" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |sess AS (SELECT user_id, session_id FROM sessions GROUP BY 1, 2),
+        |cohorts AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+        |ret AS (
+        |  SELECT c.d0 AS cohort_day,
+        |    date_diff('day', c.d0, CAST(e.ts AS DATE)) AS day_offset,
+        |    count(DISTINCT e.user_id) AS users
+        |  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        |  GROUP BY 1, 2),
+        |hourly2 AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT (n - avg(n) OVER (PARTITION BY event_type))
+        |      / stddev_samp(n) OVER (PARTITION BY event_type) AS z
+        |  FROM hourly2)
+        |SELECT * FROM (
+        |  SELECT 'funnel' AS section, 'step1_users' AS metric,
+        |    (SELECT count(*) FROM s1) AS value
+        |  UNION ALL SELECT 'funnel', 'step2_users', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 'funnel', 'step3_users', (SELECT count(*) FROM s3)
+        |  UNION ALL SELECT 'sessions', 'n_sessions', (SELECT count(*) FROM sess)
+        |  UNION ALL SELECT 'retention', 'n_cohorts',
+        |    (SELECT count(DISTINCT cohort_day) FROM ret)
+        |  UNION ALL SELECT 'retention', 'd7_users',
+        |    (SELECT CAST(COALESCE(sum(users), 0) AS BIGINT) FROM ret
+        |     WHERE day_offset = 7)
+        |  UNION ALL SELECT 'anomaly', 'n_anomalies',
+        |    (SELECT CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM scored)
+        |) ORDER BY section, metric""".stripMargin,
     "w9_gapfill" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n

@@ -1,7 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 
 /** Scan-optimized parquet layout writer (engine extension): range-partition
   * by a sort key and sort within each partition before writing, so every
@@ -23,6 +23,32 @@ object LayoutSink {
     require(numFiles > 0)
     df.repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Morton Z-value of two non-negative integer columns: bit i of `a` lands
+    * at position 2i+1, bit i of `b` at 2i — interleaved so Z-proximity
+    * implies proximity in BOTH dimensions. Pure shift/mask projection,
+    * codegen'd, no data pass. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** 2-D Z-order layout: range-partition + sort on the interleaved Z-value,
+    * so each output file covers a compact REGION of (a, b) space rather
+    * than a stripe of one dimension — selective predicates on EITHER
+    * column then prune most files by their parquet min/max stats. The
+    * multi-dimension generalization of [[writeRangeLayout]] (which prunes
+    * only its single sort key). */
+  def writeZOrderLayout(df: DataFrame, aCol: String, bCol: String,
+                        numFiles: Int, path: String, bits: Int = 16): Unit = {
+    require(numFiles > 0)
+    df.withColumn("__z", zValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

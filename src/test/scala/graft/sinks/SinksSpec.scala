@@ -119,4 +119,26 @@ class SinksSpec extends SparkSpec {
     // nothing lost through the shuffle+sort
     assert(spark.read.parquet(out).count() === 10000)
   }
+
+  test("z-order layout prunes the second dimension where a linear sort cannot") {
+    // 64×64 uniform grid: z-order files cover compact (x, y) regions;
+    // x-sorted files cover x-stripes spanning ALL of y.
+    val grid = spark.range(0, 64L * 64).toDF("i")
+      .select((col("i") / 64).cast("long").as("x"), (col("i") % 64).as("y"))
+    val zOut = tmp(); val linOut = tmp()
+    LayoutSink.writeZOrderLayout(grid, "x", "y", 16, zOut, bits = 6)
+    LayoutSink.writeRangeLayout(grid, "x", 16, linOut)
+    // files a reader filtering y < 8 must open, by per-file min/max stats
+    def filesOverlapping(dir: String): Int =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .count { f =>
+          val r = spark.read.parquet(f.toString).agg(min("y"), max("y")).head
+          r.getLong(0) < 8 // yMin < 8 ⇒ the file intersects the slice
+        }
+    val zFiles = filesOverlapping(zOut)
+    val linFiles = filesOverlapping(linOut)
+    assert(linFiles === 16, "x-stripes all span the full y range")
+    assert(zFiles <= 8, s"z-order must bound the y extent per file ($zFiles)")
+    assert(spark.read.parquet(zOut).count() === 64L * 64)
+  }
 }

@@ -74,4 +74,27 @@ object Joins {
         abs(unix_timestamp(col("ts_a")) - unix_timestamp(col("ts_b"))) <= radiusSec)
       .select("key", "id_a", "id_b")
   }
+
+  /** Skew-safe replicated equi-join: when a fact table's hot join keys
+    * would overwhelm single reducers and the dimension is too big to
+    * broadcast (AQE's broadcast fallback) yet small enough to replicate,
+    * salt each fact row deterministically (hash(`saltSrc`) mod `salts`)
+    * and explode the dimension across ALL salt values — every (key, salt)
+    * bucket is then ~1/salts of the hot key's rows, joined locally.
+    * Result-identical to `fact.join(dim, key)`: each fact row meets its
+    * dimension row in exactly one (key, salt) bucket. Cost: dimension
+    * shuffle volume ×`salts` — the explicit knob AQE's skew-join split
+    * automates; this operator is for engines/plans where the dimension
+    * re-use makes the replication worth pinning statically. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltSrc: Column, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require((fact.columns ++ dim.columns).forall(_ != "__salt"),
+      "column name __salt is reserved by saltedJoin")
+    val f = fact.withColumn("__salt",
+      (Curation.idHash(saltSrc) % salts).cast("int"))
+    val d = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -469,6 +469,24 @@ object CoreQueries {
     "a14_profile" -> ((s, dir) =>
       Aggregations.profile(Tables(s, dir).orders).orderBy("column")),
 
+    // ------------------------------------------------------------------- J7
+    // Skew-safe salted join: lineitem × supplier on suppkey with the
+    // dimension replicated over 8 deterministic salt buckets — the manual
+    // hot-key spreading technique; the aggregate proves it is
+    // result-identical to the plain join (which is all the oracle runs).
+    "j7_salted_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Joins.saltedJoin(
+          t.lineitem.select(col("l_suppkey").as("s_suppkey"),
+            col("l_orderkey"), col("l_extendedprice")),
+          t.supplier.select("s_suppkey", "s_nationkey"),
+          "s_suppkey", col("l_orderkey"), salts = 8)
+        .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("s_nationkey")
+    }),
+
     // --------------------------------------------------------------- P3+P4
     // Trim + lower + numeric coercion (pac_data_processor.py:30-39).
     "p3_clean_normalize" -> ((s, dir) => {
@@ -742,6 +760,11 @@ object CoreQueries {
         |FROM orders a JOIN orders b
         |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
         | AND abs(epoch(a.o_orderdate) - epoch(b.o_orderdate)) <= 2592000""".stripMargin,
+    "j7_salted_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j5_upsert_merge" ->
       """WITH ch AS (
         |  SELECT c_custkey, c_name, c_nationkey,

@@ -70,4 +70,22 @@ class JoinsSpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(pairs.toSet === expected)
   }
+
+  test("saltedJoin equals the plain join and spreads rows across salts") {
+    val fact = (0L until 300L).map(i => (i % 3, i)).toDF("key", "rid") // 3 hot keys
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "unmatched"))
+      .toDF("key", "tag")
+    val salted = Joins.saltedJoin(fact, dim, "key", $"rid", salts = 4)
+      .select("key", "rid", "tag").collect().toSet
+    val plain = fact.join(dim, Seq("key")).select("key", "rid", "tag")
+      .collect().toSet
+    assert(salted === plain)
+    assert(salted.size === 300) // every fact row matched exactly once
+    // the hot key's rows really spread: >1 distinct salt per key
+    val spread = fact.select($"key",
+        (graft.operators.Curation.idHash($"rid") % 4).as("salt"))
+      .groupBy("key").agg(countDistinct("salt").as("d")).collect()
+      .map(_.getLong(1))
+    assert(spread.forall(_ > 1))
+  }
 }

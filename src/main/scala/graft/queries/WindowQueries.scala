@@ -138,6 +138,43 @@ object WindowQueries {
         .orderBy("event_type")
     }),
 
+    // ----------------------------------------------------------------- w10
+    // Path analysis: the most common 3-step event sequences across user
+    // journeys — per-user lead windows (one keyed shuffle; per-user sorts
+    // bounded by activity) feeding a path-count TakeOrdered top-10.
+    "w10_event_paths" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t.events
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path")).limit(10)
+    }),
+
+    // ----------------------------------------------------------------- w11
+    // Conversion latency: per converting user, seconds from first view to
+    // the funnel's purchase completion; reported as count + mean/min/max.
+    // Reuses the funnel's per-step completion frames (≤|users| rows each).
+    "w11_time_to_convert" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val steps = EventAnalytics.funnelSteps(t.events, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      val t1 = steps.head.select(col("user_id"), col("__t").as("t_start"))
+      val t3 = steps.last.select(col("user_id"), col("__t").as("t_conv"))
+      t1.join(t3, "user_id")
+        .select(((unix_micros(col("t_conv")) - unix_micros(col("t_start")))
+          / 1e6).as("secs"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(avg("secs"), 2).as("avg_secs"),
+          round(min("secs"), 2).as("min_secs"),
+          round(max("secs"), 2).as("max_secs"))
+    }),
+
     // ----------------------------------------------------------------- pl6
     // Composed event-analytics pipeline: sessionization + ordered funnel +
     // cohort retention + rate-anomaly detection over one event log, rolled
@@ -298,6 +335,34 @@ object WindowQueries {
         |  CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
         |  round(max(z), 4) AS max_z
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w10_event_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "w11_time_to_convert" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |d AS (
+        |  SELECT (epoch_us(s3.t) - epoch_us(s1.t)) / 1e6 AS secs
+        |  FROM s1 JOIN s3 ON s1.user_id = s3.user_id)
+        |SELECT count(*) AS n_converted, round(avg(secs), 2) AS avg_secs,
+        |  round(min(secs), 2) AS min_secs, round(max(secs), 2) AS max_secs
+        |FROM d""".stripMargin,
     "pl6_events_pipeline" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t FROM events

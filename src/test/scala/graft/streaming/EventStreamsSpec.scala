@@ -163,6 +163,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("watermark-bounded dedup passes distinct events within the horizon") {
+    // testdata has unique event_ids, so within-horizon dedup must be the
+    // identity here — the point is the operator wires up with bounded
+    // state (the semantic difference from dedupEvents only appears for
+    // duplicates straddling the watermark horizon).
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.dedupEventsBounded(stream)
+      .select("event_id"), "dedup_wm_stream", "append")
+    val n = spark.table("dedup_wm_stream").count()
+    val expected = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+      .events.count()
+    assert(n === expected)
+  }
+
   test("streaming funnel state machine equals the batch funnel") {
     val steps = Seq("view", "click", "purchase")
     val stream = EventStreams.readEvents(spark, eventsDir)

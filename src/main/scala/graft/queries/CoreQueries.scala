@@ -620,6 +620,24 @@ object CoreQueries {
     }),
 
     // ------------------------------------------------------- multi-way join
+    // TPC-H Q18 shape: HAVING-filtered big orders (the aggregate-then-
+    // filter pattern) semi-joining orders + customer; the heavy lineitem
+    // aggregation happens FIRST so only qualifying order keys reach the
+    // joins — filter-early at the aggregate level.
+    "join_q18_big_orders" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.lineitem.groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("total_qty"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ------------------------------------------------------- multi-way join
     // TPC-H Q5 shape: 6-way join with co-located supplier/customer nation.
     "join_q5_nation_revenue" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -895,6 +913,14 @@ object CoreQueries {
     "p18_json_extract" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
          count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
+    "join_q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 150)
+        |SELECT c_name, o_orderkey, o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin,
     "join_q3_revenue" ->
       """SELECT l_orderkey, o_orderdate,
          round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue

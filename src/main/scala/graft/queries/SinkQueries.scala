@@ -89,6 +89,22 @@ object SinkQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // ----------------------------------------------------------------- s14
+    // Hive-style partitioned write + partition-PRUNED read-back: orders
+    // land as o_year=YYYY directories; the filtered scan reads ONE
+    // partition's files (PartitionFilters, plan-audited) — the directory-
+    // level pruning that makes a 100 TB table queryable by date.
+    "s14_partitioned_scan" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val out = sinkDir("s14_part")
+      t.orders.withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out).filter(col("o_year") === 1997)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ------------------------------------------------------------------ S7
     // Per-document sink: nation → {collection, document_id, data-JSON} →
     // collection-partitioned JSON → scan back (S6) → per-collection count +
@@ -195,6 +211,11 @@ object SinkQueries {
         |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
         |  round(sum(c_acctbal), 2) AS bal_total
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s14_partitioned_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s7_sink_roundtrip" ->
       """SELECT 'nations_' || CAST(n_nationkey % 2 AS VARCHAR) AS collection,
         |  count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum

@@ -93,6 +93,21 @@ object VectorQueries {
         .limit(K)
     }),
 
+    // ----------------------------------------------------------------- x33
+    // Semantic dedup clusters: the x8 near-dup pair list is only the edge
+    // set — transitively connected embeddings cluster together (a~b, b~c
+    // dedup as one group), canonical = minimum vec_id. Same min-label
+    // propagation as the text-side x28.
+    "x33_embed_clusters" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = VectorOps.nearDupPairs(t.embeddings, "vec_id", "embedding",
+        planes, NearDupThreshold)
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("component"),
+          (col("id") === col("component")).as("is_canonical"))
+        .orderBy("vec_id")
+    }),
+
     // ----------------------------------------------------------------- x30
     // Exact kNN JOIN for a sampled query subset (vec_id % KnnQueryMod):
     // top-KnnK neighbours of EVERY sampled vector in one pass — query side
@@ -209,6 +224,23 @@ object VectorQueries {
          |  FROM bkt a JOIN bkt b ON a.block = b.block AND a.vec_id < b.vec_id)
          |SELECT block, id_a, id_b, sim_r FROM pairs
          |WHERE sim_r >= $NearDupThreshold ORDER BY block, id_a, id_b""".stripMargin,
+    "x33_embed_clusters" ->
+      s"""WITH RECURSIVE bkt AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS block FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS sim_r
+         |  FROM bkt a JOIN bkt b ON a.block = b.block AND a.vec_id < b.vec_id),
+         |e AS (SELECT id_a, id_b FROM pairs WHERE sim_r >= $NearDupThreshold),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM e
+         |        UNION SELECT id_b AS s, id_a AS d FROM e),
+         |reach AS (
+         |  SELECT s AS id, s AS label FROM sym
+         |  UNION
+         |  SELECT sym.d AS id, r.label FROM reach r JOIN sym ON sym.s = r.id)
+         |SELECT id AS vec_id, min(label) AS component,
+         |  (id = min(label)) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "x30_knn_join" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -155,6 +155,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(allNodes(p).count(_.isInstanceOf[SortMergeJoinExec]) === 0)
   }
 
+  test("s14 read-back scan prunes to the filtered partition directory") {
+    val p = finalPlan("s14_partitioned_scan").toString
+    assert(p.contains("PartitionFilters: ["), s"no partition filters in:\n$p")
+    assert(p.contains("o_year"), "the o_year partition filter must reach the scan")
+  }
+
   test("x4 minhash band join carries only ids and band signatures") {
     val p = finalPlan("x4_minhash_neardups")
     val bandJoins = joins(p).filter(j =>

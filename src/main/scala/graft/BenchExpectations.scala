@@ -51,6 +51,8 @@ object BenchExpectations {
     "j4_range_join" -> 0.8649,
     "j5_upsert_merge" -> 0.4378,
     "j6_scd2" -> 0.6475,
+    "j7_salted_join" -> 0.7933,
+    "join_q18_big_orders" -> 0.6289,
     "join_q3_revenue" -> 1.1737,
     "join_q5_nation_revenue" -> 1.2504,
     "p11_iso8601" -> 0.6049,
@@ -70,6 +72,7 @@ object BenchExpectations {
     "s11_dryrun" -> 0.2980,
     "s12_orc_scan" -> 1.0981,
     "s13_json_scan" -> 0.4783,
+    "s14_partitioned_scan" -> 0.8828,
     "s1_csv_scan" -> 1.0282,
     "s7_sink_roundtrip" -> 0.4536,
     "s8_batched_sink" -> 0.7445,
@@ -78,6 +81,8 @@ object BenchExpectations {
     "t2_topk_groups" -> 0.2437,
     "u1_set_ops" -> 0.6574,
     "u2_unpivot" -> 0.4257,
+    "w10_event_paths" -> 0.4429,
+    "w11_time_to_convert" -> 0.7395,
     "w1_tumbling_window" -> 0.4571,
     "w2_sliding_window" -> 0.3676,
     "w3_session_window" -> 0.9148,
@@ -113,6 +118,7 @@ object BenchExpectations {
     "x30_knn_join" -> 0.6046,
     "x31_vocab_stats" -> 0.3370,
     "x32_bigram_logprob" -> 1.1781,
+    "x33_embed_clusters" -> 3.3593,
     "x3_lang_id" -> 0.5087,
     "x4_minhash_neardups" -> 1.0559,
     "x5_simhash" -> 1.1181,

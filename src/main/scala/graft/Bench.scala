@@ -49,7 +49,17 @@ object Bench {
       }
       finally GraftCache.release()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args = query names to bench (dev: targeted measurement);
+    // no args = the full suite, which is what the driver runs.
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (args.isEmpty) all
+      else {
+        val unknown = args.filterNot(all.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        all.filter(args.contains)
+      }
+    }
 
     /** Between passes: clear any remaining cache (belt-and-braces over the
       * per-query release) and GC so the ContextCleaner reclaims the

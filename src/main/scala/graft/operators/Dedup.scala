@@ -107,19 +107,29 @@ object Dedup {
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
     val sym = graft.GraftCache.persist(
       e.union(e.select(col("d").as("s"), col("s").as("d"))).distinct())
-    var labels = sym.select(col("s").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // Seed with round 1 for free: least(id, min(neighbor)) is exactly what
+    // one propagation round over comp=id would produce, and the groupBy
+    // costs the same keyed shuffle the old `distinct()` init paid anyway.
+    var labels = sym.groupBy(col("s").as("id")).agg(min(col("d")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("comp"))
+      .localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
+      // Old labels ride through the min-aggregation under a flag column, so
+      // convergence is a scan of the (tiny, checkpointed) round result —
+      // not a second keyed shuffle joining `next` back to `labels`.
       val msgs = sym.join(labels, sym("s") === labels("id"))
-        .select(col("d").as("id"), col("comp"))
+        .select(col("d").as("id"), col("comp"), lit(false).as("__old"))
       // eager localCheckpoint: materializes the round AND flattens its plan
-      val next = labels.select("id", "comp").union(msgs)
-        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "comp_prev"), "id")
-        .filter(col("comp") =!= col("comp_prev")).isEmpty
-      labels = next
+      val next = labels.select(col("id"), col("comp"), lit(true).as("__old"))
+        .union(msgs)
+        .groupBy("id")
+        .agg(min("comp").as("comp"),
+          min(when(col("__old"), col("comp"))).as("__prev"))
+        .localCheckpoint()
+      converged = next.filter(col("comp") =!= col("__prev")).isEmpty
+      labels = next.select("id", "comp")
       rounds += 1
     }
     require(converged,

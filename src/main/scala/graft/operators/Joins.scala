@@ -97,4 +97,39 @@ object Joins {
       explode(array((0 until salts).map(lit): _*)))
     f.join(d, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Bloom-prefiltered inner equi-join: probe a compact sketch of
+    * `small`'s keys on the `big` side BEFORE its shuffle exchange, so
+    * non-joining big-side rows never pay shuffle IO; the exact join then
+    * drops the sketch's false positives, making the result identical to
+    * `big.join(small, Seq(key))` at every `fpp`.
+    *
+    * This is the semi-join-reduction move Spark's runtime bloom filter
+    * (InjectRuntimeFilter) applies automatically when creation and probe
+    * side are one optimized plan; the explicit form is for the 100 TB
+    * pipeline shape where the small side was computed in an earlier stage
+    * (persisted, checkpointed, or read back from a sink) and the planner
+    * cannot see through it. Cost model: one extra pass over `small` to
+    * build the sketch (map-side partial merge, driver holds only the
+    * ~`-expectedItems·log(fpp)` bit array) against shuffle bytes saved on
+    * `big` — wins whenever the join is selective on the big side. The
+    * sketch ships with the task binary; at GB-scale filters switch to an
+    * explicit broadcast variable instead.
+    *
+    * Both sides are hashed with XXH64 before put/probe, so any key type
+    * works and put/probe agree by construction.
+    */
+  def bloomPrefilteredJoin(big: DataFrame, small: DataFrame, key: String,
+                           expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bf = small.stat.bloomFilter(xxhash64(col(key)), expectedItems, fpp)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
+    val mightContain = ColumnBridge.column(graft.functions.BloomMightContain(
+      ColumnBridge.expression(xxhash64(col(key))), bytes))
+    big.filter(mightContain).join(small, Seq(key))
+  }
 }

@@ -487,6 +487,28 @@ object CoreQueries {
         .orderBy("s_nationkey")
     }),
 
+    // ------------------------------------------------------------------- J8
+    // Bloom-prefiltered join: lineitem probes a sketch of the urgent-1997
+    // order keys before its exchange, so ~96% of lineitem rows drop at the
+    // scan instead of shuffling; the exact join removes sketch false
+    // positives, so the oracle is the PLAIN join — equivalence by
+    // construction at any fpp.
+    "j8_bloom_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val hot = t.orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1997)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      Joins.bloomPrefilteredJoin(
+          t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+          hot, "l_orderkey", expectedItems = 200000)
+        .groupBy(month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_month")
+    }),
+
     // --------------------------------------------------------------- P3+P4
     // Trim + lower + numeric coercion (pac_data_processor.py:30-39).
     "p3_clean_normalize" -> ((s, dir) => {
@@ -638,6 +660,27 @@ object CoreQueries {
     }),
 
     // ------------------------------------------------------- multi-way join
+    // TPC-H Q10 shape: returned-item revenue per customer over one quarter
+    // — selective date + returnflag filters reach both scans, nation
+    // broadcasts, top-20 customers by lost revenue.
+    "join_q10_returns" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(
+            col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ------------------------------------------------------- multi-way join
     // TPC-H Q5 shape: 6-way join with co-located supplier/customer nation.
     "join_q5_nation_revenue" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -783,6 +826,12 @@ object CoreQueries {
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j8_bloom_join" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS o_month, count(*) AS n,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j5_upsert_merge" ->
       """WITH ch AS (
         |  SELECT c_custkey, c_name, c_nationkey,
@@ -921,6 +970,17 @@ object CoreQueries {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin,
+    "join_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "join_q3_revenue" ->
       """SELECT l_orderkey, o_orderdate,
          round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue

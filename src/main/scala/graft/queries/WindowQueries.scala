@@ -175,6 +175,30 @@ object WindowQueries {
           round(max("secs"), 2).as("max_secs"))
     }),
 
+    // ----------------------------------------------------------------- w12
+    // Last-touch attribution: each purchase credits the user's most recent
+    // PRECEDING non-purchase event (`last(..., ignoreNulls)` over a
+    // rows-bounded window ending 1 row back — the carry-forward idiom,
+    // one keyed shuffle+sort, no self-join); purchases with no prior touch
+    // are unattributable and drop, mirroring inner-join semantics.
+    "w12_attribution" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t.events
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("touch").isNotNull)
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 2).as("attributed_value"))
+        .orderBy("touch")
+    }),
+
     // ----------------------------------------------------------------- pl6
     // Composed event-analytics pipeline: sessionization + ordered funnel +
     // cohort retention + rate-anomaly detection over one event log, rolled
@@ -363,6 +387,18 @@ object WindowQueries {
         |SELECT count(*) AS n_converted, round(avg(secs), 2) AS avg_secs,
         |  round(min(secs), 2) AS min_secs, round(max(secs), 2) AS max_secs
         |FROM d""".stripMargin,
+    "w12_attribution" ->
+      """WITH touched AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT touch, count(*) AS n_purchases,
+        |  round(sum(value), 2) AS attributed_value
+        |FROM touched WHERE event_type = 'purchase' AND touch IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pl6_events_pipeline" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t FROM events

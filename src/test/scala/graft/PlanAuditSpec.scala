@@ -172,4 +172,15 @@ class PlanAuditSpec extends SparkSpec {
         s"token arrays must not cross the band join: $inputNames")
     }
   }
+
+  test("j8 bloom probe filters the big side BELOW the join") {
+    val p = finalPlan("j8_bloom_join")
+    val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))
+    // the probe must appear somewhere in the join's input subtree — i.e.
+    // lineitem rows are dropped before they reach (and pay for) the join
+    val belowJoin = join.children.exists(c =>
+      graft.plans.PlanNodes.allNodes(c).exists(
+        _.toString.contains("bloom_might_contain")))
+    assert(belowJoin, s"bloom_might_contain not below the join in:\n$p")
+  }
 }

@@ -88,4 +88,52 @@ class JoinsSpec extends SparkSpec {
       .map(_.getLong(1))
     assert(spread.forall(_ > 1))
   }
+
+  test("bloomPrefilteredJoin equals the plain join for string and long keys") {
+    val big = (0L until 2000L).map(i => (s"k${i % 500}", i)).toDF("key", "rid")
+    val small = Seq(("k1", "a"), ("k2", "b"), ("k499", "c"), ("kMISS", "z"))
+      .toDF("key", "tag")
+    val out = Joins.bloomPrefilteredJoin(big, small, "key", expectedItems = 10)
+      .select("key", "rid", "tag").collect().toSet
+    val plain = big.join(small, Seq("key")).select("key", "rid", "tag")
+      .collect().toSet
+    assert(out === plain)
+    assert(out.size === 12) // 3 matched keys x 4 rows each
+  }
+
+  test("bloomPrefilteredJoin survives an adversarial fpp of ~1 (all false positives)") {
+    // With expectedItems=1 and a saturated sketch every probe may return
+    // true — the exact join must still produce exactly the plain result.
+    val big = (0L until 500L).map(i => (i % 50, i)).toDF("key", "rid")
+    val small = (0L until 50L by 7).map(k => (k, s"t$k")).toDF("key", "tag")
+    val out = Joins.bloomPrefilteredJoin(big, small, "key",
+        expectedItems = 1, fpp = 0.5)
+      .select("key", "rid", "tag").collect().toSet
+    val plain = big.join(small, Seq("key")).select("key", "rid", "tag")
+      .collect().toSet
+    assert(out === plain)
+  }
+
+  test("bloomPrefilteredJoin drops null big-side keys like the inner join does") {
+    val big = Seq((Some(1L), 10L), (None, 11L), (Some(2L), 12L))
+      .toDF("key", "rid")
+    val small = Seq((1L, "a"), (2L, "b")).toDF("key", "tag")
+    val out = Joins.bloomPrefilteredJoin(big, small, "key", expectedItems = 10)
+      .select("rid").as[Long].collect().toSet
+    assert(out === Set(10L, 12L))
+  }
+
+  test("bloom prefilter actually prunes: pruned scan row count shrinks") {
+    val big = (0L until 1000L).map(i => (i, i)).toDF("key", "rid")
+    val small = Seq((3L, "a"), (7L, "b")).toDF("key", "tag")
+    val bf = small.stat.bloomFilter(xxhash64($"key"), 10, 0.01)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream(); bf.writeTo(os); os.toByteArray
+    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val kept = big.filter(ColumnBridge.column(graft.functions.BloomMightContain(
+      ColumnBridge.expression(xxhash64($"key")), bytes))).count()
+    // 2 true keys + fp at 1% over 998 candidates: far below the full 1000
+    assert(kept >= 2 && kept < 100)
+  }
 }

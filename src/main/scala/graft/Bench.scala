@@ -38,7 +38,13 @@ object Bench {
 
     /** Materialize, then drop the query's own operator caches. The release
       * is part of the query's lifecycle (the library contract: consume,
-      * then GraftCache.release()), and unpersist is non-blocking, so it
+      * then GraftCache.release()). It is BLOCKING here: with 100+ queries
+      * in one JVM, non-blocking unpersists let each query's cache blocks
+      * linger into its successors' windows, and that accumulated storage
+      * pressure (eviction -> mid-query recompute of a persisted frame) is
+      * what inflated the cache-heavy queries 2-3x in-suite vs solo
+      * (round-5 verdict #1). The synchronous block drop is local-memory
+      * bookkeeping — microseconds against the query's seconds — so it
       * stays inside the timed region without distorting it. */
     def materialize(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
@@ -47,7 +53,7 @@ object Bench {
         System.err.println(s"[bench] query $name failed: ${e.getMessage}")
         throw e
       }
-      finally GraftCache.release()
+      finally GraftCache.release(blocking = true)
 
     // Optional args = query names to bench (dev: targeted measurement);
     // no args = the full suite, which is what the driver runs.
@@ -104,7 +110,11 @@ object Bench {
       System.err.println(s"[bench] WARNING: ${regressions.size} per-query " +
         s"regression(s) > ${BenchExpectations.RegressionFactor}x vs " +
         "BenchExpectations (informational; see the regressions field)")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir"}""")
+    // Headline fields (total, sf, regressions) print BEFORE the per-query
+    // map: the driver's artifact keeps only a bounded tail/head of this
+    // line, and a 103-entry query map is what gets truncated — the
+    // round-5 artifact lost the suite total that way.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","regressions":$regs,"queries":$qs}""")
     spark.stop()
   }
 }

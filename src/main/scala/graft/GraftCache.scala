@@ -44,11 +44,19 @@ object GraftCache {
   /** Number of tracked (not yet released) frames — for tests. */
   def trackedCount: Int = tracked.size()
 
-  /** Unpersist (non-blocking) every frame registered since the last release. */
-  def release(): Unit = {
+  /** Unpersist every frame registered since the last release.
+    *
+    * Default is non-blocking (the async path a library caller wants: the
+    * blocks disappear when the BlockManager gets to them). Pass
+    * `blocking = true` when the NEXT workload's measurement or memory
+    * budget depends on the blocks being gone — a non-blocking release lets
+    * freed blocks linger into the successor's window, and 100 queries of
+    * lingering blocks is exactly the storage-pressure drift that inflated
+    * cache-heavy queries 2-3x in full-suite benches (round-5 verdict). */
+  def release(blocking: Boolean = false): Unit = {
     var d = tracked.poll()
     while (d != null) {
-      d.unpersist(blocking = false)
+      d.unpersist(blocking)
       d = tracked.poll()
     }
   }

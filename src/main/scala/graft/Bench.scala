@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":"total",...,"queries":{...}}.
+  * prints TWO JSON lines — line 1 is the contract line (one JSON object
+  * with the full per-query map and the regressions array), line 2 a short
+  * fixed-size summary {"metric":"bench_summary",...,"n_regressions":N}
+  * that survives any bounded head/tail capture. Consumers wanting
+  * per-query timings must parse the "total" line, not the last line.
   *
   * Measurement rules (round-2 verdict "What's wrong #1"):
   *  - a WARMUP pass runs every query once unmeasured, so JVM/codegen/
@@ -84,19 +88,42 @@ object Bench {
     names.foreach { n => materialize(n); releaseCaches() } // warmup, unmeasured
     reclaim()
 
+    // Diagnostic mode (SPARK_GRAFT_BENCH_DIAG=1, dev-only — the driver
+    // never sets it): accumulate per-query task metrics (GC time, input/
+    // output bytes, shuffle bytes) via a listener and print them per pass
+    // on STDERR, so a regression flagged by wall clock alone can be
+    // attributed to compute vs GC vs filesystem IO. Reading the counters
+    // costs a ~300ms off-timer stabilization wait per query (the listener
+    // bus is async), which is why it is opt-in.
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+    val diagListener: Option[BenchDiagListener] =
+      if (diag) { val l = new BenchDiagListener
+        spark.sparkContext.addSparkListener(l); Some(l) }
+      else None
+    def diagDelta(name: String, pass: Int)(body: => Double): Double =
+      diagListener match {
+        case None => body
+        case Some(l) =>
+          val before = l.stableSnapshot()
+          val sec = body
+          val after = l.stableSnapshot()
+          System.err.println(s"""{"metric":"bench_diag","query":"$name","pass":$pass,"sec":$sec,${after.deltaJson(before)}}""")
+          sec
+      }
+
     // Two measured passes, keep the per-query minimum: sink round-trip
     // queries do real filesystem IO, and min-of-2 suppresses that noise
     // without hiding systematic regressions.
-    def timed(name: String): Double = {
+    def timed(name: String, pass: Int): Double = diagDelta(name, pass) {
       val t0 = System.nanoTime()
       materialize(name)
       val sec = (System.nanoTime() - t0) / 1e9
       releaseCaches() // off-clock: next query starts cache-clean
       sec
     }
-    val pass1 = names.map(n => n -> timed(n)).toMap
+    val pass1 = names.map(n => n -> timed(n, 1)).toMap
     reclaim()
-    val results = names.map(n => n -> math.min(pass1(n), timed(n)))
+    val results = names.map(n => n -> math.min(pass1(n), timed(n, 2)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -124,8 +151,68 @@ object Bench {
     // fields assuming head-capture and round 6's artifact proved the driver
     // keeps the tail — the 103-entry query map pushed total/regressions off
     // the front edge. A trailing short line survives either capture policy.
+    // Summary line carries only the regression COUNT: embedding the full
+    // regressions array would grow the "short" line unboundedly in a bad
+    // round — exactly the truncation it exists to survive. The array lives
+    // on the contract line.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"regressions":$regs}""")
-    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"regressions":$regs}""")
+    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"n_regressions":${regressions.size}}""")
     spark.stop()
+  }
+}
+
+/** Cumulative task-metric counters for [[Bench]]'s diagnostic mode: every
+  * finished task adds its GC time, input/output bytes, shuffle bytes, and
+  * disk spill. Deltas between [[stableSnapshot]]s attribute one query's
+  * cost to compute vs GC vs IO. */
+private[graft] class BenchDiagListener
+    extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  private val gcMs = new AtomicLong(0)
+  private val inputBytes = new AtomicLong(0)
+  private val outputBytes = new AtomicLong(0)
+  private val shuffleRead = new AtomicLong(0)
+  private val shuffleWrite = new AtomicLong(0)
+  private val spillBytes = new AtomicLong(0)
+
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      gcMs.addAndGet(m.jvmGCTime)
+      inputBytes.addAndGet(m.inputMetrics.bytesRead)
+      outputBytes.addAndGet(m.outputMetrics.bytesWritten)
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spillBytes.addAndGet(m.diskBytesSpilled)
+    }
+  }
+
+  case class Snap(gcMs: Long, in: Long, out: Long, sr: Long, sw: Long,
+                  spill: Long) {
+    private def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
+    def deltaJson(prev: Snap): String =
+      s""""gc_ms":${gcMs - prev.gcMs},"input_mb":${mb(in - prev.in)},""" +
+        s""""output_mb":${mb(out - prev.out)},""" +
+        s""""shuffle_read_mb":${mb(sr - prev.sr)},""" +
+        s""""shuffle_write_mb":${mb(sw - prev.sw)},""" +
+        s""""spill_mb":${mb(spill - prev.spill)}"""
+  }
+
+  private def snap() = Snap(gcMs.get, inputBytes.get, outputBytes.get,
+    shuffleRead.get, shuffleWrite.get, spillBytes.get)
+
+  /** The listener bus is async — poll until three consecutive 100ms reads
+    * agree before trusting the counters. */
+  def stableSnapshot(): Snap = {
+    var stable = 0
+    var prev = snap()
+    while (stable < 3) {
+      Thread.sleep(100)
+      val cur = snap()
+      if (cur == prev) stable += 1 else stable = 0
+      prev = cur
+    }
+    prev
   }
 }

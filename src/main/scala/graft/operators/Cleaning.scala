@@ -80,9 +80,16 @@ object Cleaning {
   def fillStringNulls(df: DataFrame): DataFrame = df.na.fill("")
   def fillNumericNulls(df: DataFrame): DataFrame = df.na.fill(0.0)
 
-  /** P9: literal metadata columns (pac_data_processor.py:55-57,90-92). */
-  def withMetadata(df: DataFrame, source: String, recordType: String): DataFrame =
-    df.withColumn("processed_date", current_timestamp())
+  /** P9: literal metadata columns (pac_data_processor.py:55-57,90-92).
+    * `processedAt = None` stamps the wall clock (`current_timestamp()` —
+    * the reference's `datetime.now()`); `Some("yyyy-MM-dd HH:mm:ss")` pins
+    * the stamp to a supplied literal instead — the reproducible-run form
+    * (a batch's LOGICAL time, what a real ingest records anyway so reruns
+    * are idempotent) and the only form a second engine can hash-match. */
+  def withMetadata(df: DataFrame, source: String, recordType: String,
+                   processedAt: Option[String] = None): DataFrame =
+    df.withColumn("processed_date",
+        processedAt.fold(current_timestamp())(ts => to_timestamp(lit(ts))))
       .withColumn("data_source", lit(source))
       .withColumn("record_type", lit(recordType))
 

@@ -78,10 +78,9 @@ object Dedup {
     * band buckets), so diameter is small — 2-4 rounds in practice. The
     * driver loop holds only the converged/changed flag, never rows. For
     * adversarial long-chain graphs the round count degrades to O(diameter);
-    * the published fix (alternating large-star/small-star contraction,
-    * O(log n) rounds) keeps the same join-agg shape and can replace the
-    * propagation step without changing this contract — near-dup clustering
-    * does not need it.
+    * [[connectedComponentsStar]] is the published O(log n)-round fix with
+    * the identical contract (property-proven equivalent) — prefer it when
+    * cluster diameter is unknown or unbounded.
     *
     * Scale notes: the vertex set here is only the docs that appear in a
     * near-dup pair — a vanishing fraction of a 100 TB corpus. Each round's
@@ -136,5 +135,77 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component labels would be incomplete; raise maxIter")
     labels.withColumnRenamed("comp", "component")
+  }
+
+  /** [[connectedComponents]] by alternating star contraction — the
+    * large-star / small-star algorithm of Kiveris, Lattanzi, Mirrokni,
+    * Rastogi & Vassilvitskii, "Connected Components in MapReduce and
+    * Beyond" (ACM SoCC 2014): each round large-star hangs every node's
+    * strictly-larger neighbors off the minimum of its closed neighborhood,
+    * then small-star re-hangs the smaller neighbors the same way; the edge
+    * set converges to a star forest (every survivor edge = child→component
+    * minimum) in O(log n) rounds REGARDLESS of diameter — the upgrade over
+    * min-label propagation's O(diameter) rounds for adversarial chain
+    * graphs, at the cost of ~2x the keyed shuffles per round. Same
+    * contract as [[connectedComponents]]: returns (id, component) for every
+    * id appearing in an edge, component = min reachable id (property-spec
+    * equivalence between the two on random graphs).
+    *
+    * Per-round work is two groupBy-min aggregations + two equi-joins on the
+    * (shrinking) edge set — partitionable keyed shuffles only, no
+    * driver-side data; rounds are [[org.apache.spark.sql.Dataset#localCheckpoint]]ed
+    * like the propagation loop so per-round plans stay O(1). Convergence =
+    * the round leaves the edge set unchanged (two anti-join emptiness
+    * probes on the contracted frame, which at that point is one edge per
+    * non-root node — the cheapest frame the loop ever sees). */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    // Input pairs are usually an expensive computed frame (a near-dup
+    // join): persist ONCE; verts and the working edge set both read the
+    // cache. Caller releases via GraftCache.release() like connectedComponents.
+    val e0 = graft.GraftCache.persist(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v")).distinct())
+    val verts = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id"))).distinct()
+    var e = e0.filter(col("u") =!= col("v")).localCheckpoint()
+    var converged = e.isEmpty // self-loop-only input: nothing to contract
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // Large-star: from each node u's closed neighborhood (symmetric edge
+      // list), hang every neighbor v > u off m = min(N(u) ∪ {u}). Every
+      // edge is processed from its smaller endpoint, so no edge is lost.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // Small-star: orient each edge (a = max, b = min); per a, hang a and
+      // all its smaller neighbors off m = min(b's). Emits (a, m) once per
+      // node plus (b, m) for the displaced smaller neighbors.
+      val or = ls.select(greatest(col("u"), col("v")).as("a"),
+        least(col("u"), col("v")).as("b"))
+      val ssMin = or.groupBy("a").agg(min("b").as("__m"))
+      val ss = or.join(ssMin, "a").filter(col("b") =!= col("__m"))
+        .select(col("b").as("u"), col("__m").as("v"))
+        .union(ssMin.select(col("a").as("u"), col("__m").as("v")))
+        .distinct().localCheckpoint()
+      converged = ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
+      e = ss
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "component labels would be incomplete; raise maxIter")
+    // Fixpoint is a star forest: each component's edges are (child, root).
+    // min-over-closed-neighborhood labels every child with its root and
+    // every root with itself (least(root, any child) = root).
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val labels = sym.groupBy(col("u").as("id")).agg(min(col("v")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("component"))
+    // Vertices with only self-loop edges never enter the contraction —
+    // they are their own component, like connectedComponents' seed round.
+    verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 }

@@ -20,6 +20,11 @@ import graft.sources.Tables
 object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Fixed batch clock for P9 metadata stamping (session timezone is UTC in
+    * Verify/Bench) — the ONE shared constant both the Spark query and the
+    * DuckDB oracle literal are generated from. */
+  val MetadataClock = "2024-06-01 00:00:00"
+
   /** The `orders` column set, shared by the a14 profile oracle generator —
     * row parity with `Aggregations.profile(orders)` needs the same SET of
     * columns (both sides order by column name at the end). */
@@ -594,6 +599,18 @@ object CoreQueries {
         .orderBy("et")
     }),
 
+    // ------------------------------------------------------------------ P9
+    // Metadata stamping under a FIXED batch clock: the reference stamps
+    // datetime.now() (pac_data_processor.py:55-57) which no oracle can
+    // replay; the fixed-clock variant pins processed_date to the batch's
+    // logical time, flipping P9 from spec-only to oracle-covered.
+    "p9_metadata" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Cleaning.withMetadata(t.region.select("r_regionkey", "r_name"),
+          "csv", "region", Some(MetadataClock))
+        .orderBy("r_regionkey")
+    }),
+
     // ------------------------------------------------------------------ P11
     // Timestamp → ISO-8601 string (.isoformat(), pac_data_processor.py:118).
     "p11_iso8601" -> ((s, dir) => {
@@ -950,6 +967,10 @@ object CoreQueries {
          count(*) AS n,
          round(sum(COALESCE(CASE WHEN value < 50 THEN NULL ELSE value END, 0)),2) AS v_total
          FROM events GROUP BY 1 ORDER BY 1""",
+    "p9_metadata" ->
+      s"""SELECT r_regionkey, r_name, TIMESTAMP '$MetadataClock' AS processed_date,
+         |  'csv' AS data_source, 'region' AS record_type
+         |FROM region ORDER BY 1""".stripMargin,
     "p11_iso8601" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso
          FROM orders ORDER BY 1""",

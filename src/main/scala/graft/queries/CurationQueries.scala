@@ -130,19 +130,31 @@ object CurationQueries {
           .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
       // The funnel reads each boundary from multiple stage branches —
       // persist the two expensive ones (metric computation feeds stages
-      // 0-2 + the minhash input; the dedup output feeds stages 2-5) so the
-      // six-branch union is one pipeline pass, not six.
+      // 0-2; the dedup output feeds stages 2-5) so the six-branch union is
+      // one pipeline pass, not six. Both persisted frames are SKINNY
+      // (ids + per-doc scalars, never `text`): the stage counters and the
+      // sample/cap/pack tail never touch text, and at 100x persisting the
+      // corpus's widest column just to feed six count branches would BE
+      // the pipeline's memory footprint. The minhash pass instead re-reads
+      // text columnar from the parquet scan, restricted to quality
+      // survivors by a semi-join on the persisted ids.
       val metrics = GraftCache.persist(TextOps.qualityMetrics(t.documents, "text")
-        .select("doc_id", "lang", "source", "text", "n_tokens", "quality_ok"))
+        .select("doc_id", "lang", "source", "n_tokens", "quality_ok"))
       val quality = metrics.filter(col("quality_ok"))
-      val dropIds = TextOps.minhashNearDups(quality, "doc_id", "text",
+      val qualityText = t.documents.select("doc_id", "text")
+        .join(quality.select("doc_id"), Seq("doc_id"), "left_semi")
+      val dropIds = TextOps.minhashNearDups(qualityText, "doc_id", "text",
           TextQueries.NearDupThreshold)
         .select(col("id_b").as("doc_id")).distinct()
       val deduped = GraftCache.persist(
         quality.join(dropIds, Seq("doc_id"), "left_anti"))
       val sampled = Curation.stratifiedSample(deduped, "lang", "doc_id",
         SampleRates, DefaultRate, SampleBuckets)
-      val capped = Curation.quotaCap(sampled, "source", "doc_id", DomainQuota)
+      // Skew-safe two-phase cap (row-identical to quotaCap, spec-proven):
+      // at 100x one monster domain would put its whole group on one task
+      // under the plain partitionBy(source) window; the salted first phase
+      // bounds any task at ~groupSize/salts.
+      val capped = Curation.quotaCapSkewSafe(sampled, "source", "doc_id", DomainQuota)
       val bins = Curation.packSequences(
           capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
           PackBudget, PackShards)

@@ -290,8 +290,8 @@ object TextQueries {
     }),
 
     // ------------------------------------------------------------------ x5
-    // 32-bit SimHash per document over distinct tokens (explode+aggregate
-    // form: one md5 pass, codegen'd bit sums).
+    // 60-bit SimHash per document over distinct tokens (explode+aggregate
+    // form: one md5 pass, codegen'd bit sums; TextOps.SimHashBits = 60).
     "x5_simhash" -> ((s, dir) => {
       val t = Tables(s, dir)
       TextOps.simhashes(

@@ -96,13 +96,15 @@ object VectorQueries {
     // ----------------------------------------------------------------- x33
     // Semantic dedup clusters: the x8 near-dup pair list is only the edge
     // set — transitively connected embeddings cluster together (a~b, b~c
-    // dedup as one group), canonical = minimum vec_id. Same min-label
-    // propagation as the text-side x28.
+    // dedup as one group), canonical = minimum vec_id. Routed through the
+    // O(log n)-round star-contraction CC (the text-side x28 keeps min-label
+    // propagation, so both algorithms stay query-exercised; they are
+    // property-proven equivalent).
     "x33_embed_clusters" -> ((s, dir) => {
       val t = Tables(s, dir)
       val pairs = VectorOps.nearDupPairs(t.embeddings, "vec_id", "embedding",
         planes, NearDupThreshold)
-      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      graft.operators.Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
         .select(col("id").as("vec_id"), col("component"),
           (col("id") === col("component")).as("is_canonical"))
         .orderBy("vec_id")

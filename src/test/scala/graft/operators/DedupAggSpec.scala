@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** J1/J2 dedup + lookup join and the A4 party pivot over in-memory PAC
   * fixtures (FIXTURES.md §3). */
@@ -151,5 +152,55 @@ class DedupAggSpec extends SparkSpec {
     }
     graft.GraftCache.release()
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponentsStar groups transitive chains; labels are min ids") {
+    val edges = Seq(("d2", "d1"), ("d2", "d3"), ("d8", "d9"), ("d5", "d5"))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponentsStar(edges, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    graft.GraftCache.release()
+    assert(comp === Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
+      "d8" -> "d8", "d9" -> "d8", "d5" -> "d5")) // self-loop → own component
+  }
+
+  test("connectedComponentsStar converges sub-diameter on a long path") {
+    // Diameter-40 path in label-sorted order — min-label propagation's
+    // adversarial case (~40 rounds). Star contraction roughly halves the
+    // remaining distance per round; maxIter=12 < 40 proves the O(log n)
+    // round bound actually holds, not just that the answer is right.
+    val n = 41
+    val edges = (0 until n - 1)
+      .map(i => (f"v$i%02d", f"v${i + 1}%02d")).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponentsStar(edges, "id_a", "id_b", maxIter = 12)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    graft.GraftCache.release()
+    assert(comp.size === n)
+    assert(comp.values.toSet === Set("v00"))
+  }
+
+  test("property: star contraction labels exactly like min-label propagation") {
+    // Random multigraphs with self-loops, duplicate edges, and both
+    // orientations — the two CC implementations must agree on every vertex.
+    val gen = for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(1, 50)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield edges
+    val prop = Prop.forAll(gen) { edges =>
+      val df = edges.toDF("id_a", "id_b")
+      def labels(out: org.apache.spark.sql.DataFrame) = {
+        val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        graft.GraftCache.release()
+        m
+      }
+      labels(Dedup.connectedComponents(df, "id_a", "id_b")) ==
+        labels(Dedup.connectedComponentsStar(df, "id_a", "id_b"))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
   }
 }

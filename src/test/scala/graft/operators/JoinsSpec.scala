@@ -123,6 +123,63 @@ class JoinsSpec extends SparkSpec {
     assert(out === Set(10L, 12L))
   }
 
+  test("bloomPrefilteredJoin across a persisted boundary cuts big-side shuffle-read rows") {
+    // The operator's reason to exist: the small side comes back from a SINK
+    // (parquet written by an earlier stage), so InjectRuntimeFilter cannot
+    // see through the boundary and plant its own runtime bloom filter. With
+    // broadcast disabled (the too-big-to-broadcast scenario the operator
+    // targets), the exact join shuffles both sides — task metrics must show
+    // the prefilter collapsing the big side's shuffle-read records to the
+    // joining sliver instead of the whole table.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    (0L until 50L by 25L).map(k => (k, s"t$k")).toDF("key", "tag")
+      .write.mode("overwrite").parquet(s"$dir/small.parquet")
+    val small = spark.read.parquet(s"$dir/small.parquet") // 2 keys: 0, 25
+    val big = (0L until 20000L).map(i => (i % 1000, i)).toDF("key", "rid")
+
+    class ShuffleReadCounter extends SparkListener {
+      val records = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.shuffleReadMetrics.recordsRead)
+    }
+    def shuffleRecords(df: => org.apache.spark.sql.DataFrame): Long = {
+      val c = new ShuffleReadCounter
+      spark.sparkContext.addSparkListener(c)
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        // The listener bus is async — wait until the counter holds still
+        // for three consecutive 100ms reads before trusting it.
+        var stable = 0; var prev = -1L
+        while (stable < 3) {
+          Thread.sleep(100)
+          val cur = c.records.get()
+          stable = if (cur == prev) stable + 1 else 0
+          prev = cur
+        }
+        prev
+      } finally spark.sparkContext.removeSparkListener(c)
+    }
+
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = shuffleRecords(big.join(small, Seq("key")))
+      val bloomed = shuffleRecords(Joins.bloomPrefilteredJoin(
+        big, small, "key", expectedItems = 10, fpp = 0.001))
+      // Results identical (the correctness half of the contract) …
+      assert(Joins.bloomPrefilteredJoin(big, small, "key", 10, 0.001)
+        .collect().toSet === big.join(small, Seq("key")).collect().toSet)
+      // … and the plain join really shuffled the whole big side while the
+      // prefiltered one shipped only the joining keys (40 rows + fp noise).
+      assert(plain > 15000L, s"plain join shuffled only $plain records — " +
+        "broadcast was not disabled, the measurement is void")
+      assert(bloomed < plain / 10,
+        s"bloom prefilter did not reduce shuffle reads: $bloomed vs $plain")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("bloom prefilter actually prunes: pruned scan row count shrinks") {
     val big = (0L until 1000L).map(i => (i, i)).toDF("key", "rid")
     val small = Seq((3L, "a"), (7L, "b")).toDF("key", "tag")

@@ -171,24 +171,30 @@ object Dedup {
     var converged = e.isEmpty // self-loop-only input: nothing to contract
     var rounds = 0
     while (!converged && rounds < maxIter) {
+      // Each star step needs every edge row tagged with its node's
+      // neighborhood minimum — a whole-partition window min (ONE exchange)
+      // rather than groupBy-then-join-back (two). Group sizes are node
+      // degrees, so the in-partition sort is bounded by max degree.
+      val wU = Window.partitionBy("u")
       // Large-star: from each node u's closed neighborhood (symmetric edge
       // list), hang every neighbor v > u off m = min(N(u) ∪ {u}). Every
       // edge is processed from its smaller endpoint, so no edge is lost.
+      // Every emitted edge (v, m) has v > u ≥ m, i.e. the output is already
+      // oriented big→small and self-loop-free — small-star consumes it
+      // as-is, and the (few) duplicate emissions from different u's ride
+      // into small-star's window instead of paying their own distinct
+      // shuffle here.
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = sym.groupBy("u").agg(min("v").as("__mn"))
-        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
-      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+      val ls = sym.withColumn("__m", least(col("u"), min(col("v")).over(wU)))
+        .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("__m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      // Small-star: orient each edge (a = max, b = min); per a, hang a and
-      // all its smaller neighbors off m = min(b's). Emits (a, m) once per
-      // node plus (b, m) for the displaced smaller neighbors.
-      val or = ls.select(greatest(col("u"), col("v")).as("a"),
-        least(col("u"), col("v")).as("b"))
-      val ssMin = or.groupBy("a").agg(min("b").as("__m"))
-      val ss = or.join(ssMin, "a").filter(col("b") =!= col("__m"))
-        .select(col("b").as("u"), col("__m").as("v"))
-        .union(ssMin.select(col("a").as("u"), col("__m").as("v")))
+      // Small-star over the big→small edges: per node u, hang u and all its
+      // smaller neighbors off m = min of those neighbors. Emits (u, m) per
+      // node plus (v, m) for the displaced smaller neighbors.
+      val ss0 = ls.withColumn("__m", min(col("v")).over(wU))
+      val ss = ss0.filter(col("v") =!= col("__m"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .union(ss0.select(col("u"), col("__m").as("v")))
         .distinct().localCheckpoint()
       converged = ss.exceptAll(e).isEmpty && e.exceptAll(ss).isEmpty
       e = ss

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CoreQueries, CurationQueries, MediaQueries, PipelineQueries, SinkQueries, TextQueries, VectorQueries, WindowQueries}
+import graft.queries.{CoreQueries, CurationQueries, MediaQueries, PipelineQueries, RetrievalQueries, SinkQueries, TextQueries, VectorQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ WindowQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ MediaQueries.queries ++
-      CurationQueries.queries ++
+      CurationQueries.queries ++ RetrievalQueries.queries ++
       SinkQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -33,6 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ WindowQueries.oracles ++
       TextQueries.oracles ++ VectorQueries.oracles ++ MediaQueries.oracles ++
-      CurationQueries.oracles ++
+      CurationQueries.oracles ++ RetrievalQueries.oracles ++
       SinkQueries.oracles ++ PipelineQueries.oracles
 }

@@ -345,6 +345,59 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
   }
 
+  /** Cross-document duplicated-span removal — the paragraph-level exact
+    * dedup of CCNet (Wenzek et al. 2020) / RefinedWeb (Penedo et al. 2023)
+    * adapted to a corpus without paragraph breaks: the unit is a
+    * non-overlapping `spanTokens`-token window ([[tokenChunks]] with
+    * step = size). A span whose text occurs in at least `minDocs` DISTINCT
+    * documents is corpus boilerplate (headers, license blurbs, templated
+    * sentences); every occurrence is removed and the surviving spans
+    * reassemble in position order. Returns one row per input document:
+    * (id, n_spans, n_dropped, n_clean_tokens, clean_text) — zero-span
+    * (empty) documents survive with clean_text = "".
+    *
+    * Scale shape: spans hash to 60-bit keys immediately, so the
+    * boilerplate count is a keyed agg on a LONG (span strings never cross
+    * that shuffle) and the mark-up is an equi-join on the same long. The
+    * chunk pipeline deliberately runs twice (once to count, once to mark)
+    * instead of persisting the re-chunked corpus — persisting the widest
+    * data to save one columnar re-scan is the wrong trade at 100× (the
+    * pl5 lesson). Reassembly is per-document: the collect_list is bounded
+    * by a single document's length, the unit of work any reassembly
+    * inherently holds. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int, minDocs: Int): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    require(minDocs >= 2, "minDocs < 2 would drop every span")
+    // def, not val: each reference re-derives the pipeline from the scan
+    // (two passes) rather than sharing a persisted text-bearing frame.
+    def chunked = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .select(col("id"),
+        posexplode_outer(tokenChunks(col("__tk"), spanTokens, spanTokens))
+          .as(Seq("pos", "chunk")))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", col("chunk")).as("span"),
+        size(col("chunk")).cast("long").as("ntk"))
+      .select(col("id"), col("pos"), col("span"), col("ntk"),
+        md5Hash60(col("span")).as("spanh"))
+    val shared = chunked.filter(col("pos").isNotNull)
+      .groupBy("spanh")
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("spanh"), lit(true).as("__boiler"))
+    val keep = col("pos").isNotNull && col("__boiler").isNull
+    chunked.join(shared, Seq("spanh"), "left")
+      .groupBy("id")
+      .agg(
+        count(col("pos")).as("n_spans"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(keep, col("ntk"))), lit(0L)).as("n_clean_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(keep, struct(col("pos"), col("span"))))),
+          s => s.getField("span"))).as("clean_text"))
+  }
+
   /** Exact Jaccard similarity of the distinct-token sets. */
   def jaccard(toksA: Column, toksB: Column): Column = {
     val inter = size(array_intersect(array_distinct(toksA), array_distinct(toksB)))

@@ -268,6 +268,40 @@ object VectorOps {
       .filter(col("sim_r") >= threshold)
   }
 
+  /** SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    * cluster the embeddings, compare pairs only WITHIN a cluster, and drop
+    * every vector that has ANY smaller-id cluster-mate with round-6 cosine
+    * ≥ `threshold` — whether or not that mate itself survives (the greedy
+    * keep-lowest-id form, the same anti-chain shape as exact dedup's
+    * keep-first). Returns (vec_id, cid, is_kept), one row per vector.
+    *
+    * Clustering is what makes this scale: candidate pairs are bounded per
+    * cluster — never corpus-wide all-pairs — and the cluster count k is
+    * the knob trading recall (near-dups straddling a centroid boundary are
+    * missed) against per-cluster join size. Complements [[nearDupPairs]]:
+    * LSH buckets block by random projection; SemDeDup blocks by learned
+    * cluster structure, which concentrates semantic duplicates far better
+    * when the corpus has topical clusters. Assignment is the zero-shuffle
+    * literal-argmin projection ([[assignToCentroids]]); the self-join is
+    * an equi-join on `cid`; no frame persists (every leg is a projection
+    * over the scan, the cheapest thing to recompute). */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(embeddings, idCol, vecCol, centroids)
+      .select(col("vec_id"), col("cid"), col("v"), norm2(col("v")).as("n"))
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    val drops = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(drops.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("__dup").isNull.as("is_kept"))
+  }
+
   /** Exact cosine kNN JOIN for a query SUBSET: top-k neighbours of every
     * vector matching `queryPred`, in one pass over the embedding table.
     * The batch form of [[bruteForceTopK]] (which serves one query).

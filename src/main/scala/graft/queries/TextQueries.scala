@@ -30,6 +30,8 @@ object TextQueries {
   val ChunkTokens = 32
   val ChunkStep = 16
   val FuzzyMaxDist = 6
+  val SpanTokens = 8
+  val SpanMinDocs = 2
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
@@ -269,6 +271,20 @@ object TextQueries {
             / nullif(size(array_union(col("ga"), col("gb"))), lit(0)), 4)
             .as("bigram_jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ----------------------------------------------------------------- x34
+    // Cross-document span dedup (CCNet/RefinedWeb paragraph dedup over
+    // 8-token windows): spans occurring in ≥2 distinct documents are corpus
+    // boilerplate — removed everywhere, documents reassembled from the
+    // survivors. The sha256 of the reassembled text proves the removal and
+    // reassembly are byte-exact, not just the counts.
+    "x34_span_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.spanDedup(t.documents, "doc_id", "text", SpanTokens, SpanMinDocs)
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_dropped"),
+          col("n_clean_tokens"), sha2(col("clean_text"), 256).as("clean_fp"))
+        .orderBy("doc_id")
     }),
 
     // ----------------------------------------------------------------- x17
@@ -570,6 +586,7 @@ object TextQueries {
          |FROM cand c JOIN grams ga ON c.id_a = ga.doc_id
          |            JOIN grams gb ON c.id_b = gb.doc_id
          |ORDER BY 1, 2""".stripMargin,
+    "x34_span_dedup" -> spanDedupSql,
     "x17_pii_scrub" ->
       s"""SELECT doc_id,
          |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
@@ -609,6 +626,42 @@ object TextQueries {
          |  ORDER BY f DESC, tok DESC LIMIT 1)
          |SELECT * FROM stats, top""".stripMargin
   )
+
+  /** Replays [[graft.operators.TextOps.spanDedup]]: non-overlapping
+    * 8-token spans, 60-bit span hashes, distinct-doc boilerplate count,
+    * positional reassembly via `string_agg(... ORDER BY pos)` (string_agg
+    * skips the NULLs the kept-span CASE emits, exactly as Spark's
+    * collect_list does). */
+  private def spanDedupSql: String = {
+    val w = SpanTokens
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |spans AS (
+       |  SELECT doc_id, u.i AS pos,
+       |    array_to_string(list_slice(toks, u.i*$w + 1, u.i*$w + $w), ' ') AS span,
+       |    len(list_slice(toks, u.i*$w + 1, u.i*$w + $w)) AS ntk
+       |  FROM toked, UNNEST(range(0, CASE WHEN len(toks) = 0 THEN 0
+       |    ELSE ((len(toks)-1) // $w) + 1 END)) u(i)),
+       |shared AS (
+       |  SELECT ${md5h("span")} AS spanh FROM spans
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $SpanMinDocs),
+       |marked AS (
+       |  SELECT s.doc_id, s.pos, s.span, s.ntk, sh.spanh IS NOT NULL AS boiler
+       |  FROM spans s LEFT JOIN shared sh ON ${md5h("s.span")} = sh.spanh),
+       |agg AS (
+       |  SELECT d.doc_id,
+       |    count(m.pos) AS n_spans,
+       |    coalesce(sum(CASE WHEN m.boiler THEN 1 ELSE 0 END), 0) AS n_dropped,
+       |    coalesce(sum(CASE WHEN NOT m.boiler THEN m.ntk END), 0) AS n_clean_tokens,
+       |    coalesce(string_agg(CASE WHEN NOT m.boiler THEN m.span END, ' '
+       |      ORDER BY m.pos), '') AS clean_text
+       |  FROM documents d LEFT JOIN marked m ON d.doc_id = m.doc_id
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  CAST(n_clean_tokens AS BIGINT) AS n_clean_tokens,
+       |  sha256(clean_text) AS clean_fp
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared chunk-hash CTE (x12 candidate generation, reused by x16). */
   private def chunksCte: String =

@@ -28,6 +28,7 @@ object VectorQueries {
   val KClusters = 8
   val KmeansIters = 2
   val NProbe = 2
+  val SemDedupThreshold = 0.3
 
   /** Fixed hyperplane set shared by the ANN query and its oracle. */
   val planes: Seq[Array[Double]] = VectorOps.hyperplanes(NumPlanes, Dim)
@@ -110,6 +111,21 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // ----------------------------------------------------------------- x35
+    // SemDeDup semantic dedup: k-means clusters (x11's deterministic coarse
+    // quantizer) block the candidate pairs; any vector with a smaller-id
+    // cluster-mate at cosine ≥ 0.3 is dropped (greedy keep-lowest-id). The
+    // cluster-blocked complement of x8/x33's LSH blocking — the oracle
+    // replays clustering, assignment, and the drop set.
+    "x35_semdedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cent = VectorOps.kmeansCentroids(
+        t.embeddings, "vec_id", "embedding", KClusters, KmeansIters)
+      VectorOps.semanticDedup(t.embeddings, "vec_id", "embedding",
+          cent, SemDedupThreshold)
+        .orderBy("vec_id")
+    }),
+
     // ----------------------------------------------------------------- x30
     // Exact kNN JOIN for a sampled query subset (vec_id % KnnQueryMod):
     // top-KnnK neighbours of EVERY sampled vector in one pass — query side
@@ -171,6 +187,18 @@ object VectorQueries {
     (init +: iterations).mkString(",\n")
   }
 
+  /** Nearest-centroid assignment CTE over the final k-means centroids —
+    * the SQL replay of [[VectorOps.assignToCentroids]] (row_number over
+    * (l2sq, cid) ≡ the argmin-with-lowest-cid-tie-break projection).
+    * Shared by the x11 and x35 oracles. */
+  private def assignCte: String =
+    s"""assign AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c$KmeansIters c) WHERE rn = 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "x6_brute_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
@@ -192,12 +220,7 @@ object VectorQueries {
     "x11_ivf_topk" -> {
       val cN = s"c$KmeansIters"
       s"""WITH $kmeansSql,
-         |assign AS (
-         |  SELECT vec_id, embedding, cid FROM (
-         |    SELECT e.vec_id, e.embedding, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN $cN c) WHERE rn = 1),
+         |$assignCte,
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
          |probes AS (
          |  SELECT c.cid FROM $cN c CROSS JOIN q
@@ -243,6 +266,16 @@ object VectorQueries {
          |SELECT id AS vec_id, min(label) AS component,
          |  (id = min(label)) AS is_canonical
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    "x35_semdedup" ->
+      s"""WITH $kmeansSql,
+         |$assignCte,
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $SemDedupThreshold)
+         |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS is_kept
+         |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "x30_knn_join" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -173,6 +173,47 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x34 span dedup: equi joins only, token arrays never cross a join") {
+    val p = finalPlan("x34_span_dedup")
+    assert(!allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    assert(!allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+    joins(p).foreach { j =>
+      val inputNames = j.children.flatMap(_.output).map(_.name)
+      assert(!inputNames.exists(n => n == "__tk" || n == "chunk"),
+        s"token arrays must be projected away before any join: $inputNames")
+    }
+  }
+
+  test("x35 semdedup pair generation is a cid equi join, never all-pairs") {
+    val p = finalPlan("x35_semdedup")
+    assert(!allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      s"cluster blocking must bound the pair join:\n$p")
+    assert(!allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+  }
+
+  test("x36 hybrid retrieval cuts candidates via TakeOrdered, not global sort") {
+    val p = finalPlan("x36_hybrid_rrf")
+    assert(allNodes(p).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]) >= 2,
+      s"both candidate lists must cut via TakeOrderedAndProject:\n$p")
+    // ranking windows run AFTER the candidate cut: every window's input is
+    // bounded by the candidate budget, so the single-partition rank is a
+    // constant-size step, not a corpus sort
+    val windows = allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach { w =>
+      assert(graft.plans.PlanNodes.allNodes(w.child).exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec] ||
+          n.toString.contains("TakeOrderedAndProject")),
+        s"rank window must sit above the TakeOrdered cut:\n$w")
+    }
+  }
+
   test("j8 bloom probe filters the big side BELOW the join") {
     val p = finalPlan("j8_bloom_join")
     val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))

@@ -20,6 +20,7 @@ class SparkEntrySpec extends SparkSpec {
       "vector" -> VectorQueries.queries.keySet,
       "media" -> MediaQueries.queries.keySet,
       "curation" -> CurationQueries.queries.keySet,
+      "retrieval" -> RetrievalQueries.queries.keySet,
       "sink" -> SinkQueries.queries.keySet,
       "pipeline" -> PipelineQueries.queries.keySet)
     for {

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval operators: BM25 arithmetic against a hand-computed
+  * value, candidate-list ranking, RRF fusion semantics — plus the round-8
+  * dedup extensions (cross-document span dedup, SemDeDup cluster dedup). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toked(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+
+  test("bm25 matches the hand-computed Okapi formula") {
+    val df = toked(
+      1L -> "spark spark join",
+      2L -> "spark other words here",
+      3L -> "nothing relevant at all")
+    val out = Retrieval.bm25(df, "doc_id", "toks", Seq("spark"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    // N=3, df=2, avgdl=(3+4+4)/3; idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    val avgdl = 11.0 / 3
+    def score(tf: Double, dl: Double): Double = {
+      val raw = math.log(1.6) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      math.rint(raw * 1e4) / 1e4
+    }
+    assert(out(1L) === score(2, 3))
+    assert(out(2L) === score(1, 4))
+    assert(out(3L) === 0.0) // tf = 0 → zero contribution
+    assert(out(1L) > out(2L))
+  }
+
+  test("topCandidates ranks 1..c by (score DESC, id ASC) and cuts at c") {
+    val scored = Seq((10L, 3.0), (11L, 5.0), (12L, 5.0), (13L, 1.0))
+      .toDF("id", "score")
+    val out = Retrieval.topCandidates(scored, "id", "score", 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank")))
+    // 5.0 tie breaks on id; 1.0 falls below the c=3 cut
+    assert(out.toSet === Set((11L, 1L), (12L, 2L), (10L, 3L)))
+  }
+
+  test("rrfFuse sums reciprocal ranks and reports 0 for absent lists") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(a, b, "id", 10).collect()
+      .map(r => (r.getAs[Long]("id"),
+        (r.getAs[Double]("rrf"), r.getAs[Long]("rank_a"), r.getAs[Long]("rank_b"))))
+    def rrf(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(out.map(_._1).toSeq === Seq(2L, 1L, 3L)) // both-list doc wins
+    val m = out.toMap
+    assert(m(2L) === ((rrf(1.0 / 62 + 1.0 / 61), 2L, 1L)))
+    assert(m(1L) === ((rrf(1.0 / 61), 1L, 0L)))
+    assert(m(3L) === ((rrf(1.0 / 62), 0L, 2L)))
+  }
+
+  // ------------------------------------------------------------ span dedup
+
+  test("spanDedup drops cross-document spans and reassembles in order") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // spans: "a b c" | "d e f" | "g"
+      (2L, "a b c x y z"),   // shares "a b c" with doc 1
+      (3L, "")               // zero spans
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(df, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_clean_tokens"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) === ((3L, 1L, 4L, "d e f g")))
+    assert(out(2L) === ((2L, 1L, 3L, "x y z")))
+    assert(out(3L) === ((0L, 0L, 0L, "")))
+  }
+
+  test("spanDedup counts DISTINCT documents: within-doc repeats survive") {
+    val df = Seq((1L, "p q r s t u p q r")).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(df, "doc_id", "text", 3, 2).collect()(0)
+    assert(out.getAs[Long]("n_dropped") === 0L)
+    assert(out.getAs[String]("clean_text") === "p q r s t u p q r")
+  }
+
+  // -------------------------------------------------------------- semdedup
+
+  test("semanticDedup drops greedy within-cluster near-dups only") {
+    val centroids = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "c")
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // cluster 0, kept (lowest id)
+      (1L, Seq(0.99f, 0.1f)),  // cluster 0, cos(v0,v1) ≈ 0.995 → dropped
+      (2L, Seq(0.0f, 1.0f)),   // cluster 1, alone → kept
+      (3L, Seq(0.5f, 0.5f))    // L2-tie → cluster 0; cos to mates < 0.99 → kept
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.semanticDedup(vecs, "vec_id", "embedding",
+        centroids, 0.99)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cid"), r.getAs[Boolean]("is_kept")))).toMap
+    assert(out(0L) === ((0L, true)))
+    assert(out(1L) === ((0L, false)))
+    assert(out(2L) === ((1L, true)))
+    assert(out(3L) === ((0L, true)))
+  }
+
+  test("semanticDedup greedy form: dropped mates still disqualify later ids") {
+    // chain: v0~v1 and v1~v2 but v0!~v2 — v1 drops on v0; v2 drops on v1
+    // even though v1 itself was dropped (the anti-chain keep-first form).
+    val centroids = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "c")
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),       // 0°
+      (1L, Seq(0.9397f, 0.342f)),  // 20°: cos(v0,v1) ≈ 0.94 ≥ 0.9
+      (2L, Seq(0.766f, 0.6428f))   // 40°: cos(v1,v2) ≈ 0.94; cos(v0,v2) ≈ 0.77 < 0.9
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.semanticDedup(vecs, "vec_id", "embedding",
+        centroids, 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_kept"))
+      .toMap
+    assert(out === Map(0L -> true, 1L -> false, 2L -> false))
+  }
+}

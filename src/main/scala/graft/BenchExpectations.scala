@@ -15,9 +15,10 @@ package graft
   * from exactly that).
   *
   * Current snapshot: round-8 clean solo run under the off-clock-release
-  * protocol (release between timers, warmup pass, min-of-2), all 104
-  * queries — the first snapshot measured under the SAME contract the
-  * harness applies, so regression factors are apples-to-apples.
+  * protocol (release between timers, warmup pass, min-of-2), all 108
+  * queries (x34-x37 from targeted solo runs under the same contract) —
+  * measured under the SAME contract the harness applies, so regression
+  * factors are apples-to-apples.
   */
 object BenchExpectations {
   val RegressionFactor = 2.0
@@ -128,6 +129,12 @@ object BenchExpectations {
     "x31_vocab_stats" -> 0.4245,
     "x32_bigram_logprob" -> 1.2365,
     "x33_embed_clusters" -> 2.8664,
+    // round-8 additions, measured by a targeted solo `Bench x34... x35...
+    // x36...` run under the same off-clock-release contract
+    "x34_span_dedup" -> 0.9797,
+    "x35_semdedup" -> 1.5989,
+    "x36_hybrid_rrf" -> 0.9438,
+    "x37_domain_mix" -> 1.1797,
     "x3_lang_id" -> 0.5260,
     "x4_minhash_neardups" -> 1.0623,
     "x5_simhash" -> 0.9654,

@@ -102,6 +102,51 @@ object Curation {
       .drop("__salt", "__rk1", "__rk")
   }
 
+  /** Data-driven domain-mix resampling — the static form of domain
+    * reweighting (DoReMi, Xie et al. 2023, arXiv:2305.10429; the "data
+    * mixture" knob every LLM pretraining run tunes): measure each
+    * stratum's ACTUAL share of total `sizeCol` (tokens), derive a
+    * per-stratum keep-rate that moves the mix toward `targetShares`
+    * (rate = min(1, target/actual) — over-represented strata downsample
+    * proportionally; under-represented ones keep everything, since
+    * upsampling would duplicate rows), and apply the rate with the same
+    * deterministic [[hashBucket]] coin as [[stratifiedSample]]. Unlike
+    * stratifiedSample's LITERAL per-mille rates, the rates here are
+    * computed from the data — the join of a measured distribution against
+    * a declared target.
+    *
+    * Returns the kept rows with their stratum's `mix_rate` attached.
+    *
+    * Scale shape: the measured distribution is one keyed agg collapsing
+    * the corpus to |strata| rows plus a 1-row total; the rate frame
+    * (|strata| rows) broadcasts back onto the scan, so the apply pass is
+    * a broadcast-join + per-row filter — no second full shuffle, and the
+    * keep decision for a row needs only that row plus the tiny rate
+    * table. Every intermediate is an exactly-representable integer sum in
+    * a double, so an external oracle replays rate and keep-set
+    * bit-identically. */
+  def domainMixResample(df: DataFrame, strataCol: String, idCol: String,
+                        sizeCol: String, targetShares: Map[String, Double],
+                        defaultShare: Double,
+                        buckets: Int = 1000): DataFrame = {
+    require(buckets > 0)
+    require(defaultShare >= 0 && targetShares.values.forall(_ >= 0))
+    requireAbsent(df, "mix_rate", "__ssize", "__total")
+    val target = targetShares.foldLeft(lit(defaultShare)) {
+      case (acc, (stratum, share)) =>
+        when(col(strataCol) === stratum, lit(share)).otherwise(acc)
+    }
+    val stats = df.groupBy(strataCol)
+      .agg(sum(col(sizeCol)).cast("double").as("__ssize"))
+    val total = df.agg(sum(col(sizeCol)).cast("double").as("__total"))
+    val rates = stats.crossJoin(broadcast(total))
+      .select(col(strataCol),
+        least(lit(1.0), target / (col("__ssize") / col("__total")))
+          .as("mix_rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashBucket(col(idCol), buckets) < col("mix_rate") * buckets)
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` distinct word `n`-grams with any document of the eval set.
     * Candidate generation is an equi-join on the 60-bit gram hash — the

@@ -29,6 +29,13 @@ object CurationQueries {
   val DefaultRate = 500
   val SampleBuckets = 1000
 
+  /** Target token shares for domain-mix resampling: en is over-represented
+    * in the corpus (~45% of tokens) and zh is deliberately capped low, so
+    * both the downsample branch and the rate-1.0 (under-represented)
+    * branch are exercised; the remaining langs fall to the default. */
+  val MixTargetShares: Map[String, Double] = Map("en" -> 0.3, "zh" -> 0.1)
+  val MixDefaultShare = 0.2
+
   val DomainQuota = 15
   val DecontamGramSize = 5
   val EvalModulus = 10
@@ -65,6 +72,33 @@ object CurationQueries {
       totals.join(kept, totals("lang") <=> kept("lang"), "left")
         .select(totals("lang"), col("n_docs"),
           coalesce(col("kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // ----------------------------------------------------------------- x37
+    // Data-driven domain-mix resampling (static DoReMi-style reweighting):
+    // per-language keep-rates computed from the measured token distribution
+    // against declared target shares, applied with the deterministic hash
+    // coin. Reported as the per-language funnel (in vs kept, with the
+    // operator-computed rate) so the oracle verifies the measured shares,
+    // the derived rates, AND the exact keep set.
+    "x37_domain_mix" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val kept = Curation.domainMixResample(docs, "lang", "doc_id",
+          "n_tokens", MixTargetShares, MixDefaultShare, SampleBuckets)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum("n_tokens").as("tokens_kept"),
+          round(max("mix_rate"), 6).as("mix_rate"))
+      val totals = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_in"), sum("n_tokens").as("tokens_in"))
+      totals.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs_in"), col("tokens_in"),
+          coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+          col("mix_rate"))
         .orderBy("lang")
     }),
 
@@ -236,6 +270,42 @@ object CurationQueries {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Replays [[Curation.domainMixResample]]: measured per-lang token
+    * shares, rate = least(1, target/share), hash-coin keep set — every
+    * intermediate an exact integer sum in a double, so rates and the keep
+    * set are bit-identical. */
+  private def domainMixSql: String = {
+    val cases = MixTargetShares.toSeq.sortBy(_._1)
+      .map { case (l, v) => s"WHEN '$l' THEN $v" }.mkString(" ")
+    val target = s"CASE lang $cases ELSE $MixDefaultShare END"
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)),
+       |stats AS (SELECT lang, sum(n_tokens)::DOUBLE AS ssize FROM docs GROUP BY 1),
+       |total AS (SELECT sum(n_tokens)::DOUBLE AS t FROM docs),
+       |rates AS (
+       |  SELECT lang, least(1.0, $target / (ssize / t)) AS mix_rate
+       |  FROM stats, total),
+       |kept AS (
+       |  SELECT d.lang, d.n_tokens, r.mix_rate FROM docs d
+       |  JOIN rates r USING (lang)
+       |  WHERE ${idh("d.doc_id")} % $SampleBuckets < mix_rate * $SampleBuckets),
+       |k AS (
+       |  SELECT lang, count(*) AS n_docs_kept,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       |    round(max(mix_rate), 6) AS mix_rate
+       |  FROM kept GROUP BY 1),
+       |tot AS (
+       |  SELECT lang, count(*) AS n_docs_in,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_in
+       |  FROM docs GROUP BY 1)
+       |SELECT tot.lang, n_docs_in, tokens_in,
+       |  coalesce(n_docs_kept, 0) AS n_docs_kept,
+       |  coalesce(tokens_kept, 0) AS tokens_kept, mix_rate
+       |FROM tot LEFT JOIN k USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
+
   private def decontaminateSql: String = {
     val n = DecontamGramSize
     val gramList = (1 to n).map(k => s"toks[i+$k]").mkString(", ")
@@ -322,6 +392,7 @@ object CurationQueries {
     "pl5_curation_pipeline" -> curationPipelineSql,
     "x18_simhash_neardups" -> simhashNearDupSql,
     "x19_stratified_sample" -> stratifiedSampleSql,
+    "x37_domain_mix" -> domainMixSql,
     "x20_domain_cap" ->
       s"""WITH r AS (
          |  SELECT source, doc_id, row_number() OVER (

@@ -9,6 +9,41 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  // --------------------------------------------------------- domain mixing
+
+  test("domainMixResample downsamples over-represented strata at target/actual") {
+    // stratum a holds 3/4 of the mass but targets 1/4 → rate 1/3;
+    // stratum b under-represented → rate clamps to 1.0 (kept whole)
+    val rows = (1L to 30L).map(i => (i, "a", 10L)) ++
+      (31L to 40L).map(i => (i, "b", 10L))
+    val df = rows.toDF("id", "s", "n")
+    val kept = Curation.domainMixResample(df, "s", "id", "n",
+      Map("a" -> 0.25), 0.75, buckets = 1000)
+    val out = kept.groupBy("s").agg(
+        count(lit(1)).as("n"), max("mix_rate").as("r"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("r")))).toMap
+    assert(out("b") === ((10L, 1.0)), "under-represented stratum keeps all rows")
+    val rateA = out("a")._2
+    assert(math.abs(rateA - (0.25 / 0.75)) < 1e-12)
+    // the keep set is exactly the hash-coin selection at that rate
+    val expectA = df.filter($"s" === "a")
+      .filter(Curation.hashBucket($"id", 1000) < rateA * 1000)
+      .count()
+    assert(out("a")._1 === expectA && expectA > 0 && expectA < 30)
+  }
+
+  test("domainMixResample is deterministic and a subset of the input") {
+    val df = (1L to 50L).map(i => (i, if (i % 3 == 0) "x" else "y", i))
+      .toDF("id", "s", "n")
+    val k1 = Curation.domainMixResample(df, "s", "id", "n", Map("x" -> 0.5), 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val k2 = Curation.domainMixResample(df, "s", "id", "n", Map("x" -> 0.5), 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(k1 === k2)
+    assert(k1.toSet.subsetOf((1L to 50L).toSet))
+  }
+
   // ------------------------------------------------------------ simhash dedup
 
   test("simhashNearDups: identical docs pair at hamming 0; pigeonhole recall") {

@@ -76,6 +76,24 @@ object Probe {
         exploded.groupBy("id").agg(aggs.head, aggs.tail: _*).count()
       }
     }
+    // Custom bounded-heap top-k vs the window row_number form, same
+    // result set: is skipping the per-group sort worth a custom operator?
+    val li = graft.sources.Tables(spark, sfDir).lineitem
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    for (k <- Seq(5, 50)) {
+      timed(s"top-$k per suppkey: window row_number") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_suppkey")
+          .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        li.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k).count()
+      }
+      timed(s"top-$k per suppkey: native bounded heap") {
+        graft.plans.TopKPerKey.topKPerKey(li, Seq("l_suppkey"),
+          Seq(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), k)
+          .count()
+      }
+    }
     spark.stop()
   }
 }

@@ -283,6 +283,23 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // ----------------------------------------------------------------- x38
+    // Top-k per group via the custom bounded-heap physical operator
+    // (plans/TopKPerKey.scala — LogicalPlan + SparkStrategy + SparkPlan):
+    // top-3 orders per order priority by price. Result-identical to a
+    // row_number window (the oracle IS that window), but the plan is
+    // partial heap → ONE exchange of ≤k rows per (key × partition) →
+    // final heap — no per-group sort anywhere (plan-audited in
+    // TopKPerKeySpec).
+    "x38_native_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.plans.TopKPerKey.topKPerKey(
+          t.orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq("o_orderpriority"),
+          Seq(desc("o_totalprice"), col("o_orderkey")), 3)
+        .orderBy(col("o_orderpriority"), desc("o_totalprice"), col("o_orderkey"))
+    }),
+
     // ------------------------------------------------------------------- J1
     // Broadcast lookup join (pac_snowflake_realtime.py:135-148): fact rows
     // join two small dims; both joins broadcast, zero extra shuffles.
@@ -799,6 +816,15 @@ object CoreQueries {
     "t2_topk_groups" ->
       """SELECT l_suppkey, round(sum(l_extendedprice),2) AS total
          FROM lineitem GROUP BY 1 ORDER BY total DESC, l_suppkey LIMIT 10""",
+    "x38_native_topk" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice FROM ranked
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "j1_lookup_join" ->
       """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal),2) AS total_acctbal
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

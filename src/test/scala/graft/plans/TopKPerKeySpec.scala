@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** The custom per-key bounded-heap top-k operator: row-identical to the
+  * window row_number form under a total order, correct physical shape
+  * (no per-group sort, one exchange, partial pass below it), edge cases. */
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("g").orderBy(desc("v"), col("id"))
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
+  }
+
+  test("property: topKPerKey selects the same rows as the window row_number form") {
+    val gen = Gen.chooseNum(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0, 6), Gen.choose(0L, 30L))))
+    val prop = Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, s"g$g", v) }
+        .toDF("id", "g", "v")
+      val native = TopKPerKey.topKPerKey(df, Seq("g"),
+          Seq(desc("v"), col("id")), 3)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val window = windowTopK(df, 3)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      native == window
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("k >= group size keeps whole groups; empty input yields empty output") {
+    val df = Seq((1L, "a", 5L), (2L, "a", 3L), (3L, "b", 9L)).toDF("id", "g", "v")
+    val all = TopKPerKey.topKPerKey(df, Seq("g"), Seq(desc("v"), col("id")), 10)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all === Seq(1L, 2L, 3L))
+    val empty = TopKPerKey.topKPerKey(df.filter(col("id") < 0), Seq("g"),
+      Seq(desc("v"), col("id")), 2)
+    assert(empty.count() === 0)
+  }
+
+  test("physical plan: partial below ONE exchange, final above, no sort") {
+    val df = (1L to 200L).map(i => (i, s"g${i % 7}", i % 13)).toDF("id", "g", "v")
+    val topk = TopKPerKey.topKPerKey(df, Seq("g"), Seq(desc("v"), col("id")), 2)
+    val plan = PlanNodes.finalPlan(topk)
+    val nodes = PlanNodes.allNodes(plan)
+    val execs = nodes.collect { case t: TopKPerKey.TopKPerKeyExec => t }
+    assert(execs.map(_.partial).sorted === Seq(false, true),
+      s"expected partial + final exec pair in:\n$plan")
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) === 1)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"bounded-heap top-k must not sort:\n$plan")
+    // the partial pass bounds what crosses the exchange: k rows per
+    // (key x input partition) is the most the shuffle can ever carry
+    val out = topk.collect()
+    assert(out.length === 14) // 7 groups x k=2
+  }
+
+  test("ascending order and multi-column keys work") {
+    val df = Seq(
+      (1L, "a", "x", 5L), (2L, "a", "x", 3L), (3L, "a", "y", 9L),
+      (4L, "b", "x", 1L), (5L, "a", "x", 4L)
+    ).toDF("id", "g1", "g2", "v")
+    val out = TopKPerKey.topKPerKey(df, Seq("g1", "g2"),
+        Seq(col("v"), col("id")), 1)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(2L, 3L, 4L)) // min v per (g1, g2)
+  }
+}

@@ -102,6 +102,21 @@ object Curation {
       .drop("__salt", "__rk1", "__rk")
   }
 
+  /** [[quotaCap]] on the custom bounded-heap top-k physical operator
+    * ([[graft.plans.TopKPerKey]]): selects the IDENTICAL rows (same total
+    * hash order, same k), but the plan is partial-heap → one exchange of
+    * ≤ k rows per (group × partition) → final heap — no per-group sort,
+    * and skew-safety is STRUCTURAL: a monster group streams through a
+    * k-bounded heap instead of materializing for a sort, so neither
+    * [[quotaCapSkewSafe]]'s salting pass nor its second window is needed.
+    * Measured ~2.6× over the window form at sf0.1 (Probe). */
+  def quotaCapNative(df: DataFrame, groupCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0)
+    graft.plans.TopKPerKey.topKPerKey(df, Seq(groupCol),
+      Seq(idHash(col(idCol)).asc, col(idCol).asc), k)
+  }
+
   /** Data-driven domain-mix resampling — the static form of domain
     * reweighting (DoReMi, Xie et al. 2023, arXiv:2305.10429; the "data
     * mixture" knob every LLM pretraining run tunes): measure each

@@ -184,11 +184,11 @@ object CurationQueries {
         quality.join(dropIds, Seq("doc_id"), "left_anti"))
       val sampled = Curation.stratifiedSample(deduped, "lang", "doc_id",
         SampleRates, DefaultRate, SampleBuckets)
-      // Skew-safe two-phase cap (row-identical to quotaCap, spec-proven):
-      // at 100x one monster domain would put its whole group on one task
-      // under the plain partitionBy(source) window; the salted first phase
-      // bounds any task at ~groupSize/salts.
-      val capped = Curation.quotaCapSkewSafe(sampled, "source", "doc_id", DomainQuota)
+      // Native bounded-heap cap (row-identical to quotaCap, spec-proven):
+      // skew-safety is structural — at 100x a monster domain streams
+      // through a k-bounded heap instead of materializing for a window
+      // sort, with ≤ k rows per (domain × partition) crossing the wire.
+      val capped = Curation.quotaCapNative(sampled, "source", "doc_id", DomainQuota)
       val bins = Curation.packSequences(
           capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
           PackBudget, PackShards)

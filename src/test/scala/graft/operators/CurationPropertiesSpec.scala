@@ -39,7 +39,7 @@ class CurationPropertiesSpec extends SparkSpec {
     })
   }
 
-  test("property: quotaCapSkewSafe selects exactly quotaCap's rows") {
+  test("property: quotaCapSkewSafe AND quotaCapNative select exactly quotaCap's rows") {
     val gen = for {
       rows <- Gen.chooseNum(10, 80).flatMap(n => Gen.listOfN(n, for {
         id <- Gen.chooseNum(0L, 10000L)
@@ -52,8 +52,9 @@ class CurationPropertiesSpec extends SparkSpec {
       val df = rows.toDF("id", "grp")
       def ids(d: org.apache.spark.sql.DataFrame) =
         d.select("id").collect().map(_.getLong(0)).toSet
-      ids(Curation.quotaCap(df, "grp", "id", k)) ==
-        ids(Curation.quotaCapSkewSafe(df, "grp", "id", k, salts))
+      val base = ids(Curation.quotaCap(df, "grp", "id", k))
+      base == ids(Curation.quotaCapSkewSafe(df, "grp", "id", k, salts)) &&
+        base == ids(Curation.quotaCapNative(df, "grp", "id", k))
     })
   }
 

@@ -15,8 +15,8 @@ package graft
   * from exactly that).
   *
   * Current snapshot: round-8 clean solo run under the off-clock-release
-  * protocol (release between timers, warmup pass, min-of-2), all 109
-  * queries (x34-x38 from targeted solo runs under the same contract) —
+  * protocol (release between timers, warmup pass, min-of-2), all 111
+  * queries (x34-x40 from targeted solo runs under the same contract) —
   * measured under the SAME contract the harness applies, so regression
   * factors are apples-to-apples.
   */
@@ -136,6 +136,8 @@ object BenchExpectations {
     "x36_hybrid_rrf" -> 0.9438,
     "x37_domain_mix" -> 1.1797,
     "x38_native_topk" -> 0.4053,
+    "x39_incremental_neardups" -> 1.5667,
+    "x40_perplexity_bins" -> 1.7264,
     "x3_lang_id" -> 0.5260,
     "x4_minhash_neardups" -> 1.0623,
     "x5_simhash" -> 0.9654,

@@ -203,6 +203,31 @@ object Curation {
       .filter(col("n_shared_grams") >= minShared)
   }
 
+  /** Percentile-threshold binning — the curriculum-bucket operator (rank
+    * documents by a quality/perplexity score, train in quantile order):
+    * thresholds are ONE exact-percentile aggregate over the score column
+    * (a 1-row frame; swap in `approx_percentile` at 100 TB, where exact
+    * percentile's per-value map grows with score cardinality), broadcast
+    * back onto the scan, bin = count of thresholds strictly below the
+    * score. Never an ntile window — ntile is a TOTAL SORT of the corpus;
+    * this is two scans and a broadcast. Thresholds are rounded to 6
+    * decimals so an external engine replaying the same interpolation
+    * agrees at the bin boundaries. Returns the input plus `bin`
+    * (0..probs.length). */
+  def percentileBins(df: DataFrame, scoreCol: String,
+                     probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted,
+      "probs must be non-empty and ascending")
+    requireAbsent(df, "bin", "__thr")
+    val thr = df.agg(
+      percentile(col(scoreCol), array(probs.map(lit): _*)).as("__thr"))
+    val bin = probs.indices.map { i =>
+      when(col(scoreCol) > round(element_at(col("__thr"), i + 1), 6), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    df.crossJoin(broadcast(thr)).withColumn("bin", bin).drop("__thr")
+  }
+
   /** Hash-sharded training-order shuffle: shard = idHash mod `shards`,
     * position = rank of idHash within the shard. This is how training data
     * is shuffled at 100 TB — a global `ORDER BY random()` needs a total

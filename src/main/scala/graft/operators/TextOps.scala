@@ -527,6 +527,54 @@ object TextOps {
     * [[graft.GraftCache]] (multi-branch reuse); call `GraftCache.release()`
     * after consuming the result, or the blocks outlive the query.
     * `df` must have columns (idCol, textCol). */
+  /** Incremental MinHash+LSH near-dup check: pairs (new doc, indexed doc)
+    * with exact Jaccard ≥ threshold — the nightly-ingest shape, where a
+    * small arriving batch is screened against the standing corpus WITHOUT
+    * re-deduping corpus×corpus (that quadratic rerun is exactly what
+    * incremental ingestion must avoid). The frames are assumed disjoint.
+    *
+    * Scale shape: the new batch's band frame (4 rows × |batch|) is
+    * BROADCAST onto the indexed band frame, so the standing index is
+    * never reshuffled by the join; indexed tokens are re-read columnar
+    * behind a semi-join on the candidate ids only (never persisted — the
+    * candidate subset is a vanishing fraction of the corpus), while the
+    * small new side persists its tokens across its two uses. A production
+    * deployment stores the indexed band signatures next to the sink and
+    * skips recomputing them here; the signature aggregation below is the
+    * bootstrap path. */
+  def minhashNearDupsAgainst(newDocs: DataFrame, indexed: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double): DataFrame = {
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
+          .as("sig"))
+    }
+    def bands(toked: DataFrame) =
+      minhashSignatures(toked, "id", "toks")
+        .select(col("id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
+    val tokedNew = GraftCache.persist(
+      newDocs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")))
+    def tokedIdx =
+      indexed.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val cands = GraftCache.persist(bands(tokedIdx).as("i")
+      .join(broadcast(bands(tokedNew).as("n")),
+        col("n.band") === col("i.band") && col("n.bsig") === col("i.bsig"))
+      .select(col("n.id").as("id_new"), col("i.id").as("id_idx"))
+      .dropDuplicates("id_new", "id_idx"))
+    val idxToks = tokedIdx.join(
+      cands.select(col("id_idx").as("id")).distinct(), Seq("id"), "left_semi")
+    cands
+      .join(tokedNew.select(col("id").as("id_new"), col("toks").as("toks_new")),
+        "id_new")
+      .join(idxToks.select(col("id").as("id_idx"), col("toks").as("toks_idx")),
+        "id_idx")
+      .withColumn("jaccard", round(jaccard(col("toks_new"), col("toks_idx")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_idx", "jaccard")
+  }
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double): DataFrame = {
     // Persisted (via GraftCache — caller releases): `toked` feeds the

@@ -36,6 +36,9 @@ object CurationQueries {
   val MixTargetShares: Map[String, Double] = Map("en" -> 0.3, "zh" -> 0.1)
   val MixDefaultShare = 0.2
 
+  /** Quartile probes for perplexity-curriculum binning (x40). */
+  val BinQuartiles: Seq[Double] = Seq(0.25, 0.5, 0.75)
+
   val DomainQuota = 15
   val DecontamGramSize = 5
   val EvalModulus = 10
@@ -100,6 +103,27 @@ object CurationQueries {
           coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
           col("mix_rate"))
         .orderBy("lang")
+    }),
+
+    // ----------------------------------------------------------------- x40
+    // Perplexity-curriculum buckets: corpus quartile thresholds of the
+    // bigram-LM document score (x32's naturalness proxy), each document
+    // binned by count-of-thresholds-below — two scans + a 1-row broadcast,
+    // never an ntile window (ntile = a total sort of the corpus). Reported
+    // as per-bin stats so the oracle checks thresholds AND assignment.
+    "x40_perplexity_bins" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // Skinny persist: (doc_id, n_bigrams, avg_logp) feeds the threshold
+      // aggregate and the bin assignment — never the text.
+      val scored = GraftCache.persist(
+        TextOps.bigramLogProb(t.documents, "doc_id", "text"))
+      Curation.percentileBins(scored, "avg_logp", BinQuartiles)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min("avg_logp"), 4).as("min_lp"),
+          round(max("avg_logp"), 4).as("max_lp"),
+          sum("n_bigrams").as("n_bigrams"))
+        .orderBy("bin")
     }),
 
     // ----------------------------------------------------------------- x20
@@ -306,6 +330,26 @@ object CurationQueries {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Replays [[Curation.percentileBins]] over the x32 bigram score:
+    * quantile_cont thresholds (round 6), bin = count of thresholds
+    * strictly below the score. */
+  private def perplexityBinsSql: String = {
+    val binExpr = BinQuartiles.indices.map { i =>
+      s"(CASE WHEN avg_logp > round(t[${i + 1}], 6) THEN 1 ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+    val probList = BinQuartiles.mkString("[", ", ", "]")
+    s"""WITH ${TextQueries.bigramScoredCtes},
+       |thr AS (SELECT quantile_cont(avg_logp, $probList) AS t FROM scored),
+       |binned AS (
+       |  SELECT s.doc_id, s.n_bigrams, s.avg_logp, $binExpr AS bin
+       |  FROM scored s, thr)
+       |SELECT bin, count(*) AS n_docs,
+       |  round(min(avg_logp), 4) AS min_lp,
+       |  round(max(avg_logp), 4) AS max_lp,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
+       |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def decontaminateSql: String = {
     val n = DecontamGramSize
     val gramList = (1 to n).map(k => s"toks[i+$k]").mkString(", ")
@@ -393,6 +437,7 @@ object CurationQueries {
     "x18_simhash_neardups" -> simhashNearDupSql,
     "x19_stratified_sample" -> stratifiedSampleSql,
     "x37_domain_mix" -> domainMixSql,
+    "x40_perplexity_bins" -> perplexityBinsSql,
     "x20_domain_cap" ->
       s"""WITH r AS (
          |  SELECT source, doc_id, row_number() OVER (

@@ -32,6 +32,7 @@ object TextQueries {
   val FuzzyMaxDist = 6
   val SpanTokens = 8
   val SpanMinDocs = 2
+  val IncrementalMod = 10
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
@@ -273,6 +274,20 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ----------------------------------------------------------------- x39
+    // Incremental near-dup screening: the arriving batch (doc_id % 10 = 0)
+    // against the standing corpus (the rest) — cross pairs only, the new
+    // side's band frame broadcast so the index is never reshuffled. The
+    // oracle replays both band pipelines and the cross join.
+    "x39_incremental_neardups" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val newBatch = t.documents.filter(col("doc_id") % IncrementalMod === 0)
+      val indexed = t.documents.filter(col("doc_id") % IncrementalMod =!= 0)
+      TextOps.minhashNearDupsAgainst(newBatch, indexed, "doc_id", "text",
+          NearDupThreshold)
+        .orderBy("id_new", "id_idx")
+    }),
+
     // ----------------------------------------------------------------- x34
     // Cross-document span dedup (CCNet/RefinedWeb paragraph dedup over
     // 8-token windows): spans occurring in ≥2 distinct documents are corpus
@@ -419,6 +434,78 @@ object TextQueries {
        |             JOIN $src tb ON pairs.id_b = tb.id)""".stripMargin
   }
 
+  /** Suffixed MinHash band CTE chain (sh_s → hashed_s → sigs_s → banded_s)
+    * over a source CTE `src`(id, toks) — the two-frame form of
+    * [[minhashPairCtes]]'s signature pipeline, for oracles that band two
+    * different frames (x39 incremental screening). */
+  private def minhashBandCtes(src: String, s: String): String = {
+    val p = TextOps.P
+    val sigExprs = TextOps.hashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h*$a + $b) % $p)) AS h$i"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until TextOps.numBands).map { b =>
+      val parts = (0 until TextOps.BandRows).map(r => s"h${b * TextOps.BandRows + r}")
+      s"{'band': $b, 'bsig': concat_ws(':', ${parts.mkString(", ")})}"
+    }.mkString(", ")
+    s"""sh_$s AS (
+       |  SELECT id, toks, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(range(0, len(toks)-2),
+       |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) END AS shingles
+       |  FROM $src),
+       |hashed_$s AS (
+       |  SELECT id, list_transform(shingles, sg -> ${md5h("sg")} % $p) AS hs FROM sh_$s),
+       |sigs_$s AS (
+       |  SELECT id, $sigExprs FROM hashed_$s),
+       |banded_$s AS (
+       |  SELECT id, u.b.band AS band, u.b.bsig AS bsig
+       |  FROM sigs_$s, UNNEST([$bandStructs]) u(b))""".stripMargin
+  }
+
+  /** Corpus bigram-LM scoring CTE chain ending in
+    * `scored`(doc_id, n_bigrams, avg_logp) — replays
+    * [[TextOps.bigramLogProb]]; shared by the x32 oracle and the x40
+    * perplexity-binning oracle. */
+  private[queries] def bigramScoredCtes: String =
+    s"""toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, ${md5h("g")} AS gh,
+       |    ${md5h("string_split(g, ' ')[1]")} AS wh
+       |  FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+       |      ELSE list_transform(range(0, len(toks)-1),
+       |        i -> concat_ws(' ', toks[i+1], toks[i+2])) END) AS g
+       |    FROM toked)),
+       |bi AS (SELECT gh, count(*) AS c12 FROM grams GROUP BY 1),
+       |heads AS (SELECT wh, count(*) AS c1 FROM grams GROUP BY 1),
+       |scored AS (
+       |  SELECT g.doc_id, count(*) AS n_bigrams,
+       |    round(avg(ln(c12::DOUBLE / c1)), 4) AS avg_logp
+       |  FROM grams g JOIN bi USING (gh) JOIN heads USING (wh)
+       |  GROUP BY 1)""".stripMargin
+
+  private def incrementalNearDupSql: String =
+    s"""WITH toked_new AS (
+       |  SELECT doc_id AS id, $toksSql AS toks FROM documents
+       |  WHERE doc_id % $IncrementalMod = 0),
+       |toked_idx AS (
+       |  SELECT doc_id AS id, $toksSql AS toks FROM documents
+       |  WHERE doc_id % $IncrementalMod <> 0),
+       |${minhashBandCtes("toked_new", "n")},
+       |${minhashBandCtes("toked_idx", "i")},
+       |pairs AS (
+       |  SELECT DISTINCT n.id AS id_new, i.id AS id_idx
+       |  FROM banded_n n JOIN banded_i i
+       |    ON n.band = i.band AND n.bsig = i.bsig)
+       |SELECT id_new, id_idx,
+       |  round(len(list_distinct(list_intersect(ta.toks, tb.toks)))::DOUBLE
+       |        / nullif(len(list_distinct(ta.toks || tb.toks)), 0), 4) AS jaccard
+       |FROM pairs JOIN toked_new ta ON pairs.id_new = ta.id
+       |           JOIN toked_idx tb ON pairs.id_idx = tb.id
+       |WHERE round(len(list_distinct(list_intersect(ta.toks, tb.toks)))::DOUBLE
+       |        / nullif(len(list_distinct(ta.toks || tb.toks)), 0), 4)
+       |      >= $NearDupThreshold
+       |ORDER BY id_new, id_idx""".stripMargin
+
   private def minhashSql: String =
     s"""WITH toked AS (
        |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
@@ -513,6 +600,7 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x3_lang_id" -> langIdSql,
     "x4_minhash_neardups" -> minhashSql,
+    "x39_incremental_neardups" -> incrementalNearDupSql,
     "x28_dedup_clusters" -> dedupClustersSql,
     "x29_repetition_metrics" ->
       s"""WITH grams AS (
@@ -600,21 +688,8 @@ object TextQueries {
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "x32_bigram_logprob" ->
-      s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |grams AS (
-         |  SELECT doc_id, ${md5h("g")} AS gh,
-         |    ${md5h("string_split(g, ' ')[1]")} AS wh
-         |  FROM (
-         |    SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
-         |      ELSE list_transform(range(0, len(toks)-1),
-         |        i -> concat_ws(' ', toks[i+1], toks[i+2])) END) AS g
-         |    FROM toked)),
-         |bi AS (SELECT gh, count(*) AS c12 FROM grams GROUP BY 1),
-         |heads AS (SELECT wh, count(*) AS c1 FROM grams GROUP BY 1)
-         |SELECT g.doc_id, count(*) AS n_bigrams,
-         |  round(avg(ln(c12::DOUBLE / c1)), 4) AS avg_logp
-         |FROM grams g JOIN bi USING (gh) JOIN heads USING (wh)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $bigramScoredCtes
+         |SELECT doc_id, n_bigrams, avg_logp FROM scored ORDER BY doc_id""".stripMargin,
     "x31_vocab_stats" ->
       s"""WITH toked AS (SELECT unnest($toksSql) AS tok FROM documents),
          |freqs AS (SELECT tok, count(*) AS f FROM toked GROUP BY 1),

@@ -214,6 +214,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x39 incremental screen broadcasts the new batch's bands — index never reshuffled by the join") {
+    val p = finalPlan("x39_incremental_neardups")
+    // the band join sits inside the GraftCache-persisted candidate frame —
+    // descend into cached plans to reach it
+    val withCached = allNodes(p).flatMap {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s +: allNodes(s.relation.cachedPlan)
+      case n => Seq(n)
+    }
+    val bandJoins = withCached
+      .filter(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+        n.isInstanceOf[SortMergeJoinExec])
+      .filter(j => j.children.flatMap(_.output).exists(_.name == "bsig"))
+    assert(bandJoins.nonEmpty, s"band join not found in:\n$p")
+    bandJoins.foreach { j =>
+      assert(j.isInstanceOf[BroadcastHashJoinExec],
+        s"the new-batch band side must broadcast:\n$j")
+    }
+    graft.GraftCache.release()
+  }
+
   test("j8 bloom probe filters the big side BELOW the join") {
     val p = finalPlan("j8_bloom_join")
     val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))

@@ -44,6 +44,27 @@ class CurationSpec extends SparkSpec {
     assert(k1.toSet.subsetOf((1L to 50L).toSet))
   }
 
+  // -------------------------------------------------------- percentile bins
+
+  test("percentileBins assigns count-of-thresholds-below with exact quartiles") {
+    // scores 1..8: quartile thresholds (interpolated) 2.75 / 4.5 / 6.25
+    val df = (1L to 8L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val out = Curation.percentileBins(df, "score", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bin")).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L))
+  }
+
+  test("percentileBins rejects unsorted probes and reserved columns") {
+    val df = Seq((1L, 1.0)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      Curation.percentileBins(df, "score", Seq(0.75, 0.25))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.percentileBins(df.withColumn("bin", lit(0)), "score", Seq(0.5))
+    }
+  }
+
   // ------------------------------------------------------------ simhash dedup
 
   test("simhashNearDups: identical docs pair at hamming 0; pigeonhole recall") {

@@ -80,6 +80,24 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getAs[String]("clean_text") === "p q r s t u p q r")
   }
 
+  // --------------------------------------------------- incremental near-dup
+
+  test("minhashNearDupsAgainst finds cross pairs only, never within-frame") {
+    val doc = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " other"
+    val unrelated = (100 to 140).map(i => s"z$i").mkString(" ")
+    // indexed holds the original AND an exact in-index duplicate pair —
+    // which must NOT be reported (index x index is the standing corpus's
+    // own dedup problem, not the incremental screen's)
+    val indexed = Seq((1L, doc), (2L, unrelated), (3L, unrelated)).toDF("id", "text")
+    val newBatch = Seq((10L, nearDup), (11L, "fresh content entirely new"))
+      .toDF("id", "text")
+    val out = TextOps.minhashNearDupsAgainst(newBatch, indexed, "id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.GraftCache.release()
+    assert(out.toSeq === Seq((10L, 1L)))
+  }
+
   // -------------------------------------------------------------- semdedup
 
   test("semanticDedup drops greedy within-cluster near-dups only") {

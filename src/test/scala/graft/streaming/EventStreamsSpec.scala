@@ -163,6 +163,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming incremental near-dup screen equals the batch screen") {
+    // Arriving docs (doc_id % 10 == 0) staged as TWO files → two
+    // micro-batches; each is screened against the static indexed corpus
+    // with the same broadcast band join as batch query x39.
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val indexed = t.documents.filter(col("doc_id") % 10 =!= 0)
+    val arrivalsDir = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-arrivals-split")
+      t.documents.filter(col("doc_id") % 10 === 0)
+        .repartition(2).write.mode("overwrite").parquet(staging.toString)
+      val dir = java.nio.file.Files.createTempDirectory("graft-arrivals-stream")
+      val parts = new java.io.File(staging.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(parts.length == 2)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, dir.resolve(s"arrivals_$i.parquet"))
+      }
+      dir.toString
+    }
+    val hits = scala.collection.mutable.Buffer.empty[(Long, Long, Double)]
+    val q = EventStreams.screenArrivals(
+      EventStreams.readDocuments(spark, arrivalsDir), indexed, 0.8,
+      java.nio.file.Files.createTempDirectory("graft-ckpt-screen").toString,
+      hits)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.TextOps.minhashNearDupsAgainst(
+        t.documents.filter(col("doc_id") % 10 === 0), indexed,
+        "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.GraftCache.release()
+    assert(hits.nonEmpty)
+    assert(hits.toSet === batch)
+  }
+
   test("watermark-bounded dedup passes distinct events within the horizon") {
     // testdata has unique event_ids, so within-horizon dedup must be the
     // identity here — the point is the operator wires up with bounded

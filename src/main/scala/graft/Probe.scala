@@ -94,6 +94,23 @@ object Probe {
           .count()
       }
     }
+    // The skew case: one monster key holds ~90% of the rows (the crawl's
+    // top domain). The window form materializes + sorts the whole group
+    // on one task; the heap streams it.
+    val skewed = li.withColumn("skg",
+      when(col("l_suppkey") % 10 =!= 0, lit(0L)).otherwise(col("l_suppkey")))
+    timed("top-5 per SKEWED key (90% one key): window row_number") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("skg")
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      skewed.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 5).count()
+    }
+    timed("top-5 per SKEWED key (90% one key): native bounded heap") {
+      graft.plans.TopKPerKey.topKPerKey(skewed, Seq("skg"),
+        Seq(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), 5)
+        .count()
+    }
     spark.stop()
   }
 }

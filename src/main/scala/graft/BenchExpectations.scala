@@ -15,10 +15,10 @@ package graft
   * from exactly that).
   *
   * Current snapshot: round-8 clean solo run under the off-clock-release
-  * protocol (release between timers, warmup pass, min-of-2), all 111
-  * queries (x34-x40 from targeted solo runs under the same contract) —
-  * measured under the SAME contract the harness applies, so regression
-  * factors are apples-to-apples.
+  * protocol (release between timers, warmup pass, min-of-2), all 112
+  * queries (x34-x40 and pl7 from targeted solo runs under the same
+  * contract) — measured under the SAME contract the harness applies, so
+  * regression factors are apples-to-apples.
   */
 object BenchExpectations {
   val RegressionFactor = 2.0
@@ -76,6 +76,7 @@ object BenchExpectations {
     "pl3_realtime_pipeline" -> 1.4659,
     "pl4_issues_pipeline" -> 0.5768,
     "pl5_curation_pipeline" -> 3.7133,
+    "pl7_corpus_report" -> 1.3302,
     "pl6_events_pipeline" -> 1.5817,
     "s10_tree_paths" -> 0.9549,
     "s11_dryrun" -> 0.1667,

@@ -78,6 +78,54 @@ object PipelineQueries {
           round(sum(get_json_object(col("rec"), "$.p_retailprice").cast("double")), 2)
             .as("price_total"))
         .select(col("n"), col("price_total"), lit(result.verifiedCount).as("n_verified"))
+    }),
+
+    // ------------------------------------------------------- pipeline 7
+    // Corpus-health report: the dashboard a nightly curation run
+    // publishes, composed from the suite's own operators — corpus totals,
+    // quality-gate pass rate (x2's gate), exact-dup redundancy (x0's
+    // fingerprint), near-dup pair count (x4's LSH pipeline), vocabulary
+    // size and hapax share (x31), language count. One (metric, value) row
+    // per figure so the oracle checks each number independently. Every
+    // branch is a keyed-or-global aggregate over its own scan — the
+    // report costs one pass per metric family, no joins between them.
+    "pl7_corpus_report" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("n_docs").as("metric"), col("value"))
+      val nTokens = docs
+        .select(graft.operators.TextOps.tokenCount(col("text")).cast("long").as("nt"))
+        .agg(sum("nt").cast("double").as("value"))
+        .select(lit("n_tokens").as("metric"), col("value"))
+      val nLangs = docs.agg(countDistinct(col("lang")).cast("double").as("value"))
+        .select(lit("n_langs").as("metric"), col("value"))
+      val qRate = graft.operators.TextOps.qualityMetrics(docs, "text")
+        .agg(round(avg(when(col("quality_ok"), 1.0).otherwise(0.0)), 4).as("value"))
+        .select(lit("quality_ok_rate").as("metric"), col("value"))
+      val dupRedundant = docs
+        .select(graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") - 1).cast("double").as("value"))
+        .select(lit("exact_dup_redundant").as("metric"), col("value"))
+      val nearDups = graft.operators.TextOps
+        .minhashNearDups(docs, "doc_id", "text", TextQueries.NearDupThreshold)
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("neardup_pairs").as("metric"), col("value"))
+      val vocabRows = docs
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .agg(count(lit(1)).as("types"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(explode(array(
+          struct(lit("vocab_types").as("metric"),
+            col("types").cast("double").as("value")),
+          struct(lit("vocab_hapax_rate").as("metric"),
+            round(col("hapax") / col("types"), 4).as("value")))).as("r"))
+        .select(col("r.metric").as("metric"), col("r.value").as("value"))
+      nDocs.union(nTokens).union(nLangs).union(qRate)
+        .union(dupRedundant).union(nearDups).union(vocabRows)
+        .orderBy("metric")
     })
   )
 
@@ -108,6 +156,48 @@ object PipelineQueries {
     "pl4_issues_pipeline" ->
       """SELECT count(*) AS n, round(sum(p_retailprice), 2) AS price_total,
         |  count(*) AS n_verified
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+    "pl7_corpus_report" -> corpusReportSql
   )
+
+  /** Replays every pl7 metric from the shared generated builders (same
+    * tokenization, fingerprint, quality arithmetic, and MinHash pipeline
+    * as the x0/x2/x4/x31 oracles). */
+  private def corpusReportSql: String = {
+    val toks = TextQueries.toksSql
+    s"""WITH toked AS (SELECT doc_id AS id, $toks AS toks FROM documents),
+       |${TextQueries.minhashPairCtes("toked")},
+       |q AS (
+       |  SELECT ${TextQueries.qualityOkSql("n_tokens", "punct_ratio", "stopword_ratio")} AS ok
+       |  FROM (
+       |    SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+       |      ${TextQueries.punctRatioSql("text")} AS punct_ratio,
+       |      ${TextQueries.stopRatioSql("toks")} AS stopword_ratio
+       |    FROM (SELECT text, $toks AS toks FROM documents))),
+       |fp AS (
+       |  SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |    count(*) AS n
+       |  FROM documents GROUP BY 1),
+       |freqs AS (
+       |  SELECT tok, count(*) AS f
+       |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
+       |vocab AS (
+       |  SELECT count(*) AS types,
+       |    sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS hapax
+       |  FROM freqs)
+       |SELECT 'exact_dup_redundant' AS metric,
+       |  CAST(sum(n - 1) AS BIGINT)::DOUBLE AS value FROM fp
+       |UNION ALL SELECT 'n_docs', count(*)::DOUBLE FROM documents
+       |UNION ALL SELECT 'n_langs', count(DISTINCT lang)::DOUBLE FROM documents
+       |UNION ALL SELECT 'n_tokens',
+       |  CAST(sum(len(toks)) AS BIGINT)::DOUBLE FROM toked
+       |UNION ALL SELECT 'neardup_pairs', count(*)::DOUBLE FROM jac
+       |  WHERE jaccard >= ${TextQueries.NearDupThreshold}
+       |UNION ALL SELECT 'quality_ok_rate',
+       |  round(avg(CASE WHEN ok THEN 1.0 ELSE 0.0 END), 4) FROM q
+       |UNION ALL SELECT 'vocab_hapax_rate',
+       |  round(hapax / types, 4) FROM vocab
+       |UNION ALL SELECT 'vocab_types', types::DOUBLE FROM vocab
+       |ORDER BY metric""".stripMargin
+  }
 }

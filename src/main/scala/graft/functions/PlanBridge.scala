@@ -22,10 +22,16 @@ object PlanBridge {
   /** Idempotently register an extra planner strategy on a live session
     * (the documented `spark.experimental.extraStrategies` hook — reaches
     * sessions built without `withExtensions`, e.g. a user's existing
-    * session). */
+    * session). Registration happens lazily at query-build time on a
+    * shared session, so the check-then-append is synchronized on the
+    * ExperimentalMethods instance: two threads building queries
+    * concurrently must not duplicate the strategy or lose a concurrent
+    * registration. */
   def registerStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 }

@@ -109,11 +109,31 @@ object Curation {
     * and skew-safety is STRUCTURAL: a monster group streams through a
     * k-bounded heap instead of materializing for a sort, so neither
     * [[quotaCapSkewSafe]]'s salting pass nor its second window is needed.
-    * Measured ~2.6× over the window form at sf0.1 (Probe). */
+    * Measured ~2.6× over the window form at sf0.1 (Probe).
+    *
+    * Cardinality contract (the heap operator does not spill): the caller
+    * must know |distinct groups| × k fits task memory — true for the
+    * source/language/domain-class quota shapes this targets. When the
+    * group cardinality is data-dependent (a raw crawl's registered
+    * domain, a user id), use [[quotaCapAuto]] instead. */
   def quotaCapNative(df: DataFrame, groupCol: String, idCol: String,
                      k: Int): DataFrame = {
     require(k > 0)
     graft.plans.TopKPerKey.topKPerKey(df, Seq(groupCol),
+      Seq(idHash(col(idCol)).asc, col(idCol).asc), k)
+  }
+
+  /** [[quotaCapNative]] with the heap-memory contract enforced: measures
+    * the group cardinality (one column-pruned HLL pass) and falls back to
+    * the sort-based [[quotaCap]] window shape — which spills — when
+    * estimated groups × k per task would overflow the bounded heap.
+    * Row-identical to [[quotaCap]]/[[quotaCapNative]] either way (same
+    * total hash order, same k). The safe default entry point when the
+    * group column's cardinality is not structurally bounded. */
+  def quotaCapAuto(df: DataFrame, groupCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0)
+    graft.plans.TopKPerKey.topKPerKeyAuto(df, Seq(groupCol),
       Seq(idHash(col(idCol)).asc, col(idCol).asc), k)
   }
 
@@ -160,6 +180,52 @@ object Curation {
           .as("mix_rate"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(hashBucket(col(idCol), buckets) < col("mix_rate") * buckets)
+  }
+
+  /** [[domainMixResample]] with the UPSAMPLING branch — the full DoReMi
+    * knob: rates are not capped at 1, so an under-represented stratum is
+    * boosted by deterministic row repetition. Every row gets
+    * floor(rate) guaranteed copies plus one more when the hash coin
+    * falls below frac(rate) — per-stratum expected multiplicity is
+    * exactly `rate`, the decision per row is the same replayable md5
+    * coin as the downsampling path (no RNG), and rate < 1 degenerates to
+    * [[domainMixResample]]'s keep/drop filter (floor = 0). Returns kept
+    * rows with (`mix_rate`, `rep`) where `rep` = 0..copies−1 — the
+    * repetition index makes the output multiset a proper set, so
+    * downstream shuffles/packs treat copies as distinct rows and an
+    * external oracle replays the result exactly.
+    *
+    * Scale shape: identical to the downsampling form — one keyed agg to
+    * |strata| rows, a |strata|-row broadcast back onto the scan, then a
+    * per-row `explode(sequence(0, copies−1))` whose fan-out is the tiny
+    * repeat count; no extra shuffle, and the row-size amplification is
+    * exactly the declared mix change, never a data-dependent surprise. */
+  def domainMixResampleUp(df: DataFrame, strataCol: String, idCol: String,
+                          sizeCol: String, targetShares: Map[String, Double],
+                          defaultShare: Double,
+                          buckets: Int = 1000): DataFrame = {
+    require(buckets > 0)
+    require(defaultShare >= 0 && targetShares.values.forall(_ >= 0))
+    requireAbsent(df, "mix_rate", "rep", "__ssize", "__total", "__copies")
+    val target = targetShares.foldLeft(lit(defaultShare)) {
+      case (acc, (stratum, share)) =>
+        when(col(strataCol) === stratum, lit(share)).otherwise(acc)
+    }
+    val stats = df.groupBy(strataCol)
+      .agg(sum(col(sizeCol)).cast("double").as("__ssize"))
+    val total = df.agg(sum(col(sizeCol)).cast("double").as("__total"))
+    val rates = stats.crossJoin(broadcast(total))
+      .select(col(strataCol),
+        (target / (col("__ssize") / col("__total"))).as("mix_rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("__copies",
+        floor(col("mix_rate")).cast("long") +
+          when(hashBucket(col(idCol), buckets) <
+            (col("mix_rate") - floor(col("mix_rate"))) * buckets, 1L)
+            .otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("rep", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
   }
 
   /** Benchmark decontamination: flag training documents sharing at least
@@ -221,6 +287,34 @@ object Curation {
     requireAbsent(df, "bin", "__thr")
     val thr = df.agg(
       percentile(col(scoreCol), array(probs.map(lit): _*)).as("__thr"))
+    val bin = probs.indices.map { i =>
+      when(col(scoreCol) > round(element_at(col("__thr"), i + 1), 6), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    df.crossJoin(broadcast(thr)).withColumn("bin", bin).drop("__thr")
+  }
+
+  /** The 100 TB form of [[percentileBins]]: thresholds from
+    * `approx_percentile` (Greenwald–Khanna sketch) instead of exact
+    * `percentile`. Exact percentile's aggregation state holds every
+    * distinct score value per partition — at corpus scale with a
+    * high-cardinality double score that state IS the column; the GK
+    * sketch is bounded by `accuracy` regardless of input size, with a
+    * guaranteed rank error ≤ n/accuracy per threshold (spec-pinned
+    * against the exact form). Bin SEMANTICS are unchanged — same
+    * broadcast-threshold shape, never an ntile total-sort — only the
+    * threshold values carry the sketch's rank tolerance, which is the
+    * right trade for curriculum bucketing (a boundary document landing
+    * one bin over is noise; a total sort of 100 TB is not). */
+  def percentileBinsApprox(df: DataFrame, scoreCol: String,
+                           probs: Seq[Double],
+                           accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted,
+      "probs must be non-empty and ascending")
+    require(accuracy > 0)
+    requireAbsent(df, "bin", "__thr")
+    val thr = df.agg(approx_percentile(col(scoreCol),
+      array(probs.map(lit): _*), lit(accuracy)).as("__thr"))
     val bin = probs.indices.map { i =>
       when(col(scoreCol) > round(element_at(col("__thr"), i + 1), 6), 1L)
         .otherwise(0L)

@@ -34,7 +34,13 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * is bounded by k × (keys hashed to the task); a skewed KEY is no
   * problem (its group never materializes — the heap absorbs it), only
   * pathological key CARDINALITY × k approaches hash-aggregate territory,
-  * which spills where this does not.
+  * which spills where this does not. Callers of [[topKPerKey]] own that
+  * bound: use it only where keys × k is structurally small (a quota cap
+  * over sources/languages, per-query rank over a bounded query set).
+  * When the key cardinality is data-dependent — a crawl's `domain`
+  * column, a user id — call [[topKPerKeyAuto]], which measures the
+  * cardinality and routes oversized inputs to the sort-based window
+  * form, which spills where the heap cannot.
   */
 object TopKPerKey {
 
@@ -135,5 +141,49 @@ object TopKPerKey {
         s"key column $n not in ${child.output.map(_.name).mkString(", ")}"))
     }
     PlanBridge.ofRows(spark, TopKPerKeyNode(keys, order, k, child))
+  }
+
+  /** Per-task row budget for the final heap pass used by
+    * [[topKPerKeyAuto]]: with keys hash-clustered across
+    * `spark.sql.shuffle.partitions` final tasks, a task holds
+    * ~(distinct keys ÷ tasks) × k row copies. 4M UnsafeRow copies plus
+    * PriorityQueue boxing is a few hundred MB — inside a normal executor
+    * budget, but the far edge of what an unspillable operator should
+    * hold; beyond it the sort-based window form (which spills to disk)
+    * is the safer plan even though it is slower. */
+  val DefaultMaxHeapRowsPerTask: Long = 4L * 1000 * 1000
+
+  /** [[topKPerKey]] with the memory contract ENFORCED rather than assumed:
+    * estimates the key cardinality with one `approx_count_distinct` pass
+    * over the key columns (an eager action at build time — HLL partial
+    * aggregation, column-pruned, never reads the payload columns) and
+    * routes to the equivalent `row_number()` window form when estimated
+    * keys × k per final task would exceed `maxHeapRowsPerTask`. The
+    * window form sorts — and therefore spills — so it degrades to disk
+    * where the heap operator would exhaust task memory. Both branches
+    * select the identical row set under a total `orderCols` (end with a
+    * unique tiebreak, as for [[topKPerKey]]). The HLL estimate carries
+    * ~5% relative error; the default budget leaves far more headroom
+    * than that. */
+  def topKPerKeyAuto(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+                     k: Int,
+                     maxHeapRowsPerTask: Long = DefaultMaxHeapRowsPerTask): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, row_number, struct}
+    val estKeys = df.select(
+        approx_count_distinct(struct(keyCols.map(col): _*), rsd = 0.05))
+      .head().getLong(0)
+    val finalTasks = math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val perTaskRows = estKeys.toDouble * k / finalTasks
+    if (perTaskRows <= maxHeapRowsPerTask.toDouble)
+      topKPerKey(df, keyCols, orderCols, k)
+    else {
+      val rk = "__graft_topk_rk"
+      require(!df.columns.contains(rk), s"column $rk already present")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+      df.withColumn(rk, row_number().over(w)).filter(col(rk) <= k).drop(rk)
+    }
   }
 }

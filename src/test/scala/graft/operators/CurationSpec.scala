@@ -44,6 +44,53 @@ class CurationSpec extends SparkSpec {
     assert(k1.toSet.subsetOf((1L to 50L).toSet))
   }
 
+  test("domainMixResampleUp boosts under-represented strata by row repetition") {
+    // stratum a: 3/4 of mass, target 1/4 → rate 1/3 (downsample, rep=0);
+    // stratum b: 1/4 of mass, target 3/4 → rate 3.0 (every row 3 copies)
+    val rows = (1L to 30L).map(i => (i, "a", 10L)) ++
+      (31L to 40L).map(i => (i, "b", 10L))
+    val df = rows.toDF("id", "s", "n")
+    val up = Curation.domainMixResampleUp(df, "s", "id", "n",
+      Map("a" -> 0.25, "b" -> 0.75), 0.0, buckets = 1000)
+    val byId = up.groupBy("s", "id")
+      .agg(count(lit(1)).as("c"), max("rep").as("mr"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Long]("c"), r.getAs[Long]("mr")))
+    val b = byId.filter(_._1 == "b")
+    assert(b.length === 10 && b.forall(x => x._3 === 3L && x._4 === 2L),
+      "rate 3.0 must give exactly 3 copies (rep 0..2) of every b row")
+    // the downsampled stratum matches the capped operator's keep set exactly
+    val aKept = byId.filter(_._1 == "a")
+    assert(aKept.forall(x => x._3 === 1L && x._4 === 0L))
+    val capped = Curation.domainMixResample(df, "s", "id", "n",
+        Map("a" -> 0.25, "b" -> 0.75), 0.0, buckets = 1000)
+      .filter($"s" === "a").select("id").collect().map(_.getLong(0)).toSet
+    assert(aKept.map(_._2).toSet === capped)
+  }
+
+  test("domainMixResampleUp fractional rates: copies are floor or ceil, coin-exact") {
+    // stratum b: 1/4 of mass, target 5/8 → rate 2.5 → 2 or 3 copies per row
+    val rows = (1L to 30L).map(i => (i, "a", 10L)) ++
+      (31L to 40L).map(i => (i, "b", 10L))
+    val df = rows.toDF("id", "s", "n")
+    val up = Curation.domainMixResampleUp(df, "s", "id", "n",
+      Map("a" -> 0.375, "b" -> 0.625), 0.0, buckets = 1000)
+    val counts = up.filter($"s" === "b").groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size === 10 && counts.values.forall(c => c == 2L || c == 3L))
+    val extra = df.filter($"s" === "b")
+      .filter(Curation.hashBucket($"id", 1000) < lit(0.5) * 1000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(counts.filter(_._2 == 3L).keySet === extra,
+      "the extra copy must land exactly where the hash coin says")
+    // determinism: a rerun reproduces the multiset including rep indices
+    val r1 = up.select("id", "rep").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val r2 = Curation.domainMixResampleUp(df, "s", "id", "n",
+        Map("a" -> 0.375, "b" -> 0.625), 0.0, buckets = 1000)
+      .select("id", "rep").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(r1 === r2)
+  }
+
   // -------------------------------------------------------- percentile bins
 
   test("percentileBins assigns count-of-thresholds-below with exact quartiles") {
@@ -63,6 +110,35 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.percentileBins(df.withColumn("bin", lit(0)), "score", Seq(0.5))
     }
+  }
+
+  test("percentileBinsApprox: threshold rank error within the GK bound") {
+    // 20k distinct scores; the GK sketch guarantees rank error <= n/accuracy
+    // per threshold — pin it at a coarse accuracy where the bound bites,
+    // and at the default accuracy assert near-exact bin agreement.
+    val n = 20000
+    val df = (1 to n).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val probs = Seq(0.25, 0.5, 0.75)
+    val coarse = 100
+    val thr = Curation.percentileBinsApprox(df, "score", probs, coarse)
+      .groupBy("bin").count().collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("count")).toMap
+    // bin b holds rows between thresholds p_b..p_{b+1}: rank error per
+    // threshold <= n/coarse, so each bin's size is 0.25n +/- 2*(n/coarse)
+    (0L to 3L).foreach { b =>
+      val sz = thr.getOrElse(b, 0L).toDouble
+      assert(math.abs(sz - n / 4.0) <= 2.0 * n / coarse + 1,
+        s"bin $b size $sz breaches the rank-error bound")
+    }
+    // default accuracy (10000): rank error <= 2 rows of 20k — bins agree
+    // with the exact form on all but a handful of boundary rows
+    val exact = Curation.percentileBins(df, "score", probs)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Curation.percentileBinsApprox(df, "score", probs)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val differing = exact.count { case (id, b) => approx(id) != b }
+    assert(differing <= probs.length * (n / 10000 + 1),
+      s"$differing rows changed bin at default accuracy")
   }
 
   // ------------------------------------------------------------ simhash dedup

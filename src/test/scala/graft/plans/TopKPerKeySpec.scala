@@ -63,6 +63,31 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out.length === 14) // 7 groups x k=2
   }
 
+  test("auto form: high-cardinality key routes to the spilling window form, " +
+      "small key stays on the native heap, both select identical rows") {
+    // 5k distinct keys x k=2 with a 1-row-per-task budget forces the
+    // fallback; the default budget keeps the native operator.
+    val df = (1L to 10000L).map(i => (i, s"g${i % 5000}", i % 17)).toDF("id", "g", "v")
+    val guarded = TopKPerKey.topKPerKeyAuto(df, Seq("g"),
+      Seq(desc("v"), col("id")), 2, maxHeapRowsPerTask = 1L)
+    val guardedNodes = PlanNodes.allNodes(PlanNodes.finalPlan(guarded))
+    assert(!guardedNodes.exists(_.isInstanceOf[TopKPerKey.TopKPerKeyExec]),
+      "over-budget input must not plan the unspillable heap operator")
+    assert(guardedNodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "over-budget input must take the sort-based window form (it spills)")
+
+    val native = TopKPerKey.topKPerKeyAuto(df, Seq("g"), Seq(desc("v"), col("id")), 2)
+    assert(PlanNodes.allNodes(PlanNodes.finalPlan(native))
+      .exists(_.isInstanceOf[TopKPerKey.TopKPerKeyExec]),
+      "in-budget input must keep the bounded-heap operator")
+
+    val a = guarded.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = native.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    assert(a.length === 10000) // k=2 x 5000 groups, every group size 2
+  }
+
   test("ascending order and multi-column keys work") {
     val df = Seq(
       (1L, "a", "x", 5L), (2L, "a", "x", 3L), (3L, "a", "y", 9L),

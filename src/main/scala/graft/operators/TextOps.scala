@@ -545,26 +545,86 @@ object TextOps {
   def minhashNearDupsAgainst(newDocs: DataFrame, indexed: DataFrame,
                              idCol: String, textCol: String,
                              threshold: Double): DataFrame = {
-    val bandStructs = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(":", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
-          .as("sig"))
-    }
-    def bands(toked: DataFrame) =
-      minhashSignatures(toked, "id", "toks")
-        .select(col("id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
     val tokedNew = GraftCache.persist(
       newDocs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")))
     def tokedIdx =
       indexed.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-    val cands = GraftCache.persist(bands(tokedIdx).as("i")
-      .join(broadcast(bands(tokedNew).as("n")),
+    val cands = GraftCache.persist(minhashBands(tokedIdx).as("i")
+      .join(broadcast(minhashBands(tokedNew).as("n")),
         col("n.band") === col("i.band") && col("n.bsig") === col("i.bsig"))
       .select(col("n.id").as("id_new"), col("i.id").as("id_idx"))
       .dropDuplicates("id_new", "id_idx"))
     val idxToks = tokedIdx.join(
       cands.select(col("id_idx").as("id")).distinct(), Seq("id"), "left_semi")
+    cands
+      .join(tokedNew.select(col("id").as("id_new"), col("toks").as("toks_new")),
+        "id_new")
+      .join(idxToks.select(col("id").as("id_idx"), col("toks").as("toks_idx")),
+        "id_idx")
+      .withColumn("jaccard", round(jaccard(col("toks_new"), col("toks_idx")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_idx", "jaccard")
+  }
+
+  /** MinHash band frame of a tokenized corpus `toked`(id, toks):
+    * `numBands` rows per document of (id, band, bsig) — the blocking keys
+    * every LSH screen joins on. Shared by the batch self-join
+    * ([[minhashNearDups]]), the bootstrap incremental screen
+    * ([[minhashNearDupsAgainst]]), and the materialized index
+    * ([[writeBandIndex]] / [[minhashNearDupsAgainstIndex]]). */
+  def minhashBands(toked: DataFrame): DataFrame = {
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
+          .as("sig"))
+    }
+    minhashSignatures(toked, "id", "toks")
+      .select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
+  }
+
+  /** Materialize the corpus's MinHash band signatures as a parquet index —
+    * the production corpus side of the incremental screen, written once at
+    * ingest (or nightly after the sink write) so each subsequent arriving
+    * batch is screened with ZERO corpus re-tokenization
+    * ([[minhashNearDupsAgainstIndex]]). The index is skinny — (id, band,
+    * bsig), ~tens of bytes × numBands per document vs the kilobytes of
+    * text it summarizes — and is range-laid-out by `bsig`
+    * ([[graft.sinks.LayoutSink]]) so every file covers a disjoint
+    * signature range: a reader probing specific buckets prunes whole
+    * files on parquet min/max stats, and the layout cost is one sampled
+    * range shuffle at write time. */
+  def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, numFiles: Int = 32): Unit =
+    graft.sinks.LayoutSink.writeRangeLayout(
+      minhashBands(docs.select(col(idCol).as("id"),
+        tokens(col(textCol)).as("toks"))),
+      "bsig", numFiles, path)
+
+  /** [[minhashNearDupsAgainst]] against a MATERIALIZED band-signature
+    * index ([[writeBandIndex]]) instead of the live corpus: candidate
+    * generation reads ONLY the skinny parquet index — the corpus text is
+    * never scanned, tokenized, or signature-aggregated on the index side.
+    * The arriving batch's band frame is broadcast onto the index scan
+    * (the index is never reshuffled), and the corpus text is touched
+    * exactly once, behind a left-semi join on the surviving candidate
+    * ids — a vanishing fraction of the corpus. This is the nightly-ingest
+    * steady state: per-batch cost is O(|batch| + |candidates|) plus one
+    * columnar index scan, independent of corpus tokenization cost.
+    * `indexedDocs` must be the same corpus `bandIndex` was built from. */
+  def minhashNearDupsAgainstIndex(newDocs: DataFrame, bandIndex: DataFrame,
+                                  indexedDocs: DataFrame, idCol: String,
+                                  textCol: String, threshold: Double): DataFrame = {
+    val tokedNew = GraftCache.persist(
+      newDocs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")))
+    val cands = GraftCache.persist(bandIndex.as("i")
+      .join(broadcast(minhashBands(tokedNew).as("n")),
+        col("n.band") === col("i.band") && col("n.bsig") === col("i.bsig"))
+      .select(col("n.id").as("id_new"), col("i.id").as("id_idx"))
+      .dropDuplicates("id_new", "id_idx"))
+    val idxToks = indexedDocs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .join(cands.select(col("id_idx").as("id")).distinct(), Seq("id"), "left_semi")
     cands
       .join(tokedNew.select(col("id").as("id_new"), col("toks").as("toks_new")),
         "id_new")
@@ -586,14 +646,7 @@ object TextOps {
     // right trade at every scale.
     val toked = GraftCache.persist(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")))
-    val bandStructs = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(":", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)
-          .as("sig"))
-    }
-    val banded = GraftCache.persist(minhashSignatures(toked, "id", "toks")
-      .select(col("id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig")))
+    val banded = GraftCache.persist(minhashBands(toked))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))

@@ -288,6 +288,25 @@ object TextQueries {
         .orderBy("id_new", "id_idx")
     }),
 
+    // ----------------------------------------------------------------- x41
+    // Indexed incremental screen — the nightly steady state of x39: the
+    // standing corpus's band signatures are MATERIALIZED as a range-laid
+    // parquet index (written here as the "index maintenance" step), and the
+    // arriving batch screens against the STORED signatures. Candidate
+    // generation reads only the skinny index — zero corpus re-tokenization,
+    // plan-audited — and corpus text is touched once, behind the
+    // candidate-id semi-join. Same pair set, same oracle, as x39.
+    "x41_indexed_screen" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val newBatch = t.documents.filter(col("doc_id") % IncrementalMod === 0)
+      val indexed = t.documents.filter(col("doc_id") % IncrementalMod =!= 0)
+      val idx = SinkQueries.sinkDir("x41_band_index")
+      TextOps.writeBandIndex(indexed, "doc_id", "text", idx)
+      TextOps.minhashNearDupsAgainstIndex(newBatch, s.read.parquet(idx),
+          indexed, "doc_id", "text", NearDupThreshold)
+        .orderBy("id_new", "id_idx")
+    }),
+
     // ----------------------------------------------------------------- x34
     // Cross-document span dedup (CCNet/RefinedWeb paragraph dedup over
     // 8-token windows): spans occurring in ≥2 distinct documents are corpus
@@ -601,6 +620,10 @@ object TextQueries {
     "x3_lang_id" -> langIdSql,
     "x4_minhash_neardups" -> minhashSql,
     "x39_incremental_neardups" -> incrementalNearDupSql,
+    // x41 selects the identical pair set through the materialized index —
+    // the oracle is the same replay (indexes are a plan property, not a
+    // semantic one).
+    "x41_indexed_screen" -> incrementalNearDupSql,
     "x28_dedup_clusters" -> dedupClustersSql,
     "x29_repetition_metrics" ->
       s"""WITH grams AS (

@@ -198,6 +198,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(hits.toSet === batch)
   }
 
+  test("indexed streaming screen: parquet-sink pairs equal the batch screen") {
+    // The production form: corpus band signatures MATERIALIZED once, each
+    // micro-batch screened against the stored index, flagged pairs
+    // appended to a parquet log — no driver-side accumulation.
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val indexed = t.documents.filter(col("doc_id") % 10 =!= 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-band-index").toString
+    graft.operators.TextOps.writeBandIndex(indexed, "doc_id", "text", idxDir)
+    val arrivalsDir = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-arr2-split")
+      t.documents.filter(col("doc_id") % 10 === 0)
+        .repartition(2).write.mode("overwrite").parquet(staging.toString)
+      val dir = java.nio.file.Files.createTempDirectory("graft-arr2-stream")
+      val parts = new java.io.File(staging.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, dir.resolve(s"arrivals_$i.parquet"))
+      }
+      dir.toString
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-screen-log").toString
+    val q = EventStreams.screenArrivalsIndexed(
+      EventStreams.readDocuments(spark, arrivalsDir),
+      spark.read.parquet(idxDir), indexed, 0.8,
+      java.nio.file.Files.createTempDirectory("graft-ckpt-screen2").toString,
+      outDir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getAs[Long]("id_new"), r.getAs[Long]("id_idx"),
+        r.getAs[Double]("jaccard"))).toSet
+    val batch = graft.operators.TextOps.minhashNearDupsAgainst(
+        t.documents.filter(col("doc_id") % 10 === 0), indexed,
+        "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.GraftCache.release()
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("watermark-bounded dedup passes distinct events within the horizon") {
     // testdata has unique event_ids, so within-horizon dedup must be the
     // identity here — the point is the operator wires up with bounded

@@ -331,4 +331,34 @@ object VectorOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** [[knnJoin]] with the per-query ranking routed through the native
+    * bounded-heap top-k operator ([[graft.plans.TopKPerKey]]): the |Q|×N
+    * similarity rows are cut to ≤ k per (qid × input partition) by the
+    * map-side partial heap BEFORE the ranking exchange, where the window
+    * form shuffles all |Q|×N rows and fully SORTS every query's N
+    * candidates just to keep k. The rank column is re-derived by a
+    * row_number over the ≤ k×|Q| survivors — a frame smaller than the
+    * window form's input by a factor of N/k. The heap operator's
+    * key-cardinality contract holds structurally: the keys are the
+    * bounded query subset. Row-identical to [[knnJoin]] (same total
+    * order, same k). */
+  def knnJoinNative(embeddings: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        norm2(col(vecCol)).as("__qn"))
+    val scan = embeddings.select(col(idCol), col(vecCol).as("__v"),
+      norm2(col(vecCol)).as("__n"))
+    val sims = scan.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(dot(col("__v"), col("__qv")) / (col("__n") * col("__qn")), 6)
+          .as("sim_r"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(sims, Seq("qid"),
+      Seq(desc("sim_r"), col(idCol)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("sim_r"), col(idCol))
+    cut.withColumn("rk", row_number().over(w))
+  }
 }

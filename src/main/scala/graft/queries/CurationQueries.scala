@@ -36,6 +36,13 @@ object CurationQueries {
   val MixTargetShares: Map[String, Double] = Map("en" -> 0.3, "zh" -> 0.1)
   val MixDefaultShare = 0.2
 
+  /** Target shares for the UPSAMPLING form (x42): de (~14% of tokens)
+    * targets 40% → rate ≈ 3 (floor-copies + coin), en (~41%) targets 20%
+    * → downsample ≈ 0.5, the default 0.15 leaves the rest straddling
+    * rate 1 — all three branches of the full DoReMi knob in one run. */
+  val UpTargetShares: Map[String, Double] = Map("de" -> 0.40, "en" -> 0.20)
+  val UpDefaultShare = 0.15
+
   /** Quartile probes for perplexity-curriculum binning (x40). */
   val BinQuartiles: Seq[Double] = Seq(0.25, 0.5, 0.75)
 
@@ -102,6 +109,36 @@ object CurationQueries {
           coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
           coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
           col("mix_rate"))
+        .orderBy("lang")
+    }),
+
+    // ----------------------------------------------------------------- x42
+    // Full DoReMi knob: the UPSAMPLING branch — under-represented strata
+    // are boosted by deterministic row repetition (floor(rate) guaranteed
+    // copies + a hash-coin extra), over-represented ones downsample as in
+    // x37. The funnel reports repeated ROWS vs distinct docs per language
+    // plus the per-language max repetition index, so the oracle pins the
+    // uncapped rates, the keep set, AND the exact explode multiplicities.
+    "x42_domain_mix_up" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val up = Curation.domainMixResampleUp(docs, "lang", "doc_id",
+        "n_tokens", UpTargetShares, UpDefaultShare, SampleBuckets)
+      val kept = up.groupBy("lang")
+        .agg(count(lit(1)).as("n_rows_out"),
+          countDistinct("doc_id").as("n_docs_kept"),
+          sum("n_tokens").as("tokens_out"),
+          max("rep").as("max_rep"),
+          round(max("mix_rate"), 6).as("mix_rate"))
+      val totals = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_in"), sum("n_tokens").as("tokens_in"))
+      totals.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs_in"), col("tokens_in"),
+          coalesce(col("n_rows_out"), lit(0L)).as("n_rows_out"),
+          coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+          coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
+          col("max_rep"), col("mix_rate"))
         .orderBy("lang")
     }),
 
@@ -330,6 +367,48 @@ object CurationQueries {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Replays [[Curation.domainMixResampleUp]]: UNCAPPED rates, per-doc
+    * copy count = floor(rate) + hash-coin extra, multiplicities verified
+    * arithmetically (sum/max of copies ≡ the Spark side's exploded row
+    * counts and max rep index). */
+  private def domainMixUpSql: String = {
+    val cases = UpTargetShares.toSeq.sortBy(_._1)
+      .map { case (l, v) => s"WHEN '$l' THEN $v" }.mkString(" ")
+    val target = s"CASE lang $cases ELSE $UpDefaultShare END"
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)),
+       |stats AS (SELECT lang, sum(n_tokens)::DOUBLE AS ssize FROM docs GROUP BY 1),
+       |total AS (SELECT sum(n_tokens)::DOUBLE AS t FROM docs),
+       |rates AS (
+       |  SELECT lang, $target / (ssize / t) AS mix_rate
+       |  FROM stats, total),
+       |copies AS (
+       |  SELECT d.lang, d.n_tokens, r.mix_rate,
+       |    CAST(floor(r.mix_rate) AS BIGINT) +
+       |      (CASE WHEN ${idh("d.doc_id")} % $SampleBuckets <
+       |         (r.mix_rate - floor(r.mix_rate)) * $SampleBuckets
+       |       THEN 1 ELSE 0 END) AS c
+       |  FROM docs d JOIN rates r USING (lang)),
+       |k AS (
+       |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_rows_out,
+       |    count(*) AS n_docs_kept,
+       |    CAST(sum(n_tokens * c) AS BIGINT) AS tokens_out,
+       |    max(c) - 1 AS max_rep,
+       |    round(max(mix_rate), 6) AS mix_rate
+       |  FROM copies WHERE c > 0 GROUP BY 1),
+       |tot AS (
+       |  SELECT lang, count(*) AS n_docs_in,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_in
+       |  FROM docs GROUP BY 1)
+       |SELECT tot.lang, n_docs_in, tokens_in,
+       |  coalesce(n_rows_out, 0) AS n_rows_out,
+       |  coalesce(n_docs_kept, 0) AS n_docs_kept,
+       |  coalesce(tokens_out, 0) AS tokens_out, max_rep, mix_rate
+       |FROM tot LEFT JOIN k USING (lang)
+       |ORDER BY lang""".stripMargin
+  }
+
   /** Replays [[Curation.percentileBins]] over the x32 bigram score:
     * quantile_cont thresholds (round 6), bin = count of thresholds
     * strictly below the score. */
@@ -437,6 +516,7 @@ object CurationQueries {
     "x18_simhash_neardups" -> simhashNearDupSql,
     "x19_stratified_sample" -> stratifiedSampleSql,
     "x37_domain_mix" -> domainMixSql,
+    "x42_domain_mix_up" -> domainMixUpSql,
     "x40_perplexity_bins" -> perplexityBinsSql,
     "x20_domain_cap" ->
       s"""WITH r AS (

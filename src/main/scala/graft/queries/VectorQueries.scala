@@ -136,6 +136,19 @@ object VectorQueries {
       VectorOps.knnJoin(t.embeddings, "vec_id", "embedding",
           col("vec_id") % KnnQueryMod === 0, KnnK)
         .orderBy("qid", "rk")
+    }),
+
+    // ----------------------------------------------------------------- x43
+    // x30's kNN join with the per-query ranking routed through the native
+    // bounded-heap top-k operator: the |Q|×N similarity frame is cut to
+    // ≤ k per (qid × partition) before the exchange instead of window-
+    // sorting every query's full candidate list. Identical rows, same
+    // oracle as x30 — the heap operator under its realest consumer.
+    "x43_knn_native" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      VectorOps.knnJoinNative(t.embeddings, "vec_id", "embedding",
+          col("vec_id") % KnnQueryMod === 0, KnnK)
+        .orderBy("qid", "rk")
     })
   )
 
@@ -276,18 +289,23 @@ object VectorQueries {
          |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS is_kept
          |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
-    "x30_knn_join" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |  WHERE vec_id % $KnnQueryMod = 0),
-         |pairs AS (
-         |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r
-         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
-         |ranked AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY sim_r DESC, vec_id) AS INT) AS rk
-         |  FROM pairs)
-         |SELECT qid, vec_id, sim_r, rk FROM ranked
-         |WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin
+    "x30_knn_join" -> knnJoinSql,
+    // x43 selects the identical rows through the bounded-heap operator —
+    // the ranking plan is a physical choice, not a semantic one.
+    "x43_knn_native" -> knnJoinSql
   )
+
+  private def knnJoinSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim_r DESC, vec_id) AS INT) AS rk
+       |  FROM pairs)
+       |SELECT qid, vec_id, sim_r, rk FROM ranked
+       |WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin
 }

@@ -58,6 +58,22 @@ object WindowQueries {
         .orderBy("window_start")
     }),
 
+    // w4's hourly top-event rank routed through the native bounded-heap
+    // top-k operator (k=1 per hour bucket) — the rank window's sort is
+    // replaced by a streaming heap; identical rows, same oracle as w4.
+    // Key-cardinality contract: keys = hour buckets, structurally bounded.
+    "w8_rank_native" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val counts = t.events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      graft.plans.TopKPerKey.topKPerKey(counts, Seq("window_start"),
+          Seq(desc("n"), col("event_type")), 1)
+        .select(col("window_start"), col("event_type").as("top_event_type"), col("n"))
+        .orderBy("window_start")
+    }),
+
     // Analytic window functions: per-customer running spend (cumulative sum
     // over a tie-broken order) and days since the previous order (lag).
     // Identical ORDER BY on both sides makes the running double sum
@@ -283,17 +299,9 @@ object WindowQueries {
            SELECT (time_bucket(INTERVAL '1 hour', ts - INTERVAL '30 minutes') + INTERVAL '30 minutes')::TIMESTAMP AS window_start, value FROM events)
          SELECT window_start, count(*) AS n, round(sum(value),2) AS v_total
          FROM slid GROUP BY 1 ORDER BY 1""",
-    "w4_window_rank" ->
-      """WITH counts AS (
-        |  SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start,
-        |    event_type, count(*) AS n
-        |  FROM events GROUP BY 1,2),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY window_start
-        |    ORDER BY n DESC, event_type) AS rn
-        |  FROM counts)
-        |SELECT window_start, event_type AS top_event_type, n
-        |FROM ranked WHERE rn = 1 ORDER BY window_start""".stripMargin,
+    "w4_window_rank" -> windowRankSql,
+    // w8 selects the identical rows through the bounded-heap operator.
+    "w8_rank_native" -> windowRankSql,
     "w5_lag_cumsum" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
@@ -472,4 +480,18 @@ object WindowQueries {
         |  CAST(sum(n) AS BIGINT) AS n_events
         |FROM filled GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Shared by w4 (window form) and w8 (native bounded-heap form): the
+    * rank plan is a physical choice, the result set is the contract. */
+  private def windowRankSql: String =
+    """WITH counts AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1,2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY window_start
+      |    ORDER BY n DESC, event_type) AS rn
+      |  FROM counts)
+      |SELECT window_start, event_type AS top_event_type, n
+      |FROM ranked WHERE rn = 1 ORDER BY window_start""".stripMargin
 }

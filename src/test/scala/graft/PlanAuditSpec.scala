@@ -235,6 +235,69 @@ class PlanAuditSpec extends SparkSpec {
     graft.GraftCache.release()
   }
 
+  test("x41 indexed screen: candidates come from the stored band index — " +
+      "no corpus text on the index side, batch bands broadcast") {
+    val p = finalPlan("x41_indexed_screen")
+    def deep(n: SparkPlan): Seq[SparkPlan] = allNodes(n).flatMap {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s +: deep(s.relation.cachedPlan)
+      case m => Seq(m)
+    }
+    val nodes = deep(p)
+    val bandJoins = nodes
+      .filter(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+        n.isInstanceOf[SortMergeJoinExec])
+      .filter(j => j.children.flatMap(_.output).exists(_.name == "bsig"))
+    assert(bandJoins.nonEmpty, s"band join not found in:\n$p")
+    bandJoins.foreach { j =>
+      assert(j.isInstanceOf[BroadcastHashJoinExec],
+        s"the arriving batch's band side must broadcast:\n$j")
+      // the STREAMED side is the corpus index: it must be the materialized
+      // parquet band table and must never touch text (the broadcast side
+      // is the arriving batch, which legitimately tokenizes itself)
+      val bhj = j.asInstanceOf[BroadcastHashJoinExec]
+      val streamed = bhj.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.right
+        case _ => bhj.left
+      }
+      val streamedScans = deep(streamed).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(streamedScans.exists(_.toString.contains("x41_band_index")),
+        s"candidate generation must read the materialized index:\n$j")
+      assert(!streamedScans.exists(_.schema.fieldNames.contains("text")),
+        s"the index side must never scan corpus text:\n$j")
+    }
+    // corpus text is read at most twice in the WHOLE query: the arriving
+    // batch's tokenization and the candidate-id semi-joined fetch — never
+    // a third, index-side, pass (that pass is what the stored index
+    // kills). Dedupe by plan text: deep() re-expands a cached subtree at
+    // every reference, so one persisted scan appears several times.
+    val textScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("text") => f.toString
+    }.distinct
+    assert(textScans.size <= 2,
+      s"expected <=2 distinct corpus text scans, found ${textScans.size} in:\n$p")
+    graft.GraftCache.release()
+  }
+
+  test("x43 native kNN rank: heap cut below the exchange, rank window only over survivors") {
+    val p = finalPlan("x43_knn_native")
+    val nodes = allNodes(p)
+    val execs = nodes.collect { case t: graft.plans.TopKPerKey.TopKPerKeyExec => t }
+    assert(execs.map(_.partial).sorted === Seq(false, true),
+      s"expected partial+final heap pair in:\n$p")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, s"rank re-derivation window missing in:\n$p")
+    windows.foreach { w =>
+      assert(allNodes(w.child).exists(
+        _.isInstanceOf[graft.plans.TopKPerKey.TopKPerKeyExec]),
+        s"the rank window must sort only the heap survivors:\n$w")
+    }
+  }
+
   test("j8 bloom probe filters the big side BELOW the join") {
     val p = finalPlan("j8_bloom_join")
     val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))

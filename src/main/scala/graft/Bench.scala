@@ -129,14 +129,17 @@ object Bench {
     val total = results.map(_._2).sum
     // Regression guardrail (informational): compare against the checked-in
     // expectation snapshot (only meaningful at its own scale factor). A
-    // regression must exceed BOTH the relative factor and a small absolute
-    // slack — relative-only flags 0.2s->0.5s jitter, absolute-only exempts
-    // every sub-floor query from coverage (round-4 advice).
+    // regression must exceed the relative factor AND a small absolute
+    // slack AND an absolute floor — relative-only flags 0.2s->0.5s
+    // jitter, absolute-only exempts every sub-floor query from coverage
+    // (round-4 advice), and without the floor a sub-second query flags on
+    // scheduler noise alone (round-8 p18).
     val atExpectedSf = sfDir.endsWith("sf0.1")
     val regressions = if (atExpectedSf) results.collect {
       case (n, v) if BenchExpectations.secondsAtSf01.get(n).exists(e =>
         v > e * BenchExpectations.RegressionFactor &&
-          v > e + BenchExpectations.AbsSlackSec) =>
+          v > e + BenchExpectations.AbsSlackSec &&
+          v > BenchExpectations.MinFlagSec) =>
         val e = BenchExpectations.secondsAtSf01(n)
         s"""{"query":"$n","expected":$e,"measured":$v}"""
     } else Nil

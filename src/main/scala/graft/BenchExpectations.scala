@@ -31,6 +31,14 @@ object BenchExpectations {
     * flagging weather. */
   val AbsSlackSec = 0.5
 
+  /** No measurement below this ever flags, whatever its factor: sub-second
+    * queries sit at the scheduler-noise floor — a 0.3s query landing at
+    * 0.7s on a busy box is weather, not a plan regression (round 8's p18
+    * flag was exactly this). Queries whose EXPECTATION is sub-second stay
+    * covered — a real regression pushes the measurement past the floor
+    * (0.3s → 1.0s flags: 3.3x, +0.7s, and above the floor). */
+  val MinFlagSec = 0.75
+
   val secondsAtSf01: Map[String, Double] = Map(
     "a10_reconcile" -> 0.4294,
     "a11_percentiles" -> 0.8524,

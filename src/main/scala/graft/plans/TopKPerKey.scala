@@ -41,6 +41,13 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * column, a user id — call [[topKPerKeyAuto]], which measures the
   * cardinality and routes oversized inputs to the sort-based window
   * form, which spills where the heap cannot.
+  *
+  * The heap's bytes are ACCOUNTED: every retained row reserves its size
+  * against the task's execution-memory pool
+  * ([[org.apache.spark.graftbridge.TrackedTaskMemory]]), so co-scheduled
+  * spillable consumers are pressured to spill first, task metrics report
+  * the operator's true peak, and pool exhaustion fails the task with a
+  * clear message — never the executor with an untraceable heap OOM.
   */
 object TopKPerKey {
 
@@ -78,15 +85,26 @@ object TopKPerKey {
       if (partial) UnspecifiedDistribution :: Nil
       else ClusteredDistribution(keys) :: Nil
 
+    /** Estimated JVM overhead per retained row beyond its UnsafeRow bytes
+      * (HashMap entry / PriorityQueue slot / object headers). */
+    private val RowOverheadBytes = 64L
+
     override protected def doExecute(): RDD[InternalRow] = {
       val keyExprs = keys
       val sortOrder = order
       val limit = k
       val childOutput = child.output
+      val opLabel = s"TopKPerKey(k=$k, partial=$partial)"
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
         val ordering = GenerateOrdering.generate(sortOrder, childOutput)
+        // Every byte the heap map retains is accounted against the task's
+        // execution-memory pool (TrackedTaskMemory): spillable consumers
+        // see the pressure, task metrics report the peak, and exhaustion
+        // fails THIS task with a clear message instead of the executor
+        // with a heap OOM. None outside a task (driver-side test plans).
+        val mem = org.apache.spark.graftbridge.TrackedTaskMemory.forCurrentTask()
         // peek() = the WORST retained row (reverse ordering), so a full
         // heap admits a new row iff it beats the current worst.
         val worstFirst: java.util.Comparator[InternalRow] = ordering.reverse
@@ -98,13 +116,23 @@ object TopKPerKey {
           if (heap == null) {
             heap = new java.util.PriorityQueue[InternalRow](
               math.max(1, math.min(limit, 16)), worstFirst)
-            heaps.put(key.copy(), heap)
+            val keyCopy = key.copy()
+            mem.foreach(_.reserve(
+              keyCopy.getSizeInBytes + RowOverheadBytes, opLabel))
+            heaps.put(keyCopy, heap)
           }
           if (heap.size < limit) {
-            heap.offer(row.copy())
+            val copy = row.copy()
+            mem.foreach(_.reserve(copy.getSizeInBytes + RowOverheadBytes, opLabel))
+            heap.offer(copy)
           } else if (ordering.compare(row, heap.peek()) < 0) {
-            heap.poll()
-            heap.offer(row.copy())
+            val evicted = heap.poll().asInstanceOf[UnsafeRow]
+            val copy = row.copy()
+            mem.foreach { m =>
+              m.release(evicted.getSizeInBytes + RowOverheadBytes)
+              m.reserve(copy.getSizeInBytes + RowOverheadBytes, opLabel)
+            }
+            heap.offer(copy)
           }
         }
         import scala.jdk.CollectionConverters._

@@ -88,6 +88,34 @@ class TopKPerKeySpec extends SparkSpec {
     assert(a.length === 10000) // k=2 x 5000 groups, every group size 2
   }
 
+  test("heap bytes are accounted as execution memory (peakExecutionMemory > 0)") {
+    // The tracked consumer reserves every retained row against the task
+    // pool; Spark folds consumer usage into the task's peakExecutionMemory
+    // metric, so a nonzero peak on the top-k stages proves the operator's
+    // memory is visible to the memory manager (not silent JVM heap).
+    val peaks = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) peaks.accumulateAndGet(m.peakExecutionMemory, Math.max)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = (1L to 20000L).map(i => (i, s"g${i % 50}", i % 997))
+        .toDF("id", "g", "v").repartition(8)
+      val n = TopKPerKey.topKPerKey(df, Seq("g"),
+        Seq(desc("v"), col("id")), 20).count()
+      assert(n === 1000) // 50 groups x k=20
+      // listener bus is async — poll briefly for the metric to land
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (peaks.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(peaks.get() > 0,
+        "top-k tasks must report accounted execution memory")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ascending order and multi-column keys work") {
     val df = Seq(
       (1L, "a", "x", 5L), (2L, "a", "x", 3L), (3L, "a", "y", 9L),

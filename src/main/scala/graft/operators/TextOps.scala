@@ -601,6 +601,22 @@ object TextOps {
         tokens(col(textCol)).as("toks"))),
       "bsig", numFiles, path)
 
+  /** Incremental maintenance of a [[writeBandIndex]] index: append an
+    * arriving batch's band signatures once it clears screening, so the
+    * NEXT batch screens against a corpus that includes this one — the
+    * other half of the nightly loop ([[minhashNearDupsAgainstIndex]]
+    * reads; this writes). Appended files are not range-laid: bucket-range
+    * file pruning degrades gracefully (extra files scanned, correctness
+    * unaffected) until a periodic [[writeBandIndex]] compaction re-lays
+    * the table — the standard append-then-compact lifecycle of a
+    * sorted-layout table. Cost is O(|batch|): the standing index is
+    * never read or rewritten. */
+  def appendBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                      path: String): Unit =
+    minhashBands(docs.select(col(idCol).as("id"),
+        tokens(col(textCol)).as("toks")))
+      .write.mode("append").parquet(path)
+
   /** [[minhashNearDupsAgainst]] against a MATERIALIZED band-signature
     * index ([[writeBandIndex]]) instead of the live corpus: candidate
     * generation reads ONLY the skinny parquet index — the corpus text is

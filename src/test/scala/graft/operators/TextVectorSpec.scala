@@ -36,6 +36,31 @@ class TextVectorSpec extends SparkSpec {
     assert(pairs(0).getDouble(2) > 0.9)
   }
 
+  test("band index append: the next batch screens against the updated corpus") {
+    // Nightly loop: index(corpus) → screen batch1 → APPEND batch1's bands
+    // → screen batch2 against the updated index. Batch2's pairs must equal
+    // the live screen against (corpus + batch1) — including any pair that
+    // only exists because batch1 just entered the index.
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val corpus = t.documents.filter(col("doc_id") % 10 > 1)
+    val batch1 = t.documents.filter(col("doc_id") % 10 === 0)
+    val batch2 = t.documents.filter(col("doc_id") % 10 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-append").toString
+    TextOps.writeBandIndex(corpus, "doc_id", "text", idx)
+    TextOps.appendBandIndex(batch1, "doc_id", "text", idx)
+    val viaIndex = TextOps.minhashNearDupsAgainstIndex(batch2,
+        spark.read.parquet(idx), corpus.unionByName(batch1),
+        "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.GraftCache.release()
+    val live = TextOps.minhashNearDupsAgainst(batch2,
+        corpus.unionByName(batch1), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.GraftCache.release()
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex === live)
+  }
+
   test("simhash: identical distinct-token sets hash equal; order-invariant") {
     val out = Seq("alpha beta gamma", "gamma beta alpha beta", "totally different words")
       .toDF("text")

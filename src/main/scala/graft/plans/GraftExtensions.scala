@@ -39,5 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Rewrite HOF dot-product folds (aggregate∘zip_with) into the codegen'd
     // expression — see DotProductRewrite for the soundness argument.
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // Opt-in (spark.graft.topk.rewrite=true): rewrite discarded-rank
+    // row_number top-k windows into the native bounded-heap operator —
+    // see NativeTopKRewrite for the soundness + memory argument. The
+    // strategy below plans the node it (and the DataFrame API) produces.
+    ext.injectOptimizerRule(_ => NativeTopKRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerKey.TopKStrategy)
   }
 }

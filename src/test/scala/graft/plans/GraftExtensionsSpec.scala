@@ -62,4 +62,57 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prior.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("opt-in rewrite: discarded-rank row_number top-k becomes the heap operator") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val withExt = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import withExt.implicits._
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(desc("v"), col("id"))
+      val df = (1 to 500).map(i => (i.toLong, s"g${i % 7}", (i * 31 % 101).toLong))
+        .toDF("id", "g", "v")
+      // rank column discarded by the projection → rewrite fires when opted in
+      def topk = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("id", "g", "v")
+      def ids(d: org.apache.spark.sql.DataFrame) =
+        d.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+      withExt.conf.set(NativeTopKRewrite.ConfKey, "true")
+      val nodes = PlanNodes.allNodes(PlanNodes.finalPlan(topk))
+      assert(nodes.collect { case t: TopKPerKey.TopKPerKeyExec => t }
+        .map(_.partial).sorted === Seq(false, true),
+        "enabled rewrite must plan the partial+final heap pair")
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        "enabled rewrite must remove the Window")
+      val native = ids(topk)
+
+      withExt.conf.set(NativeTopKRewrite.ConfKey, "false")
+      val windowNodes = PlanNodes.allNodes(PlanNodes.finalPlan(topk))
+      assert(windowNodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        "disabled (default) must keep the window plan")
+      assert(native === ids(topk),
+        "both plans must select the identical rows under a total order")
+
+      // keeping the rank column blocks the rewrite even when enabled
+      withExt.conf.set(NativeTopKRewrite.ConfKey, "true")
+      val kept = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      assert(PlanNodes.allNodes(PlanNodes.finalPlan(kept)).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        "a query that READS the rank must keep the window")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }

@@ -307,6 +307,55 @@ object TextQueries {
         .orderBy("id_new", "id_idx")
     }),
 
+    // ----------------------------------------------------------------- pl8
+    // The nightly-ingest pipeline, end to end: a standing corpus with its
+    // band-signature index MATERIALIZED; an arriving batch flows through
+    // quality gate → in-batch exact dedup (keep-first by fingerprint) →
+    // near-dup screen against the STORED index → admission, and admitted
+    // documents' band signatures APPEND to the index (screen-then-admit).
+    // The funnel reports per-stage doc/token counts plus the final index
+    // row count (numBands × (corpus + admitted)), so the oracle verifies
+    // every gate, the screen's exact reject set, AND the index growth.
+    // The index is rebuilt (overwrite) per invocation — reruns are
+    // deterministic, two concurrent drivers cannot race (per-process dir).
+    "pl8_nightly_ingest" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val batch = t.documents.filter(col("doc_id") % IncrementalMod === 0)
+      val corpus = t.documents.filter(col("doc_id") % IncrementalMod =!= 0)
+      val idx = SinkQueries.sinkDir("pl8_band_index")
+      TextOps.writeBandIndex(corpus, "doc_id", "text", idx)
+      // Skinny persist: (doc_id, text, n_tokens, quality_ok) feeds four
+      // stage counters and the screen's new side — text is needed by the
+      // fingerprint and the screen, so it rides along (the batch is the
+      // SMALL side of the nightly shape; the corpus is never persisted).
+      val quality = GraftCache.persist(
+        TextOps.qualityMetrics(batch, "text")
+          .select(col("doc_id"), col("text"), col("n_tokens"), col("quality_ok")))
+      val pass = quality.filter(col("quality_ok"))
+      val withFp = pass.withColumn("fp", TextOps.fingerprint(col("text")))
+      val exact = GraftCache.persist(withFp.join(
+        withFp.groupBy("fp").agg(min("doc_id").as("doc_id")),
+        Seq("fp", "doc_id"), "left_semi"))
+      val flagged = TextOps.minhashNearDupsAgainstIndex(
+          exact.select("doc_id", "text"), s.read.parquet(idx), corpus,
+          "doc_id", "text", NearDupThreshold)
+        .select(col("id_new").as("doc_id")).distinct()
+      val admitted = GraftCache.persist(
+        exact.join(flagged, Seq("doc_id"), "left_anti"))
+      TextOps.appendBandIndex(admitted, "doc_id", "text", idx)
+      val idxRows = s.read.parquet(idx).count()
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("1_arrived", quality)
+        .unionByName(stage("2_quality", pass))
+        .unionByName(stage("3_exact_unique", exact))
+        .unionByName(stage("4_admitted", admitted))
+        .unionByName(s.range(1).select(lit("5_index_rows").as("stage"),
+          lit(idxRows).as("n_docs"), lit(null).cast("long").as("n_tokens")))
+        .orderBy("stage")
+    }),
+
     // ----------------------------------------------------------------- x34
     // Cross-document span dedup (CCNet/RefinedWeb paragraph dedup over
     // 8-token windows): spans occurring in ≥2 distinct documents are corpus
@@ -502,6 +551,63 @@ object TextQueries {
        |  FROM grams g JOIN bi USING (gh) JOIN heads USING (wh)
        |  GROUP BY 1)""".stripMargin
 
+  /** Replays the pl8 nightly-ingest funnel: quality gate (shared x2
+    * arithmetic), keep-first exact dedup, the indexed near-dup screen's
+    * reject set (shared band CTE builders — the index is a plan property,
+    * so the oracle replays the SCREEN, not the storage), and index growth
+    * as numBands × (corpus + admitted). */
+  private def nightlyIngestSql: String =
+    s"""WITH toked_all AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |batch AS (SELECT * FROM toked_all WHERE doc_id % $IncrementalMod = 0),
+       |corpus AS (SELECT * FROM toked_all WHERE doc_id % $IncrementalMod <> 0),
+       |m AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    ${punctRatioSql("text")} AS punct, ${stopRatioSql("toks")} AS stop
+       |  FROM batch),
+       |q AS (
+       |  SELECT b.doc_id, b.text, b.toks, m.n_tokens,
+       |    ${qualityOkSql("m.n_tokens", "m.punct", "m.stop")} AS ok
+       |  FROM batch b JOIN m USING (doc_id)),
+       |pass AS (SELECT * FROM q WHERE ok),
+       |fp AS (
+       |  SELECT *, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM pass),
+       |exact AS (
+       |  SELECT fp.* FROM fp
+       |  JOIN (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY 1) k
+       |    ON fp.f = k.f AND fp.doc_id = k.keeper),
+       |toked_new AS (SELECT doc_id AS id, toks FROM exact),
+       |toked_idx AS (SELECT doc_id AS id, toks FROM corpus),
+       |${minhashBandCtes("toked_new", "n")},
+       |${minhashBandCtes("toked_idx", "i")},
+       |cands AS (
+       |  SELECT DISTINCT n.id AS id_new, i.id AS id_idx
+       |  FROM banded_n n JOIN banded_i i
+       |    ON n.band = i.band AND n.bsig = i.bsig),
+       |flagged AS (
+       |  SELECT DISTINCT id_new FROM cands
+       |  JOIN toked_new ta ON cands.id_new = ta.id
+       |  JOIN toked_idx tb ON cands.id_idx = tb.id
+       |  WHERE round(len(list_distinct(list_intersect(ta.toks, tb.toks)))::DOUBLE
+       |        / nullif(len(list_distinct(ta.toks || tb.toks)), 0), 4)
+       |      >= $NearDupThreshold),
+       |admitted AS (
+       |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_new FROM flagged))
+       |SELECT stage, n_docs, n_tokens FROM (
+       |  SELECT '1_arrived' AS stage, count(*) AS n_docs,
+       |    CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM batch
+       |  UNION ALL SELECT '2_quality', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT) FROM pass
+       |  UNION ALL SELECT '3_exact_unique', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT) FROM exact
+       |  UNION ALL SELECT '4_admitted', count(*),
+       |    CAST(sum(n_tokens) AS BIGINT) FROM admitted
+       |  UNION ALL SELECT '5_index_rows',
+       |    ${TextOps.numBands} * ((SELECT count(*) FROM corpus)
+       |      + (SELECT count(*) FROM admitted)),
+       |    NULL
+       |) ORDER BY stage""".stripMargin
+
   private def incrementalNearDupSql: String =
     s"""WITH toked_new AS (
        |  SELECT doc_id AS id, $toksSql AS toks FROM documents
@@ -624,6 +730,7 @@ object TextQueries {
     // the oracle is the same replay (indexes are a plan property, not a
     // semantic one).
     "x41_indexed_screen" -> incrementalNearDupSql,
+    "pl8_nightly_ingest" -> nightlyIngestSql,
     "x28_dedup_clusters" -> dedupClustersSql,
     "x29_repetition_metrics" ->
       s"""WITH grams AS (

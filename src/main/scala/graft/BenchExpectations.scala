@@ -151,6 +151,8 @@ object BenchExpectations {
     "x41_indexed_screen" -> 2.6587,
     "x42_domain_mix_up" -> 1.0054,
     "x43_knn_native" -> 0.6855,
+    "x44_temperature_mix" -> 1.2021,
+    "x45_fuzzy_decontam" -> 2.0452,
     "x4_minhash_neardups" -> 1.1884,
     "x5_simhash" -> 1.4243,
     "x6_brute_topk" -> 0.2199,

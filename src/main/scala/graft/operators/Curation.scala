@@ -217,6 +217,17 @@ object Curation {
     val rates = stats.crossJoin(broadcast(total))
       .select(col(strataCol),
         (target / (col("__ssize") / col("__total"))).as("mix_rate"))
+    applyRatesWithRepetition(df, strataCol, idCol, rates, buckets)
+  }
+
+  /** Shared apply pass for uncapped per-stratum rates (`mix_rate` column
+    * in the |strata|-row `rates` frame): broadcast-join the rates onto
+    * the scan, give every row floor(rate) copies plus a hash-coin extra
+    * at frac(rate), and explode a `rep` index — expected multiplicity
+    * exactly `rate`, deterministic, no extra shuffle. */
+  private def applyRatesWithRepetition(df: DataFrame, strataCol: String,
+                                       idCol: String, rates: DataFrame,
+                                       buckets: Int): DataFrame =
     df.join(broadcast(rates), Seq(strataCol))
       .withColumn("__copies",
         floor(col("mix_rate")).cast("long") +
@@ -226,6 +237,41 @@ object Curation {
       .filter(col("__copies") > 0)
       .withColumn("rep", explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__copies")
+
+  /** Temperature-flattened mix — the multilingual α-sampling knob
+    * (exponentiated smoothing, as in multilingual-BERT / XLM-R data
+    * sampling: target share_i ∝ (actual share_i)^α): α = 1 keeps the
+    * corpus mix, α = 0 moves to uniform, α in between flattens — head
+    * strata downsample, tail strata upsample by deterministic row
+    * repetition ([[applyRatesWithRepetition]]'s floor + hash-coin form,
+    * same `rep`-indexed output as [[domainMixResampleUp]]). Unlike
+    * [[domainMixResample]]'s DECLARED targets, the targets here are
+    * derived from the measured distribution itself.
+    *
+    * Scale shape: one keyed agg to |strata| rows; the temperature
+    * normalization is an agg over that tiny frame (never the corpus);
+    * the |strata|-row rate table broadcasts back onto the scan. Weights
+    * and rates round to 6 decimals so an external engine replaying the
+    * same arithmetic (pow is correctly rounded only to 1 ulp across
+    * libms) agrees exactly — the suite's standard cross-engine float
+    * discipline. */
+  def temperatureResample(df: DataFrame, strataCol: String, idCol: String,
+                          sizeCol: String, alpha: Double,
+                          buckets: Int = 1000): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    require(buckets > 0)
+    requireAbsent(df, "mix_rate", "rep", "__ssize", "__total", "__w", "__wsum", "__copies")
+    val stats = df.groupBy(strataCol)
+      .agg(sum(col(sizeCol)).cast("double").as("__ssize"))
+    val total = df.agg(sum(col(sizeCol)).cast("double").as("__total"))
+    val weighted = stats.crossJoin(broadcast(total))
+      .select(col(strataCol), (col("__ssize") / col("__total")).as("__share"))
+      .withColumn("__w", round(pow(col("__share"), alpha), 6))
+    val wsum = weighted.agg(sum(col("__w")).as("__wsum"))
+    val rates = weighted.crossJoin(broadcast(wsum))
+      .select(col(strataCol),
+        round(col("__w") / col("__wsum") / col("__share"), 6).as("mix_rate"))
+    applyRatesWithRepetition(df, strataCol, idCol, rates, buckets)
   }
 
   /** Benchmark decontamination: flag training documents sharing at least

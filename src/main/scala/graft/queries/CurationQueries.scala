@@ -43,6 +43,10 @@ object CurationQueries {
   val UpTargetShares: Map[String, Double] = Map("de" -> 0.40, "en" -> 0.20)
   val UpDefaultShare = 0.15
 
+  /** Temperature for α-sampling (x44): 0.5 flattens the mix — en (~41%
+    * of tokens) downsamples, the ~14% languages upsample past rate 1. */
+  val MixAlpha = 0.5
+
   /** Quartile probes for perplexity-curriculum binning (x40). */
   val BinQuartiles: Seq[Double] = Seq(0.25, 0.5, 0.75)
 
@@ -125,6 +129,36 @@ object CurationQueries {
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
       val up = Curation.domainMixResampleUp(docs, "lang", "doc_id",
         "n_tokens", UpTargetShares, UpDefaultShare, SampleBuckets)
+      val kept = up.groupBy("lang")
+        .agg(count(lit(1)).as("n_rows_out"),
+          countDistinct("doc_id").as("n_docs_kept"),
+          sum("n_tokens").as("tokens_out"),
+          max("rep").as("max_rep"),
+          round(max("mix_rate"), 6).as("mix_rate"))
+      val totals = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_in"), sum("n_tokens").as("tokens_in"))
+      totals.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs_in"), col("tokens_in"),
+          coalesce(col("n_rows_out"), lit(0L)).as("n_rows_out"),
+          coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+          coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
+          col("max_rep"), col("mix_rate"))
+        .orderBy("lang")
+    }),
+
+    // ----------------------------------------------------------------- x44
+    // Temperature-flattened mix (multilingual α-sampling): targets derived
+    // from the measured distribution itself — share^α renormalized — so
+    // the head language downsamples and tail languages upsample by
+    // deterministic repetition. Same funnel shape as x42; the oracle
+    // replays the measured shares, the temperature weights, the derived
+    // rates, and the exact multiplicities.
+    "x44_temperature_mix" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val up = Curation.temperatureResample(docs, "lang", "doc_id",
+        "n_tokens", MixAlpha, SampleBuckets)
       val kept = up.groupBy("lang")
         .agg(count(lit(1)).as("n_rows_out"),
           countDistinct("doc_id").as("n_docs_kept"),
@@ -409,6 +443,47 @@ object CurationQueries {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Replays [[Curation.temperatureResample]]: measured shares →
+    * round-6 share^α weights → renormalized round-6 rates → the same
+    * copies arithmetic as [[domainMixUpSql]]. */
+  private def temperatureMixSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)),
+       |stats AS (SELECT lang, sum(n_tokens)::DOUBLE AS ssize FROM docs GROUP BY 1),
+       |total AS (SELECT sum(n_tokens)::DOUBLE AS t FROM docs),
+       |weighted AS (
+       |  SELECT lang, ssize / t AS share,
+       |    round(pow(ssize / t, $MixAlpha), 6) AS w
+       |  FROM stats, total),
+       |wsum AS (SELECT sum(w) AS ws FROM weighted),
+       |rates AS (
+       |  SELECT lang, round(w / ws / share, 6) AS mix_rate FROM weighted, wsum),
+       |copies AS (
+       |  SELECT d.lang, d.n_tokens, r.mix_rate,
+       |    CAST(floor(r.mix_rate) AS BIGINT) +
+       |      (CASE WHEN ${idh("d.doc_id")} % $SampleBuckets <
+       |         (r.mix_rate - floor(r.mix_rate)) * $SampleBuckets
+       |       THEN 1 ELSE 0 END) AS c
+       |  FROM docs d JOIN rates r USING (lang)),
+       |k AS (
+       |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_rows_out,
+       |    count(*) AS n_docs_kept,
+       |    CAST(sum(n_tokens * c) AS BIGINT) AS tokens_out,
+       |    max(c) - 1 AS max_rep,
+       |    round(max(mix_rate), 6) AS mix_rate
+       |  FROM copies WHERE c > 0 GROUP BY 1),
+       |tot AS (
+       |  SELECT lang, count(*) AS n_docs_in,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_in
+       |  FROM docs GROUP BY 1)
+       |SELECT tot.lang, n_docs_in, tokens_in,
+       |  coalesce(n_rows_out, 0) AS n_rows_out,
+       |  coalesce(n_docs_kept, 0) AS n_docs_kept,
+       |  coalesce(tokens_out, 0) AS tokens_out, max_rep, mix_rate
+       |FROM tot LEFT JOIN k USING (lang)
+       |ORDER BY lang""".stripMargin
+
   /** Replays [[Curation.percentileBins]] over the x32 bigram score:
     * quantile_cont thresholds (round 6), bin = count of thresholds
     * strictly below the score. */
@@ -517,6 +592,7 @@ object CurationQueries {
     "x19_stratified_sample" -> stratifiedSampleSql,
     "x37_domain_mix" -> domainMixSql,
     "x42_domain_mix_up" -> domainMixUpSql,
+    "x44_temperature_mix" -> temperatureMixSql,
     "x40_perplexity_bins" -> perplexityBinsSql,
     "x20_domain_cap" ->
       s"""WITH r AS (

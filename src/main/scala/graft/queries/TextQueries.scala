@@ -34,6 +34,11 @@ object TextQueries {
   val SpanMinDocs = 2
   val IncrementalMod = 10
 
+  /** Near-dup threshold for fuzzy train-vs-eval decontamination (x45) —
+    * deliberately lower than [[NearDupThreshold]]: a contamination audit
+    * flags looser matches than a dedup pass removes. */
+  val FuzzyDecontamThreshold = 0.5
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
     // Exact dedup by hash-groupBy: fingerprint → one shuffle → per-key
@@ -286,6 +291,27 @@ object TextQueries {
       TextOps.minhashNearDupsAgainst(newBatch, indexed, "doc_id", "text",
           NearDupThreshold)
         .orderBy("id_new", "id_idx")
+    }),
+
+    // ----------------------------------------------------------------- x45
+    // Fuzzy benchmark decontamination: training documents with a NEAR-DUP
+    // (not just exact-n-gram, as x21) match in the eval set, at the lower
+    // threshold contamination audits use — the GPT-3/Llama-style fuzzy
+    // dedup between train and eval. Reuses the incremental-screen engine
+    // with the small eval side broadcast; reported per flagged train doc
+    // (match count + max jaccard).
+    "x45_fuzzy_decontam" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val eval = t.documents.filter(col("doc_id") % IncrementalMod === 0)
+      val train = t.documents.filter(col("doc_id") % IncrementalMod =!= 0)
+      TextOps.minhashNearDupsAgainst(eval, train, "doc_id", "text",
+          FuzzyDecontamThreshold)
+        .groupBy("id_idx")
+        .agg(count(lit(1)).as("n_eval_matches"),
+          max("jaccard").as("max_jaccard"))
+        .select(col("id_idx").as("train_doc_id"),
+          col("n_eval_matches"), col("max_jaccard"))
+        .orderBy("train_doc_id")
     }),
 
     // ----------------------------------------------------------------- x41
@@ -608,6 +634,32 @@ object TextQueries {
        |    NULL
        |) ORDER BY stage""".stripMargin
 
+  /** Replays x45: the x39 screen arithmetic at the fuzzy threshold,
+    * aggregated per flagged TRAIN document. */
+  private def fuzzyDecontamSql: String =
+    s"""WITH toked_new AS (
+       |  SELECT doc_id AS id, $toksSql AS toks FROM documents
+       |  WHERE doc_id % $IncrementalMod = 0),
+       |toked_idx AS (
+       |  SELECT doc_id AS id, $toksSql AS toks FROM documents
+       |  WHERE doc_id % $IncrementalMod <> 0),
+       |${minhashBandCtes("toked_new", "n")},
+       |${minhashBandCtes("toked_idx", "i")},
+       |pairs AS (
+       |  SELECT DISTINCT n.id AS id_new, i.id AS id_idx
+       |  FROM banded_n n JOIN banded_i i
+       |    ON n.band = i.band AND n.bsig = i.bsig),
+       |jac AS (
+       |  SELECT id_new, id_idx,
+       |    round(len(list_distinct(list_intersect(ta.toks, tb.toks)))::DOUBLE
+       |          / nullif(len(list_distinct(ta.toks || tb.toks)), 0), 4) AS jaccard
+       |  FROM pairs JOIN toked_new ta ON pairs.id_new = ta.id
+       |             JOIN toked_idx tb ON pairs.id_idx = tb.id)
+       |SELECT id_idx AS train_doc_id, count(*) AS n_eval_matches,
+       |  max(jaccard) AS max_jaccard
+       |FROM jac WHERE jaccard >= $FuzzyDecontamThreshold
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def incrementalNearDupSql: String =
     s"""WITH toked_new AS (
        |  SELECT doc_id AS id, $toksSql AS toks FROM documents
@@ -731,6 +783,7 @@ object TextQueries {
     // semantic one).
     "x41_indexed_screen" -> incrementalNearDupSql,
     "pl8_nightly_ingest" -> nightlyIngestSql,
+    "x45_fuzzy_decontam" -> fuzzyDecontamSql,
     "x28_dedup_clusters" -> dedupClustersSql,
     "x29_repetition_metrics" ->
       s"""WITH grams AS (

@@ -91,6 +91,46 @@ class CurationSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("temperatureResample: alpha=1 keeps the mix, alpha=0 targets uniform") {
+    // stratum a: 3/4 of mass, b: 1/4. alpha=1 → every rate 1.0 (identity,
+    // all rows once). alpha=0 → uniform targets (1/2, 1/2): a rate 2/3,
+    // b rate 2.0 (every b row exactly twice).
+    val rows = (1L to 30L).map(i => (i, "a", 10L)) ++
+      (31L to 40L).map(i => (i, "b", 10L))
+    val df = rows.toDF("id", "s", "n")
+    val identity = Curation.temperatureResample(df, "s", "id", "n", 1.0)
+    assert(identity.count() === 40)
+    assert(identity.select("mix_rate").distinct()
+      .collect().map(_.getDouble(0)).toSeq === Seq(1.0))
+    val uniform = Curation.temperatureResample(df, "s", "id", "n", 0.0)
+    val byStratum = uniform.groupBy("s", "id").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = byStratum.filter(_._1 == "b")
+    assert(b.length === 10 && b.forall(_._3 === 2L),
+      "alpha=0 must double the quarter-mass stratum toward uniform")
+    val aKept = byStratum.filter(_._1 == "a")
+    assert(aKept.forall(_._3 === 1L))
+    // a keeps a 2/3 hash-coin share
+    val expectA = df.filter($"s" === "a")
+      .filter(Curation.hashBucket($"id", 1000) < lit(2.0 / 3).cast("double") * 1000)
+      .count()
+    assert(aKept.length.toLong === expectA)
+  }
+
+  test("temperatureResample flattens monotonically: tail share grows as alpha falls") {
+    val rows = (1L to 300L).map(i => (i, if (i <= 240) "head" else "tail", 1L))
+    val df = rows.toDF("id", "s", "n")
+    def tailShare(alpha: Double): Double = {
+      val out = Curation.temperatureResample(df, "s", "id", "n", alpha)
+        .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out("tail").toDouble / (out("head") + out("tail"))
+    }
+    val shares = Seq(1.0, 0.7, 0.3, 0.0).map(tailShare)
+    assert(shares.zip(shares.tail).forall { case (lo, hi) => lo <= hi },
+      s"tail share must grow as alpha falls: $shares")
+    assert(math.abs(shares.last - 0.5) < 0.05, s"alpha=0 ~ uniform: $shares")
+  }
+
   // -------------------------------------------------------- percentile bins
 
   test("percentileBins assigns count-of-thresholds-below with exact quartiles") {

@@ -163,4 +163,39 @@ object Aggregations {
         .select(lit(c).as("column"), col("n_rows"), col("n_nonnull"),
           col("n_distinct"), col("min_value"), col("max_value"))
     }.reduce(_ unionByName _)
+
+  /** The Misra–Gries sketch of a string column as a Column (map<item,
+    * undercount>, ≤ capacity entries regardless of column cardinality). */
+  def misraGries(item: Column, capacity: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.MisraGriesSketch(
+      ColumnBridge.expression(item), capacity).toAggregateExpression())
+  }
+
+  /** EXACT heavy hitters with bounded memory — items occurring
+    * > n/(capacity+1) times — via the classic two-pass sketch-then-verify
+    * shape: pass 1 folds the column through the [[misraGries]] native
+    * aggregate (≤ capacity counters per partition, merged map-side; the
+    * full-cardinality `groupBy` that a naive top-k needs — the whole
+    * vocabulary through a shuffle — never happens); pass 2 takes the
+    * ≤ capacity candidates (a GUARANTEED superset of the true heavy
+    * hitters — the sketch has no false negatives), broadcasts them back
+    * onto the scan, and counts exactly. The final integer-arithmetic
+    * filter `count × (capacity+1) > n` makes the output the exact,
+    * deterministic heavy-hitter set — the sketch's approximation affects
+    * only which non-hitters get needlessly verified, never the answer.
+    * Returns (itemCol, n_occurrences), nulls ignored. */
+  def heavyHitters(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0)
+    val sketch = graft.GraftCache.persist(df.agg(
+      misraGries(col(itemCol), capacity).as("__mg"),
+      count(col(itemCol)).as("__n")))
+    val cands = sketch.select(explode(map_keys(col("__mg"))).as(itemCol))
+    df.join(broadcast(cands), Seq(itemCol))
+      .groupBy(itemCol)
+      .agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(sketch.select(col("__n"))))
+      .filter(col("n_occurrences") * (capacity + 1) > col("__n"))
+      .select(col(itemCol), col("n_occurrences"))
+  }
 }

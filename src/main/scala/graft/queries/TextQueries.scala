@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftCache
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Aggregations, Dedup, TextOps}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the text-analysis / dedup suite (engine
@@ -38,6 +38,11 @@ object TextQueries {
     * deliberately lower than [[NearDupThreshold]]: a contamination audit
     * flags looser matches than a dedup pass removes. */
   val FuzzyDecontamThreshold = 0.5
+
+  /** Misra–Gries capacity for heavy-hitter tokens (x46): threshold
+    * n/(capacity+1) ≈ 2.4% of token occurrences — ~30 corpus-dominant
+    * tokens at every SF of the testdata. */
+  val HHCapacity = 40
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
@@ -291,6 +296,21 @@ object TextQueries {
       TextOps.minhashNearDupsAgainst(newBatch, indexed, "doc_id", "text",
           NearDupThreshold)
         .orderBy("id_new", "id_idx")
+    }),
+
+    // ----------------------------------------------------------------- x46
+    // Exact heavy-hitter tokens with bounded memory: Misra-Gries native
+    // aggregate (<= capacity counters per partition, no vocabulary-wide
+    // shuffle) -> guaranteed-superset candidates broadcast back -> exact
+    // counts -> integer threshold. The oracle is the ground truth the
+    // two-pass form provably equals: GROUP BY token HAVING
+    // count*(capacity+1) > n.
+    "x46_heavy_tokens" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents.select(
+        explode(TextOps.tokens(col("text"))).as("token"))
+      Aggregations.heavyHitters(toks, "token", HHCapacity)
+        .orderBy("token")
     }),
 
     // ----------------------------------------------------------------- x45
@@ -784,6 +804,13 @@ object TextQueries {
     "x41_indexed_screen" -> incrementalNearDupSql,
     "pl8_nightly_ingest" -> nightlyIngestSql,
     "x45_fuzzy_decontam" -> fuzzyDecontamSql,
+    "x46_heavy_tokens" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM t)
+         |SELECT token, count(*) AS n_occurrences
+         |FROM t GROUP BY 1
+         |HAVING count(*) * ($HHCapacity + 1) > (SELECT n FROM tot)
+         |ORDER BY token""".stripMargin,
     "x28_dedup_clusters" -> dedupClustersSql,
     "x29_repetition_metrics" ->
       s"""WITH grams AS (

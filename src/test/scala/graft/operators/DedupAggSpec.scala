@@ -203,4 +203,39 @@ class DedupAggSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: heavyHitters equals the exact groupBy + threshold on random streams") {
+    // The sketch has no false negatives, so sketch -> exact-verify must
+    // reproduce the ground truth exactly — for skewed and uniform streams,
+    // across partitions (exercising partial-buffer merge + serialization).
+    val gen = for {
+      n <- Gen.chooseNum(50, 400)
+      skew <- Gen.oneOf(2, 6, 20) // item universe size: heavy to flat
+      items <- Gen.listOfN(n, Gen.chooseNum(0, skew).map(i => s"w$i"))
+      cap <- Gen.oneOf(2, 3, 5)
+    } yield (items, cap)
+    val prop = Prop.forAll(gen) { case (items, cap) =>
+      val df = items.toDF("item").repartition(5)
+      val got = Aggregations.heavyHitters(df, "item", cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = items.size
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter { case (_, c) => c * (cap + 1) > n }
+      got == truth
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("misraGries sketch is bounded at capacity and never misses a heavy hitter") {
+    // 1000 distinct items + one dominant item, capacity 10: the summary
+    // must hold <= 10 entries and MUST contain the dominant item.
+    val rows = (1 to 1000).map(i => s"rare$i") ++ Seq.fill(300)("dominant")
+    val df = scala.util.Random.shuffle(rows).toDF("item").repartition(7)
+    val m = df.agg(Aggregations.misraGries(col("item"), 10).as("mg"))
+      .head.getAs[Map[String, Long]]("mg")
+    assert(m.size <= 10, s"summary exceeded capacity: ${m.size}")
+    assert(m.contains("dominant"),
+      "an item with freq > n/(capacity+1) must survive the sketch")
+  }
 }

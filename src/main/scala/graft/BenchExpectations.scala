@@ -87,6 +87,7 @@ object BenchExpectations {
     "pl6_events_pipeline" -> 1.6002,
     "pl7_corpus_report" -> 1.3601,
     "pl8_nightly_ingest" -> 6.1477,
+    "pl9_export_shards" -> 2.0909,
     "s10_tree_paths" -> 0.9913,
     "s11_dryrun" -> 0.2328,
     "s12_orc_scan" -> 0.922,

@@ -146,6 +146,37 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // ----------------------------------------------------------------- pl9
+    // Training-shard export — the terminal stage of the curation story:
+    // quality-pass documents are packed into token-budget bins in shard
+    // hash order (x23/x24's arithmetic) and EXPORTED as a shard-partitioned
+    // parquet layout (one directory per shard, rows sorted by (bin,
+    // doc_id) so a trainer streams each shard's bins in order). The
+    // report reads BACK through the partitioned scan — proving the export
+    // round-trips losslessly — and the oracle replays gate + shard + pack
+    // arithmetic per shard (docs, bins, tokens), so a wrong partition
+    // column, a dropped row, or a mis-binned document all hash-mismatch.
+    "pl9_export_shards" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = TextOps.qualityMetrics(t.documents, "text")
+        .filter(col("quality_ok")).select("doc_id", "n_tokens")
+      val packed = Curation.packSequences(docs, "doc_id", "n_tokens",
+        PackBudget, PackShards)
+      val out = SinkQueries.sinkDir("pl9_shards")
+      packed.repartition(col("shard"))
+        .sortWithinPartitions("shard", "bin", "doc_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("bin").as("n_bins"),
+          sum("n_tokens").as("shard_tokens"),
+          max("bin").as("max_bin"))
+        .select(col("shard").cast("int").as("shard"), col("n_docs"),
+          col("n_bins"), col("shard_tokens"), col("max_bin"))
+        .orderBy("shard")
+    }),
+
     // ----------------------------------------------------------------- x44
     // Temperature-flattened mix (multilingual α-sampling): targets derived
     // from the measured distribution itself — share^α renormalized — so
@@ -484,6 +515,33 @@ object CurationQueries {
        |FROM tot LEFT JOIN k USING (lang)
        |ORDER BY lang""".stripMargin
 
+  /** Replays pl9: quality gate (shared x2 arithmetic) → shard hash →
+    * prefix-sum-DIV-budget bin → per-shard export report. Storage layout
+    * is a plan property; the oracle replays the DATA the export must
+    * round-trip. */
+  private def exportShardsSql: String =
+    s"""WITH toked AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    ${TextQueries.punctRatioSql("text")} AS punct,
+       |    ${TextQueries.stopRatioSql("toks")} AS stop
+       |  FROM toked),
+       |pass AS (
+       |  SELECT doc_id, n_tokens FROM m
+       |  WHERE ${TextQueries.qualityOkSql("n_tokens", "punct", "stop")}),
+       |packed AS (
+       |  SELECT CAST(${idh("doc_id")} % $PackShards AS INT) AS shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY ${idh("doc_id")} % $PackShards
+       |      ORDER BY ${idh("doc_id")}, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM pass),
+       |b AS (
+       |  SELECT shard, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS bin,
+       |    n_tokens
+       |  FROM packed)
+       |SELECT shard, count(*) AS n_docs, count(DISTINCT bin) AS n_bins,
+       |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens, max(bin) AS max_bin
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Replays [[Curation.percentileBins]] over the x32 bigram score:
     * quantile_cont thresholds (round 6), bin = count of thresholds
     * strictly below the score. */
@@ -593,6 +651,7 @@ object CurationQueries {
     "x37_domain_mix" -> domainMixSql,
     "x42_domain_mix_up" -> domainMixUpSql,
     "x44_temperature_mix" -> temperatureMixSql,
+    "pl9_export_shards" -> exportShardsSql,
     "x40_perplexity_bins" -> perplexityBinsSql,
     "x20_domain_cap" ->
       s"""WITH r AS (

@@ -109,6 +109,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(PlanNodes.allNodes(PlanNodes.finalPlan(kept)).exists(
         _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
         "a query that READS the rank must keep the window")
+
+      // the other matched predicate shapes: rn === 1 and rn < k
+      def heapPlanned(d: org.apache.spark.sql.DataFrame): Boolean =
+        PlanNodes.allNodes(PlanNodes.finalPlan(d)).exists(
+          _.isInstanceOf[TopKPerKey.TopKPerKeyExec])
+      val top1 = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("id", "g")
+      assert(heapPlanned(top1), "rn === 1 must rewrite (k = 1)")
+      val strict = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") < 4).select("id", "g")
+      assert(heapPlanned(strict), "rn < k must rewrite (k - 1)")
+      assert(ids(strict) === ids(topk), "rn < 4 selects the same rows as rn <= 3")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

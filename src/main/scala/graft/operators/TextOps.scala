@@ -191,6 +191,21 @@ object TextOps {
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]],
+    * codegen'd): canonical composition so byte-level keys agree across
+    * composed/decomposed encodings of the same text. */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.NfcNormalize(ColumnBridge.expression(text)))
+  }
+
+  /** [[fingerprint]] over NFC-normalized text — the dedup key a
+    * multilingual corpus needs: "café" with a precomposed é and with a
+    * combining acute are byte-different inputs but ONE document. Use this
+    * (not the raw [[fingerprint]]) wherever sources mix encoders (web
+    * crawls, OCR, user uploads). */
+  def fingerprintNfc(text: Column): Column = fingerprint(nfcNormalize(text))
+
   /** Whole-table per-document word counts via explode → codegen'd sums:
     * emits (idCol, extraCols..., n_tokens, cnt_<word>...). The scale form of
     * [[tokenMatches]] — each token is examined once total instead of once

@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RollingHash(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize takes exactly 1 argument")
+        graft.functions.NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("md5_hash60"),
       new ExpressionInfo(classOf[Md5Hash60].getName, "md5_hash60"),
       (children: Seq[Expression]) => {

@@ -298,6 +298,28 @@ object TextQueries {
         .orderBy("id_new", "id_idx")
     }),
 
+    // ----------------------------------------------------------------- x47
+    // Unicode-variant dedup: every document appears twice, once suffixed
+    // with a PRECOMPOSED accent (U+00E9) and once with the combining-mark
+    // decomposition (e + U+0301) — byte-different, canonically identical.
+    // The raw fingerprint keeps both variants of every text; the
+    // NFC-normalized fingerprint collapses each pair. The oracle replays
+    // the construction with chr() code points and DuckDB's nfc_normalize
+    // (same Unicode algorithm as java.text.Normalizer).
+    "x47_unicode_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val composed = t.documents.select(
+        concat(col("text"), lit(" caf\u00e9")).as("text"))
+      val decomposed = t.documents.select(
+        concat(col("text"), lit(" cafe\u0301")).as("text"))
+      composed.unionByName(decomposed)
+        .select(TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.fingerprintNfc(col("text")).as("nfp"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("fp").as("n_raw_fp"),
+          countDistinct("nfp").as("n_nfc_fp"))
+    }),
+
     // ----------------------------------------------------------------- x46
     // Exact heavy-hitter tokens with bounded memory: Misra-Gries native
     // aggregate (<= capacity counters per partition, no vocabulary-wide
@@ -804,6 +826,17 @@ object TextQueries {
     "x41_indexed_screen" -> incrementalNearDupSql,
     "pl8_nightly_ingest" -> nightlyIngestSql,
     "x45_fuzzy_decontam" -> fuzzyDecontamSql,
+    "x47_unicode_dedup" ->
+      """WITH v AS (
+        |  SELECT text || ' caf' || chr(233) AS text FROM documents
+        |  UNION ALL
+        |  SELECT text || ' cafe' || chr(769) AS text FROM documents)
+        |SELECT count(*) AS n_rows,
+        |  count(DISTINCT sha256(regexp_replace(lower(trim(text)),
+        |    '\s+', ' ', 'g'))) AS n_raw_fp,
+        |  count(DISTINCT sha256(regexp_replace(lower(trim(nfc_normalize(text))),
+        |    '\s+', ' ', 'g'))) AS n_nfc_fp
+        |FROM v""".stripMargin,
     "x46_heavy_tokens" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
          |tot AS (SELECT count(*) AS n FROM t)

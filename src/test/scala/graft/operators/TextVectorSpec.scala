@@ -138,6 +138,33 @@ class TextVectorSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60)))
   }
 
+  test("nfcNormalize composes combining marks; fingerprintNfc collapses encodings") {
+    val df = Seq(
+      (1L, "caf\u00e9"),   // precomposed U+00E9
+      (2L, "cafe\u0301"),       // e + combining acute U+0301
+      (3L, "plain ascii")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextOps.nfcNormalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === out(2L), "NFC must compose the combining-mark form")
+    assert(out(3L) === "plain ascii", "ASCII is already NFC (identity)")
+    // idempotence: normalizing a normalized string is the identity
+    val twice = df.select(
+      TextOps.nfcNormalize(TextOps.nfcNormalize(col("text"))).as("a"),
+      TextOps.nfcNormalize(col("text")).as("b"))
+      .collect()
+    assert(twice.forall(r => r.getString(0) == r.getString(1)))
+    // the raw fingerprint keeps the variants apart; the NFC one merges them
+    val fps = df.filter($"id" <= 2).select(
+      TextOps.fingerprint(col("text")).as("raw"),
+      TextOps.fingerprintNfc(col("text")).as("nfc")).collect()
+    assert(fps.map(_.getString(0)).distinct.length === 2)
+    assert(fps.map(_.getString(1)).distinct.length === 1)
+    // null propagates
+    assert(Seq((1L, null: String)).toDF("id", "text")
+      .select(TextOps.nfcNormalize(col("text"))).head.isNullAt(0))
+  }
+
   test("fingerprint collapses whitespace and case, distinguishes content") {
     val out = Seq("Hello   World", "hello world", "hello  worlds")
       .toDF("t").select(TextOps.fingerprint($"t")).collect().map(_.getString(0))

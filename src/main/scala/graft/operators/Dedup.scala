@@ -214,4 +214,55 @@ object Dedup {
     verts.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
+
+  /** Incremental [[connectedComponents]] maintenance — the nightly-batch
+    * form: given the standing corpus's (id, component) labels and ONLY
+    * the edges an arriving batch introduced (batch↔corpus pairs from the
+    * incremental screen plus batch-internal pairs), produce labels for
+    * corpus ∪ batch WITHOUT re-running CC over the corpus graph.
+    *
+    * Sound because adding edges can only MERGE components: every new
+    * edge links two existing components (an endpoint absent from
+    * `labels` is its own singleton), so connected components over the
+    * COMPONENT graph — one node per touched component label, one edge
+    * per new cross-component pair — decide every merge, and untouched
+    * components keep their labels. That component graph is BATCH-sized:
+    * the iterative CC loop runs over ≤ 2·|newEdges| rows, and the
+    * corpus frame is touched exactly once, by a broadcast remap of the
+    * ≤ 2·|newEdges|-row merge table. Labels stay canonical
+    * (component = min reachable id): the merged label is the min over
+    * the merged components' old labels, each itself a min.
+    * ScalaCheck pins equivalence to full recomputation.
+    *
+    * `labels` must be (id, component) as produced by
+    * [[connectedComponents]]/[[connectedComponentsStar]] over the OLD
+    * edge set; returns the same shape covering
+    * nodes(labels) ∪ nodes(newEdges). Persists via [[graft.GraftCache]];
+    * caller releases. */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+                            srcCol: String, dstCol: String): DataFrame = {
+    val lab = labels.select(col("id"), col("component"))
+    val e = graft.GraftCache.persist(
+      newEdges.select(col(srcCol).as("s"), col(dstCol).as("d")))
+    // endpoint -> its current component (own id when unlabeled)
+    val endLabels = graft.GraftCache.persist(
+      e.select(col("s").as("id")).union(e.select(col("d").as("id"))).distinct()
+        .join(lab, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("comp")))
+    val compEdges = e
+      .join(endLabels.select(col("id").as("s"), col("comp").as("cs")), Seq("s"))
+      .join(endLabels.select(col("id").as("d"), col("comp").as("cd")), Seq("d"))
+      .select(col("cs"), col("cd"))
+      .filter(col("cs") =!= col("cd")).distinct()
+    // CC over the tiny component graph: old label -> merged label
+    val merges = connectedComponents(compEdges, "cs", "cd")
+      .select(col("id").as("__old"), col("component").as("__new"))
+    // new singletons (batch endpoints the corpus labels do not cover)
+    val newbies = endLabels.join(lab.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    val all = lab.unionByName(newbies)
+    all.join(broadcast(merges), all("component") === col("__old"), "left")
+      .select(all("id"),
+        coalesce(col("__new"), all("component")).as("component"))
+  }
 }

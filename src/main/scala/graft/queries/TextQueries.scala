@@ -298,6 +298,39 @@ object TextQueries {
         .orderBy("id_new", "id_idx")
     }),
 
+    // ----------------------------------------------------------------- x48
+    // Incremental cluster maintenance — the clustering half of the nightly
+    // loop: the corpus's dedup clusters stand (CC over corpus pairs); the
+    // arriving batch contributes only its screen pairs (batch↔corpus +
+    // batch-internal), and incrementalComponents merges along the
+    // component graph — the CC loop runs over batch-sized frames, the
+    // corpus labels are remapped by one broadcast. The oracle is FULL
+    // clustering of the whole table (per-doc signatures are subset-
+    // independent, so corpus∪cross∪batch pairs = all pairs), proving the
+    // incremental path lands exactly where a from-scratch rerun would.
+    "x48_incremental_clusters" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val batch = t.documents.filter(col("doc_id") % IncrementalMod === 0)
+      val corpus = t.documents.filter(col("doc_id") % IncrementalMod =!= 0)
+      val corpusPairs = TextOps.minhashNearDups(corpus, "doc_id", "text",
+        NearDupThreshold)
+      val labels = Dedup.connectedComponents(corpusPairs, "id_a", "id_b")
+      val crossPairs = TextOps.minhashNearDupsAgainst(batch, corpus,
+          "doc_id", "text", NearDupThreshold)
+        .select(col("id_new").as("id_a"), col("id_idx").as("id_b"))
+      val batchPairs = TextOps.minhashNearDups(batch, "doc_id", "text",
+          NearDupThreshold)
+        .select("id_a", "id_b")
+      val updated = Dedup.incrementalComponents(labels,
+        crossPairs.unionByName(batchPairs), "id_a", "id_b")
+      t.documents.select("doc_id")
+        .join(updated.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("is_canonical", col("doc_id") === col("component"))
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------------------- x47
     // Unicode-variant dedup: every document appears twice, once suffixed
     // with a PRECOMPOSED accent (U+00E9) and once with the combining-mark
@@ -738,6 +771,26 @@ object TextQueries {
     * is the component, exactly [[graft.operators.Dedup.connectedComponents]]'s
     * fixpoint. The edge set replays the x4 minhash pipeline via the shared
     * [[minhashPairCtes]] builder. */
+  /** Replays x48 as FULL from-scratch clustering over every document
+    * (the incremental path must land exactly here), singletons filled
+    * with their own id. */
+  private def incrementalClustersSql: String =
+    s"""WITH RECURSIVE toked AS (
+       |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
+       |${minhashPairCtes("toked")},
+       |e AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $NearDupThreshold),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM e
+       |        UNION SELECT id_b AS s, id_a AS d FROM e),
+       |reach AS (
+       |  SELECT s AS id, s AS label FROM sym
+       |  UNION
+       |  SELECT sym.d AS id, r.label FROM reach r JOIN sym ON sym.s = r.id),
+       |cc AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component,
+       |  (d.doc_id = coalesce(cc.component, d.doc_id)) AS is_canonical
+       |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+       |ORDER BY d.doc_id""".stripMargin
+
   private def dedupClustersSql: String =
     s"""WITH RECURSIVE toked AS (
        |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
@@ -845,6 +898,7 @@ object TextQueries {
          |HAVING count(*) * ($HHCapacity + 1) > (SELECT n FROM tot)
          |ORDER BY token""".stripMargin,
     "x28_dedup_clusters" -> dedupClustersSql,
+    "x48_incremental_clusters" -> incrementalClustersSql,
     "x29_repetition_metrics" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []

@@ -204,6 +204,28 @@ class DedupAggSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: incrementalComponents equals full CC recomputation") {
+    // labels = CC(E1); incremental(labels, E2) must equal CC(E1 ∪ E2) on
+    // nodes(E1) ∪ nodes(E2) — merges ripple transitively through the
+    // component graph, never just pairwise.
+    val edgeGen = Gen.chooseNum(1, 12).flatMap(m =>
+      Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 14L))))
+    val prop = Prop.forAll(Gen.zip(edgeGen, edgeGen)) { case (e1, e2) =>
+      val d1 = e1.toDF("id_a", "id_b")
+      val d2 = e2.toDF("id_a", "id_b")
+      val labels = Dedup.connectedComponents(d1, "id_a", "id_b")
+      val inc = Dedup.incrementalComponents(labels, d2, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.connectedComponents(
+          d1.unionByName(d2), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.GraftCache.release()
+      inc == full
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: heavyHitters equals the exact groupBy + threshold on random streams") {
     // The sketch has no false negatives, so sketch -> exact-verify must
     // reproduce the ground truth exactly — for skewed and uniform streams,

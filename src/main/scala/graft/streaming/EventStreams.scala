@@ -269,6 +269,62 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming cluster maintenance — the COMPLETE nightly dedup loop as a
+    * stream: each arriving micro-batch (1) screens against the
+    * MATERIALIZED band index ([[graft.operators.TextOps.writeBandIndex]])
+    * for cross near-dups and against itself for internal ones, (2) merges
+    * the discovered edges into the standing cluster labels via
+    * [[graft.operators.Dedup.incrementalComponents]] — the CC loop only
+    * ever sees batch-sized component graphs — and (3) ADMITS the batch's
+    * band signatures to the index, so later batches pair against earlier
+    * arrivals too. Labels are written as VERSIONED snapshots
+    * (`labelsDir/v<n>`, seeded by the caller at v0): readers pin a
+    * version and never see a half-written table, and a replayed batch
+    * simply re-merges the same edges — component merging is idempotent,
+    * so restart/replay lands on the identical labels. `allDocs` must
+    * cover corpus ∪ every possible arrival (only candidate ids are ever
+    * fetched from it, behind the screen's semi-join). Local-FS versioning
+    * here; production swaps the snapshot directory for a table format
+    * with the same pin-a-version contract. */
+  def maintainClusters(
+      arrivals: DataFrame,
+      allDocs: DataFrame,
+      threshold: Double,
+      checkpointDir: String,
+      indexDir: String,
+      labelsDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cross = graft.operators.TextOps
+          .minhashNearDupsAgainstIndex(batch, spark.read.parquet(indexDir),
+            allDocs, "doc_id", "text", threshold)
+          .select(col("id_new").as("id_a"), col("id_idx").as("id_b"))
+        val internal = graft.operators.TextOps
+          .minhashNearDups(batch, "doc_id", "text", threshold)
+          .select("id_a", "id_b")
+        val labels = spark.read.parquet(latestLabelVersion(labelsDir))
+        graft.operators.Dedup
+          .incrementalComponents(labels, cross.unionByName(internal),
+            "id_a", "id_b")
+          .write.mode("overwrite").parquet(s"$labelsDir/v${batchId + 1}")
+        graft.operators.TextOps
+          .appendBandIndex(batch, "doc_id", "text", indexDir)
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+
+  /** Highest-numbered `v<n>` snapshot under `labelsDir`. */
+  def latestLabelVersion(labelsDir: String): String = {
+    val versions = Option(new java.io.File(labelsDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    require(versions.nonEmpty, s"no label snapshots under $labelsDir (seed v0 first)")
+    versions.maxBy(_.getName.drop(1).toLong).getAbsolutePath
+  }
+
   /** The reference's batched micro-sink as a streaming sink (SURVEY.md §2.9:
     * S8 ↔ `foreachBatch`): every micro-batch is deduplicated, shaped into
     * documents, and delivered through the batched document transport with

@@ -238,6 +238,54 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming cluster maintenance converges to full from-scratch clustering") {
+    // The complete nightly loop as a stream: corpus index + labels seeded,
+    // two arrival micro-batches screened/merged/admitted in sequence. The
+    // final label snapshot must equal CC over ALL pairs of the whole
+    // table — including pairs between the two batches, which only exist
+    // because batch 1 was admitted to the index before batch 2 screened.
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)
+    val arrivals = t.documents.filter(col("doc_id") % 10 === 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-mc-idx").toString
+    val labelsDir = java.nio.file.Files.createTempDirectory("graft-mc-labels").toString
+    graft.operators.TextOps.writeBandIndex(corpus, "doc_id", "text", idxDir)
+    graft.operators.Dedup.connectedComponents(
+        graft.operators.TextOps.minhashNearDups(corpus, "doc_id", "text", 0.5),
+        "id_a", "id_b")
+      .write.mode("overwrite").parquet(s"$labelsDir/v0")
+    graft.GraftCache.release()
+    val arrivalsDir = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-mc-split")
+      arrivals.repartition(2).write.mode("overwrite").parquet(staging.toString)
+      val dir = java.nio.file.Files.createTempDirectory("graft-mc-stream")
+      new java.io.File(staging.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath, dir.resolve(s"arrivals_$i.parquet"))
+        }
+      dir.toString
+    }
+    val q = EventStreams.maintainClusters(
+      EventStreams.readDocuments(spark, arrivalsDir), t.documents, 0.5,
+      java.nio.file.Files.createTempDirectory("graft-mc-ckpt").toString,
+      idxDir, labelsDir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read
+      .parquet(EventStreams.latestLabelVersion(labelsDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.Dedup.connectedComponents(
+        graft.operators.TextOps.minhashNearDups(t.documents, "doc_id", "text", 0.5),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.GraftCache.release()
+    assert(streamed.nonEmpty)
+    // streamed covers nodes(corpus pairs) ∪ discovered-edge endpoints =
+    // exactly the ids full clustering labels (all pairs get discovered)
+    assert(streamed === full)
+  }
+
   test("watermark-bounded dedup passes distinct events within the horizon") {
     // testdata has unique event_ids, so within-horizon dedup must be the
     // identity here — the point is the operator wires up with bounded

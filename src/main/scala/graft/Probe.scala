@@ -111,6 +111,37 @@ object Probe {
         Seq(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), 5)
         .count()
     }
+
+    // Incremental vs full cluster maintenance (the x48 story), pairs
+    // PRECOMPUTED and pinned so only the clustering itself is timed: the
+    // from-scratch CC loop iterates over corpus-sized frames, the
+    // incremental merge over batch-sized ones.
+    {
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val corpusPairs = TextOps.minhashNearDups(corpus, "doc_id", "text", 0.8)
+        .select("id_a", "id_b").persist()
+      corpusPairs.count()
+      val newPairs = TextOps
+        .minhashNearDupsAgainst(batch, corpus, "doc_id", "text", 0.8)
+        .select(col("id_new").as("id_a"), col("id_idx").as("id_b")).persist()
+      newPairs.count()
+      graft.GraftCache.release()
+      val labels = graft.operators.Dedup
+        .connectedComponents(corpusPairs, "id_a", "id_b").persist()
+      labels.count()
+      graft.GraftCache.release()
+      timed("cluster labels: full CC rerun (corpus+batch pairs)") {
+        val n = graft.operators.Dedup.connectedComponents(
+          corpusPairs.unionByName(newPairs), "id_a", "id_b").count()
+        graft.GraftCache.release(); n
+      }
+      timed("cluster labels: incremental merge of batch pairs") {
+        val n = graft.operators.Dedup.incrementalComponents(
+          labels, newPairs, "id_a", "id_b").count()
+        graft.GraftCache.release(); n
+      }
+    }
     spark.stop()
   }
 }

@@ -249,20 +249,28 @@ object Dedup {
       e.select(col("s").as("id")).union(e.select(col("d").as("id"))).distinct()
         .join(lab, Seq("id"), "left")
         .select(col("id"), coalesce(col("component"), col("id")).as("comp")))
-    val compEdges = e
+    val compEdges = graft.GraftCache.persist(e
       .join(endLabels.select(col("id").as("s"), col("comp").as("cs")), Seq("s"))
       .join(endLabels.select(col("id").as("d"), col("comp").as("cd")), Seq("d"))
       .select(col("cs"), col("cd"))
-      .filter(col("cs") =!= col("cd")).distinct()
-    // CC over the tiny component graph: old label -> merged label
-    val merges = connectedComponents(compEdges, "cs", "cd")
-      .select(col("id").as("__old"), col("component").as("__new"))
+      .filter(col("cs") =!= col("cd")).distinct())
     // new singletons (batch endpoints the corpus labels do not cover)
     val newbies = endLabels.join(lab.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     val all = lab.unionByName(newbies)
-    all.join(broadcast(merges), all("component") === col("__old"), "left")
-      .select(all("id"),
-        coalesce(col("__new"), all("component")).as("component"))
+    // Fast path for the common nightly case: every new edge lands INSIDE
+    // an existing component (near-dups of a cluster member are usually
+    // near-dups of its whole cluster) — no merges, so the iterative CC
+    // loop is skipped entirely and the update is labels + singletons.
+    // The emptiness probe is one action over the batch-sized edge frame.
+    if (compEdges.isEmpty) all
+    else {
+      // CC over the tiny component graph: old label -> merged label
+      val merges = connectedComponents(compEdges, "cs", "cd")
+        .select(col("id").as("__old"), col("component").as("__new"))
+      all.join(broadcast(merges), all("component") === col("__old"), "left")
+        .select(all("id"),
+          coalesce(col("__new"), all("component")).as("component"))
+    }
   }
 }

@@ -102,11 +102,18 @@ case class MisraGriesSketch(
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF hard-fails on items
+  // over 64 KB, and a heavy-hitter item can be any string (a URL, a
+  // template paragraph) — the sketch must not crash on the data it exists
+  // to summarize.
   override def serialize(buf: Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -116,7 +123,13 @@ case class MisraGriesSketch(
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { val k = in.readUTF(); val c = in.readLong(); buf.update(k, c); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val c = in.readLong()
+      buf.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), c)
+      i += 1
+    }
     buf
   }
 

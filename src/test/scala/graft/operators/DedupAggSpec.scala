@@ -249,6 +249,17 @@ class DedupAggSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("misraGries survives items larger than 64KB (serialize is not writeUTF)") {
+    // partial buffers serialize across the partial->final exchange; a
+    // >64KB item must round-trip (writeUTF would throw at 65535 bytes)
+    val big = "x" * 100000
+    val rows = Seq.fill(40)(big) ++ (1 to 20).map(i => s"small$i")
+    val out = Aggregations.heavyHitters(
+      rows.toDF("item").repartition(4), "item", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(big -> 40L)) // 40*(3+1) > 60; no small item qualifies
+  }
+
   test("misraGries sketch is bounded at capacity and never misses a heavy hitter") {
     // 1000 distinct items + one dominant item, capacity 10: the summary
     // must hold <= 10 entries and MUST contain the dominant item.

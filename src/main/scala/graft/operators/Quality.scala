@@ -79,4 +79,30 @@ object Quality {
     require(parts.nonEmpty, "at least one check")
     parts.reduce(_ unionByName _)
   }
+
+  /** Z-score standardization of numeric feature columns — the
+    * normalization pass before training a (quality) classifier on
+    * per-document features: ONE aggregate computes every column's mean
+    * and population stddev in a single codegen'd pass, broadcasts back
+    * as a 1-row frame, and each row standardizes with no second shuffle —
+    * the same measure-then-broadcast shape as percentile binning, never a
+    * per-column pass or a sort. Adds `z_<col>` per input column (round
+    * `precision` so an external replay of the same arithmetic agrees);
+    * constant columns (stddev 0) map to 0 rather than NaN; null features
+    * stay null. */
+  def standardize(df: DataFrame, cols: Seq[String],
+                  precision: Int = 4): DataFrame = {
+    require(cols.nonEmpty, "at least one feature column")
+    val clash = cols.map("z_" + _).filter(df.columns.contains)
+    require(clash.isEmpty, s"output column(s) already present: ${clash.mkString(", ")}")
+    val aggs = cols.flatMap(c =>
+      Seq(avg(col(c)).as(s"__m_$c"), stddev_pop(col(c)).as(s"__s_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"z_$c",
+        round(when(col(s"__s_$c") === 0, lit(0.0))
+          .otherwise((col(c) - col(s"__m_$c")) / col(s"__s_$c")), precision))
+    }.drop(cols.flatMap(c => Seq(s"__m_$c", s"__s_$c")): _*)
+  }
 }

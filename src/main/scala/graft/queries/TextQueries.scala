@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftCache
-import graft.operators.{Aggregations, Dedup, TextOps}
+import graft.operators.{Aggregations, Dedup, Quality, TextOps}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the text-analysis / dedup suite (engine
@@ -296,6 +296,30 @@ object TextQueries {
       TextOps.minhashNearDupsAgainst(newBatch, indexed, "doc_id", "text",
           NearDupThreshold)
         .orderBy("id_new", "id_idx")
+    }),
+
+    // ----------------------------------------------------------------- x49
+    // Quality-classifier feature matrix: the per-document quality (x2)
+    // and repetition (x29) signals joined and Z-SCORED in one
+    // measure-then-broadcast pass (Quality.standardize — one aggregate
+    // for every column's mean/stddev_pop, broadcast back, no second
+    // shuffle) — the feature-engineering stage between raw metrics and
+    // training a fastText/logistic quality model. Docs too short for
+    // bigrams carry a null repetition feature; null z-scores propagate
+    // identically in both engines.
+    "x49_quality_features" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = TextOps.qualityMetrics(t.documents, "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+          "mean_token_len")
+      val rep = TextOps.repetitionMetrics(t.documents, "doc_id", "text")
+        .select("doc_id", "dup_bigram_frac")
+      Quality.standardize(q.join(rep, Seq("doc_id"), "left"),
+          Seq("n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len",
+            "dup_bigram_frac"))
+        .select("doc_id", "z_n_tokens", "z_punct_ratio", "z_stopword_ratio",
+          "z_mean_token_len", "z_dup_bigram_frac")
+        .orderBy("doc_id")
     }),
 
     // ----------------------------------------------------------------- x48
@@ -735,6 +759,47 @@ object TextQueries {
        |FROM jac WHERE jaccard >= $FuzzyDecontamThreshold
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Replays x49: the x2 + x29 feature chains joined, then z-scored
+    * against one mean/stddev_pop pass (CASE 0 for constant columns, the
+    * same guard as the operator). */
+  private def qualityFeaturesSql: String = {
+    val feats = Seq("n_tokens", "punct_ratio", "stopword_ratio",
+      "mean_token_len", "dup_bigram_frac")
+    val statExprs = feats.zipWithIndex.map { case (f, i) =>
+      s"avg($f) AS m$i, stddev_pop($f) AS s$i"
+    }.mkString(",\n    ")
+    val zExprs = feats.zipWithIndex.map { case (f, i) =>
+      s"round(CASE WHEN s$i = 0 THEN 0 ELSE ($f - m$i) / s$i END, 4) AS z_$f"
+    }.mkString(",\n  ")
+    s"""WITH toked AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    ${punctRatioSql("text")} AS punct_ratio,
+       |    ${stopRatioSql("toks")} AS stopword_ratio,
+       |    round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+       |          / nullif(len(toks), 0), 4) AS mean_token_len
+       |  FROM toked),
+       |grams AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+       |    ELSE list_transform(range(0, len(toks)-1),
+       |      i -> concat_ws(' ', toks[i+1], toks[i+2])) END) AS g
+       |  FROM toked),
+       |gc AS (SELECT doc_id, g, count(*) AS n FROM grams GROUP BY 1,2),
+       |rep AS (
+       |  SELECT doc_id, round(1 - count(*)::DOUBLE / sum(n), 4) AS dup_bigram_frac
+       |  FROM gc GROUP BY doc_id),
+       |f AS (
+       |  SELECT m.doc_id, m.n_tokens::DOUBLE AS n_tokens, m.punct_ratio,
+       |    m.stopword_ratio, m.mean_token_len, rep.dup_bigram_frac
+       |  FROM m LEFT JOIN rep USING (doc_id)),
+       |st AS (
+       |  SELECT $statExprs
+       |  FROM f)
+       |SELECT doc_id,
+       |  $zExprs
+       |FROM f, st ORDER BY doc_id""".stripMargin
+  }
+
   private def incrementalNearDupSql: String =
     s"""WITH toked_new AS (
        |  SELECT doc_id AS id, $toksSql AS toks FROM documents
@@ -899,6 +964,7 @@ object TextQueries {
          |ORDER BY token""".stripMargin,
     "x28_dedup_clusters" -> dedupClustersSql,
     "x48_incremental_clusters" -> incrementalClustersSql,
+    "x49_quality_features" -> qualityFeaturesSql,
     "x29_repetition_metrics" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []

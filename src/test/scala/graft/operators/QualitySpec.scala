@@ -50,4 +50,24 @@ class QualitySpec extends SparkSpec {
     assert(out("unique_key(k)") === 1L)
     assert(out("ref_integrity(k->id)") === 0L)
   }
+
+  test("standardize: known z-scores, constant column -> 0, nulls propagate") {
+    import spark.implicits._
+    // x = 1,2,3: mean 2, stddev_pop sqrt(2/3); c constant; n has a null
+    val df = Seq((1L, 1.0, 5.0, Some(10.0)), (2L, 2.0, 5.0, None),
+      (3L, 3.0, 5.0, Some(20.0))).toDF("id", "x", "c", "n")
+    val out = Quality.standardize(df, Seq("x", "c", "n"), precision = 6)
+      .orderBy("id").collect()
+    val s = math.sqrt(2.0 / 3.0)
+    assert(math.abs(out(0).getAs[Double]("z_x") - math.rint(-1.0 / s * 1e6) / 1e6) < 1e-9)
+    assert(out(1).getAs[Double]("z_x") === 0.0)
+    assert(out.forall(_.getAs[Double]("z_c") === 0.0),
+      "constant column must map to 0, not NaN")
+    assert(out(1).isNullAt(out(1).fieldIndex("z_n")), "null feature stays null")
+    assert(!out(0).isNullAt(out(0).fieldIndex("z_n")))
+    // reserved output name rejected
+    intercept[IllegalArgumentException] {
+      Quality.standardize(df.withColumn("z_x", lit(0)), Seq("x"))
+    }
+  }
 }

@@ -158,6 +158,7 @@ object BenchExpectations {
     "x47_unicode_dedup" -> 0.9229,
     "x48_incremental_clusters" -> 7.6551,
     "x49_quality_features" -> 2.8046,
+    "x50_train_split" -> 0.7215,
     "x4_minhash_neardups" -> 1.1884,
     "x5_simhash" -> 1.4243,
     "x6_brute_topk" -> 0.2199,

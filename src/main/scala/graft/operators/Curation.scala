@@ -60,6 +60,32 @@ object Curation {
     df.filter(hashBucket(col(idCol), buckets) < rate)
   }
 
+  /** Deterministic train/validation/test assignment: each row's hash
+    * bucket falls into consecutive ranges sized by `splits`' weights
+    * (fractions summing to 1), yielding a `split` label column. The
+    * hash-range form is the only split that survives 100 TB AND time:
+    * zero shuffles (a pure per-row projection), reproducible run-to-run,
+    * stable under corpus growth (a document's split never changes when
+    * other documents arrive — no leakage of yesterday's test set into
+    * today's training set), and uniform WITHIN every stratum
+    * automatically, since the hash is independent of any column. Weights
+    * multiply into bucket thresholds exactly (0.9/0.05/0.05 × 1000 =
+    * 900/950/1000), so an external replay agrees row-for-row. */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)],
+                   buckets: Int = 1000): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "weights must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    requireAbsent(df, "split")
+    val thresholds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val bucket = hashBucket(col(idCol), buckets)
+    val expr = splits.map(_._1).zip(thresholds).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, t), acc) =>
+        when(bucket < t * buckets, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
   /** Per-group quota cap: keep at most `k` rows per group, selected by hash
     * order (deterministic, unbiased by any value column). The canonical
     * "at most N documents per domain" pass. One keyed shuffle on the group

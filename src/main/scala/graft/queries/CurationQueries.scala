@@ -47,6 +47,11 @@ object CurationQueries {
     * of tokens) downsamples, the ~14% languages upsample past rate 1. */
   val MixAlpha = 0.5
 
+  /** Train/validation/test weights for x50 (exact bucket thresholds:
+    * 900 / 950 / 1000 of 1000). */
+  val SplitWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)
+
   /** Quartile probes for perplexity-curriculum binning (x40). */
   val BinQuartiles: Seq[Double] = Seq(0.25, 0.5, 0.75)
 
@@ -144,6 +149,22 @@ object CurationQueries {
           coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
           col("max_rep"), col("mix_rate"))
         .orderBy("lang")
+    }),
+
+    // ----------------------------------------------------------------- x50
+    // Deterministic train/validation/test split: hash-range assignment —
+    // zero shuffles, reproducible, stable under corpus growth (a doc's
+    // split never changes when other docs arrive), uniform within every
+    // language automatically. Reported per (split, lang) so the oracle
+    // verifies the exact assignment, not just global proportions.
+    "x50_train_split" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.assignSplits(docs, "doc_id", SplitWeights)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("split", "lang")
     }),
 
     // ----------------------------------------------------------------- pl9
@@ -652,6 +673,18 @@ object CurationQueries {
     "x42_domain_mix_up" -> domainMixUpSql,
     "x44_temperature_mix" -> temperatureMixSql,
     "pl9_export_shards" -> exportShardsSql,
+    "x50_train_split" -> {
+      val cases = SplitWeights.scanLeft(("", 0.0)) {
+        case ((_, acc), (name, w)) => (name, acc + w)
+      }.tail.init
+        .map { case (name, t) =>
+          s"WHEN ${idh("doc_id")} % 1000 < ${t * 1000} THEN '$name'" }
+        .mkString(" ")
+      s"""SELECT CASE $cases ELSE '${SplitWeights.last._1}' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "x40_perplexity_bins" -> perplexityBinsSql,
     "x20_domain_cap" ->
       s"""WITH r AS (

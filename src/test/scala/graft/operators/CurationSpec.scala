@@ -131,6 +131,26 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(shares.last - 0.5) < 0.05, s"alpha=0 ~ uniform: $shares")
   }
 
+  test("assignSplits: stable under growth, near-declared proportions, weights validated") {
+    val small = (1L to 200L).map(i => (i, i)).toDF("id", "v")
+    val big = (1L to 2000L).map(i => (i, i)).toDF("id", "v")
+    val w = Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Curation.assignSplits(df, "id", w)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val sm = splits(small)
+    val bg = splits(big)
+    // growth stability: every original doc keeps its split when 10x more
+    // docs arrive — no test-set leakage across corpus versions
+    assert(sm.forall { case (id, s) => bg(id) == s })
+    val dist = bg.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(dist("train") / 2000.0 - 0.9) < 0.05)
+    assert(dist.keySet === Set("train", "validation", "test"))
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(small, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   // -------------------------------------------------------- percentile bins
 
   test("percentileBins assigns count-of-thresholds-below with exact quartiles") {

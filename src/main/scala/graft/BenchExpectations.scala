@@ -159,6 +159,7 @@ object BenchExpectations {
     "x48_incremental_clusters" -> 7.6551,
     "x49_quality_features" -> 2.8046,
     "x50_train_split" -> 0.7215,
+    "x51_corpus_drift" -> 0.7233,
     "x4_minhash_neardups" -> 1.1884,
     "x5_simhash" -> 1.4243,
     "x6_brute_topk" -> 0.2199,

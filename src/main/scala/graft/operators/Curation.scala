@@ -300,6 +300,39 @@ object Curation {
     applyRatesWithRepetition(df, strataCol, idCol, rates, buckets)
   }
 
+  /** Corpus drift between two snapshots — the across-time companion to a
+    * point-in-time health report: per stratum, document counts and
+    * size-share in the OLD and NEW snapshots plus the share delta, so a
+    * nightly ingest that silently tilts the language/domain mix (a crawler
+    * change, an upstream source dying) surfaces as a signed number
+    * instead of a surprise at training time. Two keyed aggs collapse each
+    * snapshot to |strata| rows; the tiny share frames full-outer-join on
+    * the stratum (a stratum present in only one snapshot reports zeros on
+    * the other side). Shares round to 6 decimals and the delta is a
+    * difference of the rounded values, so an external replay agrees
+    * exactly. */
+  def corpusDrift(oldDf: DataFrame, newDf: DataFrame, strataCol: String,
+                  sizeCol: String): DataFrame = {
+    def shares(df: DataFrame, suffix: String) = {
+      val stats = df.groupBy(strataCol).agg(
+        count(lit(1)).as(s"n_docs_$suffix"),
+        sum(col(sizeCol)).cast("double").as(s"__sz_$suffix"))
+      stats.crossJoin(broadcast(
+          df.agg(sum(col(sizeCol)).cast("double").as(s"__tot_$suffix"))))
+        .select(col(strataCol), col(s"n_docs_$suffix"),
+          round(col(s"__sz_$suffix") / col(s"__tot_$suffix"), 6)
+            .as(s"share_$suffix"))
+    }
+    shares(oldDf, "old").join(shares(newDf, "new"), Seq(strataCol), "full_outer")
+      .select(col(strataCol),
+        coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+        coalesce(col("share_old"), lit(0.0)).as("share_old"),
+        coalesce(col("share_new"), lit(0.0)).as("share_new"),
+        round(coalesce(col("share_new"), lit(0.0)) -
+          coalesce(col("share_old"), lit(0.0)), 6).as("share_delta"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` distinct word `n`-grams with any document of the eval set.
     * Candidate generation is an equi-join on the 60-bit gram hash — the

@@ -151,6 +151,20 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // ----------------------------------------------------------------- x51
+    // Corpus drift between snapshots: the pre-ingest corpus (doc_id % 10
+    // <> 0) vs the full post-ingest table — per-language doc counts,
+    // token shares, and the share delta a nightly run alerts on. The
+    // oracle replays both snapshot aggregations and the rounded delta.
+    "x51_corpus_drift" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.corpusDrift(
+          docs.filter(col("doc_id") % 10 =!= 0), docs, "lang", "n_tokens")
+        .orderBy("lang")
+    }),
+
     // ----------------------------------------------------------------- x50
     // Deterministic train/validation/test split: hash-range assignment —
     // zero shuffles, reproducible, stable under corpus growth (a doc's
@@ -673,6 +687,29 @@ object CurationQueries {
     "x42_domain_mix_up" -> domainMixUpSql,
     "x44_temperature_mix" -> temperatureMixSql,
     "pl9_export_shards" -> exportShardsSql,
+    "x51_corpus_drift" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |old AS (
+         |  SELECT lang, count(*) AS n_docs_old,
+         |    round(sum(n_tokens)::DOUBLE /
+         |      (SELECT sum(n_tokens)::DOUBLE FROM docs WHERE doc_id % 10 <> 0), 6)
+         |      AS share_old
+         |  FROM docs WHERE doc_id % 10 <> 0 GROUP BY 1),
+         |new AS (
+         |  SELECT lang, count(*) AS n_docs_new,
+         |    round(sum(n_tokens)::DOUBLE /
+         |      (SELECT sum(n_tokens)::DOUBLE FROM docs), 6) AS share_new
+         |  FROM docs GROUP BY 1)
+         |SELECT lang,
+         |  coalesce(n_docs_old, 0) AS n_docs_old,
+         |  coalesce(n_docs_new, 0) AS n_docs_new,
+         |  coalesce(share_old, 0) AS share_old,
+         |  coalesce(share_new, 0) AS share_new,
+         |  round(coalesce(share_new, 0) - coalesce(share_old, 0), 6) AS share_delta
+         |FROM old FULL OUTER JOIN new USING (lang)
+         |ORDER BY lang""".stripMargin,
     "x50_train_split" -> {
       val cases = SplitWeights.scanLeft(("", 0.0)) {
         case ((_, acc), (name, w)) => (name, acc + w)

@@ -32,4 +32,14 @@ class SparkEntrySpec extends SparkSpec {
   test("entry (driver smoke) returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every query has a bench expectation and every expectation a query") {
+    // Regression coverage silently lapses for any query missing from the
+    // snapshot (Bench skips unknown keys), and a stale key means the
+    // snapshot drifted from the suite — both must fail loudly here.
+    val q = SparkEntry.queries.keySet
+    val e = BenchExpectations.secondsAtSf01.keySet
+    assert(q.diff(e).isEmpty, s"queries without expectation: ${q.diff(e).toSeq.sorted}")
+    assert(e.diff(q).isEmpty, s"expectations without query: ${e.diff(q).toSeq.sorted}")
+  }
 }

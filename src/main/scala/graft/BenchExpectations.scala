@@ -93,6 +93,7 @@ object BenchExpectations {
     "s12_orc_scan" -> 0.922,
     "s13_json_scan" -> 0.4053,
     "s14_partitioned_scan" -> 0.8582,
+    "s16_bucketed_join" -> 4.6720,
     "s1_csv_scan" -> 0.8577,
     "s7_sink_roundtrip" -> 0.3762,
     "s8_batched_sink" -> 0.4303,

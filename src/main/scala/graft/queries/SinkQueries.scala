@@ -105,6 +105,34 @@ object SinkQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // ----------------------------------------------------------------- s16
+    // Bucketed big-big join: both sides written as bucketed tables on the
+    // join key (co-located by bucket hash), then joined with NO shuffle on
+    // either side (plan-audited) — the 100 TB path for repeated joins on a
+    // stable key, where pre-bucketing pays one write-time shuffle to erase
+    // every future join's. Table names embed the pid so two concurrent
+    // drivers (Verify + Bench) cannot race in the shared warehouse; the
+    // oracle re-joins the source parquet directly (bucketing is a plan
+    // property, the join result is the contract).
+    "s16_bucketed_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ot = s"s16_orders_$runId"
+      val lt = s"s16_lineitem_$runId"
+      Tables.bucketize(t.orders.select("o_orderkey", "o_orderpriority"),
+        ot, Seq("o_orderkey"), 16)
+      Tables.bucketize(
+        t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        lt, Seq("l_orderkey"), 16)
+      val o = s.table(ot)
+      val l = s.table(lt)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ------------------------------------------------------------------ S7
     // Per-document sink: nation → {collection, document_id, data-JSON} →
     // collection-partitioned JSON → scan back (S6) → per-collection count +
@@ -201,6 +229,11 @@ object SinkQueries {
     "s1_csv_scan" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s16_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s12_orc_scan" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty_total,

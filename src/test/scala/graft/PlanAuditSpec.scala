@@ -298,6 +298,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s16 bucketed join: neither side shuffles into the join") {
+    val p = finalPlan("s16_bucketed_join")
+    val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))
+    join.children.foreach { side =>
+      assert(!allNodes(side).exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"bucketed join side must read co-located buckets, not shuffle:\n$side")
+    }
+  }
+
   test("j8 bloom probe filters the big side BELOW the join") {
     val p = finalPlan("j8_bloom_join")
     val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))

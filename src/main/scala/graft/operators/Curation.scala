@@ -387,8 +387,10 @@ object Curation {
     * (0..probs.length). */
   def percentileBins(df: DataFrame, scoreCol: String,
                      probs: Seq[Double]): DataFrame = {
-    require(probs.nonEmpty && probs == probs.sorted,
-      "probs must be non-empty and ascending")
+    require(probs.nonEmpty &&
+      probs.zip(probs.tail).forall(p => p._1 < p._2) &&
+      probs.forall(p => p > 0.0 && p < 1.0),
+      "probs must be strictly ascending, each in (0, 1)")
     requireAbsent(df, "bin", "__thr")
     val thr = df.agg(
       percentile(col(scoreCol), array(probs.map(lit): _*)).as("__thr"))
@@ -414,8 +416,10 @@ object Curation {
   def percentileBinsApprox(df: DataFrame, scoreCol: String,
                            probs: Seq[Double],
                            accuracy: Int = 10000): DataFrame = {
-    require(probs.nonEmpty && probs == probs.sorted,
-      "probs must be non-empty and ascending")
+    require(probs.nonEmpty &&
+      probs.zip(probs.tail).forall(p => p._1 < p._2) &&
+      probs.forall(p => p > 0.0 && p < 1.0),
+      "probs must be strictly ascending, each in (0, 1)")
     require(accuracy > 0)
     requireAbsent(df, "bin", "__thr")
     val thr = df.agg(approx_percentile(col(scoreCol),

@@ -170,6 +170,18 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.percentileBins(df.withColumn("bin", lit(0)), "score", Seq(0.5))
     }
+    // Duplicated probes produce two identical thresholds — the bin index
+    // would silently double-increment across that boundary; reject them,
+    // along with the degenerate endpoints 0 and 1.
+    intercept[IllegalArgumentException] {
+      Curation.percentileBins(df, "score", Seq(0.5, 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.percentileBinsApprox(df, "score", Seq(0.0, 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.percentileBins(df, "score", Seq(0.5, 1.0))
+    }
   }
 
   test("percentileBinsApprox: threshold rank error within the GK bound") {

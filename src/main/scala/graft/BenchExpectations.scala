@@ -94,6 +94,7 @@ object BenchExpectations {
     "s13_json_scan" -> 0.4053,
     "s14_partitioned_scan" -> 0.8582,
     "s16_bucketed_join" -> 4.6720,
+    "s17_zorder_scan" -> 1.6622,
     "s1_csv_scan" -> 0.8577,
     "s7_sink_roundtrip" -> 0.3762,
     "s8_batched_sink" -> 0.4303,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Aggregations, Dedup}
-import graft.sinks.{DocumentSink, TreeSink}
+import graft.sinks.{DocumentSink, LayoutSink, TreeSink}
 import graft.sources.Tables
 
 /** Oracle-checked round-trip queries for the sink layer (SURVEY.md §2.1
@@ -133,6 +133,32 @@ object SinkQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // ----------------------------------------------------------------- s17
+    // Quantized z-order layout round-trip: lineitem rewritten with files
+    // covering compact (l_orderkey, l_partkey) REGIONS (each key min/max-
+    // scaled onto the interleave grid — raw keys overflow 16 bits at
+    // sf ≥ 0.1), then scanned back with a selective predicate on BOTH
+    // dimensions — the multi-dimension data-skipping shape where a single-
+    // key sort prunes only its own stripe. The oracle replays filter+agg
+    // over the source parquet: the layout is a storage property, the
+    // read-back result is the contract (plan-audited: both predicates
+    // reach the scan as PushedFilters).
+    "s17_zorder_scan" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = sinkDir("s17_zorder")
+      LayoutSink.writeZOrderLayoutQuantized(
+        t.lineitem.select("l_orderkey", "l_partkey", "l_returnflag",
+          "l_quantity", "l_extendedprice"),
+        "l_orderkey", "l_partkey", 16, path)
+      s.read.parquet(path)
+        .filter(col("l_orderkey") < 3000 && col("l_partkey") < 500)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("qty_total"),
+          round(sum("l_extendedprice"), 2).as("price_total"))
+        .orderBy("l_returnflag")
+    }),
+
     // ------------------------------------------------------------------ S7
     // Per-document sink: nation → {collection, document_id, data-JSON} →
     // collection-partitioned JSON → scan back (S6) → per-collection count +
@@ -233,6 +259,12 @@ object SinkQueries {
       """SELECT o_orderpriority, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s17_zorder_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_total,
+        |  round(sum(l_extendedprice), 2) AS price_total
+        |FROM lineitem WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s12_orc_scan" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

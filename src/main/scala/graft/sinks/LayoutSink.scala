@@ -41,11 +41,46 @@ object LayoutSink {
     * than a stripe of one dimension — selective predicates on EITHER
     * column then prune most files by their parquet min/max stats. The
     * multi-dimension generalization of [[writeRangeLayout]] (which prunes
-    * only its single sort key). */
+    * only its single sort key). Assumes both columns already fit in
+    * `bits` bits; arbitrary integer domains go through
+    * [[writeZOrderLayoutQuantized]], which scales them first. */
   def writeZOrderLayout(df: DataFrame, aCol: String, bCol: String,
                         numFiles: Int, path: String, bits: Int = 16): Unit = {
     require(numFiles > 0)
     df.withColumn("__z", zValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** [[writeZOrderLayout]] for arbitrary integer domains: each dimension
+    * is first scaled onto the `bits`-wide grid by its own min/max (one
+    * column-pruned 1-row aggregate pass), so a 9-digit order key or a
+    * signed offset interleaves meaningfully — the raw [[zValue]] would
+    * silently keep only the low `bits` bits, scattering Z-neighbors and
+    * voiding the pruning the layout exists for. Linear scaling, not rank:
+    * one cheap extra pass, and per-FILE balance never depends on it —
+    * `repartitionByRange` samples the actual z-value distribution, so a
+    * skewed dimension costs grid-cell resolution (fewer distinct cells
+    * where values bunch), never balance. The min/max head() is a 1-row
+    * driver fetch by design. */
+  def writeZOrderLayoutQuantized(df: DataFrame, aCol: String, bCol: String,
+                                 numFiles: Int, path: String,
+                                 bits: Int = 16): Unit = {
+    require(numFiles > 0)
+    require(bits > 0 && bits <= 31, "bits must be in 1..31")
+    import org.apache.spark.sql.functions.{min, max}
+    val b = df.agg(
+      min(col(aCol).cast("long")), max(col(aCol).cast("long")),
+      min(col(bCol).cast("long")), max(col(bCol).cast("long"))).head
+    def scaled(c: Column, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else ((c.cast("long") - lit(lo)).cast("double") *
+        (((1L << bits) - 1).toDouble / (hi - lo).toDouble)).cast("long")
+    df.withColumn("__z", zValue(
+        scaled(col(aCol), b.getLong(0), b.getLong(1)),
+        scaled(col(bCol), b.getLong(2), b.getLong(3)), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -307,6 +307,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s17 z-order readback pushes both dimension predicates to the scan") {
+    val s = finalPlan("s17_zorder_scan").toString
+    assert(s.contains("LessThan(l_orderkey,3000)") &&
+      s.contains("LessThan(l_partkey,500)"),
+      s"both z-order dimensions must reach the scan as PushedFilters:\n$s")
+  }
+
   test("j8 bloom probe filters the big side BELOW the join") {
     val p = finalPlan("j8_bloom_join")
     val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))

@@ -141,4 +141,28 @@ class SinksSpec extends SparkSpec {
     assert(zFiles <= 8, s"z-order must bound the y extent per file ($zFiles)")
     assert(spark.read.parquet(zOut).count() === 64L * 64)
   }
+
+  test("quantized z-order prunes domains far wider than the bit budget") {
+    // Same 64×64 grid, but each dimension stretched to a domain the raw
+    // 6-bit interleave cannot hold (x up to ~63e9, y offset + stride):
+    // min/max scaling must recover the grid before interleaving.
+    val grid = spark.range(0, 64L * 64).toDF("i")
+      .select(((col("i") / 64).cast("long") * 1000000007L).as("x"),
+        ((col("i") % 64) * 97L + 5L).as("y"))
+    val out = tmp()
+    LayoutSink.writeZOrderLayoutQuantized(grid, "x", "y", 16, out, bits = 6)
+    val yCut = 8L * 97L + 5L // the scaled image of the y < 8 slice
+    val zFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .count { f =>
+        spark.read.parquet(f.toString).agg(min("y")).head.getLong(0) < yCut
+      }
+    assert(zFiles <= 8, s"quantized z-order must bound the y extent ($zFiles)")
+    // nothing lost, values untouched (the z column never survives the write)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 64L * 64)
+    assert(back.columns.sorted === Array("x", "y"))
+    assert(back.agg(max("x"), max("y")).head ===
+      org.apache.spark.sql.Row(63L * 1000000007L, 63L * 97L + 5L))
+  }
 }

@@ -86,6 +86,41 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe [[assignSplits]]: assignment keyed by the near-dup
+    * CLUSTER representative instead of the document itself, so every
+    * member of a connected near-duplicate cluster lands in the SAME
+    * split — the train/test contamination a per-document hash split
+    * cannot prevent (a test document whose near-duplicate sits in train
+    * leaks the answer; at web-corpus duplication rates this is the
+    * dominant eval-integrity bug — the reason GPT-3 (Brown et al. 2020
+    * §4) and the C4 audit (Dodge et al. 2021) run post-hoc contamination
+    * analyses this operator makes structural). `pairs` is any near-dup
+    * edge list the pipeline already computes (MinHash, SimHash,
+    * SemDeDup); clusters close transitively, singleton documents key by
+    * their own id — for them the assignment is IDENTICAL to
+    * [[assignSplits]], so adopting this form reassigns only clustered
+    * documents. Growth-stable while a cluster's representative (min id)
+    * is stable; an arrival merging two clusters re-keys the smaller —
+    * the unavoidable price of transitive closure, confined to the merged
+    * clusters. Returns the input plus `rep` (the split key) and `split`.
+    *
+    * Scale shape: connected components run on the EDGE list only
+    * (near-dup pairs, ≪ corpus); the label frame (one row per clustered
+    * doc, not per doc) joins back by id — broadcast-able when the
+    * clustered fraction is small, an ordinary equi-join otherwise; the
+    * split itself stays the zero-shuffle hash expression. */
+  def assignSplitsLeakageSafe(df: DataFrame, idCol: String, pairs: DataFrame,
+                              aCol: String, bCol: String,
+                              splits: Seq[(String, Double)]): DataFrame = {
+    requireAbsent(df, "rep", "__cid", "__rep")
+    val comps = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cid"), col("component").as("__rep"))
+    val keyed = df.join(comps, df(idCol) === col("__cid"), "left")
+      .withColumn("rep", coalesce(col("__rep"), df(idCol)))
+      .drop("__cid", "__rep")
+    assignSplits(keyed, "rep", splits)
+  }
+
   /** Per-group quota cap: keep at most `k` rows per group, selected by hash
     * order (deterministic, unbiased by any value column). The canonical
     * "at most N documents per domain" pass. One keyed shuffle on the group

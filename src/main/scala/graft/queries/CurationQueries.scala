@@ -181,6 +181,23 @@ object CurationQueries {
         .orderBy("split", "lang")
     }),
 
+    // ----------------------------------------------------------------- x52
+    // Leakage-safe splits: x50's hash split keyed by the near-dup CLUSTER
+    // representative, so a test document can never be a near-duplicate of
+    // a train document (the transitive closure of the MinHash pair list —
+    // x28's clusters — shares one split). Reported per document with the
+    // representative, so the oracle verifies the exact key and assignment:
+    // the recursive-CTE clustering AND the hash-bucket arithmetic replay.
+    "x52_leakage_safe_splits" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = TextOps.minhashNearDups(t.documents, "doc_id", "text",
+        TextQueries.NearDupThreshold)
+      Curation.assignSplitsLeakageSafe(t.documents.select("doc_id"),
+          "doc_id", pairs, "id_a", "id_b", SplitWeights)
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------------------- pl9
     // Training-shard export — the terminal stage of the curation story:
     // quality-pass documents are packed into token-budget bins in shard
@@ -721,6 +738,32 @@ object CurationQueries {
          |  lang, count(*) AS n_docs,
          |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "x52_leakage_safe_splits" -> {
+      val cases = SplitWeights.scanLeft(("", 0.0)) {
+        case ((_, acc), (name, w)) => (name, acc + w)
+      }.tail.init
+        .map { case (name, t) =>
+          s"WHEN ${idh("rep")} % 1000 < ${t * 1000} THEN '$name'" }
+        .mkString(" ")
+      s"""WITH RECURSIVE toked AS (
+         |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |${TextQueries.minhashPairCtes("toked")},
+         |e AS (SELECT id_a, id_b FROM jac
+         |  WHERE jaccard >= ${TextQueries.NearDupThreshold}),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM e
+         |        UNION SELECT id_b AS s, id_a AS d FROM e),
+         |reach AS (
+         |  SELECT s AS id, s AS label FROM sym
+         |  UNION
+         |  SELECT sym.d AS id, r.label FROM reach r JOIN sym ON sym.s = r.id),
+         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id, rep,
+         |  CASE $cases ELSE '${SplitWeights.last._1}' END AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin
     },
     "x40_perplexity_bins" -> perplexityBinsSql,
     "x20_domain_cap" ->

@@ -151,6 +151,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("assignSplitsLeakageSafe: clusters share a split, singletons unchanged") {
+    val w = Seq("train" -> 0.5, "test" -> 0.5)
+    val docs = (1L to 400L).map(i => (i, i)).toDF("id", "v")
+    // chains 1-2-3 and 10-11, plus a transitive bridge 20-21, 21-22: the
+    // pair (20, 22) is never an edge but must still co-locate
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a", "b")
+    val out = Curation.assignSplitsLeakageSafe(docs, "id", pairs, "a", "b", w)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // every cluster member keys by the cluster minimum and shares its split
+    for (cluster <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L), Seq(20L, 21L, 22L))) {
+      assert(cluster.map(out(_)).toSet.size === 1,
+        s"cluster $cluster must share (rep, split)")
+      assert(out(cluster.head)._1 === cluster.min)
+    }
+    // no near-dup edge (or transitive pair) straddles splits
+    assert(out(20L)._2 === out(22L)._2)
+    // unclustered docs: identical assignment to the base form
+    val clustered = Set(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L)
+    val base = Curation.assignSplits(docs, "id", w)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.forall { case (id, (rep, s)) =>
+      clustered(id) || (rep == id && s == base(id)) })
+    // the operator is not vacuous on this data: at least one cluster
+    // member's naive split differs from its leakage-safe one
+    assert(clustered.exists(id => out(id)._2 != base(id)),
+      "pick cluster ids whose naive splits disagree")
+  }
+
   // -------------------------------------------------------- percentile bins
 
   test("percentileBins assigns count-of-thresholds-below with exact quartiles") {

@@ -159,6 +159,33 @@ object SinkQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ----------------------------------------------------------------- s18
+    // Schema-evolution scan: two parquet snapshots of one logical table,
+    // the second carrying a column the first lacks (the additive evolution
+    // every long-lived 100 TB table undergoes), read as ONE frame via
+    // mergeSchema — early-snapshot rows surface NULL for the late column
+    // and the footer-merge touches only file METADATA, never row data.
+    // The snapshots are partition directories (v=1/v=2), so the read also
+    // exercises evolution UNDER partition discovery. The oracle replays
+    // the union arithmetically from the source table: rows routed to v=1
+    // contribute NULL priority.
+    "s18_schema_evolution" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = sinkDir("s18_evo")
+      clean(base)
+      t.orders.select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$base/v=1")
+      t.orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$base/v=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ------------------------------------------------------------------ S7
     // Per-document sink: nation → {collection, document_id, data-JSON} →
     // collection-partitioned JSON → scan back (S6) → per-collection count +
@@ -266,6 +293,11 @@ object SinkQueries {
         |  round(sum(l_extendedprice), 2) AS price_total
         |FROM lineitem WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s18_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |    AS o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "s12_orc_scan" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty_total,

@@ -96,6 +96,7 @@ object BenchExpectations {
     "s16_bucketed_join" -> 4.6720,
     "s17_zorder_scan" -> 1.6622,
     "s18_schema_evolution" -> 0.9302,
+    "s19_compaction" -> 1.3791,
     "x52_leakage_safe_splits" -> 2.0098,
     "s1_csv_scan" -> 0.8577,
     "s7_sink_roundtrip" -> 0.3762,

@@ -159,6 +159,29 @@ object SinkQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ----------------------------------------------------------------- s19
+    // Small-file compaction round-trip: orders deliberately fragmented into
+    // 48 appended files (a simulated nightly-ingest backlog), compacted by
+    // LayoutSink.compact — output file count derived from actual bytes,
+    // rewrite via shuffle-free coalesce — then read back and aggregated;
+    // the oracle computes the same aggregate straight from the source, so
+    // a pass proves compaction is lossless. File-count collapse itself is
+    // asserted in the SinksSpec (a storage property, not a row contract).
+    "s19_compaction" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val frag = sinkDir("s19_frag"); val comp = sinkDir("s19_compact")
+      clean(frag); clean(comp)
+      t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(48)
+        .write.mode("overwrite").parquet(frag)
+      LayoutSink.compact(s, frag, comp, 8L * 1024 * 1024)
+      s.read.parquet(comp)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ----------------------------------------------------------------- s18
     // Schema-evolution scan: two parquet snapshots of one logical table,
     // the second carrying a column the first lacks (the additive evolution
@@ -293,6 +316,10 @@ object SinkQueries {
         |  round(sum(l_extendedprice), 2) AS price_total
         |FROM lineitem WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s19_compaction" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "s18_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
         |    AS o_orderpriority,

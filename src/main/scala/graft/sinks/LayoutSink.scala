@@ -54,6 +54,41 @@ object LayoutSink {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Small-file compaction — the maintenance pass every append-heavy table
+    * needs (a nightly ingest lands one file per micro-batch/task; a year
+    * of appends is 10^5 files whose per-file open/footer/list overhead
+    * dominates scan time long before data volume does). Target file count
+    * is derived from the ACTUAL on-disk bytes (ceil(total / targetBytes)),
+    * and the rewrite is `coalesce`, not `repartition`: coalesce merges
+    * input partitions without a shuffle — each output task reads a few
+    * whole input files and streams them out, so compacting N TB moves N TB
+    * exactly once with zero exchange. Pass `sortCol` to route through
+    * [[writeRangeLayout]] instead when the table carries a range layout
+    * worth preserving (that pays the range shuffle to keep per-file
+    * min/max stats tight — the data-skipping trade, caller's choice).
+    * Output goes to a NEW path: parquet readers cannot safely overwrite
+    * their own input, and an atomic swap (rename) belongs to the caller's
+    * table-format layer. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFileBytes: Long,
+              sortCol: Option[String] = None): Int = {
+    require(targetFileBytes > 0)
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(inPath))
+    }
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    sortCol match {
+      case Some(k) => writeRangeLayout(df, k, nFiles, outPath)
+      case None => df.coalesce(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(outPath)
+    }
+    nFiles
+  }
+
   /** [[writeZOrderLayout]] for arbitrary integer domains: each dimension
     * is first scaled onto the `bits`-wide grid by its own min/max (one
     * column-pruned 1-row aggregate pass), so a 9-digit order key or a

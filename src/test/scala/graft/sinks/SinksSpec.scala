@@ -142,6 +142,32 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(zOut).count() === 64L * 64)
   }
 
+  test("compact collapses a fragmented table to byte-derived file counts") {
+    def parquetFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val in = tmp(); val out = tmp(); val outSorted = tmp()
+    spark.range(0, 20000).toDF("k").repartition(50)
+      .write.mode("overwrite").parquet(in)
+    assert(parquetFiles(in).length === 50, "fixture must be fragmented")
+    val total = parquetFiles(in).map(_.length).sum
+    // target a quarter of the bytes per file → ceil(4) output files
+    val n = LayoutSink.compact(spark, in, out, (total + 3) / 4)
+    assert(n === 4 && parquetFiles(out).length === 4)
+    // lossless: same rows, same sum
+    val back = spark.read.parquet(out).agg(count(lit(1)), sum("k")).head
+    assert(back.getLong(0) === 20000L && back.getLong(1) === 19999L * 10000)
+    // sortCol variant compacts AND restores disjoint per-file key ranges
+    LayoutSink.compact(spark, in, outSorted, (total + 3) / 4, Some("k"))
+    val ranges = parquetFiles(outSorted).map { f =>
+      val r = spark.read.parquet(f.toString).agg(min("k"), max("k")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(lo2 > hi, "ranges must be disjoint")
+      case _ =>
+    }
+  }
+
   test("quantized z-order prunes domains far wider than the bit budget") {
     // Same 64×64 grid, but each dimension stretched to a domain the raw
     // 6-bit interleave cannot hold (x up to ~63e9, y offset + stride):

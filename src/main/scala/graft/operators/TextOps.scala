@@ -622,8 +622,8 @@ object TextOps {
     * other half of the nightly loop ([[minhashNearDupsAgainstIndex]]
     * reads; this writes). Appended files are not range-laid: bucket-range
     * file pruning degrades gracefully (extra files scanned, correctness
-    * unaffected) until a periodic [[writeBandIndex]] compaction re-lays
-    * the table — the standard append-then-compact lifecycle of a
+    * unaffected) until a periodic [[compactBandIndex]] re-lays the
+    * table — the standard append-then-compact lifecycle of a
     * sorted-layout table. Cost is O(|batch|): the standing index is
     * never read or rewritten. */
   def appendBandIndex(docs: DataFrame, idCol: String, textCol: String,
@@ -631,6 +631,21 @@ object TextOps {
     minhashBands(docs.select(col(idCol).as("id"),
         tokens(col(textCol)).as("toks")))
       .write.mode("append").parquet(path)
+
+  /** The periodic half of the append-then-compact lifecycle: restore an
+    * appended index's range layout WITHOUT touching the corpus — reads
+    * only the skinny (id, band, bsig) parquet and re-lays it by `bsig`
+    * ([[graft.sinks.LayoutSink.compact]] with the sort key), collapsing
+    * the append-era small files into byte-targeted range-disjoint ones.
+    * O(|index|) columnar bytes, never a tokenization pass:
+    * [[writeBandIndex]] (which re-derives signatures from text) is only
+    * the bootstrap, not the maintenance path. Output to a new path; the
+    * atomic swap belongs to the caller's table layer. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, outPath: String,
+                       targetFileBytes: Long): Int =
+    graft.sinks.LayoutSink.compact(spark, path, outPath, targetFileBytes,
+      Some("bsig"))
 
   /** [[minhashNearDupsAgainst]] against a MATERIALIZED band-signature
     * index ([[writeBandIndex]]) instead of the live corpus: candidate

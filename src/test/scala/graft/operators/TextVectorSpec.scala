@@ -59,6 +59,31 @@ class TextVectorSpec extends SparkSpec {
     graft.GraftCache.release()
     assert(viaIndex.nonEmpty)
     assert(viaIndex === live)
+
+    // Compaction leg: re-lay the appended index from its own skinny bytes
+    // (no corpus pass), then re-screen — identical pairs, and the files
+    // are range-disjoint on bsig again (appends had broken the layout).
+    val compacted = java.nio.file.Files
+      .createTempDirectory("graft-idx-compact").toString
+    TextOps.compactBandIndex(spark, idx, compacted, 64L * 1024)
+    val viaCompacted = TextOps.minhashNearDupsAgainstIndex(batch2,
+        spark.read.parquet(compacted), corpus.unionByName(batch1),
+        "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.GraftCache.release()
+    assert(viaCompacted === live)
+    val ranges = new java.io.File(compacted).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min("bsig"), max("bsig")).head
+        (r.getString(0), r.getString(1))
+      }.sortBy(_._1)
+    assert(ranges.length > 1, "compaction target must yield several files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(lo2 > hi, s"compacted files must be bsig-disjoint: ${ranges.toSeq}")
+      case _ =>
+    }
   }
 
   test("simhash: identical distinct-token sets hash equal; order-invariant") {

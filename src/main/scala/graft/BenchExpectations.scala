@@ -98,6 +98,7 @@ object BenchExpectations {
     "s18_schema_evolution" -> 0.9302,
     "s19_compaction" -> 1.3791,
     "x52_leakage_safe_splits" -> 2.0098,
+    "x53_quality_scores" -> 2.9732,
     "s1_csv_scan" -> 0.8577,
     "s7_sink_roundtrip" -> 0.3762,
     "s8_batched_sink" -> 0.4303,

@@ -105,4 +105,29 @@ object Quality {
           .otherwise((col(c) - col(s"__m_$c")) / col(s"__s_$c")), precision))
     }.drop(cols.flatMap(c => Seq(s"__m_$c", s"__s_$c")): _*)
   }
+
+  /** Fixed-weight linear quality scorer — the inference half of the
+    * fastText/CCNet-style quality classifier whose training input
+    * [[standardize]] builds: score = sigmoid(w · features + b), gate at
+    * `threshold` on the ROUNDED score (both engines compare the same
+    * 6-decimal value, so the boundary cannot flip on a ulp). Weights are
+    * an ORDERED Seq, not a Map: the dot product folds left in the given
+    * order so an external engine replaying the identical float addition
+    * sequence agrees bit-for-bit before rounding. Null features
+    * contribute 0 — in z-space that is the mean, so a short document
+    * missing its bigram signal scores on its remaining features instead
+    * of nulling out. Everything is one row-local codegen'd expression:
+    * zero shuffles, scoring 100 TB is exactly one scan. */
+  def scoreLinear(df: DataFrame, weights: Seq[(String, Double)],
+                  bias: Double, threshold: Double = 0.5): DataFrame = {
+    require(weights.nonEmpty, "at least one weight")
+    require(!df.columns.contains("quality_score") &&
+      !df.columns.contains("quality_pass"), "output columns already present")
+    val dot = weights.map { case (c, w) =>
+      coalesce(col(c), lit(0.0)) * lit(w)
+    }.reduce(_ + _) + lit(bias)
+    df.withColumn("quality_score",
+        round(lit(1.0) / (lit(1.0) + exp(-dot)), 6))
+      .withColumn("quality_pass", col("quality_score") >= threshold)
+  }
 }

@@ -44,6 +44,20 @@ object TextQueries {
     * tokens at every SF of the testdata. */
   val HHCapacity = 40
 
+  /** Quality-classifier coefficients for x53 (a stand-in trained model —
+    * the CONSTANTS are arbitrary, the shared-by-construction replay is
+    * the point): longer docs score up; punctuation noise, extreme token
+    * lengths, and repetition score down; stopword presence is natural
+    * language (CCNet's signal) and scores up. ORDERED — the dot product
+    * folds left in this sequence on both engines. */
+  val ScoreWeights: Seq[(String, Double)] = Seq(
+    "z_n_tokens" -> 0.8,
+    "z_punct_ratio" -> -1.2,
+    "z_stopword_ratio" -> 0.6,
+    "z_mean_token_len" -> -0.3,
+    "z_dup_bigram_frac" -> -1.0)
+  val ScoreBias = 0.25
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
     // Exact dedup by hash-groupBy: fingerprint → one shuffle → per-key
@@ -319,6 +333,29 @@ object TextQueries {
             "dup_bigram_frac"))
         .select("doc_id", "z_n_tokens", "z_punct_ratio", "z_stopword_ratio",
           "z_mean_token_len", "z_dup_bigram_frac")
+        .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x53
+    // Quality-classifier inference: the fixed-weight sigmoid gate over
+    // x49's standardized feature matrix — the fastText/CCNet-style
+    // quality filter as one row-local codegen'd expression (scoring
+    // 100 TB is exactly one scan; zero shuffles past the shared stats
+    // pass). Weights fold in declared order so the oracle replays the
+    // identical float addition sequence; the pass gate compares the
+    // ROUNDED score on both sides.
+    "x53_quality_scores" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = TextOps.qualityMetrics(t.documents, "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+          "mean_token_len")
+      val rep = TextOps.repetitionMetrics(t.documents, "doc_id", "text")
+        .select("doc_id", "dup_bigram_frac")
+      val z = Quality.standardize(q.join(rep, Seq("doc_id"), "left"),
+        Seq("n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len",
+          "dup_bigram_frac"))
+      Quality.scoreLinear(z, ScoreWeights, ScoreBias)
+        .select("doc_id", "quality_score", "quality_pass")
         .orderBy("doc_id")
     }),
 
@@ -759,10 +796,11 @@ object TextQueries {
        |FROM jac WHERE jaccard >= $FuzzyDecontamThreshold
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Replays x49: the x2 + x29 feature chains joined, then z-scored
-    * against one mean/stddev_pop pass (CASE 0 for constant columns, the
-    * same guard as the operator). */
-  private def qualityFeaturesSql: String = {
+  /** Shared CTE prefix replaying x49's feature pipeline to a `z` frame
+    * (doc_id + rounded z-scores) — the x49 oracle selects it directly,
+    * the x53 scorer builds its dot product on top of the SAME rounded
+    * values, so both gates replay one arithmetic. */
+  private def qualityFeatureCtes: String = {
     val feats = Seq("n_tokens", "punct_ratio", "stopword_ratio",
       "mean_token_len", "dup_bigram_frac")
     val statExprs = feats.zipWithIndex.map { case (f, i) =>
@@ -794,10 +832,36 @@ object TextQueries {
        |  FROM m LEFT JOIN rep USING (doc_id)),
        |st AS (
        |  SELECT $statExprs
-       |  FROM f)
-       |SELECT doc_id,
+       |  FROM f),
+       |z AS (
+       |  SELECT doc_id,
        |  $zExprs
-       |FROM f, st ORDER BY doc_id""".stripMargin
+       |  FROM f, st)""".stripMargin
+  }
+
+  /** Replays x49: the x2 + x29 feature chains joined, then z-scored
+    * against one mean/stddev_pop pass (CASE 0 for constant columns, the
+    * same guard as the operator). */
+  private def qualityFeaturesSql: String =
+    s"""$qualityFeatureCtes
+       |SELECT doc_id, z_n_tokens, z_punct_ratio, z_stopword_ratio,
+       |  z_mean_token_len, z_dup_bigram_frac
+       |FROM z ORDER BY doc_id""".stripMargin
+
+  /** Replays x53: the fixed-weight sigmoid gate over the z frame. The dot
+    * product folds in [[ScoreWeights]] order — the identical float
+    * addition sequence as the operator — and the pass gate compares the
+    * ROUNDED score on both sides. */
+  private def qualityScoresSql: String = {
+    val dot = ScoreWeights
+      .map { case (c, w) => s"coalesce($c, 0.0) * $w" }
+      .mkString("((", " + ", s") + $ScoreBias)")
+    s"""$qualityFeatureCtes,
+       |scored AS (
+       |  SELECT doc_id, round(1.0 / (1.0 + exp(-$dot)), 6) AS quality_score
+       |  FROM z)
+       |SELECT doc_id, quality_score, quality_score >= 0.5 AS quality_pass
+       |FROM scored ORDER BY doc_id""".stripMargin
   }
 
   private def incrementalNearDupSql: String =
@@ -965,6 +1029,7 @@ object TextQueries {
     "x28_dedup_clusters" -> dedupClustersSql,
     "x48_incremental_clusters" -> incrementalClustersSql,
     "x49_quality_features" -> qualityFeaturesSql,
+    "x53_quality_scores" -> qualityScoresSql,
     "x29_repetition_metrics" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []

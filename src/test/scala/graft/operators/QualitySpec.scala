@@ -70,4 +70,23 @@ class QualitySpec extends SparkSpec {
       Quality.standardize(df.withColumn("z_x", lit(0)), Seq("x"))
     }
   }
+
+  test("scoreLinear: sigmoid arithmetic, null-as-mean, gate on rounded score") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, Some(2.0)), (2L, -1.0, None), (3L, 0.0, Some(0.0)))
+      .toDF("id", "a", "b")
+    val w = Seq("a" -> 2.0, "b" -> -1.0)
+    val out = Quality.scoreLinear(df, w, bias = 0.5).orderBy("id").collect()
+    def sig(x: Double) = math.rint(1.0 / (1.0 + math.exp(-x)) * 1e6) / 1e6
+    // row 1: 2*1 - 1*2 + 0.5 = 0.5; row 2: null b contributes 0 → -1.5
+    assert(out(0).getAs[Double]("quality_score") === sig(0.5))
+    assert(out(1).getAs[Double]("quality_score") === sig(-1.5))
+    assert(out(2).getAs[Double]("quality_score") === sig(0.5))
+    assert(out(0).getAs[Boolean]("quality_pass"))
+    assert(!out(1).getAs[Boolean]("quality_pass"))
+    // reserved output name rejected
+    intercept[IllegalArgumentException] {
+      Quality.scoreLinear(df.withColumn("quality_pass", lit(true)), w, 0.0)
+    }
+  }
 }

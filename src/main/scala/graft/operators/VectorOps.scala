@@ -66,6 +66,30 @@ object VectorOps {
   def planeColumn(plane: Array[Double]): Column =
     array(plane.map(lit): _*)
 
+  /** Johnson–Lindenstrauss random projection: d dims → `planes.length`
+    * dims, coordinate j = dot(v, plane_j) / sqrt(outDim) over the same
+    * deterministic 3-decimal plane matrix the LSH path inlines on both
+    * engine sides. The JL lemma bounds pairwise-distance distortion at
+    * (1±ε) for outDim = O(log n / ε²); with uniform[-1,1] plane entries
+    * every squared distance additionally scales by their variance (1/3)
+    * in expectation — a fixed monotone factor that cannot reorder
+    * neighbours, so ranking-based consumers need no correction
+    * (spec-pinned: ratio concentration AND top-k candidate recall).
+    * This is the cheap pre-cut for vector workloads at scale: candidate
+    * generation (top-k, near-dup blocking) runs in projected space at
+    * d/outDim of the shuffle/cache bytes, exact verification re-reads
+    * the full vectors for survivors only. Row-local, zero shuffles, one
+    * codegen'd [[dot]] per output dim; coords round to 6 decimals
+    * (oracle parity — 1e-6 is far below any JL ε anyone projects for). */
+  def jlProject(df: DataFrame, vecCol: String, planes: Seq[Array[Double]],
+                outCol: String = "projected"): DataFrame = {
+    require(planes.nonEmpty, "at least one projection plane")
+    require(!df.columns.contains(outCol), s"column $outCol already present")
+    val s = 1.0 / math.sqrt(planes.length.toDouble)
+    df.withColumn(outCol, array(planes.map(p =>
+      round(dot(col(vecCol), planeColumn(p)) * s, 6)): _*))
+  }
+
   /** Sign-of-dot-product LSH bucket id: bit i set iff dot(v, plane_i) > 0. */
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

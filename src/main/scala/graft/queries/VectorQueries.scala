@@ -33,6 +33,14 @@ object VectorQueries {
   /** Fixed hyperplane set shared by the ANN query and its oracle. */
   val planes: Seq[Array[Double]] = VectorOps.hyperplanes(NumPlanes, Dim)
 
+  /** JL projection target dimension and its plane matrix (x54) — its own
+    * seed so the projection is independent of the LSH bucketing planes;
+    * 16 = 64/4, the classic 4x byte cut, and 1/sqrt(16) = 0.25 is exact
+    * in binary so the scale factor adds no float noise. */
+  val ProjDim = 16
+  val projPlanes: Seq[Array[Double]] =
+    VectorOps.hyperplanes(ProjDim, Dim, seed = 11L)
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x6
     // Exact brute-force cosine top-k: the correctness baseline — one pass
@@ -48,6 +56,19 @@ object VectorQueries {
     "x7_ann_topk" -> ((s, dir) => {
       val t = Tables(s, dir)
       VectorOps.annTopK(t.embeddings, "vec_id", "embedding", QueryVecId, K, planes)
+    }),
+
+    // ----------------------------------------------------------------- x54
+    // Johnson–Lindenstrauss projection: every embedding cut 64 → 16 dims
+    // through the deterministic plane matrix — reported one row per
+    // (vector, output dim) so the oracle hash-checks every coordinate
+    // (the projected ARRAY would hide a transposed or misscaled dim).
+    "x54_jl_projection" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      VectorOps.jlProject(t.embeddings, "embedding", projPlanes)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("dim", "coord")))
+        .orderBy("vec_id", "dim")
     }),
 
     // ----------------------------------------------------------------- x11
@@ -213,6 +234,14 @@ object VectorQueries {
        |    FROM embeddings e CROSS JOIN c$KmeansIters c) WHERE rn = 1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "x54_jl_projection" -> {
+      val s = 1.0 / math.sqrt(ProjDim.toDouble)
+      projPlanes.zipWithIndex.map { case (p, j) =>
+        s"""SELECT vec_id, $j AS dim,
+           |  round(${dotSql("embedding", planeLit(p))} * $s, 6) AS coord
+           |FROM embeddings""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, dim")
+    },
     "x6_brute_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
          |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r

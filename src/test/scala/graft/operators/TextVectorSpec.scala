@@ -257,6 +257,43 @@ class TextVectorSpec extends SparkSpec {
     assert(multi > 0)
   }
 
+  test("jlProject: distance ratios concentrate at entry variance; top-k recall holds") {
+    // Real embeddings at sf0.001; uniform[-1,1] plane entries have
+    // variance 1/3, so projected/original squared-distance ratios must
+    // concentrate near 1/3 (the fixed monotone scale the doc promises).
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val proj = VectorOps.jlProject(t.embeddings.limit(60),
+        "embedding", graft.queries.VectorQueries.projPlanes)
+      .select("vec_id", "embedding", "projected")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getSeq[Double](2).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      Seq((_, fa, pa), (_, fb, pb)) <- proj.toSeq.combinations(2).toSeq
+      full = d2(fa, fb) if full > 1e-9
+    } yield d2(pa, pb) / full
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0 / 3) < 0.05,
+      s"mean ratio $mean must sit near the 1/3 entry variance")
+    assert(ratios.forall(r => r > 0.05 && r < 1.2),
+      s"per-pair distortion out of range: min ${ratios.min} max ${ratios.max}")
+    // Candidate-generation contract (the documented usage): a 3x
+    // candidate multiplier in projected space recalls the exact top-10 —
+    // generate top-30 candidates cheaply, verify exact on survivors.
+    val recalls = proj.take(5).map { case (qid, qf, qp) =>
+      val rest = proj.filter(_._1 != qid)
+      val exact = rest.sortBy(x => d2(x._2, qf)).take(10).map(_._1).toSet
+      val cands = rest.sortBy(x => d2(x._3, qp)).take(30).map(_._1).toSet
+      (exact & cands).size
+    }
+    val meanRecall = recalls.sum / 5.0
+    assert(meanRecall >= 7.0,
+      s"projected top-30 must recall >=7/10 exact on average (got $recalls)")
+  }
+
   test("nearDupPairs blocks by LSH bucket and finds identical vectors") {
     val planes = VectorOps.hyperplanes(4, 3)
     val df = Seq(

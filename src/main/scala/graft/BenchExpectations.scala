@@ -88,6 +88,7 @@ object BenchExpectations {
     "pl7_corpus_report" -> 1.3601,
     "pl8_nightly_ingest" -> 6.1477,
     "pl9_export_shards" -> 2.0909,
+    "pl10_classifier_pipeline" -> 5.5826,
     "s10_tree_paths" -> 0.9913,
     "s11_dryrun" -> 0.2328,
     "s12_orc_scan" -> 0.922,

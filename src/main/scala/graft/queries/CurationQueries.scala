@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftCache
-import graft.operators.{Curation, TextOps, VectorOps}
+import graft.operators.{Curation, Quality, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the corpus-curation suite (engine extension —
@@ -196,6 +196,44 @@ object CurationQueries {
           "doc_id", pairs, "id_a", "id_b", SplitWeights)
         .select("doc_id", "rep", "split")
         .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- pl10
+    // The modern classifier-era curation loop composed end-to-end: the
+    // fixed-weight sigmoid gate (x53) admits documents; near-dup pairs
+    // are mined over the ADMITTED corpus only (text re-read behind a
+    // semi-join on gated ids — the skinny-persist discipline of pl5);
+    // leakage-safe splits (x52) key every dup cluster to one split; the
+    // report accounts each split's docs, dup groups, tokens, and mean
+    // classifier score. The oracle replays all four stages — feature
+    // z-scores, sigmoid gate, recursive-CTE clustering over the gated
+    // subset, hash-bucket splits — from the shared SQL builders.
+    "pl10_classifier_pipeline" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = TextOps.qualityMetrics(t.documents, "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+          "mean_token_len")
+      val rep = TextOps.repetitionMetrics(t.documents, "doc_id", "text")
+        .select("doc_id", "dup_bigram_frac")
+      val z = Quality.standardize(q.join(rep, Seq("doc_id"), "left"),
+        Seq("n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len",
+          "dup_bigram_frac"))
+      val gated = GraftCache.persist(
+        Quality.scoreLinear(z, TextQueries.ScoreWeights, TextQueries.ScoreBias)
+          .filter(col("quality_pass"))
+          .select("doc_id", "n_tokens", "quality_score"))
+      val gatedDocs = t.documents
+        .join(gated.select("doc_id"), Seq("doc_id"), "left_semi")
+      val pairs = TextOps.minhashNearDups(gatedDocs, "doc_id", "text",
+        TextQueries.NearDupThreshold)
+      Curation.assignSplitsLeakageSafe(gated, "doc_id", pairs,
+          "id_a", "id_b", SplitWeights)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("rep").as("n_groups"),
+          sum("n_tokens").as("n_tokens"),
+          round(avg("quality_score"), 4).as("mean_score"))
+        .orderBy("split")
     }),
 
     // ----------------------------------------------------------------- pl9
@@ -407,6 +445,19 @@ object CurationQueries {
   /** DuckDB id hash (Curation.idHash: md5Hash60 of the id rendered as a
     * decimal string — both engines print int64 identically). */
   private def idh(idExpr: String): String = md5h(s"CAST($idExpr AS VARCHAR)")
+
+  /** CASE expression assigning [[SplitWeights]] splits from the hash
+    * bucket of `keyExpr` — shared by the x50/x52 oracles and the pl10
+    * pipeline replay (one arithmetic, three consumers). */
+  private def splitCaseSql(keyExpr: String): String = {
+    val cases = SplitWeights.scanLeft(("", 0.0)) {
+      case ((_, acc), (name, w)) => (name, acc + w)
+    }.tail.init
+      .map { case (name, t) =>
+        s"WHEN ${idh(keyExpr)} % 1000 < ${t * 1000} THEN '$name'" }
+      .mkString(" ")
+    s"CASE $cases ELSE '${SplitWeights.last._1}' END"
+  }
 
   private def simhashNearDupSql: String = {
     val bits = (0 until TextOps.SimHashBits).map { j =>
@@ -739,13 +790,7 @@ object CurationQueries {
          |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
-    "x52_leakage_safe_splits" -> {
-      val cases = SplitWeights.scanLeft(("", 0.0)) {
-        case ((_, acc), (name, w)) => (name, acc + w)
-      }.tail.init
-        .map { case (name, t) =>
-          s"WHEN ${idh("rep")} % 1000 < ${t * 1000} THEN '$name'" }
-        .mkString(" ")
+    "x52_leakage_safe_splits" ->
       s"""WITH RECURSIVE toked AS (
          |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
          |${TextQueries.minhashPairCtes("toked")},
@@ -761,10 +806,42 @@ object CurationQueries {
          |keyed AS (
          |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
-         |SELECT doc_id, rep,
-         |  CASE $cases ELSE '${SplitWeights.last._1}' END AS split
-         |FROM keyed ORDER BY doc_id""".stripMargin
-    },
+         |SELECT doc_id, rep, ${splitCaseSql("rep")} AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin,
+    "pl10_classifier_pipeline" ->
+      s"""${TextQueries.qualityFeatureCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |scored AS (
+         |  SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-${TextQueries.scoreDotSql})), 6)
+         |      AS quality_score
+         |  FROM z),
+         |gated AS (
+         |  SELECT s.doc_id, m.n_tokens, s.quality_score
+         |  FROM scored s JOIN m USING (doc_id)
+         |  WHERE s.quality_score >= 0.5),
+         |gsrc AS (
+         |  SELECT t.doc_id AS id, t.toks
+         |  FROM toked t JOIN gated g ON t.doc_id = g.doc_id),
+         |${TextQueries.minhashPairCtes("gsrc")},
+         |e AS (SELECT id_a, id_b FROM jac
+         |  WHERE jaccard >= ${TextQueries.NearDupThreshold}),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM e
+         |        UNION SELECT id_b AS s, id_a AS d FROM e),
+         |reach AS (
+         |  SELECT s AS id, s AS label FROM sym
+         |  UNION
+         |  SELECT sym.d AS id, r.label FROM reach r JOIN sym ON sym.s = r.id),
+         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+         |keyed AS (
+         |  SELECT g.doc_id, g.n_tokens, g.quality_score,
+         |    coalesce(c.component, g.doc_id) AS rep
+         |  FROM gated g LEFT JOIN comp c ON g.doc_id = c.id)
+         |SELECT ${splitCaseSql("rep")} AS split,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT rep) AS n_groups,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(avg(quality_score), 4) AS mean_score
+         |FROM keyed GROUP BY 1 ORDER BY 1""".stripMargin,
     "x40_perplexity_bins" -> perplexityBinsSql,
     "x20_domain_cap" ->
       s"""WITH r AS (

@@ -800,7 +800,7 @@ object TextQueries {
     * (doc_id + rounded z-scores) — the x49 oracle selects it directly,
     * the x53 scorer builds its dot product on top of the SAME rounded
     * values, so both gates replay one arithmetic. */
-  private def qualityFeatureCtes: String = {
+  private[queries] def qualityFeatureCtes: String = {
     val feats = Seq("n_tokens", "punct_ratio", "stopword_ratio",
       "mean_token_len", "dup_bigram_frac")
     val statExprs = feats.zipWithIndex.map { case (f, i) =>
@@ -852,10 +852,14 @@ object TextQueries {
     * product folds in [[ScoreWeights]] order — the identical float
     * addition sequence as the operator — and the pass gate compares the
     * ROUNDED score on both sides. */
+  /** The x53 dot product in [[ScoreWeights]] order — shared by the x53
+    * oracle and the pl10 pipeline replay. */
+  private[queries] def scoreDotSql: String = ScoreWeights
+    .map { case (c, w) => s"coalesce($c, 0.0) * $w" }
+    .mkString("((", " + ", s") + $ScoreBias)")
+
   private def qualityScoresSql: String = {
-    val dot = ScoreWeights
-      .map { case (c, w) => s"coalesce($c, 0.0) * $w" }
-      .mkString("((", " + ", s") + $ScoreBias)")
+    val dot = scoreDotSql
     s"""$qualityFeatureCtes,
        |scored AS (
        |  SELECT doc_id, round(1.0 / (1.0 + exp(-$dot)), 6) AS quality_score

@@ -90,6 +90,56 @@ object VectorOps {
       round(dot(col(vecCol), planeColumn(p)) * s, 6)): _*))
   }
 
+  /** Two-stage kNN join through the JL projection — the scale form of
+    * [[knnJoin]]: stage 1 generates `candidates` per query by squared L2
+    * in `planes`-projected space (the |Q|×N distance pass computes and
+    * ships outDim/d of the vector bytes, and the bounded-heap operator
+    * cuts it to ≤ candidates per (qid × partition) BEFORE any exchange);
+    * stage 2 re-reads the FULL vectors behind the candidate join and
+    * ranks exact cosine top-k. Candidates rank by PROJECTED COSINE —
+    * the same metric the final ranking uses (JL preserves angles as well
+    * as distances); ranking stage 1 by projected L2 against a cosine
+    * stage 2 was measured at 0.23 recall on the synthetic embeddings
+    * (unnormalized vectors order differently under the two metrics).
+    * Matches [[knnJoin]] whenever the true top-k survive the cut — the
+    * spec measures that recall on real embeddings; the operator's
+    * CONTRACT is the two-stage computation itself, deterministic on both
+    * engines (round-6 projected coords, round-6 similarities, id
+    * tie-breaks), which is what the oracle replays. */
+  def knnJoinProjected(embeddings: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, k: Int, candidates: Int,
+                       planes: Seq[Array[Double]]): DataFrame = {
+    require(candidates >= k, "candidate pool must cover k")
+    val proj = jlProject(embeddings, vecCol, planes)
+    val projSkinny = proj.select(col(idCol), col("projected"),
+      norm2(col("projected")).as("__pn"))
+    val qp = proj.filter(queryPred)
+      .select(col(idCol).as("qid"), col("projected").as("__qp"),
+        norm2(col("projected")).as("__qpn"))
+    val sims = projSkinny.crossJoin(broadcast(qp))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(dot(col("projected"), col("__qp")) / (col("__pn") * col("__qpn")), 6)
+          .as("sim_p"))
+    val cands = graft.plans.TopKPerKey.topKPerKey(sims, Seq("qid"),
+        Seq(desc("sim_p"), col(idCol)), candidates)
+      .select("qid", idCol)
+    val full = embeddings.select(col(idCol), col(vecCol).as("__v"),
+      norm2(col(vecCol)).as("__n"))
+    val qf = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        norm2(col(vecCol)).as("__qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("sim_r"), col(idCol))
+    cands.join(full, idCol)
+      .join(broadcast(qf), "qid")
+      .select(col("qid"), col(idCol),
+        round(dot(col("__v"), col("__qv")) / (col("__n") * col("__qn")), 6)
+          .as("sim_r"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Sign-of-dot-product LSH bucket id: bit i set iff dot(v, plane_i) > 0. */
   def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

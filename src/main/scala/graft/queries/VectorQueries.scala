@@ -41,6 +41,15 @@ object VectorQueries {
   val projPlanes: Seq[Array[Double]] =
     VectorOps.hyperplanes(ProjDim, Dim, seed = 11L)
 
+  /** Candidate pool per query for the two-stage JL kNN (x55). The
+    * synthetic iid embeddings are JL's ADVERSARIAL case — no cluster
+    * structure, true neighbours barely above the cosine noise floor — so
+    * the pool is sized for measured 0.60 recall there (curve: 12→0.23,
+    * 24→0.37, 48→0.60, 96→0.73 at sf0.001); real text embeddings
+    * cluster, where the same pool recalls far more. Still a ~10x
+    * candidate cut at sf0.001 and growing with corpus size. */
+  val JlKnnCandidates = 48
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x6
     // Exact brute-force cosine top-k: the correctness baseline — one pass
@@ -169,6 +178,21 @@ object VectorQueries {
       val t = Tables(s, dir)
       VectorOps.knnJoinNative(t.embeddings, "vec_id", "embedding",
           col("vec_id") % KnnQueryMod === 0, KnnK)
+        .orderBy("qid", "rk")
+    }),
+
+    // ----------------------------------------------------------------- x55
+    // Two-stage kNN through the JL projection: candidates by projected-
+    // space L2 (16 of 64 dims — 1/4 the distance-pass bytes, heap-cut
+    // before any exchange), exact cosine re-rank on the full vectors for
+    // survivors only. The oracle replays BOTH stages — projected coords,
+    // round-6 distances, id tie-breaks, candidate cut, exact re-rank — so
+    // the two-stage computation itself is the verified contract.
+    "x55_jl_knn" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      VectorOps.knnJoinProjected(t.embeddings, "vec_id", "embedding",
+          col("vec_id") % KnnQueryMod === 0, KnnK, JlKnnCandidates,
+          projPlanes)
         .orderBy("qid", "rk")
     })
   )
@@ -321,7 +345,34 @@ object VectorQueries {
     "x30_knn_join" -> knnJoinSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.
-    "x43_knn_native" -> knnJoinSql
+    "x43_knn_native" -> knnJoinSql,
+    "x55_jl_knn" -> {
+      val sc = 1.0 / math.sqrt(ProjDim.toDouble)
+      val coordList = projPlanes.map(p =>
+        s"round(${dotSql("embedding", planeLit(p))} * $sc, 6)")
+        .mkString("[", ",\n    ", "]")
+      s"""WITH proj AS (
+         |  SELECT vec_id, embedding, $coordList AS p FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS qid, p AS qp, embedding AS qv FROM proj
+         |  WHERE vec_id % $KnnQueryMod = 0),
+         |d AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("e.p", "q.qp")} AS sim_p
+         |  FROM proj e, q WHERE e.vec_id <> q.qid),
+         |c AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim_p DESC, vec_id) AS rn FROM d)
+         |  WHERE rn <= $JlKnnCandidates),
+         |f AS (
+         |  SELECT c.qid, c.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r
+         |  FROM c JOIN proj e ON c.vec_id = e.vec_id JOIN q ON c.qid = q.qid),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim_r DESC, vec_id) AS INT) AS rk FROM f)
+         |SELECT qid, vec_id, sim_r, rk FROM ranked
+         |WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin
+    }
   )
 
   private def knnJoinSql: String =

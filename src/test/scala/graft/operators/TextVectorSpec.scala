@@ -294,6 +294,33 @@ class TextVectorSpec extends SparkSpec {
       s"projected top-30 must recall >=7/10 exact on average (got $recalls)")
   }
 
+  test("knnJoinProjected: recall holds at the shipped pool and grows with it") {
+    // iid synthetic embeddings are JL's adversarial case (no cluster
+    // structure; true neighbours sit barely above the cosine noise
+    // floor) — the shipped 48-pool measures 0.60 recall here and far
+    // more on clustered real embeddings. Pin the floor AND the shape:
+    // recall must improve as the candidate pool widens.
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    import graft.queries.VectorQueries._
+    val pred = col("vec_id") % KnnQueryMod === 0
+    val exact = VectorOps.knnJoin(t.embeddings, "vec_id", "embedding",
+        pred, KnnK).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(pool: Int): Double = {
+      val ts = VectorOps.knnJoinProjected(t.embeddings, "vec_id",
+          "embedding", pred, KnnK, pool, projPlanes).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ts.size === exact.size, "same (query, k) output shape")
+      (exact & ts).size.toDouble / exact.size
+    }
+    val narrow = recallAt(12)
+    val shipped = recallAt(JlKnnCandidates)
+    assert(shipped >= 0.55,
+      s"recall at the shipped pool must hold (got $shipped)")
+    assert(shipped > narrow,
+      s"recall must grow with the pool ($narrow -> $shipped)")
+  }
+
   test("nearDupPairs blocks by LSH bucket and finds identical vectors") {
     val planes = VectorOps.hyperplanes(4, 3)
     val df = Seq(

@@ -102,6 +102,7 @@ object BenchExpectations {
     "x53_quality_scores" -> 2.9732,
     "x54_jl_projection" -> 1.8546,
     "x55_jl_knn" -> 1.7232,
+    "x56_weighted_sample" -> 0.5383,
     "s1_csv_scan" -> 0.8577,
     "s7_sink_roundtrip" -> 0.3762,
     "s8_batched_sink" -> 0.4303,

@@ -86,6 +86,39 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic weighted sample without replacement (Efraimidis &
+    * Spirakis 2006): key_i = u_i^(1/w_i) with u_i the id-hash mapped
+    * uniformly into (0, 1], sample = the k largest keys — each row's
+    * inclusion probability is proportional to its weight, with the same
+    * reproducibility contract as every sampler here (hash-driven, no
+    * RNG: rerun ⇒ identical sample; any subset computable
+    * independently). The standard corpus knob "sample documents
+    * proportional to quality score / token count". Keys round to 6
+    * decimals before ranking (ties break on id), so an external engine
+    * whose libm pow differs by 1 ulp replays the identical selection —
+    * the x44 discipline. Non-positive weights are rejected: silently
+    * dropping them would make the sample size data-dependent.
+    *
+    * Scale shape: the key is a row-local expression; top-k by key
+    * compiles to TakeOrderedAndProject (per-partition heaps, no global
+    * sort). Returns the sampled rows plus `sample_key`. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0)
+    requireAbsent(df, "sample_key")
+    // +1 in LONG before the double cast (not after): at 2^60 magnitude
+    // double spacing is 256, so cast-then-add would absorb the 1 — and
+    // the oracle's BIGINT-add-then-cast would disagree at the boundary.
+    val u = (idHash(col(idCol)) + lit(1L)).cast("double") /
+      lit((1L << 60).toDouble)
+    val key = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6)
+    df.withColumn("sample_key",
+        when(col(weightCol).cast("double") > 0, key)
+          .otherwise(raise_error(lit("weightedSample: non-positive weight"))))
+      .orderBy(desc("sample_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Leakage-safe [[assignSplits]]: assignment keyed by the near-dup
     * CLUSTER representative instead of the document itself, so every
     * member of a connected near-duplicate cluster lands in the SAME

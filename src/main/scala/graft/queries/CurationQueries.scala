@@ -55,6 +55,9 @@ object CurationQueries {
   /** Quartile probes for perplexity-curriculum binning (x40). */
   val BinQuartiles: Seq[Double] = Seq(0.25, 0.5, 0.75)
 
+  /** Sample size for the weighted (token-proportional) sample (x56). */
+  val WeightedSampleK = 50
+
   val DomainQuota = 15
   val DecontamGramSize = 5
   val EvalModulus = 10
@@ -196,6 +199,22 @@ object CurationQueries {
           "doc_id", pairs, "id_a", "id_b", SplitWeights)
         .select("doc_id", "rep", "split")
         .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x56
+    // Weighted sample without replacement (Efraimidis–Spirakis): inclusion
+    // probability proportional to token count — the "sample long documents
+    // more" corpus knob — via key = u^(1/w) over the deterministic id
+    // hash, top-k by key. Round-6 keys + id tie-breaks make the exact
+    // selection replayable (the x44 pow discipline); the oracle computes
+    // the identical keys and the identical top-k.
+    "x56_weighted_sample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0) // zero-weight (empty) docs are rejected
+      Curation.weightedSample(docs, "doc_id", "n_tokens", WeightedSampleK)
+        .orderBy(desc("sample_key"), col("doc_id"))
     }),
 
     // ---------------------------------------------------------------- pl10
@@ -808,6 +827,14 @@ object CurationQueries {
          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
          |SELECT doc_id, rep, ${splitCaseSql("rep")} AS split
          |FROM keyed ORDER BY doc_id""".stripMargin,
+    "x56_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_tokens, sample_key FROM (
+         |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    round(pow((${idh("doc_id")} + 1)::DOUBLE / ${(1L << 60).toDouble},
+         |      1.0 / len(toks)), 6) AS sample_key
+         |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0)
+         |ORDER BY sample_key DESC, doc_id LIMIT $WeightedSampleK""".stripMargin,
     "pl10_classifier_pipeline" ->
       s"""${TextQueries.qualityFeatureCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |scored AS (

@@ -151,6 +151,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: monotone in weight, biased to heavy rows, errors on w<=0") {
+    // 200 light rows (w=1) + 20 heavy rows (w=50): heavy rows must be
+    // strongly over-represented in a 40-row sample.
+    val rows = (1L to 200L).map(i => (i, 1L)) ++ (201L to 220L).map(i => (i, 50L))
+    val df = rows.toDF("id", "w")
+    val sampled = Curation.weightedSample(df, "id", "w", 40)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sampled.size === 40)
+    assert(sampled.values.forall(k => k > 0.0 && k <= 1.0))
+    val nHeavy = sampled.keys.count(_ > 200L)
+    assert(nHeavy >= 15,
+      s"w=50 rows are ~91% of total weight; got $nHeavy/20 in the sample")
+    // same id, larger weight -> larger key (u^(1/w) monotone in w)
+    val k1 = Curation.weightedSample(Seq((7L, 2L)).toDF("id", "w"), "id", "w", 1)
+      .head.getDouble(2)
+    val k2 = Curation.weightedSample(Seq((7L, 20L)).toDF("id", "w"), "id", "w", 1)
+      .head.getDouble(2)
+    assert(k2 > k1)
+    // deterministic: identical rerun
+    val again = Curation.weightedSample(df, "id", "w", 40)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === sampled)
+    intercept[Exception] {
+      Curation.weightedSample(Seq((1L, 0L)).toDF("id", "w"), "id", "w", 1)
+        .collect()
+    }
+  }
+
   test("assignSplitsLeakageSafe: clusters share a split, singletons unchanged") {
     val w = Seq("train" -> 0.5, "test" -> 0.5)
     val docs = (1L to 400L).map(i => (i, i)).toDF("id", "v")

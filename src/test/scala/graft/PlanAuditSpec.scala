@@ -314,6 +314,26 @@ class PlanAuditSpec extends SparkSpec {
       s"both z-order dimensions must reach the scan as PushedFilters:\n$s")
   }
 
+  test("x53 classifier scoring adds no shuffle beyond the stats pass") {
+    // standardize = one 1-row stats aggregate broadcast back; the sigmoid
+    // gate is row-local. Budget: metric aggregates + stats + output sort.
+    val p = finalPlan("x53_quality_scores")
+    assert(shuffleCount(p) <= 4, s"scoring must stay row-local:\n$p")
+  }
+
+  test("x54 JL projection is row-local: no join, bounded shuffles") {
+    val p = finalPlan("x54_jl_projection")
+    assert(joins(p).isEmpty, "projection must not join")
+    // posexplode + the oracle-mandated ORDER BY only
+    assert(shuffleCount(p) <= 1, s"projection must be one scan:\n$p")
+  }
+
+  test("x56 weighted sample compiles to TakeOrdered, not a global sort") {
+    val s = finalPlan("x56_weighted_sample").toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"weighted top-k must use per-partition heaps:\n$s")
+  }
+
   test("j8 bloom probe filters the big side BELOW the join") {
     val p = finalPlan("j8_bloom_join")
     val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))

@@ -368,6 +368,106 @@ object Curation {
     applyRatesWithRepetition(df, strataCol, idCol, rates, buckets)
   }
 
+  /** DSIR importance weights — Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS 2023): score every raw document by how
+    * target-like its hashed n-gram distribution is. Both corpora reduce
+    * to bag-of-hashed-n-gram models (unigrams + bigrams hashed into
+    * `buckets` cells — the paper's feature space); each cell gets a
+    * smoothed probability under the target and the raw model, and a
+    * document's log importance weight is Σ count_b · ln(p_target(b) /
+    * p_raw(b)) over its cells. Unlike the strata knobs
+    * ([[domainMixResample]] / [[temperatureResample]]), which need a
+    * LABELED stratum column and move whole groups, DSIR shifts the
+    * corpus toward an EXAMPLE corpus — "more like Wikipedia" without
+    * anyone labeling what Wikipedia-like means. Returns (idCol, n_grams,
+    * log_weight_micro) for every raw document with at least one token;
+    * resample with [[gumbelTopK]] (the paper's selection rule) after
+    * dividing by 1e6 (the score is integer MICRO-nats).
+    *
+    * Determinism/oracle: the per-cell log-ratio is held as an INTEGER of
+    * micro-nats (round(ln·1e6) as long) and the per-document score stays
+    * in that integer space — Σ count·lr is an exact long sum,
+    * order-independent, and is returned UNROUNDED. A double sum here is
+    * engine-order-dependent, and even an exact sum rounded to a fixed
+    * decimal lands on an exact decimal half every ~100 docs, where
+    * Spark (shortest-decimal HALF_UP) and binary-value rounders
+    * (DuckDB) deterministically disagree — both failure modes observed
+    * at sf0.001 before this formulation. The only float step left is
+    * the ln itself (1-ulp libm variance absorbed by the micro-nat
+    * rounding), so an external engine replays the scores exactly.
+    *
+    * Scale shape: grams hash to cells IN the projection (strings never
+    * cross a shuffle); the raw corpus collapses once to the skinny
+    * (id, cell, count) frame — persisted, it feeds both the model agg
+    * and the scoring pass, so the corpus is tokenized exactly once; each
+    * model is a ≤`buckets`-row aggregate; the log-ratio table
+    * (≤`buckets` rows) BROADCASTS back onto the skinny frame — scoring
+    * is a broadcast join + one keyed agg, no corpus-sized join side.
+    * The target corpus is an eval/reference set (MBs next to a 100 TB
+    * raw crawl by construction) and costs one extra tokenization pass
+    * over itself only. Callers release the persisted frame via
+    * [[graft.GraftCache]] after consuming. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0)
+    requireAbsent(raw, "n_grams", "log_weight_micro", "__b", "__c", "__lr")
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+        .select(col(idCol), explode(
+          concat(col("__tk"), TextOps.ngrams(col("__tk"), 2))).as("__g"))
+        .select(col(idCol), (TextOps.md5Hash60(col("__g")) % buckets).as("__b"))
+        .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val rawCells = graft.GraftCache.persist(bucketCounts(raw))
+    val rawModel = rawCells.groupBy("__b").agg(sum("__c").as("__rc"))
+    val tgtModel = bucketCounts(target).groupBy("__b").agg(sum("__c").as("__tc"))
+    val rawTotal = rawModel.agg(sum("__rc").cast("double").as("__rt"))
+    val tgtTotal = tgtModel.agg(sum("__tc").cast("double").as("__tt"))
+    // Laplace-smoothed (+0.5 per cell) log-ratio per cell the raw corpus
+    // touches (cells only the target touches score no raw document).
+    val ratio = rawModel.join(tgtModel, Seq("__b"), "left")
+      .crossJoin(broadcast(rawTotal)).crossJoin(broadcast(tgtTotal))
+      .select(col("__b"), round(log(
+        ((coalesce(col("__tc"), lit(0L)).cast("double") + lit(0.5)) /
+          (col("__tt") + lit(0.5 * buckets))) /
+        ((col("__rc").cast("double") + lit(0.5)) /
+          (col("__rt") + lit(0.5 * buckets)))) * lit(1e6))
+        .cast("long").as("__lr"))
+    rawCells.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_grams"),
+        sum(col("__c") * col("__lr")).as("log_weight_micro"))
+  }
+
+  /** Gumbel top-k resampling (the DSIR paper's selection rule, and the
+    * standard log-space form of weighted sampling without replacement):
+    * keep the k rows maximizing log_weight + Gumbel noise, where the
+    * noise is derived from the row id's deterministic hash coin —
+    * g = −ln(−ln(u)), u uniform in (0,1) — so selection probability
+    * follows the importance weights yet the draw replays exactly.
+    * [[weightedSample]]'s u^(1/w) key is the same distribution in
+    * weight space; this form works from LOG weights directly, which is
+    * what DSIR produces (exp(log_weight) under/overflows a double for
+    * strongly target-(un)like documents long before the key loses
+    * precision here). Output: input plus `gumbel_key`, top-k rows.
+    *
+    * Scale shape: per-row expression + global top-k — compiles to
+    * TakeOrderedAndProject (per-partition bounded heaps, never a total
+    * sort), the same shape as [[weightedSample]]. */
+  def gumbelTopK(df: DataFrame, idCol: String, logWeightCol: String,
+                 k: Int): DataFrame = {
+    require(k > 0)
+    requireAbsent(df, "gumbel_key")
+    // +1 in LONG before the double cast (weightedSample's boundary note);
+    // denominator 2^60+4096 is double-exact (spacing at 2^60 is 256) and
+    // keeps u strictly inside (0,1) — u=1 would send −ln(−ln(u)) to +∞.
+    val u = (idHash(col(idCol)) + lit(1L)).cast("double") /
+      lit(((1L << 60) + 4096L).toDouble)
+    df.withColumn("gumbel_key",
+        round(col(logWeightCol) - log(-log(u)), 6))
+      .orderBy(desc("gumbel_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Corpus drift between two snapshots — the across-time companion to a
     * point-in-time health report: per stratum, document counts and
     * size-share in the OLD and NEW snapshots plus the share delta, so a

@@ -58,6 +58,14 @@ object CurationQueries {
   /** Sample size for the weighted (token-proportional) sample (x56). */
   val WeightedSampleK = 50
 
+  /** DSIR (x57): hashed n-gram feature cells, target language defining
+    * the example corpus, and the resample size. 4096 cells is deliberate
+    * aliasing at this vocabulary — hash collisions are part of the
+    * method (the paper uses 10k cells against web-scale vocab). */
+  val DsirBuckets = 4096
+  val DsirTargetLang = "en"
+  val DsirK = 100
+
   val DomainQuota = 15
   val DecontamGramSize = 5
   val EvalModulus = 10
@@ -122,6 +130,28 @@ object CurationQueries {
           coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
           col("mix_rate"))
         .orderBy("lang")
+    }),
+
+    // ----------------------------------------------------------------- x57
+    // DSIR importance resampling (Xie et al. 2023): raw documents scored
+    // by hashed-n-gram likelihood ratio against the English subset as the
+    // example corpus, then Gumbel-top-k selected. Complements the strata
+    // knobs (x37/x42/x44): no stratum labels, the target is defined by
+    // EXAMPLE. The oracle replays the feature hashing, both smoothed
+    // models, per-doc log weights, and the exact deterministic draw.
+    "x57_dsir_select" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+      val scored = Curation.dsirLogWeights(docs,
+        docs.filter(col("lang") === DsirTargetLang), "doc_id", "text",
+        DsirBuckets)
+      Curation.gumbelTopK(
+          scored.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+            .withColumn("__lw", col("log_weight_micro") / lit(1e6)),
+          "doc_id", "__lw", DsirK)
+        .select(col("doc_id"), col("lang"), col("n_grams"),
+          col("log_weight_micro"), col("gumbel_key"))
+        .orderBy(desc("gumbel_key"), col("doc_id"))
     }),
 
     // ----------------------------------------------------------------- x42
@@ -766,8 +796,50 @@ object CurationQueries {
        |) ORDER BY stage""".stripMargin
   }
 
+  /** Replays x57 end to end: unigram+bigram feature hashing into
+    * [[DsirBuckets]] cells, the smoothed target/raw models, per-document
+    * log importance weights, and the deterministic Gumbel-top-k draw. The
+    * denominator literal is 2^60+4096 (double-exact; keeps u strictly
+    * inside (0,1)). */
+  private def dsirSelectSql: String = {
+    val b = DsirBuckets
+    val denom = (1L << 60) + 4096L
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) < 2 THEN []
+       |      ELSE list_transform(range(0, len(toks)-1),
+       |        i -> concat_ws(' ', toks[i+1], toks[i+2])) END)) AS g
+       |  FROM toked),
+       |cells AS (
+       |  SELECT doc_id, ${md5h("g")} % $b AS cell, count(*) AS c
+       |  FROM grams GROUP BY 1, 2),
+       |rawm AS (SELECT cell, CAST(sum(c) AS BIGINT) AS rc FROM cells GROUP BY 1),
+       |tgtm AS (
+       |  SELECT cell, CAST(sum(c) AS BIGINT) AS tc
+       |  FROM cells JOIN documents USING (doc_id)
+       |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
+       |rt AS (SELECT sum(rc)::DOUBLE AS rt FROM rawm),
+       |tt AS (SELECT sum(tc)::DOUBLE AS tt FROM tgtm),
+       |ratio AS (
+       |  SELECT rawm.cell, CAST(round(ln(
+       |    ((coalesce(tc, 0)::DOUBLE + 0.5) / (tt + ${0.5 * b})) /
+       |    ((rc::DOUBLE + 0.5) / (rt + ${0.5 * b}))) * 1000000) AS BIGINT) AS lr
+       |  FROM rawm LEFT JOIN tgtm USING (cell), rt, tt),
+       |scored AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |    CAST(sum(c * lr) AS BIGINT) AS log_weight_micro
+       |  FROM cells JOIN ratio USING (cell) GROUP BY 1)
+       |SELECT s.doc_id, d.lang, s.n_grams, s.log_weight_micro,
+       |  round(s.log_weight_micro / 1000000.0 - ln(-ln(
+       |    (${idh("s.doc_id")} + 1)::DOUBLE / $denom.0)), 6) AS gumbel_key
+       |FROM scored s JOIN documents d USING (doc_id)
+       |ORDER BY gumbel_key DESC, s.doc_id LIMIT $DsirK""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "pl5_curation_pipeline" -> curationPipelineSql,
+    "x57_dsir_select" -> dsirSelectSql,
     "x18_simhash_neardups" -> simhashNearDupSql,
     "x19_stratified_sample" -> stratifiedSampleSql,
     "x37_domain_mix" -> domainMixSql,

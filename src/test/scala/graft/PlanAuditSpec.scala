@@ -334,6 +334,21 @@ class PlanAuditSpec extends SparkSpec {
       s"weighted top-k must use per-partition heaps:\n$s")
   }
 
+  test("x57 DSIR: log-ratio model broadcasts onto the scoring pass; " +
+      "selection is TakeOrdered, never a corpus sort") {
+    val p = finalPlan("x57_dsir_select")
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"Gumbel top-k must use per-partition heaps:\n$s")
+    // the ≤buckets-row log-ratio table must reach the skinny (id, cell,
+    // count) frame as a broadcast — a sort-merge join here would shuffle
+    // the whole corpus's cell frame against a 4096-row table
+    assert(allNodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"ratio scoring must be a broadcast join:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"only 1-row broadcast nest loops allowed (totals):\n$s")
+  }
+
   test("j8 bloom probe filters the big side BELOW the join") {
     val p = finalPlan("j8_bloom_join")
     val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))

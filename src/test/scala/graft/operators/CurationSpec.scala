@@ -179,6 +179,61 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dsirLogWeights: target-like docs outscore target-unlike docs") {
+    // Target corpus speaks pure "alpha"; raw has alpha docs, beta docs,
+    // and one mixed doc — DSIR must order them alpha > mixed > beta.
+    val target = Seq((100L, "alpha beta alpha alpha"),
+      (101L, "alpha alpha gamma alpha")).toDF("id", "text")
+    val raw = Seq(
+      (1L, "alpha alpha alpha alpha"),
+      (2L, "zzz qqq www zzz"),
+      (3L, "alpha alpha zzz qqq")).toDF("id", "text")
+    val w = Curation.dsirLogWeights(raw, target, "id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("log_weight_micro")))).toMap
+    graft.GraftCache.release(blocking = true)
+    // unigrams + bigrams: 4 + 3 per doc
+    assert(w.values.forall(_._1 === 7L))
+    // Ordering is the contract; absolute sign is not (Laplace smoothing
+    // shifts all scores on small corpora — only relative scores matter,
+    // which is all Gumbel-top-k consumes).
+    assert(w(1L)._2 > w(3L)._2 && w(3L)._2 > w(2L)._2,
+      s"expected alpha > mixed > beta ordering, got $w")
+    assert(w(1L)._2 - w(2L)._2 > 1000000L,
+      "pure-target and pure-off-target docs separate by more than a nat")
+  }
+
+  test("dsirLogWeights is deterministic; empty docs drop; reruns identical") {
+    val target = Seq((1L, "aa bb cc")).toDF("id", "text")
+    val raw = Seq((1L, "aa bb"), (2L, ""), (3L, "dd ee")).toDF("id", "text")
+    def run() = {
+      val out = Curation.dsirLogWeights(raw, target, "id", "text", 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      graft.GraftCache.release(blocking = true)
+      out
+    }
+    val a = run(); val b = run()
+    assert(a === b)
+    assert(a.map(_._1) === Set(1L, 3L), "empty doc has no grams, no score")
+  }
+
+  test("gumbelTopK: deterministic, weight-biased, bounded keys") {
+    // 50 low-weight rows and 10 high-weight rows: the +8 log-weight gap
+    // (e^8 ≈ 3000x) must dominate the Gumbel noise for every draw.
+    val rows = (1L to 50L).map(i => (i, -4.0)) ++ (51L to 60L).map(i => (i, 4.0))
+    val df = rows.toDF("id", "lw")
+    val top = Curation.gumbelTopK(df, "id", "lw", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(top.size === 10)
+    assert(top.keys.forall(_ > 50L),
+      s"all 10 slots go to the e^8-heavier rows: $top")
+    // keys are log-weight plus bounded noise (|gumbel| < 40 by the u clamp)
+    assert(top.values.forall(k => k > -40 && k < 40))
+    val again = Curation.gumbelTopK(df, "id", "lw", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === top)
+  }
+
   test("assignSplitsLeakageSafe: clusters share a split, singletons unchanged") {
     val w = Seq("train" -> 0.5, "test" -> 0.5)
     val docs = (1L to 400L).map(i => (i, i)).toDF("id", "v")

@@ -68,6 +68,61 @@ object Quality {
       .select(lit(name).as("rule"), col("n_violations"))
   }
 
+  /** First-failing-rule stage label: index of the first rule a row
+    * violates, −1 if it passes the whole cascade. A null violation
+    * (null-valued metric) falls through its `when` branch, so null never
+    * drops a row — compose with [[notNull]] to forbid nulls explicitly. */
+  private def cascadeStage(rules: Seq[Rule]): Column =
+    rules.zipWithIndex.foldRight(lit(-1)) {
+      case ((r, i), acc) => when(r.violation, lit(i)).otherwise(acc)
+    }
+
+  /** Ordered filter cascade with first-failure attrition accounting — the
+    * funnel table every curation report publishes (C4's §2.2 heuristics,
+    * Gopher §A.1.1, RefinedWeb/FineWeb ablations all report "rule X
+    * removed N documents"): rules apply IN ORDER and a dropped document
+    * is charged to the FIRST rule it fails, so the table answers "what
+    * would relaxing THIS rule recover, given everything before it" —
+    * which [[rowChecks]]' independent violation counts (one document can
+    * count under many rules) cannot. Returns one row per rule:
+    * (stage, rule, n_dropped, n_remaining), ordered by stage; the last
+    * n_remaining is the survivor count ([[cascadeSurvivors]] row count).
+    *
+    * Scale shape: the stage label is ONE row-local CASE chain — the
+    * corpus pays a single conditional projection and one aggregate to a
+    * (|rules|+1)-row frame; the attrition arithmetic (cumulative window)
+    * runs on that tiny frame only, never the corpus. Zero joins on the
+    * corpus side; scoring 100 TB is exactly one scan. */
+  def filterCascade(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val session = df.sparkSession
+    import session.implicits._
+    val counts = df.select(cascadeStage(rules).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("__n"))
+    val total = counts.agg(sum("__n").as("__total"))
+    val names = rules.zipWithIndex.map { case (r, i) => (i, r.name) }
+      .toDF("stage", "rule")
+    // cumulative attrition over the |rules|-row report frame (the
+    // unpartitioned window is deliberate: |rules| rows, never the corpus)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    names.join(counts, Seq("stage"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_dropped", coalesce(col("__n"), lit(0L)))
+      .withColumn("n_remaining", col("__total") - sum("n_dropped").over(w))
+      .select(col("stage"), col("rule"), col("n_dropped"), col("n_remaining"))
+  }
+
+  /** Rows passing every cascade rule — the production filter the
+    * [[filterCascade]] report describes. Defined as stage == −1, so a
+    * null-valued metric keeps the row here exactly as it is charged to
+    * no rule there (the two views never disagree on a document). One
+    * row-local filter: zero shuffles, pushes past column pruning. */
+  def cascadeSurvivors(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    df.filter(cascadeStage(rules) === -1)
+  }
+
   /** A full report: row rules in one pass + key/reference checks, unioned. */
   def report(df: DataFrame, rowRules: Seq[Rule],
              keyCols: Option[Seq[String]] = None,

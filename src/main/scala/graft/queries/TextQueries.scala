@@ -58,6 +58,17 @@ object TextQueries {
     "z_dup_bigram_frac" -> -1.0)
   val ScoreBias = 0.25
 
+  /** x58 filter-cascade thresholds: picked so every stage is exercised on
+    * the synthetic corpus — short docs exist (min 10 tokens), mean token
+    * length spans 3.7–5.3, non-English docs sit under the stopword floor,
+    * and the duplicate-bigram rule drops ~nothing (a zero-attrition stage
+    * is part of the contract: the report must still show it). */
+  val CascadeMinTokens = 20
+  val CascadeMtlLo = 2.0
+  val CascadeMtlHi = 4.8
+  val CascadeStopFloor = 0.02
+  val CascadeDupMax = 0.2
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
     // Exact dedup by hash-groupBy: fingerprint → one shuffle → per-key
@@ -321,6 +332,30 @@ object TextQueries {
     // training a fastText/logistic quality model. Docs too short for
     // bigrams carry a null repetition feature; null z-scores propagate
     // identically in both engines.
+    // ----------------------------------------------------------------- x58
+    // Ordered filter cascade with first-failure attrition: the C4/Gopher-
+    // style funnel table — each dropped doc charged to the FIRST rule it
+    // fails, cumulative survivors per stage. One corpus scan for the
+    // stage label; the attrition window runs on the 4-row report frame.
+    "x58_filter_cascade" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = TextOps.qualityMetrics(t.documents, "text")
+        .select("doc_id", "n_tokens", "stopword_ratio", "mean_token_len")
+      val rep = TextOps.repetitionMetrics(t.documents, "doc_id", "text")
+        .select("doc_id", "dup_bigram_frac")
+      val feats = q.join(rep, Seq("doc_id"), "left")
+        .withColumn("dup_bigram_frac",
+          coalesce(col("dup_bigram_frac"), lit(0.0)))
+      Quality.filterCascade(feats, Seq(
+          Quality.Rule("min_tokens", col("n_tokens") < CascadeMinTokens),
+          Quality.Rule("mean_token_len",
+            !col("mean_token_len").between(CascadeMtlLo, CascadeMtlHi)),
+          Quality.Rule("stopword_floor",
+            col("stopword_ratio") < CascadeStopFloor),
+          Quality.Rule("dup_bigrams", col("dup_bigram_frac") > CascadeDupMax)))
+        .orderBy("stage")
+    }),
+
     "x49_quality_features" -> ((s, dir) => {
       val t = Tables(s, dir)
       val q = TextOps.qualityMetrics(t.documents, "text")
@@ -839,6 +874,31 @@ object TextQueries {
        |  FROM f, st)""".stripMargin
   }
 
+  /** Replays x58: the shared x2 + x29 metric CTEs, the first-failing-rule
+    * CASE chain in declared order, then the cumulative attrition over the
+    * 4-row stage table (a stage with zero drops still reports). */
+  private def filterCascadeSql: String =
+    s"""$qualityFeatureCtes,
+       |labeled AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < $CascadeMinTokens THEN 0
+       |         WHEN NOT (mean_token_len BETWEEN $CascadeMtlLo AND $CascadeMtlHi) THEN 1
+       |         WHEN stopword_ratio < $CascadeStopFloor THEN 2
+       |         WHEN coalesce(dup_bigram_frac, 0) > $CascadeDupMax THEN 3
+       |         ELSE -1 END AS stage
+       |  FROM f),
+       |counts AS (SELECT stage, count(*) AS n FROM labeled GROUP BY 1),
+       |stages(stage, rule) AS (VALUES
+       |  (0, 'min_tokens'), (1, 'mean_token_len'),
+       |  (2, 'stopword_floor'), (3, 'dup_bigrams')),
+       |tot AS (SELECT count(*) AS total FROM labeled)
+       |SELECT s.stage, s.rule, CAST(coalesce(c.n, 0) AS BIGINT) AS n_dropped,
+       |  CAST(total - sum(coalesce(c.n, 0))
+       |    OVER (ORDER BY s.stage ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS n_remaining
+       |FROM stages s LEFT JOIN counts c USING (stage), tot
+       |ORDER BY s.stage""".stripMargin
+
   /** Replays x49: the x2 + x29 feature chains joined, then z-scored
     * against one mean/stddev_pop pass (CASE 0 for constant columns, the
     * same guard as the operator). */
@@ -1033,6 +1093,7 @@ object TextQueries {
     "x28_dedup_clusters" -> dedupClustersSql,
     "x48_incremental_clusters" -> incrementalClustersSql,
     "x49_quality_features" -> qualityFeaturesSql,
+    "x58_filter_cascade" -> filterCascadeSql,
     "x53_quality_scores" -> qualityScoresSql,
     "x29_repetition_metrics" ->
       s"""WITH grams AS (

@@ -71,6 +71,34 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("filterCascade: first-failure attribution, zero-drop stages report, " +
+      "telescoping remainders, nulls survive") {
+    import spark.implicits._
+    // doc 1 fails rules 0 AND 1 → charged to 0 only; doc 2 fails 1;
+    // doc 3 passes; doc 4 has a null metric → survives (null never drops);
+    // rule 2 drops nothing and must still report.
+    val df = Seq((1L, Some(5L), Some(9.0)), (2L, Some(50L), Some(9.0)),
+      (3L, Some(50L), Some(3.0)), (4L, Some(50L), None))
+      .toDF("id", "n", "m")
+    val rules = Seq(
+      Quality.Rule("min_n", $"n" < 10L),
+      Quality.Rule("m_range", !$"m".between(0.0, 5.0)),
+      Quality.Rule("never", lit(false)))
+    val rep = Quality.filterCascade(df, rules).orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rep === Array(
+      (0, "min_n", 1L, 3L),
+      (1, "m_range", 1L, 2L),
+      (2, "never", 0L, 2L)))
+    val survivors = Quality.cascadeSurvivors(df, rules)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(survivors === Array(3L, 4L),
+      "null metric survives both the report and the filter consistently")
+    assert(survivors.length === rep.last._4,
+      "last n_remaining is the survivor count")
+    intercept[IllegalArgumentException] { Quality.filterCascade(df, Nil) }
+  }
+
   test("scoreLinear: sigmoid arithmetic, null-as-mean, gate on rounded score") {
     import spark.implicits._
     val df = Seq((1L, 1.0, Some(2.0)), (2L, -1.0, None), (3L, 0.0, Some(0.0)))

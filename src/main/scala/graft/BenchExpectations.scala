@@ -19,7 +19,8 @@ package graft
   * min-of-2) — all 136 queries from ONE coherent run (142.5s total,
   * zero regressions vs the prior incrementally-maintained snapshot),
   * measured under the SAME contract the harness applies, so regression
-  * factors are apples-to-apples.
+  * factors are apples-to-apples. Queries added after that run
+  * (x57–x59) carry targeted solo-run values under the same contract.
   */
 object BenchExpectations {
   val RegressionFactor = 2.0
@@ -172,6 +173,9 @@ object BenchExpectations {
     "x54_jl_projection" -> 1.6112,
     "x55_jl_knn" -> 0.9287,
     "x56_weighted_sample" -> 0.2782,
+    "x57_dsir_select" -> 2.852,
+    "x58_filter_cascade" -> 1.7488,
+    "x59_dsir_screen" -> 2.4672,
     "x5_simhash" -> 1.2357,
     "x6_brute_topk" -> 0.2751,
     "x7_ann_topk" -> 0.3149,

@@ -411,20 +411,50 @@ object Curation {
                      textCol: String, buckets: Int = 4096): DataFrame = {
     require(buckets > 0)
     requireAbsent(raw, "n_grams", "log_weight_micro", "__b", "__c", "__lr")
-    def bucketCounts(df: DataFrame): DataFrame =
-      df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
-        .select(col(idCol), explode(
-          concat(col("__tk"), TextOps.ngrams(col("__tk"), 2))).as("__g"))
-        .select(col(idCol), (TextOps.md5Hash60(col("__g")) % buckets).as("__b"))
-        .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
-    val rawCells = graft.GraftCache.persist(bucketCounts(raw))
+    val rawCells = graft.GraftCache.persist(
+      dsirCellCounts(raw, idCol, textCol, buckets))
     val rawModel = rawCells.groupBy("__b").agg(sum("__c").as("__rc"))
-    val tgtModel = bucketCounts(target).groupBy("__b").agg(sum("__c").as("__tc"))
+    val tgtModel = dsirModelCounts(target, textCol, buckets)
+    val ratio = dsirRatio(rawModel, tgtModel, buckets)
+    rawCells.join(broadcast(ratio.filter(col("__b") >= 0)), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_grams"),
+        sum(col("__c") * col("__lr")).as("log_weight_micro"))
+  }
+
+  /** Per-document hashed n-gram cell counts — the DSIR feature frame:
+    * unigrams + bigrams hashed to `buckets` cells in the projection
+    * (strings never cross the shuffle), one keyed agg to the skinny
+    * (id, cell, count) rows. */
+  private def dsirCellCounts(df: DataFrame, idCol: String, textCol: String,
+                             buckets: Int): DataFrame =
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(
+        concat(col("__tk"), TextOps.ngrams(col("__tk"), 2))).as("__g"))
+      .select(col(idCol), (TextOps.md5Hash60(col("__g")) % buckets).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+
+  /** Corpus-level cell counts when per-document rows aren't needed (model
+    * fitting): one map-side-combinable agg straight to ≤`buckets` rows —
+    * no per-document intermediate shuffle. */
+  private def dsirModelCounts(df: DataFrame, textCol: String,
+                              buckets: Int): DataFrame =
+    df.select(TextOps.tokens(col(textCol)).as("__tk"))
+      .select(explode(concat(col("__tk"), TextOps.ngrams(col("__tk"), 2))).as("__g"))
+      .select((TextOps.md5Hash60(col("__g")) % buckets).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__tc"))
+
+  /** Laplace-smoothed (+0.5 per cell) micro-nat log-ratio per cell the
+    * raw corpus touches, PLUS the reserved cell −1 row carrying the
+    * unseen-cell default: a cell with zero raw and zero target count
+    * smooths to lr = ln((rt + 0.5·B)/(tt + 0.5·B)) — a constant, stored
+    * once so a persisted model can score batches whose grams the fitted
+    * corpus never saw. */
+  private def dsirRatio(rawModel: DataFrame, tgtModel: DataFrame,
+                        buckets: Int): DataFrame = {
     val rawTotal = rawModel.agg(sum("__rc").cast("double").as("__rt"))
     val tgtTotal = tgtModel.agg(sum("__tc").cast("double").as("__tt"))
-    // Laplace-smoothed (+0.5 per cell) log-ratio per cell the raw corpus
-    // touches (cells only the target touches score no raw document).
-    val ratio = rawModel.join(tgtModel, Seq("__b"), "left")
+    val cells = rawModel.join(tgtModel, Seq("__b"), "left")
       .crossJoin(broadcast(rawTotal)).crossJoin(broadcast(tgtTotal))
       .select(col("__b"), round(log(
         ((coalesce(col("__tc"), lit(0L)).cast("double") + lit(0.5)) /
@@ -432,10 +462,58 @@ object Curation {
         ((col("__rc").cast("double") + lit(0.5)) /
           (col("__rt") + lit(0.5 * buckets)))) * lit(1e6))
         .cast("long").as("__lr"))
-    rawCells.join(broadcast(ratio), Seq("__b"))
+    val unseen = rawTotal.crossJoin(broadcast(tgtTotal))
+      .select(lit(-1L).as("__b"), round(log(
+        (col("__rt") + lit(0.5 * buckets)) /
+          (col("__tt") + lit(0.5 * buckets))) * lit(1e6))
+        .cast("long").as("__lr"))
+    cells.unionByName(unseen)
+  }
+
+  /** Fit and PERSIST the DSIR model — the production lifecycle's write
+    * half: the (cell, lr) micro-nat table (≤ buckets+1 rows, KBs at any
+    * corpus size) lands as one parquet file, so scoring a nightly batch
+    * ([[dsirScoreAgainstModel]]) never touches the fitted corpus again —
+    * the same store-the-derived-structure shape as the MinHash band
+    * index ([[TextOps.writeBandIndex]]). Fitting costs one tokenization
+    * pass over each corpus collapsing straight to ≤`buckets`-row models
+    * (map-side combine; no per-document intermediate). */
+  def writeDsirModel(raw: DataFrame, target: DataFrame, textCol: String,
+                     path: String, buckets: Int = 4096): Unit =
+    dsirRatio(
+        dsirModelCounts(raw, textCol, buckets)
+          .withColumnRenamed("__tc", "__rc"),
+        dsirModelCounts(target, textCol, buckets), buckets)
+      .select(col("__b").as("cell"), col("__lr").as("lr"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Score an arriving batch against a STORED model — the steady state
+    * of the DSIR lifecycle: candidate scoring reads ONLY the persisted
+    * (cell, lr) table; the corpus the model was fitted on is never
+    * re-read or re-tokenized. Cells the fitted corpus never saw take
+    * the model's reserved cell −1 default (exactly the smoothed ratio
+    * an unseen cell would have received at fit time, so scoring against
+    * the stored model and refitting-with-the-batch-absent agree).
+    * Returns (idCol, n_grams, log_weight_micro) per batch document.
+    *
+    * Scale shape: the batch's cell counts are one keyed agg; the model
+    * (≤ buckets+1 rows) BROADCASTS onto them; one keyed agg back to
+    * per-document scores. Nothing scales with the fitted corpus. */
+  def dsirScoreAgainstModel(batch: DataFrame, model: DataFrame,
+                            idCol: String, textCol: String,
+                            buckets: Int = 4096): DataFrame = {
+    require(buckets > 0)
+    requireAbsent(batch, "n_grams", "log_weight_micro", "__b", "__c", "__lr", "__dlr")
+    val m = model.select(col("cell").as("__b"), col("lr").as("__lr"))
+    val unseenDefault = broadcast(
+      m.filter(col("__b") === -1L).select(col("__lr").as("__dlr")))
+    dsirCellCounts(batch, idCol, textCol, buckets)
+      .join(broadcast(m.filter(col("__b") >= 0L)), Seq("__b"), "left")
+      .crossJoin(unseenDefault)
       .groupBy(col(idCol))
       .agg(sum("__c").as("n_grams"),
-        sum(col("__c") * col("__lr")).as("log_weight_micro"))
+        sum(col("__c") * coalesce(col("__lr"), col("__dlr")))
+          .as("log_weight_micro"))
   }
 
   /** Gumbel top-k resampling (the DSIR paper's selection rule, and the

@@ -154,6 +154,29 @@ object CurationQueries {
         .orderBy(desc("gumbel_key"), col("doc_id"))
     }),
 
+    // ----------------------------------------------------------------- x59
+    // DSIR lifecycle steady state: the model (cell → micro-nat log-ratio)
+    // is fitted on the standing corpus and PERSISTED; the arriving batch
+    // (doc_id % 10 = 0) is scored against the STORED table only — the
+    // corpus is never re-read at scoring time (plan-audited). Unseen
+    // cells take the model's reserved cell −1 default. The oracle refits
+    // the model from the same split and replays the scoring arithmetic
+    // (storage is a plan property; the data contract is the scores).
+    "x59_dsir_screen" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val batch = t.documents.filter(col("doc_id") % EvalModulus === 0)
+      val corpus = t.documents.filter(col("doc_id") % EvalModulus =!= 0)
+      val mp = SinkQueries.sinkDir("x59_dsir_model")
+      Curation.writeDsirModel(corpus,
+        corpus.filter(col("lang") === DsirTargetLang), "text", mp, DsirBuckets)
+      Curation.dsirScoreAgainstModel(batch, s.read.parquet(mp),
+          "doc_id", "text", DsirBuckets)
+        .join(t.documents.select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_grams"),
+          col("log_weight_micro"))
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------------------- x42
     // Full DoReMi knob: the UPSAMPLING branch — under-represented strata
     // are boosted by deterministic row repetition (floor(rate) guaranteed
@@ -837,9 +860,55 @@ object CurationQueries {
        |ORDER BY gumbel_key DESC, s.doc_id LIMIT $DsirK""".stripMargin
   }
 
+  /** Replays x59: refits the model on the corpus split (the persisted
+    * table is a plan property — the oracle checks the SCORES a stored
+    * model must yield), scores the batch with the unseen-cell default
+    * for cells outside the fitted corpus. */
+  private def dsirScreenSql: String = {
+    val b = DsirBuckets
+    s"""WITH toked AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) < 2 THEN []
+       |      ELSE list_transform(range(0, len(toks)-1),
+       |        i -> concat_ws(' ', toks[i+1], toks[i+2])) END)) AS g
+       |  FROM toked),
+       |hashed AS (
+       |  SELECT doc_id, lang, ${md5h("g")} % $b AS cell FROM grams),
+       |rawm AS (
+       |  SELECT cell, count(*) AS rc FROM hashed
+       |  WHERE doc_id % $EvalModulus <> 0 GROUP BY 1),
+       |tgtm AS (
+       |  SELECT cell, count(*) AS tc FROM hashed
+       |  WHERE doc_id % $EvalModulus <> 0 AND lang = '$DsirTargetLang'
+       |  GROUP BY 1),
+       |rt AS (SELECT sum(rc)::DOUBLE AS rt FROM rawm),
+       |tt AS (SELECT sum(tc)::DOUBLE AS tt FROM tgtm),
+       |ratio AS (
+       |  SELECT rawm.cell, CAST(round(ln(
+       |    ((coalesce(tc, 0)::DOUBLE + 0.5) / (tt + ${0.5 * b})) /
+       |    ((rc::DOUBLE + 0.5) / (rt + ${0.5 * b}))) * 1000000) AS BIGINT) AS lr
+       |  FROM rawm LEFT JOIN tgtm USING (cell), rt, tt),
+       |dflt AS (
+       |  SELECT CAST(round(ln((rt + ${0.5 * b}) / (tt + ${0.5 * b}))
+       |    * 1000000) AS BIGINT) AS dlr FROM rt, tt),
+       |batch_cells AS (
+       |  SELECT doc_id, cell, count(*) AS c FROM hashed
+       |  WHERE doc_id % $EvalModulus = 0 GROUP BY 1, 2)
+       |SELECT bc.doc_id, d.lang, CAST(sum(bc.c) AS BIGINT) AS n_grams,
+       |  CAST(sum(bc.c * coalesce(ratio.lr, dflt.dlr)) AS BIGINT)
+       |    AS log_weight_micro
+       |FROM batch_cells bc
+       |LEFT JOIN ratio USING (cell), dflt
+       |JOIN documents d ON d.doc_id = bc.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY bc.doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "pl5_curation_pipeline" -> curationPipelineSql,
     "x57_dsir_select" -> dsirSelectSql,
+    "x59_dsir_screen" -> dsirScreenSql,
     "x18_simhash_neardups" -> simhashNearDupSql,
     "x19_stratified_sample" -> stratifiedSampleSql,
     "x37_domain_mix" -> domainMixSql,

@@ -349,6 +349,28 @@ class PlanAuditSpec extends SparkSpec {
       s"only 1-row broadcast nest loops allowed (totals):\n$s")
   }
 
+  test("x59 DSIR model screen: scoring reads the STORED model — the fitted " +
+      "corpus's text is never in the scoring plan") {
+    val p = finalPlan("x59_dsir_screen")
+    val scans = allNodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.toString.contains("x59_dsir_model")),
+      s"scoring must read the persisted (cell, lr) table:\n$p")
+    // exactly ONE text scan: the arriving batch tokenizing itself. The
+    // corpus the model was fitted on appears nowhere (its pass happened
+    // at fit time, outside this plan) — that absence is the lifecycle's
+    // whole point.
+    val textScans = scans.filter(_.schema.fieldNames.contains("text"))
+    assert(textScans.size === 1,
+      s"expected exactly 1 text scan (the batch), got ${textScans.size}:\n$p")
+    // the ≤buckets+1-row model must broadcast onto the batch cells
+    assert(allNodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"model join must broadcast:\n$p")
+    assert(allNodes(p).count(_.isInstanceOf[SortMergeJoinExec]) === 0,
+      s"nothing in the scoring plan justifies a sort-merge join:\n$p")
+  }
+
   test("j8 bloom probe filters the big side BELOW the join") {
     val p = finalPlan("j8_bloom_join")
     val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))

@@ -217,6 +217,32 @@ class CurationSpec extends SparkSpec {
     assert(a.map(_._1) === Set(1L, 3L), "empty doc has no grams, no score")
   }
 
+  test("dsir model lifecycle: stored model scores a batch without the " +
+      "corpus; unseen cells take the reserved default") {
+    val target = Seq((100L, "aa bb aa")).toDF("id", "text")
+    val raw = Seq((1L, "aa bb cc"), (2L, "cc dd")).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    Curation.writeDsirModel(raw, target, "text", path, buckets = 4096)
+    val model = spark.read.parquet(path)
+    // one reserved default row, every other cell in [0, buckets)
+    val dflt = model.filter($"cell" === -1L).collect()
+    assert(dflt.length === 1)
+    assert(model.filter($"cell" < -1L || $"cell" >= 4096L).count() === 0)
+    val batch = Seq((10L, "aa bb"), (11L, "zz yy")).toDF("id", "text")
+    val scored = Curation.dsirScoreAgainstModel(batch, model, "id", "text", 4096)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 11's grams (zz, yy, "zz yy") hash to cells the fitted corpus
+    // never touched → score is exactly n_grams × the stored default
+    assert(scored(11L) === ((3L, 3L * dflt.head.getLong(1))))
+    // doc 10 speaks the target's tongue and must outscore doc 11 per gram
+    assert(scored(10L)._2.toDouble / scored(10L)._1 >
+      scored(11L)._2.toDouble / scored(11L)._1)
+    // rerun against the same stored model is identical
+    val again = Curation.dsirScoreAgainstModel(batch, model, "id", "text", 4096)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === scored)
+  }
+
   test("gumbelTopK: deterministic, weight-biased, bounded keys") {
     // 50 low-weight rows and 10 high-weight rows: the +8 log-weight gap
     // (e^8 ≈ 3000x) must dominate the Gumbel noise for every draw.

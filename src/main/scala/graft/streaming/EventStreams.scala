@@ -269,6 +269,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming DSIR gate: every arriving micro-batch is scored against
+    * the STORED importance model
+    * ([[graft.operators.Curation.writeDsirModel]]) — the ≤buckets+1-row
+    * (cell, lr) table broadcasts onto each batch's cell counts, the
+    * fitted corpus is never re-read — and (id, n_grams,
+    * log_weight_micro) rows APPEND to a parquet log downstream
+    * admission/mixing jobs read incrementally. Nothing is collected to
+    * the driver; per-batch cost is O(|batch| grams). The streaming
+    * front door of the data-selection story, exactly as
+    * [[screenArrivalsIndexed]] is the dedup one's. */
+  def scoreArrivalsDsir(
+      arrivals: DataFrame,
+      model: DataFrame,
+      buckets: Int,
+      checkpointDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Curation
+          .dsirScoreAgainstModel(batch, model, "doc_id", "text", buckets)
+          .write.mode("append").parquet(outDir)
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+
   /** Streaming cluster maintenance — the COMPLETE nightly dedup loop as a
     * stream: each arriving micro-batch (1) screens against the
     * MATERIALIZED band index ([[graft.operators.TextOps.writeBandIndex]])

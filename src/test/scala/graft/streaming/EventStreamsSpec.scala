@@ -238,6 +238,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming DSIR gate: parquet-sink scores equal batch stored-model scoring") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-dsir-model").toString
+    graft.operators.Curation.writeDsirModel(corpus,
+      corpus.filter(col("lang") === "en"), "text", modelDir, 4096)
+    val arrivalsDir = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-dsir-split")
+      t.documents.filter(col("doc_id") % 10 === 0)
+        .repartition(2).write.mode("overwrite").parquet(staging.toString)
+      val dir = java.nio.file.Files.createTempDirectory("graft-dsir-stream")
+      val parts = new java.io.File(staging.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, dir.resolve(s"arrivals_$i.parquet"))
+      }
+      dir.toString
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dsir-log").toString
+    val q = EventStreams.scoreArrivalsDsir(
+      EventStreams.readDocuments(spark, arrivalsDir),
+      spark.read.parquet(modelDir), 4096,
+      java.nio.file.Files.createTempDirectory("graft-ckpt-dsir").toString,
+      outDir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("log_weight_micro"))).toSet
+    val batch = graft.operators.Curation.dsirScoreAgainstModel(
+        t.documents.filter(col("doc_id") % 10 === 0),
+        spark.read.parquet(modelDir), "doc_id", "text", 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.GraftCache.release()
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "per-document scores are batch-partition-independent, so the " +
+        "micro-batched stream must land on the identical score log")
+  }
+
   test("streaming cluster maintenance converges to full from-scratch clustering") {
     // The complete nightly loop as a stream: corpus index + labels seeded,
     // two arrival micro-batches screened/merged/admitted in sequence. The

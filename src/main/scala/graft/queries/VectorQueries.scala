@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.VectorOps
+import graft.operators.{Curation, VectorOps}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the embedding similarity suite (engine
@@ -29,6 +29,12 @@ object VectorQueries {
   val KmeansIters = 2
   val NProbe = 2
   val SemDedupThreshold = 0.3
+
+  /** Per-cell quota for the cluster-balanced diversity sample (x60):
+    * below the mean cell size (500/8 ≈ 62), so dense cells are capped
+    * and sparse cells keep everything — the flattening that makes the
+    * sample diverse. */
+  val DiverseQuota = 25
 
   /** Fixed hyperplane set shared by the ANN query and its oracle. */
   val planes: Seq[Array[Double]] = VectorOps.hyperplanes(NumPlanes, Dim)
@@ -154,6 +160,25 @@ object VectorQueries {
       VectorOps.semanticDedup(t.embeddings, "vec_id", "embedding",
           cent, SemDedupThreshold)
         .orderBy("vec_id")
+    }),
+
+    // ----------------------------------------------------------------- x60
+    // Cluster-balanced diversity sample: k-means cells (x11's coarse
+    // quantizer) as diversity strata, at most DiverseQuota vectors kept
+    // per cell in deterministic hash order — dense regions of embedding
+    // space are capped, sparse ones kept whole, the cluster-balanced
+    // subsampling used to diversify fine-tuning corpora. The cap routes
+    // through the native bounded-heap operator (cell cardinality is
+    // structurally KClusters — the heap contract holds by construction).
+    "x60_diverse_sample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cent = VectorOps.kmeansCentroids(
+        t.embeddings, "vec_id", "embedding", KClusters, KmeansIters)
+      val assigned = VectorOps.assignToCentroids(
+          t.embeddings, "vec_id", "embedding", cent)
+        .select("cid", "vec_id")
+      Curation.quotaCapNative(assigned, "cid", "vec_id", DiverseQuota)
+        .orderBy("cid", "vec_id")
     }),
 
     // ----------------------------------------------------------------- x30
@@ -342,6 +367,17 @@ object VectorQueries {
          |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS is_kept
          |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    "x60_diverse_sample" ->
+      s"""WITH $kmeansSql,
+         |$assignCte,
+         |ranked AS (
+         |  SELECT cid, vec_id,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT,
+         |        vec_id) AS rk
+         |  FROM assign)
+         |SELECT cid, vec_id FROM ranked WHERE rk <= $DiverseQuota
+         |ORDER BY cid, vec_id""".stripMargin,
     "x30_knn_join" -> knnJoinSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.

@@ -349,6 +349,17 @@ class PlanAuditSpec extends SparkSpec {
       s"only 1-row broadcast nest loops allowed (totals):\n$s")
   }
 
+  test("x60 diversity sample: zero-shuffle cell assignment, cap through " +
+      "the bounded heap — no window sort") {
+    val p = finalPlan("x60_diverse_sample")
+    assert(allNodes(p).exists(
+        _.isInstanceOf[graft.plans.TopKPerKey.TopKPerKeyExec]),
+      s"per-cell cap must use the native heap operator:\n$p")
+    assert(!allNodes(p).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"no row_number window may survive:\n$p")
+  }
+
   test("x59 DSIR model screen: scoring reads the STORED model — the fitted " +
       "corpus's text is never in the scoring plan") {
     val p = finalPlan("x59_dsir_screen")

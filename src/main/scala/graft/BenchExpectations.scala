@@ -20,7 +20,8 @@ package graft
   * zero regressions vs the prior incrementally-maintained snapshot),
   * measured under the SAME contract the harness applies, so regression
   * factors are apples-to-apples. Queries added after that run
-  * (x57–x60) carry targeted solo-run values under the same contract.
+  * (x57–x60, pl11) carry targeted solo-run values under the same
+  * contract.
   */
 object BenchExpectations {
   val RegressionFactor = 2.0
@@ -177,6 +178,7 @@ object BenchExpectations {
     "x58_filter_cascade" -> 1.7488,
     "x59_dsir_screen" -> 2.4672,
     "x60_diverse_sample" -> 2.897,
+    "pl11_dsir_pipeline" -> 6.3682,
     "x5_simhash" -> 1.2357,
     "x6_brute_topk" -> 0.2751,
     "x7_ann_topk" -> 0.3149,

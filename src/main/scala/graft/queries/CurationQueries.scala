@@ -270,6 +270,60 @@ object CurationQueries {
         .orderBy(desc("sample_key"), col("doc_id"))
     }),
 
+    // ---------------------------------------------------------------- pl11
+    // The data-selection capstone: rule cascade → DSIR importance
+    // selection, reported as a three-stage funnel (docs / tokens / en
+    // count per stage) so the oracle verifies the cascade's survivor
+    // set, the importance model fitted ON the survivors, and the exact
+    // Gumbel draw — and the en-share shift (the point of DSIR) is
+    // visible in the report itself.
+    "pl11_dsir_pipeline" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = TextOps.qualityMetrics(t.documents, "text")
+        .select("doc_id", "lang", "n_tokens", "stopword_ratio",
+          "mean_token_len")
+      val rep = TextOps.repetitionMetrics(t.documents, "doc_id", "text")
+        .select("doc_id", "dup_bigram_frac")
+      // Skinny persist: (doc_id, lang, n_tokens, cascade metrics) feeds
+      // the corpus stats, the cascade, and the selection join — never text.
+      val metrics = GraftCache.persist(
+        q.join(rep, Seq("doc_id"), "left")
+          .withColumn("dup_bigram_frac",
+            coalesce(col("dup_bigram_frac"), lit(0.0))))
+      val rules = Seq(
+        Quality.Rule("min_tokens",
+          col("n_tokens") < TextQueries.CascadeMinTokens),
+        Quality.Rule("mean_token_len", !col("mean_token_len")
+          .between(TextQueries.CascadeMtlLo, TextQueries.CascadeMtlHi)),
+        Quality.Rule("stopword_floor",
+          col("stopword_ratio") < TextQueries.CascadeStopFloor),
+        Quality.Rule("dup_bigrams",
+          col("dup_bigram_frac") > TextQueries.CascadeDupMax))
+      val surv = GraftCache.persist(
+        Quality.cascadeSurvivors(metrics, rules)
+          .select("doc_id", "lang", "n_tokens"))
+      val survDocs = t.documents
+        .join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
+      val scored = Curation.dsirLogWeights(survDocs,
+        survDocs.filter(col("lang") === DsirTargetLang), "doc_id", "text",
+        DsirBuckets)
+      val sel = Curation.gumbelTopK(
+          scored.withColumn("__lw", col("log_weight_micro") / lit(1e6)),
+          "doc_id", "__lw", DsirK)
+        .select("doc_id").join(surv, Seq("doc_id"))
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L))
+            .as("n_en"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+          col("n_en"))
+      stage(metrics, "0_corpus")
+        .unionByName(stage(surv, "1_cascade"))
+        .unionByName(stage(sel, "2_dsir_selected"))
+        .orderBy("stage")
+    }),
+
     // ---------------------------------------------------------------- pl10
     // The modern classifier-era curation loop composed end-to-end: the
     // fixed-weight sigmoid gate (x53) admits documents; near-dup pairs
@@ -905,10 +959,84 @@ object CurationQueries {
        |ORDER BY bc.doc_id""".stripMargin
   }
 
+  /** Replays pl11 end to end: the shared x2 + x29 metric CTEs, the x58
+    * first-failure cascade (survivor = stage −1, the identical CASE), the
+    * DSIR model fitted ON the survivors, the exact Gumbel draw, and the
+    * three funnel stages. */
+  private def dsirPipelineSql: String = {
+    val b = DsirBuckets
+    val denom = (1L << 60) + 4096L
+    s"""${TextQueries.qualityFeatureCtes},
+       |staged AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < ${TextQueries.CascadeMinTokens} THEN 0
+       |         WHEN NOT (mean_token_len BETWEEN ${TextQueries.CascadeMtlLo}
+       |           AND ${TextQueries.CascadeMtlHi}) THEN 1
+       |         WHEN stopword_ratio < ${TextQueries.CascadeStopFloor} THEN 2
+       |         WHEN coalesce(dup_bigram_frac, 0)
+       |           > ${TextQueries.CascadeDupMax} THEN 3
+       |         ELSE -1 END AS st
+       |  FROM f),
+       |surv AS (SELECT doc_id FROM staged WHERE st = -1),
+       |sdocs AS (
+       |  SELECT t.doc_id, d.lang, t.toks
+       |  FROM toked t JOIN documents d USING (doc_id) JOIN surv USING (doc_id)),
+       |grams2 AS (
+       |  SELECT doc_id, lang, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) < 2 THEN []
+       |      ELSE list_transform(range(0, len(toks)-1),
+       |        i -> concat_ws(' ', toks[i+1], toks[i+2])) END)) AS g
+       |  FROM sdocs),
+       |cells2 AS (
+       |  SELECT doc_id, lang, ${md5h("g")} % $b AS cell FROM grams2),
+       |dcells AS (SELECT doc_id, cell, count(*) AS c FROM cells2 GROUP BY 1, 2),
+       |rawm2 AS (SELECT cell, count(*) AS rc FROM cells2 GROUP BY 1),
+       |tgtm2 AS (
+       |  SELECT cell, count(*) AS tc FROM cells2
+       |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
+       |rt2 AS (SELECT sum(rc)::DOUBLE AS rt FROM rawm2),
+       |tt2 AS (SELECT sum(tc)::DOUBLE AS tt FROM tgtm2),
+       |ratio2 AS (
+       |  SELECT rawm2.cell, CAST(round(ln(
+       |    ((coalesce(tc, 0)::DOUBLE + 0.5) / (tt + ${0.5 * b})) /
+       |    ((rc::DOUBLE + 0.5) / (rt + ${0.5 * b}))) * 1000000) AS BIGINT) AS lr
+       |  FROM rawm2 LEFT JOIN tgtm2 USING (cell), rt2, tt2),
+       |scored2 AS (
+       |  SELECT doc_id, CAST(sum(c * lr) AS BIGINT) AS lwm
+       |  FROM dcells JOIN ratio2 USING (cell) GROUP BY 1),
+       |sel AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, round(lwm / 1000000.0 - ln(-ln(
+       |      (${idh("doc_id")} + 1)::DOUBLE / $denom.0)), 6) AS gk
+       |    FROM scored2)
+       |  ORDER BY gk DESC, doc_id LIMIT $DsirK),
+       |s0 AS (
+       |  SELECT '0_corpus' AS stage, count(*) AS n_docs,
+       |    CAST(sum(m.n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN d.lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_en
+       |  FROM m JOIN documents d USING (doc_id)),
+       |s1 AS (
+       |  SELECT '1_cascade' AS stage, count(*) AS n_docs,
+       |    CAST(sum(m.n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN d.lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_en
+       |  FROM m JOIN documents d USING (doc_id) JOIN surv USING (doc_id)),
+       |s2 AS (
+       |  SELECT '2_dsir_selected' AS stage, count(*) AS n_docs,
+       |    CAST(sum(m.n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN d.lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_en
+       |  FROM m JOIN documents d USING (doc_id) JOIN sel USING (doc_id))
+       |SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |ORDER BY stage""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "pl5_curation_pipeline" -> curationPipelineSql,
     "x57_dsir_select" -> dsirSelectSql,
     "x59_dsir_screen" -> dsirScreenSql,
+    "pl11_dsir_pipeline" -> dsirPipelineSql,
     "x18_simhash_neardups" -> simhashNearDupSql,
     "x19_stratified_sample" -> stratifiedSampleSql,
     "x37_domain_mix" -> domainMixSql,

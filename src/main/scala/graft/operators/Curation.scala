@@ -620,6 +620,40 @@ object Curation {
       .filter(col("n_shared_grams") >= minShared)
   }
 
+  /** Per-document n-gram coverage against a reference corpus — the
+    * novelty / memorization-risk score: what fraction of a document's
+    * DISTINCT word n-grams already occur anywhere in the reference
+    * (coverage 1.0 = nothing new; ≈0 = fully novel text). The
+    * continuous companion to [[decontaminate]]'s binary flag — used to
+    * audit eval-set novelty, score synthetic data against its source
+    * corpus, and estimate memorization exposure. Returns (idCol,
+    * n_grams, n_covered, coverage) per document with ≥ 1 n-gram;
+    * coverage is a single integer division rounded once (no float-sum
+    * order anywhere).
+    *
+    * Scale shape: both sides hash grams to 60 bits in the projection
+    * and aggregate to DISTINCT hashes before the join — the reference
+    * collapses to one hash set (map-side partial distinct), the join is
+    * a partitionable equi-join on the hash (NOT broadcast by default: a
+    * 100 TB reference's distinct grams are themselves huge), and the
+    * per-document fraction is one keyed agg. Nothing is all-pairs. */
+  def gramCoverage(docs: DataFrame, reference: DataFrame, idCol: String,
+                   textCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    requireAbsent(docs, "n_grams", "n_covered", "coverage", "__gh", "__hit")
+    def grams(df: DataFrame, cols: Seq[Column]) = df
+      .select(cols :+ TextOps.tokens(col(textCol)).as("__tk"): _*)
+      .select(cols :+ explode(TextOps.ngrams(col("__tk"), n)).as("__g"): _*)
+      .select(cols :+ TextOps.md5Hash60(col("__g")).as("__gh"): _*)
+    val docGrams = grams(docs, Seq(col(idCol))).distinct()
+    val refGrams = grams(reference, Nil).distinct()
+    docGrams.join(refGrams.withColumn("__hit", lit(1L)), Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_covered"))
+      .withColumn("coverage", round(col("n_covered") / col("n_grams"), 4))
+  }
+
   /** Percentile-threshold binning — the curriculum-bucket operator (rank
     * documents by a quality/perplexity score, train in quantile order):
     * thresholds are ONE exact-percentile aggregate over the score column

@@ -65,4 +65,35 @@ object Merge {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Per-row diff between two snapshots of a keyed table, compared by a
+    * content fingerprint: status `added` (key only in new), `removed`
+    * (only in old), `changed` (both, fingerprints differ), `unchanged`.
+    * The validation report a nightly ingest runs before swapping
+    * snapshots — [[applyChanges]] applies a KNOWN changeset; this
+    * DISCOVERS the changeset two snapshots imply (and `removed` counts
+    * catch the upstream-source-died regression a merge never sees).
+    * Fingerprints should be content hashes
+    * ([[TextOps.fingerprint]] / [[Curation.idHash]]-style), so the
+    * comparison never ships document bodies. Returns (idCol, status).
+    *
+    * Plan shape: ONE full-outer equi-join on the key over two skinny
+    * (key, fingerprint) projections — the same canonical merge join as
+    * [[applyChanges]]; both sides hash-partition on the key, the status
+    * is a row-local CASE, and no text column crosses the wire. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   fpCol: String): DataFrame = {
+    val reserved = Seq("__fp_old", "__fp_new", "status")
+    require(oldDf.columns.intersect(reserved).isEmpty &&
+      newDf.columns.intersect(reserved).isEmpty,
+      "column names __fp_old/__fp_new/status are reserved by snapshotDiff")
+    oldDf.select(col(idCol), col(fpCol).as("__fp_old"))
+      .join(newDf.select(col(idCol), col(fpCol).as("__fp_new")),
+        Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -397,6 +397,31 @@ object CoreQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // ------------------------------------------------------------------- J9
+    // Snapshot diff by content fingerprint: the validation report a
+    // nightly ingest runs before swapping snapshots — added / removed /
+    // changed / unchanged discovered from two keyed snapshots (j5 applies
+    // a KNOWN changeset; this derives the changeset two snapshots imply).
+    // Old = docs except doc_id%7=3; new = docs except doc_id%7=0, with
+    // every doc_id%5=0 text edited — all four statuses populated. One
+    // full-outer join over (id, sha256) projections; bodies never ship.
+    "j9_snapshot_diff" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      val oldSnap = fp(t.documents).filter(col("doc_id") % 7 =!= 3)
+      val newSnap = fp(t.documents
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
+        .filter(col("doc_id") % 7 =!= 0)
+      graft.operators.Merge.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("status")
+    }),
+
     // ------------------------------------------------------------------- J6
     // SCD type-2 history build (engine extension): orders as a per-customer
     // change log → versioned rows with validity intervals, aggregated per
@@ -894,6 +919,26 @@ object CoreQueries {
         |  WHERE ch.op IS NULL OR ch.op <> 'D')
         |SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal_total
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j9_snapshot_diff" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f0,
+        |    sha256(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END)),
+        |      '\s+', ' ', 'g')) AS f1
+        |  FROM documents),
+        |old AS (SELECT doc_id, f0 AS f FROM fp WHERE doc_id % 7 <> 3),
+        |new AS (SELECT doc_id, f1 AS f FROM fp WHERE doc_id % 7 <> 0),
+        |d AS (
+        |  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        |    CASE WHEN old.f IS NULL THEN 'added'
+        |         WHEN new.f IS NULL THEN 'removed'
+        |         WHEN old.f = new.f THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+        |SELECT status, count(*) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "j6_scd2" ->
       """WITH hist AS (
         |  SELECT o_orderpriority,

@@ -68,6 +68,11 @@ object CurationQueries {
 
   val DomainQuota = 15
   val DecontamGramSize = 5
+
+  /** x61 coverage gram size: 3-grams put the synthetic corpus's coverage
+    * spectrum in the interesting range (median ≈ 0.58, 10th–90th pct
+    * 0.51–0.97) — 2-grams saturate at 1.0, 5-grams mostly at 0. */
+  val CoverageGramSize = 3
   val EvalModulus = 10
   val ShuffleShards = 8
   val PackBudget = 2048L
@@ -465,6 +470,23 @@ object CurationQueries {
           docs.filter(col("doc_id") % EvalModulus =!= 0),
           docs.filter(col("doc_id") % EvalModulus === 0),
           "doc_id", "text", DecontamGramSize)
+        .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x61
+    // N-gram novelty/coverage: for each eval doc, the fraction of its
+    // distinct 3-grams already present anywhere in the training corpus —
+    // the continuous companion to x21's binary decontamination flag
+    // (memorization-risk / synthetic-data-novelty audit). Distinct gram
+    // hashes on both sides, partitionable equi-join, one integer
+    // division per doc.
+    "x61_gram_coverage" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+      Curation.gramCoverage(
+          docs.filter(col("doc_id") % EvalModulus === 0),
+          docs.filter(col("doc_id") % EvalModulus =!= 0),
+          "doc_id", "text", CoverageGramSize)
         .orderBy("doc_id")
     }),
 
@@ -1037,6 +1059,26 @@ object CurationQueries {
     "x57_dsir_select" -> dsirSelectSql,
     "x59_dsir_screen" -> dsirScreenSql,
     "pl11_dsir_pipeline" -> dsirPipelineSql,
+    "x61_gram_coverage" -> {
+      val n = CoverageGramSize
+      val terms = (1 to n).map(j => s"toks[i+$j]").mkString(", ")
+      s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) < $n THEN []
+         |    ELSE list_transform(range(0, len(toks)-${n - 1}),
+         |      i -> concat_ws(' ', $terms)) END) AS g
+         |  FROM toked),
+         |h AS (SELECT doc_id, ${md5h("g")} AS gh FROM g),
+         |dg AS (SELECT DISTINCT doc_id, gh FROM h WHERE doc_id % $EvalModulus = 0),
+         |rg AS (SELECT DISTINCT gh FROM h WHERE doc_id % $EvalModulus <> 0)
+         |SELECT dg.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN rg.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  round(CAST(sum(CASE WHEN rg.gh IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) / count(*)::DOUBLE, 4) AS coverage
+         |FROM dg LEFT JOIN rg USING (gh)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "x18_simhash_neardups" -> simhashNearDupSql,
     "x19_stratified_sample" -> stratifiedSampleSql,
     "x37_domain_mix" -> domainMixSql,

@@ -139,6 +139,19 @@ class AnalyticsMergeSpec extends SparkSpec {
     assert(out("w1") === ((None, true)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged by fingerprint") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
+    val newSnap = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "fp")
+    val out = Merge.snapshotDiff(oldSnap, newSnap, "id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(oldSnap.withColumn("status", lit("x")), newSnap,
+        "id", "fp")
+    }
+  }
+
   test("knnJoin ranks exact cosine neighbours per query") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),  // query

@@ -217,6 +217,28 @@ class CurationSpec extends SparkSpec {
     assert(a.map(_._1) === Set(1L, 3L), "empty doc has no grams, no score")
   }
 
+  test("gramCoverage: full, zero, and partial coverage; short docs drop") {
+    val ref = Seq((100L, "aa bb cc dd")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "aa bb cc"),        // both 2-grams in ref → coverage 1.0
+      (2L, "xx yy zz"),        // none → 0.0
+      (3L, "aa bb zz"),        // "aa bb" yes, "bb zz" no → 0.5
+      (4L, "solo")).toDF("id", "text") // < n tokens → no row
+    val out = Curation.gramCoverage(docs, ref, "id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 0L, 0.0)),
+      3L -> ((2L, 1L, 0.5))))
+    // distinct grams: a repeated n-gram counts once
+    val rep = Curation.gramCoverage(
+        Seq((7L, "aa bb aa bb aa")).toDF("id", "text"), ref, "id", "text", 2)
+      .head
+    assert((rep.getLong(1), rep.getLong(2)) === ((2L, 1L)),
+      "distinct grams aa-bb (covered) and bb-aa (not), once despite repeats")
+  }
+
   test("dsir model lifecycle: stored model scores a batch without the " +
       "corpus; unseen cells take the reserved default") {
     val target = Seq((100L, "aa bb aa")).toDF("id", "text")

@@ -261,6 +261,67 @@ object VectorOps {
                         centroids: DataFrame): DataFrame =
     argminAssign(embeddings, idCol, vecCol, collectCentroids(centroids))
 
+  /** [[assignToCentroids]] also emitting the squared L2 distance to the
+    * assigned centroid (rounded to 6 — pure deterministic arithmetic, so
+    * an external replay of the same algebraic form agrees exactly): the
+    * dispersion input drift monitoring needs. Same zero-shuffle literal
+    * argmin; the duplicated array_min folds in whole-stage codegen's
+    * subexpression elimination. */
+  def assignToCentroidsWithDist(embeddings: DataFrame, idCol: String,
+                                vecCol: String,
+                                centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "at least one centroid")
+    val v = col(vecCol)
+    val candidates = array(cents.map { case (cid, c) =>
+      val cl = array(c.map(lit): _*)
+      struct(l2sq(v, cl).as("d"), lit(cid).as("cid"))
+    }: _*)
+    embeddings.select(col(idCol).as("vec_id"),
+      array_min(candidates).getField("cid").as("cid"),
+      round(array_min(candidates).getField("d"), 6).as("d2"))
+  }
+
+  /** Embedding-space drift between two snapshots — the vector analogue
+    * of [[Curation.corpusDrift]]: centroids are fitted on the OLD
+    * snapshot only (the reference geometry), both snapshots assign to
+    * those FROZEN cells, and each cell reports population share
+    * (old / new / delta) plus mean squared distance to its centroid per
+    * side. A new embedding model, a source-mix shift, or an ingest bug
+    * shows up as share deltas (density moved between regions) or a
+    * dispersion jump (the new data does not fit the old geometry) —
+    * before it degrades retrieval quality downstream.
+    *
+    * Scale shape: k-means touches only the old snapshot (bounded
+    * iterations, k×dim driver-resident centroids by design); both
+    * assignment passes are the zero-shuffle literal-argmin projection;
+    * each snapshot collapses to ≤ k cell rows plus a 1-row total, and
+    * the k-row frames full-outer-join. Cells empty on one side report
+    * zero share and a null mean distance. */
+  def embeddingDrift(oldE: DataFrame, newE: DataFrame, idCol: String,
+                     vecCol: String, k: Int, iters: Int): DataFrame = {
+    val cent = kmeansCentroids(oldE, idCol, vecCol, k, iters)
+    def cellStats(df: DataFrame, sfx: String) = {
+      val total = df.agg(count(lit(1)).cast("double").as(s"__t_$sfx"))
+      assignToCentroidsWithDist(df, idCol, vecCol, cent)
+        .groupBy("cid")
+        .agg(count(lit(1)).as(s"n_$sfx"),
+          round(avg("d2"), 4).as(s"mean_d2_$sfx"))
+        .crossJoin(broadcast(total))
+        .withColumn(s"share_$sfx", round(col(s"n_$sfx") / col(s"__t_$sfx"), 6))
+        .drop(s"__t_$sfx")
+    }
+    cellStats(oldE, "old").join(cellStats(newE, "new"), Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("share_old"), lit(0.0)).as("share_old"),
+        coalesce(col("share_new"), lit(0.0)).as("share_new"),
+        round(coalesce(col("share_new"), lit(0.0)) -
+          coalesce(col("share_old"), lit(0.0)), 6).as("share_delta"),
+        col("mean_d2_old"), col("mean_d2_new"))
+  }
+
   /** IVF top-k: assign every vector to its nearest k-means centroid, probe
     * the `nprobe` centroids nearest the query, exact cosine within the
     * probed cells. The inverted-file analogue of [[annTopK]]: candidate

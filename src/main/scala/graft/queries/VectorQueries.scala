@@ -181,6 +181,21 @@ object VectorQueries {
         .orderBy("cid", "vec_id")
     }),
 
+    // ----------------------------------------------------------------- x62
+    // Embedding-space drift: centroids frozen on the OLD snapshot
+    // (vec_id % 10 <> 0), both snapshots assigned to those cells, per
+    // cell the population-share shift and mean squared dispersion — the
+    // vector analogue of x51's corpus drift (a new embedding model or a
+    // source shift shows as share deltas / a dispersion jump before it
+    // degrades retrieval).
+    "x62_embedding_drift" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      VectorOps.embeddingDrift(
+          t.embeddings.filter(col("vec_id") % 10 =!= 0), t.embeddings,
+          "vec_id", "embedding", KClusters, KmeansIters)
+        .orderBy("cid")
+    }),
+
     // ----------------------------------------------------------------- x30
     // Exact kNN JOIN for a sampled query subset (vec_id % KnnQueryMod):
     // top-KnnK neighbours of EVERY sampled vector in one pass — query side
@@ -249,18 +264,23 @@ object VectorQueries {
 
   /** The deterministic k-means replay: CTEs c0..c{iters}, each iteration =
     * assign (row_number over distance, cid) + per-coordinate round-6 mean. */
-  private def kmeansSql: String = {
+  private def kmeansSql: String = kmeansSqlFor("embeddings")
+
+  /** The k-means CTE chain over an arbitrary source relation (a table
+    * name or a parenthesized subquery) — x62 fits centroids on the OLD
+    * snapshot only, so the source must be pluggable. */
+  private def kmeansSqlFor(src: String): String = {
     val init =
       s"""c0 AS (
          |  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c
-         |  FROM embeddings WHERE vec_id < $KClusters)""".stripMargin
+         |  FROM $src WHERE vec_id < $KClusters)""".stripMargin
     val iterations = (1 to KmeansIters).map { t =>
       s"""a$t AS (
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN c${t - 1} c) WHERE rn = 1),
+         |    FROM $src e CROSS JOIN c${t - 1} c) WHERE rn = 1),
          |m$t AS (
          |  SELECT cid, j, round(avg(embedding[j]::DOUBLE), 6) AS mj
          |  FROM a$t, range(1, ${Dim + 1}) r(j) GROUP BY cid, j),
@@ -269,6 +289,18 @@ object VectorQueries {
     }
     (init +: iterations).mkString(",\n")
   }
+
+  /** Assignment with the 6-rounded squared distance over an arbitrary
+    * source, against the final c$KmeansIters centroids — the SQL replay
+    * of [[VectorOps.assignToCentroidsWithDist]]. */
+  private def assignDistCteFor(name: String, src: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cid, d2 FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      round(${l2Sql("e.embedding", "c.c")}, 6) AS d2,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
+       |    FROM $src e CROSS JOIN c$KmeansIters c) WHERE rn = 1)""".stripMargin
 
   /** Nearest-centroid assignment CTE over the final k-means centroids —
     * the SQL replay of [[VectorOps.assignToCentroids]] (row_number over
@@ -367,6 +399,32 @@ object VectorQueries {
          |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS is_kept
          |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    "x62_embedding_drift" -> {
+      val oldSrc = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)"
+      s"""WITH ${kmeansSqlFor(oldSrc)},
+         |${assignDistCteFor("olda", oldSrc)},
+         |${assignDistCteFor("newa", "embeddings")},
+         |ot AS (SELECT count(*)::DOUBLE AS t FROM olda),
+         |nt AS (SELECT count(*)::DOUBLE AS t FROM newa),
+         |so AS (
+         |  SELECT cid, count(*) AS n_old, round(avg(d2), 4) AS mean_d2_old,
+         |    round(count(*) / ot.t, 6) AS share_old
+         |  FROM olda, ot GROUP BY cid, ot.t),
+         |sn AS (
+         |  SELECT cid, count(*) AS n_new, round(avg(d2), 4) AS mean_d2_new,
+         |    round(count(*) / nt.t, 6) AS share_new
+         |  FROM newa, nt GROUP BY cid, nt.t)
+         |SELECT cid,
+         |  CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+         |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+         |  coalesce(share_old, 0) AS share_old,
+         |  coalesce(share_new, 0) AS share_new,
+         |  round(coalesce(share_new, 0) - coalesce(share_old, 0), 6)
+         |    AS share_delta,
+         |  mean_d2_old, mean_d2_new
+         |FROM so FULL OUTER JOIN sn USING (cid)
+         |ORDER BY cid""".stripMargin
+    },
     "x60_diverse_sample" ->
       s"""WITH $kmeansSql,
          |$assignCte,

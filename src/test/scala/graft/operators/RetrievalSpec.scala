@@ -118,6 +118,40 @@ class RetrievalSpec extends SparkSpec {
     assert(out(3L) === ((0L, true)))
   }
 
+  test("embeddingDrift: frozen old geometry surfaces share shift and " +
+      "dispersion jump") {
+    // Old snapshot: tight cluster A around (1,0) (ids 0,2,3,4) and B
+    // around (0,1) (ids 1,5,6); ids 0/1 seed the two centroids.
+    val old = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(1.1f, -0.1f)), (4L, Array(1.0f, 0.1f)),
+      (1L, Array(0.0f, 1.0f)), (5L, Array(0.1f, 0.9f)),
+      (6L, Array(-0.1f, 1.1f))).toDF("vec_id", "embedding")
+    // New snapshot: A grows by one tight point; B loses its tight mates
+    // and gains two FAR points — B's share falls and its dispersion jumps.
+    val neu = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(1.1f, -0.1f)), (4L, Array(1.0f, 0.1f)),
+      (7L, Array(0.95f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (8L, Array(0.5f, 1.5f)), (9L, Array(-0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.embeddingDrift(old, neu, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 2)
+    val a = out(0L); val b = out(1L)
+    assert(a.getAs[Long]("n_old") === 4L && a.getAs[Long]("n_new") === 5L)
+    assert(b.getAs[Long]("n_old") === 3L && b.getAs[Long]("n_new") === 3L)
+    assert(a.getAs[Double]("share_delta") > 0 &&
+      b.getAs[Double]("share_delta") < 0)
+    assert(b.getAs[Double]("mean_d2_new") > b.getAs[Double]("mean_d2_old") * 5,
+      "the far points must blow up B's dispersion against the frozen cells")
+    // shares telescope to 1 on each side
+    assert(math.abs(out.values.map(_.getAs[Double]("share_old")).sum - 1.0) < 1e-9)
+    assert(math.abs(out.values.map(_.getAs[Double]("share_new")).sum - 1.0) < 1e-9)
+  }
+
   test("semanticDedup greedy form: dropped mates still disqualify later ids") {
     // chain: v0~v1 and v1~v2 but v0!~v2 — v1 drops on v0; v2 drops on v1
     // even though v1 itself was dropped (the anti-chain keep-first form).

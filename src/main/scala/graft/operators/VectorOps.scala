@@ -403,6 +403,37 @@ object VectorOps {
       .filter(col("sim_r") >= threshold)
   }
 
+  /** Cross-frame embedding near-dup pairs — SEMANTIC decontamination:
+    * eval/benchmark items whose embedding has a training-corpus
+    * neighbour at round-6 cosine ≥ `threshold`. The embedding-space
+    * companion to the n-gram forms ([[Curation.decontaminate]] exact,
+    * fuzzy-jaccard x45): paraphrased or translated contamination shares
+    * no n-grams but lands in the same region of embedding space, which
+    * is why modern model cards run the semantic pass too. Candidates
+    * block on the shared LSH bucket, only CROSS pairs are compared
+    * (never within-frame — that is [[nearDupPairs]]), and the recall
+    * caveat is the bucket's: near-dups straddling a hyperplane are
+    * missed, the standard LSH trade.
+    *
+    * Scale shape: identical to [[nearDupPairs]] — norms computed once
+    * per vector before the join, the join is an equi-join on the bucket
+    * (partitionable, never all-pairs), and the eval side is tiny by
+    * construction, so AQE broadcasts it. Returns (block, id_eval,
+    * id_train, sim_r). */
+  def nearDupPairsAgainst(eval: DataFrame, train: DataFrame, idCol: String,
+                          vecCol: String, planes: Seq[Array[Double]],
+                          threshold: Double): DataFrame = {
+    def prep(df: DataFrame, id: String, v: String, n: String) =
+      df.select(lshBucket(col(vecCol), planes).as("block"),
+        col(idCol).as(id), col(vecCol).as(v), norm2(col(vecCol)).as(n))
+    prep(eval, "id_eval", "va", "na")
+      .join(prep(train, "id_train", "vb", "nb"), Seq("block"))
+      .select(col("block"), col("id_eval"), col("id_train"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("sim_r"))
+      .filter(col("sim_r") >= threshold)
+  }
+
   /** SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540): k-means
     * cluster the embeddings, compare pairs only WITHIN a cluster, and drop
     * every vector that has ANY smaller-id cluster-mate with round-6 cosine

@@ -181,6 +181,25 @@ object VectorQueries {
         .orderBy("cid", "vec_id")
     }),
 
+    // ----------------------------------------------------------------- x63
+    // Semantic decontamination: eval vectors (vec_id % 10 = 0) with a
+    // training-corpus neighbour at cosine >= threshold, LSH-bucket
+    // blocked, CROSS pairs only — the embedding-space companion to the
+    // n-gram decontamination forms (paraphrased contamination shares no
+    // n-grams but lands in the same embedding region). Reported per
+    // flagged eval vector (match count + best similarity).
+    "x63_semantic_decontam" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      VectorOps.nearDupPairsAgainst(
+          e.filter(col("vec_id") % 10 === 0),
+          e.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", planes, NearDupThreshold)
+        .groupBy("id_eval")
+        .agg(count(lit(1)).as("n_matches"), max("sim_r").as("max_sim"))
+        .orderBy("id_eval")
+    }),
+
     // ----------------------------------------------------------------- x62
     // Embedding-space drift: centroids frozen on the OLD snapshot
     // (vec_id % 10 <> 0), both snapshots assigned to those cells, per
@@ -363,6 +382,17 @@ object VectorQueries {
          |FROM dq e, q WHERE e.vec_id <> $QueryVecId
          |ORDER BY sim_q DESC, e.vec_id LIMIT $K""".stripMargin
     },
+    "x63_semantic_decontam" ->
+      s"""WITH bkt AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS block FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_eval, b.vec_id AS id_train,
+         |    ${cosSql("a.embedding", "b.embedding")} AS sim_r
+         |  FROM bkt a JOIN bkt b ON a.block = b.block
+         |  WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0)
+         |SELECT id_eval, count(*) AS n_matches, max(sim_r) AS max_sim
+         |FROM pairs WHERE sim_r >= $NearDupThreshold
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_embed_neardups" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS block FROM embeddings),

@@ -118,6 +118,23 @@ class RetrievalSpec extends SparkSpec {
     assert(out(3L) === ((0L, true)))
   }
 
+  test("nearDupPairsAgainst: cross-frame pairs only, within-frame dups ignored") {
+    val planes = VectorOps.hyperplanes(3, 2)
+    val eval = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(1.0f, 0.0f)), // dups of each other
+      (12L, Array(0.0f, -1.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(0.99f, 0.05f)),   // near (1,0) → flags 10 and 11
+      (2L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = VectorOps.nearDupPairsAgainst(eval, train, "vec_id",
+        "embedding", planes, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_eval"), r.getAs[Long]("id_train")))
+      .toSet
+    assert(out === Set((10L, 1L), (11L, 1L)),
+      "both eval copies flag on the train neighbour; the eval-eval dup " +
+        s"pair must NOT appear: $out")
+  }
+
   test("embeddingDrift: frozen old geometry surfaces share shift and " +
       "dispersion jump") {
     // Old snapshot: tight cluster A around (1,0) (ids 0,2,3,4) and B

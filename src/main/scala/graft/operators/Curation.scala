@@ -452,8 +452,13 @@ object Curation {
     * corpus never saw. */
   private def dsirRatio(rawModel: DataFrame, tgtModel: DataFrame,
                         buckets: Int): DataFrame = {
-    val rawTotal = rawModel.agg(sum("__rc").cast("double").as("__rt"))
-    val tgtTotal = tgtModel.agg(sum("__tc").cast("double").as("__tt"))
+    // coalesce: an EMPTY corpus sums to null — with 0 the smoothing
+    // still defines every ratio (uniform model), instead of nulling
+    // every score downstream.
+    val rawTotal = rawModel
+      .agg(coalesce(sum("__rc"), lit(0L)).cast("double").as("__rt"))
+    val tgtTotal = tgtModel
+      .agg(coalesce(sum("__tc"), lit(0L)).cast("double").as("__tt"))
     val cells = rawModel.join(tgtModel, Seq("__b"), "left")
       .crossJoin(broadcast(rawTotal)).crossJoin(broadcast(tgtTotal))
       .select(col("__b"), round(log(

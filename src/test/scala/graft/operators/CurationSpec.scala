@@ -215,6 +215,14 @@ class CurationSpec extends SparkSpec {
     val a = run(); val b = run()
     assert(a === b)
     assert(a.map(_._1) === Set(1L, 3L), "empty doc has no grams, no score")
+    // an EMPTY target corpus degrades to the uniform model — scores stay
+    // defined (every cell takes the same smoothed zero-count target mass)
+    val uniform = Curation.dsirLogWeights(raw,
+        target.filter(lit(false)), "id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    graft.GraftCache.release(blocking = true)
+    assert(uniform.length === 2 && uniform.forall(_._2 < 0),
+      "defined negative scores under the empty-target uniform model")
   }
 
   test("gramCoverage: full, zero, and partial coverage; short docs drop") {

@@ -346,6 +346,54 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Batch IVF kNN JOIN — the approximate scale path for [[knnJoin]]:
+    * instead of comparing every query against the FULL corpus (|Q|×N
+    * similarity rows), each query probes only its `nprobe` nearest
+    * k-means cells and compares against those cells' members. At 100 TB
+    * this is the difference between a |Q|×N cross and |Q|×(nprobe/k
+    * fraction of N): candidate generation becomes an equi-join on the
+    * cell id, exactly the partitionable-join-key shape of the dedup
+    * suite. Recall is the IVF trade — neighbours living in unprobed
+    * cells are missed (measure with the x64 recall query; raise
+    * `nprobe` to trade cost for recall; nprobe = |cells| degenerates to
+    * exact).
+    *
+    * Plan shape: cell assignment is the zero-shuffle literal-argmin
+    * projection; per-query probe cells come from a literal
+    * array_sort+slice over k centroid structs (driver-resident k×dim,
+    * same contract as [[ivfTopK]]); the probe frame (|Q|×nprobe rows,
+    * carrying the query vector) BROADCASTS onto the assigned corpus —
+    * queries are a sampled subset by construction — and the per-query
+    * ranking is one window over the probed candidates only. */
+  def ivfKnnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
+                 queryPred: Column, k: Int, centroids: DataFrame,
+                 nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0)
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "at least one centroid")
+    val assigned = assignToCentroids(embeddings, idCol, vecCol, centroids)
+    val candCells = array(cents.map { case (cid, c) =>
+      struct(l2sq(col("__qv"), array(c.map(lit): _*)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probes = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        norm2(col(vecCol)).as("__qn"))
+      .select(col("qid"), col("__qv"), col("__qn"),
+        explode(slice(array_sort(candCells), 1, nprobe)).as("__p"))
+      .select(col("qid"), col("__qv"), col("__qn"),
+        col("__p").getField("cid").as("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("sim_r"), col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("v"), col("__qv")) / (norm2(col("v")) * col("__qn")), 6)
+          .as("sim_r"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   // ---------------------------------------------------------- quantization
 
   /** Scalar int8 quantization of an embedding to the fixed range [-1, 1]:

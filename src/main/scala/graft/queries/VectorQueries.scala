@@ -181,6 +181,32 @@ object VectorQueries {
         .orderBy("cid", "vec_id")
     }),
 
+    // ----------------------------------------------------------------- x64
+    // ANN recall measurement: the batch IVF kNN join (the approximate
+    // scale path — each query probes nprobe cells instead of crossing
+    // the full corpus) scored against the exact join, per query. The
+    // recall a production ANN deployment must monitor, as an
+    // oracle-checked artifact rather than a claim.
+    "x64_ann_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pred = col("vec_id") % KnnQueryMod === 0
+      val cent = VectorOps.kmeansCentroids(
+        t.embeddings, "vec_id", "embedding", KClusters, KmeansIters)
+      val exact = VectorOps.knnJoin(t.embeddings, "vec_id", "embedding",
+        pred, KnnK).select("qid", "vec_id")
+      val approx = VectorOps.ivfKnnJoin(t.embeddings, "vec_id", "embedding",
+        pred, KnnK, cent, NProbe).select("qid", "vec_id")
+      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      val nHit = exact.join(approx, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      nExact.join(nHit, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)) / col("n_exact"), 4)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
     // ----------------------------------------------------------------- x63
     // Semantic decontamination: eval vectors (vec_id % 10 = 0) with a
     // training-corpus neighbour at cosine >= threshold, LSH-bucket
@@ -381,6 +407,47 @@ object VectorQueries {
          |SELECT e.vec_id, ${cosSql("e.dv", "q.qv")} AS sim_q
          |FROM dq e, q WHERE e.vec_id <> $QueryVecId
          |ORDER BY sim_q DESC, e.vec_id LIMIT $K""".stripMargin
+    },
+    "x64_ann_recall" -> {
+      val cN = s"c$KmeansIters"
+      s"""WITH $kmeansSql,
+         |$assignCte,
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $KnnQueryMod = 0),
+         |exactp AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rk FROM exactp)
+         |  WHERE rk <= $KnnK),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+         |    FROM q CROSS JOIN $cN c)
+         |  WHERE rn <= $NProbe),
+         |ivfp AS (
+         |  SELECT q.qid, a.vec_id, ${cosSql("a.embedding", "q.qv")} AS sim
+         |  FROM assign a JOIN probes p ON a.cid = p.cid
+         |  JOIN q ON q.qid = p.qid
+         |  WHERE a.vec_id <> q.qid),
+         |ivf AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rk FROM ivfp)
+         |  WHERE rk <= $KnnK),
+         |ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1),
+         |nh AS (
+         |  SELECT qid, count(*) AS n_overlap
+         |  FROM exact JOIN ivf USING (qid, vec_id) GROUP BY 1)
+         |SELECT ne.qid, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  round(coalesce(n_overlap, 0) / n_exact::DOUBLE, 4) AS recall
+         |FROM ne LEFT JOIN nh USING (qid)
+         |ORDER BY qid""".stripMargin
     },
     "x63_semantic_decontam" ->
       s"""WITH bkt AS (

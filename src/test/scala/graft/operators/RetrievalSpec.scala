@@ -118,6 +118,33 @@ class RetrievalSpec extends SparkSpec {
     assert(out(3L) === ((0L, true)))
   }
 
+  test("ivfKnnJoin: probing every cell degenerates to the exact join; " +
+      "fewer probes return a subset") {
+    val vecs = (0L until 20L).map { i =>
+      val a = (i % 7).toFloat / 7f; val b = (i % 5).toFloat / 5f
+      (i, Array(1f + a, -1f + b, a * b))
+    }.toDF("vec_id", "embedding")
+    val cent = VectorOps.kmeansCentroids(vecs, "vec_id", "embedding", 3, 2)
+    val pred = col("vec_id") % 6 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = rows(VectorOps.knnJoin(vecs, "vec_id", "embedding", pred, 4))
+    val all = rows(VectorOps.ivfKnnJoin(vecs, "vec_id", "embedding", pred,
+      4, cent, nprobe = 3))
+    assert(all === exact, "nprobe = |cells| must reproduce the exact join")
+    // fewer probes: the approximate best can never BEAT the exact best
+    def best(df: org.apache.spark.sql.DataFrame) = df.filter(col("rk") === 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Double]("sim_r")).toMap
+    val exactBest = best(VectorOps.knnJoin(vecs, "vec_id", "embedding", pred, 4))
+    val someBest = best(VectorOps.ivfKnnJoin(vecs, "vec_id", "embedding",
+      pred, 4, cent, nprobe = 1))
+    someBest.foreach { case (qid, sim) =>
+      assert(sim <= exactBest(qid) + 1e-12,
+        s"query $qid: approximate top-1 $sim beats exact ${exactBest(qid)}")
+    }
+  }
+
   test("nearDupPairsAgainst: cross-frame pairs only, within-frame dups ignored") {
     val planes = VectorOps.hyperplanes(3, 2)
     val eval = Seq(

@@ -20,7 +20,7 @@ package graft
   * zero regressions vs the prior snapshot, which mixed the morning
   * full run with targeted values for x57–x60/pl11), measured under
   * the SAME contract the harness applies, so regression factors are
-  * apples-to-apples. x61–x64/j9, added after that run, carry
+  * apples-to-apples. x61–x65/j9, added after that run, carry
   * targeted solo-run values under the same contract.
   */
 object BenchExpectations {
@@ -185,6 +185,7 @@ object BenchExpectations {
     "x62_embedding_drift" -> 1.3921,
     "x63_semantic_decontam" -> 0.8232,
     "x64_ann_recall" -> 2.2497,
+    "x65_fit_classifier" -> 3.6521,
     "x6_brute_topk" -> 0.2126,
     "x7_ann_topk" -> 0.3432,
     "x8_embed_neardups" -> 0.7046,

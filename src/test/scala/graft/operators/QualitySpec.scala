@@ -71,6 +71,27 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("fitLogistic learns a separable threshold; deterministic; composes " +
+      "with scoreLinear") {
+    import spark.implicits._
+    // y = (x > 0) on a symmetric feature: GD must learn a positive
+    // weight and classify the training set perfectly.
+    val df = (-10 to 10).filter(_ != 0)
+      .map(i => (i.toLong, i / 10.0, if (i > 0) 1 else 0))
+      .toDF("id", "x", "y")
+    val (w, b) = Quality.fitLogistic(df, Seq("x"), "y", iters = 20, step = 8.0)
+    assert(w.head > 1.0, s"positive threshold weight, got ${w.head}")
+    val scored = Quality.scoreLinear(df, Seq("x" -> w.head), b)
+    val acc = scored.filter($"quality_pass" === ($"y" === 1)).count()
+    assert(acc === 20L, s"separable data must classify perfectly, got $acc/20")
+    // deterministic refit
+    val (w2, b2) = Quality.fitLogistic(df, Seq("x"), "y", 20, 8.0)
+    assert(w2 === w && b2 === b)
+    intercept[IllegalArgumentException] {
+      Quality.fitLogistic(df, Nil, "y", 1, 1.0)
+    }
+  }
+
   test("filterCascade: first-failure attribution, zero-drop stages report, " +
       "telescoping remainders, nulls survive") {
     import spark.implicits._

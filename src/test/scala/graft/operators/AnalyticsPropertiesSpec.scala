@@ -92,6 +92,55 @@ class AnalyticsPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: snapshotDiff partitions ids; self-diff is all-unchanged; " +
+      "empty-old is all-added") {
+    val snapGen = for {
+      ids <- Gen.chooseNum(1, 25).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(1L, 40L)).map(_.distinct))
+      drop <- Gen.someOf(ids)
+      edit <- Gen.someOf(ids)
+    } yield (ids, drop.toSet, edit.toSet)
+    check(Prop.forAll(snapGen) { case (ids, dropped, edited) =>
+      val old = ids.map(i => (i, s"fp$i")).toDF("id", "fp")
+      val neu = ids.filterNot(dropped)
+        .map(i => (i, if (edited(i)) s"fp$i'" else s"fp$i")).toDF("id", "fp")
+      val out = Merge.snapshotDiff(old, neu, "id", "fp")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val self = Merge.snapshotDiff(old, old, "id", "fp")
+        .collect().map(_.getString(1)).toSet
+      out.keySet == ids.toSet &&                        // partition: no loss
+        ids.forall { i =>
+          val expect =
+            if (dropped(i)) "removed"
+            else if (edited(i)) "changed"
+            else "unchanged"
+          out(i) == expect
+        } &&
+        (self.isEmpty || self == Set("unchanged")) && {
+          val fromEmpty = Merge.snapshotDiff(
+            old.filter(lit(false)), neu, "id", "fp")
+            .collect().map(_.getString(1)).toSet
+          fromEmpty.isEmpty || fromEmpty == Set("added")
+        }
+    }, trials = 6)
+  }
+
+  test("property: gramCoverage is 1.0 whenever the reference contains the docs") {
+    val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, for {
+      id <- Gen.chooseNum(1L, 50L)
+      len <- Gen.chooseNum(2, 10)
+      toks <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    } yield (id, toks.mkString(" "))).map(_.distinctBy(_._1)))
+    check(Prop.forAll(docGen) { docs =>
+      val df = docs.toDF("id", "text")
+      val out = Curation.gramCoverage(df, df, "id", "text", 2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      GraftCache.release(blocking = true)
+      // every doc has >= 2 tokens, so every doc scores — at coverage 1.0
+      out.keySet == docs.map(_._1).toSet && out.values.forall(_ == 1.0)
+    }, trials = 6)
+  }
+
   test("property: z-value interleave is a bijection on 16-bit pairs") {
     val pairGen = Gen.listOfN(40, for {
       a <- Gen.chooseNum(0L, 65535L)

@@ -349,6 +349,57 @@ class PlanAuditSpec extends SparkSpec {
       s"only 1-row broadcast nest loops allowed (totals):\n$s")
   }
 
+  test("x58 cascade: the attrition window feeds off the tiny stage " +
+      "aggregate, never the corpus") {
+    val p = finalPlan("x58_filter_cascade")
+    val windows = allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 1, s"exactly one attrition window:\n$p")
+    // the window's input subtree must contain the (|rules|+1)-row stage
+    // aggregate — a window directly over a corpus scan would be the
+    // single-partition sort this operator exists to avoid
+    assert(allNodes(windows.head.child).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      s"attrition window must sit above the stage aggregate:\n${windows.head}")
+  }
+
+  test("x61 gram coverage: both sides reach the join as distinct hashes — " +
+      "no text column crosses it") {
+    val p = finalPlan("x61_gram_coverage")
+    val gramJoins = joins(p).filter(
+      _.children.flatMap(_.output).exists(_.name == "__gh"))
+    assert(gramJoins.nonEmpty, s"gram-hash join not found:\n$p")
+    gramJoins.foreach { j =>
+      j.children.foreach { side =>
+        assert(!side.output.exists(_.name == "text"),
+          s"text must never cross the coverage join:\n$j")
+        assert(graft.plans.PlanNodes.allNodes(side).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+          s"each side must aggregate to DISTINCT hashes below the join:\n$j")
+      }
+    }
+  }
+
+  test("pl11 persists only skinny frames — document text never sits in " +
+      "the cache") {
+    val p = finalPlan("pl11_dsir_pipeline")
+    def deep(n: SparkPlan): Seq[SparkPlan] = allNodes(n).flatMap {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s +: deep(s.relation.cachedPlan)
+      case m => Seq(m)
+    }
+    val cached = deep(p).collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(cached.nonEmpty, s"pl11 declares skinny persists; none found:\n$p")
+    cached.foreach { c =>
+      assert(!c.relation.cachedPlan.output.exists(_.name == "text"),
+        s"a persisted frame carries document text:\n${c.relation.cachedPlan}")
+    }
+    graft.GraftCache.release()
+  }
+
   test("x60 diversity sample: zero-shuffle cell assignment, cap through " +
       "the bounded heap — no window sort") {
     val p = finalPlan("x60_diverse_sample")

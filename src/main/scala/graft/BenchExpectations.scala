@@ -19,7 +19,8 @@ package graft
   * min-of-2) — all 147 queries from ONE coherent run (148.8s total,
   * zero regressions vs the prior 141-query snapshot), measured under
   * the SAME contract the harness applies, so regression factors are
-  * apples-to-apples.
+  * apples-to-apples. x66 (added after) and pl9 (its gate
+  * barrier landed after) carry targeted solo-run values.
   */
 object BenchExpectations {
   val RegressionFactor = 2.0
@@ -91,7 +92,7 @@ object BenchExpectations {
     "pl6_events_pipeline" -> 1.6296,
     "pl7_corpus_report" -> 1.5997,
     "pl8_nightly_ingest" -> 4.8053,
-    "pl9_export_shards" -> 1.7256,
+    "pl9_export_shards" -> 1.6856,
     "s10_tree_paths" -> 0.9716,
     "s11_dryrun" -> 0.214,
     "s12_orc_scan" -> 0.9338,
@@ -183,6 +184,7 @@ object BenchExpectations {
     "x62_embedding_drift" -> 1.3503,
     "x63_semantic_decontam" -> 0.4208,
     "x64_ann_recall" -> 1.5278,
+    "x66_pack_efficiency" -> 1.5761,
     "x65_fit_classifier" -> 3.5949,
     "x6_brute_topk" -> 0.1902,
     "x7_ann_topk" -> 0.302,

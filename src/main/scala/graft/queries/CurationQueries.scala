@@ -379,7 +379,13 @@ object CurationQueries {
     // column, a dropped row, or a mis-binned document all hash-mismatch.
     "pl9_export_shards" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val docs = TextOps.qualityMetrics(t.documents, "text")
+      // Skinny persist BEFORE the gate filter — without it predicate
+      // pushdown inlines quality_ok through the metrics projection and
+      // re-runs the tokenizing split per stopword per row (the x66
+      // finding; same barrier pl5/pl8 use).
+      val docs = GraftCache.persist(
+          TextOps.qualityMetrics(t.documents, "text")
+            .select("doc_id", "n_tokens", "quality_ok"))
         .filter(col("quality_ok")).select("doc_id", "n_tokens")
       val packed = Curation.packSequences(docs, "doc_id", "n_tokens",
         PackBudget, PackShards)
@@ -569,6 +575,38 @@ object CurationQueries {
     // ----------------------------------------------------------------- x24
     // Shard-local sequence packing: token counts packed into 2048-token
     // bins in shard hash order; per-bin document and token totals.
+    // ----------------------------------------------------------------- x66
+    // Pack-efficiency report: per training shard, how well the x24 bins
+    // use their token budget — bins, tokens, waste (budget×bins −
+    // tokens) and fill fraction, plus the emptiest/fullest bin. The
+    // padding-cost observability a token-budget packer owes its trainer
+    // (waste IS padding compute at training time). A bin can exceed the
+    // budget only via an oversized singleton document, which shows up
+    // here as max_bin_tokens > budget rather than being hidden.
+    "x66_pack_efficiency" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // Skinny persist BEFORE the gate filter: predicate pushdown would
+      // otherwise inline quality_ok through the metrics projection and
+      // re-run the tokenizing split once per stopword per row (measured
+      // 7.6s → 2.9s at sf0.1). Same barrier pl5/pl8 use for their gates.
+      val docs = GraftCache.persist(
+          TextOps.qualityMetrics(t.documents, "text")
+            .select("doc_id", "n_tokens", "quality_ok"))
+        .filter(col("quality_ok")).select("doc_id", "n_tokens")
+      val bins = Curation.packSequences(docs, "doc_id", "n_tokens",
+          PackBudget, PackShards)
+        .groupBy("shard", "bin").agg(sum("n_tokens").as("bin_tokens"))
+      bins.groupBy("shard")
+        .agg(count(lit(1)).as("n_bins"),
+          sum("bin_tokens").as("tokens"),
+          (lit(PackBudget) * count(lit(1)) - sum("bin_tokens")).as("waste"),
+          round(sum("bin_tokens") / (lit(PackBudget) * count(lit(1))), 4)
+            .as("fill_frac"),
+          min("bin_tokens").as("min_bin_tokens"),
+          max("bin_tokens").as("max_bin_tokens"))
+        .orderBy("shard")
+    }),
+
     "x24_sequence_pack" -> ((s, dir) => {
       val t = Tables(s, dir)
       val sized = t.documents.select(col("doc_id"),
@@ -1059,6 +1097,38 @@ object CurationQueries {
     "x57_dsir_select" -> dsirSelectSql,
     "x59_dsir_screen" -> dsirScreenSql,
     "pl11_dsir_pipeline" -> dsirPipelineSql,
+    "x66_pack_efficiency" ->
+      s"""WITH toked AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    ${TextQueries.punctRatioSql("text")} AS punct,
+         |    ${TextQueries.stopRatioSql("toks")} AS stop
+         |  FROM toked),
+         |pass AS (
+         |  SELECT doc_id, n_tokens FROM m
+         |  WHERE ${TextQueries.qualityOkSql("n_tokens", "punct", "stop")}),
+         |packed AS (
+         |  SELECT CAST(${idh("doc_id")} % $PackShards AS INT) AS shard,
+         |    n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY ${idh("doc_id")} % $PackShards
+         |      ORDER BY ${idh("doc_id")}, doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS cum
+         |  FROM pass),
+         |b AS (
+         |  SELECT shard, CAST((cum - n_tokens) // $PackBudget AS BIGINT)
+         |    AS bin, n_tokens
+         |  FROM packed),
+         |bins AS (
+         |  SELECT shard, bin, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |  FROM b GROUP BY 1, 2)
+         |SELECT shard, count(*) AS n_bins,
+         |  CAST(sum(bin_tokens) AS BIGINT) AS tokens,
+         |  CAST($PackBudget * count(*) - sum(bin_tokens) AS BIGINT) AS waste,
+         |  round(sum(bin_tokens)::DOUBLE / ($PackBudget * count(*)), 4)
+         |    AS fill_frac,
+         |  min(bin_tokens) AS min_bin_tokens,
+         |  max(bin_tokens) AS max_bin_tokens
+         |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin,
     "x61_gram_coverage" -> {
       val n = CoverageGramSize
       val terms = (1 to n).map(j => s"toks[i+$j]").mkString(", ")

@@ -196,7 +196,16 @@ object EventStreams {
     * this certifies the wiring. Dedup state is unbounded here because
     * documents carry no event time — a production intake would stamp an
     * ingest timestamp and watermark it, exactly like [[dedupEvents]].
-    * Emits (doc_id, lang, source, n_tokens, fp) for surviving documents. */
+    * Emits (doc_id, lang, source, n_tokens, fp) for surviving documents.
+    *
+    * Known cost, accepted here: predicate pushdown inlines `quality_ok`
+    * through the metrics projection, re-running the tokenizing split per
+    * stopword per row in the filter (the x66 finding). Batch gates block
+    * it with a skinny persist; a streaming frame cannot persist, and the
+    * cost is per arriving batch, not per corpus — a production intake
+    * that cares routes batches through the batch gate in foreachBatch
+    * (where the persist barrier applies) instead of this declarative
+    * form. */
   def curateDocuments(docs: DataFrame): DataFrame =
     graft.operators.TextOps.qualityMetrics(docs, "text")
       .filter(col("quality_ok"))

@@ -58,6 +58,14 @@ object TextQueries {
     "z_dup_bigram_frac" -> -1.0)
   val ScoreBias = 0.25
 
+  /** x67 threshold-sensitivity curve: verification thresholds swept over
+    * ONE candidate set generated at the floor. The floor sits far below
+    * the deployed [[NearDupThreshold]] (the flat 0.5→0.9 segment shows
+    * the corpus has no weak near-dups — itself a finding); the upper
+    * probes split the synthetic dups' 0.91–1.0 similarity mass. */
+  val DedupCurveFloor = 0.5
+  val DedupCurve = Seq(0.5, 0.9, 0.95, 0.97)
+
   /** x65 classifier fit: full-batch GD iterations, the exact-binary step
     * (a power of two, so the driver's w − step·g update replays
     * bit-identically in any IEEE engine), and the two-feature rule gate
@@ -390,6 +398,31 @@ object TextQueries {
     // pass). Weights fold in declared order so the oracle replays the
     // identical float addition sequence; the pass gate compares the
     // ROUNDED score on both sides.
+    // ----------------------------------------------------------------- x67
+    // Dedup threshold-sensitivity curve: pair and flagged-document counts
+    // at each verification threshold, from ONE signature pass and ONE
+    // candidate set generated at the floor — the tuning report that
+    // picks a dedup threshold by showing what each setting would remove.
+    // Candidates are the deployed banding's (recall at thresholds below
+    // its design point is the banding's, by construction): the curve
+    // measures the verification knob for the banding actually shipped.
+    "x67_dedup_thresholds" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = GraftCache.persist(
+        TextOps.minhashNearDups(t.documents, "doc_id", "text",
+          DedupCurveFloor))
+      DedupCurve.map { th =>
+        val p = pairs.filter(col("jaccard") >= th)
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(
+            p.select(col("id_a").as("id"))
+              .unionByName(p.select(col("id_b").as("id")))
+              .agg(countDistinct("id").as("n_docs_flagged")))
+          .select(lit(th).as("threshold"), col("n_pairs"),
+            col("n_docs_flagged"))
+      }.reduce(_ unionByName _).orderBy("threshold")
+    }),
+
     // ----------------------------------------------------------------- x65
     // Classifier TRAINING in-engine: full-batch GD logistic regression
     // over the x49 z-feature matrix, distilling a hard two-rule gate
@@ -1204,6 +1237,21 @@ object TextQueries {
     "x58_filter_cascade" -> filterCascadeSql,
     "x53_quality_scores" -> qualityScoresSql,
     "x65_fit_classifier" -> fitClassifierSql,
+    "x67_dedup_thresholds" -> {
+      val perTh = DedupCurve.map { th =>
+        s"""SELECT CAST($th AS DOUBLE) AS threshold,
+           |  (SELECT count(*) FROM jac WHERE jaccard >= $th) AS n_pairs,
+           |  (SELECT count(DISTINCT id) FROM (
+           |     SELECT id_a AS id FROM jac WHERE jaccard >= $th
+           |     UNION ALL
+           |     SELECT id_b AS id FROM jac WHERE jaccard >= $th))
+           |    AS n_docs_flagged""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toked AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |${minhashPairCtes("toked")}
+         |$perTh
+         |ORDER BY threshold""".stripMargin
+    },
     "x29_repetition_metrics" ->
       s"""WITH grams AS (
          |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []

@@ -510,6 +510,13 @@ object Curation {
     require(buckets > 0)
     requireAbsent(batch, "n_grams", "log_weight_micro", "__b", "__c", "__lr", "__dlr")
     val m = model.select(col("cell").as("__b"), col("lr").as("__lr"))
+    val dflt = m.filter(col("__b") === -1L).limit(2).collect()
+    // A model without its reserved default row would silently produce an
+    // EMPTY result through the 1-row cross join below — fail loudly
+    // instead (the check is one job over a KB-sized table).
+    require(dflt.length == 1,
+      s"model must carry exactly one reserved cell=-1 default row " +
+        s"(found ${dflt.length}) — was it written by writeDsirModel?")
     val unseenDefault = broadcast(
       m.filter(col("__b") === -1L).select(col("__lr").as("__dlr")))
     dsirCellCounts(batch, idCol, textCol, buckets)

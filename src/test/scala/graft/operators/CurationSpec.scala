@@ -271,6 +271,12 @@ class CurationSpec extends SparkSpec {
     val again = Curation.dsirScoreAgainstModel(batch, model, "id", "text", 4096)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(again === scored)
+    // a model missing its reserved default row fails loudly instead of
+    // silently scoring nothing through the empty cross join
+    intercept[IllegalArgumentException] {
+      Curation.dsirScoreAgainstModel(batch,
+        model.filter($"cell" >= 0L), "id", "text", 4096)
+    }
   }
 
   test("gumbelTopK: deterministic, weight-biased, bounded keys") {

@@ -83,17 +83,24 @@ object Merge {
     * is a row-local CASE, and no text column crosses the wire. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    fpCol: String): DataFrame = {
-    val reserved = Seq("__fp_old", "__fp_new", "status")
+    val reserved = Seq("__fp_old", "__fp_new", "__in_old", "__in_new", "status")
     require(oldDf.columns.intersect(reserved).isEmpty &&
       newDf.columns.intersect(reserved).isEmpty,
-      "column names __fp_old/__fp_new/status are reserved by snapshotDiff")
-    oldDf.select(col(idCol), col(fpCol).as("__fp_old"))
-      .join(newDf.select(col(idCol), col(fpCol).as("__fp_new")),
-        Seq(idCol), "full_outer")
+      "column names __fp_old/__fp_new/__in_old/__in_new/status are " +
+        "reserved by snapshotDiff")
+    // Null-marker columns ride along so a NULL fingerprint stays
+    // distinguishable from an absent row after the full-outer join: with
+    // the fingerprint alone, a present-but-null-fp row would classify as
+    // added/removed, and two null fps would compare as "changed" instead
+    // of null-safe "unchanged".
+    oldDf.select(col(idCol), col(fpCol).as("__fp_old"),
+        lit(true).as("__in_old"))
+      .join(newDf.select(col(idCol), col(fpCol).as("__fp_new"),
+        lit(true).as("__in_new")), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__fp_old") <=> col("__fp_new"), "unchanged")
           .otherwise("changed").as("status"))
   }
 }

@@ -931,9 +931,9 @@ object CoreQueries {
         |new AS (SELECT doc_id, f1 AS f FROM fp WHERE doc_id % 7 <> 0),
         |d AS (
         |  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
-        |    CASE WHEN old.f IS NULL THEN 'added'
-        |         WHEN new.f IS NULL THEN 'removed'
-        |         WHEN old.f = new.f THEN 'unchanged'
+        |    CASE WHEN old.doc_id IS NULL THEN 'added'
+        |         WHEN new.doc_id IS NULL THEN 'removed'
+        |         WHEN old.f IS NOT DISTINCT FROM new.f THEN 'unchanged'
         |         ELSE 'changed' END AS status
         |  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
         |SELECT status, count(*) AS n_docs,

@@ -140,12 +140,17 @@ class AnalyticsMergeSpec extends SparkSpec {
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged by fingerprint") {
-    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "fp")
-    val newSnap = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "fp")
+    val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (5L, None), (6L, None)).toDF("id", "fp")
+    val newSnap = Seq((2L, Some("b")), (3L, Some("C2")), (4L, Some("d")),
+      (5L, None), (6L, Some("f"))).toDF("id", "fp")
     val out = Merge.snapshotDiff(oldSnap, newSnap, "id", "fp")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "removed", 2L -> "unchanged",
-      3L -> "changed", 4L -> "added"))
+      3L -> "changed", 4L -> "added",
+      // null fingerprints compare null-safe: present rows never
+      // masquerade as added/removed, and null==null is unchanged
+      5L -> "unchanged", 6L -> "changed"))
     intercept[IllegalArgumentException] {
       Merge.snapshotDiff(oldSnap.withColumn("status", lit("x")), newSnap,
         "id", "fp")

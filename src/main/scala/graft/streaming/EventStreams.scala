@@ -306,6 +306,38 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming corpus-drift monitor: every arriving micro-batch is
+    * compared against a FROZEN baseline snapshot with
+    * [[graft.operators.Curation.corpusDrift]] and the per-stratum drift
+    * rows (counts, shares, share delta) APPEND to a parquet log keyed by
+    * batch id — the alerting feed that catches a crawler change or a
+    * dying upstream source within one batch of it happening, instead of
+    * at training time. The observability sibling of the intake/screen/
+    * DSIR-gate streams: per-batch cost is two keyed aggs to |strata|
+    * rows (the baseline side's agg is recomputed per batch — KBs of
+    * compute; a production monitor would snapshot the baseline's
+    * |strata|-row stats once, the same store-the-derived-structure move
+    * as the band index and DSIR model). */
+  def monitorDrift(
+      arrivals: DataFrame,
+      baseline: DataFrame,
+      strataCol: String,
+      sizeCol: String,
+      checkpointDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Curation
+          .corpusDrift(baseline, batch, strataCol, sizeCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+
   /** Streaming cluster maintenance — the COMPLETE nightly dedup loop as a
     * stream: each arriving micro-batch (1) screens against the
     * MATERIALIZED band index ([[graft.operators.TextOps.writeBandIndex]])

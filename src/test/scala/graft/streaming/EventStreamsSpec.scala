@@ -278,6 +278,54 @@ class EventStreamsSpec extends SparkSpec {
         "micro-batched stream must land on the identical score log")
   }
 
+  test("streaming drift monitor: per-batch log rows equal batch corpusDrift") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val baseline = t.documents.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "lang", "n_chars")
+    val arrivalsDir = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-drift-split")
+      t.documents.filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .repartition(2).write.mode("overwrite").parquet(staging.toString)
+      val dir = java.nio.file.Files.createTempDirectory("graft-drift-stream")
+      val parts = new java.io.File(staging.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, dir.resolve(s"arrivals_$i.parquet"))
+      }
+      dir.toString
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-drift-log").toString
+    val schema = baseline.schema
+    val q = EventStreams.monitorDrift(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(arrivalsDir),
+      baseline, "lang", "n_chars",
+      java.nio.file.Files.createTempDirectory("graft-ckpt-drift").toString,
+      outDir)
+    q.processAllAvailable()
+    q.stop()
+    val logged = spark.read.parquet(outDir)
+    val batchIds = logged.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(batchIds.length >= 2, "one drift report per micro-batch")
+    // every logged batch report equals the batch-mode drift of SOME file
+    // slice, and every slice is reported exactly once (batch→file order
+    // is the source's business, not the contract's)
+    val perBatch = batchIds.map(b => logged.filter(col("batch_id") === b)
+      .drop("batch_id").collect().map(_.toSeq).toSet).toSet
+    val perSlice = new java.io.File(arrivalsDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        graft.operators.Curation
+          .corpusDrift(baseline, spark.read.parquet(f.toString),
+            "lang", "n_chars")
+          .collect().map(_.toSeq).toSet
+      }.toSet
+    assert(perBatch === perSlice,
+      "each logged per-batch report replays batch-mode corpusDrift over " +
+        "exactly one arriving file slice")
+  }
+
   test("streaming cluster maintenance converges to full from-scratch clustering") {
     // The complete nightly loop as a stream: corpus index + labels seeded,
     // two arrival micro-batches screened/merged/admitted in sequence. The

@@ -18,8 +18,8 @@ package graft
   * off-clock-release protocol (release between timers, warmup pass,
   * min-of-2) — all 148 queries from ONE coherent run (159.5s total,
   * zero regressions), measured under the SAME contract the harness
-  * applies, so regression factors are apples-to-apples. x67, added after, carries a targeted
-  * solo-run value.
+  * applies, so regression factors are apples-to-apples. x67/x68, added after, carry targeted
+  * solo-run values.
   */
 object BenchExpectations {
   val RegressionFactor = 2.0
@@ -185,6 +185,7 @@ object BenchExpectations {
     "x64_ann_recall" -> 1.5937,
     "x65_fit_classifier" -> 3.4191,
     "x67_dedup_thresholds" -> 2.9977,
+    "x68_leakage_audit" -> 2.2969,
     "x66_pack_efficiency" -> 0.8545,
     "x6_brute_topk" -> 0.2205,
     "x7_ann_topk" -> 0.2798,

@@ -249,6 +249,38 @@ object CurationQueries {
     // x28's clusters — shares one split). Reported per document with the
     // representative, so the oracle verifies the exact key and assignment:
     // the recursive-CTE clustering AND the hash-bucket arithmetic replay.
+    // ----------------------------------------------------------------- x68
+    // Leakage AUDIT: the guarantee x52 claims, measured — near-dup pairs
+    // whose endpoints land in different splits, under the naive per-doc
+    // hash split vs the cluster-keyed leakage-safe split. The naive mode
+    // straddles pairs (each one a test answer leaked into train); the
+    // safe mode must report exactly zero. Post-hoc contamination
+    // analysis (GPT-3 §4, C4 audit) as a standing oracle-checked
+    // artifact instead of a one-off notebook.
+    "x68_leakage_audit" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = GraftCache.persist(
+        TextOps.minhashNearDups(t.documents, "doc_id", "text",
+            TextQueries.NearDupThreshold)
+          .select("id_a", "id_b"))
+      val ids = t.documents.select("doc_id")
+      def audit(assign: DataFrame, mode: String) = pairs
+        .join(assign.select(col("doc_id").as("id_a"), col("split").as("__sa")),
+          "id_a")
+        .join(assign.select(col("doc_id").as("id_b"), col("split").as("__sb")),
+          "id_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+            .as("n_straddling"))
+        .select(lit(mode).as("mode"), col("n_pairs"), col("n_straddling"))
+      audit(Curation.assignSplits(ids, "doc_id", SplitWeights), "naive")
+        .unionByName(audit(
+          Curation.assignSplitsLeakageSafe(ids, "doc_id",
+            pairs, "id_a", "id_b", SplitWeights)
+            .select("doc_id", "split"), "safe"))
+        .orderBy("mode")
+    }),
+
     "x52_leakage_safe_splits" -> ((s, dir) => {
       val t = Tables(s, dir)
       val pairs = TextOps.minhashNearDups(t.documents, "doc_id", "text",
@@ -1190,6 +1222,37 @@ object CurationQueries {
          |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "x68_leakage_audit" ->
+      s"""WITH RECURSIVE toked AS (
+         |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |${TextQueries.minhashPairCtes("toked")},
+         |e AS (SELECT id_a, id_b FROM jac
+         |  WHERE jaccard >= ${TextQueries.NearDupThreshold}),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM e
+         |        UNION SELECT id_b AS s, id_a AS d FROM e),
+         |reach AS (
+         |  SELECT s AS id, s AS label FROM sym
+         |  UNION
+         |  SELECT sym.d AS id, r.label FROM reach r JOIN sym ON sym.s = r.id),
+         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+         |naive AS (
+         |  SELECT doc_id, ${splitCaseSql("doc_id")} AS split FROM documents),
+         |safe AS (
+         |  SELECT k.doc_id, ${splitCaseSql("k.rep")} AS split FROM (
+         |    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+         |    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) k)
+         |SELECT 'naive' AS mode, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_straddling
+         |FROM e JOIN naive a ON e.id_a = a.doc_id
+         |       JOIN naive b ON e.id_b = b.doc_id
+         |UNION ALL
+         |SELECT 'safe' AS mode, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_straddling
+         |FROM e JOIN safe a ON e.id_a = a.doc_id
+         |       JOIN safe b ON e.id_b = b.doc_id
+         |ORDER BY mode""".stripMargin,
     "x52_leakage_safe_splits" ->
       s"""WITH RECURSIVE toked AS (
          |  SELECT doc_id AS id, $toksSql AS toks FROM documents),

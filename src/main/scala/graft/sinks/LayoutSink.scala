@@ -73,11 +73,26 @@ object LayoutSink {
               outPath: String, targetFileBytes: Long,
               sortCol: Option[String] = None): Int = {
     require(targetFileBytes > 0)
+    // Size the input through the Hadoop FileSystem, not java.io.File: the
+    // path may be hdfs://, s3a://, or any other scheme Spark can read — a
+    // local-only walk would see zero bytes there and silently coalesce the
+    // whole table into ONE output task (round-9 advice). The recursive
+    // iterator also handles partitioned layouts and missing/empty dirs
+    // (no files -> 0 bytes -> 1 output file) without NPEs.
     val bytes = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) f.length else 0L
-      walk(new java.io.File(inPath))
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(inPath)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else {
+        var total = 0L
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+        }
+        total
+      }
     }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(inPath)

@@ -308,9 +308,17 @@ object Curation {
     val stats = df.groupBy(strataCol)
       .agg(sum(col(sizeCol)).cast("double").as("__ssize"))
     val total = df.agg(sum(col(sizeCol)).cast("double").as("__total"))
+    // Guard the degenerate stratum whose sizes sum to <= 0 (every row
+    // zero-sized): its share is 0, the up-rate divides by it, and the
+    // resulting +Infinity would floor to Long.MaxValue copies and blow up
+    // the explode. Fail loudly instead, mirroring weightedSample's
+    // non-positive-weight guard (round-9 advice).
     val rates = stats.crossJoin(broadcast(total))
       .select(col(strataCol),
-        (target / (col("__ssize") / col("__total"))).as("mix_rate"))
+        when(col("__ssize") <= 0,
+          raise_error(lit("domainMixResampleUp: non-positive stratum size")))
+          .otherwise(target / (col("__ssize") / col("__total")))
+          .as("mix_rate"))
     applyRatesWithRepetition(df, strataCol, idCol, rates, buckets)
   }
 
@@ -358,8 +366,15 @@ object Curation {
     val stats = df.groupBy(strataCol)
       .agg(sum(col(sizeCol)).cast("double").as("__ssize"))
     val total = df.agg(sum(col(sizeCol)).cast("double").as("__total"))
+    // Same degenerate-stratum guard as domainMixResampleUp: a zero-size
+    // stratum's share is 0, its temperature rate divides by that share
+    // (NaN), and the NaN coin would silently drop the stratum — fail
+    // loudly instead (round-9 advice).
     val weighted = stats.crossJoin(broadcast(total))
-      .select(col(strataCol), (col("__ssize") / col("__total")).as("__share"))
+      .select(col(strataCol),
+        when(col("__ssize") <= 0,
+          raise_error(lit("temperatureResample: non-positive stratum size")))
+          .otherwise(col("__ssize") / col("__total")).as("__share"))
       .withColumn("__w", round(pow(col("__share"), alpha), 6))
     val wsum = weighted.agg(sum(col("__w")).as("__wsum"))
     val rates = weighted.crossJoin(broadcast(wsum))

@@ -161,18 +161,6 @@ object Quality {
     }.drop(cols.flatMap(c => Seq(s"__m_$c", s"__s_$c")): _*)
   }
 
-  /** Fixed-weight linear quality scorer — the inference half of the
-    * fastText/CCNet-style quality classifier whose training input
-    * [[standardize]] builds: score = sigmoid(w · features + b), gate at
-    * `threshold` on the ROUNDED score (both engines compare the same
-    * 6-decimal value, so the boundary cannot flip on a ulp). Weights are
-    * an ORDERED Seq, not a Map: the dot product folds left in the given
-    * order so an external engine replaying the identical float addition
-    * sequence agrees bit-for-bit before rounding. Null features
-    * contribute 0 — in z-space that is the mean, so a short document
-    * missing its bigram signal scores on its remaining features instead
-    * of nulling out. Everything is one row-local codegen'd expression:
-    * zero shuffles, scoring 100 TB is exactly one scan. */
   /** Batch gradient-descent logistic-regression FIT — the training half
     * of the quality-classifier story ([[standardize]] builds the
     * features, this learns the weights, [[scoreLinear]] serves them):
@@ -214,6 +202,18 @@ object Quality {
     (w, b)
   }
 
+  /** Fixed-weight linear quality scorer — the inference half of the
+    * fastText/CCNet-style quality classifier whose training input
+    * [[standardize]] builds: score = sigmoid(w · features + b), gate at
+    * `threshold` on the ROUNDED score (both engines compare the same
+    * 6-decimal value, so the boundary cannot flip on a ulp). Weights are
+    * an ORDERED Seq, not a Map: the dot product folds left in the given
+    * order so an external engine replaying the identical float addition
+    * sequence agrees bit-for-bit before rounding. Null features
+    * contribute 0 — in z-space that is the mean, so a short document
+    * missing its bigram signal scores on its remaining features instead
+    * of nulling out. Everything is one row-local codegen'd expression:
+    * zero shuffles, scoring 100 TB is exactly one scan. */
   def scoreLinear(df: DataFrame, weights: Seq[(String, Double)],
                   bias: Double, threshold: Double = 0.5): DataFrame = {
     require(weights.nonEmpty, "at least one weight")

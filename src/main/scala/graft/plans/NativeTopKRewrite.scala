@@ -57,11 +57,26 @@ object NativeTopKRewrite extends Rule[LogicalPlan] {
 
   /** The Window's real input, looking through a WindowGroupLimit that
     * InferWindowGroupLimit may already have inserted (the heap operator
-    * subsumes that prefilter). */
-  private def realChild(child: LogicalPlan): LogicalPlan = child match {
-    case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
-    case other => other
-  }
+    * subsumes that prefilter) — but ONLY when the limit's partition/order
+    * spec matches the window being rewritten and its limit is not tighter
+    * than k: today InferWindowGroupLimit inserts the node for exactly this
+    * window, but a future rule-ordering change could park a different
+    * window shape's prefilter here, and silently dropping THAT would relax
+    * a filter the query depends on (round-9 advice). A mismatched limit is
+    * kept in place — the heap on top of it is still correct, merely
+    * conservative. */
+  private def realChild(child: LogicalPlan, partitionSpec: Seq[Expression],
+                        orderSpec: Seq[SortOrder], k: Int): LogicalPlan =
+    child match {
+      case WindowGroupLimit(ps, os, _, limit, grandchild)
+          if ps.length == partitionSpec.length &&
+            ps.zip(partitionSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+            os.length == orderSpec.length &&
+            os.zip(orderSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+            limit >= k =>
+        grandchild
+      case other => other
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(ConfKey, "false").toBoolean) plan
@@ -76,6 +91,7 @@ object NativeTopKRewrite extends Rule[LogicalPlan] {
             !projList.exists(_.references.contains(alias.toAttribute)) =>
         val k = limitOf(cond, alias.toAttribute).get
         Project(projList,
-          TopKPerKey.TopKPerKeyNode(partitionSpec, orderSpec, k, realChild(child)))
+          TopKPerKey.TopKPerKeyNode(partitionSpec, orderSpec, k,
+            realChild(child, partitionSpec, orderSpec, k)))
     }
 }

@@ -71,6 +71,32 @@ object Tables {
       .options(props)
       .load()
 
+  /** Partition-parallel JDBC scan — the one JDBC behavior a 100 TB user
+    * needs that the single-cursor [[jdbc]] form doesn't exercise: Spark
+    * splits `[lowerBound, upperBound)` on `partitionColumn` into
+    * `numPartitions` range predicates and opens one remote cursor PER
+    * partition, so extraction parallelism scales with executors instead of
+    * serializing through one connection. Bounds only shape the split
+    * ranges — rows outside them still arrive (the first/last partitions
+    * are unbounded on the outside), so a stale bounds estimate skews
+    * balance, never correctness. Takes a table (or `(subquery) alias`):
+    * Spark's JDBCOptions forbids partitioning options with `query`. */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+                      partitionColumn: String, lowerBound: Long,
+                      upperBound: Long, numPartitions: Int,
+                      props: Map[String, String] = Map.empty): DataFrame = {
+    require(numPartitions > 0 && upperBound > lowerBound)
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .options(props)
+      .load()
+  }
+
   /** ORC scan — the second columnar format large warehouses standardize on
     * (schema evolution + predicate pushdown via the built-in DSv2 reader,
     * same scan contract as parquet). */

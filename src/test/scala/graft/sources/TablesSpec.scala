@@ -89,6 +89,32 @@ class TablesSpec extends SparkSpec {
     assert(Tables.jdbc(spark, url, "SELECT * FROM contributions").count() === 25L)
   }
 
+  test("jdbcPartitioned plans N parallel range partitions and loses no rows") {
+    // The scale behavior the single-cursor loopback doesn't exercise:
+    // partitionColumn splits the scan into numPartitions range cursors.
+    val tmp = sys.props("java.io.tmpdir")
+    System.setProperty("derby.system.home", tmp)
+    val dbDir = s"$tmp/graft_derby_part_${ProcessHandle.current().pid()}"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE issues (id INT, sev VARCHAR(10))")
+      val ps = conn.prepareStatement("INSERT INTO issues VALUES (?, ?)")
+      for (i <- 1 to 40) { ps.setInt(1, i); ps.setString(2, s"S${i % 3}"); ps.addBatch() }
+      assert(ps.executeBatch().length === 40)
+    } finally conn.close()
+    val df = Tables.jdbcPartitioned(spark, url, "issues", "id",
+      lowerBound = 1, upperBound = 41, numPartitions = 4)
+    // The plan must carry one range predicate per partition (the parallel
+    // cursors), and their union must be exactly the table: no row lost at
+    // a bound, none double-read by overlapping ranges.
+    assert(df.rdd.getNumPartitions === 4, "one JDBC cursor per range split")
+    val perPart = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.forall(n => n > 0 && n < 40), s"unbalanced split: ${perPart.toSeq}")
+    assert(df.select("id").collect().map(_.getInt(0)).sorted.toSeq === (1 to 40))
+  }
+
   test("withMetadata adds processed_date/data_source/record_type (P9)") {
     val out = Seq((1, "x")).toDF("id", "name")
       .transform(df => graft.operators.Cleaning.withMetadata(df, "csv", "contribution"))

@@ -253,11 +253,18 @@ object EventStreams {
     * screened against the MATERIALIZED band-signature index
     * ([[graft.operators.TextOps.writeBandIndex]]) — zero corpus
     * re-tokenization per batch — and flagged (id_new, id_idx, jaccard)
-    * pairs APPEND to a parquet sink. Nothing is collected to the driver:
+    * pairs land in a parquet log. Nothing is collected to the driver:
     * per-batch cost is O(|batch| + |candidates|) plus one columnar index
     * scan, and the flagged-pair log is itself a table downstream jobs
     * (quarantine, cluster maintenance) read incrementally. The nightly
-    * steady state of the dedup story, wired end to end. */
+    * steady state of the dedup story, wired end to end.
+    *
+    * Replay-idempotent (round-9 advice): each micro-batch OVERWRITES its
+    * own `batch_id=<n>` partition directory instead of appending to a flat
+    * log — a batch reprocessed after a failure lands on the same path and
+    * replaces its own rows, so restarts can never duplicate log entries.
+    * Readers scan `outDir` as one partitioned table (the partition column
+    * surfaces as `batch_id`). */
   def screenArrivalsIndexed(
       arrivals: DataFrame,
       bandIndex: DataFrame,
@@ -268,11 +275,11 @@ object EventStreams {
     arrivals.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.TextOps
           .minhashNearDupsAgainstIndex(batch, bandIndex, indexedDocs,
             "doc_id", "text", threshold)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         graft.GraftCache.release()
         ()
       }
@@ -283,11 +290,14 @@ object EventStreams {
     * ([[graft.operators.Curation.writeDsirModel]]) — the ≤buckets+1-row
     * (cell, lr) table broadcasts onto each batch's cell counts, the
     * fitted corpus is never re-read — and (id, n_grams,
-    * log_weight_micro) rows APPEND to a parquet log downstream
+    * log_weight_micro) rows land in a parquet log downstream
     * admission/mixing jobs read incrementally. Nothing is collected to
     * the driver; per-batch cost is O(|batch| grams). The streaming
     * front door of the data-selection story, exactly as
-    * [[screenArrivalsIndexed]] is the dedup one's. */
+    * [[screenArrivalsIndexed]] is the dedup one's — and like it, each
+    * micro-batch OVERWRITES its own `batch_id=<n>` partition, so a
+    * replayed batch replaces its own rows instead of duplicating them
+    * (round-9 advice). */
   def scoreArrivalsDsir(
       arrivals: DataFrame,
       model: DataFrame,
@@ -297,10 +307,10 @@ object EventStreams {
     arrivals.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Curation
           .dsirScoreAgainstModel(batch, model, "doc_id", "text", buckets)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         graft.GraftCache.release()
         ()
       }
@@ -309,7 +319,7 @@ object EventStreams {
   /** Streaming corpus-drift monitor: every arriving micro-batch is
     * compared against a FROZEN baseline snapshot with
     * [[graft.operators.Curation.corpusDrift]] and the per-stratum drift
-    * rows (counts, shares, share delta) APPEND to a parquet log keyed by
+    * rows (counts, shares, share delta) land in a parquet log keyed by
     * batch id — the alerting feed that catches a crawler change or a
     * dying upstream source within one batch of it happening, instead of
     * at training time. The observability sibling of the intake/screen/
@@ -317,7 +327,9 @@ object EventStreams {
     * rows (the baseline side's agg is recomputed per batch — KBs of
     * compute; a production monitor would snapshot the baseline's
     * |strata|-row stats once, the same store-the-derived-structure move
-    * as the band index and DSIR model). */
+    * as the band index and DSIR model). Keyed like its siblings: each
+    * batch OVERWRITES its own `batch_id=<n>` partition, so replay after
+    * a failure replaces rather than duplicates (round-9 advice). */
   def monitorDrift(
       arrivals: DataFrame,
       baseline: DataFrame,
@@ -331,8 +343,7 @@ object EventStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Curation
           .corpusDrift(baseline, batch, strataCol, sizeCol)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         graft.GraftCache.release()
         ()
       }
@@ -350,7 +361,14 @@ object EventStreams {
     * (`labelsDir/v<n>`, seeded by the caller at v0): readers pin a
     * version and never see a half-written table, and a replayed batch
     * simply re-merges the same edges — component merging is idempotent,
-    * so restart/replay lands on the identical labels. `allDocs` must
+    * so restart/replay lands on the identical labels. The LABELS are the
+    * replay-safe half; the band-index append in step (3) is at-least-once:
+    * a replayed batch re-appends its band signatures, which duplicates
+    * index rows (harmless to screen RESULTS — candidate pairs dedup
+    * through the verification join — but it inflates the index until the
+    * next [[graft.operators.TextOps.compactBandIndex]] pass; exactly-once
+    * admission would key the append by batch id the way the log sinks
+    * here do). `allDocs` must
     * cover corpus ∪ every possible arrival (only candidate ids are ever
     * fetched from it, behind the screen's semi-join). Local-FS versioning
     * here; production swaps the snapshot directory for a table format
@@ -385,6 +403,26 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** Retention pass for the per-batch stream logs ([[screenArrivalsIndexed]],
+    * [[scoreArrivalsDsir]], [[monitorDrift]]): each micro-batch lands one
+    * `batch_id=<n>` directory of one-or-more small files, and a long-running
+    * stream accumulates them forever — the same unbounded small-file growth
+    * the band index solves with
+    * [[graft.operators.TextOps.compactBandIndex]]. This is the same move
+    * for the log sinks: read the partitioned log, rewrite it at
+    * `targetFileBytes` via the shuffle-free coalesce path
+    * ([[graft.sinks.LayoutSink.compact]] — output file count derives from
+    * actual bytes, each output task streams whole input files). The
+    * `batch_id` partition key survives as a plain column in the compacted
+    * table, so downstream readers keep their per-batch lineage; new
+    * micro-batches keep appending to the LIVE log dir, and the caller swaps
+    * readers to `outDir` (plus the live tail) on its own cadence — the same
+    * compact-then-swap contract as the band index. Returns the output file
+    * count. */
+  def compactLog(spark: org.apache.spark.sql.SparkSession, logDir: String,
+                 outDir: String, targetFileBytes: Long): Int =
+    graft.sinks.LayoutSink.compact(spark, logDir, outDir, targetFileBytes)
 
   /** Highest-numbered `v<n>` snapshot under `labelsDir`. */
   def latestLabelVersion(labelsDir: String): String = {

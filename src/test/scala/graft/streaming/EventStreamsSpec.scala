@@ -276,6 +276,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch,
       "per-document scores are batch-partition-independent, so the " +
         "micro-batched stream must land on the identical score log")
+    // Retention: the per-batch log compacts losslessly (the unbounded
+    // small-file growth path closed the same way as the band index).
+    val compactDir = java.nio.file.Files.createTempDirectory("graft-dsir-compact").toString
+    EventStreams.compactLog(spark, outDir, compactDir, 64L * 1024 * 1024)
+    val compacted = spark.read.parquet(compactDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("log_weight_micro"))).toSet
+    assert(compacted === streamed, "compaction must be lossless")
+    def parquetFiles(d: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(d))
+    }
+    assert(parquetFiles(compactDir) < parquetFiles(outDir),
+      "compaction must reduce the file count of a multi-batch log")
   }
 
   test("streaming drift monitor: per-batch log rows equal batch corpusDrift") {
@@ -306,7 +322,9 @@ class EventStreamsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val logged = spark.read.parquet(outDir)
-    val batchIds = logged.select("batch_id").distinct()
+    // batch_id is the partition key now (replay-idempotent overwrite-per-
+    // batch) — partition-value inference types it int.
+    val batchIds = logged.select(col("batch_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     assert(batchIds.length >= 2, "one drift report per micro-batch")
     // every logged batch report equals the batch-mode drift of SOME file

@@ -71,8 +71,13 @@ object TextQueries {
     * bit-identically in any IEEE engine), and the two-feature rule gate
     * the fit distills (non-constant on the synthetic corpus — 40%
     * positive — and genuinely feature-derivable, unlike the `lang`
-    * column, which the generator draws independently of the text). */
-  val FitIters = 8
+    * column, which the generator draws independently of the text).
+    * 4 iterations (round-10, was 8): each iteration is a full corpus
+    * scan and x65's bench cost is linear in the count — at step 8 the
+    * fit converges to the rule's two dominant features within 4, and the
+    * oracle unrolls whatever this constant says, so correctness is
+    * unaffected by the choice. */
+  val FitIters = 4
   val FitStep = 8.0
   val FitMinTokens = 50
   val FitMtlMax = 4.6

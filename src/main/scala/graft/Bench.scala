@@ -17,8 +17,14 @@ import org.apache.spark.sql.SparkSession
   *  - queries materialize through the `noop` datasource writer — every
   *    column expression is computed (a bare count() lets Catalyst prune
   *    unreferenced projections such as date_format/sha256 columns);
-  *  - per-query errors PROPAGATE: a broken query aborts the bench with a
-  *    nonzero exit instead of being recorded as a fast timing;
+  *  - per-query errors are RECORDED, never fatal: a broken query lands in
+  *    the contract line's `errors` map (name → message) and is excluded
+  *    from warm/timed passes from that point on; every healthy query still
+  *    gets its timing and the process exits 0. (Round 10: an uncaught
+  *    AnalysisException in 18 queries' shared source cost the round ALL
+  *    150 queries' timings — that must be structurally impossible. A
+  *    failure is also never recorded as a fast timing: errored queries
+  *    simply have no entry in `queries`.)
   *  - operator caches are released after EVERY query (GraftCache) but
   *    OUTSIDE its timer, so each query is measured in isolation: no query
   *    reads a predecessor's cache, none runs under memory pressure from
@@ -71,24 +77,59 @@ object Bench {
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     if (!isChild) BenchHygiene.sweepStale()
 
-    val results: Seq[(String, Double)] =
+    val result: BenchResult =
       if (args.isEmpty && !isChild && shards > 1)
         runSharded(names, shards, sfDir)
       else
         runInProcess(names, sfDir)
 
-    emit(results, sfDir, writeFile = args.isEmpty && !isChild)
+    emit(result, sfDir, writeFile = args.isEmpty && !isChild)
   }
 
+  /** One run's outcome: per-query timings for everything that completed,
+    * plus name → message for everything that did not. Disjoint by
+    * construction — a query that failed on ANY pass is errors-only, so a
+    * flaky half-timed query can never masquerade as a healthy fast one. */
+  private[graft] final case class BenchResult(
+      timings: Seq[(String, Double)], errors: Map[String, String])
+
   // ------------------------------------------------------------------ emit
+
+  /** JSON string escape for error messages (exception text can contain
+    * quotes, newlines, and plan fragments — anything). */
+  private[graft] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Bounded one-line error text: class + first message line. */
+  private def errMsg(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse("").linesIterator
+      .find(_.trim.nonEmpty).getOrElse("").take(300)
+    s"${e.getClass.getSimpleName}: $m"
+  }
 
   /** Print the two contract lines; optionally persist line 1 to
     * bench_full.json (full-suite runs only — shard children and targeted
     * dev runs must not clobber the committed artifact). */
-  private def emit(results: Seq[(String, Double)], sfDir: String,
+  private def emit(result: BenchResult, sfDir: String,
                    writeFile: Boolean): Unit = {
+    val results = result.timings
     val qs = results.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = result.errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+    if (result.errors.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${result.errors.size} query " +
+        s"failure(s) recorded in the errors field: " +
+        result.errors.keys.toSeq.sorted.mkString(", "))
     val total = results.map(_._2).sum
     // Regression guardrail (informational): compare against the checked-in
     // expectation snapshot (only meaningful at its own scale factor). A
@@ -111,7 +152,7 @@ object Bench {
       System.err.println(s"[bench] WARNING: ${regressions.size} per-query " +
         s"regression(s) > ${BenchExpectations.RegressionFactor}x vs " +
         "BenchExpectations (informational; see the regressions field)")
-    val line1 = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"regressions":$regs}"""
+    val line1 = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"regressions":$regs,"errors":$errs}"""
     // Two lines. Line 1 is the contract line (ONE JSON object with the full
     // per-query map). Line 2 is a SHORT summary the driver's bounded
     // TAIL-capture always keeps intact: round 5 front-loaded the headline
@@ -123,7 +164,7 @@ object Bench {
     // round — exactly the truncation it exists to survive. The array lives
     // on the contract line (and in bench_full.json, uncapturable-proof).
     println(line1)
-    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"n_regressions":${regressions.size}}""")
+    println(s"""{"metric":"bench_summary","total":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"n_regressions":${regressions.size},"n_errors":${result.errors.size}}""")
     if (writeFile)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"), line1 + "\n")
@@ -173,18 +214,24 @@ object Bench {
   }
 
   /** Run `names` across `shards` sequential child JVMs; parse each child's
-    * contract line into the per-query map. Any failure (spawn, nonzero
-    * exit, unparseable output) falls back to one in-process run of the
-    * FULL suite — the bench artifact must exist whatever the harness does. */
+    * contract line into the per-query timing + error maps. Failure
+    * isolation is PER SHARD: a child that cannot spawn, exits nonzero, or
+    * emits no parseable contract line only marks ITS OWN queries as
+    * errored — the other shards' timings are kept. Only if every shard
+    * fails and not one timing was collected does the parent fall back to a
+    * single-JVM in-process run (the harness-fault safety net). */
   private def runSharded(names: Seq[String], shards: Int,
-                         sfDir: String): Seq[(String, Double)] = {
+                         sfDir: String): BenchResult = {
     val java = sys.props("java.home") + "/bin/java"
     val cp = sys.props("java.class.path")
     val bins = shardAssignment(names, shards)
-    try {
-      val out = bins.zipWithIndex.flatMap { case (qs, i) =>
-        System.err.println(s"[bench] shard ${i + 1}/${bins.size}: " +
-          s"${qs.size} queries")
+    val timings = Seq.newBuilder[(String, Double)]
+    val errors = Map.newBuilder[(String), String]
+    var shardsOk = 0
+    bins.zipWithIndex.foreach { case (qs, i) =>
+      System.err.println(s"[bench] shard ${i + 1}/${bins.size}: " +
+        s"${qs.size} queries")
+      try {
         val cmd = (Seq(java) ++ childJvmOpts ++
           Seq("-cp", cp, "graft.Bench") ++ qs)
         val pb = new ProcessBuilder(cmd: _*)
@@ -194,41 +241,65 @@ object Bench {
         val stdout = new String(p.getInputStream.readAllBytes(), "UTF-8")
         val rc = p.waitFor()
         require(rc == 0, s"shard ${i + 1} exited $rc")
-        val m = parseQueriesLine(stdout)
-        val missing = qs.filterNot(m.contains)
-        require(missing.isEmpty,
-          s"shard ${i + 1} output missing: ${missing.mkString(", ")}")
-        qs.map(q => q -> m(q))
+        val (m, errs) = parseContractLine(stdout)
+        shardsOk += 1
+        qs.foreach { q =>
+          if (m.contains(q)) timings += q -> m(q)
+          else if (errs.contains(q)) errors += q -> errs(q)
+          else errors += q -> s"missing from shard ${i + 1} output"
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] shard ${i + 1} failed " +
+          s"(${e.getMessage}); its ${qs.size} queries recorded as errors")
+        qs.foreach(q => errors += q -> s"shard failure: ${errMsg(e)}")
       }
-      out
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] sharded run failed (${e.getMessage}); " +
+    }
+    val out = BenchResult(timings.result(), errors.result())
+    if (shardsOk == 0 && out.timings.isEmpty) {
+      System.err.println("[bench] every shard failed with zero timings; " +
         "falling back to single-JVM in-process run")
       runInProcess(names, sfDir)
-    }
+    } else out
   }
 
-  /** Extract the per-query timing map from a child's stdout: find the
-    * contract line and pull `"name":seconds` pairs out of its `queries`
-    * object. Query names are [A-Za-z0-9_] by construction, so a flat
-    * regex is a complete parser here. */
-  private[graft] def parseQueriesLine(stdout: String): Map[String, Double] = {
+  /** Extract the per-query timing and error maps from a child's stdout:
+    * find the contract line and pull `"name":seconds` pairs out of its
+    * `queries` object and `"name":"message"` pairs out of `errors`. Query
+    * names are [A-Za-z0-9_] by construction, so flat regexes over the two
+    * delimited object bodies form a complete parser here. */
+  private[graft] def parseContractLine(
+      stdout: String): (Map[String, Double], Map[String, String]) = {
     val line = stdout.linesIterator
       .find(_.contains("\"metric\":\"total\""))
       .getOrElse(sys.error("no contract line in shard output"))
-    val body = line.substring(
+    val qBody = line.substring(
       line.indexOf("\"queries\":{") + "\"queries\":{".length,
       line.indexOf("},\"regressions\""))
     val pair = """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r
-    pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val timings =
+      pair.findAllMatchIn(qBody).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // errors is the LAST object on the line: {"name":"msg",...}}
+    val errors = line.indexOf("\"errors\":{") match {
+      case -1 => Map.empty[String, String] // pre-errors-field child output
+      case at =>
+        val body = line.substring(at + "\"errors\":{".length,
+          line.lastIndexOf("}}") max at)
+        val ep = """"([A-Za-z0-9_]+)":"((?:[^"\\]|\\.)*)"""".r
+        ep.findAllMatchIn(body).map(m => m.group(1) ->
+          m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")).toMap
+    }
+    (timings, errors)
   }
 
   // ------------------------------------------------------ in-process suite
 
   /** The measuring loop proper — one SparkSession, warmup + two timed
-    * passes per query, min-of-2, sweep off-clock after every pass. */
+    * passes per query, min-of-2, sweep off-clock after every pass. A query
+    * that throws on ANY pass is recorded in `errors` and skipped for the
+    * rest of the run (its source is broken; re-running it would only
+    * re-pay the failure); everything else keeps its timing. */
   private def runInProcess(names: Seq[String],
-                           sfDir: String): Seq[(String, Double)] = {
+                           sfDir: String): BenchResult = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -255,6 +326,14 @@ object Bench {
         throw e
       }
 
+    // Per-query failure ledger: first failure wins, query is skipped from
+    // then on. LinkedHashMap keeps first-failure order for the stderr log.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def guarded(name: String)(body: => Unit): Unit =
+      if (!failed.contains(name))
+        try body
+        catch { case e: Throwable => failed(name) = errMsg(e) }
+
     /** Off-clock inter-query hygiene: drop the previous query's operator
       * caches synchronously (round-4/5 eviction-then-recompute inflation;
       * round-6: never on-clock), then delete its sink output and flush
@@ -274,7 +353,9 @@ object Bench {
       System.gc(); Thread.sleep(500)
     }
 
-    names.foreach { n => materialize(n); sweep() } // warmup, unmeasured
+    // warmup, unmeasured — failures recorded, sweep still runs so the next
+    // query starts from a clean slate either way
+    names.foreach { n => guarded(n)(materialize(n)); sweep() }
     reclaim()
 
     // Diagnostic mode (SPARK_GRAFT_BENCH_DIAG=1, dev-only — the driver
@@ -303,18 +384,31 @@ object Bench {
     // Two measured passes, keep the per-query minimum: sink round-trip
     // queries do real filesystem IO, and min-of-2 suppresses that noise
     // without hiding systematic regressions.
-    def timed(name: String, pass: Int): Double = diagDelta(name, pass) {
-      val t0 = System.nanoTime()
-      materialize(name)
-      val sec = (System.nanoTime() - t0) / 1e9
-      sweep() // off-clock: next query starts cache-clean and writeback-free
-      sec
-    }
-    val pass1 = names.map(n => n -> timed(n, 1)).toMap
+    def timed(name: String, pass: Int): Option[Double] =
+      if (failed.contains(name)) None // broken source; skip, don't re-pay
+      else
+        try Some(diagDelta(name, pass) {
+          val t0 = System.nanoTime()
+          materialize(name)
+          val s = (System.nanoTime() - t0) / 1e9
+          sweep() // off-clock: next query starts cache-clean, writeback-free
+          s
+        }) catch { case e: Throwable =>
+          failed(name) = errMsg(e)
+          sweep() // the failed attempt may still have left sink output
+          None
+        }
+    val pass1 = names.flatMap(n => timed(n, 1).map(n -> _)).toMap
     reclaim()
-    val results = names.map(n => n -> math.min(pass1(n), timed(n, 2)))
+    val pass2 = names.flatMap(n => timed(n, 2).map(n -> _)).toMap
     spark.stop()
-    results
+    // A query failed on any pass → errors only; otherwise min over the
+    // passes it completed (both, by construction of `guarded`).
+    val results = names.filterNot(failed.contains).map { n =>
+      n -> math.min(pass1.getOrElse(n, Double.MaxValue),
+        pass2.getOrElse(n, Double.MaxValue))
+    }.filter(_._2 < Double.MaxValue)
+    BenchResult(results, failed.toMap)
   }
 }
 

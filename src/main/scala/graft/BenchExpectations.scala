@@ -78,6 +78,9 @@ object BenchExpectations {
     "p2_normalize_dropnull" -> 0.3063,
     "p3_clean_normalize" -> 0.2132,
     "p5_name_coercion" -> 0.7381,
+    // provisional (added r11 with no prior driver run; same shape as p5 —
+    // one orders scan + format/parse + tiny agg). Refreshed at next snapshot.
+    "p6_datetime_coercion" -> 0.7,
     "p8_null_fill" -> 0.4075,
     "p9_metadata" -> 0.2034,
     "pl10_classifier_pipeline" -> 6.5512,

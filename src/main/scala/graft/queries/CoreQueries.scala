@@ -571,14 +571,34 @@ object CoreQueries {
     // ------------------------------------------------------------------- P5
     // Name-pattern type coercion (pac_snowflake_pipeline.py:88-113) applied
     // to an all-string frame: *id → long, *date → timestamp, *value → money.
+    // Deliberately NOT on the events table (r10 lesson: when the events
+    // source broke, every cleaning gate riding it vanished too — §2
+    // cleaning coverage must not be correlated with one source's health).
     "p5_name_coercion" -> ((s, dir) => {
       val t = Tables(s, dir)
-      t.events.select(
-          col("event_id").cast("string").as("record_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_date"),
-          col("value").cast("string").as("amount_value"))
+      t.orders.select(
+          col("o_orderkey").cast("string").as("record_id"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_date"),
+          col("o_totalprice").cast("string").as("total_value"))
         .transform(Cleaning.cleanGeneric)
         .orderBy("record_id")
+    }),
+
+    // ------------------------------------------------------------------- P6
+    // Datetime coercion standalone gate (pd.to_datetime(errors='coerce'),
+    // pac_snowflake_pipeline.py:108-113): parseable strings → timestamps,
+    // injected garbage → null, aggregated by parsed year (-1 = unparseable)
+    // so the malformed branch is visible in the output, not just absorbed.
+    "p6_datetime_coercion" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .select(when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+          .as("raw"))
+        .select(Cleaning.toDatetime(col("raw")).as("parsed"))
+        .groupBy(coalesce(year(col("parsed")), lit(-1)).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("yr")
     }),
 
     // --------------------------------------------------------------- §2.7
@@ -628,17 +648,20 @@ object CoreQueries {
     }),
 
     // --------------------------------------------------------------- P7+P8
-    // Null handling: injected nulls, then fill 0 / fill '' and re-aggregate
+    // Null handling: injected nulls, then the global numeric/string fills
     // (pac_snowflake_pipeline.py:95,116; pac_snowflake_realtime.py:85).
+    // On customer, not events — same de-correlation rationale as P5.
     "p8_null_fill" -> ((s, dir) => {
       val t = Tables(s, dir)
-      t.events
-        .withColumn("v", when(col("value") < 50, lit(null)).otherwise(col("value")))
-        .withColumn("et", when(col("event_type") === "error", lit(null)).otherwise(col("event_type")))
-        .na.fill(0.0, Seq("v")).na.fill("", Seq("et"))
-        .groupBy("et")
-        .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("v_total"))
-        .orderBy("et")
+      t.customer
+        .select(
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal"),
+          when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")).as("seg"))
+        .transform(Cleaning.fillNumericNulls)
+        .transform(Cleaning.fillStringNulls)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), round(sum("bal"), 2).as("bal_total"))
+        .orderBy("seg")
     }),
 
     // ------------------------------------------------------------------ P9
@@ -1029,15 +1052,21 @@ object CoreQueries {
          CAST(max(length(trim(c_name))) AS BIGINT) AS max_name_len
          FROM customer GROUP BY 1 ORDER BY 1""",
     "p5_name_coercion" ->
-      """SELECT CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS record_id,
-         CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS event_date,
-         COALESCE(CAST(CAST(value AS VARCHAR) AS DOUBLE), 0) AS amount_value
-         FROM events ORDER BY 1""",
+      """SELECT CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS record_id,
+         CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS order_date,
+         COALESCE(CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE), 0) AS total_value
+         FROM orders ORDER BY 1""",
+    "p6_datetime_coercion" ->
+      """SELECT CAST(COALESCE(year(try_cast(raw AS TIMESTAMP)), -1) AS BIGINT) AS yr, count(*) AS n
+         FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+                      ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS raw
+               FROM orders)
+         GROUP BY 1 ORDER BY 1""",
     "p8_null_fill" ->
-      """SELECT COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE event_type END, '') AS et,
+      """SELECT COALESCE(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END, '') AS seg,
          count(*) AS n,
-         round(sum(COALESCE(CASE WHEN value < 50 THEN NULL ELSE value END, 0)),2) AS v_total
-         FROM events GROUP BY 1 ORDER BY 1""",
+         round(sum(COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0)),2) AS bal_total
+         FROM customer GROUP BY 1 ORDER BY 1""",
     "p9_metadata" ->
       s"""SELECT r_regionkey, r_name, TIMESTAMP '$MetadataClock' AS processed_date,
          |  'csv' AS data_source, 'region' AS record_type

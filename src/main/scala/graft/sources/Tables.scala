@@ -25,16 +25,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects outright. Read nanos as raw longs (legacy conf, set once at
-    * session construction by [[Tables.configure]]) and convert to a
-    * microsecond TimestampType column — the sub-microsecond part is dropped,
-    * so queries must only emit bucketed/derived time values (the DuckDB
-    * oracle keeps TIMESTAMP_NS). */
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations, so the accessor sniffs the read schema instead of
+    * hard-coding one:
+    *
+    *  - TIMESTAMP(NANOS) parquet — Spark's vectorized reader rejects it, so
+    *    [[Tables.configure]]'s legacy nanosAsLong conf surfaces it as a raw
+    *    LongType which we truncate to microsecond TimestampType;
+    *  - plain timestamp[us] (no UTC adjustment) — arrives as TIMESTAMP_NTZ;
+    *    cast to TimestampType, which under the UTC session timezone used by
+    *    Verify/Bench/tests is value-preserving and keeps window/date_format
+    *    semantics aligned with the DuckDB oracle.
+    *
+    * Either way consumers see one stable contract: `ts` is a microsecond
+    * TimestampType column. */
   def events: DataFrame = {
     Tables.configure(spark)
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventTs(t("events"))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
@@ -47,6 +54,26 @@ object Tables {
   def configure(spark: SparkSession): Unit = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+  }
+
+  /** The ts-encoding sniff behind [[Tables.events]] — shared with the
+    * streaming reader ([[graft.streaming.EventStreams.readEvents]]), which
+    * must resolve the same drift: a streaming source needs an explicit
+    * schema, and pinning the wrong physical type silently misreads (a
+    * LongType schema over timestamp[us] parquet "succeeds" — both are
+    * INT64 on disk — and yields values off by 1000). Dispatch on whatever
+    * type the reader actually produced; anything unrecognized is a loud
+    * failure, never a silent misread. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected int64 nanos, timestamp[us], or timestamp[us, UTC])")
+    }
   }
 
   /** S1: CSV scan with header + schema inference

@@ -22,25 +22,25 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Events parquet schema with `ts` as raw nanosecond long (the files are
-    * TIMESTAMP(NANOS); see [[graft.sources.Tables.events]]). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Open the events directory as a file stream (one-file-per-trigger keeps
-    * tests deterministic; production would point at an arriving directory). */
+    * tests deterministic; production would point at an arriving directory).
+    *
+    * A streaming source requires an explicit schema, and events.ts has
+    * shipped in multiple physical encodings (TIMESTAMP(NANOS)-as-long under
+    * the legacy conf, plain timestamp[us] → NTZ) — so the schema is sniffed
+    * from a one-footer batch read of the same directory rather than pinned.
+    * Pinning LongType over timestamp[us] files would NOT fail: both are
+    * INT64 on disk, and the values silently arrive off by 1000. The sniff +
+    * [[graft.sources.Tables.normalizeEventTs]] give the stream the same
+    * stable `ts: TimestampType` contract as the batch accessor. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     graft.sources.Tables.configure(spark)
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = spark.read.parquet(dir).schema
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour counts per event type with a 1-hour watermark — the

@@ -113,6 +113,75 @@ class TablesSpec extends SparkSpec {
     val perPart = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
     assert(perPart.forall(n => n > 0 && n < 40), s"unbalanced split: ${perPart.toSeq}")
     assert(df.select("id").collect().map(_.getInt(0)).sorted.toSeq === (1 to 40))
+    // N-cursor extraction must equal 1-cursor extraction row for row —
+    // the correctness claim behind using partitioned JDBC at scale.
+    val partRows = df.collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    val singleRows = Tables.jdbc(spark, url, "SELECT id, sev FROM issues")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(partRows === singleRows, "partitioned and single-cursor reads differ")
+  }
+
+  test("every Tables accessor analyzes against the live testdata (schema-drift gate)") {
+    // Round-10 lesson: the driver regenerated events.ts from TIMESTAMP(NANOS)
+    // to plain timestamp[us] and the hard-coded nanos workaround failed
+    // ANALYSIS for every consumer — 18 queries and the whole bench died at
+    // verdict time. This spec moves that detection to `sbt test` time:
+    // accessing .schema forces full analysis of each accessor's plan.
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val accessors: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "region" -> (() => t.region), "nation" -> (() => t.nation),
+      "customer" -> (() => t.customer), "supplier" -> (() => t.supplier),
+      "part" -> (() => t.part), "orders" -> (() => t.orders),
+      "lineitem" -> (() => t.lineitem), "events" -> (() => t.events),
+      "documents" -> (() => t.documents), "embeddings" -> (() => t.embeddings))
+    accessors.foreach { case (name, mk) =>
+      val schema = mk().schema // throws AnalysisException on drift
+      assert(schema.fields.nonEmpty, s"$name: empty schema")
+    }
+    // The one normalized contract consumers rely on: events.ts is a
+    // microsecond TimestampType whatever the physical encoding.
+    assert(t.events.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("events accepts long-nanos, NTZ, and UTC-timestamp ts encodings — and rejects others") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-events-enc")
+    def dirFor(tag: String): String = {
+      val d = base.resolve(tag); java.nio.file.Files.createDirectories(d); d.toString
+    }
+    val micros = Seq(0L, 1704067200000000L, 1704067200123456L) // epoch us
+    // (a) legacy shape: raw long nanos (what nanosAsLong surfaces
+    // TIMESTAMP(NANOS) parquet as)
+    val longDir = dirFor("long")
+    micros.map(u => Tuple2(u * 1000L, 1L)).toDF("ts", "event_id")
+      .write.mode("overwrite").parquet(s"$longDir/events.parquet")
+    // (b) current testdata shape: timestamp[us] without UTC adjustment → NTZ
+    val ntzDir = dirFor("ntz")
+    micros.map(Tuple1(_)).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"),
+        lit(1L).as("event_id"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    // (c) UTC-adjusted timestamp → plain TimestampType passthrough
+    val utcDir = dirFor("utc")
+    micros.map(Tuple1(_)).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"), lit(1L).as("event_id"))
+      .write.mode("overwrite").parquet(s"$utcDir/events.parquet")
+    // All three must normalize to identical TimestampType values (UTC
+    // session, so NTZ wall-clock == instant).
+    Seq(longDir, ntzDir, utcDir).foreach { d =>
+      val df = Tables(spark, d).events
+      assert(df.schema("ts").dataType === TimestampType, s"$d: wrong type")
+      val got = df.select(unix_micros(col("ts")).as("us"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === micros.sorted, s"$d: values drifted")
+    }
+    // (d) anything else is a loud failure, not a silent misread
+    val badDir = dirFor("bad")
+    Seq(("2024-01-01", 1L)).toDF("ts", "event_id")
+      .write.mode("overwrite").parquet(s"$badDir/events.parquet")
+    intercept[IllegalStateException] { Tables(spark, badDir).events }
   }
 
   test("withMetadata adds processed_date/data_source/record_type (P9)") {

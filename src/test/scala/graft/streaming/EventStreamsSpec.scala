@@ -75,15 +75,17 @@ class EventStreamsSpec extends SparkSpec {
     // micro-batches — the state must carry between them.
     val dir = java.nio.file.Files.createTempDirectory("graft-events-2batch").toString
     val batchEvents = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
-    val raw = spark.read.schema(EventStreams.rawSchema)
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    // Split at the file's NATIVE schema (no pinned ts type — see
+    // Tables.normalizeEventTs) and normalize the stream the same way the
+    // production reader does.
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     raw.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/a")
     raw.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/b")
-    val stream = spark.readStream.schema(EventStreams.rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("recursiveFileLookup", "true")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(dir))
     val q = EventStreams.runningUserTotals(stream).toDF().writeStream
       .format("memory").queryName("running_totals").outputMode("update")
       .option("checkpointLocation",

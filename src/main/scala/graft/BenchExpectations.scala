@@ -14,11 +14,15 @@ package graft
   * measurably inflates timings (round 4 saw 2-4x phantom "regressions"
   * from exactly that).
   *
-  * Current snapshot: round-9 closing full-suite solo run under the
-  * off-clock-release protocol (release between timers, warmup pass,
-  * min-of-2) — all 150 queries from ONE coherent run (169.4s total,
-  * zero regressions), measured under the SAME contract the harness
-  * applies, so regression factors are apples-to-apples.
+  * Current snapshot: round-11 full-suite solo run through the SHARDED
+  * harness (6 cost-balanced shards, each a fresh child JVM; warmup +
+  * min-of-2; cache release and sink sweep off-clock) — all 151 queries
+  * from ONE coherent run (182.7s total, zero regressions, zero errors),
+  * measured under the SAME contract the harness applies, so regression
+  * factors are apples-to-apples. This is the sharded path's first proving
+  * run: every query the round-9 single-JVM suite flagged (s17 21x, pl5
+  * 8.7x, ...) landed inside bounds, confirming the GC/writeback
+  * amplification diagnosis.
   */
 object BenchExpectations {
   val RegressionFactor = 2.0
@@ -40,157 +44,156 @@ object BenchExpectations {
   val MinFlagSec = 0.75
 
   val secondsAtSf01: Map[String, Double] = Map(
-    "a10_reconcile" -> 0.4742,
-    "a11_percentiles" -> 0.9879,
-    "a12_rollup" -> 0.544,
-    "a13_group_stats" -> 0.4403,
-    "a14_profile" -> 1.0333,
-    "a15_cube" -> 0.6432,
-    "a16_incremental_agg" -> 0.6248,
-    "a17_quality_checks" -> 0.5892,
-    "a18_group_mode" -> 0.3902,
-    "a1_group_sum" -> 0.4277,
-    "a3_cycle_breakdown" -> 0.3264,
-    "a4_conditional_pivot" -> 0.6318,
-    "a7_distinct_values" -> 0.2512,
-    "a8_global_stats" -> 0.3826,
-    "d1_amount_bins" -> 0.2995,
-    "d2_company_type" -> 0.2886,
-    "d3_party_pivot" -> 0.7064,
-    "d4_composite_key" -> 0.1788,
-    "j1_lookup_join" -> 0.4926,
-    "j2_anti_join" -> 0.4444,
-    "j2_dedup_keepfirst" -> 1.7543,
-    "j3_asof_join" -> 0.853,
-    "j4_range_join" -> 0.9226,
-    "j5_upsert_merge" -> 0.449,
-    "j6_scd2" -> 0.6981,
-    "j7_salted_join" -> 0.9192,
-    "j8_bloom_join" -> 0.8428,
-    "j9_snapshot_diff" -> 0.5969,
-    "join_q10_returns" -> 0.7781,
-    "join_q18_big_orders" -> 0.753,
-    "join_q3_revenue" -> 0.9811,
-    "join_q5_nation_revenue" -> 1.2189,
-    "p11_iso8601" -> 0.5603,
-    "p14_pushdown_filter" -> 0.4631,
-    "p18_json_extract" -> 0.5256,
-    "p2_normalize_dropnull" -> 0.3063,
-    "p3_clean_normalize" -> 0.2132,
-    "p5_name_coercion" -> 0.7381,
-    // provisional (added r11 with no prior driver run; same shape as p5 —
-    // one orders scan + format/parse + tiny agg). Refreshed at next snapshot.
-    "p6_datetime_coercion" -> 0.7,
-    "p8_null_fill" -> 0.4075,
-    "p9_metadata" -> 0.2034,
-    "pl10_classifier_pipeline" -> 6.5512,
-    "pl11_dsir_pipeline" -> 5.5336,
-    "pl1_csv_pipeline" -> 2.2647,
-    "pl2_sql_pipeline" -> 0.8937,
-    "pl3_realtime_pipeline" -> 1.8366,
-    "pl4_issues_pipeline" -> 0.7371,
-    "pl5_curation_pipeline" -> 3.4143,
-    "pl6_events_pipeline" -> 1.9086,
-    "pl7_corpus_report" -> 1.7917,
-    "pl8_nightly_ingest" -> 5.6198,
-    "pl9_export_shards" -> 1.4884,
-    "s10_tree_paths" -> 1.1165,
-    "s11_dryrun" -> 0.2851,
-    "s12_orc_scan" -> 1.183,
-    "s13_json_scan" -> 0.514,
-    "s14_partitioned_scan" -> 0.9476,
-    "s16_bucketed_join" -> 3.1101,
-    "s17_zorder_scan" -> 1.6652,
-    "s18_schema_evolution" -> 0.6624,
-    "s19_compaction" -> 1.2679,
-    "s1_csv_scan" -> 0.9664,
-    "s7_sink_roundtrip" -> 0.5044,
-    "s8_batched_sink" -> 0.5932,
-    "s9_tree_roundtrip" -> 0.2998,
-    "t1_topk_rows" -> 0.1879,
-    "t2_topk_groups" -> 0.347,
-    "u1_set_ops" -> 0.6873,
-    "u2_unpivot" -> 0.5379,
-    "w10_event_paths" -> 0.6903,
-    "w11_time_to_convert" -> 0.9122,
-    "w12_attribution" -> 0.6957,
-    "w1_tumbling_window" -> 0.4475,
-    "w2_sliding_window" -> 0.425,
-    "w3_session_window" -> 0.9074,
-    "w4_window_rank" -> 0.5551,
-    "w5_lag_cumsum" -> 0.7197,
-    "w6_funnel" -> 0.8991,
-    "w7_retention" -> 0.8437,
-    "w8_anomaly" -> 0.6042,
-    "w8_rank_native" -> 0.3746,
-    "w9_gapfill" -> 0.6334,
-    "x0_exact_dedup" -> 0.3546,
-    "x10_media_features" -> 0.6808,
-    "x11_ivf_topk" -> 1.7654,
-    "x12_chunk_neardups" -> 0.7363,
-    "x13_token_chunks" -> 0.8022,
-    "x14_fuzzy_names" -> 0.4499,
-    "x15_tfidf_top_term" -> 1.7806,
-    "x16_ngram_jaccard" -> 1.7204,
-    "x17_pii_scrub" -> 0.7032,
-    "x18_simhash_neardups" -> 1.8859,
-    "x19_stratified_sample" -> 0.4044,
-    "x1_fingerprint" -> 0.3109,
-    "x20_domain_cap" -> 0.3428,
-    "x21_decontaminate" -> 1.4394,
-    "x22_int8_quant" -> 0.6954,
-    "x23_train_shuffle" -> 0.2893,
-    "x24_sequence_pack" -> 0.493,
-    "x25_frame_sample" -> 0.36,
-    "x26_media_resize" -> 0.2942,
-    "x27_quant_topk" -> 0.3515,
-    "x28_dedup_clusters" -> 2.3052,
-    "x29_repetition_metrics" -> 1.4327,
-    "x2_quality_metrics" -> 0.8301,
-    "x30_knn_join" -> 0.7131,
-    "x31_vocab_stats" -> 0.5932,
-    "x32_bigram_logprob" -> 1.7875,
-    "x33_embed_clusters" -> 3.2667,
-    "x34_span_dedup" -> 1.3923,
-    "x35_semdedup" -> 2.2702,
-    "x36_hybrid_rrf" -> 0.8289,
-    "x37_domain_mix" -> 0.7861,
-    "x38_native_topk" -> 0.3269,
-    "x39_incremental_neardups" -> 1.4336,
-    "x3_lang_id" -> 0.6358,
-    "x40_perplexity_bins" -> 1.6523,
-    "x41_indexed_screen" -> 2.4606,
-    "x42_domain_mix_up" -> 0.9075,
-    "x43_knn_native" -> 0.6691,
-    "x44_temperature_mix" -> 1.0342,
-    "x45_fuzzy_decontam" -> 1.5052,
-    "x46_heavy_tokens" -> 0.7074,
-    "x47_unicode_dedup" -> 0.6791,
-    "x48_incremental_clusters" -> 7.4957,
-    "x49_quality_features" -> 2.7669,
-    "x4_minhash_neardups" -> 1.2054,
-    "x50_train_split" -> 0.3988,
-    "x51_corpus_drift" -> 0.4951,
-    "x52_leakage_safe_splits" -> 1.9717,
-    "x53_quality_scores" -> 2.7123,
-    "x54_jl_projection" -> 1.6237,
-    "x55_jl_knn" -> 0.7126,
-    "x56_weighted_sample" -> 0.235,
-    "x57_dsir_select" -> 2.5947,
-    "x58_filter_cascade" -> 1.9449,
-    "x59_dsir_screen" -> 1.8992,
-    "x5_simhash" -> 1.3118,
-    "x60_diverse_sample" -> 1.1424,
-    "x61_gram_coverage" -> 1.0371,
-    "x62_embedding_drift" -> 1.2937,
-    "x63_semantic_decontam" -> 0.4838,
-    "x64_ann_recall" -> 1.6847,
-    "x65_fit_classifier" -> 4.1096,
-    "x66_pack_efficiency" -> 1.0225,
-    "x67_dedup_thresholds" -> 2.9295,
-    "x68_leakage_audit" -> 2.4672,
-    "x6_brute_topk" -> 0.2346,
-    "x7_ann_topk" -> 0.3285,
-    "x8_embed_neardups" -> 0.6354,
-    "x9_token_stats" -> 0.6652)
+    "a10_reconcile" -> 0.4917,
+    "a11_percentiles" -> 0.921,
+    "a12_rollup" -> 0.4911,
+    "a13_group_stats" -> 0.5255,
+    "a14_profile" -> 1.045,
+    "a15_cube" -> 0.6922,
+    "a16_incremental_agg" -> 0.6038,
+    "a17_quality_checks" -> 0.8598,
+    "a18_group_mode" -> 0.4435,
+    "a1_group_sum" -> 0.4415,
+    "a3_cycle_breakdown" -> 0.3193,
+    "a4_conditional_pivot" -> 0.6582,
+    "a7_distinct_values" -> 0.2895,
+    "a8_global_stats" -> 0.3316,
+    "d1_amount_bins" -> 0.3359,
+    "d2_company_type" -> 0.5608,
+    "d3_party_pivot" -> 0.999,
+    "d4_composite_key" -> 0.1856,
+    "j1_lookup_join" -> 0.5339,
+    "j2_anti_join" -> 0.5903,
+    "j2_dedup_keepfirst" -> 1.8314,
+    "j3_asof_join" -> 0.867,
+    "j4_range_join" -> 0.9545,
+    "j5_upsert_merge" -> 0.4868,
+    "j6_scd2" -> 0.6172,
+    "j7_salted_join" -> 0.962,
+    "j8_bloom_join" -> 0.7626,
+    "j9_snapshot_diff" -> 0.6293,
+    "join_q10_returns" -> 0.7538,
+    "join_q18_big_orders" -> 0.7423,
+    "join_q3_revenue" -> 0.992,
+    "join_q5_nation_revenue" -> 1.2471,
+    "p11_iso8601" -> 0.4758,
+    "p14_pushdown_filter" -> 0.5496,
+    "p18_json_extract" -> 0.6134,
+    "p2_normalize_dropnull" -> 0.329,
+    "p3_clean_normalize" -> 0.2911,
+    "p5_name_coercion" -> 0.8456,
+    "p6_datetime_coercion" -> 0.4214,
+    "p8_null_fill" -> 0.2386,
+    "p9_metadata" -> 0.1568,
+    "pl10_classifier_pipeline" -> 7.9601,
+    "pl11_dsir_pipeline" -> 5.3589,
+    "pl1_csv_pipeline" -> 3.5936,
+    "pl2_sql_pipeline" -> 1.1181,
+    "pl3_realtime_pipeline" -> 1.7146,
+    "pl4_issues_pipeline" -> 1.006,
+    "pl5_curation_pipeline" -> 3.4104,
+    "pl6_events_pipeline" -> 1.9616,
+    "pl7_corpus_report" -> 3.067,
+    "pl8_nightly_ingest" -> 5.7741,
+    "pl9_export_shards" -> 1.424,
+    "s10_tree_paths" -> 1.2108,
+    "s11_dryrun" -> 0.2205,
+    "s12_orc_scan" -> 1.021,
+    "s13_json_scan" -> 0.6902,
+    "s14_partitioned_scan" -> 0.9793,
+    "s16_bucketed_join" -> 3.0934,
+    "s17_zorder_scan" -> 1.4253,
+    "s18_schema_evolution" -> 1.1683,
+    "s19_compaction" -> 2.1392,
+    "s1_csv_scan" -> 1.2106,
+    "s7_sink_roundtrip" -> 0.4749,
+    "s8_batched_sink" -> 0.6209,
+    "s9_tree_roundtrip" -> 0.3401,
+    "t1_topk_rows" -> 0.1215,
+    "t2_topk_groups" -> 0.2958,
+    "u1_set_ops" -> 0.6517,
+    "u2_unpivot" -> 0.4151,
+    "w10_event_paths" -> 0.5658,
+    "w11_time_to_convert" -> 0.8886,
+    "w12_attribution" -> 0.6747,
+    "w1_tumbling_window" -> 0.62,
+    "w2_sliding_window" -> 0.4818,
+    "w3_session_window" -> 1.2433,
+    "w4_window_rank" -> 0.4635,
+    "w5_lag_cumsum" -> 0.8595,
+    "w6_funnel" -> 0.8686,
+    "w7_retention" -> 0.7879,
+    "w8_anomaly" -> 0.5683,
+    "w8_rank_native" -> 0.5504,
+    "w9_gapfill" -> 0.9836,
+    "x0_exact_dedup" -> 0.3352,
+    "x10_media_features" -> 0.4716,
+    "x11_ivf_topk" -> 1.5106,
+    "x12_chunk_neardups" -> 0.6749,
+    "x13_token_chunks" -> 0.7049,
+    "x14_fuzzy_names" -> 0.3718,
+    "x15_tfidf_top_term" -> 1.2984,
+    "x16_ngram_jaccard" -> 1.6279,
+    "x17_pii_scrub" -> 0.503,
+    "x18_simhash_neardups" -> 1.8848,
+    "x19_stratified_sample" -> 0.3552,
+    "x1_fingerprint" -> 0.3981,
+    "x20_domain_cap" -> 0.3717,
+    "x21_decontaminate" -> 1.5953,
+    "x22_int8_quant" -> 0.8446,
+    "x23_train_shuffle" -> 0.3342,
+    "x24_sequence_pack" -> 0.5246,
+    "x25_frame_sample" -> 0.256,
+    "x26_media_resize" -> 0.3093,
+    "x27_quant_topk" -> 0.4902,
+    "x28_dedup_clusters" -> 2.1007,
+    "x29_repetition_metrics" -> 1.2896,
+    "x2_quality_metrics" -> 0.6642,
+    "x30_knn_join" -> 0.5601,
+    "x31_vocab_stats" -> 0.3831,
+    "x32_bigram_logprob" -> 1.2851,
+    "x33_embed_clusters" -> 3.2291,
+    "x34_span_dedup" -> 1.2275,
+    "x35_semdedup" -> 1.8201,
+    "x36_hybrid_rrf" -> 1.6054,
+    "x37_domain_mix" -> 0.9002,
+    "x38_native_topk" -> 0.315,
+    "x39_incremental_neardups" -> 1.7562,
+    "x3_lang_id" -> 0.6513,
+    "x40_perplexity_bins" -> 1.7214,
+    "x41_indexed_screen" -> 3.3199,
+    "x42_domain_mix_up" -> 0.9816,
+    "x43_knn_native" -> 0.6946,
+    "x44_temperature_mix" -> 1.2563,
+    "x45_fuzzy_decontam" -> 2.0702,
+    "x46_heavy_tokens" -> 0.7829,
+    "x47_unicode_dedup" -> 0.6327,
+    "x48_incremental_clusters" -> 8.3743,
+    "x49_quality_features" -> 2.8235,
+    "x4_minhash_neardups" -> 1.3162,
+    "x50_train_split" -> 0.4492,
+    "x51_corpus_drift" -> 0.6381,
+    "x52_leakage_safe_splits" -> 2.2643,
+    "x53_quality_scores" -> 4.7091,
+    "x54_jl_projection" -> 1.5728,
+    "x55_jl_knn" -> 0.8274,
+    "x56_weighted_sample" -> 0.275,
+    "x57_dsir_select" -> 2.6542,
+    "x58_filter_cascade" -> 2.0046,
+    "x59_dsir_screen" -> 1.7438,
+    "x5_simhash" -> 1.1556,
+    "x60_diverse_sample" -> 1.0035,
+    "x61_gram_coverage" -> 1.6184,
+    "x62_embedding_drift" -> 1.3468,
+    "x63_semantic_decontam" -> 0.4358,
+    "x64_ann_recall" -> 3.0313,
+    "x65_fit_classifier" -> 3.3134,
+    "x66_pack_efficiency" -> 1.0466,
+    "x67_dedup_thresholds" -> 2.8281,
+    "x68_leakage_audit" -> 3.3423,
+    "x6_brute_topk" -> 0.2244,
+    "x7_ann_topk" -> 0.3097,
+    "x8_embed_neardups" -> 0.5393,
+    "x9_token_stats" -> 0.6428,
+  )
 }

@@ -28,9 +28,12 @@ body = f"  val secondsAtSf01: Map[String, Double] = Map(\n{entries}\n  )"
 
 with open(scala_path) as f:
     src = f.read()
+# Match from the map declaration through its closing paren, whether that
+# paren sits on its own line (this script's output format) or trails the
+# last entry (hand-edited form). The object's closing brace anchors the end.
 new, n = re.subn(
-    r"  val secondsAtSf01: Map\[String, Double\] = Map\(\n(?:.*\n)*?  \)",
-    body, src, count=1)
+    r"  val secondsAtSf01: Map\[String, Double\] = Map\(.*?\)(?=\n\})",
+    body, src, count=1, flags=re.S)
 assert n == 1, "secondsAtSf01 map literal not found"
 with open(scala_path, "w") as f:
     f.write(new)

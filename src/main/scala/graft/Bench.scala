@@ -222,7 +222,7 @@ object Bench {
     * single-JVM in-process run (the harness-fault safety net). */
   private def runSharded(names: Seq[String], shards: Int,
                          sfDir: String): BenchResult = {
-    val java = sys.props("java.home") + "/bin/java"
+    val javaBin = sys.props("java.home") + "/bin/java"
     val cp = sys.props("java.class.path")
     val bins = shardAssignment(names, shards)
     val timings = Seq.newBuilder[(String, Double)]
@@ -232,14 +232,33 @@ object Bench {
       System.err.println(s"[bench] shard ${i + 1}/${bins.size}: " +
         s"${qs.size} queries")
       try {
-        val cmd = (Seq(java) ++ childJvmOpts ++
+        val cmd = (Seq(javaBin) ++ childJvmOpts ++
           Seq("-cp", cp, "graft.Bench") ++ qs)
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+        // stdout goes to a file, NOT a pipe: a child that hangs would
+        // block the parent in a pipe read before any waitFor timeout
+        // could fire. The error-recording covers thrown failures; this
+        // wall-clock bound covers the other way a query can break — a
+        // hang — which would otherwise stall the suite past the driver's
+        // round budget. 20 min default vs ~35s of real work per shard:
+        // the bound only trips on a genuine wedge, never on a slow box.
+        val outFile = java.io.File.createTempFile(s"graft_bench_shard${i + 1}_", ".out")
+        pb.redirectOutput(outFile)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
-        val stdout = new String(p.getInputStream.readAllBytes(), "UTF-8")
-        val rc = p.waitFor()
+        val timeoutSec =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARD_TIMEOUT_SEC", "1200").toLong
+        val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) {
+          p.destroyForcibly(); p.waitFor()
+          outFile.delete()
+          sys.error(s"shard ${i + 1} hung past ${timeoutSec}s and was killed")
+        }
+        val rc = p.exitValue()
+        val stdout = new String(
+          java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+        outFile.delete()
         require(rc == 0, s"shard ${i + 1} exited $rc")
         val (m, errs) = parseContractLine(stdout)
         shardsOk += 1

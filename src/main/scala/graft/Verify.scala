@@ -18,19 +18,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.configure(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // Operators that persist intermediates (via GraftCache) would
-      // otherwise accumulate cached blocks across all queries of the dump;
-      // clearCache is the belt-and-braces sweep for anything untracked.
-      finally { GraftCache.release(); spark.catalog.clearCache() }
-    }
+    // oracle_sql.json is written FIRST: it depends on nothing the queries
+    // compute, and writing it last meant a single wedged query lost the
+    // WHOLE correctness artifact (no oracle file → nothing to compare the
+    // finished per-query dumps against) — the same shared-fate fragility
+    // the round-10 bench died of. Written first, a killed run still
+    // yields a valid partial artifact.
+    //
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -46,6 +40,40 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query wall-clock watchdog: a query that hangs (vs throws — the
+    // catch below handles those) would stall the dump until the driver's
+    // round budget kills it. Each query runs under its own job group with
+    // interrupt-on-cancel; past the bound its jobs are cancelled, the
+    // failure is logged, and the dump moves on. 10 min default per query
+    // vs ~2s typical at sf0.01 — trips only on a genuine wedge.
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_QUERY_TIMEOUT_SEC", "600").toLong
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration.DurationLong
+    import scala.concurrent.ExecutionContext.Implicits.global
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+      try {
+        val work = Future {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+        try Await.result(work, timeoutSec.seconds)
+        catch { case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s; cancelled")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // Operators that persist intermediates (via GraftCache) would
+      // otherwise accumulate cached blocks across all queries of the dump;
+      // clearCache is the belt-and-braces sweep for anything untracked.
+      finally { GraftCache.release(); spark.catalog.clearCache() }
+    }
     spark.stop()
   }
 }

@@ -29,6 +29,17 @@ object SinkQueries {
   private[queries] def sinkDir(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_sinks_run$runId/$name"
 
+  /** Per-process embedded-Derby database URL for the external-SQL gate
+    * queries. Pid-suffixed like the sink dirs (two concurrent drivers
+    * never share a database; `BenchHygiene.sweepStale` reclaims dead
+    * processes' leftovers — it already matches the `graft_derby_` prefix).
+    * derby.system.home keeps derby.log out of the repo. */
+  private[queries] def derbyUrl(tag: String): String = {
+    val tmp = sys.props("java.io.tmpdir")
+    System.setProperty("derby.system.home", tmp)
+    s"jdbc:derby:$tmp/graft_derby_$tag$runId;create=true"
+  }
+
   /** Recursive local delete (for sinks that append uniquely-named files). */
   private[queries] def clean(dir: String): Unit = {
     val root = new java.io.File(dir)
@@ -53,6 +64,60 @@ object SinkQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // --------------------------------------------------------------- S2-S4
+    // External-SQL scan round-trip through embedded Derby: stage customer
+    // into a REAL SQL engine over JDBC, then read back through
+    // Tables.jdbc with the whole aggregation PUSHED to the remote engine —
+    // the reference's Snowflake/MySQL cursor pattern
+    // (pac_snowflake_pipeline.py:38-65, index_align_to_firebase.py:118-141)
+    // exercised end-to-end against the oracle, not just spec-validated.
+    // Identifiers are quoted throughout: Spark's JDBC writer creates
+    // case-sensitive quoted lowercase columns, and Derby would otherwise
+    // uppercase every unquoted name on both sides of the round-trip.
+    "s2_jdbc_roundtrip" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val url = derbyUrl("s2gate")
+      // createTableColumnTypes: Derby maps StringType to CLOB by default,
+      // and CLOB columns cannot appear in a GROUP BY — the pushed
+      // aggregation needs a comparable VARCHAR.
+      val props = new java.util.Properties
+      props.setProperty("createTableColumnTypes", "c_mktsegment VARCHAR(16)")
+      t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .coalesce(1) // one INSERT connection; a small dim into embedded Derby
+        .write.mode("overwrite").jdbc(url, "customer_ext", props)
+      // Spark's JDBC writer quotes COLUMN identifiers but passes the table
+      // name through as-is (Derby folds it to CUSTOMER_EXT) — so the
+      // pushed query quotes columns and leaves the table unquoted.
+      Tables.jdbc(s, url,
+        """SELECT "c_mktsegment" AS "segment", CAST(COUNT(*) AS BIGINT) AS "n",
+          |CAST(SUM("c_acctbal") AS DOUBLE) AS "bal_raw"
+          |FROM customer_ext GROUP BY "c_mktsegment"""".stripMargin)
+        .select(col("segment"), col("n"),
+          round(col("bal_raw"), 2).as("bal_total"))
+        .orderBy("segment")
+    }),
+
+    // --------------------------------------------------------------- S2-S4
+    // Partition-parallel JDBC extraction vs the oracle: the same staged
+    // table read back through N range cursors (Tables.jdbcPartitioned) and
+    // re-aggregated in Spark — a lost or double-read row at any range
+    // bound changes n/hash. This is the scale form of the external-SQL
+    // scan: extraction parallelism = numPartitions, not one cursor.
+    "s3_jdbc_partitioned" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val url = derbyUrl("s3gate")
+      val staged = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+      staged.coalesce(1)
+        .write.mode("overwrite").jdbc(url, "customer_ext", new java.util.Properties)
+      val maxKey = staged.agg(max("c_custkey")).head.getLong(0) // bounds metadata
+      Tables.jdbcPartitioned(s, url, "customer_ext", "c_custkey",
+          lowerBound = 1, upperBound = maxKey + 1, numPartitions = 4)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("c_acctbal"), 2).as("bal_total"))
+        .orderBy("segment")
     }),
 
     // ----------------------------------------------------------------- s12
@@ -309,6 +374,14 @@ object SinkQueries {
     "s1_csv_scan" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s2_jdbc_roundtrip" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS bal_total
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s3_jdbc_partitioned" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS bal_total
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "s16_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -145,6 +145,45 @@ class TablesSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampType)
   }
 
+  test("testdata schemas match the pinned contract (loud driver-drift signal)") {
+    // The drift gate above proves every accessor still ANALYZES; this one
+    // catches the quieter failure: a type flip that still analyzes but
+    // changes semantics downstream (timestamp→date survives analysis and
+    // silently breaks oracle hash-matching; r10's ts flip is the family).
+    // A failure here is the driver regenerating testdata with new shapes —
+    // the fix is to update sources/queries/oracles for the new shape, then
+    // re-pin this map.
+    val expected = Map(
+      "region" -> "r_regionkey:int, r_name:string",
+      "nation" -> "n_nationkey:int, n_name:string, n_regionkey:int",
+      "customer" -> ("c_custkey:bigint, c_name:string, c_nationkey:int, " +
+        "c_acctbal:double, c_mktsegment:string"),
+      "supplier" -> "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double",
+      "part" -> ("p_partkey:bigint, p_name:string, p_brand:string, p_type:string, " +
+        "p_size:int, p_retailprice:double"),
+      "orders" -> ("o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, " +
+        "o_totalprice:double, o_orderdate:timestamp_ntz, o_orderpriority:string"),
+      "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, " +
+        "l_linenumber:int, l_quantity:double, l_extendedprice:double, " +
+        "l_discount:double, l_tax:double, l_returnflag:string, " +
+        "l_linestatus:string, l_shipdate:timestamp_ntz"),
+      // ts pinned to the raw on-disk shape; Tables.events normalizes it
+      // (the encoding-tolerance spec below covers the alternatives).
+      "events" -> ("event_id:bigint, ts:timestamp_ntz, user_id:bigint, " +
+        "event_type:string, value:double, props:string"),
+      "documents" -> "doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint",
+      "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int")
+    expected.foreach { case (table, want) =>
+      val got = spark.read
+        .parquet(s"/root/testdata/sf0.001/$table.parquet")
+        .schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+      assert(got === want,
+        s"\ndriver testdata drift in `$table` — update sources/queries/oracles " +
+          "for the new shape, then re-pin this contract")
+    }
+  }
+
   test("events accepts long-nanos, NTZ, and UTC-timestamp ts encodings — and rejects others") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft-events-enc")

@@ -193,6 +193,9 @@ object BenchExpectations {
     "x66_pack_efficiency" -> 0.8343,
     "x67_dedup_thresholds" -> 2.8966,
     "x68_leakage_audit" -> 2.4529,
+    // provisional (added r11 after the closing snapshot; x28's pair+CC cost
+    // plus one keyed agg and a component join). Refreshed at next snapshot.
+    "x69_quality_canonical" -> 2.2,
     "x6_brute_topk" -> 0.232,
     "x7_ann_topk" -> 0.289,
     "x8_embed_neardups" -> 0.5025,

@@ -198,6 +198,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ----------------------------------------------------------------- x69
+    // Quality-aware canonical selection — the step real pipelines run
+    // BETWEEN clustering and export: within each near-dup cluster keep the
+    // best representative (longest document; ties to the lowest id)
+    // instead of x28's arbitrary min-id canonical, so dedup removes the
+    // truncated/boilerplate variants rather than a random survivor.
+    // Singletons keep themselves. Scale shape: LSH pairs (never
+    // all-pairs) → O(log n) CC → one keyed min-struct agg for the keeper
+    // → equi-join on component; no windows over the full corpus.
+    "x69_quality_canonical" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = TextOps.minhashNearDups(t.documents, "doc_id", "text",
+        NearDupThreshold)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val labeled = t.documents
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val keeper = labeled.groupBy("component")
+        .agg(min(struct((-col("n_tokens")).as("negt"), col("doc_id").as("id"))).as("k"))
+        .select(col("component"), col("k.id").as("keeper"))
+      labeled.join(keeper, "component")
+        .select(col("doc_id"), col("component"), col("n_tokens"),
+          (col("doc_id") === col("keeper")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------------------- x29
     // Gopher-style repetition filters: duplicate-bigram fraction and
     // top-bigram share per document — the boilerplate/templated-text
@@ -1130,6 +1158,33 @@ object TextQueries {
        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
        |ORDER BY d.doc_id""".stripMargin
 
+  private def qualityCanonicalSql: String =
+    s"""WITH RECURSIVE toked AS (
+       |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
+       |${minhashPairCtes("toked")},
+       |e AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $NearDupThreshold),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM e
+       |        UNION SELECT id_b AS s, id_a AS d FROM e),
+       |reach AS (
+       |  SELECT s AS id, s AS label FROM sym
+       |  UNION
+       |  SELECT sym.d AS id, r.label FROM reach r JOIN sym ON sym.s = r.id),
+       |comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+       |lab AS (
+       |  SELECT t.id AS doc_id,
+       |    COALESCE(comp.component, t.id) AS component,
+       |    CAST(len(t.toks) AS BIGINT) AS n_tokens
+       |  FROM toked t LEFT JOIN comp ON t.id = comp.doc_id),
+       |keeper AS (
+       |  SELECT component, doc_id AS keeper FROM (
+       |    SELECT component, doc_id,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY n_tokens DESC, doc_id) AS rn
+       |    FROM lab) WHERE rn = 1)
+       |SELECT lab.doc_id, lab.component, lab.n_tokens,
+       |  lab.doc_id = k.keeper AS keep
+       |FROM lab JOIN keeper k USING (component) ORDER BY lab.doc_id""".stripMargin
+
   private def dedupClustersSql: String =
     s"""WITH RECURSIVE toked AS (
        |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
@@ -1237,6 +1292,7 @@ object TextQueries {
          |HAVING count(*) * ($HHCapacity + 1) > (SELECT n FROM tot)
          |ORDER BY token""".stripMargin,
     "x28_dedup_clusters" -> dedupClustersSql,
+    "x69_quality_canonical" -> qualityCanonicalSql,
     "x48_incremental_clusters" -> incrementalClustersSql,
     "x49_quality_features" -> qualityFeaturesSql,
     "x58_filter_cascade" -> filterCascadeSql,

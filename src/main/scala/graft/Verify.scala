@@ -42,30 +42,40 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query wall-clock watchdog: a query that hangs (vs throws — the
     // catch below handles those) would stall the dump until the driver's
-    // round budget kills it. Each query runs under its own job group with
-    // interrupt-on-cancel; past the bound its jobs are cancelled, the
-    // failure is logged, and the dump moves on. 10 min default per query
-    // vs ~2s typical at sf0.01 — trips only on a genuine wedge.
+    // round budget kills it. Each query runs on its OWN (daemon) worker
+    // thread under its own job group with interrupt-on-cancel; past the
+    // bound its Spark jobs are cancelled AND the worker thread is
+    // interrupted — cancelJobGroup only reaches executor-side work, so a
+    // query wedged driver-side (plan building, a JDBC connect) needs the
+    // thread interrupt, and a worker that survives both is a daemon so it
+    // can never block JVM exit or outlive spark.stop() invisibly
+    // (round-11 advice). 10 min default per query vs ~2s typical at
+    // sf0.01 — trips only on a genuine wedge.
     val timeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_QUERY_TIMEOUT_SEC", "600").toLong
-    import scala.concurrent.{Await, Future, TimeoutException}
-    import scala.concurrent.duration.DurationLong
-    import scala.concurrent.ExecutionContext.Implicits.global
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try {
-        val work = Future {
+        @volatile var workerErr: Throwable = null
+        val worker = new Thread(() => {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          catch { case e: Throwable => workerErr = e }
           finally spark.sparkContext.clearJobGroup()
-        }
-        try Await.result(work, timeoutSec.seconds)
-        catch { case _: TimeoutException =>
+        }, s"verify-$name")
+        worker.setDaemon(true)
+        worker.start()
+        worker.join(timeoutSec * 1000)
+        if (worker.isAlive) {
           spark.sparkContext.cancelJobGroup(name)
-          System.err.println(s"[verify] $name timed out after ${timeoutSec}s; cancelled")
-        }
+          worker.join(10000) // executor-side cancel usually unwedges it
+          if (worker.isAlive) worker.interrupt() // driver-side wedge
+          worker.join(5000)
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s; " +
+            s"cancelled${if (worker.isAlive) " (worker still wedged; daemon)" else ""}")
+        } else if (workerErr != null) throw workerErr
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -213,42 +213,6 @@ object EventStreams {
       .dropDuplicates("fp")
       .select("doc_id", "lang", "source", "n_tokens", "fp")
 
-  /** Streaming incremental near-dup screen: every arriving micro-batch is
-    * screened against the STATIC indexed corpus with the same broadcast
-    * band join as batch query x39 — the streaming front door of the dedup
-    * story, where a document is flagged before it ever enters the corpus.
-    * `foreachBatch` because the screen re-aggregates the arriving side's
-    * MinHash signatures per batch, which a stream-static join cannot
-    * express; the indexed side's band signatures would be precomputed
-    * next to the sink in production (see
-    * [[graft.operators.TextOps.minhashNearDupsAgainst]]). Flagged
-    * (id_new, id_idx, jaccard) pairs accumulate into `hits`.
-    *
-    * TEST-HARNESS SHAPE: the driver-side `hits` buffer exists for the
-    * stream==batch equivalence spec and is unbounded — the production
-    * form is [[screenArrivalsIndexed]], which screens against the
-    * MATERIALIZED band index and appends flagged pairs to a parquet
-    * sink, keeping the driver out of the data path entirely. */
-  def screenArrivals(
-      arrivals: DataFrame,
-      indexed: DataFrame,
-      threshold: Double,
-      checkpointDir: String,
-      hits: scala.collection.mutable.Buffer[(Long, Long, Double)])
-    : org.apache.spark.sql.streaming.StreamingQuery =
-    arrivals.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val pairs = graft.operators.TextOps
-          .minhashNearDupsAgainst(batch, indexed, "doc_id", "text", threshold)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        graft.GraftCache.release()
-        hits.synchronized { hits ++= pairs }
-        ()
-      }
-      .start()
-
   /** Production streaming near-dup screen: every arriving micro-batch is
     * screened against the MATERIALIZED band-signature index
     * ([[graft.operators.TextOps.writeBandIndex]]) — zero corpus

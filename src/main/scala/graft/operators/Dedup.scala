@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,11 +101,43 @@ object Dedup {
     * free themselves once the caller drops the reference. Throws if
     * `maxIter` rounds do not converge (silently-partial components would
     * be wrong, not slow). */
+  /** Runs `body` with `spark.sql.shuffle.partitions` set to `n`, restoring
+    * the previous value after. Only EAGER operations inside `body`
+    * (localCheckpoint, emptiness probes) see the cap — callers must not
+    * return lazily-shuffling plans from `body`. Session-global, so safe
+    * only under sequential query execution (Bench/Verify/specs all are). */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          shufflePartitions: Option[Int] = None): DataFrame =
+    shufflePartitions match {
+      case Some(n) =>
+        // Small-graph mode (batch-sized component graphs): every round's
+        // exchange is capped at n partitions — 32-way shuffles over a
+        // few hundred rows are pure task-scheduling overhead — and the
+        // edge persist is a localCheckpoint (at this scale the storage
+        // layer's bookkeeping exceeds recompute; round-11 verdict). The
+        // whole loop materializes inside the conf window (every round
+        // ends in an eager localCheckpoint), and the returned frame is
+        // already checkpointed, so nothing lazily shuffles after restore.
+        withShufflePartitions(edges.sparkSession, n)(
+          ccLoop(edges, srcCol, dstCol, maxIter, persistEdges = false))
+      case None => ccLoop(edges, srcCol, dstCol, maxIter, persistEdges = true)
+    }
+
+  private def ccLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxIter: Int, persistEdges: Boolean): DataFrame = {
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-    val sym = graft.GraftCache.persist(
-      e.union(e.select(col("d").as("s"), col("s").as("d"))).distinct())
+    val symRaw = e.union(e.select(col("d").as("s"), col("s").as("d"))).distinct()
+    val sym =
+      if (persistEdges) graft.GraftCache.persist(symRaw)
+      else symRaw.localCheckpoint()
     // Seed with round 1 for free: least(id, min(neighbor)) is exactly what
     // one propagation round over comp=id would produce, and the groupBy
     // costs the same keyed shuffle the old `distinct()` init paid anyway.
@@ -237,27 +269,50 @@ object Dedup {
     * `labels` must be (id, component) as produced by
     * [[connectedComponents]]/[[connectedComponentsStar]] over the OLD
     * edge set; returns the same shape covering
-    * nodes(labels) ∪ nodes(newEdges). Persists via [[graft.GraftCache]];
-    * caller releases. */
+    * nodes(labels) ∪ nodes(newEdges). Intermediates are eager
+    * local checkpoints (batch-sized by construction), freed with the
+    * returned frame's references — nothing to release. */
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
                             srcCol: String, dstCol: String): DataFrame = {
     val lab = labels.select(col("id"), col("component"))
-    val e = graft.GraftCache.persist(
-      newEdges.select(col(srcCol).as("s"), col(dstCol).as("d")))
-    // endpoint -> its current component (own id when unlabeled)
-    val endLabels = graft.GraftCache.persist(
-      e.select(col("s").as("id")).union(e.select(col("d").as("id"))).distinct()
-        .join(lab, Seq("id"), "left")
-        .select(col("id"), coalesce(col("component"), col("id")).as("comp")))
-    val compEdges = graft.GraftCache.persist(e
-      .join(endLabels.select(col("id").as("s"), col("comp").as("cs")), Seq("s"))
-      .join(endLabels.select(col("id").as("d"), col("comp").as("cd")), Seq("d"))
-      .select(col("cs"), col("cd"))
-      .filter(col("cs") =!= col("cd")).distinct())
-    // new singletons (batch endpoints the corpus labels do not cover)
-    val newbies = endLabels.join(lab.select("id"), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("component"))
-    val all = lab.unionByName(newbies)
+    val spark = labels.sparkSession
+    // Every frame in here is batch-sized (≤ 2·|newEdges| rows), so the
+    // whole update runs under a small shuffle-partition cap and uses
+    // eager localCheckpoint instead of GraftCache.persist — at
+    // few-hundred-row scale 32-way exchanges are pure task-scheduling
+    // overhead and the storage layer's bookkeeping exceeds recompute
+    // (round-11 verdict). The frame returned to the caller shuffles
+    // nothing lazily: both corpus-side operations below are broadcast
+    // joins.
+    val (all, compEdges) = withShufflePartitions(spark, 4) {
+      val e = newEdges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+        .localCheckpoint()
+      val ends = e.select(col("s").as("id"))
+        .union(e.select(col("d").as("id"))).distinct().localCheckpoint()
+      // The corpus is scanned ONCE here (plus once by the final remap):
+      // the batch-sized endpoint set BROADCASTS into an inner join
+      // against the standing labels — no corpus shuffle — and every
+      // later join touches only batch-sized frames.
+      val known = lab.join(broadcast(ends), Seq("id")).localCheckpoint()
+      // endpoint -> its current component (own id when unlabeled)
+      val endLabels = ends.join(broadcast(known), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("comp"))
+        .localCheckpoint()
+      // Both endpoint-label attachments broadcast the one endLabels frame,
+      // so they fuse into a single no-exchange stage over e (the round-11
+      // "fuse the two joins" ask, realized by broadcast: one scan of e,
+      // zero shuffles, where the old form paid two keyed exchanges).
+      val compEdges = e
+        .join(broadcast(endLabels.select(col("id").as("s"), col("comp").as("cs"))), Seq("s"))
+        .join(broadcast(endLabels.select(col("id").as("d"), col("comp").as("cd"))), Seq("d"))
+        .select(col("cs"), col("cd"))
+        .filter(col("cs") =!= col("cd")).distinct()
+        .localCheckpoint()
+      // new singletons (batch endpoints the corpus labels do not cover)
+      val newbies = ends.join(broadcast(known.select("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))
+      (lab.unionByName(newbies), compEdges)
+    }
     // Fast path for the common nightly case: every new edge lands INSIDE
     // an existing component (near-dups of a cluster member are usually
     // near-dups of its whole cluster) — no merges, so the iterative CC
@@ -265,8 +320,10 @@ object Dedup {
     // The emptiness probe is one action over the batch-sized edge frame.
     if (compEdges.isEmpty) all
     else {
-      // CC over the tiny component graph: old label -> merged label
-      val merges = connectedComponents(compEdges, "cs", "cd")
+      // CC over the tiny component graph, shuffles capped like the rest:
+      // old label -> merged label
+      val merges = connectedComponents(compEdges, "cs", "cd",
+          shufflePartitions = Some(4))
         .select(col("id").as("__old"), col("component").as("__new"))
       all.join(broadcast(merges), all("component") === col("__old"), "left")
         .select(all("id"),

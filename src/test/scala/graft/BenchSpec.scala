@@ -9,24 +9,37 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchSpec extends AnyFunSuite {
 
-  test("parseContractLine extracts timings and errors from a child contract line") {
+  test("parseContractLine extracts timings, gc, and errors from a child contract line") {
     val line =
-      """{"metric":"total","value":3.5,"unit":"sec","sf":"/x","queries":{"a_q":1.25,"b_q":2.25},"regressions":[],"errors":{"c_q":"AnalysisException: [DATATYPE_MISMATCH] \"ts\" div","d_q":"shard failure: boom"}}"""
-    val (timings, errors) = Bench.parseContractLine(
+      """{"metric":"total","value":3.5,"unit":"sec","sf":"/x","queries":{"a_q":1.25,"b_q":2.25},"regressions":[],"errors":{"c_q":"AnalysisException: [DATATYPE_MISMATCH] \"ts\" div","d_q":"shard failure: boom"},"gc_ms":{"a_q":120,"b_q":7},"env":{"loadavg_start":"1.0 2.0 3.0","loadavg_end":"1.1 2.1 3.1","other_jvms_start":2,"other_jvms_end":2,"cpus":32}}"""
+    val (timings, gc, errors) = Bench.parseContractLine(
       s"some warmup noise\n$line\n" +
         """{"metric":"bench_summary","total":3.5,"unit":"sec","sf":"/x","n":2,"n_regressions":0,"n_errors":2}""")
     assert(timings === Map("a_q" -> 1.25, "b_q" -> 2.25))
+    assert(gc === Map("a_q" -> 120L, "b_q" -> 7L))
     assert(errors.keySet === Set("c_q", "d_q"))
     assert(errors("c_q").contains("DATATYPE_MISMATCH"))
     assert(errors("c_q").contains("\"ts\""), "escaped quotes must round-trip")
   }
 
-  test("parseContractLine tolerates a pre-errors-field contract line") {
+  test("parseContractLine tolerates pre-gc/env contract lines (old children)") {
     val line =
       """{"metric":"total","value":1.0,"unit":"sec","sf":"/x","queries":{"a_q":1.0},"regressions":[]}"""
-    val (timings, errors) = Bench.parseContractLine(line)
+    val (timings, gc, errors) = Bench.parseContractLine(line)
     assert(timings === Map("a_q" -> 1.0))
+    assert(gc.isEmpty)
     assert(errors.isEmpty)
+  }
+
+  test("parseContractLine is field-order independent and string-aware") {
+    // errors precede queries; an error VALUE contains brace-and-marker
+    // text that must not hijack extraction of the later real fields.
+    val line =
+      """{"metric":"total","value":1.0,"errors":{"e_q":"boom {\"gc_ms\":{ deep} \"queries\":{"},"queries":{"a_q":1.0},"gc_ms":{"a_q":42}}"""
+    val (timings, gc, errors) = Bench.parseContractLine(line)
+    assert(timings === Map("a_q" -> 1.0))
+    assert(gc === Map("a_q" -> 42L))
+    assert(errors("e_q").contains("deep"))
   }
 
   test("parseContractLine fails loudly when no contract line exists") {
@@ -38,6 +51,43 @@ class BenchSpec extends AnyFunSuite {
   test("jsonStr escapes quotes, backslashes, and control characters") {
     assert(Bench.jsonStr("a\"b\\c\nd\te") === "\"a\\\"b\\\\c\\nd\\te\"")
     assert(Bench.jsonStr("plan:" + 1.toChar + "x") === "\"plan:\\u0001x\"")
+  }
+
+  test("jsonUnescape reverses every escape jsonStr produces") {
+    val cases = Seq("a\"b\\c\nd\te\rf", "plan:" + 1.toChar + "x", "",
+      "tricky \\n literal", "päivää")
+    cases.foreach { s =>
+      val quoted = Bench.jsonStr(s)
+      assert(Bench.jsonUnescape(quoted.substring(1, quoted.length - 1)) === s,
+        s"round-trip failed for: $s")
+    }
+  }
+
+  test("contract line carries env telemetry and per-query gc_ms (self-adjudication)") {
+    val result = Bench.BenchResult(
+      timings = Seq("a_q" -> 1.25, "b_q" -> 2.5),
+      gcMs = Map("a_q" -> 120L, "b_q" -> 7L),
+      errors = Map("c_q" -> "boom \"quoted\" msg"))
+    val env = EnvTelemetry.envJson(EnvTelemetry.loadavg, EnvTelemetry.otherJvms)
+    val line = Bench.contractLine(result, "/x", "[]", env)
+    // presence of the adjudication fields on the artifact line
+    assert(line.contains("\"gc_ms\":{"), "gc_ms field must be on the contract line")
+    assert(line.contains("\"env\":{"), "env field must be on the contract line")
+    assert(line.contains("\"loadavg_start\":"))
+    assert(line.contains("\"other_jvms_start\":"))
+    assert(line.contains("\"cpus\":"))
+    // and the line round-trips through the parser
+    val (timings, gc, errors) = Bench.parseContractLine(line)
+    assert(timings === Map("a_q" -> 1.25, "b_q" -> 2.5))
+    assert(gc === Map("a_q" -> 120L, "b_q" -> 7L))
+    assert(errors("c_q") === "boom \"quoted\" msg")
+  }
+
+  test("env telemetry reads real values on this box") {
+    // loadavg: three space-separated decimals on Linux
+    assert(EnvTelemetry.loadavg.split(" ").length === 3)
+    // at minimum the sbt JVM running this spec's parent is visible
+    assert(EnvTelemetry.otherJvms >= 0)
   }
 
   test("shardAssignment covers every query exactly once and balances cost") {

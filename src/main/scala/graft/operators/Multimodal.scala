@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   * the Scala analogue of `mapInPandas` (one iterator of rows per partition,
   * amortized setup per batch, no per-row UDF dispatch).
   *
-  * The decode step itself is STUBBED (this container ships no image/audio
-  * codecs): `FakeDecoder` produces deterministic features from the bytes so
-  * the Spark-side plumbing — schema, partitioning, batch shape, feature
-  * columns — is real and oracle-testable. Swap `FakeDecoder` for a real codec
-  * (JNI/JavaCV) without touching the plumbing.
+  * Two decoders live behind the seam:
+  *  - `FakeDecoder` — deterministic features from the raw bytes, so the
+  *    oracle gates (x10/x25/x26) replay the exact math in SQL over the
+  *    text-payload test tables;
+  *  - the REAL image path ([[decodeImages]]/[[resizeImages]], JDK ImageIO:
+  *    PNG/BMP/GIF/JPEG) — actual decode → scale → re-encode on the same
+  *    row-iterator plumbing, spec-verified against in-test constructed
+  *    images (re-encoded bytes are codec-version artifacts, so the real
+  *    path is gated by specs, not the SQL oracle).
+  * Audio/video codecs stay stubbed (none ship in this container); a
+  * JavaCV/JNI demuxer swaps in behind the same iterator shape.
   */
 object Multimodal {
 
@@ -25,9 +31,10 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, payload_bytes: Long, fake_width: Long,
                            payload_sha256: String, lang: String)
 
-  /** STUB decoder: deterministic fake features in place of a real image/audio
-    * decode. `???`-equivalent marked per builder brief — the real
-    * implementation would decode `blob.payload` here. */
+  /** STUB decoder: deterministic fake features in place of a real decode —
+    * the ORACLE side (DuckDB replays bytes%640 and sha256 exactly). The
+    * real image decode is [[decodeImages]]; audio/video remain stub-only
+    * per the builder brief (no codecs in this container). */
   object FakeDecoder {
     def decode(blob: MediaBlob): MediaFeatures = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -61,9 +68,97 @@ object Multimodal {
     }
   }
 
+  /** Features from a REAL image decode; `decoded=false` rows carry the
+    * payload-level facts only (corrupt media is a data-quality signal to
+    * surface downstream, not an exception to kill a 100 TB scan over). */
+  case class ImageFeatures(doc_id: Long, payload_bytes: Long,
+                           width: Option[Int], height: Option[Int],
+                           format: Option[String], payload_sha256: String,
+                           decoded: Boolean)
+
+  /** REAL image feature extraction over the opaque payload column — JDK
+    * ImageIO (PNG/BMP/GIF/JPEG), no external codecs — on the identical
+    * batched per-partition iterator as [[extractFeatures]]: schema,
+    * partitioning, and batch shape are shared with the stub path, which
+    * is the whole point of the seam. Undecodable payloads (wrong format,
+    * truncated file, non-image bytes) come back `decoded=false` instead
+    * of throwing: at corpus scale a poison payload must quarantine, not
+    * fail the job. Headless-safe (raster ops only, no display). */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { blob =>
+        val sha = md.digest(blob.payload).map("%02x".format(_)).mkString
+        val decoded =
+          try {
+            val in = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(blob.payload))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(in)
+              if (!readers.hasNext) None
+              else {
+                val r = readers.next()
+                try {
+                  r.setInput(in)
+                  Some((r.read(0), r.getFormatName.toLowerCase))
+                } finally r.dispose()
+              }
+            } finally if (in != null) in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some((img, fmt)) =>
+            ImageFeatures(blob.doc_id, blob.payload.length.toLong,
+              Some(img.getWidth), Some(img.getHeight), Some(fmt), sha,
+              decoded = true)
+          case None =>
+            ImageFeatures(blob.doc_id, blob.payload.length.toLong,
+              None, None, None, sha, decoded = false)
+        }
+      }
+    }
+  }
+
   /** A resized media payload (decode → scale → re-encode in a real codec). */
   case class ResizedMedia(doc_id: Long, payload: Array[Byte], media_type: String,
                           width: Long, height: Long)
+
+  /** REAL resize: ImageIO decode → bilinear Graphics2D scale to
+    * width×height → PNG re-encode, per partition on the same iterator
+    * shape as the stub [[resize]]. Undecodable payloads are DROPPED
+    * (flatMap) — the quarantine split belongs to [[decodeImages]]'
+    * `decoded` flag upstream. Output bytes are deterministic for a fixed
+    * JDK but not across codec versions, so this path is spec-gated
+    * against in-test constructed images; the SQL oracle keeps the stub. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   width: Int, height: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(width > 0 && height > 0, s"invalid target size ${width}x$height")
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { blob =>
+        try {
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob.payload))
+          if (src == null) None
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, width, height, null)
+            } finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", out)
+            Some(ResizedMedia(blob.doc_id, out.toByteArray, "image/png",
+              width.toLong, height.toLong))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
 
   /** Resize plumbing: batched per-partition transform preserving the opaque
     * payload column. The pixel scaling itself is STUBBED (no codecs in this

@@ -575,4 +575,143 @@ object VectorOps {
       .partitionBy("qid").orderBy(desc("sim_r"), col(idCol))
     cut.withColumn("rk", row_number().over(w))
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * splits into `m` contiguous subvectors of dim/m coordinates, and each
+    * subspace is coarse-quantized independently by the SAME deterministic
+    * k-means as the IVF path ([[kmeansCentroids]]: first-ks init, round-6
+    * centroid updates, lowest-cid tie-breaks — so an external oracle can
+    * replay every codebook exactly). Returns one (cid, centroid) table per
+    * subspace, driver-resident like IVF's centroids (m·ks·(dim/m) doubles,
+    * bounded by the codebook — never the data).
+    *
+    * This is the standard 100 TB index form: a vector stores m codes
+    * (one byte each at ks=256) instead of 4·dim float bytes — 16× for
+    * dim=64/m=16 — and the distance scan reads codes + a per-query LUT
+    * instead of the vectors. Composes with IVF ([[ivfKnnJoin]]): probe
+    * cells first, ADC-rank the probed cells' codes, exact re-rank on the
+    * full vectors for the survivors only (the [[knnJoinProjected]]
+    * two-stage shape with codes as stage 1). */
+  def pqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, ks: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { j =>
+      collectCentroids(kmeansCentroids(
+        embeddings.select(col(idCol),
+          slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
+        idCol, vecCol, ks, iters))
+    }
+  }
+
+  /** PQ encoding: per subspace, the code is the argmin-distance codebook
+    * entry (exact [[l2sq]] algebraic form, lowest-cid tie-break — the
+    * [[assignToCentroids]] literal-argmin projection per subspace). A pure
+    * zero-shuffle projection over one scan; subvector slices materialize
+    * to attributes once so the ks-candidate argmin never re-slices.
+    * Returns (id, codes array). */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    val sub = codebooks.head.head._2.length
+    val sliced = embeddings.select(col(idCol) +: codebooks.indices.map(j =>
+      slice(col(vecCol), j * sub + 1, sub).as(s"__s$j")): _*)
+    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
+      array_min(array(cb.map { case (cid, c) =>
+        struct(l2sq(col(s"__s$j"), array(c.map(lit): _*)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }
+    sliced.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** Per-subspace codebook as a literal cid → centroid-array map: the ADC
+    * distance becomes an expression over (query subvector, stored code)
+    * only — the code-indexed lookup a PQ scan does against its per-query
+    * LUT, here inlined so both engines replay identical double arithmetic. */
+  private def codebookMaps(codebooks: Seq[Seq[(Long, Seq[Double])]]): Seq[Column] =
+    codebooks.map(cb => map(cb.flatMap { case (cid, c) =>
+      Seq(lit(cid), array(c.map(lit): _*)) }: _*))
+
+  /** Batch PQ kNN join by ASYMMETRIC distance computation (ADC): each
+    * query's full-precision subvectors are compared against the CODES'
+    * reconstructed centroids — distance = Σ_j l2sq(q_j, codebook_j[code_j]),
+    * rounded to 6 (pure deterministic arithmetic; the oracle replays it).
+    * The scan side carries only (id, m codes): at ks=256 that is m bytes
+    * per vector against 4·dim for the exact join — the compressed-scan
+    * form a 100 TB ANN index runs. Candidates cut through the native
+    * bounded-heap operator before any exchange, exactly like
+    * [[knnJoinNative]]. Approximate by construction (quantization error
+    * moves near-boundary neighbours): measure recall against the exact
+    * join per query — the x71 gate — and trade m/ks for recall. */
+  def pqKnnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int,
+                codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val sub = codebooks.head.head._2.length
+    val cbMaps = codebookMaps(codebooks)
+    val codes = pqEncode(embeddings, idCol, vecCol, codebooks)
+    val q = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid") +: codebooks.indices.map(j =>
+        slice(col(vecCol), j * sub + 1, sub).as(s"__q$j")): _*)
+    val dist = codebooks.indices.map(j =>
+        l2sq(col(s"__q$j"), element_at(cbMaps(j), col("codes").getItem(j))))
+      .reduce(_ + _)
+    val ranked = codes.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), round(dist, 6).as("adc_d2"))
+    graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
+      Seq(col("adc_d2"), col(idCol)), k)
+  }
+
+  /** Two-stage PQ kNN — the deployed form: stage 1 shortlists `candidates`
+    * per query by ADC over the compressed codes ([[pqKnnJoin]] — the pass
+    * that reads m bytes/vector instead of 4·dim); stage 2 re-reads the
+    * FULL vectors behind the candidate join and re-ranks exact L2 top-k.
+    * The [[knnJoinProjected]] two-stage shape with PQ codes as the cheap
+    * first pass. Recall = P(true top-k survive the ADC cut) — far above
+    * the raw ADC top-k's (the shortlist only needs the true neighbours
+    * ANYWHERE in the pool, not correctly ordered); both are measured by
+    * the x71 gate, the candidate pool being the cost/recall knob. */
+  def pqKnnJoinRefined(embeddings: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, k: Int, candidates: Int,
+                       codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    require(candidates >= k, "candidate pool must cover k")
+    val cands = pqKnnJoin(embeddings, idCol, vecCol, queryPred, candidates,
+      codebooks).select("qid", idCol)
+    val full = embeddings.select(col(idCol), col(vecCol).as("__v"))
+    val qf = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2"), col(idCol))
+    cands.join(full, idCol)
+      .join(broadcast(qf), "qid")
+      .select(col("qid"), col(idCol), l2sq(col("__v"), col("__qv")).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Single-query ADC top-k over PQ codes — [[bruteForceTopK]]'s shape
+    * (broadcast one query row, one scan, TakeOrdered) with the scan
+    * reading codes instead of vectors. Returns (id, adc_d2) ascending. */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int,
+             codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val sub = codebooks.head.head._2.length
+    val cbMaps = codebookMaps(codebooks)
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(codebooks.indices.map(j =>
+        slice(col(vecCol), j * sub + 1, sub).as(s"__q$j")): _*)
+    val dist = codebooks.indices.map(j =>
+        l2sq(col(s"__q$j"), element_at(cbMaps(j), col("codes").getItem(j))))
+      .reduce(_ + _)
+    pqEncode(embeddings, idCol, vecCol, codebooks)
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(dist, 6).as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol))
+      .limit(k)
+  }
 }

@@ -47,6 +47,24 @@ object VectorQueries {
   val projPlanes: Seq[Array[Double]] =
     VectorOps.hyperplanes(ProjDim, Dim, seed = 11L)
 
+  /** PQ geometry (x70/x71): 4 subspaces of 16 dims, 8-centroid codebooks,
+    * fitted with the same deterministic k-means recipe as IVF. Small
+    * enough that the oracle replays all 4 per-subspace k-means chains in
+    * SQL; structurally identical to the m=16/ks=256 form a production
+    * index runs (16 one-byte codes per 64-float vector — 16×). */
+  val PqM = 8
+  val PqKs = 16
+  val PqSub: Int = Dim / PqM
+
+  /** Stage-1 ADC candidate pool for the two-stage PQ kNN (x71). The
+    * synthetic iid embeddings are PQ's ADVERSARIAL case, exactly as they
+    * are JL's (x55): no cluster structure, neighbour distances barely
+    * separated, so 8×16 codebooks (32 bits/vector, 64× compression)
+    * recall ~0.27 ranking by raw ADC alone at sf0.01. The deployed form
+    * shortlists by ADC and re-ranks exact — recall then only needs the
+    * true neighbours to SURVIVE the cut. x71 audits both numbers. */
+  val PqCandidates = 48
+
   /** Candidate pool per query for the two-stage JL kNN (x55). The
     * synthetic iid embeddings are JL's ADVERSARIAL case — no cluster
     * structure, true neighbours barely above the cosine noise floor — so
@@ -279,6 +297,63 @@ object VectorQueries {
           col("vec_id") % KnnQueryMod === 0, KnnK, JlKnnCandidates,
           projPlanes)
         .orderBy("qid", "rk")
+    }),
+
+    // ----------------------------------------------------------------- x70
+    // Product-quantization ADC top-k: per-subspace codebooks fitted by the
+    // deterministic k-means recipe, vectors encoded to m codes, the scan
+    // ranking by asymmetric distance (query subvectors vs reconstructed
+    // centroids). The compressed-scan ANN form — codes are m bytes/vector
+    // at ks=256 vs 4·dim for the raw floats. The oracle replays all four
+    // k-means chains, the per-subspace argmin encode, and the ADC sum.
+    "x70_pq_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cbs = VectorOps.pqCodebooks(t.embeddings, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      VectorOps.pqTopK(t.embeddings, "vec_id", "embedding", QueryVecId, K, cbs)
+    }),
+
+    // ----------------------------------------------------------------- x71
+    // PQ recall audit (the x64 pattern for the PQ path): both the raw ADC
+    // kNN join AND the deployed two-stage form (ADC shortlist → exact
+    // re-rank) scored against the exact L2 kNN join, per query —
+    // quantization error measured metric-consistently (both sides rank by
+    // L2; cosine vs ADC-L2 would confound metric disagreement with
+    // quantization loss). The recall a deployed PQ index must monitor, as
+    // an oracle-checked artifact rather than a claim.
+    "x71_pq_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val pred = col("vec_id") % KnnQueryMod === 0
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val q = e.filter(pred)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+      val exactP = e.select(col("vec_id"), col("embedding").as("__v"))
+        .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorOps.l2sq(col("__v"), col("__qv")).as("d2"))
+      val exact = graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
+        Seq(col("d2"), col("vec_id")), KnnK).select("qid", "vec_id")
+      val adc = VectorOps.pqKnnJoin(e, "vec_id", "embedding", pred,
+        KnnK, cbs).select("qid", "vec_id")
+      val refined = VectorOps.pqKnnJoinRefined(e, "vec_id", "embedding",
+        pred, KnnK, PqCandidates, cbs).select("qid", "vec_id")
+      def overlap(approx: DataFrame, name: String) =
+        exact.join(approx, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as(name))
+      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      nExact
+        .join(overlap(adc, "n_adc"), Seq("qid"), "left")
+        .join(overlap(refined, "n_refined"), Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_adc"), lit(0L)).as("n_adc"),
+          round(coalesce(col("n_adc"), lit(0L)) / col("n_exact"), 4)
+            .as("adc_recall"),
+          coalesce(col("n_refined"), lit(0L)).as("n_refined"),
+          round(coalesce(col("n_refined"), lit(0L)) / col("n_exact"), 4)
+            .as("refined_recall"))
+        .orderBy("qid")
     })
   )
 
@@ -313,24 +388,28 @@ object VectorQueries {
 
   /** The k-means CTE chain over an arbitrary source relation (a table
     * name or a parenthesized subquery) — x62 fits centroids on the OLD
-    * snapshot only, so the source must be pluggable. */
-  private def kmeansSqlFor(src: String): String = {
+    * snapshot only, so the source must be pluggable; the PQ oracles (x70/
+    * x71) additionally fit per-SUBSPACE codebooks, so the vector
+    * dimension, cluster count, and a CTE-name tag are pluggable too
+    * (tagged chains coexist in one WITH clause). */
+  private def kmeansSqlFor(src: String, dim: Int = Dim, k: Int = KClusters,
+                           tag: String = ""): String = {
     val init =
-      s"""c0 AS (
+      s"""c${tag}0 AS (
          |  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c
-         |  FROM $src WHERE vec_id < $KClusters)""".stripMargin
+         |  FROM $src WHERE vec_id < $k)""".stripMargin
     val iterations = (1 to KmeansIters).map { t =>
-      s"""a$t AS (
+      s"""a$tag$t AS (
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
-         |    FROM $src e CROSS JOIN c${t - 1} c) WHERE rn = 1),
-         |m$t AS (
+         |    FROM $src e CROSS JOIN c$tag${t - 1} c) WHERE rn = 1),
+         |m$tag$t AS (
          |  SELECT cid, j, round(avg(embedding[j]::DOUBLE), 6) AS mj
-         |  FROM a$t, range(1, ${Dim + 1}) r(j) GROUP BY cid, j),
-         |c$t AS (
-         |  SELECT cid, list(mj ORDER BY j) AS c FROM m$t GROUP BY cid)""".stripMargin
+         |  FROM a$tag$t, range(1, ${dim + 1}) r(j) GROUP BY cid, j),
+         |c$tag$t AS (
+         |  SELECT cid, list(mj ORDER BY j) AS c FROM m$tag$t GROUP BY cid)""".stripMargin
     }
     (init +: iterations).mkString(",\n")
   }
@@ -358,6 +437,45 @@ object VectorQueries {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
        |    FROM embeddings e CROSS JOIN c$KmeansIters c) WHERE rn = 1)""".stripMargin
+
+  /** The PQ oracle's 4 per-subspace k-means chains (tagged CTE names) and
+    * the per-subspace argmin encode CTEs — the SQL replay of
+    * [[VectorOps.pqCodebooks]] + [[VectorOps.pqEncode]]. */
+  private def pqChainsSql: String =
+    (0 until PqM).map { j =>
+      val lo = j * PqSub + 1
+      val hi = (j + 1) * PqSub
+      kmeansSqlFor(
+        s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)",
+        dim = PqSub, k = PqKs, tag = s"p$j")
+    }.mkString(",\n")
+
+  private def pqEncodeSql: String =
+    (0 until PqM).map { j =>
+      val lo = j * PqSub + 1
+      val hi = (j + 1) * PqSub
+      s"""enc$j AS (
+         |  SELECT vec_id, cid AS code FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2Sql(s"e.embedding[$lo:$hi]", "c.c")}, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cp$j$KmeansIters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** ADC distance of query-vector expression `qv` against the joined
+    * codebook rows cc0..cc{m-1} — left-associated sum, matching the Spark
+    * side's `reduce(_ + _)`. */
+  private def pqAdcSql(qv: String): String =
+    (0 until PqM).map { j =>
+      val lo = j * PqSub + 1
+      val hi = (j + 1) * PqSub
+      l2Sql(s"$qv[$lo:$hi]", s"cc$j.c")
+    }.mkString(" + ")
+
+  /** Joins attaching each vector's per-subspace code and its centroid. */
+  private def pqJoinsSql: String =
+    (0 until PqM).map(j =>
+      s"JOIN enc$j e$j USING (vec_id) " +
+        s"JOIN cp$j$KmeansIters cc$j ON e$j.code = cc$j.cid").mkString("\n")
 
   def oracles: Map[String, String] = Map(
     "x54_jl_projection" -> {
@@ -449,6 +567,66 @@ object VectorQueries {
          |FROM ne LEFT JOIN nh USING (qid)
          |ORDER BY qid""".stripMargin
     },
+    "x70_pq_topk" ->
+      s"""WITH $pqChainsSql,
+         |$pqEncodeSql,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+         |SELECT b.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+         |FROM (SELECT vec_id FROM embeddings) b
+         |$pqJoinsSql
+         |CROSS JOIN q
+         |WHERE b.vec_id <> $QueryVecId
+         |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin,
+    "x71_pq_recall" ->
+      s"""WITH $pqChainsSql,
+         |$pqEncodeSql,
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $KnnQueryMod = 0),
+         |exactp AS (
+         |  SELECT q.qid, e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d2
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY d2, vec_id) AS rk FROM exactp)
+         |  WHERE rk <= $KnnK),
+         |adcp AS (
+         |  SELECT q.qid, b.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+         |  FROM (SELECT vec_id FROM embeddings) b
+         |  $pqJoinsSql
+         |  CROSS JOIN q
+         |  WHERE b.vec_id <> q.qid),
+         |adcr AS (
+         |  SELECT qid, vec_id, rk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_d2, vec_id) AS rk FROM adcp)
+         |  WHERE rk <= $PqCandidates),
+         |adc AS (SELECT qid, vec_id FROM adcr WHERE rk <= $KnnK),
+         |refp AS (
+         |  SELECT a.qid, a.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d2
+         |  FROM adcr a JOIN embeddings e USING (vec_id)
+         |  JOIN q ON q.qid = a.qid),
+         |refined AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY d2, vec_id) AS rk FROM refp)
+         |  WHERE rk <= $KnnK),
+         |ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1),
+         |na AS (
+         |  SELECT qid, count(*) AS n_adc
+         |  FROM exact JOIN adc USING (qid, vec_id) GROUP BY 1),
+         |nr AS (
+         |  SELECT qid, count(*) AS n_refined
+         |  FROM exact JOIN refined USING (qid, vec_id) GROUP BY 1)
+         |SELECT ne.qid, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(n_adc, 0) AS BIGINT) AS n_adc,
+         |  round(coalesce(n_adc, 0) / n_exact::DOUBLE, 4) AS adc_recall,
+         |  CAST(coalesce(n_refined, 0) AS BIGINT) AS n_refined,
+         |  round(coalesce(n_refined, 0) / n_exact::DOUBLE, 4) AS refined_recall
+         |FROM ne LEFT JOIN na USING (qid)
+         |LEFT JOIN nr USING (qid)
+         |ORDER BY qid""".stripMargin,
     "x63_semantic_decontam" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS block FROM embeddings),

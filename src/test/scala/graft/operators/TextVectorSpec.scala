@@ -321,6 +321,65 @@ class TextVectorSpec extends SparkSpec {
       s"recall must grow with the pool ($narrow -> $shipped)")
   }
 
+  test("pqEncode: codes are valid codebook entries, one per subspace, deterministic") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding", 64, 4, 8, 1)
+    assert(cbs.length === 4)
+    assert(cbs.forall(_.forall(_._2.length === 16)), "16-dim sub-centroids")
+    val codes = VectorOps.pqEncode(e, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(_.length === 4), "one code per subspace")
+    codes.values.foreach(cs => cs.zipWithIndex.foreach { case (c, j) =>
+      assert(cbs(j).exists(_._1 === c), s"code $c not in codebook $j")
+    })
+    val again = VectorOps.pqEncode(e, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes === again)
+  }
+
+  test("ADC distance equals L2 to the reconstructed (decoded) vector") {
+    // sum_j l2sq(q_j, cb_j[code_j]) is algebraically l2sq(q, concat of the
+    // code's centroids) — the identity that makes ADC a distance to the
+    // quantized reconstruction. Verified within float tolerance (the two
+    // computations fold in different orders).
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding", 64, 4, 8, 1)
+    val top = VectorOps.pqTopK(e, "vec_id", "embedding", 0L, 5, cbs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val codes = VectorOps.pqEncode(e, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val byId = cbs.map(_.toMap)
+    val q = e.filter($"vec_id" === 0L).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    top.foreach { case (id, adc) =>
+      val recon = codes(id).zipWithIndex.flatMap { case (c, j) => byId(j)(c) }
+      val direct = q.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(adc - direct) < 1e-6, s"vec $id: adc=$adc direct=$direct")
+    }
+  }
+
+  test("two-stage PQ refine never recalls less than raw ADC ranking") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val pred = col("vec_id") % 100 === 0
+    val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding", 64, 8, 16, 1)
+    val q = e.filter(pred).select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+    val exact = graft.plans.TopKPerKey.topKPerKey(
+      e.select(col("vec_id"), col("embedding").as("__v"))
+        .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorOps.l2sq(col("__v"), col("__qv")).as("d2")),
+      Seq("qid"), Seq(col("d2"), col("vec_id")), 3)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(exact)
+    val adcHits = hits(VectorOps.pqKnnJoin(e, "vec_id", "embedding", pred, 3, cbs))
+    val refinedHits = hits(
+      VectorOps.pqKnnJoinRefined(e, "vec_id", "embedding", pred, 3, 24, cbs))
+    assert(refinedHits >= adcHits,
+      s"refined ($refinedHits) must dominate raw ADC ($adcHits)")
+  }
+
   test("nearDupPairs blocks by LSH bucket and finds identical vectors") {
     val planes = VectorOps.hyperplanes(4, 3)
     val df = Seq(

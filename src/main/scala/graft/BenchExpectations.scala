@@ -118,6 +118,7 @@ object BenchExpectations {
     "w10_event_paths" -> 0.5546,
     "w11_time_to_convert" -> 0.6109,
     "w12_attribution" -> 0.4625,
+    "w13_stream_join" -> 0.3433,
     "w1_tumbling_window" -> 0.3427,
     "w2_sliding_window" -> 0.3251,
     "w3_session_window" -> 0.7735,
@@ -197,6 +198,8 @@ object BenchExpectations {
     // plus one keyed agg and a component join). Refreshed at next snapshot.
     "x69_quality_canonical" -> 2.2,
     "x6_brute_topk" -> 0.232,
+    "x70_pq_topk" -> 3.0716,
+    "x71_pq_recall" -> 4.3038,
     "x7_ann_topk" -> 0.289,
     "x8_embed_neardups" -> 0.5025,
     "x9_token_stats" -> 0.5378,

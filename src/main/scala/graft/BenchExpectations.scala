@@ -200,6 +200,7 @@ object BenchExpectations {
     "x6_brute_topk" -> 0.232,
     "x70_pq_topk" -> 3.0716,
     "x71_pq_recall" -> 4.3038,
+    "x72_ivfpq_topk" -> 3.7836,
     "x7_ann_topk" -> 0.289,
     "x8_embed_neardups" -> 0.5025,
     "x9_token_stats" -> 0.5378,

@@ -750,6 +750,40 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** IVF-PQ top-k — the two quantizers composed, the standard billion-
+    * scale index layout (FAISS IVFPQ without residual encoding; residuals
+    * would PQ-encode v − centroid for finer cells at the cost of
+    * per-cell codebooks): the coarse k-means quantizer routes the query
+    * to its `nprobe` nearest cells, and ranking within the probed cells
+    * is ADC over the PQ codes — so a query touches nprobe/k of the
+    * corpus AND reads m bytes per touched vector. Candidate generation
+    * stays an equi-join on the cell id; the ADC is the same per-query
+    * LUT as [[pqTopK]]. Degenerates to exactly [[pqTopK]] at
+    * nprobe = |cells| (spec-pinned). */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, centroids: DataFrame, nprobe: Int,
+                codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val cells = assignToCentroids(embeddings, idCol, vecCol, centroids)
+      .select(col("vec_id").as(idCol), col("cid"))
+    val qv = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    val probeCells = centroids.crossJoin(broadcast(qv))
+      .select(col("cid"), l2sq(col("__qv"), col("c")).as("__dist"))
+      .orderBy(col("__dist"), col("cid"))
+      .limit(nprobe)
+      .select("cid")
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(adcLutColumns(vecCol, codebooks): _*)
+    graft.GraftCache.persist(pqEncode(embeddings, idCol, vecCol, codebooks))
+      .join(cells, idCol)
+      .join(broadcast(probeCells), "cid")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol))
+      .limit(k)
+  }
+
   /** Single-query ADC top-k over PQ codes — [[bruteForceTopK]]'s shape
     * (broadcast one query row, one scan, TakeOrdered) with the scan
     * reading codes instead of vectors. Returns (id, adc_d2) ascending. */

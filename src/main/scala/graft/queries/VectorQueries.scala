@@ -313,6 +313,24 @@ object VectorQueries {
       VectorOps.pqTopK(t.embeddings, "vec_id", "embedding", QueryVecId, K, cbs)
     }),
 
+    // ----------------------------------------------------------------- x72
+    // IVF-PQ composed: the coarse quantizer routes the query to nprobe
+    // cells (x11's machinery), ADC over the PQ codes ranks within the
+    // probed cells (x70's) — the standard billion-scale layout where a
+    // query touches nprobe/k of the corpus AND reads m bytes per touched
+    // vector. The oracle replays both quantizer chains, the probe cut,
+    // and the composed ADC ranking.
+    "x72_ivfpq_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      VectorOps.ivfPqTopK(e, "vec_id", "embedding", QueryVecId, K,
+        cent, NProbe, cbs)
+    }),
+
     // ----------------------------------------------------------------- x71
     // PQ recall audit (the x64 pattern for the PQ path): both the raw ADC
     // kNN join AND the deployed two-stage form (ADC shortlist → exact
@@ -577,6 +595,22 @@ object VectorQueries {
          |CROSS JOIN q
          |WHERE b.vec_id <> $QueryVecId
          |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin,
+    "x72_ivfpq_topk" ->
+      s"""WITH $kmeansSql,
+         |$assignCte,
+         |$pqChainsSql,
+         |$pqEncodeSql,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |probes AS (
+         |  SELECT c.cid FROM c$KmeansIters c CROSS JOIN q
+         |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbe)
+         |SELECT a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+         |FROM (SELECT vec_id, cid FROM assign) a
+         |JOIN probes p ON a.cid = p.cid
+         |$pqJoinsSql
+         |CROSS JOIN q
+         |WHERE a.vec_id <> $QueryVecId
+         |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin,
     "x71_pq_recall" ->
       s"""WITH $pqChainsSql,
          |$pqEncodeSql,

@@ -358,6 +358,18 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ with nprobe = |cells| degenerates to the full ADC scan") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding", 8, 1)
+    val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding", 64, 4, 8, 1)
+    val full = VectorOps.pqTopK(e, "vec_id", "embedding", 0L, 10, cbs)
+      .collect().toSeq
+    val ivfpq = VectorOps.ivfPqTopK(e, "vec_id", "embedding", 0L, 10, cent, 8, cbs)
+      .collect().toSeq
+    graft.GraftCache.release()
+    assert(ivfpq === full, "probing every cell must recover the unpartitioned ranking")
+  }
+
   test("two-stage PQ refine never recalls less than raw ADC ranking") {
     val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
     val pred = col("vec_id") % 100 === 0

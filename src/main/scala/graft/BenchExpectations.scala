@@ -44,165 +44,163 @@ object BenchExpectations {
   val MinFlagSec = 0.75
 
   val secondsAtSf01: Map[String, Double] = Map(
-    "a10_reconcile" -> 0.416,
-    "a11_percentiles" -> 0.9929,
-    "a12_rollup" -> 0.5419,
-    "a13_group_stats" -> 0.4236,
-    "a14_profile" -> 0.891,
-    "a15_cube" -> 0.6197,
-    "a16_incremental_agg" -> 0.5397,
-    "a17_quality_checks" -> 0.5245,
-    "a18_group_mode" -> 0.3616,
-    "a1_group_sum" -> 0.4552,
-    "a3_cycle_breakdown" -> 0.2543,
-    "a4_conditional_pivot" -> 0.5874,
-    "a7_distinct_values" -> 0.2453,
-    "a8_global_stats" -> 0.3341,
-    "d1_amount_bins" -> 0.3253,
-    "d2_company_type" -> 0.2465,
-    "d3_party_pivot" -> 0.5825,
-    "d4_composite_key" -> 0.1797,
-    "j1_lookup_join" -> 0.3864,
-    "j2_anti_join" -> 0.4311,
-    "j2_dedup_keepfirst" -> 1.656,
-    "j3_asof_join" -> 0.8135,
-    "j4_range_join" -> 0.743,
-    "j5_upsert_merge" -> 0.3941,
-    "j6_scd2" -> 0.6671,
-    "j7_salted_join" -> 0.981,
-    "j8_bloom_join" -> 0.6696,
-    "j9_snapshot_diff" -> 0.5883,
-    "join_q10_returns" -> 0.6118,
-    "join_q18_big_orders" -> 0.8257,
-    "join_q3_revenue" -> 0.8594,
-    "join_q5_nation_revenue" -> 1.1951,
-    "p11_iso8601" -> 0.422,
-    "p14_pushdown_filter" -> 0.3662,
-    "p18_json_extract" -> 0.4954,
-    "p2_normalize_dropnull" -> 0.2943,
-    "p3_clean_normalize" -> 0.1884,
-    "p5_name_coercion" -> 0.7724,
-    "p6_datetime_coercion" -> 0.4221,
-    "p8_null_fill" -> 0.3201,
-    "p9_metadata" -> 0.1815,
-    "pl10_classifier_pipeline" -> 6.2756,
-    "pl11_dsir_pipeline" -> 4.2705,
-    "pl1_csv_pipeline" -> 1.8351,
-    "pl2_sql_pipeline" -> 0.8979,
-    "pl3_realtime_pipeline" -> 1.8444,
-    "pl4_issues_pipeline" -> 0.8547,
-    "pl5_curation_pipeline" -> 2.5967,
-    "pl6_events_pipeline" -> 1.6498,
-    "pl7_corpus_report" -> 1.2183,
-    "pl8_nightly_ingest" -> 4.6573,
-    "pl9_export_shards" -> 1.3435,
-    "s10_tree_paths" -> 0.8912,
-    "s11_dryrun" -> 0.2653,
-    "s12_orc_scan" -> 0.8788,
-    "s13_json_scan" -> 0.4934,
-    "s14_partitioned_scan" -> 0.9367,
-    "s16_bucketed_join" -> 2.8755,
-    "s17_zorder_scan" -> 1.434,
-    "s18_schema_evolution" -> 0.6939,
-    "s19_compaction" -> 1.1837,
-    "s1_csv_scan" -> 0.965,
-    "s2_jdbc_roundtrip" -> 0.3869,
-    "s3_jdbc_partitioned" -> 0.4359,
-    "s7_sink_roundtrip" -> 0.6073,
-    "s8_batched_sink" -> 0.4494,
-    "s9_tree_roundtrip" -> 0.2092,
-    "t1_topk_rows" -> 0.1258,
-    "t2_topk_groups" -> 0.2259,
-    "u1_set_ops" -> 0.4534,
-    "u2_unpivot" -> 0.4253,
-    "w10_event_paths" -> 0.5546,
-    "w11_time_to_convert" -> 0.6109,
-    "w12_attribution" -> 0.4625,
-    "w13_stream_join" -> 0.3433,
-    "w1_tumbling_window" -> 0.3427,
-    "w2_sliding_window" -> 0.3251,
-    "w3_session_window" -> 0.7735,
-    "w4_window_rank" -> 0.4031,
-    "w5_lag_cumsum" -> 0.7355,
-    "w6_funnel" -> 0.9149,
-    "w7_retention" -> 0.5803,
-    "w8_anomaly" -> 0.3529,
-    "w8_rank_native" -> 0.3531,
-    "w9_gapfill" -> 0.5726,
-    "x0_exact_dedup" -> 0.2824,
-    "x10_media_features" -> 0.3815,
-    "x11_ivf_topk" -> 1.1536,
-    "x12_chunk_neardups" -> 0.5154,
-    "x13_token_chunks" -> 0.5608,
-    "x14_fuzzy_names" -> 0.3217,
-    "x15_tfidf_top_term" -> 1.0967,
-    "x16_ngram_jaccard" -> 1.1528,
-    "x17_pii_scrub" -> 0.5501,
-    "x18_simhash_neardups" -> 1.7987,
-    "x19_stratified_sample" -> 0.3325,
-    "x1_fingerprint" -> 0.2475,
-    "x20_domain_cap" -> 0.2736,
-    "x21_decontaminate" -> 1.1129,
-    "x22_int8_quant" -> 0.4665,
-    "x23_train_shuffle" -> 0.2901,
-    "x24_sequence_pack" -> 0.38,
-    "x25_frame_sample" -> 0.2923,
-    "x26_media_resize" -> 0.2278,
-    "x27_quant_topk" -> 0.2751,
-    "x28_dedup_clusters" -> 1.6566,
-    "x29_repetition_metrics" -> 1.013,
-    "x2_quality_metrics" -> 0.62,
-    "x30_knn_join" -> 0.5099,
-    "x31_vocab_stats" -> 0.4229,
-    "x32_bigram_logprob" -> 1.1812,
-    "x33_embed_clusters" -> 2.6634,
-    "x34_span_dedup" -> 1.0239,
-    "x35_semdedup" -> 1.9542,
-    "x36_hybrid_rrf" -> 0.8076,
-    "x37_domain_mix" -> 0.6744,
-    "x38_native_topk" -> 0.2688,
-    "x39_incremental_neardups" -> 1.4096,
-    "x3_lang_id" -> 0.5427,
-    "x40_perplexity_bins" -> 1.3381,
-    "x41_indexed_screen" -> 2.4338,
-    "x42_domain_mix_up" -> 0.7955,
-    "x43_knn_native" -> 0.643,
-    "x44_temperature_mix" -> 1.0666,
-    "x45_fuzzy_decontam" -> 1.3838,
-    "x46_heavy_tokens" -> 0.6444,
-    "x47_unicode_dedup" -> 0.5393,
-    "x48_incremental_clusters" -> 7.4607,
-    "x49_quality_features" -> 2.5967,
-    "x4_minhash_neardups" -> 1.1208,
-    "x50_train_split" -> 0.3722,
-    "x51_corpus_drift" -> 0.4702,
-    "x52_leakage_safe_splits" -> 1.936,
-    "x53_quality_scores" -> 2.6438,
-    "x54_jl_projection" -> 1.5252,
-    "x55_jl_knn" -> 0.8223,
-    "x56_weighted_sample" -> 0.2445,
-    "x57_dsir_select" -> 2.6115,
-    "x58_filter_cascade" -> 1.6274,
-    "x59_dsir_screen" -> 1.6266,
-    "x5_simhash" -> 1.2085,
-    "x60_diverse_sample" -> 1.0116,
-    "x61_gram_coverage" -> 1.0244,
-    "x62_embedding_drift" -> 1.2636,
-    "x63_semantic_decontam" -> 0.3962,
-    "x64_ann_recall" -> 1.6731,
-    "x65_fit_classifier" -> 2.9261,
-    "x66_pack_efficiency" -> 0.8343,
-    "x67_dedup_thresholds" -> 2.8966,
-    "x68_leakage_audit" -> 2.4529,
-    // provisional (added r11 after the closing snapshot; x28's pair+CC cost
-    // plus one keyed agg and a component join). Refreshed at next snapshot.
-    "x69_quality_canonical" -> 2.2,
-    "x6_brute_topk" -> 0.232,
-    "x70_pq_topk" -> 3.0716,
-    "x71_pq_recall" -> 4.3038,
-    "x72_ivfpq_topk" -> 3.7836,
-    "x7_ann_topk" -> 0.289,
-    "x8_embed_neardups" -> 0.5025,
-    "x9_token_stats" -> 0.5378,
+    "a10_reconcile" -> 0.3299,
+    "a11_percentiles" -> 0.8513,
+    "a12_rollup" -> 0.6135,
+    "a13_group_stats" -> 0.4216,
+    "a14_profile" -> 0.8101,
+    "a15_cube" -> 0.525,
+    "a16_incremental_agg" -> 0.4817,
+    "a17_quality_checks" -> 0.5987,
+    "a18_group_mode" -> 0.3009,
+    "a1_group_sum" -> 0.4223,
+    "a3_cycle_breakdown" -> 0.241,
+    "a4_conditional_pivot" -> 0.575,
+    "a7_distinct_values" -> 0.2294,
+    "a8_global_stats" -> 0.2983,
+    "d1_amount_bins" -> 0.2475,
+    "d2_company_type" -> 0.2075,
+    "d3_party_pivot" -> 0.6174,
+    "d4_composite_key" -> 0.1697,
+    "j1_lookup_join" -> 0.4383,
+    "j2_anti_join" -> 0.3465,
+    "j2_dedup_keepfirst" -> 1.5073,
+    "j3_asof_join" -> 0.7723,
+    "j4_range_join" -> 0.7661,
+    "j5_upsert_merge" -> 0.3766,
+    "j6_scd2" -> 0.5539,
+    "j7_salted_join" -> 0.8057,
+    "j8_bloom_join" -> 0.5953,
+    "j9_snapshot_diff" -> 0.5706,
+    "join_q10_returns" -> 0.7105,
+    "join_q18_big_orders" -> 0.6493,
+    "join_q3_revenue" -> 1.0022,
+    "join_q5_nation_revenue" -> 1.048,
+    "p11_iso8601" -> 0.4361,
+    "p14_pushdown_filter" -> 0.3351,
+    "p18_json_extract" -> 0.5116,
+    "p2_normalize_dropnull" -> 0.2501,
+    "p3_clean_normalize" -> 0.183,
+    "p5_name_coercion" -> 0.6363,
+    "p6_datetime_coercion" -> 0.3798,
+    "p8_null_fill" -> 0.217,
+    "p9_metadata" -> 0.1378,
+    "pl10_classifier_pipeline" -> 4.965,
+    "pl11_dsir_pipeline" -> 4.7728,
+    "pl1_csv_pipeline" -> 2.1801,
+    "pl2_sql_pipeline" -> 0.9905,
+    "pl3_realtime_pipeline" -> 1.5037,
+    "pl4_issues_pipeline" -> 0.5351,
+    "pl5_curation_pipeline" -> 2.902,
+    "pl6_events_pipeline" -> 1.5995,
+    "pl7_corpus_report" -> 1.4619,
+    "pl8_nightly_ingest" -> 4.5111,
+    "pl9_export_shards" -> 1.3989,
+    "s10_tree_paths" -> 1.0381,
+    "s11_dryrun" -> 0.2125,
+    "s12_orc_scan" -> 1.0027,
+    "s13_json_scan" -> 0.4712,
+    "s14_partitioned_scan" -> 0.7635,
+    "s16_bucketed_join" -> 2.4032,
+    "s17_zorder_scan" -> 1.3618,
+    "s18_schema_evolution" -> 0.7457,
+    "s19_compaction" -> 1.2928,
+    "s1_csv_scan" -> 0.8148,
+    "s2_jdbc_roundtrip" -> 0.5445,
+    "s3_jdbc_partitioned" -> 0.5891,
+    "s7_sink_roundtrip" -> 0.4348,
+    "s8_batched_sink" -> 0.5421,
+    "s9_tree_roundtrip" -> 0.2045,
+    "t1_topk_rows" -> 0.1504,
+    "t2_topk_groups" -> 0.2777,
+    "u1_set_ops" -> 0.5646,
+    "u2_unpivot" -> 0.3491,
+    "w10_event_paths" -> 0.4495,
+    "w11_time_to_convert" -> 0.5418,
+    "w12_attribution" -> 0.46,
+    "w13_stream_join" -> 0.3802,
+    "w1_tumbling_window" -> 0.3528,
+    "w2_sliding_window" -> 0.318,
+    "w3_session_window" -> 0.7784,
+    "w4_window_rank" -> 0.4472,
+    "w5_lag_cumsum" -> 0.6502,
+    "w6_funnel" -> 1.0449,
+    "w7_retention" -> 0.6511,
+    "w8_anomaly" -> 0.472,
+    "w8_rank_native" -> 0.3316,
+    "w9_gapfill" -> 0.5373,
+    "x0_exact_dedup" -> 0.3868,
+    "x10_media_features" -> 0.4063,
+    "x11_ivf_topk" -> 1.09,
+    "x12_chunk_neardups" -> 0.5549,
+    "x13_token_chunks" -> 0.635,
+    "x14_fuzzy_names" -> 0.4091,
+    "x15_tfidf_top_term" -> 1.1014,
+    "x16_ngram_jaccard" -> 1.379,
+    "x17_pii_scrub" -> 0.4874,
+    "x18_simhash_neardups" -> 1.5005,
+    "x19_stratified_sample" -> 0.2716,
+    "x1_fingerprint" -> 0.2549,
+    "x20_domain_cap" -> 0.2811,
+    "x21_decontaminate" -> 1.1899,
+    "x22_int8_quant" -> 0.4915,
+    "x23_train_shuffle" -> 0.25,
+    "x24_sequence_pack" -> 0.3887,
+    "x25_frame_sample" -> 0.2796,
+    "x26_media_resize" -> 0.2914,
+    "x27_quant_topk" -> 0.2678,
+    "x28_dedup_clusters" -> 1.7466,
+    "x29_repetition_metrics" -> 1.133,
+    "x2_quality_metrics" -> 0.7302,
+    "x30_knn_join" -> 0.4987,
+    "x31_vocab_stats" -> 0.3942,
+    "x32_bigram_logprob" -> 1.1516,
+    "x33_embed_clusters" -> 2.4905,
+    "x34_span_dedup" -> 1.1123,
+    "x35_semdedup" -> 1.7854,
+    "x36_hybrid_rrf" -> 0.8047,
+    "x37_domain_mix" -> 0.7723,
+    "x38_native_topk" -> 0.3353,
+    "x39_incremental_neardups" -> 1.5056,
+    "x3_lang_id" -> 0.6118,
+    "x40_perplexity_bins" -> 1.4572,
+    "x41_indexed_screen" -> 2.0347,
+    "x42_domain_mix_up" -> 0.8878,
+    "x43_knn_native" -> 0.5223,
+    "x44_temperature_mix" -> 0.8944,
+    "x45_fuzzy_decontam" -> 1.5916,
+    "x46_heavy_tokens" -> 0.5897,
+    "x47_unicode_dedup" -> 0.6167,
+    "x48_incremental_clusters" -> 3.7114,
+    "x49_quality_features" -> 2.5096,
+    "x4_minhash_neardups" -> 1.1058,
+    "x50_train_split" -> 0.3587,
+    "x51_corpus_drift" -> 0.4389,
+    "x52_leakage_safe_splits" -> 1.7511,
+    "x53_quality_scores" -> 2.7947,
+    "x54_jl_projection" -> 1.4923,
+    "x55_jl_knn" -> 0.8284,
+    "x56_weighted_sample" -> 0.2427,
+    "x57_dsir_select" -> 2.4815,
+    "x58_filter_cascade" -> 1.4427,
+    "x59_dsir_screen" -> 1.5274,
+    "x5_simhash" -> 1.0055,
+    "x60_diverse_sample" -> 0.8871,
+    "x61_gram_coverage" -> 1.1063,
+    "x62_embedding_drift" -> 1.3845,
+    "x63_semantic_decontam" -> 0.4078,
+    "x64_ann_recall" -> 1.6149,
+    "x65_fit_classifier" -> 2.7269,
+    "x66_pack_efficiency" -> 0.7505,
+    "x67_dedup_thresholds" -> 2.2866,
+    "x68_leakage_audit" -> 2.1864,
+    "x69_quality_canonical" -> 2.3936,
+    "x6_brute_topk" -> 0.187,
+    "x70_pq_topk" -> 3.7818,
+    "x71_pq_recall" -> 4.7815,
+    "x72_ivfpq_topk" -> 3.5411,
+    "x7_ann_topk" -> 0.2874,
+    "x8_embed_neardups" -> 0.4929,
+    "x9_token_stats" -> 0.5048,
   )
 }

@@ -14,15 +14,15 @@ package graft
   * measurably inflates timings (round 4 saw 2-4x phantom "regressions"
   * from exactly that).
   *
-  * Current snapshot: round-11 closing full-suite solo run through the
+  * Current snapshot: round-12 closing full-suite solo run through the
   * SHARDED harness (6 cost-balanced shards, each a fresh child JVM;
-  * warmup + min-of-2; cache release and sink sweep off-clock) — all 153
-  * queries from ONE coherent run (148.8s total, zero regressions, zero
-  * errors), measured under the SAME contract the harness applies, so
-  * regression factors are apples-to-apples. The round's earlier proving
-  * run (151 queries, 182.7s, also zero regressions) already confirmed
-  * the sharded path retired every round-9 single-JVM flag (s17 21x, pl5
-  * 8.7x, ...), validating the GC/writeback amplification diagnosis.
+  * warmup + min-of-2; cache release and sink sweep off-clock) — all 158
+  * queries from ONE coherent run (155.8s total, zero regressions, zero
+  * errors; quiet box per the contract line's own env field: one other
+  * JVM throughout), measured under the SAME contract the harness
+  * applies, so regression factors are apples-to-apples. Since round 12
+  * the committed `bench_full.json` itself carries per-query gc_ms and
+  * the env bookends — adjudicate flags from the artifact first.
   */
 object BenchExpectations {
   val RegressionFactor = 2.0

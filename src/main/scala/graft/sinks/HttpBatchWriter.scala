@@ -36,6 +36,27 @@ import java.time.Duration
   * `foreachPartition` tasks; per-task connection reuse comes free from
   * HttpClient's pooling.
   */
+/** Config-driven transport selection — the concrete swap-in point the
+  * reference reaches via environment/credential config (which backing
+  * store a pipeline ships to is deployment config, not code): a single
+  * URI picks the wire implementation behind the one [[DocumentSink
+  * .BatchWriter]] seam, so the same pipeline ships to a local JSON spool
+  * (`file:/path`) or an HTTP document endpoint (`http(s)://…`) by
+  * changing a string. Unknown schemes fail loudly at BUILD time, before
+  * any executor work is scheduled. */
+object BatchTransports {
+  def forConfig(uri: String, maxRetries: Int = 3,
+                initialBackoffMs: Long = 50L): DocumentSink.BatchWriter =
+    uri match {
+      case u if u.startsWith("http://") || u.startsWith("https://") =>
+        new HttpBatchWriter(u, maxRetries, initialBackoffMs)
+      case u if u.startsWith("file:") =>
+        new DocumentSink.LocalJsonBatchWriter(u.stripPrefix("file:"))
+      case other => sys.error(
+        s"unsupported transport scheme in '$other' — supported: file:, http:, https:")
+    }
+}
+
 final class HttpBatchWriter(endpoint: String,
                             maxRetries: Int = 3,
                             initialBackoffMs: Long = 50L,

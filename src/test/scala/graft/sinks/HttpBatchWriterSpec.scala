@@ -94,6 +94,26 @@ class HttpBatchWriterSpec extends SparkSpec {
     }
   }
 
+  test("BatchTransports.forConfig picks the wire implementation from a URI") {
+    // http: a real round-trip through the HTTP transport
+    val delivered = new ConcurrentHashMap[String, Boolean]()
+    withServer { ex =>
+      bodyLines(ex).foreach(delivered.put(_, true)); respond(ex, 200)
+    } { url =>
+      val report = DocumentSink.writeBatched(
+        records(10).coalesce(1), BatchTransports.forConfig(url), batchSize = 5)
+      assert(report.succeeded === 10 && delivered.size === 10)
+    }
+    // file: the local JSON spool behind the same seam
+    val dir = java.nio.file.Files.createTempDirectory("graft-transport").toString
+    val report = DocumentSink.writeBatched(
+      records(10).coalesce(1), BatchTransports.forConfig(s"file:$dir"), batchSize = 5)
+    assert(report.succeeded === 10)
+    assert(spark.read.json(dir).count() === 10)
+    // unknown scheme: loud failure at build time, before any Spark job
+    intercept[RuntimeException] { BatchTransports.forConfig("ftp://nope") }
+  }
+
   test("retries exhausted on a dead endpoint: loss is counted, run fails accounting") {
     val attempts = new AtomicInteger(0)
     withServer { ex => attempts.incrementAndGet(); respond(ex, 503) } { url =>

@@ -199,6 +199,7 @@ object BenchExpectations {
     "x70_pq_topk" -> 3.7818,
     "x71_pq_recall" -> 4.7815,
     "x72_ivfpq_topk" -> 3.5411,
+    "x73_pq_indexed" -> 3.463,
     "x7_ann_topk" -> 0.2874,
     "x8_embed_neardups" -> 0.4929,
     "x9_token_stats" -> 0.5048,

@@ -789,14 +789,55 @@ object VectorOps {
     * reading codes instead of vectors. Returns (id, adc_d2) ascending. */
   def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
              queryId: Long, k: Int,
-             codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+             codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame =
+    pqTopKOverCodes(embeddings, idCol, vecCol, queryId, k, codebooks,
+      graft.GraftCache.persist(pqEncode(embeddings, idCol, vecCol, codebooks)))
+
+  /** [[pqTopK]] against an EXTERNAL codes frame — the serving path over a
+    * stored index ([[writePqIndex]]): the corpus's vectors are never
+    * touched; only the query row is read full-precision. */
+  def pqTopKOverCodes(embeddings: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, k: Int,
+                      codebooks: Seq[Seq[(Long, Seq[Double])]],
+                      codes: DataFrame): DataFrame = {
     val q = embeddings.filter(col(idCol) === queryId)
       .select(adcLutColumns(vecCol, codebooks): _*)
-    graft.GraftCache.persist(pqEncode(embeddings, idCol, vecCol, codebooks))
+    codes
       .filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
       .orderBy(col("adc_d2"), col(idCol))
       .limit(k)
+  }
+
+  /** Materialize the PQ index — `codes/` (id, m codes) and `codebooks/`
+    * (subspace, cid, centroid) parquet — the store-the-derived-structure
+    * move of the band index ([[graft.operators.TextOps.writeBandIndex]])
+    * and the DSIR model applied to ANN: the nightly steady state trains
+    * codebooks once, encodes once, and every later query or arriving
+    * batch serves off the stored codes with ZERO corpus re-encoding.
+    * At 100 TB the codes table is ~m bytes/vector — the index IS the
+    * scannable artifact. */
+  def writePqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                   codebooks: Seq[Seq[(Long, Seq[Double])]], dir: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    pqEncode(embeddings, idCol, vecCol, codebooks)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, j) => cb.map { case (cid, c) => (j, cid, c) } }
+      .toDF("sub", "cid", "c")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Rehydrate the stored codebooks ([[writePqIndex]]) — m·ks·sub doubles,
+    * exact through parquet, driver-resident like live-trained ones. */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Seq[Seq[(Long, Seq[Double])]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.map(r => (r.getLong(1), r.getSeq[Double](2))).sortBy(_._1).toSeq
+    }
   }
 }

@@ -313,6 +313,24 @@ object VectorQueries {
       VectorOps.pqTopK(t.embeddings, "vec_id", "embedding", QueryVecId, K, cbs)
     }),
 
+    // ----------------------------------------------------------------- x73
+    // The PQ index as a STORED artifact (the band-index/DSIR-model move
+    // for ANN): train → write codes+codebooks parquet → rehydrate → serve
+    // the top-k off the STORED codes with zero corpus re-encoding — the
+    // nightly steady state. The oracle is x70's: the round trip through
+    // storage must be invisible in the results (doubles are exact through
+    // parquet).
+    "x73_pq_indexed" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x73_pq_index")
+      VectorOps.writePqIndex(e, "vec_id", "embedding", cbs, idx)
+      VectorOps.pqTopKOverCodes(e, "vec_id", "embedding", QueryVecId, K,
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+    }),
+
     // ----------------------------------------------------------------- x72
     // IVF-PQ composed: the coarse quantizer routes the query to nprobe
     // cells (x11's machinery), ADC over the PQ codes ranks within the
@@ -495,6 +513,19 @@ object VectorQueries {
       s"JOIN enc$j e$j USING (vec_id) " +
         s"JOIN cp$j$KmeansIters cc$j ON e$j.code = cc$j.cid").mkString("\n")
 
+  /** Single-query ADC top-k replay — shared by x70 (live index) and x73
+    * (stored index): the storage round trip is result-invisible. */
+  private lazy val pqTopkSql: String =
+    s"""WITH $pqChainsSql,
+       |$pqEncodeSql,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+       |SELECT b.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |FROM (SELECT vec_id FROM embeddings) b
+       |$pqJoinsSql
+       |CROSS JOIN q
+       |WHERE b.vec_id <> $QueryVecId
+       |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "x54_jl_projection" -> {
       val s = 1.0 / math.sqrt(ProjDim.toDouble)
@@ -585,16 +616,10 @@ object VectorQueries {
          |FROM ne LEFT JOIN nh USING (qid)
          |ORDER BY qid""".stripMargin
     },
-    "x70_pq_topk" ->
-      s"""WITH $pqChainsSql,
-         |$pqEncodeSql,
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
-         |SELECT b.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
-         |FROM (SELECT vec_id FROM embeddings) b
-         |$pqJoinsSql
-         |CROSS JOIN q
-         |WHERE b.vec_id <> $QueryVecId
-         |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin,
+    "x70_pq_topk" -> pqTopkSql,
+    // x73 serves the IDENTICAL ranking off the stored index — the storage
+    // round trip must be invisible, so it shares x70's oracle verbatim.
+    "x73_pq_indexed" -> pqTopkSql,
     "x72_ivfpq_topk" ->
       s"""WITH $kmeansSql,
          |$assignCte,

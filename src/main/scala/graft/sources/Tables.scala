@@ -124,6 +124,19 @@ object Tables {
       .load()
   }
 
+  /** S4, tunneled connect shape: the reference dials the database at
+    * `127.0.0.1:tunnel.local_bind_port` once the forwarder is up
+    * (index_align_to_firebase.py:84-92). Same here — rewrite the JDBC
+    * endpoint to the tunnel's local end; everything downstream
+    * ([[jdbc]] single-cursor or [[jdbcPartitioned]] range cursors) is
+    * unchanged, which is the point of tunneling at the transport layer.
+    * Driver-side placement caveats on [[TunnelForwarder]]'s scaladoc. */
+  def jdbcUrlViaTunnel(tunnel: TunnelForwarder, scheme: String,
+                       database: String): String = {
+    require(tunnel.isActive, "tunnel must be started before building the URL")
+    s"jdbc:$scheme://127.0.0.1:${tunnel.localBindPort}/$database"
+  }
+
   /** ORC scan — the second columnar format large warehouses standardize on
     * (schema evolution + predicate pushdown via the built-in DSv2 reader,
     * same scan contract as parquet). */

@@ -519,19 +519,26 @@ object TextQueries {
     // incremental path lands exactly where a from-scratch rerun would.
     "x48_incremental_clusters" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val batch = t.documents.filter(col("doc_id") % IncrementalMod === 0)
-      val corpus = t.documents.filter(col("doc_id") % IncrementalMod =!= 0)
-      val corpusPairs = TextOps.minhashNearDups(corpus, "doc_id", "text",
-        NearDupThreshold)
+      // ONE whole-table LSH screen yields every pair class at once:
+      // per-doc signatures are subset-independent (the oracle's
+      // equivalence, used forward), so the corpus self-pairs, the
+      // batch↔corpus pairs, and the batch-internal pairs are disjoint
+      // SPLITS of the all-docs pair set — the corpus text is tokenized
+      // and signature-aggregated once instead of once per screen (the
+      // three-screen form re-ran the corpus signature aggregation for
+      // the cross screen; ~2s of pure recompute at sf0.1). The
+      // incremental path is unchanged: standing labels come from the
+      // corpus split only, and incrementalComponents merges only the
+      // batch-touched split.
+      val isBatchA = col("id_a") % IncrementalMod === 0
+      val isBatchB = col("id_b") % IncrementalMod === 0
+      val allPairs = GraftCache.persist(
+        TextOps.minhashNearDups(t.documents, "doc_id", "text",
+          NearDupThreshold).select("id_a", "id_b"))
+      val corpusPairs = allPairs.filter(!isBatchA && !isBatchB)
       val labels = Dedup.connectedComponents(corpusPairs, "id_a", "id_b")
-      val crossPairs = TextOps.minhashNearDupsAgainst(batch, corpus,
-          "doc_id", "text", NearDupThreshold)
-        .select(col("id_new").as("id_a"), col("id_idx").as("id_b"))
-      val batchPairs = TextOps.minhashNearDups(batch, "doc_id", "text",
-          NearDupThreshold)
-        .select("id_a", "id_b")
       val updated = Dedup.incrementalComponents(labels,
-        crossPairs.unionByName(batchPairs), "id_a", "id_b")
+        allPairs.filter(isBatchA || isBatchB), "id_a", "id_b")
       t.documents.select("doc_id")
         .join(updated.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -831,6 +831,21 @@ object VectorOps {
       .write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
+  /** Incremental maintenance of a [[writePqIndex]] index — the ANN twin
+    * of [[graft.operators.TextOps.appendBandIndex]]: encode ONLY the
+    * arriving batch with the STORED codebooks and append its codes, so
+    * the next query serves base ∪ batch off the index with zero corpus
+    * re-encoding and zero codebook retraining. Cost is O(|batch|) — the
+    * standing codes are never read or rewritten. Codebooks drift as the
+    * corpus distribution does; the recall audit (x71's machinery) against
+    * a fresh exact join is the monitoring signal that schedules retrain +
+    * re-encode, exactly like the band index's compact cycle. */
+  def appendPqIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+                    dir: String): Unit =
+    pqEncode(newVectors, idCol, vecCol,
+        readPqCodebooks(newVectors.sparkSession, dir))
+      .write.mode("append").parquet(s"$dir/codes")
+
   /** Rehydrate the stored codebooks ([[writePqIndex]]) — m·ks·sub doubles,
     * exact through parquet, driver-resident like live-trained ones. */
   def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,

@@ -56,6 +56,11 @@ object VectorQueries {
   val PqKs = 16
   val PqSub: Int = Dim / PqM
 
+  /** Arrival-batch membership for the PQ-append gate (x74): vec_id % 10
+    * picks the batch, the rest is the standing base the codebooks are
+    * trained on — the same modular split every incremental gate uses. */
+  val PqAppendMod = 10L
+
   /** Stage-1 ADC candidate pool for the two-stage PQ kNN (x71). The
     * synthetic iid embeddings are PQ's ADVERSARIAL case, exactly as they
     * are JL's (x55): no cluster structure, neighbour distances barely
@@ -331,6 +336,30 @@ object VectorQueries {
         VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
     }),
 
+    // ----------------------------------------------------------------- x74
+    // Incremental PQ-index maintenance — the nightly half of x73: the
+    // standing base trains the codebooks and writes the index once; the
+    // arriving batch is encoded with the STORED codebooks and appended
+    // (O(|batch|) — the standing codes are never read), and the query
+    // serves base ∪ batch off the index. The oracle trains the chains on
+    // the base split only and encodes the whole table with them: the
+    // append path must land exactly where encode-everything-with-base-
+    // codebooks lands, proving appended codes are first-class citizens
+    // of the served index.
+    "x74_pq_append" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val base = e.filter(col("vec_id") % PqAppendMod =!= 0)
+      val batch = e.filter(col("vec_id") % PqAppendMod === 0)
+      val cbs = VectorOps.pqCodebooks(base, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x74_pq_index")
+      VectorOps.writePqIndex(base, "vec_id", "embedding", cbs, idx)
+      VectorOps.appendPqIndex(batch, "vec_id", "embedding", idx)
+      VectorOps.pqTopKOverCodes(e, "vec_id", "embedding", QueryVecId, K,
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+    }),
+
     // ----------------------------------------------------------------- x72
     // IVF-PQ composed: the coarse quantizer routes the query to nprobe
     // cells (x11's machinery), ADC over the PQ codes ranks within the
@@ -477,12 +506,17 @@ object VectorQueries {
   /** The PQ oracle's 4 per-subspace k-means chains (tagged CTE names) and
     * the per-subspace argmin encode CTEs — the SQL replay of
     * [[VectorOps.pqCodebooks]] + [[VectorOps.pqEncode]]. */
-  private def pqChainsSql: String =
+  private def pqChainsSql: String = pqChainsSqlFor("embeddings")
+
+  /** The per-subspace chains over an arbitrary base relation — x74 trains
+    * on the standing base split only, so the source must be pluggable
+    * like [[kmeansSqlFor]]'s. */
+  private def pqChainsSqlFor(baseRel: String): String =
     (0 until PqM).map { j =>
       val lo = j * PqSub + 1
       val hi = (j + 1) * PqSub
       kmeansSqlFor(
-        s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)",
+        s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $baseRel)",
         dim = PqSub, k = PqKs, tag = s"p$j")
     }.mkString(",\n")
 
@@ -620,6 +654,20 @@ object VectorQueries {
     // x73 serves the IDENTICAL ranking off the stored index — the storage
     // round trip must be invisible, so it shares x70's oracle verbatim.
     "x73_pq_indexed" -> pqTopkSql,
+    // x74's chains train on the BASE split only; every vector (base ∪
+    // appended batch) is then encoded with those codebooks — the SQL
+    // image of write-index-then-append.
+    "x74_pq_append" ->
+      s"""WITH ${pqChainsSqlFor(
+              s"(SELECT * FROM embeddings WHERE vec_id % $PqAppendMod != 0)")},
+         |$pqEncodeSql,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+         |SELECT b.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+         |FROM (SELECT vec_id FROM embeddings) b
+         |$pqJoinsSql
+         |CROSS JOIN q
+         |WHERE b.vec_id <> $QueryVecId
+         |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin,
     "x72_ivfpq_topk" ->
       s"""WITH $kmeansSql,
          |$assignCte,

@@ -358,6 +358,32 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("appendPqIndex: appended codes serve identically to encode-everything") {
+    // Write the index from the base split, append the held-out batch, and
+    // serve — the result must land exactly where encoding the WHOLE corpus
+    // with the same base-trained codebooks lands: appended codes are
+    // first-class citizens of the index, and the append touches only the
+    // batch (codes row count grows by exactly |batch|).
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val batch = e.filter($"vec_id" % 10 === 0)
+    val cbs = VectorOps.pqCodebooks(base, "vec_id", "embedding", 64, 4, 8, 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-append").toString
+    VectorOps.writePqIndex(base, "vec_id", "embedding", cbs, dir)
+    val baseCount = spark.read.parquet(s"$dir/codes").count()
+    VectorOps.appendPqIndex(batch, "vec_id", "embedding", dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() === baseCount + batch.count(),
+      "append adds exactly the batch; the standing codes are untouched")
+    val served = VectorOps.pqTopKOverCodes(e, "vec_id", "embedding", 1L, 10,
+      VectorOps.readPqCodebooks(spark, dir), codes).collect().toSeq
+    val direct = VectorOps.pqTopK(e, "vec_id", "embedding", 1L, 10, cbs)
+      .collect().toSeq
+    graft.GraftCache.release()
+    assert(served === direct,
+      "write-then-append must equal encode-everything with the same codebooks")
+  }
+
   test("IVF-PQ with nprobe = |cells| degenerates to the full ADC scan") {
     val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
     val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding", 8, 1)

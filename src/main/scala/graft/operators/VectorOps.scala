@@ -723,6 +723,26 @@ object VectorOps {
       Seq(col("adc_d2"), col(idCol)), k)
   }
 
+  /** [[pqKnnJoin]] with the corpus side ALREADY encoded — the serving
+    * form over a stored index ([[writePqIndex]]/[[appendPqIndex]]): the
+    * query frame's per-row ADC LUTs broadcast onto the codes scan, so
+    * the index is never reshuffled and the corpus vectors are never
+    * read; candidates heap-cut per query before any exchange. The
+    * building block the streaming semantic screen
+    * ([[graft.streaming.EventStreams.screenArrivalsSemantic]]) runs per
+    * micro-batch. */
+  def pqKnnAgainstCodes(newVectors: DataFrame, idCol: String, vecCol: String,
+                        codes: DataFrame, k: Int,
+                        codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val q = newVectors
+      .select(col(idCol).as("qid") +: adcLutColumns(vecCol, codebooks): _*)
+    val ranked = codes.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
+    graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
+      Seq(col("adc_d2"), col(idCol)), k)
+  }
+
   /** Two-stage PQ kNN — the deployed form: stage 1 shortlists `candidates`
     * per query by ADC over the compressed codes ([[pqKnnJoin]] — the pass
     * that reads m bytes/vector instead of 4·dim); stage 2 re-reads the

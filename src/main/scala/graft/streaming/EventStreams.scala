@@ -249,6 +249,41 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming SEMANTIC screen — the embedding-space sibling of
+    * [[screenArrivalsIndexed]]: every arriving micro-batch of vectors is
+    * ranked against the STORED PQ index
+    * ([[graft.operators.VectorOps.writePqIndex]] /
+    * [[graft.operators.VectorOps.appendPqIndex]]) and each arrival's
+    * top-k (qid, vec_id, adc_d2) rows land in a parquet log — the
+    * in-flight feed a SemDeDup-style admission job thresholds. Per-batch
+    * cost: the batch's ADC LUTs broadcast onto ONE columnar codes scan
+    * (m scalar lookups per touched code; the corpus vectors are never
+    * read), heap-cut per arrival before any exchange
+    * ([[graft.operators.VectorOps.pqKnnAgainstCodes]]). Compose with the
+    * IVF route ([[graft.operators.VectorOps.ivfPqTopK]]'s cell probe) to
+    * touch nprobe/k of the codes at billion scale. Keyed like its
+    * siblings: each micro-batch OVERWRITES its own `batch_id=<n>`
+    * partition, so replay after a failure replaces rather than
+    * duplicates. */
+  def screenArrivalsSemantic(
+      arrivals: DataFrame,
+      codes: DataFrame,
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      k: Int,
+      checkpointDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.VectorOps
+          .pqKnnAgainstCodes(batch, "vec_id", "embedding", codes, k, codebooks)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+
   /** Streaming DSIR gate: every arriving micro-batch is scored against
     * the STORED importance model
     * ([[graft.operators.Curation.writeDsirModel]]) — the ≤buckets+1-row

@@ -269,6 +269,52 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("semantic streaming screen: parquet-sink top-k equals batch ADC over the stored index") {
+    // The ANN sibling of the indexed screen: PQ index materialized from
+    // the standing base, each micro-batch of arriving vectors ADC-ranked
+    // against the stored codes, per-arrival top-k logged — no corpus
+    // vectors read, no driver accumulation.
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val cbs = graft.operators.VectorOps.pqCodebooks(
+      base, "vec_id", "embedding", 64, 4, 8, 1)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    graft.operators.VectorOps.writePqIndex(base, "vec_id", "embedding", cbs, idxDir)
+    val arrivals = e.filter(col("vec_id") % 10 === 0)
+    val arrivalsDir = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-sem-split")
+      arrivals.repartition(2).write.mode("overwrite").parquet(staging.toString)
+      val dir = java.nio.file.Files.createTempDirectory("graft-sem-stream")
+      val parts = new java.io.File(staging.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, dir.resolve(s"arrivals_$i.parquet"))
+      }
+      dir.toString
+    }
+    val codes = spark.read.parquet(s"$idxDir/codes")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sem-log").toString
+    val q = EventStreams.screenArrivalsSemantic(
+      spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+        .parquet(arrivalsDir),
+      codes, graft.operators.VectorOps.readPqCodebooks(spark, idxDir), 3,
+      java.nio.file.Files.createTempDirectory("graft-ckpt-sem").toString,
+      outDir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adc_d2"))).toSet
+    val batch = graft.operators.VectorOps.pqKnnAgainstCodes(
+        arrivals, "vec_id", "embedding", codes, 3, cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.GraftCache.release()
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "per-arrival top-k is batch-partition-independent, so the " +
+        "micro-batched stream must land on the identical pair log")
+  }
+
   test("streaming DSIR gate: parquet-sink scores equal batch stored-model scoring") {
     val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
     val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)

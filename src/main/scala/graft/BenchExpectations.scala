@@ -202,6 +202,8 @@ object BenchExpectations {
     "x71_pq_recall" -> 4.5405,
     "x72_ivfpq_topk" -> 5.6498,
     "x73_pq_indexed" -> 3.9708,
+    // provisional (x73 + append overhead) until the next snapshot run
+    "x74_pq_append" -> 4.6,
     "x7_ann_topk" -> 0.3272,
     "x8_embed_neardups" -> 0.5772,
     "x9_token_stats" -> 0.6873,

@@ -282,6 +282,28 @@ class PlanAuditSpec extends SparkSpec {
     graft.GraftCache.release()
   }
 
+  test("x74 PQ-append serve reads only the stored codes — corpus vectors " +
+      "appear in no scan but the single query row's") {
+    val p = finalPlan("x74_pq_append")
+    val nodes = allNodes(p)
+    // serving shape: TakeOrdered over one scan + broadcast query, zero
+    // shuffles (x70's audited shape, off the stored index)
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"ADC top-k must compile to TakeOrdered:\n$p")
+    assert(shuffleCount(p) === 0, s"the serve must never shuffle:\n$p")
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.exists(_.toString.contains("x74_pq_index")),
+      s"ranking must read the stored codes:\n$p")
+    // embedding-bearing scans: ONLY the query row's lookup (pushed-filter
+    // point read) — the corpus is served from m-byte codes, never floats
+    val vecScans = scans.filter(_.schema.fieldNames.contains("embedding"))
+    assert(vecScans.nonEmpty, "the query row is read full-precision")
+    assert(vecScans.forall(_.toString.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]")),
+      s"every embedding scan must be the vec_id=0 point lookup:\n$p")
+    graft.GraftCache.release()
+  }
+
   test("x43 native kNN rank: heap cut below the exchange, rank window only over survivors") {
     val p = finalPlan("x43_knn_native")
     val nodes = allNodes(p)

@@ -204,6 +204,8 @@ object BenchExpectations {
     "x73_pq_indexed" -> 3.9708,
     // provisional (x73 + append overhead) until the next snapshot run
     "x74_pq_append" -> 4.6,
+    // provisional (x72 + index write overhead) until the next snapshot run
+    "x75_ivfpq_indexed" -> 6.3,
     "x7_ann_topk" -> 0.3272,
     "x8_embed_neardups" -> 0.5772,
     "x9_token_stats" -> 0.6873,

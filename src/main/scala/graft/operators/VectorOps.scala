@@ -866,6 +866,66 @@ object VectorOps {
         readPqCodebooks(newVectors.sparkSession, dir))
       .write.mode("append").parquet(s"$dir/codes")
 
+  /** Materialize the COMPOSED IVF-PQ index — the billion-scale serving
+    * layout: `codes/` carries (id, cid, m codes) RANGE-LAID by cell id
+    * ([[graft.sinks.LayoutSink]]), so every file covers a disjoint cid
+    * range and a probe's `cid IN (…)` predicate prunes whole files on
+    * parquet min/max stats — a query physically reads ~nprobe/k of the
+    * index, m bytes per surviving vector; `centroids/` and `codebooks/`
+    * are the two driver-resident quantizers. The same
+    * store-the-derived-structure move as the band index's bsig layout,
+    * applied to the ANN cell. */
+  def writeIvfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame,
+                      codebooks: Seq[Seq[(Long, Seq[Double])]], dir: String,
+                      numFiles: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cells = assignToCentroids(embeddings, idCol, vecCol, centroids)
+      .select(col("vec_id").as(idCol), col("cid"))
+    graft.sinks.LayoutSink.writeRangeLayout(
+      pqEncode(embeddings, idCol, vecCol, codebooks).join(cells, idCol),
+      "cid", numFiles, s"$dir/codes")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, j) => cb.map { case (cid, c) => (j, cid, c) } }
+      .toDF("sub", "cid", "c")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** [[ivfPqTopK]] served OFF the stored index ([[writeIvfPqIndex]]):
+    * the probe ranking runs exactly as the live form (stored centroids ×
+    * broadcast query row — identical arithmetic, so the probed cells are
+    * identical), the nprobe WINNING cell ids (bounded by construction)
+    * collect to literals, and the codes scan carries `cid IN (probes)`
+    * as a pushed filter — on the range layout that prunes whole files,
+    * which is the read-path payoff the composed index exists for. The
+    * corpus vectors are never read; results must be invisible vs the
+    * live x72 form (shared oracle + equivalence spec). */
+  def ivfPqTopKOverIndex(querySource: DataFrame, idCol: String, vecCol: String,
+                         queryId: Long, k: Int, nprobe: Int,
+                         centroids: DataFrame,
+                         codebooks: Seq[Seq[(Long, Seq[Double])]],
+                         codes: DataFrame): DataFrame = {
+    val qv = querySource.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    val probeIds = centroids.crossJoin(broadcast(qv))
+      .select(col("cid"), l2sq(col("__qv"), col("c")).as("__dist"))
+      .orderBy(col("__dist"), col("cid"))
+      .limit(nprobe)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    val q = querySource.filter(col(idCol) === queryId)
+      .select(adcLutColumns(vecCol, codebooks): _*)
+    codes
+      .filter(col("cid").isin(probeIds: _*))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol))
+      .limit(k)
+  }
+
   /** Rehydrate the stored codebooks ([[writePqIndex]]) — m·ks·sub doubles,
     * exact through parquet, driver-resident like live-trained ones. */
   def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,

@@ -378,6 +378,28 @@ object VectorQueries {
         cent, NProbe, cbs)
     }),
 
+    // ----------------------------------------------------------------- x75
+    // The composed IVF-PQ index as a STORED artifact — the billion-scale
+    // serving layout: cells + codes range-laid by cid (a probe's
+    // `cid IN (…)` prunes whole files on parquet min/max stats),
+    // centroids and codebooks parquet. Train both quantizers → write →
+    // rehydrate → serve: the probe routing and ADC ranking must land
+    // exactly where the live x72 form lands (shared oracle), with the
+    // read path touching ~nprobe/k of the codes and no corpus vectors.
+    "x75_ivfpq_indexed" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x75_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx)
+      VectorOps.ivfPqTopKOverIndex(e, "vec_id", "embedding", QueryVecId, K,
+        NProbe, s.read.parquet(s"$idx/centroids"),
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+    }),
+
     // ----------------------------------------------------------------- x71
     // PQ recall audit (the x64 pattern for the PQ path): both the raw ADC
     // kNN join AND the deployed two-stage form (ADC shortlist → exact
@@ -560,6 +582,25 @@ object VectorQueries {
        |WHERE b.vec_id <> $QueryVecId
        |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin
 
+  /** Composed IVF-PQ top-k replay — shared by x72 (live quantizers) and
+    * x75 (stored index): route to nprobe cells, ADC-rank within them. */
+  private lazy val ivfPqTopkSql: String =
+    s"""WITH $kmeansSql,
+       |$assignCte,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |probes AS (
+       |  SELECT c.cid FROM c$KmeansIters c CROSS JOIN q
+       |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbe)
+       |SELECT a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |FROM (SELECT vec_id, cid FROM assign) a
+       |JOIN probes p ON a.cid = p.cid
+       |$pqJoinsSql
+       |CROSS JOIN q
+       |WHERE a.vec_id <> $QueryVecId
+       |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "x54_jl_projection" -> {
       val s = 1.0 / math.sqrt(ProjDim.toDouble)
@@ -668,22 +709,12 @@ object VectorQueries {
          |CROSS JOIN q
          |WHERE b.vec_id <> $QueryVecId
          |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin,
-    "x72_ivfpq_topk" ->
-      s"""WITH $kmeansSql,
-         |$assignCte,
-         |$pqChainsSql,
-         |$pqEncodeSql,
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
-         |probes AS (
-         |  SELECT c.cid FROM c$KmeansIters c CROSS JOIN q
-         |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbe)
-         |SELECT a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
-         |FROM (SELECT vec_id, cid FROM assign) a
-         |JOIN probes p ON a.cid = p.cid
-         |$pqJoinsSql
-         |CROSS JOIN q
-         |WHERE a.vec_id <> $QueryVecId
-         |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin,
+    "x72_ivfpq_topk" -> ivfPqTopkSql,
+    // x75 serves the IDENTICAL composed ranking off the stored index —
+    // the storage round trip (cells + codes range-laid by cid, centroids,
+    // codebooks) must be result-invisible, so it shares x72's oracle
+    // verbatim, exactly as x73 shares x70's.
+    "x75_ivfpq_indexed" -> ivfPqTopkSql,
     "x71_pq_recall" ->
       s"""WITH $pqChainsSql,
          |$pqEncodeSql,

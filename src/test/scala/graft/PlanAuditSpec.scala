@@ -304,6 +304,24 @@ class PlanAuditSpec extends SparkSpec {
     graft.GraftCache.release()
   }
 
+  test("x75 IVF-PQ serve pushes the probe's cid IN filter to the stored " +
+      "codes scan — file pruning on the range layout") {
+    val p = finalPlan("x75_ivfpq_indexed")
+    val scans = allNodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val codesScans = scans.filter(_.toString.contains("x75_ivfpq_index/codes"))
+    assert(codesScans.nonEmpty, s"serve must read the stored codes:\n$p")
+    codesScans.foreach { f =>
+      assert(f.toString.contains("In(cid, ["),
+        s"the probe's cell predicate must reach the codes scan:\n$f")
+      assert(!f.schema.fieldNames.contains("embedding"),
+        s"the codes scan must never carry corpus vectors:\n$f")
+    }
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"ADC top-k must compile to TakeOrdered:\n$p")
+    graft.GraftCache.release()
+  }
+
   test("x43 native kNN rank: heap cut below the exchange, rank window only over survivors") {
     val p = finalPlan("x43_knn_native")
     val nodes = allNodes(p)

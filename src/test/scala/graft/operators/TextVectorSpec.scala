@@ -384,6 +384,40 @@ class TextVectorSpec extends SparkSpec {
       "write-then-append must equal encode-everything with the same codebooks")
   }
 
+  test("ivfPqTopKOverIndex: the stored composed index serves the live IVF-PQ ranking") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding", 8, 1)
+    val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding", 64, 4, 8, 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, dir,
+      numFiles = 4)
+    val live = VectorOps.ivfPqTopK(e, "vec_id", "embedding", 0L, 10, cent, 2, cbs)
+      .collect().toSeq
+    val stored = VectorOps.ivfPqTopKOverIndex(e, "vec_id", "embedding", 0L, 10,
+        2, spark.read.parquet(s"$dir/centroids"),
+        VectorOps.readPqCodebooks(spark, dir),
+        spark.read.parquet(s"$dir/codes"))
+      .collect().toSeq
+    graft.GraftCache.release()
+    assert(stored === live, "the storage round trip must be result-invisible")
+    // the layout contract: >1 files, each covering a disjoint cid range,
+    // so the probe predicate can prune files on min/max stats
+    val files = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "range layout must produce multiple files")
+    val ranges = files.map { f =>
+      val d = spark.read.parquet(f.getPath)
+        .agg(org.apache.spark.sql.functions.min("cid"),
+          org.apache.spark.sql.functions.max("cid")).head
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, "files must cover disjoint cid ranges")
+      case _ => ()
+    }
+  }
+
   test("IVF-PQ with nprobe = |cells| degenerates to the full ADC scan") {
     val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
     val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding", 8, 1)

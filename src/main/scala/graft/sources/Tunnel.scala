@@ -59,6 +59,14 @@ object Tunnel {
 
   private[sources] def runCatching(f: => Unit): Unit =
     try f catch { case _: IOException => () }
+
+  /** Bracketed lifecycle — the reference's shape: tunnel up, work
+    * through it, `tunnel.stop()` in the finally block no matter how the
+    * pipeline exits (index_align_to_firebase.py:329-333). */
+  def withTunnel[A](factory: ChannelFactory)(body: TunnelForwarder => A): A = {
+    val t = new TunnelForwarder(factory).start()
+    try body(t) finally t.close()
+  }
 }
 
 /** A live local-port forwarder. `start()` binds and begins accepting;

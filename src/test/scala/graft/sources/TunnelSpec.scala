@@ -125,6 +125,24 @@ class TunnelSpec extends AnyFunSuite {
     } finally tunnel.close()
   }
 
+  test("withTunnel brackets the lifecycle: closed on success AND on throw") {
+    withUpperEcho { remotePort =>
+      val factory = new Tunnel.DirectChannel("127.0.0.1", remotePort)
+      var port = 0
+      val out = Tunnel.withTunnel(factory) { t =>
+        port = t.localBindPort
+        roundTrip(port, "bracketed")
+      }
+      assert(out === "BRACKETED")
+      intercept[IOException](new Socket("127.0.0.1", port).close())
+      val thrown = intercept[RuntimeException] {
+        Tunnel.withTunnel(factory) { t => port = t.localBindPort; sys.error("boom") }
+      }
+      assert(thrown.getMessage === "boom")
+      intercept[IOException](new Socket("127.0.0.1", port).close())
+    }
+  }
+
   test("jdbcUrlViaTunnel rewrites the endpoint to the tunnel's local end") {
     withUpperEcho { remotePort =>
       val tunnel = new TunnelForwarder(new Tunnel.DirectChannel("127.0.0.1", remotePort)).start()

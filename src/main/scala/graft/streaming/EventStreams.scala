@@ -284,6 +284,36 @@ object EventStreams {
       }
       .start()
 
+  /** [[screenArrivalsSemantic]] ROUTED through the composed IVF-PQ index
+    * ([[graft.operators.VectorOps.writeIvfPqIndex]]) — the billion-scale
+    * form: each arrival's probe cells compute as a zero-shuffle literal
+    * projection and candidates come from an equi join on the cell id
+    * ([[graft.operators.VectorOps.pqKnnAgainstCodesRouted]]), so a
+    * micro-batch touches ~nprobe/k of the codes instead of scanning all
+    * of them. Same log contract: per-arrival top-k rows, replay-
+    * idempotent batch-id partitions. */
+  def screenArrivalsSemanticRouted(
+      arrivals: DataFrame,
+      centroids: DataFrame,
+      codes: DataFrame,
+      codebooks: Seq[Seq[(Long, Seq[Double])]],
+      k: Int,
+      nprobe: Int,
+      checkpointDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.VectorOps
+          .pqKnnAgainstCodesRouted(batch, "vec_id", "embedding", k, nprobe,
+            centroids, codebooks, codes)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+
   /** Streaming DSIR gate: every arriving micro-batch is scored against
     * the STORED importance model
     * ([[graft.operators.Curation.writeDsirModel]]) — the ≤buckets+1-row

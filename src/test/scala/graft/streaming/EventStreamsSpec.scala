@@ -315,6 +315,53 @@ class EventStreamsSpec extends SparkSpec {
         "micro-batched stream must land on the identical pair log")
   }
 
+  test("routed semantic screen: stream equals the routed batch join over the stored index") {
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val cent = graft.operators.VectorOps.kmeansCentroids(
+      base, "vec_id", "embedding", 8, 1)
+    val cbs = graft.operators.VectorOps.pqCodebooks(
+      base, "vec_id", "embedding", 64, 4, 8, 1)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-s").toString
+    graft.operators.VectorOps.writeIvfPqIndex(
+      base, "vec_id", "embedding", cent, cbs, idxDir, numFiles = 4)
+    val arrivals = e.filter(col("vec_id") % 10 === 0)
+    val arrivalsDir = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-sems-split")
+      arrivals.repartition(2).write.mode("overwrite").parquet(staging.toString)
+      val dir = java.nio.file.Files.createTempDirectory("graft-sems-stream")
+      val parts = new java.io.File(staging.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, dir.resolve(s"arrivals_$i.parquet"))
+      }
+      dir.toString
+    }
+    val centStored = spark.read.parquet(s"$idxDir/centroids")
+    val codes = spark.read.parquet(s"$idxDir/codes")
+    val cbsStored = graft.operators.VectorOps.readPqCodebooks(spark, idxDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sems-log").toString
+    val q = EventStreams.screenArrivalsSemanticRouted(
+      spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+        .parquet(arrivalsDir),
+      centStored, codes, cbsStored, 3, 2,
+      java.nio.file.Files.createTempDirectory("graft-ckpt-sems").toString,
+      outDir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adc_d2"))).toSet
+    val batch = graft.operators.VectorOps.pqKnnAgainstCodesRouted(
+        arrivals, "vec_id", "embedding", 3, 2, centStored, cbsStored, codes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.GraftCache.release()
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      "per-arrival routed top-k is batch-partition-independent, so the " +
+        "micro-batched stream must land on the identical pair log")
+  }
+
   test("streaming DSIR gate: parquet-sink scores equal batch stored-model scoring") {
     val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
     val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)

@@ -757,25 +757,44 @@ object VectorOps {
     * nprobe = |cells| degenerate case equals the full ADC scan
     * (spec-pinned), and the ranking is oracle-gated end to end (x76). */
   def pqKnnAgainstCodesRouted(queries: DataFrame, idCol: String, vecCol: String,
-                              k: Int, nprobe: Int, centroids: DataFrame,
+                              k: Int, nprobe: Int,
+                              cents: Seq[(Long, Seq[Double])],
                               codebooks: Seq[Seq[(Long, Seq[Double])]],
                               codes: DataFrame): DataFrame = {
-    val cents = collectCentroids(centroids)
     require(cents.nonEmpty, "routed kNN requires centroids")
     val v = col(vecCol)
     val cellCands = array(cents.map { case (cid, c) =>
       struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
     }: _*)
-    val qProbes = queries.select(
-      (col(idCol).as("qid") +: adcLutColumns(vecCol, codebooks)) :+
-        explode(transform(slice(array_sort(cellCands), 1, nprobe),
-          p => p.getField("cid"))).as("cid"): _*)
+    // probe pairs and LUTs broadcast as SEPARATE tiny frames: exploding
+    // the LUT columns with the probes would ship every query's m maps
+    // nprobe times in the broadcast payload (~nprobe× the necessary
+    // bytes at production ks/m) — instead the codes scan joins the
+    // (qid, cid) pairs on cid, then picks up each query's LUTs once via
+    // the qid join
+    val qProbes = queries.select(col(idCol).as("qid"),
+      explode(transform(slice(array_sort(cellCands), 1, nprobe),
+        p => p.getField("cid"))).as("cid"))
+    val qLuts = queries
+      .select(col(idCol).as("qid") +: adcLutColumns(vecCol, codebooks): _*)
     val ranked = codes.join(broadcast(qProbes), "cid")
       .filter(col(idCol) =!= col("qid"))
+      .join(broadcast(qLuts), "qid")
       .select(col("qid"), col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
     graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
       Seq(col("adc_d2"), col(idCol)), k)
   }
+
+  /** [[pqKnnAgainstCodesRouted]] with the centroid frame collected per
+    * call — the one-shot batch form. Long-lived callers (the streaming
+    * screen's per-micro-batch loop) pass the pre-collected seq instead,
+    * so the centroid parquet is not re-read per trigger. */
+  def pqKnnAgainstCodesRouted(queries: DataFrame, idCol: String, vecCol: String,
+                              k: Int, nprobe: Int, centroids: DataFrame,
+                              codebooks: Seq[Seq[(Long, Seq[Double])]],
+                              codes: DataFrame): DataFrame =
+    pqKnnAgainstCodesRouted(queries, idCol, vecCol, k, nprobe,
+      collectCentroids(centroids), codebooks, codes)
 
   /** Two-stage PQ kNN — the deployed form: stage 1 shortlists `candidates`
     * per query by ADC over the compressed codes ([[pqKnnJoin]] — the pass
@@ -874,10 +893,18 @@ object VectorOps {
     * scannable artifact. */
   def writePqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                    codebooks: Seq[Seq[(Long, Seq[Double])]], dir: String): Unit = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     pqEncode(embeddings, idCol, vecCol, codebooks)
       .write.mode("overwrite").parquet(s"$dir/codes")
+    writeCodebooks(embeddings.sparkSession, codebooks, dir)
+  }
+
+  /** The one codebook serialization both index writers share —
+    * [[readPqCodebooks]] is its single inverse, so the schema cannot
+    * drift between the plain and the composed index formats. */
+  private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+                             codebooks: Seq[Seq[(Long, Seq[Double])]],
+                             dir: String): Unit = {
+    import spark.implicits._
     codebooks.zipWithIndex
       .flatMap { case (cb, j) => cb.map { case (cid, c) => (j, cid, c) } }
       .toDF("sub", "cid", "c")
@@ -913,19 +940,13 @@ object VectorOps {
                       centroids: DataFrame,
                       codebooks: Seq[Seq[(Long, Seq[Double])]], dir: String,
                       numFiles: Int = 16): Unit = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val cells = assignToCentroids(embeddings, idCol, vecCol, centroids)
       .select(col("vec_id").as(idCol), col("cid"))
     graft.sinks.LayoutSink.writeRangeLayout(
       pqEncode(embeddings, idCol, vecCol, codebooks).join(cells, idCol),
       "cid", numFiles, s"$dir/codes")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    codebooks.zipWithIndex
-      .flatMap { case (cb, j) => cb.map { case (cid, c) => (j, cid, c) } }
-      .toDF("sub", "cid", "c")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeCodebooks(embeddings.sparkSession, codebooks, dir)
   }
 
   /** [[ivfPqTopK]] served OFF the stored index ([[writeIvfPqIndex]]):
@@ -949,15 +970,10 @@ object VectorOps {
       .orderBy(col("__dist"), col("cid"))
       .limit(nprobe)
       .select("cid").collect().map(_.getLong(0)).toSeq
-    val q = querySource.filter(col(idCol) === queryId)
-      .select(adcLutColumns(vecCol, codebooks): _*)
-    codes
-      .filter(col("cid").isin(probeIds: _*))
-      .filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
-      .orderBy(col("adc_d2"), col(idCol))
-      .limit(k)
+    // the serve itself IS pqTopKOverCodes over the probe-pruned codes —
+    // one ranking implementation, so x73 and x75 cannot drift
+    pqTopKOverCodes(querySource, idCol, vecCol, queryId, k, codebooks,
+      codes.filter(col("cid").isin(probeIds: _*)))
   }
 
   /** Rehydrate the stored codebooks ([[writePqIndex]]) — m·ks·sub doubles,

@@ -105,7 +105,13 @@ final class TunnelForwarder(factory: Tunnel.ChannelFactory,
         val client =
           try server.accept()
           catch { case _: IOException => null } // closed underneath us
-        if (client != null) relay(client)
+        // hop open (with its retry/backoff and connect timeouts) runs on
+        // its OWN thread: inline it and one slow/dead hop head-of-line-
+        // blocks every other client's connection setup — N concurrent
+        // JDBC cursors (the advertised use) must set up independently
+        if (client != null)
+          daemon(s"graft-tunnel-setup-${relaySeq.incrementAndGet()}")(
+            () => relay(client))
       }
     }
     this
@@ -115,19 +121,37 @@ final class TunnelForwarder(factory: Tunnel.ChannelFactory,
     * reference) — dial 127.0.0.1:this to reach the remote service. */
   def localBindPort: Int = server.getLocalPort
 
-  def isActive: Boolean = !closed.get() && !server.isClosed
+  /** True only between a successful `start()` (bound listener) and
+    * `close()` — an UNSTARTED forwarder is not active (its port would
+    * read -1), so URL-building guards fail fast on the misuse. */
+  def isActive: Boolean = !closed.get() && server.isBound && !server.isClosed
 
   /** Open the hop channel (with bounded retry) and pump bytes both ways
-    * until either side hangs up. */
+    * until either side hangs up.
+    *
+    * Close-race discipline: each socket is registered in `live` BEFORE
+    * the next blocking step, and `closed` is re-checked AFTER each
+    * registration. `close()` sets `closed` first, then severs `live` —
+    * so for any interleaving either close() sees the socket in `live`
+    * and severs it, or this thread's post-registration check sees
+    * `closed` and severs it itself. No relay can survive close(). */
   private def relay(client: Socket): Unit = {
+    live.add(client)
+    if (closed.get()) { runCatching(client.close()); live.remove(client); return }
     val channel =
       try openWithRetry()
       catch {
         case _: IOException =>
           runCatching(client.close()) // surface as reset to the dialer
+          live.remove(client)
           return
       }
-    live.add(client); live.add(channel)
+    live.add(channel)
+    if (closed.get()) {
+      runCatching(client.close()); runCatching(channel.close())
+      live.remove(client); live.remove(channel)
+      return
+    }
     val id = relaySeq.incrementAndGet()
     val half = new AtomicInteger(2)
     def pump(name: String, from: Socket, to: Socket): Unit =

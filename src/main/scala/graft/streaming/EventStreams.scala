@@ -300,19 +300,24 @@ object EventStreams {
       k: Int,
       nprobe: Int,
       checkpointDir: String,
-      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the cells are frozen for the life of the stored index — collect the
+    // k×dim centroid table ONCE here, not once per micro-batch (a
+    // per-trigger parquet read + collect job would dominate small batches)
+    val cents = graft.operators.VectorOps.collectCentroids(centroids)
     arrivals.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.VectorOps
           .pqKnnAgainstCodesRouted(batch, "vec_id", "embedding", k, nprobe,
-            centroids, codebooks, codes)
+            cents, codebooks, codes)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         graft.GraftCache.release()
         ()
       }
       .start()
+  }
 
   /** Streaming DSIR gate: every arriving micro-batch is scored against
     * the STORED importance model

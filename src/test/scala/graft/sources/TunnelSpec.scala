@@ -152,6 +152,12 @@ class TunnelSpec extends AnyFunSuite {
       } finally tunnel.close()
       intercept[IllegalArgumentException](Tables.jdbcUrlViaTunnel(tunnel, "mysql", "db"))
     }
+    // an UNSTARTED forwarder must fail the guard too — its port would
+    // read -1 and the URL would be silently broken (review finding)
+    val unstarted = new TunnelForwarder(new Tunnel.DirectChannel("127.0.0.1", 1))
+    assert(!unstarted.isActive)
+    intercept[IllegalArgumentException](
+      Tables.jdbcUrlViaTunnel(unstarted, "mysql", "db"))
   }
 }
 

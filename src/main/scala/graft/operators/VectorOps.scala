@@ -949,6 +949,26 @@ object VectorOps {
     writeCodebooks(embeddings.sparkSession, codebooks, dir)
   }
 
+  /** Incremental maintenance of the COMPOSED index ([[writeIvfPqIndex]])
+    * — [[appendPqIndex]]'s twin: the arriving batch assigns to the
+    * STORED centroids (zero-shuffle literal argmin) and encodes with the
+    * STORED codebooks, and its (id, cid, codes) rows append in
+    * O(|batch|); the standing rows are never read. Appended files are
+    * not range-laid: cid file pruning degrades gracefully (extra files
+    * scanned, correctness unaffected) until a periodic
+    * [[graft.sinks.LayoutSink.compact]] by cid re-lays the codes — the
+    * band index's append-then-compact lifecycle. */
+  def appendIvfPqIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+                       dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cbs = readPqCodebooks(spark, dir)
+    val cells = assignToCentroids(newVectors, idCol, vecCol,
+        spark.read.parquet(s"$dir/centroids"))
+      .select(col("vec_id").as(idCol), col("cid"))
+    pqEncode(newVectors, idCol, vecCol, cbs).join(cells, idCol)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** [[ivfPqTopK]] served OFF the stored index ([[writeIvfPqIndex]]):
     * the probe ranking runs exactly as the live form (stored centroids ×
     * broadcast query row — identical arithmetic, so the probed cells are

@@ -418,6 +418,36 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("appendIvfPqIndex: appended rows serve identically to write-everything") {
+    // Composed-index twin of the appendPqIndex gate: base writes the
+    // index, the batch appends with the STORED quantizers, and the routed
+    // serve over the appended index must equal the serve over an index
+    // written whole with the same centroids + codebooks.
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val batch = e.filter($"vec_id" % 10 === 0)
+    val cent = VectorOps.kmeansCentroids(base, "vec_id", "embedding", 8, 1)
+    val cbs = VectorOps.pqCodebooks(base, "vec_id", "embedding", 64, 4, 8, 1)
+    val appended = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    VectorOps.writeIvfPqIndex(base, "vec_id", "embedding", cent, cbs, appended,
+      numFiles = 4)
+    val baseCount = spark.read.parquet(s"$appended/codes").count()
+    VectorOps.appendIvfPqIndex(batch, "vec_id", "embedding", appended)
+    val whole = java.nio.file.Files.createTempDirectory("graft-ivfpq-whole").toString
+    VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, whole,
+      numFiles = 4)
+    assert(spark.read.parquet(s"$appended/codes").count() ===
+      baseCount + batch.count(), "append adds exactly the batch")
+    def serve(dir: String) = VectorOps.ivfPqTopKOverIndex(e, "vec_id",
+        "embedding", 1L, 10, 2, spark.read.parquet(s"$dir/centroids"),
+        VectorOps.readPqCodebooks(spark, dir), spark.read.parquet(s"$dir/codes"))
+      .collect().toSeq
+    val (a, w) = (serve(appended), serve(whole))
+    graft.GraftCache.release()
+    assert(a === w, "write-then-append must equal write-everything " +
+      "with the same stored quantizers")
+  }
+
   test("routed batch kNN with nprobe = |cells| equals the all-codes ADC join") {
     val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
     val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding", 8, 1)

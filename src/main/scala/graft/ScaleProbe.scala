@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale probe: blows the sf0.1 testdata up by an integer factor
+  * (fresh ids per copy; document tokens namespaced per copy so the
+  * near-dup screens see a 10× corpus, not 10 exact replicas of one) and
+  * times selected queries at BOTH scales, printing the wall-clock
+  * scaling ratio per query. The asymptotic claims the suite makes
+  * (routed ANN touches ~nprobe/k of the corpus, incremental CC touches
+  * the batch, screens are index-bounded) predict sub-linear-to-linear
+  * ratios; a super-linear ratio is a scale bug this harness exists to
+  * catch before a cluster does. Not part of the library surface.
+  *
+  * Usage: runMain graft.ScaleProbe [factor] [query ...]
+  * Embedding copies keep their float values (pair-distance COST is
+  * value-independent); document copies prefix every token with a
+  * per-copy tag, so cross-copy Jaccard is 0 and the pair structure
+  * scales like a real corpus (per-copy vocabulary, same doc lengths).
+  */
+object ScaleProbe {
+  val SrcDir = "/root/testdata/sf0.1"
+
+  val DefaultQueries: Seq[String] = Seq(
+    "x72_ivfpq_topk", "x74_pq_append", "x75_ivfpq_indexed",
+    "x76_pq_routed_knn", "x77_ivfpq_append", "x78_ivfpq_residual",
+    "x80_routed_recall", "x81_ivfpq_compact", "x82_residual_recall",
+    "x48_incremental_clusters", "pl8_nightly_ingest")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val names = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_scale_sf0.1x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(spark)
+
+    if (!new java.io.File(s"$outDir/embeddings.parquet").exists()) {
+      println(s"building ${factor}x blow-up at $outDir ...")
+      blowUpEmbeddings(spark, factor, outDir)
+      blowUpDocuments(spark, factor, outDir)
+    }
+    println(f"${"query"}%-26s ${"sf0.1"}%9s ${s"sf0.1x$factor"}%9s  ratio")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def timed(dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        GraftCache.release(blocking = true)
+        sec
+      }
+      try {
+        timed(SrcDir) // warmup (JVM/codegen) on the small scale
+        val base = timed(SrcDir)
+        val big = timed(outDir)
+        println(f"$name%-26s $base%8.2fs $big%8.2fs  ${big / base}%5.1fx")
+      } catch {
+        case e: Exception =>
+          println(f"$name%-26s ERR ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+
+  /** factor copies with disjoint id ranges: copy i shifts ids by
+    * i × (max_id + 1). Vector values are kept — ANN cost per candidate
+    * pair is value-independent, and the quantizer chains only care
+    * about row count. */
+  private def blowUpEmbeddings(spark: SparkSession, factor: Int,
+                               outDir: String): Unit = {
+    val e = spark.read.parquet(s"$SrcDir/embeddings.parquet")
+    val offset = e.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until factor).map { i =>
+      e.select((col("vec_id") + lit(i * offset)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** factor copies with disjoint ids AND per-copy token namespaces
+    * (every word prefixed `c<i>`), so copies are NOT near-duplicates of
+    * each other: the LSH/banding screens face a genuinely 10×-larger
+    * pair problem instead of 45 guaranteed exact-dup pairs per
+    * document. Copy 0 is the original corpus verbatim. */
+  private def blowUpDocuments(spark: SparkSession, factor: Int,
+                              outDir: String): Unit = {
+    val d = spark.read.parquet(s"$SrcDir/documents.parquet")
+    val offset = d.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until factor).map { i =>
+      val text =
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\p{Alnum}+)", s"c$i$$1")
+      d.withColumn("doc_id", col("doc_id") + lit(i * offset))
+        .withColumn("text", text)
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+}

@@ -647,6 +647,26 @@ object TextOps {
     graft.sinks.LayoutSink.compact(spark, path, outPath, targetFileBytes,
       Some("bsig"))
 
+  /** Tombstone maintenance for a [[writeBandIndex]] index: drop the
+    * removed documents' band rows and re-lay the survivors by `bsig` —
+    * composed with [[graft.operators.Merge.snapshotDiff]]'s `removed`
+    * changeset, this is the takedown/re-crawl path that previously
+    * forced a full rebuild. Band signatures are PER-DOCUMENT (a doc's
+    * rows never depend on the rest of the corpus), so the pruned index
+    * is row-identical to [[writeBandIndex]] over the surviving corpus —
+    * spec-pinned — while touching only the skinny (id, band, bsig)
+    * parquet, never a tokenization pass. The removal set joins as a
+    * left-anti equi-join on id (AQE broadcasts it when small, the
+    * expected case). Output to a new path; the atomic swap belongs to
+    * the caller's table layer, as for [[compactBandIndex]]. */
+  def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, outPath: String,
+                          removedIds: DataFrame, numFiles: Int = 32): Unit =
+    graft.sinks.LayoutSink.writeRangeLayout(
+      spark.read.parquet(path).join(
+        removedIds.toDF("id"), Seq("id"), "left_anti"),
+      "bsig", numFiles, outPath)
+
   /** [[minhashNearDupsAgainst]] against a MATERIALIZED band-signature
     * index ([[writeBandIndex]]) instead of the live corpus: candidate
     * generation reads ONLY the skinny parquet index — the corpus text is

@@ -927,6 +927,35 @@ object VectorOps {
         readPqCodebooks(newVectors.sparkSession, dir))
       .write.mode("append").parquet(s"$dir/codes")
 
+  /** (id, codes, cid) in a SINGLE zero-shuffle projection over one scan —
+    * both the cell id and the m codes are per-row argmins of the same
+    * vector, so computing them together drops the build-time corpus
+    * shuffle join the two-frame form paid (round-12 advice). Subvector
+    * slices materialize to attributes once, exactly as [[pqEncode]]; the
+    * cell argmin reads the unsliced vector alongside them. */
+  def pqEncodeWithCells(embeddings: DataFrame, idCol: String,
+                        vecCol: String, cents: Seq[(Long, Seq[Double])],
+                        codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    require(cents.nonEmpty, "at least one centroid")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    val sub = codebooks.head.head._2.length
+    val v = col(vecCol)
+    val cellCands = cents.map { case (cid, c) =>
+      struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
+    }
+    val sliced = embeddings.select(col(idCol) +:
+      (codebooks.indices.map(j =>
+        slice(v, j * sub + 1, sub).as(s"__s$j")) :+
+        array_min(array(cellCands: _*)).getField("cid").as("cid")): _*)
+    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
+      array_min(array(cb.map { case (cid, c) =>
+        struct(l2sq(col(s"__s$j"), array(c.map(lit): _*)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }
+    sliced.select(col(idCol), array(codes: _*).as("codes"), col("cid"))
+  }
+
   /** Materialize the COMPOSED IVF-PQ index — the billion-scale serving
     * layout: `codes/` carries (id, cid, m codes) RANGE-LAID by cell id
     * ([[graft.sinks.LayoutSink]]), so every file covers a disjoint cid
@@ -940,10 +969,9 @@ object VectorOps {
                       centroids: DataFrame,
                       codebooks: Seq[Seq[(Long, Seq[Double])]], dir: String,
                       numFiles: Int = 16): Unit = {
-    val cells = assignToCentroids(embeddings, idCol, vecCol, centroids)
-      .select(col("vec_id").as(idCol), col("cid"))
     graft.sinks.LayoutSink.writeRangeLayout(
-      pqEncode(embeddings, idCol, vecCol, codebooks).join(cells, idCol),
+      pqEncodeWithCells(embeddings, idCol, vecCol, collectCentroids(centroids),
+        codebooks),
       "cid", numFiles, s"$dir/codes")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     writeCodebooks(embeddings.sparkSession, codebooks, dir)
@@ -961,11 +989,9 @@ object VectorOps {
   def appendIvfPqIndex(newVectors: DataFrame, idCol: String, vecCol: String,
                        dir: String): Unit = {
     val spark = newVectors.sparkSession
-    val cbs = readPqCodebooks(spark, dir)
-    val cells = assignToCentroids(newVectors, idCol, vecCol,
-        spark.read.parquet(s"$dir/centroids"))
-      .select(col("vec_id").as(idCol), col("cid"))
-    pqEncode(newVectors, idCol, vecCol, cbs).join(cells, idCol)
+    pqEncodeWithCells(newVectors, idCol, vecCol,
+        collectCentroids(spark.read.parquet(s"$dir/centroids")),
+        readPqCodebooks(spark, dir))
       .write.mode("append").parquet(s"$dir/codes")
   }
 
@@ -1004,5 +1030,183 @@ object VectorOps {
     rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
       rs.map(r => (r.getLong(1), r.getSeq[Double](2))).sortBy(_._1).toSeq
     }
+  }
+
+  // ------------------------------------------------------ residual IVF-PQ
+
+  /** Literal cid → centroid map for per-row centroid lookups. */
+  private def centroidMap(cents: Seq[(Long, Seq[Double])]): Column =
+    map(cents.flatMap { case (cid, c) =>
+      Seq(lit(cid), array(c.map(lit): _*)) }: _*)
+
+  /** Per-vector residual against its assigned coarse cell — (vec_id, cid,
+    * residual) where residual_i = v_i − centroid(cid)_i in doubles. The
+    * input to RESIDUAL product quantization (the standard FAISS IVFPQ
+    * form): PQ codebooks trained on residuals concentrate their capacity
+    * on WITHIN-cell variance — the coarse quantizer has already removed
+    * the between-cell component — which is the main recall lever at fixed
+    * m/ks over encoding raw vectors. One zero-shuffle projection: the
+    * argmin assignment and the centroid-map lookup are row-local over
+    * literal centroids (k×dim doubles inlined, same contract as
+    * [[assignToCentroids]]); the subtraction is exact double arithmetic
+    * an external oracle replays verbatim. */
+  def residuals(embeddings: DataFrame, idCol: String, vecCol: String,
+                cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "at least one centroid")
+    val v = col(vecCol)
+    val candidates = cents.map { case (cid, c) =>
+      struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
+    }
+    embeddings
+      .select(col(idCol).as("vec_id"), v.as("__v"),
+        array_min(array(candidates: _*)).getField("cid").as("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("__v"), element_at(centroidMap(cents), col("cid")),
+          (x, c) => x.cast("double") - c).as("residual"))
+  }
+
+  /** Residual-trained PQ codebooks: the per-subspace k-means chains of
+    * [[pqCodebooks]] run over the RESIDUAL frame instead of the raw
+    * vectors — identical deterministic recipe (first-ks init by id,
+    * round-6 means, lowest-cid ties), so the oracle replays the chains
+    * over its own residual CTE. */
+  def pqCodebooksResidual(embeddings: DataFrame, idCol: String, vecCol: String,
+                          cents: Seq[(Long, Seq[Double])], dim: Int, m: Int,
+                          ks: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] =
+    pqCodebooks(residuals(embeddings, idCol, vecCol, cents),
+      "vec_id", "residual", dim, m, ks, iters)
+
+  /** (id, codes, cid) with the codes encoding the RESIDUAL v − centroid
+    * (cid) — [[pqEncodeWithCells]]'s residual twin, still one zero-shuffle
+    * projection over one scan (assignment, centroid lookup, subtraction,
+    * and the m per-subspace argmins are all row-local over literal
+    * quantizers). */
+  def residualEncodeWithCells(embeddings: DataFrame, idCol: String,
+                              vecCol: String, cents: Seq[(Long, Seq[Double])],
+                              codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+    val sub = codebooks.head.head._2.length
+    val sliced = residuals(embeddings, idCol, vecCol, cents)
+      .select(col("vec_id").as(idCol) +: col("cid") +:
+        codebooks.indices.map(j =>
+          slice(col("residual"), j * sub + 1, sub).as(s"__s$j")): _*)
+    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
+      array_min(array(cb.map { case (cid, c) =>
+        struct(l2sq(col(s"__s$j"), array(c.map(lit): _*)).as("d"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }
+    sliced.select(col(idCol), array(codes: _*).as("codes"), col("cid"))
+  }
+
+  /** Single-query top-k over RESIDUAL-encoded codes: the query routes to
+    * its `nprobe` nearest cells, and within each probed cell the ADC
+    * compares the QUERY'S RESIDUAL against that cell — r_q(c) = q −
+    * centroid(c) — so the LUTs are per (probe cell × subspace), computed
+    * once per probed cell on the broadcast query side. The codes scan
+    * pays exactly what the raw form pays (m map lookups + adds per
+    * candidate); the residual subtraction never touches the corpus side,
+    * whose residuals are already baked into the codes. */
+  def ivfPqResidualTopKOverCodes(querySource: DataFrame, idCol: String,
+                                 vecCol: String, queryId: Long, k: Int,
+                                 nprobe: Int, cents: Seq[(Long, Seq[Double])],
+                                 codebooks: Seq[Seq[(Long, Seq[Double])]],
+                                 codes: DataFrame): DataFrame = {
+    require(cents.nonEmpty, "at least one centroid")
+    val qv = querySource.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    val cellCands = array(cents.map { case (cid, c) =>
+      struct(l2sq(col("__qv"), array(c.map(lit): _*)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probes = qv
+      .select(col("__qv"),
+        explode(transform(slice(array_sort(cellCands), 1, nprobe),
+          p => p.getField("cid"))).as("cid"))
+      .withColumn("__qr",
+        zip_with(col("__qv"), element_at(centroidMap(cents), col("cid")),
+          (x, c) => x.cast("double") - c))
+    val q = probes.select(col("cid") +: adcLutColumns("__qr", codebooks): _*)
+    codes.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), "cid")
+      .select(col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol))
+      .limit(k)
+  }
+
+  /** [[ivfPqResidualTopKOverCodes]] with the codes encoded in-query —
+    * the live (index-less) form, x78's gate shape. */
+  def ivfPqResidualTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                        queryId: Long, k: Int, nprobe: Int,
+                        cents: Seq[(Long, Seq[Double])],
+                        codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame =
+    ivfPqResidualTopKOverCodes(embeddings, idCol, vecCol, queryId, k, nprobe,
+      cents, codebooks, graft.GraftCache.persist(
+        residualEncodeWithCells(embeddings, idCol, vecCol, cents, codebooks)))
+
+  /** Routed batch kNN over RESIDUAL-encoded codes — the residual twin of
+    * [[pqKnnAgainstCodesRouted]]. One structural difference, inherent to
+    * residual ADC: the LUTs depend on the (query, probed cell) PAIR —
+    * each probe row carries the LUTs of the query's residual against
+    * that cell — so LUTs ride WITH the probe rows instead of splitting
+    * into a per-query frame (the raw form's broadcast-byte optimization
+    * does not apply; the broadcast is |Q|·nprobe·m maps either way
+    * here). Candidates are still the cid equi-join, still heap-cut per
+    * query before any exchange. */
+  def ivfPqResidualKnnOverCodes(queries: DataFrame, idCol: String,
+                                vecCol: String, k: Int, nprobe: Int,
+                                cents: Seq[(Long, Seq[Double])],
+                                codebooks: Seq[Seq[(Long, Seq[Double])]],
+                                codes: DataFrame): DataFrame = {
+    require(cents.nonEmpty, "at least one centroid")
+    val cellCands = array(cents.map { case (cid, c) =>
+      struct(l2sq(col("__qv"), array(c.map(lit): _*)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val qProbes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      .select(col("qid"), col("__qv"),
+        explode(transform(slice(array_sort(cellCands), 1, nprobe),
+          p => p.getField("cid"))).as("cid"))
+      .withColumn("__qr",
+        zip_with(col("__qv"), element_at(centroidMap(cents), col("cid")),
+          (x, c) => x.cast("double") - c))
+    val qLuts = qProbes.select(col("qid") +: col("cid") +:
+      adcLutColumns("__qr", codebooks): _*)
+    val ranked = codes.join(broadcast(qLuts), "cid")
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
+    graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
+      Seq(col("adc_d2"), col(idCol)), k)
+  }
+
+  // ------------------------------------------------- index delete/compact
+
+  /** Tombstone maintenance for a stored PQ / IVF-PQ index
+    * ([[writePqIndex]] / [[writeIvfPqIndex]]): drop the removed ids'
+    * rows from `codes/` and rewrite to `outPath` — composed with
+    * [[graft.operators.Merge.snapshotDiff]]'s `removed` changeset, this
+    * is the takedown/re-crawl path that previously forced a full index
+    * rebuild. The rewrite touches ONLY the skinny codes (m bytes +
+    * ids per vector — never the corpus vectors), the removal set joins
+    * as a left-anti equi-join (AQE broadcasts it when small, the
+    * expected case), and a cid-carrying index is re-RANGE-LAID by cid so
+    * the probe-pruning layout survives the delete; a plain PQ index
+    * rewrites as-is. Output to a new path; the atomic swap belongs to
+    * the caller's table layer (same contract as
+    * [[graft.sinks.LayoutSink.compact]]). Quantizers are untouched:
+    * codes are per-row, so the surviving rows are bit-identical to
+    * encoding the surviving corpus with the stored quantizers — deletes
+    * never degrade the index, only distribution DRIFT does (the recall
+    * audit schedules retrains, exactly as for appends). */
+  def deletePqCodes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    removedIds: DataFrame, idCol: String, outPath: String,
+                    numFiles: Int = 16): Unit = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val pruned = codes.join(removedIds.select(col(idCol)), Seq(idCol), "left_anti")
+    if (codes.columns.contains("cid"))
+      graft.sinks.LayoutSink.writeRangeLayout(pruned, "cid", numFiles, outPath)
+    else
+      pruned.write.mode("overwrite").parquet(outPath)
   }
 }

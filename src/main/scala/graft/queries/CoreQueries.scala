@@ -253,6 +253,30 @@ object CoreQueries {
         round(avg("o_totalprice"), 2).as("avg_price"))
     }),
 
+    // ------------------------------------------------------- A1/A8 (decimal)
+    // DecimalType money twin of a1/a8 — SURVEY §7.4(4)'s float-money
+    // caveat closed with a proven upgrade path, not a promise: cast the
+    // money column to DECIMAL(18,2) at the scan and every downstream
+    // aggregate is EXACT (decimal addition never rounds; double sums
+    // drift with row count and addition order, which a 100 TB ledger
+    // cannot tolerate). The per-row double→decimal cast is unambiguous
+    // on both engines: source prices carry 2 decimal digits, so no
+    // value sits near a half-ulp rounding boundary. Totals are emitted
+    // as canonical decimal STRINGS so the gate proves digit-exact
+    // agreement rather than comparing through a float round trip.
+    "a19_decimal_money" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("__sp"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("__sq"))
+        .select(col("l_returnflag"), col("n"),
+          col("__sp").cast("string").as("sum_price"),
+          col("__sq").cast("string").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ------------------------------------------------------------------ A10
     // Count reconciliation (check_duplicates.py:124-172): incoming
     // (customers) vs existing (suppliers) per nation key.
@@ -788,6 +812,11 @@ object CoreQueries {
          round(avg(l_quantity),2) AS avg_qty,
          count(*) AS n
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "a19_decimal_money" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "a3_cycle_breakdown" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS cycle,
          round(sum(o_totalprice),2) AS total, count(*) AS n

@@ -34,6 +34,13 @@ object TextQueries {
   val SpanMinDocs = 2
   val IncrementalMod = 10
 
+  /** Tombstone membership for the band-index delete gate (x79): within
+    * the standing corpus (doc_id % [[IncrementalMod]] ≠ 0), documents
+    * with doc_id % 3 = 0 are removed in the new snapshot — a residue
+    * class orthogonal to the batch split, so the screen still has both
+    * surviving and deleted candidates to distinguish. */
+  val BandDeleteMod = 3
+
   /** Near-dup threshold for fuzzy train-vs-eval decontamination (x45) —
     * deliberately lower than [[NearDupThreshold]]: a contamination audit
     * flags looser matches than a dedup pass removes. */
@@ -624,6 +631,38 @@ object TextQueries {
         .orderBy("id_new", "id_idx")
     }),
 
+    // ----------------------------------------------------------------- x79
+    // Tombstone maintenance for the band index — the takedown/re-crawl
+    // path: the standing corpus's index is materialized; a new snapshot
+    // arrives with some documents gone; snapshotDiff on content
+    // fingerprints DISCOVERS the removed ids (the j9 changeset composed
+    // into the index lifecycle); deleteFromBandIndex drops their band
+    // rows and re-lays the survivors by bsig — touching only the skinny
+    // index, never a tokenization pass; and the arriving batch screens
+    // against the PRUNED index. The oracle replays the screen against
+    // the surviving corpus from scratch: band signatures are
+    // per-document, so delete-from-index must equal rebuild-on-survivors
+    // (the spec also pins the row-set equality directly).
+    "x79_band_delete" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val batch = t.documents.filter(col("doc_id") % IncrementalMod === 0)
+      val oldCorpus = t.documents.filter(col("doc_id") % IncrementalMod =!= 0)
+      val newCorpus = oldCorpus.filter(col("doc_id") % BandDeleteMod =!= 0)
+      val idx = SinkQueries.sinkDir("x79_band_index")
+      TextOps.writeBandIndex(oldCorpus, "doc_id", "text", idx)
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val removed = graft.operators.Merge
+        .snapshotDiff(fp(oldCorpus), fp(newCorpus), "doc_id", "fp")
+        .filter(col("status") === "removed")
+        .select("doc_id")
+      val pruned = SinkQueries.sinkDir("x79_band_index_pruned")
+      TextOps.deleteFromBandIndex(s, idx, pruned, removed)
+      TextOps.minhashNearDupsAgainstIndex(batch, s.read.parquet(pruned),
+          newCorpus, "doc_id", "text", NearDupThreshold)
+        .orderBy("id_new", "id_idx")
+    }),
+
     // ----------------------------------------------------------------- pl8
     // The nightly-ingest pipeline, end to end: a standing corpus with its
     // band-signature index MATERIALIZED; an arriving batch flows through
@@ -1110,12 +1149,18 @@ object TextQueries {
   }
 
   private def incrementalNearDupSql: String =
+    incrementalNearDupSqlFor(s"doc_id % $IncrementalMod <> 0")
+
+  /** The x39 screen replay with a pluggable index-side predicate — x79
+    * screens against the PRUNED index, whose contents must equal the
+    * surviving corpus's signatures (band rows are per-document). */
+  private def incrementalNearDupSqlFor(idxPred: String): String =
     s"""WITH toked_new AS (
        |  SELECT doc_id AS id, $toksSql AS toks FROM documents
        |  WHERE doc_id % $IncrementalMod = 0),
        |toked_idx AS (
        |  SELECT doc_id AS id, $toksSql AS toks FROM documents
-       |  WHERE doc_id % $IncrementalMod <> 0),
+       |  WHERE $idxPred),
        |${minhashBandCtes("toked_new", "n")},
        |${minhashBandCtes("toked_idx", "i")},
        |pairs AS (
@@ -1278,6 +1323,9 @@ object TextQueries {
     // the oracle is the same replay (indexes are a plan property, not a
     // semantic one).
     "x41_indexed_screen" -> incrementalNearDupSql,
+    // x79 screens against the pruned index ≡ the surviving corpus.
+    "x79_band_delete" -> incrementalNearDupSqlFor(
+      s"doc_id % $IncrementalMod <> 0 AND doc_id % $BandDeleteMod <> 0"),
     "pl8_nightly_ingest" -> nightlyIngestSql,
     "x45_fuzzy_decontam" -> fuzzyDecontamSql,
     "x47_unicode_dedup" ->

@@ -70,6 +70,13 @@ object VectorQueries {
     * true neighbours to SURVIVE the cut. x71 audits both numbers. */
   val PqCandidates = 48
 
+  /** Tombstone membership for the PQ-delete gate (x83): vec_id % 5 = 3
+    * is the removed set — a different residue class than the query
+    * vector (0) and the append batches (% 10 = 0), so the lifecycle
+    * gates never interact. */
+  val VecDeleteMod = 5L
+  val VecDeleteRem = 3L
+
   /** Candidate pool per query for the two-stage JL kNN (x55). The
     * synthetic iid embeddings are JL's ADVERSARIAL case — no cluster
     * structure, true neighbours barely above the cosine noise floor — so
@@ -425,6 +432,201 @@ object VectorQueries {
         .orderBy("qid", "adc_d2", "vec_id")
     }),
 
+    // ----------------------------------------------------------------- x77
+    // Incremental maintenance of the COMPOSED index — x74's pattern
+    // applied to IVF-PQ: the standing base trains BOTH quantizers and
+    // writes the range-laid index once; the arriving batch assigns to the
+    // STORED centroids and encodes with the STORED codebooks in one
+    // projection, appending O(|batch|) rows; the query serves base ∪
+    // batch off the index. The oracle trains both chains on the base
+    // split only and assigns/encodes the whole table with them: append
+    // must land exactly where write-everything-with-base-quantizers
+    // lands.
+    "x77_ivfpq_append" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val base = e.filter(col("vec_id") % PqAppendMod =!= 0)
+      val batch = e.filter(col("vec_id") % PqAppendMod === 0)
+      val cent = VectorOps.kmeansCentroids(base, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(base, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x77_ivfpq_index")
+      VectorOps.writeIvfPqIndex(base, "vec_id", "embedding", cent, cbs, idx)
+      VectorOps.appendIvfPqIndex(batch, "vec_id", "embedding", idx)
+      VectorOps.ivfPqTopKOverIndex(e, "vec_id", "embedding", QueryVecId, K,
+        NProbe, s.read.parquet(s"$idx/centroids"),
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+    }),
+
+    // ----------------------------------------------------------------- x81
+    // The periodic half of x77's append-then-compact lifecycle: appended
+    // files are not range-laid (cid file pruning degrades gracefully),
+    // so a compact re-lays the codes by cid from their own skinny bytes
+    // — no corpus pass, no re-encode — and the serve off the COMPACTED
+    // codes must land exactly where x77's serve lands (shared oracle:
+    // compaction is result-invisible; the spec pins that the re-laid
+    // files are cid-range-disjoint again).
+    "x81_ivfpq_compact" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val base = e.filter(col("vec_id") % PqAppendMod =!= 0)
+      val batch = e.filter(col("vec_id") % PqAppendMod === 0)
+      val cent = VectorOps.kmeansCentroids(base, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(base, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x81_ivfpq_index")
+      VectorOps.writeIvfPqIndex(base, "vec_id", "embedding", cent, cbs, idx)
+      VectorOps.appendIvfPqIndex(batch, "vec_id", "embedding", idx)
+      val compacted = SinkQueries.sinkDir("x81_ivfpq_codes_compacted")
+      graft.sinks.LayoutSink.compact(s, s"$idx/codes", compacted,
+        32L * 1024, Some("cid"))
+      VectorOps.ivfPqTopKOverIndex(e, "vec_id", "embedding", QueryVecId, K,
+        NProbe, s.read.parquet(s"$idx/centroids"),
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(compacted))
+    }),
+
+    // ----------------------------------------------------------------- x78
+    // RESIDUAL IVF-PQ — the standard FAISS IVFPQ form the raw-vector
+    // composition (x72) documents as its gap: PQ codebooks train on
+    // v − centroid(cell), concentrating codebook capacity on WITHIN-cell
+    // variance, and the serve compares the QUERY'S per-cell residual
+    // against the probed cells' codes (per-probe-cell LUTs). The oracle
+    // replays the coarse chain, the residual computation, the
+    // residual-trained chains, the residual encode, and the per-cell
+    // query-residual ADC.
+    "x78_ivfpq_residual" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cents = VectorOps.collectCentroids(VectorOps.kmeansCentroids(
+        e, "vec_id", "embedding", KClusters, KmeansIters))
+      val cbs = VectorOps.pqCodebooksResidual(e, "vec_id", "embedding",
+        cents, Dim, PqM, PqKs, KmeansIters)
+      VectorOps.ivfPqResidualTopK(e, "vec_id", "embedding", QueryVecId, K,
+        NProbe, cents, cbs)
+    }),
+
+    // ----------------------------------------------------------------- x80
+    // Routed-serve recall audit (the x64 pattern over the STORED
+    // composed index): the production routed batch kNN (x76's deployed
+    // form) scored against the exact L2 kNN join, per query — probe
+    // misses compound quantization loss, and this measures the composed
+    // number a deployed IVF-PQ index must monitor, off the same stored
+    // artifact it serves from.
+    "x80_routed_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val pred = col("vec_id") % KnnQueryMod === 0
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x80_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx)
+      val q = e.filter(pred)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+      val exactP = e.select(col("vec_id"), col("embedding").as("__v"))
+        .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorOps.l2sq(col("__v"), col("__qv")).as("d2"))
+      val exact = graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
+        Seq(col("d2"), col("vec_id")), KnnK).select("qid", "vec_id")
+      val routed = VectorOps.pqKnnAgainstCodesRouted(e.filter(pred),
+          "vec_id", "embedding", KnnK, NProbe,
+          s.read.parquet(s"$idx/centroids"),
+          VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+        .select("qid", "vec_id")
+      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      val nHit = exact.join(routed, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_routed"))
+      nExact.join(nHit, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_routed"), lit(0L)).as("n_routed"),
+          round(coalesce(col("n_routed"), lit(0L)) / col("n_exact"), 4)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
+    // ----------------------------------------------------------------- x82
+    // Residual-vs-raw recall — the measurement behind x78's design
+    // claim: BOTH encodings at equal m/ks/nprobe, routed through the
+    // SAME coarse cells, scored per query against the exact L2 kNN.
+    // Residual encoding removes the between-cell component before
+    // quantization, so at fixed code budget the codebooks spend their
+    // capacity on within-cell variance — the aggregate res_recall /
+    // raw_recall pair is the oracle-checked artifact of that trade on
+    // these (adversarially iid) embeddings.
+    "x82_residual_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val pred = col("vec_id") % KnnQueryMod === 0
+      val cents = VectorOps.collectCentroids(VectorOps.kmeansCentroids(
+        e, "vec_id", "embedding", KClusters, KmeansIters))
+      val rawCbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val resCbs = VectorOps.pqCodebooksResidual(e, "vec_id", "embedding",
+        cents, Dim, PqM, PqKs, KmeansIters)
+      val rawCodes = graft.GraftCache.persist(
+        VectorOps.pqEncodeWithCells(e, "vec_id", "embedding", cents, rawCbs))
+      val resCodes = graft.GraftCache.persist(
+        VectorOps.residualEncodeWithCells(e, "vec_id", "embedding", cents,
+          resCbs))
+      val raw = VectorOps.pqKnnAgainstCodesRouted(e.filter(pred), "vec_id",
+          "embedding", KnnK, NProbe, cents, rawCbs, rawCodes)
+        .select("qid", "vec_id")
+      val res = VectorOps.ivfPqResidualKnnOverCodes(e.filter(pred), "vec_id",
+          "embedding", KnnK, NProbe, cents, resCbs, resCodes)
+        .select("qid", "vec_id")
+      val q = e.filter(pred)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+      val exactP = e.select(col("vec_id"), col("embedding").as("__v"))
+        .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorOps.l2sq(col("__v"), col("__qv")).as("d2"))
+      val exact = graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
+        Seq(col("d2"), col("vec_id")), KnnK).select("qid", "vec_id")
+      def overlap(approx: DataFrame, name: String) =
+        exact.join(approx, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as(name))
+      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      nExact
+        .join(overlap(raw, "n_raw"), Seq("qid"), "left")
+        .join(overlap(res, "n_res"), Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+          round(coalesce(col("n_raw"), lit(0L)) / col("n_exact"), 4)
+            .as("raw_recall"),
+          coalesce(col("n_res"), lit(0L)).as("n_res"),
+          round(coalesce(col("n_res"), lit(0L)) / col("n_exact"), 4)
+            .as("res_recall"))
+        .orderBy("qid")
+    }),
+
+    // ----------------------------------------------------------------- x83
+    // Tombstone maintenance for the stored PQ index — the takedown/
+    // re-crawl path: write the index, discover the removed ids, drop
+    // their rows from the skinny codes (never touching the corpus
+    // vectors or the quantizers), and serve off the pruned codes. The
+    // oracle trains on the FULL corpus (delete is not retrain) and
+    // serves only the survivors — the SQL image of
+    // delete-without-rebuild; the spec separately pins pruned codes ==
+    // encode(survivors) with the stored codebooks.
+    "x83_pq_delete" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x83_pq_index")
+      VectorOps.writePqIndex(e, "vec_id", "embedding", cbs, idx)
+      val removed = e.filter(col("vec_id") % VecDeleteMod === VecDeleteRem)
+        .select("vec_id")
+      val pruned = SinkQueries.sinkDir("x83_pq_codes_pruned")
+      VectorOps.deletePqCodes(s, idx, removed, "vec_id", pruned)
+      VectorOps.pqTopKOverCodes(e, "vec_id", "embedding", QueryVecId, K,
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(pruned))
+    }),
+
     // ----------------------------------------------------------------- x71
     // PQ recall audit (the x64 pattern for the PQ path): both the raw ADC
     // kNN join AND the deployed two-stage form (ADC shortlist → exact
@@ -550,69 +752,88 @@ object VectorQueries {
        |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
        |    FROM embeddings e CROSS JOIN c$KmeansIters c) WHERE rn = 1)""".stripMargin
 
-  /** The PQ oracle's 4 per-subspace k-means chains (tagged CTE names) and
+  /** The PQ oracle's per-subspace k-means chains (tagged CTE names) and
     * the per-subspace argmin encode CTEs — the SQL replay of
     * [[VectorOps.pqCodebooks]] + [[VectorOps.pqEncode]]. */
   private def pqChainsSql: String = pqChainsSqlFor("embeddings")
 
   /** The per-subspace chains over an arbitrary base relation — x74 trains
     * on the standing base split only, so the source must be pluggable
-    * like [[kmeansSqlFor]]'s. */
-  private def pqChainsSqlFor(baseRel: String): String =
+    * like [[kmeansSqlFor]]'s. The tag prefix `t` namespaces the CTE
+    * chain (`p` = raw-vector codebooks, `r` = residual codebooks) so the
+    * residual-recall oracle can carry BOTH quantizer families in one
+    * WITH clause. */
+  private def pqChainsSqlFor(baseRel: String, t: String = "p"): String =
     (0 until PqM).map { j =>
       val lo = j * PqSub + 1
       val hi = (j + 1) * PqSub
       kmeansSqlFor(
         s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $baseRel)",
-        dim = PqSub, k = PqKs, tag = s"p$j")
+        dim = PqSub, k = PqKs, tag = s"$t$j")
     }.mkString(",\n")
 
-  private def pqEncodeSql: String =
+  /** Per-subspace argmin encode CTEs `enc$t$j` of relation `src`
+    * (vec_id, embedding) against the `$t`-tagged chains. */
+  private def pqEncodeSqlFor(src: String = "embeddings",
+                             t: String = "p"): String =
     (0 until PqM).map { j =>
       val lo = j * PqSub + 1
       val hi = (j + 1) * PqSub
-      s"""enc$j AS (
+      s"""enc$t$j AS (
          |  SELECT vec_id, cid AS code FROM (
          |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${l2Sql(s"e.embedding[$lo:$hi]", "c.c")}, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cp$j$KmeansIters c) WHERE rn = 1)""".stripMargin
+         |    FROM $src e CROSS JOIN c$t$j$KmeansIters c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
 
+  private def pqEncodeSql: String = pqEncodeSqlFor()
+
   /** ADC distance of query-vector expression `qv` against the joined
-    * codebook rows cc0..cc{m-1} — left-associated sum, matching the Spark
-    * side's `reduce(_ + _)`. */
-  private def pqAdcSql(qv: String): String =
+    * codebook rows cc$t0..cc$t{m-1} — left-associated sum, matching the
+    * Spark side's `reduce(_ + _)`. */
+  private def pqAdcSql(qv: String, t: String = "p"): String =
     (0 until PqM).map { j =>
       val lo = j * PqSub + 1
       val hi = (j + 1) * PqSub
-      l2Sql(s"$qv[$lo:$hi]", s"cc$j.c")
+      l2Sql(s"$qv[$lo:$hi]", s"cc$t$j.c")
     }.mkString(" + ")
 
   /** Joins attaching each vector's per-subspace code and its centroid. */
-  private def pqJoinsSql: String =
+  private def pqJoinsSql(t: String = "p"): String =
     (0 until PqM).map(j =>
-      s"JOIN enc$j e$j USING (vec_id) " +
-        s"JOIN cp$j$KmeansIters cc$j ON e$j.code = cc$j.cid").mkString("\n")
+      s"JOIN enc$t$j e$t$j USING (vec_id) " +
+        s"JOIN c$t$j$KmeansIters cc$t$j ON e$t$j.code = cc$t$j.cid").mkString("\n")
 
-  /** Single-query ADC top-k replay — shared by x70 (live index) and x73
-    * (stored index): the storage round trip is result-invisible. */
-  private lazy val pqTopkSql: String =
+  /** Single-query ADC top-k replay over a pluggable SERVED id set —
+    * shared by x70 (live index), x73 (stored index, verbatim), and x83
+    * (post-delete serve: the survivors' predicate narrows the served
+    * rows while the codebooks still train on the full corpus, the SQL
+    * image of delete-without-retrain). */
+  private def pqTopkSqlServing(servedPred: String): String = {
+    val where = if (servedPred.isEmpty) "" else s" WHERE $servedPred"
     s"""WITH $pqChainsSql,
        |$pqEncodeSql,
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
        |SELECT b.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
-       |FROM (SELECT vec_id FROM embeddings) b
-       |$pqJoinsSql
+       |FROM (SELECT vec_id FROM embeddings$where) b
+       |${pqJoinsSql()}
        |CROSS JOIN q
        |WHERE b.vec_id <> $QueryVecId
        |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin
+  }
 
-  /** Composed IVF-PQ top-k replay — shared by x72 (live quantizers) and
-    * x75 (stored index): route to nprobe cells, ADC-rank within them. */
-  private lazy val ivfPqTopkSql: String =
-    s"""WITH $kmeansSql,
+  private lazy val pqTopkSql: String = pqTopkSqlServing("")
+
+  /** Composed IVF-PQ top-k replay over a pluggable TRAINING source —
+    * shared by x72 (live quantizers, trained on everything), x75 (stored
+    * index, verbatim), and x77/x81 (append/compact lifecycle: both
+    * quantizer families train on the standing BASE split only, then the
+    * whole corpus — base ∪ appended batch — assigns, encodes, and
+    * serves, the SQL image of write-then-append). */
+  private def ivfPqTopkSqlFor(trainSrc: String): String =
+    s"""WITH ${kmeansSqlFor(trainSrc)},
        |$assignCte,
-       |$pqChainsSql,
+       |${pqChainsSqlFor(trainSrc)},
        |$pqEncodeSql,
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
        |probes AS (
@@ -621,10 +842,148 @@ object VectorQueries {
        |SELECT a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
        |FROM (SELECT vec_id, cid FROM assign) a
        |JOIN probes p ON a.cid = p.cid
-       |$pqJoinsSql
+       |${pqJoinsSql()}
        |CROSS JOIN q
        |WHERE a.vec_id <> $QueryVecId
        |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin
+
+  private lazy val ivfPqTopkSql: String = ivfPqTopkSqlFor("embeddings")
+
+  /** The x77/x81 shared oracle: quantizers trained on the base split. */
+  private lazy val ivfPqAppendSql: String = ivfPqTopkSqlFor(
+    s"(SELECT * FROM embeddings WHERE vec_id % $PqAppendMod != 0)")
+
+  /** Residual CTE: every vector minus its assigned cell's centroid —
+    * the SQL image of [[VectorOps.residuals]] (exact double arithmetic:
+    * float element cast to double, minus the round-6 centroid
+    * coordinate). */
+  private def residualCte: String =
+    s"""res AS (
+       |  SELECT a.vec_id, a.cid,
+       |    list_transform(list_zip(a.embedding, c.c),
+       |      x -> x[1]::DOUBLE - x[2]) AS embedding
+       |  FROM assign a JOIN c$KmeansIters c USING (cid))""".stripMargin
+
+  private val ResidualSrc = "(SELECT vec_id, embedding FROM res)"
+
+  /** x78: the residual IVF-PQ replay — coarse chain, per-vector
+    * residuals, r-tagged codebook chains TRAINED ON RESIDUALS, residual
+    * encode, and a serve whose ADC compares the QUERY'S RESIDUAL
+    * against each probed cell (qres is per probe cell). */
+  private lazy val ivfPqResidualTopkSql: String =
+    s"""WITH $kmeansSql,
+       |$assignCte,
+       |$residualCte,
+       |${pqChainsSqlFor(ResidualSrc, "r")},
+       |${pqEncodeSqlFor(ResidualSrc, "r")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |probes AS (
+       |  SELECT c.cid FROM c$KmeansIters c CROSS JOIN q
+       |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbe),
+       |qres AS (
+       |  SELECT p.cid,
+       |    list_transform(list_zip(q.qv, c.c), x -> x[1]::DOUBLE - x[2]) AS qr
+       |  FROM probes p JOIN c$KmeansIters c USING (cid) CROSS JOIN q)
+       |SELECT a.vec_id, round(${pqAdcSql("qr.qr", "r")}, 6) AS adc_d2
+       |FROM (SELECT vec_id, cid FROM assign) a
+       |JOIN qres qr ON a.cid = qr.cid
+       |${pqJoinsSql("r")}
+       |WHERE a.vec_id <> $QueryVecId
+       |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin
+
+  /** Shared CTE block for the batch-query recall oracles: the sampled
+    * query set, the exact L2 kNN ranking, and the per-query probe cells
+    * against the coarse chain. */
+  private def recallBaseCtes: String =
+    s"""q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |exactp AS (
+       |  SELECT q.qid, e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d2
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY d2, vec_id) AS rk FROM exactp)
+       |  WHERE rk <= $KnnK),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c$KmeansIters c)
+       |  WHERE rn <= $NProbe)""".stripMargin
+
+  /** The routed ADC ranking cut to KnnK per query — raw (`t = "p"`, LUT
+    * from the query vector itself) or residual (`t = "r"`, LUT from the
+    * per-cell query residual via the qres CTE). */
+  private def routedKCte(name: String, t: String): String = {
+    val (qRel, qv, qid) =
+      if (t == "r") ("qres qr ON a.cid = qr.cid", "qr.qr", "qr.qid")
+      else ("probes p ON a.cid = p.cid JOIN q ON q.qid = p.qid", "q.qv", "q.qid")
+    s"""${name}_ranked AS (
+       |  SELECT $qid AS qid, a.vec_id, round(${pqAdcSql(qv, t)}, 6) AS adc_d2
+       |  FROM (SELECT vec_id, cid FROM assign) a
+       |  JOIN $qRel
+       |  ${pqJoinsSql(t)}
+       |  WHERE a.vec_id <> $qid),
+       |$name AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS rk FROM ${name}_ranked)
+       |  WHERE rk <= $KnnK)""".stripMargin
+  }
+
+  /** x80: the routed serve (x76's form) recall vs the exact L2 kNN. */
+  private lazy val routedRecallSql: String =
+    s"""WITH $kmeansSql,
+       |$assignCte,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |$recallBaseCtes,
+       |${routedKCte("routed", "p")},
+       |ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1),
+       |nr AS (
+       |  SELECT qid, count(*) AS n_routed
+       |  FROM exact JOIN routed USING (qid, vec_id) GROUP BY 1)
+       |SELECT ne.qid, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(coalesce(n_routed, 0) AS BIGINT) AS n_routed,
+       |  round(coalesce(n_routed, 0) / n_exact::DOUBLE, 4) AS recall
+       |FROM ne LEFT JOIN nr USING (qid)
+       |ORDER BY qid""".stripMargin
+
+  /** x82: raw vs residual routed recall at equal m/ks/nprobe — both
+    * quantizer families in one WITH clause via the tag namespaces. */
+  private lazy val residualRecallSql: String =
+    s"""WITH $kmeansSql,
+       |$assignCte,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |$residualCte,
+       |${pqChainsSqlFor(ResidualSrc, "r")},
+       |${pqEncodeSqlFor(ResidualSrc, "r")},
+       |$recallBaseCtes,
+       |qres AS (
+       |  SELECT p.qid, p.cid,
+       |    list_transform(list_zip(q.qv, c.c), x -> x[1]::DOUBLE - x[2]) AS qr
+       |  FROM probes p JOIN c$KmeansIters c USING (cid)
+       |  JOIN q ON q.qid = p.qid),
+       |${routedKCte("rawk", "p")},
+       |${routedKCte("resk", "r")},
+       |ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1),
+       |na AS (
+       |  SELECT qid, count(*) AS n_raw
+       |  FROM exact JOIN rawk USING (qid, vec_id) GROUP BY 1),
+       |ns AS (
+       |  SELECT qid, count(*) AS n_res
+       |  FROM exact JOIN resk USING (qid, vec_id) GROUP BY 1)
+       |SELECT ne.qid, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(coalesce(n_raw, 0) AS BIGINT) AS n_raw,
+       |  round(coalesce(n_raw, 0) / n_exact::DOUBLE, 4) AS raw_recall,
+       |  CAST(coalesce(n_res, 0) AS BIGINT) AS n_res,
+       |  round(coalesce(n_res, 0) / n_exact::DOUBLE, 4) AS res_recall
+       |FROM ne LEFT JOIN na USING (qid)
+       |LEFT JOIN ns USING (qid)
+       |ORDER BY qid""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "x54_jl_projection" -> {
@@ -730,7 +1089,7 @@ object VectorQueries {
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
          |SELECT b.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
          |FROM (SELECT vec_id FROM embeddings) b
-         |$pqJoinsSql
+         |${pqJoinsSql()}
          |CROSS JOIN q
          |WHERE b.vec_id <> $QueryVecId
          |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin,
@@ -740,6 +1099,21 @@ object VectorQueries {
     // codebooks) must be result-invisible, so it shares x72's oracle
     // verbatim, exactly as x73 shares x70's.
     "x75_ivfpq_indexed" -> ivfPqTopkSql,
+    // x77 trains both quantizer families on the BASE split, then assigns/
+    // encodes and serves the whole table — write-then-append must be
+    // invisible vs write-everything-with-base-quantizers.
+    "x77_ivfpq_append" -> ivfPqAppendSql,
+    // x81 compacts x77's appended codes before serving — compaction is a
+    // LAYOUT operation, result-invisible by contract, so it shares x77's
+    // oracle verbatim (exactly as x73/x75 share their live twins').
+    "x81_ivfpq_compact" -> ivfPqAppendSql,
+    "x78_ivfpq_residual" -> ivfPqResidualTopkSql,
+    "x80_routed_recall" -> routedRecallSql,
+    "x82_residual_recall" -> residualRecallSql,
+    // x83 serves the full-corpus-trained ranking over the SURVIVORS only
+    // — delete is never a retrain.
+    "x83_pq_delete" ->
+      pqTopkSqlServing(s"vec_id % $VecDeleteMod <> $VecDeleteRem"),
     "x71_pq_recall" ->
       s"""WITH $pqChainsSql,
          |$pqEncodeSql,
@@ -757,7 +1131,7 @@ object VectorQueries {
          |adcp AS (
          |  SELECT q.qid, b.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
          |  FROM (SELECT vec_id FROM embeddings) b
-         |  $pqJoinsSql
+         |  ${pqJoinsSql()}
          |  CROSS JOIN q
          |  WHERE b.vec_id <> q.qid),
          |adcr AS (
@@ -812,7 +1186,7 @@ object VectorQueries {
          |  FROM (SELECT vec_id, cid FROM assign) a
          |  JOIN probes p ON a.cid = p.cid
          |  JOIN q ON q.qid = p.qid
-         |  $pqJoinsSql
+         |  ${pqJoinsSql()}
          |  WHERE a.vec_id <> q.qid)
          |SELECT qid, vec_id, adc_d2 FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid

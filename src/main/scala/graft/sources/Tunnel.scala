@@ -101,10 +101,18 @@ final class TunnelForwarder(factory: Tunnel.ChannelFactory,
   def start(): TunnelForwarder = {
     server.bind(new InetSocketAddress(InetAddress.getLoopbackAddress, 0))
     acceptor = daemon(s"graft-tunnel-acceptor:${server.getLocalPort}") { () =>
-      while (!closed.get()) {
+      while (!closed.get() && !server.isClosed) {
         val client =
           try server.accept()
-          catch { case _: IOException => null } // closed underneath us
+          catch {
+            case _: IOException =>
+              // closed underneath us → the loop guard exits next pass; a
+              // PERSISTENT non-fatal accept failure (EMFILE under many
+              // concurrent JDBC cursors — the advertised use) must not
+              // busy-spin the acceptor: brief pause, then retry
+              if (!closed.get() && !server.isClosed) Thread.sleep(10)
+              null
+          }
         // hop open (with its retry/backoff and connect timeouts) runs on
         // its OWN thread: inline it and one slow/dead hop head-of-line-
         // blocks every other client's connection setup — N concurrent
@@ -172,15 +180,26 @@ final class TunnelForwarder(factory: Tunnel.ChannelFactory,
     pump("down", channel, client)
   }
 
+  /** Close-aware retry: `closed` is re-checked before every dial and the
+    * backoff sleeps in 10 ms slices that re-check it too, so a setup
+    * thread lingers at most one in-flight `factory.open()` connect
+    * timeout past close() — never connect-timeout PLUS the whole
+    * backoff ladder. */
   private def openWithRetry(): Socket = {
     var attempt = 0
     var backoffMs = initialBackoffMs
     while (true) {
+      if (closed.get()) throw new IOException("forwarder closed")
       try return factory.open()
       catch {
         case e: IOException =>
           if (attempt >= maxOpenRetries || closed.get()) throw e
-          Thread.sleep(backoffMs); backoffMs *= 2; attempt += 1
+          var waited = 0L
+          while (waited < backoffMs && !closed.get()) {
+            val step = math.min(10L, backoffMs - waited)
+            Thread.sleep(step); waited += step
+          }
+          backoffMs *= 2; attempt += 1
       }
     }
     throw new IllegalStateException("unreachable")

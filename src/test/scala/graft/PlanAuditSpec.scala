@@ -299,8 +299,16 @@ class PlanAuditSpec extends SparkSpec {
     // point read) — the corpus is served from m-byte codes, never floats
     val vecScans = scans.filter(_.schema.fieldNames.contains("embedding"))
     assert(vecScans.nonEmpty, "the query row is read full-precision")
-    assert(vecScans.forall(_.toString.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]")),
-      s"every embedding scan must be the vec_id=0 point lookup:\n$p")
+    // the two pushed fragments asserted individually (not one exact
+    // rendering): the filter order/format is Spark-version-specific, and
+    // the query id comes from the constant, not a hardcoded 0
+    val qid = graft.queries.VectorQueries.QueryVecId
+    vecScans.foreach { f =>
+      val s = f.toString
+      assert(s.contains("IsNotNull(vec_id)") &&
+          s.contains(s"EqualTo(vec_id,$qid)"),
+        s"every embedding scan must be the vec_id=$qid point lookup:\n$f")
+    }
     graft.GraftCache.release()
   }
 
@@ -319,6 +327,41 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(p.toString.contains("TakeOrderedAndProject"),
       s"ADC top-k must compile to TakeOrdered:\n$p")
+    graft.GraftCache.release()
+  }
+
+  test("x77 append serve pushes the probe's cid IN filter to the appended " +
+      "codes scan and reads no corpus vectors there") {
+    // x75's audit over the APPENDED index: the serve must be identical in
+    // shape — appended files merely prune less until compacted.
+    val p = finalPlan("x77_ivfpq_append")
+    val scans = allNodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val codesScans = scans.filter(_.toString.contains("x77_ivfpq_index/codes"))
+    assert(codesScans.nonEmpty, s"serve must read the stored codes:\n$p")
+    codesScans.foreach { f =>
+      assert(f.toString.contains("In(cid, ["),
+        s"the probe's cell predicate must reach the codes scan:\n$f")
+      assert(!f.schema.fieldNames.contains("embedding"),
+        s"the codes scan must never carry corpus vectors:\n$f")
+    }
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"ADC top-k must compile to TakeOrdered:\n$p")
+    graft.GraftCache.release()
+  }
+
+  test("x78 residual serve: probe LUTs broadcast onto a cid equi join, " +
+      "zero shuffles, TakeOrdered") {
+    // The serve reads the cached residual codes with the nprobe probe
+    // rows (per-cell residual LUTs) broadcast on cid — no exchange of
+    // the corpus side, top-k via TakeOrdered like every single-query
+    // serve in the family.
+    val p = finalPlan("x78_ivfpq_residual")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"residual ADC top-k must compile to TakeOrdered:\n$p")
+    assert(shuffleCount(p) === 0, s"the serve must never shuffle:\n$p")
+    assert(allNodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"probe LUTs must broadcast onto the codes:\n$p")
     graft.GraftCache.release()
   }
 

@@ -56,6 +56,7 @@ object BenchExpectations {
     "a16_incremental_agg" -> 0.3398,
     "a17_quality_checks" -> 0.3056,
     "a18_group_mode" -> 0.2554,
+    "a19_decimal_money" -> 1.3081,
     "a1_group_sum" -> 0.3296,
     "a3_cycle_breakdown" -> 0.1907,
     "a4_conditional_pivot" -> 0.3804,
@@ -206,7 +207,16 @@ object BenchExpectations {
     "x74_pq_append" -> 4.405,
     "x75_ivfpq_indexed" -> 3.5962,
     "x76_pq_routed_knn" -> 4.4357,
+    "x77_ivfpq_append" -> 8.1348,
+    "x78_ivfpq_residual" -> 4.1489,
+    "x79_band_delete" -> 3.4064,
     "x7_ann_topk" -> 0.1949,
+    "x80_routed_recall" -> 6.7733,
+    "x81_ivfpq_compact" -> 8.3821,
+    "x82_residual_recall" -> 8.456,
+    "x83_pq_delete" -> 4.2218,
+    "x84_ivfpq_residual_indexed" -> 6.8377,
+    "x85_ivfpq_delete" -> 5.5455,
     "x8_embed_neardups" -> 0.4072,
     "x9_token_stats" -> 0.3596,
   )

@@ -1180,6 +1180,60 @@ object VectorOps {
       Seq(col("adc_d2"), col(idCol)), k)
   }
 
+  /** Materialize the RESIDUAL composed index — [[writeIvfPqIndex]]'s
+    * layout (codes range-laid by cid, centroids, codebooks) with the
+    * codes residual-encoded: the stored form of [[ivfPqResidualTopK]],
+    * so the nightly steady state trains once and every serve reads
+    * probe-pruned files of m-byte codes. The quantizer tables stored
+    * are exactly the live pair, so a serve off the store must be
+    * result-invisible vs the live form (shared oracle). */
+  def writeIvfPqResidualIndex(embeddings: DataFrame, idCol: String,
+                              vecCol: String, cents: Seq[(Long, Seq[Double])],
+                              codebooks: Seq[Seq[(Long, Seq[Double])]],
+                              dir: String, numFiles: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
+    graft.sinks.LayoutSink.writeRangeLayout(
+      residualEncodeWithCells(embeddings, idCol, vecCol, cents, codebooks),
+      "cid", numFiles, s"$dir/codes")
+    spark.createDataFrame(cents).toDF("cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeCodebooks(spark, codebooks, dir)
+  }
+
+  /** [[ivfPqResidualTopKOverCodes]] served OFF the stored residual index
+    * ([[writeIvfPqResidualIndex]]): the nprobe winning cell ids (bounded
+    * by construction) collect to literals and the codes scan carries
+    * `cid IN (probes)` as a pushed filter — file pruning on the range
+    * layout, the same read-path payoff as [[ivfPqTopKOverIndex]]. The
+    * probe ranking arithmetic is identical to the live form, so the
+    * probed cells — and therefore the results — are identical. */
+  def ivfPqResidualTopKOverIndex(querySource: DataFrame, idCol: String,
+                                 vecCol: String, queryId: Long, k: Int,
+                                 nprobe: Int, cents: Seq[(Long, Seq[Double])],
+                                 codebooks: Seq[Seq[(Long, Seq[Double])]],
+                                 codes: DataFrame): DataFrame = {
+    require(cents.nonEmpty, "at least one centroid")
+    val qv = querySource.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    val cellCands = array(cents.map { case (cid, c) =>
+      struct(l2sq(col("__qv"), array(c.map(lit): _*)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probeIds = qv
+      .select(explode(transform(slice(array_sort(cellCands), 1, nprobe),
+        p => p.getField("cid"))).as("cid"))
+      .collect().map(_.getLong(0)).toSeq
+    ivfPqResidualTopKOverCodes(querySource, idCol, vecCol, queryId, k, nprobe,
+      cents, codebooks, codes.filter(col("cid").isin(probeIds: _*)))
+  }
+
+  /** Rehydrate a stored centroid table ([[writeIvfPqIndex]] /
+    * [[writeIvfPqResidualIndex]]) to the driver-resident seq the
+    * residual serves take — k×dim doubles, exact through parquet. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Seq[(Long, Seq[Double])] =
+    collectCentroids(spark.read.parquet(s"$dir/centroids"))
+
   // ------------------------------------------------- index delete/compact
 
   /** Tombstone maintenance for a stored PQ / IVF-PQ index

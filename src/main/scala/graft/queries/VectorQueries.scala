@@ -603,6 +603,53 @@ object VectorQueries {
         .orderBy("qid")
     }),
 
+    // ----------------------------------------------------------------- x84
+    // The RESIDUAL composed index as a STORED artifact — x75's move
+    // applied to x78: residual codes range-laid by cid, centroids +
+    // codebooks parquet; the serve rehydrates both quantizers, pushes
+    // the probe's `cid IN` to the codes scan, and must land exactly
+    // where the live residual form lands (shared oracle — the storage
+    // round trip is result-invisible).
+    "x84_ivfpq_residual_indexed" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cents = VectorOps.collectCentroids(VectorOps.kmeansCentroids(
+        e, "vec_id", "embedding", KClusters, KmeansIters))
+      val cbs = VectorOps.pqCodebooksResidual(e, "vec_id", "embedding",
+        cents, Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x84_ivfpq_res_index")
+      VectorOps.writeIvfPqResidualIndex(e, "vec_id", "embedding", cents,
+        cbs, idx)
+      VectorOps.ivfPqResidualTopKOverIndex(e, "vec_id", "embedding",
+        QueryVecId, K, NProbe, VectorOps.readCentroids(s, idx),
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+    }),
+
+    // ----------------------------------------------------------------- x85
+    // Tombstone delete on the COMPOSED index, served end to end — x83's
+    // lifecycle at the billion-scale layout: the pruned codes keep their
+    // cid range layout (deletePqCodes re-lays), and the serve off the
+    // pruned index equals the full-corpus-trained ranking over the
+    // survivors (the oracle narrows the served rows only — delete is
+    // never a retrain).
+    "x85_ivfpq_delete" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x85_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx)
+      val removed = e.filter(col("vec_id") % VecDeleteMod === VecDeleteRem)
+        .select("vec_id")
+      val pruned = SinkQueries.sinkDir("x85_ivfpq_codes_pruned")
+      VectorOps.deletePqCodes(s, idx, removed, "vec_id", pruned)
+      VectorOps.ivfPqTopKOverIndex(e, "vec_id", "embedding", QueryVecId, K,
+        NProbe, s.read.parquet(s"$idx/centroids"),
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(pruned))
+    }),
+
     // ----------------------------------------------------------------- x83
     // Tombstone maintenance for the stored PQ index — the takedown/
     // re-crawl path: write the index, discover the removed ids, drop
@@ -830,7 +877,9 @@ object VectorQueries {
     * quantizer families train on the standing BASE split only, then the
     * whole corpus — base ∪ appended batch — assigns, encodes, and
     * serves, the SQL image of write-then-append). */
-  private def ivfPqTopkSqlFor(trainSrc: String): String =
+  private def ivfPqTopkSqlFor(trainSrc: String,
+                              servedPred: String = ""): String = {
+    val where = if (servedPred.isEmpty) "" else s" WHERE $servedPred"
     s"""WITH ${kmeansSqlFor(trainSrc)},
        |$assignCte,
        |${pqChainsSqlFor(trainSrc)},
@@ -840,12 +889,13 @@ object VectorQueries {
        |  SELECT c.cid FROM c$KmeansIters c CROSS JOIN q
        |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbe)
        |SELECT a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
-       |FROM (SELECT vec_id, cid FROM assign) a
+       |FROM (SELECT vec_id, cid FROM assign$where) a
        |JOIN probes p ON a.cid = p.cid
        |${pqJoinsSql()}
        |CROSS JOIN q
        |WHERE a.vec_id <> $QueryVecId
        |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin
+  }
 
   private lazy val ivfPqTopkSql: String = ivfPqTopkSqlFor("embeddings")
 
@@ -1108,6 +1158,14 @@ object VectorQueries {
     // oracle verbatim (exactly as x73/x75 share their live twins').
     "x81_ivfpq_compact" -> ivfPqAppendSql,
     "x78_ivfpq_residual" -> ivfPqResidualTopkSql,
+    // x84 serves the IDENTICAL residual ranking off the stored index —
+    // the storage round trip must be result-invisible, so it shares
+    // x78's oracle verbatim (the x73/x75 pattern for the residual form).
+    "x84_ivfpq_residual_indexed" -> ivfPqResidualTopkSql,
+    // x85: full-corpus-trained composed ranking served over survivors
+    // only — the delete narrows the served rows, never the quantizers.
+    "x85_ivfpq_delete" -> ivfPqTopkSqlFor("embeddings",
+      s"vec_id % $VecDeleteMod <> $VecDeleteRem"),
     "x80_routed_recall" -> routedRecallSql,
     "x82_residual_recall" -> residualRecallSql,
     // x83 serves the full-corpus-trained ranking over the SURVIVORS only

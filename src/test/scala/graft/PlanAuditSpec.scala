@@ -350,6 +350,24 @@ class PlanAuditSpec extends SparkSpec {
     graft.GraftCache.release()
   }
 
+  test("x84 stored residual serve pushes the probe's cid IN filter to the " +
+      "codes scan — file pruning on the range layout") {
+    val p = finalPlan("x84_ivfpq_residual_indexed")
+    val scans = allNodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val codesScans = scans.filter(_.toString.contains("x84_ivfpq_res_index/codes"))
+    assert(codesScans.nonEmpty, s"serve must read the stored codes:\n$p")
+    codesScans.foreach { f =>
+      assert(f.toString.contains("In(cid, ["),
+        s"the probe's cell predicate must reach the codes scan:\n$f")
+      assert(!f.schema.fieldNames.contains("embedding"),
+        s"the codes scan must never carry corpus vectors:\n$f")
+    }
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"residual ADC top-k must compile to TakeOrdered:\n$p")
+    graft.GraftCache.release()
+  }
+
   test("x78 residual serve: probe LUTs broadcast onto a cid equi join, " +
       "zero shuffles, TakeOrdered") {
     // The serve reads the cached residual codes with the nprobe probe

@@ -178,6 +178,26 @@ class IndexLifecycleSpec extends SparkSpec {
       "nprobe = |cells| must rank every non-query vector")
   }
 
+  test("stored residual index serves the live residual ranking") {
+    val e = embeddings
+    val cents = VectorOps.collectCentroids(
+      VectorOps.kmeansCentroids(e, "vec_id", "embedding", 8, 1))
+    val cbs = VectorOps.pqCodebooksResidual(e, "vec_id", "embedding", cents,
+      64, 4, 8, 1)
+    val live = VectorOps.ivfPqResidualTopK(e, "vec_id", "embedding", 0L, 10,
+      2, cents, cbs).collect().toSeq
+    graft.GraftCache.release()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-res-idx").toString
+    VectorOps.writeIvfPqResidualIndex(e, "vec_id", "embedding", cents, cbs,
+      dir, numFiles = 4)
+    val stored = VectorOps.ivfPqResidualTopKOverIndex(e, "vec_id",
+      "embedding", 0L, 10, 2, VectorOps.readCentroids(spark, dir),
+      VectorOps.readPqCodebooks(spark, dir),
+      spark.read.parquet(s"$dir/codes")).collect().toSeq
+    assert(stored === live, "the storage round trip must be result-invisible")
+  }
+
   test("compacted appended composed index restores cid-disjoint files") {
     // x81's layout claim, pinned structurally: append breaks the range
     // layout (new files overlap standing cid ranges); compact re-lays

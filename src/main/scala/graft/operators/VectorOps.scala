@@ -1039,6 +1039,23 @@ object VectorOps {
     map(cents.flatMap { case (cid, c) =>
       Seq(lit(cid), array(c.map(lit): _*)) }: _*)
 
+  /** Codegen'd element-wise vector subtraction (array<double> result) —
+    * a custom expression ([[graft.functions.VectorSubtract]]) because
+    * the zip_with lambda runs interpreted and the residual encode pays
+    * it once per corpus row; bit-identical to
+    * `zip_with(a, b, (x, c) => x.cast("double") - c)` on the
+    * equal-length null-free inputs the residual paths feed it. */
+  def vecSub(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VectorSubtract(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The pre-codegen HOF formulation of [[vecSub]], kept as the
+    * reference semantics the custom expression is tested against. */
+  def vecSubHof(a: Column, b: Column): Column =
+    zip_with(a, b, (x, c) => x.cast("double") - c)
+
   /** Per-vector residual against its assigned coarse cell — (vec_id, cid,
     * residual) where residual_i = v_i − centroid(cid)_i in doubles. The
     * input to RESIDUAL product quantization (the standard FAISS IVFPQ
@@ -1061,8 +1078,8 @@ object VectorOps {
       .select(col(idCol).as("vec_id"), v.as("__v"),
         array_min(array(candidates: _*)).getField("cid").as("cid"))
       .select(col("vec_id"), col("cid"),
-        zip_with(col("__v"), element_at(centroidMap(cents), col("cid")),
-          (x, c) => x.cast("double") - c).as("residual"))
+        vecSub(col("__v"), element_at(centroidMap(cents), col("cid")))
+          .as("residual"))
   }
 
   /** Residual-trained PQ codebooks: the per-subspace k-means chains of
@@ -1124,8 +1141,7 @@ object VectorOps {
         explode(transform(slice(array_sort(cellCands), 1, nprobe),
           p => p.getField("cid"))).as("cid"))
       .withColumn("__qr",
-        zip_with(col("__qv"), element_at(centroidMap(cents), col("cid")),
-          (x, c) => x.cast("double") - c))
+        vecSub(col("__qv"), element_at(centroidMap(cents), col("cid"))))
     val q = probes.select(col("cid") +: adcLutColumns("__qr", codebooks): _*)
     codes.filter(col(idCol) =!= queryId)
       .join(broadcast(q), "cid")
@@ -1169,8 +1185,7 @@ object VectorOps {
         explode(transform(slice(array_sort(cellCands), 1, nprobe),
           p => p.getField("cid"))).as("cid"))
       .withColumn("__qr",
-        zip_with(col("__qv"), element_at(centroidMap(cents), col("cid")),
-          (x, c) => x.cast("double") - c))
+        vecSub(col("__qv"), element_at(centroidMap(cents), col("cid"))))
     val qLuts = qProbes.select(col("qid") +: col("cid") +:
       adcLutColumns("__qr", codebooks): _*)
     val ranked = codes.join(broadcast(qLuts), "cid")

@@ -221,6 +221,32 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("codegen'd vector subtraction is bit-identical to the HOF zip_with") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "fv", "dv")
+    val out = df.select(
+      VectorOps.vecSub($"fv", $"dv").as("c"),
+      VectorOps.vecSubHof($"fv", $"dv").as("h"),
+      VectorOps.vecSub($"dv", $"dv").as("cz")).collect()
+    out.foreach { r =>
+      val (c, h) = (r.getSeq[Double](0), r.getSeq[Double](1))
+      assert(c.length === 64)
+      c.zip(h).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ===
+               java.lang.Double.doubleToLongBits(y))
+      }
+      assert(r.getSeq[Double](2).forall(_ === 0.0))
+    }
+    // poison contract: length mismatch → null result
+    val bad = Seq((Array(1.0, 2.0), Array(1.0)))
+      .toDF("a", "b").select(VectorOps.vecSub($"a", $"b")).head
+    assert(bad.isNullAt(0))
+  }
+
   test("cosine: orthogonal → 0, parallel → 1, known value") {
     val df = Seq(
       (Array(1.0, 0.0), Array(0.0, 1.0)),

@@ -217,6 +217,7 @@ object BenchExpectations {
     "x83_pq_delete" -> 4.2218,
     "x84_ivfpq_residual_indexed" -> 6.8377,
     "x85_ivfpq_delete" -> 5.5455,
+    "x86_clustered_recall" -> 10.7327,
     "x8_embed_neardups" -> 0.4072,
     "x9_token_stats" -> 0.3596,
   )

@@ -77,6 +77,35 @@ object VectorQueries {
   val VecDeleteMod = 5L
   val VecDeleteRem = 3L
 
+  /** Cluster geometry for the clustered-recall gate (x86): the iid test
+    * embeddings are PQ's adversarial case (no cell structure — x82
+    * honestly reports raw ≈ residual recall there), so this gate derives
+    * a CLUSTERED corpus from the same table deterministically: group
+    * g = vec_id % 8 shifts every vector by an integer offset pattern
+    * c_g[j] = ((g·7 + j·3) mod 11) − 5 ∈ [−5, 5]. 7 is invertible mod
+    * 11, so all 8 group centers are distinct, inter-center distances
+    * (~20·64 squared) dwarf the within-group iid spread (~40), and every
+    * offset is a small integer — exactly representable, so Spark's
+    * double arithmetic and DuckDB's agree bit-for-bit. This is the
+    * regime real text/image embeddings live in, and where the residual
+    * form's codebook-capacity argument actually bites. */
+  val ClusterGroups = 8L
+  val ClusterOffMod = 11L
+  val ClusterOffShift = 5L
+
+  /** The clustered derivation of the embeddings table (x86): element j
+    * becomes embedding[j] + c_g[j] in exact double arithmetic. */
+  def clusteredEmbeddings(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("embedding"), (x, j) => {
+        // Whole offset in LONG arithmetic, then ONE double add — the
+        // oracle does the same (BIGINT offset + one DOUBLE add), so
+        // there is exactly one rounding on each side.
+        val off = (((col("vec_id") % ClusterGroups) * 7L +
+          j.cast("long") * 3L) % ClusterOffMod) - ClusterOffShift
+        x.cast("double") + off
+      }).as("embedding"))
+
   /** Candidate pool per query for the two-stage JL kNN (x55). The
     * synthetic iid embeddings are JL's ADVERSARIAL case — no cluster
     * structure, true neighbours barely above the cosine noise floor — so
@@ -603,6 +632,64 @@ object VectorQueries {
         .orderBy("qid")
     }),
 
+    // ----------------------------------------------------------------- x86
+    // x82 on CLUSTERED data — the regime the residual form exists for.
+    // The iid embeddings are PQ's adversarial case (x82: raw ≈ residual
+    // recall, honestly inside sampling noise), so this gate derives a
+    // deterministically clustered corpus from the same table
+    // ([[clusteredEmbeddings]]: 8 integer-offset group centers, exact in
+    // double on both engines) and reruns the identical raw-vs-residual
+    // routed-recall measurement. Here the between-cell component
+    // DOMINATES the signal, the coarse quantizer captures it, and the
+    // residual codebooks spend their entire m/ks budget on the
+    // within-cell remainder — the recall gap the MSE spec predicts
+    // becomes measurable, as an oracle-checked artifact.
+    "x86_clustered_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = clusteredEmbeddings(t.embeddings)
+      val pred = col("vec_id") % KnnQueryMod === 0
+      val cents = VectorOps.collectCentroids(VectorOps.kmeansCentroids(
+        e, "vec_id", "embedding", KClusters, KmeansIters))
+      val rawCbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val resCbs = VectorOps.pqCodebooksResidual(e, "vec_id", "embedding",
+        cents, Dim, PqM, PqKs, KmeansIters)
+      val rawCodes = graft.GraftCache.persist(
+        VectorOps.pqEncodeWithCells(e, "vec_id", "embedding", cents, rawCbs))
+      val resCodes = graft.GraftCache.persist(
+        VectorOps.residualEncodeWithCells(e, "vec_id", "embedding", cents,
+          resCbs))
+      val raw = VectorOps.pqKnnAgainstCodesRouted(e.filter(pred), "vec_id",
+          "embedding", KnnK, NProbe, cents, rawCbs, rawCodes)
+        .select("qid", "vec_id")
+      val res = VectorOps.ivfPqResidualKnnOverCodes(e.filter(pred), "vec_id",
+          "embedding", KnnK, NProbe, cents, resCbs, resCodes)
+        .select("qid", "vec_id")
+      val q = e.filter(pred)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+      val exactP = e.select(col("vec_id"), col("embedding").as("__v"))
+        .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorOps.l2sq(col("__v"), col("__qv")).as("d2"))
+      val exact = graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
+        Seq(col("d2"), col("vec_id")), KnnK).select("qid", "vec_id")
+      def overlap(approx: DataFrame, name: String) =
+        exact.join(approx, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as(name))
+      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      nExact
+        .join(overlap(raw, "n_raw"), Seq("qid"), "left")
+        .join(overlap(res, "n_res"), Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+          round(coalesce(col("n_raw"), lit(0L)) / col("n_exact"), 4)
+            .as("raw_recall"),
+          coalesce(col("n_res"), lit(0L)).as("n_res"),
+          round(coalesce(col("n_res"), lit(0L)) / col("n_exact"), 4)
+            .as("res_recall"))
+        .orderBy("qid")
+    }),
+
     // ----------------------------------------------------------------- x84
     // The RESIDUAL composed index as a STORED artifact — x75's move
     // applied to x78: residual codes range-laid by cid, centroids +
@@ -790,14 +877,17 @@ object VectorQueries {
   /** Nearest-centroid assignment CTE over the final k-means centroids —
     * the SQL replay of [[VectorOps.assignToCentroids]] (row_number over
     * (l2sq, cid) ≡ the argmin-with-lowest-cid-tie-break projection).
-    * Shared by the x11 and x35 oracles. */
-  private def assignCte: String =
+    * Shared by the x11 and x35 oracles; source pluggable for the
+    * clustered-recall gate (x86). */
+  private def assignCteFor(src: String): String =
     s"""assign AS (
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN c$KmeansIters c) WHERE rn = 1)""".stripMargin
+       |    FROM $src e CROSS JOIN c$KmeansIters c) WHERE rn = 1)""".stripMargin
+
+  private def assignCte: String = assignCteFor("embeddings")
 
   /** The PQ oracle's per-subspace k-means chains (tagged CTE names) and
     * the per-subspace argmin encode CTEs — the SQL replay of
@@ -943,14 +1033,15 @@ object VectorQueries {
 
   /** Shared CTE block for the batch-query recall oracles: the sampled
     * query set, the exact L2 kNN ranking, and the per-query probe cells
-    * against the coarse chain. */
-  private def recallBaseCtes: String =
+    * against the coarse chain. Source pluggable for x86 (the clustered
+    * derivation serves as both corpus and query set there). */
+  private def recallBaseCtesFor(src: String): String =
     s"""q AS (
-       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  SELECT vec_id AS qid, embedding AS qv FROM $src
        |  WHERE vec_id % $KnnQueryMod = 0),
        |exactp AS (
        |  SELECT q.qid, e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d2
-       |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       |  FROM $src e, q WHERE e.vec_id <> q.qid),
        |exact AS (
        |  SELECT qid, vec_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
@@ -962,6 +1053,8 @@ object VectorQueries {
        |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
        |    FROM q CROSS JOIN c$KmeansIters c)
        |  WHERE rn <= $NProbe)""".stripMargin
+
+  private def recallBaseCtes: String = recallBaseCtesFor("embeddings")
 
   /** The routed ADC ranking cut to KnnK per query — raw (`t = "p"`, LUT
     * from the query vector itself) or residual (`t = "r"`, LUT from the
@@ -1001,17 +1094,19 @@ object VectorQueries {
        |FROM ne LEFT JOIN nr USING (qid)
        |ORDER BY qid""".stripMargin
 
-  /** x82: raw vs residual routed recall at equal m/ks/nprobe — both
-    * quantizer families in one WITH clause via the tag namespaces. */
-  private lazy val residualRecallSql: String =
-    s"""WITH $kmeansSql,
-       |$assignCte,
-       |$pqChainsSql,
-       |$pqEncodeSql,
+  /** x82/x86: raw vs residual routed recall at equal m/ks/nprobe — both
+    * quantizer families in one WITH clause via the tag namespaces. The
+    * corpus is pluggable (`lead` prepends derivation CTEs): x82 runs it
+    * over the raw iid table, x86 over the clustered derivation. */
+  private def residualRecallSqlFor(src: String, lead: String = ""): String =
+    s"""WITH $lead${kmeansSqlFor(src)},
+       |${assignCteFor(src)},
+       |${pqChainsSqlFor(src)},
+       |${pqEncodeSqlFor(src)},
        |$residualCte,
        |${pqChainsSqlFor(ResidualSrc, "r")},
        |${pqEncodeSqlFor(ResidualSrc, "r")},
-       |$recallBaseCtes,
+       |${recallBaseCtesFor(src)},
        |qres AS (
        |  SELECT p.qid, p.cid,
        |    list_transform(list_zip(q.qv, c.c), x -> x[1]::DOUBLE - x[2]) AS qr
@@ -1034,6 +1129,28 @@ object VectorQueries {
        |FROM ne LEFT JOIN na USING (qid)
        |LEFT JOIN ns USING (qid)
        |ORDER BY qid""".stripMargin
+
+  private lazy val residualRecallSql: String =
+    residualRecallSqlFor("embeddings")
+
+  /** x86's corpus derivation — the SQL image of [[clusteredEmbeddings]]:
+    * BIGINT offset arithmetic, then exactly one DOUBLE add per element
+    * (mirroring the Spark side's single rounding). DuckDB's
+    * list_transform lambda has no index parameter, so the list is
+    * rebuilt positionally via the range join the k-means mean CTEs
+    * already use; (j-1) converts its 1-based index to the 0-based one
+    * Spark's transform lambda sees. */
+  private def clusteredCte: String =
+    s"""cemb AS (
+       |  SELECT vec_id,
+       |    list(embedding[j]::DOUBLE +
+       |      (((vec_id % $ClusterGroups) * 7 + (j - 1) * 3)
+       |        % $ClusterOffMod - $ClusterOffShift) ORDER BY j) AS embedding
+       |  FROM embeddings, range(1, ${Dim + 1}) r(j)
+       |  GROUP BY vec_id)""".stripMargin
+
+  private lazy val clusteredRecallSql: String =
+    residualRecallSqlFor("cemb", clusteredCte + ",\n")
 
   def oracles: Map[String, String] = Map(
     "x54_jl_projection" -> {
@@ -1168,6 +1285,10 @@ object VectorQueries {
       s"vec_id % $VecDeleteMod <> $VecDeleteRem"),
     "x80_routed_recall" -> routedRecallSql,
     "x82_residual_recall" -> residualRecallSql,
+    // x86 is x82's measurement over the clustered derivation — the cemb
+    // CTE replays the exact derivation, then the identical raw/residual
+    // recall replay runs with every corpus reference re-pointed at it.
+    "x86_clustered_recall" -> clusteredRecallSql,
     // x83 serves the full-corpus-trained ranking over the SURVIVORS only
     // — delete is never a retrain.
     "x83_pq_delete" ->

@@ -162,6 +162,22 @@ class IndexLifecycleSpec extends SparkSpec {
       f"residual encoding must reduce quantization error: raw=$rawMse%.6f res=$resMse%.6f")
   }
 
+  test("clustered corpus: residual recall beats raw recall (x86's claim)") {
+    // The companion to the MSE test: MSE drops even on iid data, but the
+    // RECALL gap needs cell structure — x86's clustered derivation gives
+    // the coarse quantizer a real between-cell component to remove, and
+    // the residual codebooks' concentrated budget must then win the
+    // routed top-k measurably, not just in reconstruction error.
+    val out = graft.queries.VectorQueries
+      .queries("x86_clustered_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    graft.GraftCache.release()
+    val (raw, res) = (out.map(_.getLong(2)).sum, out.map(_.getLong(4)).sum)
+    info(s"clustered: raw hits = $raw, residual hits = $res of ${out.map(_.getLong(1)).sum}")
+    assert(res > raw,
+      s"residual must out-recall raw on clustered data: raw=$raw res=$res")
+  }
+
   test("residual serve at nprobe = |cells| ranks every cell's codes") {
     // Degenerate-probe identity, the residual twin of the raw form's
     // spec: with every cell probed, the serve is a full ADC ranking over

@@ -322,6 +322,34 @@ object VectorOps {
         col("mean_d2_old"), col("mean_d2_new"))
   }
 
+  /** Total-variation distance between two corpora's cell-share
+    * distributions under ONE standing coarse quantizer, in parts per
+    * million — the drift statistic a nightly index-maintenance job gates
+    * retraining on (pl12). With per-cell counts n_old/n_new and totals
+    * N_old/N_new,
+    *   TVD = Σ_c |n_new·N_old − n_old·N_new| / (2·N_old·N_new)
+    * and the ppm form keeps EVERY step in integer arithmetic
+    * (numerator·10^6 floor-divided by the denominator) — no float
+    * accumulation whose order Spark's aggregation could permute, so an
+    * external integer replay agrees exactly. The collects are k rows —
+    * bounded by the cell count, never the corpus; the assignments
+    * themselves are the zero-shuffle literal-argmin projection. */
+  def cellShareTvdPpm(oldE: DataFrame, newE: DataFrame, idCol: String,
+                      vecCol: String, centroids: DataFrame): Long = {
+    val cents = collectCentroids(centroids)
+    def counts(df: DataFrame): Map[Long, Long] =
+      argminAssign(df, idCol, vecCol, cents)
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (co, cn) = (counts(oldE), counts(newE))
+    val (no, nn) = (co.values.sum, cn.values.sum)
+    require(no > 0 && nn > 0, "both corpora must be non-empty")
+    val num = (co.keySet ++ cn.keySet).toSeq.map { cid =>
+      math.abs(cn.getOrElse(cid, 0L) * no - co.getOrElse(cid, 0L) * nn)
+    }.sum
+    num * 1000000L / (2L * no * nn)
+  }
+
   /** IVF top-k: assign every vector to its nearest k-means centroid, probe
     * the `nprobe` centroids nearest the query, exact cosine within the
     * probed cells. The inverted-file analogue of [[annTopK]]: candidate

@@ -106,6 +106,17 @@ object VectorQueries {
         x.cast("double") + off
       }).as("embedding"))
 
+  /** Drift gate for the index-refresh pipeline (pl12): retrain when the
+    * arriving batch's cell-share TVD against the standing corpus exceeds
+    * this many parts per million (0.2). The in-distribution batch (a
+    * 1/10 modular split of the same iid table) lands far below it at
+    * every SF; the shifted batch (+3 on every coordinate — far outside
+    * the [−1,1] data range, so assignments collapse onto the nearest
+    * cells) lands far above. Integer ppm so both engines compare the
+    * exact same number ([[VectorOps.cellShareTvdPpm]]). */
+  val RefreshDriftPpm = 200000L
+  val RefreshShift = 3
+
   /** Candidate pool per query for the two-stage JL kNN (x55). The
     * synthetic iid embeddings are JL's ADVERSARIAL case — no cluster
     * structure, true neighbours barely above the cosine noise floor — so
@@ -690,6 +701,62 @@ object VectorQueries {
         .orderBy("qid")
     }),
 
+    // ---------------------------------------------------------------- pl12
+    // Drift-triggered index maintenance — the one lifecycle arrow the
+    // build/append/compact/delete gates leave open: WHEN does the
+    // standing quantizer get retrained? The pipeline measures the
+    // arriving batch's cell-share TVD against the standing corpus under
+    // the CURRENT coarse quantizer (integer-ppm arithmetic, so the
+    // decision number is exact on both engines), then executes the
+    // decided action and serves a probe query through the result:
+    // an in-distribution batch (1/10 modular split) stays under the
+    // threshold → append (serve through the STANDING quantizer over
+    // base ∪ batch, x77's semantics); a shifted batch (+3 per
+    // coordinate) blows past it → retrain (fresh k-means over the
+    // merged corpus, serve through the NEW cells). One report row per
+    // scenario: the drift number, the decision it forced, and the
+    // served top-1 as evidence the decided index actually answers.
+    "pl12_index_refresh" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val base = e.filter(col("vec_id") % PqAppendMod =!= 0)
+      val batchA = e.filter(col("vec_id") % PqAppendMod === 0)
+      val batchB = batchA.select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(RefreshShift.toDouble)).as("embedding"))
+      val cents = VectorOps.kmeansCentroids(base, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      def toD(df: DataFrame) = df.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      def scenario(name: String, batch: DataFrame): DataFrame = {
+        val ppm = VectorOps.cellShareTvdPpm(base, batch, "vec_id",
+          "embedding", cents)
+        val retrain = ppm > RefreshDriftPpm
+        val corpus = toD(base).unionByName(toD(batch))
+        val serveCents =
+          if (retrain) VectorOps.kmeansCentroids(corpus, "vec_id",
+            "embedding", KClusters, KmeansIters)
+          else cents
+        val q = corpus.filter(col("vec_id") === QueryVecId)
+          .select(col("embedding").as("__qv"))
+        val probeCells = serveCents.crossJoin(broadcast(q))
+          .select(col("cid"), VectorOps.l2sq(col("__qv"), col("c")).as("__d"))
+          .orderBy(col("__d"), col("cid")).limit(NProbe).select("cid")
+        VectorOps.assignToCentroids(corpus, "vec_id", "embedding", serveCents)
+          .filter(col("vec_id") =!= QueryVecId)
+          .join(broadcast(probeCells), "cid")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(VectorOps.l2sq(col("v"), col("__qv")), 6).as("d2"))
+          .orderBy(col("d2"), col("vec_id")).limit(1)
+          .select(lit(name).as("scenario"), lit(ppm).as("drift_ppm"),
+            lit(if (retrain) "retrain" else "append").as("decision"),
+            col("vec_id").as("top1_vec_id"), col("d2").as("top1_d2"))
+      }
+      scenario("1_indist", batchA).unionByName(scenario("2_shifted", batchB))
+        .orderBy("scenario")
+    }),
+
     // ----------------------------------------------------------------- x84
     // The RESIDUAL composed index as a STORED artifact — x75's move
     // applied to x78: residual codes range-laid by cid, centroids +
@@ -879,13 +946,14 @@ object VectorQueries {
     * (l2sq, cid) ≡ the argmin-with-lowest-cid-tie-break projection).
     * Shared by the x11 and x35 oracles; source pluggable for the
     * clustered-recall gate (x86). */
-  private def assignCteFor(src: String): String =
-    s"""assign AS (
+  private def assignCteFor(src: String, name: String = "assign",
+                           chain: String = s"c$KmeansIters"): String =
+    s"""$name AS (
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${l2Sql("e.embedding", "c.c")}, c.cid) AS rn
-       |    FROM $src e CROSS JOIN c$KmeansIters c) WHERE rn = 1)""".stripMargin
+       |    FROM $src e CROSS JOIN $chain c) WHERE rn = 1)""".stripMargin
 
   private def assignCte: String = assignCteFor("embeddings")
 
@@ -1152,6 +1220,81 @@ object VectorQueries {
   private lazy val clusteredRecallSql: String =
     residualRecallSqlFor("cemb", clusteredCte + ",\n")
 
+  /** pl12's oracle: the drift numbers in pure BIGINT arithmetic (the ppm
+    * replay of [[VectorOps.cellShareTvdPpm]]), the CASE decision, and
+    * both branch serves — append (standing untagged chain over
+    * base ∪ batch) and retrain (z-tagged chain trained on the merged
+    * shifted corpus). The served vectors enter [[l2Sql]] which casts
+    * per element, so the Spark side's explicit double-cast union is
+    * value-identical. */
+  private lazy val indexRefreshSql: String = {
+    val baseSrc =
+      s"(SELECT * FROM embeddings WHERE vec_id % $PqAppendMod <> 0)"
+    val batchASrc =
+      s"(SELECT * FROM embeddings WHERE vec_id % $PqAppendMod = 0)"
+    def ppmCtes(tag: String, newAssign: String): String =
+      s"""t$tag AS (
+         |  SELECT CAST((SELECT count(*) FROM oa) AS BIGINT) AS no,
+         |         CAST((SELECT count(*) FROM $newAssign) AS BIGINT) AS nn),
+         |num$tag AS (
+         |  SELECT CAST(sum(abs(coalesce(n.n, 0) * t.no
+         |    - coalesce(o.n, 0) * t.nn)) AS BIGINT) AS num
+         |  FROM (SELECT cid, count(*) AS n FROM oa GROUP BY 1) o
+         |  FULL OUTER JOIN
+         |    (SELECT cid, count(*) AS n FROM $newAssign GROUP BY 1) n
+         |    USING (cid)
+         |  CROSS JOIN t$tag t),
+         |ppm$tag AS (
+         |  SELECT CAST(num * 1000000 // (2 * t.no * t.nn) AS BIGINT) AS ppm
+         |  FROM num$tag, t$tag t)""".stripMargin
+    def serveCtes(tag: String, assignRel: String, chain: String,
+                  qSrc: String): String =
+      s"""qq$tag AS (SELECT embedding AS qv FROM $qSrc
+         |  WHERE vec_id = $QueryVecId),
+         |pp$tag AS (
+         |  SELECT c.cid FROM $chain c CROSS JOIN qq$tag q
+         |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbe),
+         |sv$tag AS (
+         |  SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 6) AS d2
+         |  FROM $assignRel e JOIN pp$tag p ON e.cid = p.cid
+         |  CROSS JOIN qq$tag q
+         |  WHERE e.vec_id <> $QueryVecId
+         |  ORDER BY d2, e.vec_id LIMIT 1)""".stripMargin
+    def reportRow(scenario: String, tag: String): String =
+      s"""SELECT '$scenario' AS scenario,
+         |  (SELECT ppm FROM ppm$tag) AS drift_ppm,
+         |  CASE WHEN (SELECT ppm FROM ppm$tag) > $RefreshDriftPpm
+         |    THEN 'retrain' ELSE 'append' END AS decision,
+         |  vec_id AS top1_vec_id, d2 AS top1_d2 FROM sv$tag""".stripMargin
+    s"""WITH ${kmeansSqlFor(baseSrc)},
+       |sb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE + $RefreshShift)
+       |      AS embedding
+       |  FROM embeddings WHERE vec_id % $PqAppendMod = 0),
+       |${assignCteFor(baseSrc, "oa")},
+       |${assignCteFor(batchASrc, "na")},
+       |${assignCteFor("sb", "nb")},
+       |${ppmCtes("A", "na")},
+       |${ppmCtes("B", "nb")},
+       |aA AS (SELECT vec_id, embedding, cid FROM oa
+       |  UNION ALL SELECT vec_id, embedding, cid FROM na),
+       |${serveCtes("A", "aA", s"c$KmeansIters", "embeddings")},
+       |u2 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+       |    AS embedding
+       |  FROM embeddings WHERE vec_id % $PqAppendMod <> 0
+       |  UNION ALL SELECT vec_id, embedding FROM sb),
+       |${kmeansSqlFor("u2", tag = "z")},
+       |${assignCteFor("u2", "ab", s"cz$KmeansIters")},
+       |${serveCtes("B", "ab", s"cz$KmeansIters", "sb")}
+       |SELECT * FROM (
+       |${reportRow("1_indist", "A")}
+       |UNION ALL
+       |${reportRow("2_shifted", "B")})
+       |ORDER BY scenario""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "x54_jl_projection" -> {
       val s = 1.0 / math.sqrt(ProjDim.toDouble)
@@ -1289,6 +1432,9 @@ object VectorQueries {
     // CTE replays the exact derivation, then the identical raw/residual
     // recall replay runs with every corpus reference re-pointed at it.
     "x86_clustered_recall" -> clusteredRecallSql,
+    // pl12 replays BOTH lifecycle branches plus the integer drift
+    // arithmetic that chooses between them.
+    "pl12_index_refresh" -> indexRefreshSql,
     // x83 serves the full-corpus-trained ranking over the SURVIVORS only
     // — delete is never a retrain.
     "x83_pq_delete" ->

@@ -162,6 +162,30 @@ class IndexLifecycleSpec extends SparkSpec {
       f"residual encoding must reduce quantization error: raw=$rawMse%.6f res=$resMse%.6f")
   }
 
+  test("cellShareTvdPpm: zero on itself, in-dist below / shifted above the gate") {
+    // pl12's decision statistic: exact-integer TVD in ppm. Identity →
+    // 0; an in-distribution modular split must sit below the retrain
+    // threshold and a +3-shifted batch far above it — the two branches
+    // the pipeline gate must separate, pinned at spec scale.
+    val e = embeddings
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val shifted = batch.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") + lit(3.0))
+        .as("embedding"))
+    val cents = VectorOps.kmeansCentroids(base, "vec_id", "embedding", 8, 2)
+    val self = VectorOps.cellShareTvdPpm(base, base, "vec_id", "embedding", cents)
+    val inDist = VectorOps.cellShareTvdPpm(base, batch, "vec_id", "embedding", cents)
+    val drifted = VectorOps.cellShareTvdPpm(base, shifted, "vec_id", "embedding", cents)
+    info(s"self = $self, in-dist = $inDist ppm, shifted = $drifted ppm")
+    assert(self === 0L, "identical corpora must have zero drift")
+    assert(inDist < graft.queries.VectorQueries.RefreshDriftPpm,
+      s"in-distribution batch must stay under the gate: $inDist")
+    assert(drifted > graft.queries.VectorQueries.RefreshDriftPpm,
+      s"shifted batch must trip the gate: $drifted")
+    assert(drifted <= 1000000L, "TVD is bounded by 1 (1e6 ppm)")
+  }
+
   test("clustered corpus: residual recall beats raw recall (x86's claim)") {
     // The companion to the MSE test: MSE drops even on iid data, but the
     // RECALL gap needs cell structure — x86's clustered derivation gives

@@ -341,7 +341,14 @@ object VectorOps {
       argminAssign(df, idCol, vecCol, cents)
         .groupBy("cid").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val (co, cn) = (counts(oldE), counts(newE))
+    tvdPpmFromCounts(counts(oldE), counts(newE))
+  }
+
+  /** The integer-ppm TVD core of [[cellShareTvdPpm]] over PRE-AGGREGATED
+    * per-cell counts — the form the streaming maintainer uses, where the
+    * standing side's counts are a stored |cells|-row table updated per
+    * batch instead of a corpus re-assignment. */
+  def tvdPpmFromCounts(co: Map[Long, Long], cn: Map[Long, Long]): Long = {
     val (no, nn) = (co.values.sum, cn.values.sum)
     require(no > 0 && nn > 0, "both corpora must be non-empty")
     val num = (co.keySet ++ cn.keySet).toSeq.map { cid =>

@@ -438,6 +438,108 @@ object EventStreams {
       }
       .start()
 
+  /** Seed the drift-maintained vector-index state [[maintainVectorIndex]]
+    * serves from: the corpus (vectors double-cast so appended batches
+    * keep one element type), the k-means cells trained on it, and the
+    * per-cell counts — the |cells|-row derived table the per-batch drift
+    * check compares against WITHOUT re-assigning the standing corpus
+    * (the same store-the-derived-structure move as the band index and
+    * the DSIR model; [[monitorDrift]]'s doc names this optimization,
+    * here it is load-bearing). */
+  def seedVectorIndex(corpus: DataFrame, k: Int, iters: Int,
+                      indexDir: String): Unit = {
+    val c = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    c.write.mode("overwrite").parquet(s"$indexDir/corpus")
+    val stored = c.sparkSession.read.parquet(s"$indexDir/corpus")
+    val cents = graft.operators.VectorOps
+      .kmeansCentroids(stored, "vec_id", "embedding", k, iters)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    graft.operators.VectorOps
+      .assignToCentroids(stored, "vec_id", "embedding", cents)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/cellcounts")
+  }
+
+  /** Streaming drift-gated index maintenance — pl12's nightly decision
+    * running per micro-batch: each arriving batch of vectors is assigned
+    * to the STANDING cells (zero-shuffle literal-argmin projection), its
+    * cell-share TVD against the stored per-cell counts computes in exact
+    * integer ppm ([[graft.operators.VectorOps.tvdPpmFromCounts]] — the
+    * standing side is the |cells|-row stored table, never a corpus
+    * re-assignment), and the decision executes: under the threshold the
+    * batch ADMITS (corpus append + counts merge — the whole maintenance
+    * pass touches batch-sized data plus a |cells|-row table); over it
+    * the coarse quantizer RETRAINS on corpus ∪ batch and cells + counts
+    * rewrite (the one full-corpus pass, paid exactly when the data has
+    * actually moved). A (batch_id, n_batch, drift_ppm, decision) row
+    * lands in the log per batch; like every sink here each batch
+    * OVERWRITES its own `batch_id=<n>` partition so replay replaces
+    * rather than duplicates. The corpus append is at-least-once on
+    * replay (same honest caveat as [[maintainClusters]]'s index
+    * admission); exactly-once admission would key corpus files by batch
+    * id. Readers of `centroids`/`cellcounts` see overwrite snapshots —
+    * production swaps the directory for a table format with the same
+    * pin-a-version contract. */
+  def maintainVectorIndex(
+      arrivals: DataFrame,
+      k: Int, iters: Int,
+      driftPpmThreshold: Long,
+      checkpointDir: String,
+      indexDir: String,
+      logDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = graft.GraftCache.persist(batch.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding")))
+        val nBatch = b.count()
+        if (nBatch > 0) {
+          val cents = spark.read.parquet(s"$indexDir/centroids")
+          val standing = spark.read.parquet(s"$indexDir/cellcounts")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val bCounts = graft.operators.VectorOps
+            .assignToCentroids(b, "vec_id", "embedding", cents)
+            .groupBy("cid").agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val ppm = graft.operators.VectorOps
+            .tvdPpmFromCounts(standing, bCounts)
+          val retrain = ppm > driftPpmThreshold
+          b.write.mode("append").parquet(s"$indexDir/corpus")
+          if (retrain) {
+            val corpus = spark.read.parquet(s"$indexDir/corpus")
+            val newCents = graft.operators.VectorOps
+              .kmeansCentroids(corpus, "vec_id", "embedding", k, iters)
+            newCents.coalesce(1).write.mode("overwrite")
+              .parquet(s"$indexDir/centroids")
+            graft.operators.VectorOps
+              .assignToCentroids(corpus, "vec_id", "embedding", newCents)
+              .groupBy("cid").agg(count(lit(1)).as("n"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$indexDir/cellcounts")
+          } else {
+            val merged = (standing.keySet ++ bCounts.keySet).toSeq.sorted
+              .map(c => (c, standing.getOrElse(c, 0L) + bCounts.getOrElse(c, 0L)))
+            spark.createDataFrame(merged).toDF("cid", "n")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$indexDir/cellcounts")
+          }
+          // batch_id rides in the partition directory, not the rows — a
+          // whole-log read then partition-discovers it without colliding
+          // with a stored column of the same name.
+          spark.createDataFrame(Seq(
+              (nBatch, ppm, if (retrain) "retrain" else "append")))
+            .toDF("n_batch", "drift_ppm", "decision")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$logDir/batch_id=$batchId")
+        }
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+
   /** Retention pass for the per-batch stream logs ([[screenArrivalsIndexed]],
     * [[scoreArrivalsDsir]], [[monitorDrift]]): each micro-batch lands one
     * `batch_id=<n>` directory of one-or-more small files, and a long-running

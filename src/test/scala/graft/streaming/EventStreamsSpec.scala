@@ -516,6 +516,74 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === full)
   }
 
+  test("streaming drift-gated index maintenance: append then retrain, equals batch") {
+    // pl12's nightly decision per micro-batch: an in-distribution batch
+    // must ADMIT through the standing cells (cheap path), a shifted one
+    // must RETRAIN — and after both, the stored quantizer state must be
+    // byte-identical to batch-mode k-means over the whole accumulated
+    // corpus (stream == batch for the maintenance loop, not just the
+    // decisions).
+    import org.apache.spark.sql.DataFrame
+    val VectorOps = graft.operators.VectorOps
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    def toD(df: DataFrame) = df.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val base = toD(e.filter(col("vec_id") % 10 =!= 0))
+    val batchA = toD(e.filter(col("vec_id") % 10 === 0))
+    val batchB = batchA.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0)).as("embedding"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+    val logDir = java.nio.file.Files.createTempDirectory("graft-vidx-log").toString
+    EventStreams.seedVectorIndex(base, 8, 2, idxDir)
+    graft.GraftCache.release()
+    val arrivalsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-vidx-stream")
+      Seq(batchA -> "arrivals_0", batchB -> "arrivals_1").foreach {
+        case (b, name) =>
+          val staging = java.nio.file.Files
+            .createTempDirectory("graft-vidx-split").toString
+          b.coalesce(1).write.mode("overwrite").parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.copy(part.toPath,
+            dir.resolve(s"$name.parquet"))
+      }
+      dir.toString
+    }
+    val q = EventStreams.maintainVectorIndex(
+      spark.readStream.schema(batchA.schema)
+        .option("maxFilesPerTrigger", 1).parquet(arrivalsDir),
+      8, 2, graft.queries.VectorQueries.RefreshDriftPpm,
+      java.nio.file.Files.createTempDirectory("graft-vidx-ckpt").toString,
+      idxDir, logDir)
+    q.processAllAvailable()
+    q.stop()
+    val log = spark.read.parquet(logDir)
+      .select(col("batch_id").cast("long"), col("decision"), col("drift_ppm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    info(log.mkString(", "))
+    assert(log.map(_._2).toSeq === Seq("append", "retrain"),
+      "in-dist batch must append, shifted batch must retrain")
+    // post-state == batch-mode retrain over everything accumulated
+    val full = base.unionByName(batchA).unionByName(batchB)
+    val expectCents = VectorOps.collectCentroids(
+      VectorOps.kmeansCentroids(full, "vec_id", "embedding", 8, 2))
+    val gotCents = VectorOps.collectCentroids(
+      spark.read.parquet(s"$idxDir/centroids"))
+    assert(gotCents === expectCents,
+      "stored centroids must equal batch-mode k-means over the full corpus")
+    val expectCounts = VectorOps.assignToCentroids(full, "vec_id",
+        "embedding", spark.read.parquet(s"$idxDir/centroids"))
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotCounts = spark.read.parquet(s"$idxDir/cellcounts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.GraftCache.release()
+    assert(gotCounts === expectCounts,
+      "stored cell counts must equal assignment counts over the full corpus")
+  }
+
   test("watermark-bounded dedup passes distinct events within the horizon") {
     // testdata has unique event_ids, so within-horizon dedup must be the
     // identity here — the point is the operator wires up with bounded

@@ -701,6 +701,32 @@ object VectorQueries {
         .orderBy("qid")
     }),
 
+    // ----------------------------------------------------------------- x87
+    // The residual twin of x76 — routed BATCH kNN served off the STORED
+    // residual index: every sampled query's probe cells compute as a
+    // zero-shuffle projection, per-probed-cell query residuals and
+    // their ADC LUTs broadcast onto one equi join against the stored
+    // codes (the corpus side pays exactly what raw routed ADC pays),
+    // heap-cut per query before any exchange. Closes the
+    // {residual} × {routed batch serve} × {stored} cell of the
+    // lifecycle matrix with its own oracle replay.
+    "x87_residual_routed_knn" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cents = VectorOps.collectCentroids(VectorOps.kmeansCentroids(
+        e, "vec_id", "embedding", KClusters, KmeansIters))
+      val cbs = VectorOps.pqCodebooksResidual(e, "vec_id", "embedding",
+        cents, Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x87_ivfpq_res_index")
+      VectorOps.writeIvfPqResidualIndex(e, "vec_id", "embedding", cents,
+        cbs, idx)
+      VectorOps.ivfPqResidualKnnOverCodes(
+          e.filter(col("vec_id") % KnnQueryMod === 0), "vec_id", "embedding",
+          KnnK, NProbe, VectorOps.readCentroids(s, idx),
+          VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+        .orderBy("qid", "adc_d2", "vec_id")
+    }),
+
     // ---------------------------------------------------------------- pl12
     // Drift-triggered index maintenance — the one lifecycle arrow the
     // build/append/compact/delete gates leave open: WHEN does the
@@ -1432,6 +1458,42 @@ object VectorQueries {
     // CTE replays the exact derivation, then the identical raw/residual
     // recall replay runs with every corpus reference re-pointed at it.
     "x86_clustered_recall" -> clusteredRecallSql,
+    // x87: the residual routed batch serve — the storage round trip is
+    // result-invisible (stored quantizer tables are the live pair), so
+    // the oracle replays the LIVE residual routed ranking: per-query
+    // probes, per-probed-cell query residuals, r-tagged ADC, cut to
+    // KnnK per query.
+    "x87_residual_routed_knn" ->
+      s"""WITH $kmeansSql,
+         |$assignCte,
+         |$residualCte,
+         |${pqChainsSqlFor(ResidualSrc, "r")},
+         |${pqEncodeSqlFor(ResidualSrc, "r")},
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $KnnQueryMod = 0),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+         |    FROM q CROSS JOIN c$KmeansIters c)
+         |  WHERE rn <= $NProbe),
+         |qres AS (
+         |  SELECT p.qid, p.cid,
+         |    list_transform(list_zip(q.qv, c.c), x -> x[1]::DOUBLE - x[2]) AS qr
+         |  FROM probes p JOIN c$KmeansIters c USING (cid)
+         |  JOIN q ON q.qid = p.qid),
+         |ranked AS (
+         |  SELECT qr.qid, a.vec_id, round(${pqAdcSql("qr.qr", "r")}, 6) AS adc_d2
+         |  FROM (SELECT vec_id, cid FROM assign) a
+         |  JOIN qres qr ON a.cid = qr.cid
+         |  ${pqJoinsSql("r")}
+         |  WHERE a.vec_id <> qr.qid)
+         |SELECT qid, vec_id, adc_d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_d2, vec_id) AS rk FROM ranked)
+         |WHERE rk <= $KnnK
+         |ORDER BY qid, adc_d2, vec_id""".stripMargin,
     // pl12 replays BOTH lifecycle branches plus the integer drift
     // arithmetic that chooses between them.
     "pl12_index_refresh" -> indexRefreshSql,

@@ -26,7 +26,11 @@ object ScaleProbe {
     "x72_ivfpq_topk", "x74_pq_append", "x75_ivfpq_indexed",
     "x76_pq_routed_knn", "x77_ivfpq_append", "x78_ivfpq_residual",
     "x80_routed_recall", "x81_ivfpq_compact", "x82_residual_recall",
-    "x48_incremental_clusters", "pl8_nightly_ingest")
+    "x48_incremental_clusters", "pl8_nightly_ingest",
+    // round-13 additions: the clustered recall pair, the residual
+    // routed stored serve, and the drift-gated refresh pipeline
+    "x86_clustered_recall", "x87_residual_routed_knn",
+    "pl12_index_refresh")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -33,8 +33,12 @@ object ScaleProbe {
     "pl12_index_refresh")
 
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val names = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    // "[factor] [query ...]": the factor is optional even when queries
+    // are passed — a leading non-numeric arg is a query name.
+    val factor = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    val rest = if (args.headOption.exists(_.toIntOption.isDefined))
+      args.drop(1).toSeq else args.toSeq
+    val names = if (rest.nonEmpty) rest else DefaultQueries
     val outDir = s"${sys.props("java.io.tmpdir")}/graft_scale_sf0.1x$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -42,7 +46,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // NOTE: driver heap cannot be set here — the JVM is already
+      // running. build.sbt's forked `run` sets -Xmx (SPARK_DRIVER_MEM,
+      // default 8g), which is what actually governs the 10x blow-up.
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.sources.Tables.configure(spark)

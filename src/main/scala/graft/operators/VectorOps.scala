@@ -337,24 +337,43 @@ object VectorOps {
   def cellShareTvdPpm(oldE: DataFrame, newE: DataFrame, idCol: String,
                       vecCol: String, centroids: DataFrame): Long = {
     val cents = collectCentroids(centroids)
-    def counts(df: DataFrame): Map[Long, Long] =
-      argminAssign(df, idCol, vecCol, cents)
-        .groupBy("cid").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    tvdPpmFromCounts(counts(oldE), counts(newE))
+    tvdPpmFromCounts(collectCellCounts(oldE, idCol, vecCol, cents),
+      collectCellCounts(newE, idCol, vecCol, cents))
   }
+
+  /** Per-cell assignment counts under a standing quantizer, as the
+    * (cid, n) frame the index maintainers store — the ONE spelling of
+    * the cell-count contract shared by the drift statistic and the
+    * streaming maintainer's seed/merge/retrain paths. */
+  def cellCounts(df: DataFrame, idCol: String, vecCol: String,
+                 cents: Seq[(Long, Seq[Double])]): DataFrame =
+    argminAssign(df, idCol, vecCol, cents)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+
+  /** [[cellCounts]] collected to the driver — k rows, bounded by the
+    * cell count, never the corpus. */
+  def collectCellCounts(df: DataFrame, idCol: String, vecCol: String,
+                        cents: Seq[(Long, Seq[Double])]): Map[Long, Long] =
+    cellCounts(df, idCol, vecCol, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** The integer-ppm TVD core of [[cellShareTvdPpm]] over PRE-AGGREGATED
     * per-cell counts — the form the streaming maintainer uses, where the
     * standing side's counts are a stored |cells|-row table updated per
-    * batch instead of a corpus re-assignment. */
+    * batch instead of a corpus re-assignment. The per-term products and
+    * the ×10^6 scaling run in BigInt: n_new·N_old alone overflows Long
+    * once the corpus×batch product passes ~9.2e18, and the scaled
+    * numerator a thousand times sooner (~4.6e12, i.e. a 5e8-row corpus
+    * against a 1e5-row batch at high drift) — a silent wrap there would
+    * read as ppm ≈ 0 and ADMIT exactly the most-drifted batch. The
+    * result is ≤ 10^6, so the final narrowing is always exact. */
   def tvdPpmFromCounts(co: Map[Long, Long], cn: Map[Long, Long]): Long = {
-    val (no, nn) = (co.values.sum, cn.values.sum)
+    val (no, nn) = (BigInt(co.values.sum), BigInt(cn.values.sum))
     require(no > 0 && nn > 0, "both corpora must be non-empty")
     val num = (co.keySet ++ cn.keySet).toSeq.map { cid =>
-      math.abs(cn.getOrElse(cid, 0L) * no - co.getOrElse(cid, 0L) * nn)
+      (BigInt(cn.getOrElse(cid, 0L)) * no - BigInt(co.getOrElse(cid, 0L)) * nn).abs
     }.sum
-    num * 1000000L / (2L * no * nn)
+    (num * 1000000 / (2 * no * nn)).toLong
   }
 
   /** IVF top-k: assign every vector to its nearest k-means centroid, probe

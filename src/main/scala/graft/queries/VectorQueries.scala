@@ -93,6 +93,55 @@ object VectorQueries {
   val ClusterOffMod = 11L
   val ClusterOffShift = 5L
 
+  /** The raw-vs-residual routed recall measurement shared by x82 (the
+    * iid corpus) and x86 (the clustered derivation): BOTH encodings at
+    * equal m/ks/nprobe, routed through the SAME coarse cells, scored per
+    * query against the exact L2 kNN — the Spark twin of the oracle
+    * side's source-pluggable `residualRecallSqlFor`. */
+  private def residualRecallReport(e: DataFrame): DataFrame = {
+    val pred = col("vec_id") % KnnQueryMod === 0
+    val cents = VectorOps.collectCentroids(VectorOps.kmeansCentroids(
+      e, "vec_id", "embedding", KClusters, KmeansIters))
+    val rawCbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+      Dim, PqM, PqKs, KmeansIters)
+    val resCbs = VectorOps.pqCodebooksResidual(e, "vec_id", "embedding",
+      cents, Dim, PqM, PqKs, KmeansIters)
+    val rawCodes = graft.GraftCache.persist(
+      VectorOps.pqEncodeWithCells(e, "vec_id", "embedding", cents, rawCbs))
+    val resCodes = graft.GraftCache.persist(
+      VectorOps.residualEncodeWithCells(e, "vec_id", "embedding", cents,
+        resCbs))
+    val raw = VectorOps.pqKnnAgainstCodesRouted(e.filter(pred), "vec_id",
+        "embedding", KnnK, NProbe, cents, rawCbs, rawCodes)
+      .select("qid", "vec_id")
+    val res = VectorOps.ivfPqResidualKnnOverCodes(e.filter(pred), "vec_id",
+        "embedding", KnnK, NProbe, cents, resCbs, resCodes)
+      .select("qid", "vec_id")
+    val q = e.filter(pred)
+      .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+    val exactP = e.select(col("vec_id"), col("embedding").as("__v"))
+      .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorOps.l2sq(col("__v"), col("__qv")).as("d2"))
+    val exact = graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
+      Seq(col("d2"), col("vec_id")), KnnK).select("qid", "vec_id")
+    def overlap(approx: DataFrame, name: String) =
+      exact.join(approx, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as(name))
+    val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    nExact
+      .join(overlap(raw, "n_raw"), Seq("qid"), "left")
+      .join(overlap(res, "n_res"), Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+        round(coalesce(col("n_raw"), lit(0L)) / col("n_exact"), 4)
+          .as("raw_recall"),
+        coalesce(col("n_res"), lit(0L)).as("n_res"),
+        round(coalesce(col("n_res"), lit(0L)) / col("n_exact"), 4)
+          .as("res_recall"))
+      .orderBy("qid")
+  }
+
   /** The clustered derivation of the embeddings table (x86): element j
     * becomes embedding[j] + c_g[j] in exact double arithmetic. */
   def clusteredEmbeddings(e: DataFrame): DataFrame =
@@ -597,51 +646,8 @@ object VectorQueries {
     // capacity on within-cell variance — the aggregate res_recall /
     // raw_recall pair is the oracle-checked artifact of that trade on
     // these (adversarially iid) embeddings.
-    "x82_residual_recall" -> ((s, dir) => {
-      val t = Tables(s, dir)
-      val e = t.embeddings
-      val pred = col("vec_id") % KnnQueryMod === 0
-      val cents = VectorOps.collectCentroids(VectorOps.kmeansCentroids(
-        e, "vec_id", "embedding", KClusters, KmeansIters))
-      val rawCbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
-        Dim, PqM, PqKs, KmeansIters)
-      val resCbs = VectorOps.pqCodebooksResidual(e, "vec_id", "embedding",
-        cents, Dim, PqM, PqKs, KmeansIters)
-      val rawCodes = graft.GraftCache.persist(
-        VectorOps.pqEncodeWithCells(e, "vec_id", "embedding", cents, rawCbs))
-      val resCodes = graft.GraftCache.persist(
-        VectorOps.residualEncodeWithCells(e, "vec_id", "embedding", cents,
-          resCbs))
-      val raw = VectorOps.pqKnnAgainstCodesRouted(e.filter(pred), "vec_id",
-          "embedding", KnnK, NProbe, cents, rawCbs, rawCodes)
-        .select("qid", "vec_id")
-      val res = VectorOps.ivfPqResidualKnnOverCodes(e.filter(pred), "vec_id",
-          "embedding", KnnK, NProbe, cents, resCbs, resCodes)
-        .select("qid", "vec_id")
-      val q = e.filter(pred)
-        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
-      val exactP = e.select(col("vec_id"), col("embedding").as("__v"))
-        .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          VectorOps.l2sq(col("__v"), col("__qv")).as("d2"))
-      val exact = graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
-        Seq(col("d2"), col("vec_id")), KnnK).select("qid", "vec_id")
-      def overlap(approx: DataFrame, name: String) =
-        exact.join(approx, Seq("qid", "vec_id"))
-          .groupBy("qid").agg(count(lit(1)).as(name))
-      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-      nExact
-        .join(overlap(raw, "n_raw"), Seq("qid"), "left")
-        .join(overlap(res, "n_res"), Seq("qid"), "left")
-        .select(col("qid"), col("n_exact"),
-          coalesce(col("n_raw"), lit(0L)).as("n_raw"),
-          round(coalesce(col("n_raw"), lit(0L)) / col("n_exact"), 4)
-            .as("raw_recall"),
-          coalesce(col("n_res"), lit(0L)).as("n_res"),
-          round(coalesce(col("n_res"), lit(0L)) / col("n_exact"), 4)
-            .as("res_recall"))
-        .orderBy("qid")
-    }),
+    "x82_residual_recall" -> ((s, dir) =>
+      residualRecallReport(Tables(s, dir).embeddings)),
 
     // ----------------------------------------------------------------- x86
     // x82 on CLUSTERED data — the regime the residual form exists for.
@@ -655,51 +661,8 @@ object VectorQueries {
     // residual codebooks spend their entire m/ks budget on the
     // within-cell remainder — the recall gap the MSE spec predicts
     // becomes measurable, as an oracle-checked artifact.
-    "x86_clustered_recall" -> ((s, dir) => {
-      val t = Tables(s, dir)
-      val e = clusteredEmbeddings(t.embeddings)
-      val pred = col("vec_id") % KnnQueryMod === 0
-      val cents = VectorOps.collectCentroids(VectorOps.kmeansCentroids(
-        e, "vec_id", "embedding", KClusters, KmeansIters))
-      val rawCbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
-        Dim, PqM, PqKs, KmeansIters)
-      val resCbs = VectorOps.pqCodebooksResidual(e, "vec_id", "embedding",
-        cents, Dim, PqM, PqKs, KmeansIters)
-      val rawCodes = graft.GraftCache.persist(
-        VectorOps.pqEncodeWithCells(e, "vec_id", "embedding", cents, rawCbs))
-      val resCodes = graft.GraftCache.persist(
-        VectorOps.residualEncodeWithCells(e, "vec_id", "embedding", cents,
-          resCbs))
-      val raw = VectorOps.pqKnnAgainstCodesRouted(e.filter(pred), "vec_id",
-          "embedding", KnnK, NProbe, cents, rawCbs, rawCodes)
-        .select("qid", "vec_id")
-      val res = VectorOps.ivfPqResidualKnnOverCodes(e.filter(pred), "vec_id",
-          "embedding", KnnK, NProbe, cents, resCbs, resCodes)
-        .select("qid", "vec_id")
-      val q = e.filter(pred)
-        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
-      val exactP = e.select(col("vec_id"), col("embedding").as("__v"))
-        .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          VectorOps.l2sq(col("__v"), col("__qv")).as("d2"))
-      val exact = graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
-        Seq(col("d2"), col("vec_id")), KnnK).select("qid", "vec_id")
-      def overlap(approx: DataFrame, name: String) =
-        exact.join(approx, Seq("qid", "vec_id"))
-          .groupBy("qid").agg(count(lit(1)).as(name))
-      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-      nExact
-        .join(overlap(raw, "n_raw"), Seq("qid"), "left")
-        .join(overlap(res, "n_res"), Seq("qid"), "left")
-        .select(col("qid"), col("n_exact"),
-          coalesce(col("n_raw"), lit(0L)).as("n_raw"),
-          round(coalesce(col("n_raw"), lit(0L)) / col("n_exact"), 4)
-            .as("raw_recall"),
-          coalesce(col("n_res"), lit(0L)).as("n_res"),
-          round(coalesce(col("n_res"), lit(0L)) / col("n_exact"), 4)
-            .as("res_recall"))
-        .orderBy("qid")
-    }),
+    "x86_clustered_recall" -> ((s, dir) =>
+      residualRecallReport(clusteredEmbeddings(Tables(s, dir).embeddings))),
 
     // ----------------------------------------------------------------- x87
     // The residual twin of x76 — routed BATCH kNN served off the STORED

@@ -456,8 +456,8 @@ object EventStreams {
       .kmeansCentroids(stored, "vec_id", "embedding", k, iters)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     graft.operators.VectorOps
-      .assignToCentroids(stored, "vec_id", "embedding", cents)
-      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .cellCounts(stored, "vec_id", "embedding",
+        graft.operators.VectorOps.collectCentroids(cents))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/cellcounts")
   }
 
@@ -497,13 +497,12 @@ object EventStreams {
           transform(col("embedding"), x => x.cast("double")).as("embedding")))
         val nBatch = b.count()
         if (nBatch > 0) {
-          val cents = spark.read.parquet(s"$indexDir/centroids")
+          val cents = graft.operators.VectorOps.collectCentroids(
+            spark.read.parquet(s"$indexDir/centroids"))
           val standing = spark.read.parquet(s"$indexDir/cellcounts")
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           val bCounts = graft.operators.VectorOps
-            .assignToCentroids(b, "vec_id", "embedding", cents)
-            .groupBy("cid").agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            .collectCellCounts(b, "vec_id", "embedding", cents)
           val ppm = graft.operators.VectorOps
             .tvdPpmFromCounts(standing, bCounts)
           val retrain = ppm > driftPpmThreshold
@@ -515,8 +514,8 @@ object EventStreams {
             newCents.coalesce(1).write.mode("overwrite")
               .parquet(s"$indexDir/centroids")
             graft.operators.VectorOps
-              .assignToCentroids(corpus, "vec_id", "embedding", newCents)
-              .groupBy("cid").agg(count(lit(1)).as("n"))
+              .cellCounts(corpus, "vec_id", "embedding",
+                graft.operators.VectorOps.collectCentroids(newCents))
               .coalesce(1).write.mode("overwrite")
               .parquet(s"$indexDir/cellcounts")
           } else {

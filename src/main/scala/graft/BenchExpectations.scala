@@ -219,6 +219,7 @@ object BenchExpectations {
     "x85_ivfpq_delete" -> 5.5455,
     "x86_clustered_recall" -> 10.7327,
     "x87_residual_routed_knn" -> 6.796,
+    "x88_two_stage_indexed" -> 4.7916,
     "pl12_index_refresh" -> 3.9792,
     "x8_embed_neardups" -> 0.4072,
     "x9_token_stats" -> 0.3596,

@@ -797,6 +797,33 @@ object VectorOps {
       Seq(col("adc_d2"), col(idCol)), k)
   }
 
+  /** Two-stage batch kNN OFF the stored PQ index — the deployed
+    * high-recall serve (x71 measures the step-up: 0.27 raw ADC → 0.73
+    * refined on the adversarial iid embeddings): stage 1 ranks the
+    * stored codes by ADC ([[pqKnnAgainstCodes]]) and keeps `candidates`
+    * per query, heap-cut before any exchange; stage 2 fetches ONLY the
+    * survivors' full vectors — an equi join on id, candidate-pool-sized,
+    * never corpus-sized — and re-ranks them exactly. The index answers
+    * from m-byte codes; the corpus is touched `candidates` rows per
+    * query deep. */
+  def pqKnnAgainstCodesRefined(queries: DataFrame, idCol: String,
+                               vecCol: String, full: DataFrame, k: Int,
+                               candidates: Int,
+                               codebooks: Seq[Seq[(Long, Seq[Double])]],
+                               codes: DataFrame): DataFrame = {
+    require(candidates >= k, "candidate pool must cover k")
+    val cands = pqKnnAgainstCodes(queries, idCol, vecCol, codes, candidates,
+      codebooks).select("qid", idCol)
+    val fullV = full.select(col(idCol), col(vecCol).as("__v"))
+    val qf = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val ranked = cands.join(fullV, idCol)
+      .join(broadcast(qf), "qid")
+      .select(col("qid"), col(idCol), l2sq(col("__v"), col("__qv")).as("__d"))
+    graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
+        Seq(col("__d"), col(idCol)), k)
+      .select(col("qid"), col(idCol), round(col("__d"), 6).as("d2"))
+  }
+
   /** ROUTED batch kNN over the stored composed index
     * ([[writeIvfPqIndex]]) — the production batch-ANN join: each query
     * row computes its nprobe nearest cells as a zero-shuffle projection

@@ -664,6 +664,28 @@ object VectorQueries {
     "x86_clustered_recall" -> ((s, dir) =>
       residualRecallReport(clusteredEmbeddings(Tables(s, dir).embeddings))),
 
+    // ----------------------------------------------------------------- x88
+    // The deployed HIGH-RECALL serve off the stored index — x71 measures
+    // two-stage's recall step-up (0.27 ADC → 0.73 refined) on the live
+    // codebooks; this gates the same shape a production index actually
+    // runs: ADC shortlist from the STORED codes (candidates per query,
+    // heap-cut), then exact re-rank fetching only the survivors' full
+    // vectors (an id equi join, candidate-pool-sized). Closes the
+    // {two-stage} × {stored} serving cell.
+    "x88_two_stage_indexed" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x88_pq_index")
+      VectorOps.writePqIndex(e, "vec_id", "embedding", cbs, idx)
+      VectorOps.pqKnnAgainstCodesRefined(
+          e.filter(col("vec_id") % KnnQueryMod === 0), "vec_id", "embedding",
+          e, KnnK, PqCandidates, VectorOps.readPqCodebooks(s, idx),
+          s.read.parquet(s"$idx/codes"))
+        .orderBy("qid", "d2", "vec_id")
+    }),
+
     // ----------------------------------------------------------------- x87
     // The residual twin of x76 — routed BATCH kNN served off the STORED
     // residual index: every sampled query's probe cells compute as a
@@ -1421,6 +1443,37 @@ object VectorQueries {
     // CTE replays the exact derivation, then the identical raw/residual
     // recall replay runs with every corpus reference re-pointed at it.
     "x86_clustered_recall" -> clusteredRecallSql,
+    // x88: the two-stage replay — ADC candidate cut (rk ≤ PqCandidates)
+    // then exact re-rank of exactly those survivors, emitting the
+    // round-6 exact distance; the storage round trip is result-
+    // invisible, so the oracle replays the live two-stage chain.
+    "x88_two_stage_indexed" ->
+      s"""WITH $pqChainsSql,
+         |$pqEncodeSql,
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % $KnnQueryMod = 0),
+         |adcp AS (
+         |  SELECT q.qid, b.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+         |  FROM (SELECT vec_id FROM embeddings) b
+         |  ${pqJoinsSql()}
+         |  CROSS JOIN q
+         |  WHERE b.vec_id <> q.qid),
+         |adcr AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_d2, vec_id) AS rk FROM adcp)
+         |  WHERE rk <= $PqCandidates),
+         |refp AS (
+         |  SELECT a.qid, a.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d2
+         |  FROM adcr a JOIN embeddings e USING (vec_id)
+         |  JOIN q ON q.qid = a.qid)
+         |SELECT qid, vec_id, round(d2, 6) AS d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY d2, vec_id) AS rk FROM refp)
+         |WHERE rk <= $KnnK
+         |ORDER BY qid, d2, vec_id""".stripMargin,
+
     // x87: the residual routed batch serve — the storage round trip is
     // result-invisible (stored quantizer tables are the live pair), so
     // the oracle replays the LIVE residual routed ranking: per-query

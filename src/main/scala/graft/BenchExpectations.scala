@@ -58,6 +58,8 @@ object BenchExpectations {
     "a18_group_mode" -> 0.2554,
     "a19_decimal_money" -> 1.3081,
     "a1_group_sum" -> 0.3296,
+    "a20_kmv_distinct" -> 0.8789,
+    "a21_kmv_incremental" -> 1.1749,
     "a3_cycle_breakdown" -> 0.1907,
     "a4_conditional_pivot" -> 0.3804,
     "a7_distinct_values" -> 0.1587,
@@ -220,6 +222,7 @@ object BenchExpectations {
     "x86_clustered_recall" -> 10.7327,
     "x87_residual_routed_knn" -> 6.796,
     "x88_two_stage_indexed" -> 4.7916,
+    "x89_knn_pagerank" -> 3.8466,
     "pl12_index_refresh" -> 3.9792,
     "x8_embed_neardups" -> 0.4072,
     "x9_token_stats" -> 0.3596,

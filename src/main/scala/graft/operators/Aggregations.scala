@@ -198,4 +198,32 @@ object Aggregations {
       .filter(col("n_occurrences") * (capacity + 1) > col("__n"))
       .select(col(itemCol), col("n_occurrences"))
   }
+
+  /** The KMV distinct-count sketch of a long hash column as a Column
+    * (array<long> of the k smallest distinct hashes, ascending — see
+    * [[graft.functions.KmvSketch]]). Because the result is a set function
+    * of the input VALUES, re-aggregating exploded sketch arrays with the
+    * same aggregate IS the lossless sketch merge — per-shard sketches
+    * combine into the corpus sketch with no extra machinery. */
+  def kmvSketch(hash: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.KmvSketch(
+      ColumnBridge.expression(hash), k).toAggregateExpression())
+  }
+
+  /** 2^60 as an exact double — the hash space size of the engine-standard
+    * 60-bit md5 hash ([[graft.functions.Md5Hash60]]). */
+  private val Hash60Space = 1152921504606846976.0
+
+  /** Distinct-count estimate from a KMV sketch array: exact (= sketch
+    * size) while the sketch holds every distinct hash; the unbiased
+    * (k-1)·2^60/h_k beyond. The expression tree is fixed — (k-1) ·
+    * (2^60 / h_k) in double, floored — so an external engine replaying
+    * the same scalar ops produces the bit-identical estimate (IEEE
+    * round-to-nearest is deterministic; only aggregation ORDER is not,
+    * and no aggregation happens here). */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble) *
+        (lit(Hash60Space) / element_at(sketch, k).cast("double"))).cast("long"))
 }

@@ -106,7 +106,7 @@ object Dedup {
     * (localCheckpoint, emptiness probes) see the cap — callers must not
     * return lazily-shuffling plans from `body`. Session-global, so safe
     * only under sequential query execution (Bench/Verify/specs all are). */
-  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[operators] def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Aggregations, Cleaning, Dedup, Derivations, Joins, Merge, Quality}
+import graft.operators.{Aggregations, Cleaning, Dedup, Derivations, Joins, Merge, Quality, TextOps}
 import graft.sources.Tables
 
 /** Core relational operator queries — one oracle-checked query per operator
@@ -24,6 +24,12 @@ object CoreQueries {
     * Verify/Bench) — the ONE shared constant both the Spark query and the
     * DuckDB oracle literal are generated from. */
   val MetadataClock = "2024-06-01 00:00:00"
+
+  /** KMV sketch size for the a20/a21 distinct-count gates — small enough
+    * that the estimator's error is visibly non-zero (the gate reports it
+    * honestly), large enough that every testdata SF has more distinct
+    * orderkeys than k, keeping the estimate branch active at all scales. */
+  val KmvK = 256
 
   /** The `orders` column set, shared by the a14 profile oracle generator —
     * row parity with `Aggregations.profile(orders)` needs the same SET of
@@ -275,6 +281,74 @@ object CoreQueries {
           col("__sp").cast("string").as("sum_price"),
           col("__sq").cast("string").as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // ----------------------------------------------------------- A6 (sketch)
+    // KMV distinct-count sketch — the bounded-memory scale path for A6's
+    // COUNT(DISTINCT) (the HLL spec covers error; THIS gate is
+    // oracle-exact because "k smallest distinct 60-bit hashes" is a
+    // deterministic set function DuckDB replays as ORDER BY hash LIMIT k).
+    // The query runs the full 100 TB shape: per-shard sketches (≤ KmvK
+    // longs leave each shard — the exact form would shuffle every
+    // distinct key), then the LOSSLESS merge (re-aggregating the exploded
+    // shard sketches with the same aggregate), then the estimate as a
+    // fixed scalar-double expression. The oracle sketches the flat corpus
+    // directly — merge must be result-invisible. exact/err columns keep
+    // the gate honest about the estimator's actual error (~2-6% at
+    // k=256), not just its determinism.
+    "a20_kmv_distinct" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val hashed = t.lineitem.select(
+        col("l_linenumber").cast("long").as("shard"),
+        TextOps.md5Hash60(col("l_orderkey").cast("string")).as("h"))
+      val shardSk = hashed.groupBy("shard")
+        .agg(Aggregations.kmvSketch(col("h"), KmvK).as("sk"))
+      val merged = shardSk.select(explode(col("sk")).as("h"))
+        .agg(Aggregations.kmvSketch(col("h"), KmvK).as("sk"))
+      val exact = t.lineitem.agg(
+        countDistinct(col("l_orderkey")).as("exact_distinct"),
+        countDistinct(col("l_linenumber")).as("n_shards"))
+      merged.select(
+          size(col("sk")).cast("long").as("n_sketch"),
+          element_at(col("sk"), KmvK).as("kth_hash"),
+          Aggregations.kmvEstimate(col("sk"), KmvK).as("est_distinct"))
+        .crossJoin(broadcast(exact))
+        .select(col("n_shards"), col("n_sketch"), col("kth_hash"),
+          col("est_distinct"), col("exact_distinct"),
+          expr("(abs(est_distinct - exact_distinct) * 1000000) div exact_distinct")
+            .as("err_ppm"))
+    }),
+
+    // -------------------------------------------------------- A6 (lifecycle)
+    // The stored-sketch lifecycle — the band/PQ-index steady-state move
+    // applied to a corpus STATISTIC: the nightly build sketches the
+    // standing base once and stores k hashes; when a batch arrives, only
+    // the batch is scanned (O(|batch|)) and its hashes merge with the
+    // STORED sketch — the standing corpus is never rescanned, yet the
+    // merged sketch equals the from-scratch corpus sketch EXACTLY
+    // (lossless merge: any corpus-k-smallest hash from the base is within
+    // the base's k smallest). The oracle sketches base ∪ batch flat; the
+    // incremental path must land on the same k hashes.
+    "a21_kmv_incremental" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val key = TextOps.md5Hash60(col("l_orderkey").cast("string")).as("h")
+      val idx = SinkQueries.sinkDir("a21_kmv_sketch")
+      t.lineitem.filter(col("l_orderkey") % 10 =!= 0).select(key)
+        .agg(Aggregations.kmvSketch(col("h"), KmvK).as("sk"))
+        .select(explode(col("sk")).as("h"))
+        .write.mode("overwrite").parquet(idx)
+      val merged = s.read.parquet(idx).select(col("h"))
+        .union(t.lineitem.filter(col("l_orderkey") % 10 === 0).select(key))
+        .agg(Aggregations.kmvSketch(col("h"), KmvK).as("sk"))
+      val exact = t.lineitem.agg(
+        countDistinct(col("l_orderkey")).as("exact_distinct"))
+      merged.select(
+          size(col("sk")).cast("long").as("n_sketch"),
+          element_at(col("sk"), KmvK).as("kth_hash"),
+          Aggregations.kmvEstimate(col("sk"), KmvK).as("est_distinct"))
+        .crossJoin(broadcast(exact))
+        .select(col("n_sketch"), col("kth_hash"), col("est_distinct"),
+          col("exact_distinct"))
     }),
 
     // ------------------------------------------------------------------ A10
@@ -817,6 +891,38 @@ object CoreQueries {
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // The sketch is a deterministic set function: the k smallest DISTINCT
+    // 60-bit md5 hashes. DuckDB's image is a sort-limit over the distinct
+    // hashes of the flat corpus — no sharding, no merge — so the gate
+    // proves the engine's shard-and-merge path lands on the identical set.
+    // The estimate replays the exact scalar-double expression tree
+    // ((k-1) · (2^60 / h_k), floored): IEEE ops are deterministic; only
+    // aggregation order is not, and none happens in the estimate.
+    "a20_kmv_distinct" -> s"""
+         WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT AS hv FROM lineitem),
+         sk AS (SELECT hv FROM h ORDER BY hv LIMIT $KmvK),
+         agg AS (SELECT max(hv) AS kth_hash, count(*) AS n_sketch FROM sk),
+         ex AS (SELECT count(DISTINCT l_orderkey) AS exact_distinct,
+                       count(DISTINCT l_linenumber) AS n_shards FROM lineitem),
+         est AS (SELECT n_shards, n_sketch, kth_hash,
+           CASE WHEN n_sketch < $KmvK THEN n_sketch
+                ELSE CAST(floor(${KmvK - 1}.0 * (1152921504606846976.0 / CAST(kth_hash AS DOUBLE))) AS BIGINT) END AS est_distinct,
+           exact_distinct FROM agg, ex)
+         SELECT n_shards, n_sketch, kth_hash, est_distinct, exact_distinct,
+           (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct AS err_ppm
+         FROM est""",
+    // Incremental build must be result-invisible: the oracle sketches the
+    // whole corpus from scratch.
+    "a21_kmv_incremental" -> s"""
+         WITH h AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT AS hv FROM lineitem),
+         sk AS (SELECT hv FROM h ORDER BY hv LIMIT $KmvK),
+         agg AS (SELECT max(hv) AS kth_hash, count(*) AS n_sketch FROM sk),
+         ex AS (SELECT count(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+         SELECT n_sketch, kth_hash,
+           CASE WHEN n_sketch < $KmvK THEN n_sketch
+                ELSE CAST(floor(${KmvK - 1}.0 * (1152921504606846976.0 / CAST(kth_hash AS DOUBLE))) AS BIGINT) END AS est_distinct,
+           exact_distinct
+         FROM agg, ex""",
     "a3_cycle_breakdown" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS cycle,
          round(sum(o_totalprice),2) AS total, count(*) AS n

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, VectorOps}
+import graft.operators.{Curation, Graph, VectorOps}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the embedding similarity suite (engine
@@ -29,6 +29,12 @@ object VectorQueries {
   val KmeansIters = 2
   val NProbe = 2
   val SemDedupThreshold = 0.3
+
+  /** x89 kNN-PageRank: fixed node-id bound (constant gate size across SFs
+    * — the exact kNN graph build is quadratic, the oracle-able baseline)
+    * and iteration count for the ppm fixpoint. */
+  val PrNodes = 256L
+  val PrIters = 10
 
   /** Per-cell quota for the cluster-balanced diversity sample (x60):
     * below the mean cell size (500/8 ≈ 62), so dense cells are capped
@@ -710,6 +716,31 @@ object VectorQueries {
           KnnK, NProbe, VectorOps.readCentroids(s, idx),
           VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
         .orderBy("qid", "adc_d2", "vec_id")
+    }),
+
+    // ----------------------------------------------------------------- x89
+    // PageRank over the exact-kNN digraph — random-walk centrality as a
+    // PROTOTYPICALITY score (hubs of the neighbour graph sit in dense
+    // regions; the inverse of x60's diversity signal, and the typicality
+    // proxy coreset-selection pipelines rank by). Oracle-checkable
+    // because the whole fixpoint runs in BIGINT ppm ([[Graph.pageRankPpm]]
+    // — the pl12 TVD move applied to an iterative recurrence; float
+    // PageRank cannot be hash-gated, per-node in-sums reorder under
+    // shuffle). The node set is a FIXED id range: the exact kNN graph is
+    // the oracle-able baseline (quadratic build — x30's caveat), so the
+    // gate bounds it; at corpus scale the edges come from the LSH/IVF
+    // candidate paths and the iteration cost is |E| ppm-joins, which is
+    // what the operator's shape is built for.
+    "x89_knn_pagerank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sub = t.embeddings.filter(col("vec_id") < PrNodes)
+      val edges = VectorOps.knnJoin(sub, "vec_id", "embedding",
+          lit(true), KnnK)
+        .select(col("qid").as("src"), col("vec_id").as("dst"))
+      val nodes = sub.select(col("vec_id").as("id"))
+      Graph.pageRankPpm(nodes, edges, PrIters, compact = true)
+        .select(col("id").as("vec_id"), col("rank_ppm"))
+        .orderBy(desc("rank_ppm"), col("vec_id"))
     }),
 
     // ---------------------------------------------------------------- pl12
@@ -1510,6 +1541,10 @@ object VectorQueries {
          |    ORDER BY adc_d2, vec_id) AS rk FROM ranked)
          |WHERE rk <= $KnnK
          |ORDER BY qid, adc_d2, vec_id""".stripMargin,
+    // x89 replays the kNN-edge derivation and the full BIGINT-ppm
+    // PageRank recurrence, iteration by iteration — integer arithmetic
+    // makes the fixpoint engine-exact.
+    "x89_knn_pagerank" -> pageRankSql,
     // pl12 replays BOTH lifecycle branches plus the integer drift
     // arithmetic that chooses between them.
     "pl12_index_refresh" -> indexRefreshSql,
@@ -1712,6 +1747,45 @@ object VectorQueries {
          |WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin
     }
   )
+
+  /** x89: kNN edges over the bounded node range, then the BIGINT-ppm
+    * PageRank recurrence unrolled one CTE per iteration (the x65
+    * unrolled-fixpoint move). DuckDB's SUM(BIGINT) widens to HUGEINT, so
+    * each iteration's rank is cast back to BIGINT — values stay far
+    * inside int64 (≤ |V|·1e6), the cast is lossless. */
+  private def pageRankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      // AS MATERIALIZED: each r_i references r_{i-1} and edges — without
+      // it DuckDB inlines the references and re-expands the kNN-edge
+      // derivation once per iteration level.
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.id,
+         |    CAST(150000 + (850000 * COALESCE(s.inc, 0)) // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r // e.outdeg) AS inc
+         |    FROM edges e JOIN r${i - 1} p ON p.id = e.src
+         |    GROUP BY 1) s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sub AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $PrNodes),
+       |nodes AS (SELECT vec_id AS id FROM sub),
+       |pairs AS (
+       |  SELECT q.vec_id AS src, e.vec_id AS dst,
+       |    ${cosSql("e.embedding", "q.embedding")} AS sim_r
+       |  FROM sub e, sub q WHERE e.vec_id <> q.vec_id),
+       |edges0 AS (
+       |  SELECT src, dst FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |      ORDER BY sim_r DESC, dst) AS rk FROM pairs)
+       |  WHERE rk <= $KnnK),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY 1),
+       |edges AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.outdeg FROM edges0 e JOIN deg d USING (src)),
+       |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
+       |$iters
+       |SELECT id AS vec_id, r AS rank_ppm FROM r$PrIters
+       |ORDER BY rank_ppm DESC, vec_id""".stripMargin
+  }
 
   private def knnJoinSql: String =
     s"""WITH q AS (

@@ -60,6 +60,7 @@ object BenchExpectations {
     "a1_group_sum" -> 0.3296,
     "a20_kmv_distinct" -> 0.8789,
     "a21_kmv_incremental" -> 1.1749,
+    "a22_kmv_overlap" -> 0.8556,
     "a3_cycle_breakdown" -> 0.1907,
     "a4_conditional_pivot" -> 0.3804,
     "a7_distinct_values" -> 0.1587,

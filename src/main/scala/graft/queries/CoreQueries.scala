@@ -351,6 +351,56 @@ object CoreQueries {
           col("exact_distinct"))
     }),
 
+    // ---------------------------------------------------------- A6 (overlap)
+    // Set-overlap estimation from KMV sketches (Beyer et al., SIGMOD
+    // 2007 §5): given only the two sets' sketches — never the sets —
+    // estimate |A∩B| and Jaccard. THE planning primitive before a
+    // cross-corpus dedup at 100 TB ("how much does the new crawl overlap
+    // the standing corpus?" from 2·k stored longs instead of a corpus-
+    // pair join). Merge the two sketches into the union sketch; the
+    // fraction of its hashes present in BOTH input sketches estimates
+    // Jaccard; intersection = Ĵ · |A∪B|̂. Every derived number is
+    // integer (ppm) or the fixed scalar-double estimate expression —
+    // deterministic on both engines. A = orderkeys with a returned line,
+    // B = orderkeys with a line-1 ship: real overlap, neither subset.
+    "a22_kmv_overlap" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val h = TextOps.md5Hash60(col("l_orderkey").cast("string")).as("h")
+      val a = t.lineitem.filter(col("l_returnflag") === "R").select(h)
+      val b = t.lineitem.filter(col("l_linenumber") === 1).select(h)
+      def sk(df: DataFrame) =
+        df.agg(Aggregations.kmvSketch(col("h"), KmvK).as("sk"))
+      val skA = sk(a).select(col("sk").as("ska"))
+      val skB = sk(b).select(col("sk").as("skb"))
+      val both = skA.crossJoin(broadcast(skB))
+      val stats = both.select(
+        size(col("ska")).cast("long").as("n_a"),
+        size(col("skb")).cast("long").as("n_b"),
+        // union sketch = k smallest of the merged hash sets (array ops —
+        // the sketches are k-row driver-free columns)
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, KmvK)
+          .as("sku"))
+        .select(col("n_a"), col("n_b"), col("sku"),
+          size(col("sku")).cast("long").as("n_u"),
+          Aggregations.kmvEstimate(col("sku"), KmvK).as("est_union"))
+      val withJ = stats
+        .crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
+        .select(col("n_a"), col("n_b"), col("n_u"), col("est_union"),
+          size(filter(col("sku"),
+            x => array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+            .cast("long").as("j_common"))
+      val exact = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+        .join(t.lineitem.filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey")).distinct(), Seq("l_orderkey"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      withJ.crossJoin(broadcast(exact)).select(
+        col("n_a"), col("n_b"), col("n_u"), col("j_common"),
+        expr("(j_common * 1000000) div n_u").as("jaccard_ppm"),
+        expr("(j_common * est_union) div n_u").as("est_intersection"),
+        col("exact_intersection"))
+    }),
+
     // ------------------------------------------------------------------ A10
     // Count reconciliation (check_duplicates.py:124-172): incoming
     // (customers) vs existing (suppliers) per nation key.
@@ -911,6 +961,42 @@ object CoreQueries {
          SELECT n_shards, n_sketch, kth_hash, est_distinct, exact_distinct,
            (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct AS err_ppm
          FROM est""",
+    // The overlap estimator's relational image: sketch each side, take
+    // the k smallest of the union of the two sketches (= the union
+    // sketch, losslessly), count the members present in BOTH sketches.
+    // The union-membership argument: a union-sketch hash that is in A is
+    // necessarily within A's own sketch (fewer than k union hashes sit
+    // below it, so fewer than k of A's do) — so sketch membership is
+    // set membership here, and both engines count the same j.
+    "a22_kmv_overlap" -> s"""
+         WITH la AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT AS hv
+                     FROM lineitem WHERE l_returnflag = 'R'),
+         lb AS (SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT AS hv
+                FROM lineitem WHERE l_linenumber = 1),
+         ska AS (SELECT hv FROM la ORDER BY hv LIMIT $KmvK),
+         skb AS (SELECT hv FROM lb ORDER BY hv LIMIT $KmvK),
+         u AS (SELECT hv FROM (SELECT hv FROM ska UNION SELECT hv FROM skb)
+               ORDER BY hv LIMIT $KmvK),
+         sizes AS (SELECT (SELECT count(*) FROM ska) AS n_a,
+                          (SELECT count(*) FROM skb) AS n_b,
+                          (SELECT count(*) FROM u) AS n_u,
+                          (SELECT max(hv) FROM u) AS mx,
+                          (SELECT count(*) FROM u
+                           WHERE hv IN (SELECT hv FROM ska)
+                             AND hv IN (SELECT hv FROM skb)) AS j_common),
+         est AS (SELECT n_a, n_b, n_u, j_common,
+           CASE WHEN n_u < $KmvK THEN n_u
+                ELSE CAST(floor(${KmvK - 1}.0 * (1152921504606846976.0 / CAST(mx AS DOUBLE))) AS BIGINT) END AS est_union
+           FROM sizes),
+         ex AS (SELECT count(*) AS exact_intersection FROM
+                (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R') x
+                JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linenumber = 1) y
+                USING (l_orderkey))
+         SELECT n_a, n_b, n_u, j_common,
+           (j_common * 1000000) // n_u AS jaccard_ppm,
+           (j_common * est_union) // n_u AS est_intersection,
+           exact_intersection
+         FROM est, ex""",
     // Incremental build must be result-invisible: the oracle sketches the
     // whole corpus from scratch.
     "a21_kmv_incremental" -> s"""

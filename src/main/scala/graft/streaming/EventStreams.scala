@@ -560,6 +560,54 @@ object EventStreams {
     graft.sinks.LayoutSink.compact(spark, logDir, outDir, targetFileBytes)
 
   /** Highest-numbered `v<n>` snapshot under `labelsDir`. */
+  /** Seed the streaming-maintained distinct sketch: the standing corpus is
+    * hashed through the engine-standard 60-bit md5 and its KMV sketch
+    * (k rows of hashes) writes as version v0. */
+  def seedDistinctSketch(corpus: DataFrame, keyCol: String, k: Int,
+                         sketchDir: String): Unit =
+    corpus
+      .select(graft.operators.TextOps
+        .md5Hash60(col(keyCol).cast("string")).as("h"))
+      .agg(graft.operators.Aggregations.kmvSketch(col("h"), k).as("sk"))
+      .select(explode(col("sk")).as("h"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$sketchDir/v0")
+
+  /** Streaming maintenance of the stored KMV distinct-count sketch — the
+    * a21 lifecycle per micro-batch: each arriving batch is hashed ALONE
+    * (O(|batch|) — the standing corpus is never rescanned), merged with
+    * the latest stored snapshot (k rows), and the merged sketch writes as
+    * the next version. The merge is lossless
+    * ([[graft.functions.KmvSketch]]), so the final snapshot equals the
+    * from-scratch sketch of base ∪ every arrival — stream==batch, pinned
+    * by spec. Unlike the band-index append (whose replay caveat
+    * [[maintainClusters]] documents), a REPLAYED batch is exactly
+    * idempotent here with no caveat: hash-set union absorbs duplicates by
+    * construction. Versioned snapshots so a concurrent reader pins a
+    * version mid-merge. */
+  def maintainDistinctSketch(
+      arrivals: DataFrame,
+      keyCol: String,
+      k: Int,
+      checkpointDir: String,
+      sketchDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        spark.read.parquet(latestLabelVersion(sketchDir)).select(col("h"))
+          .unionByName(batch
+            .select(graft.operators.TextOps
+              .md5Hash60(col(keyCol).cast("string")).as("h")))
+          .agg(graft.operators.Aggregations.kmvSketch(col("h"), k).as("sk"))
+          .select(explode(col("sk")).as("h"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$sketchDir/v${batchId + 1}")
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+
   def latestLabelVersion(labelsDir: String): String = {
     val versions = Option(new java.io.File(labelsDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))

@@ -627,4 +627,48 @@ class EventStreamsSpec extends SparkSpec {
     // users have view/click/purchase events at this sf, so sets align
     assert(streamedByStage === expectedExact.filter(_._2 > 0))
   }
+
+  test("streaming distinct-sketch maintenance converges to the " +
+       "from-scratch corpus sketch (lossless merge per micro-batch)") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val k = 64
+    val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)
+    val arrivals = t.documents.filter(col("doc_id") % 10 === 0)
+    val sketchDir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    EventStreams.seedDistinctSketch(corpus, "doc_id", k, sketchDir)
+    // two arrival micro-batches, the second overlapping the corpus split
+    // (replayed keys) — the merge must absorb them
+    val arrivalsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-kmv-stream")
+      Seq(arrivals -> "arrivals_0",
+          arrivals.unionByName(corpus.limit(20)) -> "arrivals_1").foreach {
+        case (b, name) =>
+          val staging = java.nio.file.Files
+            .createTempDirectory("graft-kmv-split").toString
+          b.coalesce(1).write.mode("overwrite").parquet(staging)
+          new java.io.File(staging).listFiles()
+            .filter(_.getName.endsWith(".parquet")).take(1)
+            .foreach(f => java.nio.file.Files.copy(
+              f.toPath, java.nio.file.Paths.get(dir.toString, s"$name.parquet")))
+      }
+      dir.toString
+    }
+    val q = EventStreams.maintainDistinctSketch(
+      EventStreams.readDocuments(spark, arrivalsDir), "doc_id", k,
+      java.nio.file.Files.createTempDirectory("graft-kmv-ckpt").toString,
+      sketchDir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read
+      .parquet(EventStreams.latestLabelVersion(sketchDir))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val fromScratch = t.documents
+      .select(graft.operators.TextOps
+        .md5Hash60(col("doc_id").cast("string")).as("h"))
+      .agg(graft.operators.Aggregations.kmvSketch(col("h"), k).as("sk"))
+      .select(explode(col("sk")).as("h"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    graft.GraftCache.release()
+    assert(streamed.nonEmpty && streamed == fromScratch)
+  }
 }

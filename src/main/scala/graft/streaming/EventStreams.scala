@@ -395,14 +395,12 @@ object EventStreams {
     * (`labelsDir/v<n>`, seeded by the caller at v0): readers pin a
     * version and never see a half-written table, and a replayed batch
     * simply re-merges the same edges — component merging is idempotent,
-    * so restart/replay lands on the identical labels. The LABELS are the
-    * replay-safe half; the band-index append in step (3) is at-least-once:
-    * a replayed batch re-appends its band signatures, which duplicates
-    * index rows (harmless to screen RESULTS — candidate pairs dedup
-    * through the verification join — but it inflates the index until the
-    * next [[graft.operators.TextOps.compactBandIndex]] pass; exactly-once
-    * admission would key the append by batch id the way the log sinks
-    * here do). `allDocs` must
+    * so restart/replay lands on the identical labels. The band-index
+    * append in step (3) is EXACTLY-ONCE
+    * ([[graft.operators.TextOps.appendBandIndexExactlyOnce]], keyed by
+    * the micro-batch id): a replayed batch is detected by its admission
+    * marker and touches nothing, so the index never inflates across
+    * restarts — both halves of the loop are now replay-safe. `allDocs` must
     * cover corpus ∪ every possible arrival (only candidate ids are ever
     * fetched from it, behind the screen's semi-join). Local-FS versioning
     * here; production swaps the snapshot directory for a table format
@@ -432,7 +430,8 @@ object EventStreams {
             "id_a", "id_b")
           .write.mode("overwrite").parquet(s"$labelsDir/v${batchId + 1}")
         graft.operators.TextOps
-          .appendBandIndex(batch, "doc_id", "text", indexDir)
+          .appendBandIndexExactlyOnce(batch, "doc_id", "text", indexDir,
+            batchId)
         graft.GraftCache.release()
         ()
       }

@@ -273,4 +273,34 @@ class IndexLifecycleSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("appendBandIndexExactlyOnce: replay is detected, crash-retry " +
+       "converges, distinct batches admit normally") {
+    val corpus = documents.filter(col("doc_id") % 10 =!= 0)
+    val batchA = documents.filter(col("doc_id") % 10 === 0)
+    // disjoint from corpus ∪ batchA: fresh ids, so its band rows are new
+    val batchB = documents.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-band-eo").toString
+    TextOps.writeBandIndex(corpus, "doc_id", "text", idx)
+    def indexRows() = spark.read.parquet(idx)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val base = indexRows()
+    assert(TextOps.appendBandIndexExactlyOnce(batchA, "doc_id", "text", idx, 0L))
+    val afterA = indexRows()
+    assert(afterA.values.forall(_ == 1), "no duplicate rows after admit")
+    assert(afterA.size > base.size)
+    // replay of the same micro-batch id: marker short-circuits, no change
+    assert(!TextOps.appendBandIndexExactlyOnce(batchA, "doc_id", "text", idx, 0L))
+    assert(indexRows() == afterA)
+    // crash between moves and marker: marker missing, files present —
+    // the retry re-derives and overwrites the same names, never adds
+    new java.io.File(idx, "_batch0.done").delete()
+    assert(TextOps.appendBandIndexExactlyOnce(batchA, "doc_id", "text", idx, 0L))
+    assert(indexRows() == afterA)
+    // a genuinely new batch under a new id admits on top
+    assert(TextOps.appendBandIndexExactlyOnce(batchB, "doc_id", "text", idx, 1L))
+    val afterB = indexRows()
+    assert(afterB.size > afterA.size && afterB.values.forall(_ == 1))
+  }
 }

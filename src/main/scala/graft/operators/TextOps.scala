@@ -636,40 +636,19 @@ object TextOps {
     * the seam [[graft.streaming.EventStreams.maintainClusters]]'s replay
     * caveat named: a blind `mode(append)` duplicates the batch's band
     * rows on micro-batch replay (harmless to screen results, inflating
-    * to the index). Here the batch's signatures write to a staging
-    * directory, its part files MOVE into the index under deterministic
-    * batch-prefixed names (REPLACE_EXISTING — the batch transform is
-    * deterministic, so a re-derived file is byte-equivalent to the one
-    * it replaces), and a `_batch<id>.done` marker commits the admission:
-    *  - marker present → replay detected, nothing touched (returns false);
-    *  - crash after some moves but before the marker → the retry
-    *    re-derives and re-moves over the same names — convergent, never
-    *    additive.
-    * The index directory stays a FLAT parquet table: every existing
-    * reader (`spark.read.parquet(path)`), the compaction pass, and the
-    * tombstone pass work unchanged. Local-FS rename/marker here;
-    * production swaps in a table format's transactional commit with the
-    * same keyed-by-batch contract. */
+    * to the index). Band signatures are a deterministic projection of the
+    * batch, which is exactly the contract
+    * [[graft.sinks.LayoutSink.appendExactlyOnce]]'s staged-move/marker
+    * protocol needs; the index directory stays a flat parquet table, so
+    * readers, compaction, and the tombstone pass work unchanged. Returns
+    * false on a detected replay. */
   def appendBandIndexExactlyOnce(docs: DataFrame, idCol: String,
                                  textCol: String, path: String,
-                                 batchId: Long): Boolean = {
-    val marker = new java.io.File(path, s"_batch$batchId.done")
-    if (marker.exists()) return false
-    val staging = java.nio.file.Files
-      .createTempDirectory(s"graft_band_append_$batchId")
-    minhashBands(docs.select(col(idCol).as("id"),
-        tokens(col(textCol)).as("toks")))
-      .write.mode("overwrite").parquet(staging.toString)
-    staging.toFile.listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
-      .foreach { case (f, i) =>
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(path, s"batch$batchId-part$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    marker.createNewFile()
-    true
-  }
+                                 batchId: Long): Boolean =
+    graft.sinks.LayoutSink.appendExactlyOnce(
+      minhashBands(docs.select(col(idCol).as("id"),
+        tokens(col(textCol)).as("toks"))),
+      path, batchId)
 
   /** The periodic half of the append-then-compact lifecycle: restore an
     * appended index's range layout WITHOUT touching the corpus — reads

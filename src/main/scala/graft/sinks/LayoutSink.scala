@@ -26,6 +26,39 @@ object LayoutSink {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Append `df` to a flat parquet table with EXACTLY-ONCE semantics keyed
+    * by `batchId` — the transactional-commit contract a streaming
+    * foreachBatch sink needs so a replayed micro-batch never inflates the
+    * table. Protocol: write to a staging directory, MOVE the part files in
+    * under deterministic batch-prefixed names (REPLACE_EXISTING — callers
+    * must pass a deterministic frame, so a retry's files are equivalent to
+    * the ones they replace), then commit with a `_batch<id>.done` marker:
+    *  - marker present → replay, nothing touched, returns false;
+    *  - crash between moves and marker → the retry re-derives and
+    *    overwrites the same names — convergent, never additive.
+    * The target stays a flat parquet directory (markers are `_`-prefixed,
+    * which Spark's file index ignores), so plain readers, [[compact]], and
+    * tombstone passes work unchanged. Local-FS move/marker here;
+    * production swaps in a table format's transactional commit keyed the
+    * same way. */
+  def appendExactlyOnce(df: DataFrame, path: String, batchId: Long): Boolean = {
+    val marker = new java.io.File(path, s"_batch$batchId.done")
+    if (marker.exists()) return false
+    new java.io.File(path).mkdirs()
+    val staging = java.nio.file.Files
+      .createTempDirectory(s"graft_append_$batchId")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    staging.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(path, s"batch$batchId-part$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    marker.createNewFile()
+    true
+  }
+
   /** Morton Z-value of two non-negative integer columns: bit i of `a` lands
     * at position 2i+1, bit i of `b` at 2i — interleaved so Z-proximity
     * implies proximity in BOTH dimensions. Pure shift/mask projection,

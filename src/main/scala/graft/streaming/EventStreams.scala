@@ -453,11 +453,13 @@ object EventStreams {
     val stored = c.sparkSession.read.parquet(s"$indexDir/corpus")
     val cents = graft.operators.VectorOps
       .kmeansCentroids(stored, "vec_id", "embedding", k, iters)
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids/v0")
     graft.operators.VectorOps
       .cellCounts(stored, "vec_id", "embedding",
         graft.operators.VectorOps.collectCentroids(cents))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/cellcounts")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/cellcounts/v0")
   }
 
   /** Streaming drift-gated index maintenance — pl12's nightly decision
@@ -474,12 +476,18 @@ object EventStreams {
     * actually moved). A (batch_id, n_batch, drift_ppm, decision) row
     * lands in the log per batch; like every sink here each batch
     * OVERWRITES its own `batch_id=<n>` partition so replay replaces
-    * rather than duplicates. The corpus append is at-least-once on
-    * replay (same honest caveat as [[maintainClusters]]'s index
-    * admission); exactly-once admission would key corpus files by batch
-    * id. Readers of `centroids`/`cellcounts` see overwrite snapshots —
-    * production swaps the directory for a table format with the same
-    * pin-a-version contract. */
+    * rather than duplicates.
+    *
+    * The WHOLE pass is replay-convergent: the corpus append is
+    * exactly-once ([[graft.sinks.LayoutSink.appendExactlyOnce]], keyed by
+    * batch id), and centroids/cellcounts write VERSIONED snapshots
+    * (`v<batchId+1>`) whose inputs are the latest version ≤ batchId —
+    * immutable on replay — so a re-run batch recomputes the identical
+    * decision and overwrites its own version dirs with identical content,
+    * never double-counting (the blind counts merge this replaces
+    * double-added a replayed batch). Readers pin the latest version
+    * ([[latestLabelVersion]]); production swaps the snapshot directories
+    * for a table format with the same contract. */
   def maintainVectorIndex(
       arrivals: DataFrame,
       k: Int, iters: Int,
@@ -496,33 +504,40 @@ object EventStreams {
           transform(col("embedding"), x => x.cast("double")).as("embedding")))
         val nBatch = b.count()
         if (nBatch > 0) {
+          // prior snapshot = latest version ≤ batchId, NOT plain latest: a
+          // replayed batch must see the same immutable inputs it saw the
+          // first time even though its own (or a later) version already
+          // exists — this is what makes the recomputed decision identical.
           val cents = graft.operators.VectorOps.collectCentroids(
-            spark.read.parquet(s"$indexDir/centroids"))
-          val standing = spark.read.parquet(s"$indexDir/cellcounts")
+            spark.read.parquet(
+              versionAtMost(s"$indexDir/centroids", batchId)))
+          val standing = spark.read
+            .parquet(versionAtMost(s"$indexDir/cellcounts", batchId))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           val bCounts = graft.operators.VectorOps
             .collectCellCounts(b, "vec_id", "embedding", cents)
           val ppm = graft.operators.VectorOps
             .tvdPpmFromCounts(standing, bCounts)
           val retrain = ppm > driftPpmThreshold
-          b.write.mode("append").parquet(s"$indexDir/corpus")
+          graft.sinks.LayoutSink
+            .appendExactlyOnce(b, s"$indexDir/corpus", batchId)
           if (retrain) {
             val corpus = spark.read.parquet(s"$indexDir/corpus")
             val newCents = graft.operators.VectorOps
               .kmeansCentroids(corpus, "vec_id", "embedding", k, iters)
             newCents.coalesce(1).write.mode("overwrite")
-              .parquet(s"$indexDir/centroids")
+              .parquet(s"$indexDir/centroids/v${batchId + 1}")
             graft.operators.VectorOps
               .cellCounts(corpus, "vec_id", "embedding",
                 graft.operators.VectorOps.collectCentroids(newCents))
               .coalesce(1).write.mode("overwrite")
-              .parquet(s"$indexDir/cellcounts")
+              .parquet(s"$indexDir/cellcounts/v${batchId + 1}")
           } else {
             val merged = (standing.keySet ++ bCounts.keySet).toSeq.sorted
               .map(c => (c, standing.getOrElse(c, 0L) + bCounts.getOrElse(c, 0L)))
             spark.createDataFrame(merged).toDF("cid", "n")
               .coalesce(1).write.mode("overwrite")
-              .parquet(s"$indexDir/cellcounts")
+              .parquet(s"$indexDir/cellcounts/v${batchId + 1}")
           }
           // batch_id rides in the partition directory, not the rows — a
           // whole-log read then partition-discovers it without colliding
@@ -607,10 +622,25 @@ object EventStreams {
       }
       .start()
 
-  def latestLabelVersion(labelsDir: String): String = {
-    val versions = Option(new java.io.File(labelsDir).listFiles()).toSeq.flatten
+  private def versionDirs(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+
+  def latestLabelVersion(labelsDir: String): String = {
+    val versions = versionDirs(labelsDir)
     require(versions.nonEmpty, s"no label snapshots under $labelsDir (seed v0 first)")
+    versions.maxBy(_.getName.drop(1).toLong).getAbsolutePath
+  }
+
+  /** The latest snapshot version numbered ≤ `maxN` — the replay-stable
+    * read for a micro-batch with id `maxN`: its own output version is
+    * `v<maxN+1>`, so everything ≤ maxN is input state that existed (and
+    * can never change) before the batch first ran. */
+  def versionAtMost(dir: String, maxN: Long): String = {
+    val versions = versionDirs(dir)
+      .filter(_.getName.drop(1).toLong <= maxN)
+    require(versions.nonEmpty,
+      s"no snapshot version <= v$maxN under $dir (seed v0 first)")
     versions.maxBy(_.getName.drop(1).toLong).getAbsolutePath
   }
 

@@ -550,14 +550,17 @@ class EventStreamsSpec extends SparkSpec {
       }
       dir.toString
     }
-    val q = EventStreams.maintainVectorIndex(
-      spark.readStream.schema(batchA.schema)
-        .option("maxFilesPerTrigger", 1).parquet(arrivalsDir),
-      8, 2, graft.queries.VectorQueries.RefreshDriftPpm,
-      java.nio.file.Files.createTempDirectory("graft-vidx-ckpt").toString,
-      idxDir, logDir)
-    q.processAllAvailable()
-    q.stop()
+    def runStream(): Unit = {
+      val q = EventStreams.maintainVectorIndex(
+        spark.readStream.schema(batchA.schema)
+          .option("maxFilesPerTrigger", 1).parquet(arrivalsDir),
+        8, 2, graft.queries.VectorQueries.RefreshDriftPpm,
+        java.nio.file.Files.createTempDirectory("graft-vidx-ckpt").toString,
+        idxDir, logDir)
+      q.processAllAvailable()
+      q.stop()
+    }
+    runStream()
     val log = spark.read.parquet(logDir)
       .select(col("batch_id").cast("long"), col("decision"), col("drift_ppm"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -565,23 +568,35 @@ class EventStreamsSpec extends SparkSpec {
     info(log.mkString(", "))
     assert(log.map(_._2).toSeq === Seq("append", "retrain"),
       "in-dist batch must append, shifted batch must retrain")
+    def centsPath = EventStreams.latestLabelVersion(s"$idxDir/centroids")
+    def state() = (
+      VectorOps.collectCentroids(spark.read.parquet(centsPath)).toSeq,
+      spark.read.parquet(
+          EventStreams.latestLabelVersion(s"$idxDir/cellcounts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      spark.read.parquet(s"$idxDir/corpus")
+        .collect().map(_.getLong(0)).sorted.toSeq)
     // post-state == batch-mode retrain over everything accumulated
     val full = base.unionByName(batchA).unionByName(batchB)
     val expectCents = VectorOps.collectCentroids(
       VectorOps.kmeansCentroids(full, "vec_id", "embedding", 8, 2))
-    val gotCents = VectorOps.collectCentroids(
-      spark.read.parquet(s"$idxDir/centroids"))
-    assert(gotCents === expectCents,
+    val (gotCents, gotCounts, gotIds) = state()
+    assert(gotCents === expectCents.toSeq,
       "stored centroids must equal batch-mode k-means over the full corpus")
     val expectCounts = VectorOps.assignToCentroids(full, "vec_id",
-        "embedding", spark.read.parquet(s"$idxDir/centroids"))
+        "embedding", spark.read.parquet(centsPath))
       .groupBy("cid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val gotCounts = spark.read.parquet(s"$idxDir/cellcounts")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    graft.GraftCache.release()
     assert(gotCounts === expectCounts,
       "stored cell counts must equal assignment counts over the full corpus")
+    // FULL REPLAY (fresh checkpoint, same arrivals, same batch ids): the
+    // exactly-once corpus append skips, the versioned snapshots recompute
+    // from the same ≤-batchId inputs and overwrite their own versions —
+    // the ENTIRE maintenance state must be byte-identical.
+    runStream()
+    graft.GraftCache.release()
+    assert(state() === ((gotCents, gotCounts, gotIds)),
+      "replaying every micro-batch must leave the index state unchanged")
   }
 
   test("watermark-bounded dedup passes distinct events within the horizon") {

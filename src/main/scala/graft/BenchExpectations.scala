@@ -61,6 +61,7 @@ object BenchExpectations {
     "a20_kmv_distinct" -> 0.8789,
     "a21_kmv_incremental" -> 1.1749,
     "a22_kmv_overlap" -> 0.8556,
+    "a23_daily_distinct" -> 0.571,
     "a3_cycle_breakdown" -> 0.1907,
     "a4_conditional_pivot" -> 0.3804,
     "a7_distinct_values" -> 0.1587,

@@ -31,6 +31,11 @@ object CoreQueries {
     * orderkeys than k, keeping the estimate branch active at all scales. */
   val KmvK = 256
 
+  /** Sketch size for the grouped daily-distinct gate (a23): below the
+    * per-day user cardinality at sf0.01/sf0.1 (estimate branch live)
+    * and above sf0.001's (exact-below-k branch live). */
+  val KmvDailyK = 64
+
   /** The `orders` column set, shared by the a14 profile oracle generator —
     * row parity with `Aggregations.profile(orders)` needs the same SET of
     * columns (both sides order by column name at the end). */
@@ -349,6 +354,31 @@ object CoreQueries {
         .crossJoin(broadcast(exact))
         .select(col("n_sketch"), col("kth_hash"), col("est_distinct"),
           col("exact_distinct"))
+    }),
+
+    // ---------------------------------------------------------- A6 (grouped)
+    // The sketch as a GROUPED aggregate — daily distinct users, the
+    // classic product-analytics cardinality series: one pass, partial
+    // aggregation per (day × partition), ≤ k longs per day crossing the
+    // exchange where exact per-day COUNT(DISTINCT) shuffles every
+    // (day, user) pair. k sits BELOW the sf0.01/sf0.1 per-day
+    // cardinality and above sf0.001's, so the estimate branch and the
+    // exact-below-k branch are both live across the test scales. The
+    // exact column rides along to keep the error honest per group.
+    "a23_daily_distinct" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.filter(col("user_id").isNotNull)
+        .select(col("ts").cast("date").as("day"),
+          TextOps.md5Hash60(col("user_id").cast("string")).as("h"),
+          col("user_id"))
+      ev.groupBy("day")
+        .agg(Aggregations.kmvSketch(col("h"), KmvDailyK).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("day"),
+          size(col("sk")).cast("long").as("n_sketch"),
+          Aggregations.kmvEstimate(col("sk"), KmvDailyK).as("est_users"),
+          col("exact_users"))
+        .orderBy("day")
     }),
 
     // ---------------------------------------------------------- A6 (overlap)
@@ -961,6 +991,22 @@ object CoreQueries {
          SELECT n_shards, n_sketch, kth_hash, est_distinct, exact_distinct,
            (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct AS err_ppm
          FROM est""",
+    // Grouped sketch: per-day k-smallest via a ranked window over the
+    // distinct (day, hash) pairs.
+    "a23_daily_distinct" -> s"""
+         WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL),
+         rk AS (SELECT day, hv, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
+         sk AS (SELECT day, count(*) AS n_sketch, max(hv) AS kth FROM rk
+                WHERE rn <= $KmvDailyK GROUP BY day),
+         ex AS (SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS exact_users
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         SELECT day, n_sketch,
+           CASE WHEN n_sketch < $KmvDailyK THEN n_sketch
+                ELSE CAST(floor(${KmvDailyK - 1}.0 * (1152921504606846976.0 / CAST(kth AS DOUBLE))) AS BIGINT) END AS est_users,
+           exact_users
+         FROM sk JOIN ex USING (day) ORDER BY day""",
     // The overlap estimator's relational image: sketch each side, take
     // the k smallest of the union of the two sketches (= the union
     // sketch, losslessly), count the members present in BOTH sketches.

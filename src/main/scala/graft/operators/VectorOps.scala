@@ -1296,6 +1296,24 @@ object VectorOps {
     writeCodebooks(spark, codebooks, dir)
   }
 
+  /** Incremental maintenance of a [[writeIvfPqResidualIndex]] index —
+    * [[appendIvfPqIndex]]'s residual twin, closing the
+    * {residual} × {append} lifecycle cell: the arriving batch assigns to
+    * the STORED centroids, subtracts its cell's centroid, and encodes
+    * the residual with the STORED residual codebooks — the same single
+    * projection the build uses, O(|batch|), standing rows never read.
+    * Appended files are not range-laid; cid file pruning degrades
+    * gracefully until a periodic [[graft.sinks.LayoutSink.compact]] by
+    * cid re-lays the codes. */
+  def appendIvfPqResidualIndex(newVectors: DataFrame, idCol: String,
+                               vecCol: String, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    residualEncodeWithCells(newVectors, idCol, vecCol,
+        collectCentroids(spark.read.parquet(s"$dir/centroids")),
+        readPqCodebooks(spark, dir))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** [[ivfPqResidualTopKOverCodes]] served OFF the stored residual index
     * ([[writeIvfPqResidualIndex]]): the nprobe winning cell ids (bounded
     * by construction) collect to literals and the codes scan carries

@@ -821,6 +821,33 @@ object VectorQueries {
         VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
     }),
 
+    // ----------------------------------------------------------------- x90
+    // Incremental append on the RESIDUAL index — x77's lifecycle on the
+    // residual form, closing the {residual} × {append} matrix cell: both
+    // quantizer families train on the standing base (coarse cells, then
+    // residual codebooks on the base's residuals), the index stores the
+    // base, the arriving batch appends through the STORED tables
+    // (assign → subtract cell centroid → encode, one projection,
+    // O(|batch|)), and the serve over base ∪ batch must land exactly
+    // where the oracle's base-trained whole-table replay lands.
+    "x90_ivfpq_residual_append" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val base = e.filter(col("vec_id") % PqAppendMod =!= 0)
+      val batch = e.filter(col("vec_id") % PqAppendMod === 0)
+      val cents = VectorOps.collectCentroids(VectorOps.kmeansCentroids(
+        base, "vec_id", "embedding", KClusters, KmeansIters))
+      val cbs = VectorOps.pqCodebooksResidual(base, "vec_id", "embedding",
+        cents, Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x90_ivfpq_res_index")
+      VectorOps.writeIvfPqResidualIndex(base, "vec_id", "embedding", cents,
+        cbs, idx)
+      VectorOps.appendIvfPqResidualIndex(batch, "vec_id", "embedding", idx)
+      VectorOps.ivfPqResidualTopKOverIndex(e, "vec_id", "embedding",
+        QueryVecId, K, NProbe, VectorOps.readCentroids(s, idx),
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+    }),
+
     // ----------------------------------------------------------------- x85
     // Tombstone delete on the COMPOSED index, served end to end — x83's
     // lifecycle at the billion-scale layout: the pruned codes keep their
@@ -1116,15 +1143,21 @@ object VectorQueries {
 
   private val ResidualSrc = "(SELECT vec_id, embedding FROM res)"
 
-  /** x78: the residual IVF-PQ replay — coarse chain, per-vector
+  /** x78/x90: the residual IVF-PQ replay — coarse chain, per-vector
     * residuals, r-tagged codebook chains TRAINED ON RESIDUALS, residual
     * encode, and a serve whose ADC compares the QUERY'S RESIDUAL
-    * against each probed cell (qres is per probe cell). */
-  private lazy val ivfPqResidualTopkSql: String =
-    s"""WITH $kmeansSql,
+    * against each probed cell (qres is per probe cell). Training sources
+    * pluggable: x78 trains both quantizer families on everything; x90
+    * (append lifecycle) trains the coarse chain on the base split and
+    * the residual chains on the BASE'S residuals, then the whole corpus
+    * assigns, residual-encodes, and serves — the SQL image of
+    * write-residual-index-then-append. */
+  private def ivfPqResidualTopkSqlFor(coarseTrainSrc: String,
+                                      resTrainSrc: String): String =
+    s"""WITH ${kmeansSqlFor(coarseTrainSrc)},
        |$assignCte,
        |$residualCte,
-       |${pqChainsSqlFor(ResidualSrc, "r")},
+       |${pqChainsSqlFor(resTrainSrc, "r")},
        |${pqEncodeSqlFor(ResidualSrc, "r")},
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
        |probes AS (
@@ -1140,6 +1173,18 @@ object VectorQueries {
        |${pqJoinsSql("r")}
        |WHERE a.vec_id <> $QueryVecId
        |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin
+
+  private lazy val ivfPqResidualTopkSql: String =
+    ivfPqResidualTopkSqlFor("embeddings", ResidualSrc)
+
+  /** The x90 oracle: both quantizer families trained on the base split
+    * (the residual chains on the base's residuals specifically —
+    * `res` holds every vector's residual, so the training source narrows
+    * it), everything encoded and served. */
+  private lazy val ivfPqResidualAppendSql: String =
+    ivfPqResidualTopkSqlFor(
+      s"(SELECT * FROM embeddings WHERE vec_id % $PqAppendMod != 0)",
+      s"(SELECT vec_id, embedding FROM res WHERE vec_id % $PqAppendMod != 0)")
 
   /** Shared CTE block for the batch-query recall oracles: the sampled
     * query set, the exact L2 kNN ranking, and the per-query probe cells
@@ -1460,6 +1505,9 @@ object VectorQueries {
     // oracle verbatim (exactly as x73/x75 share their live twins').
     "x81_ivfpq_compact" -> ivfPqAppendSql,
     "x78_ivfpq_residual" -> ivfPqResidualTopkSql,
+    // x90: the append path must be result-invisible against the
+    // base-trained whole-table replay.
+    "x90_ivfpq_residual_append" -> ivfPqResidualAppendSql,
     // x84 serves the IDENTICAL residual ranking off the stored index —
     // the storage round trip must be result-invisible, so it shares
     // x78's oracle verbatim (the x73/x75 pattern for the residual form).

@@ -274,6 +274,47 @@ class IndexLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("residual index append → delete → compact: every maintenance " +
+       "arrow is result-invisible and the layout heals") {
+    // The {residual} × {append, delete, compact} lifecycle cells in one
+    // chain: base-trained quantizers store the base; the batch appends
+    // through the stored tables (x90's oracle covers result-equality —
+    // here the chain CONTINUES); a tombstone pass drops ids and re-lays;
+    // compaction re-lays the survivors again; and the final serve must
+    // equal the live residual ranking over exactly the surviving rows.
+    val e = embeddings
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val cents = VectorOps.collectCentroids(
+      VectorOps.kmeansCentroids(base, "vec_id", "embedding", 8, 1))
+    val cbs = VectorOps.pqCodebooksResidual(base, "vec_id", "embedding",
+      cents, 64, 4, 8, 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-res-lifecycle").toString
+    VectorOps.writeIvfPqResidualIndex(base, "vec_id", "embedding", cents,
+      cbs, dir, numFiles = 4)
+    VectorOps.appendIvfPqResidualIndex(batch, "vec_id", "embedding", dir)
+    // takedown: every id divisible by 3 (hits base AND appended rows)
+    val removed = e.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val prunedDir = java.nio.file.Files
+      .createTempDirectory("graft-res-pruned").toString
+    VectorOps.deletePqCodes(spark, dir, removed, "vec_id",
+      s"$prunedDir/codes", numFiles = 4)
+    val compactDir = java.nio.file.Files
+      .createTempDirectory("graft-res-compact").toString
+    graft.sinks.LayoutSink.compact(spark, s"$prunedDir/codes",
+      s"$compactDir/codes", targetFileBytes = 1L << 20, Some("cid"))
+    val survivors = e.filter(col("vec_id") % 3 =!= 0)
+    val live = VectorOps.ivfPqResidualTopK(survivors, "vec_id", "embedding",
+      1L, 10, 2, cents, cbs).collect().toSeq
+    graft.GraftCache.release()
+    val served = VectorOps.ivfPqResidualTopKOverCodes(e, "vec_id",
+      "embedding", 1L, 10, 2, cents, cbs,
+      spark.read.parquet(s"$compactDir/codes")).collect().toSeq
+    assert(served === live,
+      "append+delete+compact must serve exactly the survivors' ranking")
+  }
+
   test("appendBandIndexExactlyOnce: replay is detected, crash-retry " +
        "converges, distinct batches admit normally") {
     val corpus = documents.filter(col("doc_id") % 10 =!= 0)

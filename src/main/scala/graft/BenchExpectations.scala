@@ -226,6 +226,7 @@ object BenchExpectations {
     "x88_two_stage_indexed" -> 4.7916,
     "x89_knn_pagerank" -> 3.8466,
     "x90_ivfpq_residual_append" -> 5.5453,
+    "x91_source_authority" -> 4.1412,
     "pl12_index_refresh" -> 3.9792,
     "x8_embed_neardups" -> 0.4072,
     "x9_token_stats" -> 0.3596,

@@ -25,6 +25,9 @@ object TextQueries {
 
   /** Near-dup Jaccard threshold (shared by query and oracle). */
   val NearDupThreshold = 0.8
+
+  /** PageRank iterations for the x91 source-authority fixpoint. */
+  val AuthorityIters = 10
   val ChunkSize = 64
   val MinSharedChunks = 2
   val ChunkTokens = 32
@@ -231,6 +234,39 @@ object TextQueries {
         .select(col("doc_id"), col("component"), col("n_tokens"),
           (col("doc_id") === col("keeper")).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x91
+    // Source authority over the near-dup COPY GRAPH — which crawl
+    // sources the rest of the corpus "copies": x4's LSH pairs project to
+    // source-level edges (both directions — shared content endorses both
+    // ends; pair multiplicity between a source pair carries weight,
+    // which [[Graph.pageRankPpm]] models as duplicated edges), and the
+    // BIGINT-ppm PageRank ranks the 20 sources. The mirror-site signal
+    // crawl curation weights by: a source whose content keeps appearing
+    // elsewhere ranks high, an island stays on the damping floor.
+    // Scale shape: pair discovery is the LSH screen (never all-pairs),
+    // the graph is |sources|-sized, and the fixpoint is the compact
+    // broadcast regime.
+    "x91_source_authority" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = TextOps.minhashNearDups(t.documents, "doc_id", "text",
+          NearDupThreshold)
+        .select("id_a", "id_b")
+      val srcs = t.documents.select(col("doc_id"), col("source"))
+      val e0 = pairs
+        .join(srcs.select(col("doc_id").as("id_a"),
+          col("source").as("src_a")), Seq("id_a"))
+        .join(srcs.select(col("doc_id").as("id_b"),
+          col("source").as("src_b")), Seq("id_b"))
+        .filter(col("src_a") =!= col("src_b"))
+      val edges = e0.select(col("src_a").as("src"), col("src_b").as("dst"))
+        .unionAll(e0.select(col("src_b").as("src"), col("src_a").as("dst")))
+      val nodes = t.documents.select(col("source").as("id")).distinct()
+      graft.operators.Graph
+        .pageRankPpm(nodes, edges, AuthorityIters, compact = true)
+        .select(col("id").as("source"), col("rank_ppm"))
+        .orderBy(desc("rank_ppm"), col("source"))
     }),
 
     // ----------------------------------------------------------------- x29
@@ -1184,6 +1220,33 @@ object TextQueries {
        |SELECT id_a, id_b, jaccard FROM jac
        |WHERE jaccard >= $NearDupThreshold ORDER BY id_a, id_b""".stripMargin
 
+  /** x91: the x4 pair pipeline, projected to cross-source edges (both
+    * directions, multiplicity preserved — UNION ALL), then the shared
+    * integer-ppm PageRank recurrence over the 20-source graph. */
+  private def sourceAuthoritySql: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id AS id, $toksSql AS toks FROM documents),
+       |${minhashPairCtes("toked")},
+       |ndp AS (
+       |  SELECT id_a, id_b FROM jac WHERE jaccard >= $NearDupThreshold),
+       |srcs AS (SELECT doc_id AS id, source FROM documents),
+       |e0 AS (
+       |  SELECT sa.source AS src_a, sb.source AS src_b
+       |  FROM ndp JOIN srcs sa ON ndp.id_a = sa.id
+       |           JOIN srcs sb ON ndp.id_b = sb.id
+       |  WHERE sa.source <> sb.source),
+       |edges0 AS (
+       |  SELECT src_a AS src, src_b AS dst FROM e0
+       |  UNION ALL
+       |  SELECT src_b AS src, src_a AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT source AS id FROM documents),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY 1),
+       |edges AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.outdeg FROM edges0 e JOIN deg d USING (src)),
+       |${VectorQueries.pageRankIterCtes(AuthorityIters)}
+       |SELECT id AS source, r AS rank_ppm FROM r$AuthorityIters
+       |ORDER BY rank_ppm DESC, source""".stripMargin
+
   /** Connected components as a recursive CTE: `reach` enumerates every
     * (node, reachable-label) pair over the symmetric near-dup edge list —
     * set-semantics UNION terminates the recursion — and min(label) per node
@@ -1318,6 +1381,9 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x3_lang_id" -> langIdSql,
     "x4_minhash_neardups" -> minhashSql,
+    // x91: x4's pair pipeline → source-level edge projection → the
+    // shared BIGINT-ppm PageRank chain (VectorQueries.pageRankIterCtes).
+    "x91_source_authority" -> sourceAuthoritySql,
     "x39_incremental_neardups" -> incrementalNearDupSql,
     // x41 selects the identical pair set through the materialized index —
     // the oracle is the same replay (indexes are a plan property, not a

@@ -1801,11 +1801,14 @@ object VectorQueries {
     * unrolled-fixpoint move). DuckDB's SUM(BIGINT) widens to HUGEINT, so
     * each iteration's rank is cast back to BIGINT — values stay far
     * inside int64 (≤ |V|·1e6), the cast is lossless. */
-  private def pageRankSql: String = {
-    val iters = (1 to PrIters).map { i =>
-      // AS MATERIALIZED: each r_i references r_{i-1} and edges — without
-      // it DuckDB inlines the references and re-expands the kNN-edge
-      // derivation once per iteration level.
+  /** The BIGINT-ppm PageRank recurrence as r0..r<iters> CTEs over
+    * caller-provided `nodes(id)` / `edges(src, dst, outdeg)` CTEs —
+    * shared by x89 (kNN graph) and x91 (source copy graph; `id` may be
+    * any equality-joinable type). AS MATERIALIZED on each r_i: without
+    * it DuckDB inlines the references and re-expands the edge derivation
+    * once per iteration level. */
+  private[queries] def pageRankIterCtes(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
          |  SELECT n.id,
          |    CAST(150000 + (850000 * COALESCE(s.inc, 0)) // 1000000 AS BIGINT) AS r
@@ -1814,6 +1817,11 @@ object VectorQueries {
          |    FROM edges e JOIN r${i - 1} p ON p.id = e.src
          |    GROUP BY 1) s USING (id))""".stripMargin
     }.mkString(",\n")
+    s"""r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
+       |$chain""".stripMargin
+  }
+
+  private def pageRankSql: String = {
     s"""WITH sub AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $PrNodes),
        |nodes AS (SELECT vec_id AS id FROM sub),
@@ -1829,8 +1837,7 @@ object VectorQueries {
        |deg AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY 1),
        |edges AS MATERIALIZED (
        |  SELECT e.src, e.dst, d.outdeg FROM edges0 e JOIN deg d USING (src)),
-       |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
-       |$iters
+       |${pageRankIterCtes(PrIters)}
        |SELECT id AS vec_id, r AS rank_ppm FROM r$PrIters
        |ORDER BY rank_ppm DESC, vec_id""".stripMargin
   }

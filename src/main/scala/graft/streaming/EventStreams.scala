@@ -66,6 +66,28 @@ object EventStreams {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Per-day distinct users via the KMV sketch — a23's streaming twin:
+    * the sketch is a typed-imperative aggregate, so it runs under
+    * streaming state exactly like count/HLL (bounded: ≤ k longs per open
+    * window), partial buffers merging across micro-batches losslessly.
+    * Because "k smallest distinct hashes of a set" is order-free, the
+    * stream's final per-day rows equal the batch query's bit-for-bit —
+    * the stream==batch spec pins it. Emits (day, n_sketch, est_users):
+    * the sketch size and the fixed-expression estimate, the same columns
+    * a23's oracle checks (minus the exact ride-along, which would defeat
+    * the sketch's purpose under streaming state). */
+  def dailyDistinctUsers(events: DataFrame, k: Int): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(graft.operators.Aggregations.kmvSketch(
+        graft.operators.TextOps.md5Hash60(col("user_id").cast("string")),
+        k).as("sk"))
+      .select(col("w.start").cast("date").as("day"),
+        size(col("sk")).cast("long").as("n_sketch"),
+        graft.operators.Aggregations.kmvEstimate(col("sk"), k)
+          .as("est_users"))
+
   /** Watermark-BOUNDED dedup state: `dropDuplicatesWithinWatermark` keeps a
     * key only until the watermark passes its event time, then frees it —
     * the form whose state is O(keys-per-horizon) instead of O(all keys

@@ -643,6 +643,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamedByStage === expectedExact.filter(_._2 > 0))
   }
 
+  test("streaming daily distinct-user sketch equals the batch sketch " +
+       "(order-free aggregate under micro-batch state)") {
+    val k = 64
+    val stream = EventStreams.readEvents(spark, eventsDir)
+    runToMemory(EventStreams.dailyDistinctUsers(stream, k),
+      "kmv_daily_stream", "complete")
+    val streamed = spark.table("kmv_daily_stream")
+      .orderBy("day").collect().toSeq
+    // batch twin: the same sketch columns off the batch reader
+    val batch = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(graft.operators.Aggregations.kmvSketch(
+        graft.operators.TextOps.md5Hash60(col("user_id").cast("string")),
+        k).as("sk"))
+      .select(col("day"), size(col("sk")).cast("long").as("n_sketch"),
+        graft.operators.Aggregations.kmvEstimate(col("sk"), k)
+          .as("est_users"))
+      .orderBy("day").collect().toSeq
+    graft.GraftCache.release()
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming distinct-sketch maintenance converges to the " +
        "from-scratch corpus sketch (lossless merge per micro-batch)") {
     val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")

@@ -30,7 +30,11 @@ object ScaleProbe {
     // round-13 additions: the clustered recall pair, the residual
     // routed stored serve, and the drift-gated refresh pipeline
     "x86_clustered_recall", "x87_residual_routed_knn",
-    "pl12_index_refresh")
+    "pl12_index_refresh",
+    // second pass: the residual append lifecycle (corpus-proportional;
+    // the graph gates x89/x91 are fixed-size by design and the KMV
+    // gates are sub-second, so none of those probe)
+    "x90_ivfpq_residual_append")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -12,10 +12,17 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+def fresh_con():
+    # A connection per query: one long-lived connection accumulates enough
+    # allocator state over 180+ sf0.1 oracle replays that DuckDB starts
+    # failing tiny allocations late in the run (observed: spurious OOMs
+    # from x86 onward that disappear entirely run solo).
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return c
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
@@ -43,7 +50,9 @@ for name in sorted(oracle):
         fails += 1
         continue
     try:
+        con = fresh_con()
         odf = norm(con.sql(oracle[name]).df())
+        con.close()
     except Exception as e:
         print(f"{name}: ORACLE ERR {e}")
         fails += 1

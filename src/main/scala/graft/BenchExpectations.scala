@@ -60,6 +60,7 @@ object BenchExpectations {
     "a21_kmv_incremental" -> 1.0221,
     "a22_kmv_overlap" -> 0.8278,
     "a23_daily_distinct" -> 0.5907,
+    "a24_value_histogram" -> 0.5877,
     "a3_cycle_breakdown" -> 0.2726,
     "a4_conditional_pivot" -> 0.4617,
     "a7_distinct_values" -> 0.2544,

@@ -226,4 +226,61 @@ object Aggregations {
     when(size(sketch) < k, size(sketch).cast("long"))
       .otherwise(floor(lit((k - 1).toDouble) *
         (lit(Hash60Space) / element_at(sketch, k).cast("double"))).cast("long"))
+
+  /** Log₂-mantissa histogram percentiles — the DDSketch idea (Masson,
+    * Rim & Lee, VLDB 2019: relative-error quantiles from log-spaced
+    * buckets whose counts are trivially mergeable) rebuilt on EXACT
+    * integer arithmetic so it is deterministic across engines, which
+    * float-log bucketing is not (libm `log` differs at boundary values
+    * between runtimes). Values quantize to micro-units; a bucket is
+    * (bit-length of v, top-4-bits mantissa) — γ = 2^(1/8) ≈ 1.09, ≤ ~9%
+    * relative bucket width — computed with string-length-of-binary and
+    * shifts, no floating point anywhere. Per requested percentile p the
+    * result row carries the ceil-rank, the containing bucket's exact
+    * integer bounds, and the TRUE rank statistic (the rank-th smallest
+    * micro-value — itself integer-deterministic), so the sketch's error
+    * is visible in the artifact, not asserted. At 100 TB the histogram
+    * is the path: ≤ a few hundred bucket counts per partition merge
+    * map-side where the exact rank statistic needs a global sort.
+    * `df(valueCol)` must be positive; rows quantizing to 0 are dropped
+    * (sub-microunit values carry no rank information at this γ). */
+  def logHistogramPercentiles(df: DataFrame, valueCol: String,
+                              percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(floor(col(valueCol) * 1000000d).cast("long").as("v"))
+      .filter(col("v") > 0)
+    val n = vals.agg(count(lit(1)).as("n"))
+    val buckets = vals
+      .withColumn("msb", length(expr("bin(v)")).cast("long"))
+      .withColumn("sub",
+        expr("CASE WHEN msb <= 4 THEN v ELSE shiftright(v, cast(msb - 4 AS INT)) END"))
+      .groupBy("msb", "sub").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("msb", "sub")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = buckets.withColumn("cum", sum("c").over(w))
+    val ranks = percentiles.sorted.map(_.toLong).toDF("p")
+      .crossJoin(broadcast(n))
+      .select(col("p"), expr("(n * p + 99) div 100").as("rank"))
+    // first bucket whose cumulative count reaches the rank
+    val sel = ranks.join(cum, col("cum") >= col("rank"))
+      .groupBy("p", "rank")
+      .agg(min(struct(col("msb"), col("sub"))).as("b"))
+      .select(col("p"), col("rank"),
+        col("b.msb").as("msb"), col("b.sub").as("sub"))
+    val exact = vals
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")))
+    sel.join(exact, col("rn") === col("rank"))
+      .select(col("p"), col("rank"),
+        expr("CASE WHEN msb <= 4 THEN sub ELSE shiftleft(sub, cast(msb - 4 AS INT)) END")
+          .as("bucket_lo"),
+        expr("CASE WHEN msb <= 4 THEN sub ELSE shiftleft(sub + 1, cast(msb - 4 AS INT)) - 1 END")
+          .as("bucket_hi"),
+        col("v").as("exact_micro"))
+      .orderBy("p")
+  }
 }

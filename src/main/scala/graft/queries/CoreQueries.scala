@@ -381,6 +381,22 @@ object CoreQueries {
         .orderBy("day")
     }),
 
+    // --------------------------------------------------------- A11 (sketch)
+    // Quantiles from a log-bucketed histogram — the DDSketch idea on
+    // EXACT integer arithmetic (bit-length + top-4-bits mantissa,
+    // γ = 2^(1/8) ≈ 1.09), completing the sketch triad (distinct = KMV
+    // a20-a23, heavy hitters = Misra-Gries x46, quantiles = this). The
+    // bucket counts are the mergeable 100 TB path (a few hundred longs
+    // per partition, map-side combinable) where a11's exact percentiles
+    // need a global sort; the gate emits per percentile the containing
+    // bucket's integer bounds AND the true rank statistic, so the
+    // sketch's ≤ ~9% relative error is in the artifact.
+    "a24_value_histogram" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Aggregations.logHistogramPercentiles(
+        t.events.select(col("value")), "value", Seq(50, 95, 99))
+    }),
+
     // ---------------------------------------------------------- A6 (overlap)
     // Set-overlap estimation from KMV sketches (Beyer et al., SIGMOD
     // 2007 §5): given only the two sets' sketches — never the sets —
@@ -991,6 +1007,39 @@ object CoreQueries {
          SELECT n_shards, n_sketch, kth_hash, est_distinct, exact_distinct,
            (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct AS err_ppm
          FROM est""",
+    // a24: the histogram replay — integer bucketization (length of the
+    // binary rendering + shifts, both engines pad-free), ceil-rank
+    // selection, and the rank-th smallest micro-value.
+    "a24_value_histogram" -> s"""
+         WITH vals AS (
+           SELECT CAST(floor(value * 1000000) AS BIGINT) AS v FROM events
+           WHERE value IS NOT NULL AND value > 0
+             AND CAST(floor(value * 1000000) AS BIGINT) > 0),
+         n AS (SELECT count(*) AS n FROM vals),
+         bk AS (
+           SELECT msb, CASE WHEN msb <= 4 THEN v ELSE v >> CAST(msb - 4 AS INT) END AS sub,
+                  count(*) AS c
+           FROM (SELECT v, CAST(length(bin(v)) AS BIGINT) AS msb FROM vals)
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT msb, sub, CAST(SUM(c) OVER (ORDER BY msb, sub) AS BIGINT) AS cum
+           FROM bk),
+         rk AS (
+           SELECT CAST(p AS BIGINT) AS p, (n * p + 99) // 100 AS rank
+           FROM (VALUES (50), (95), (99)) t(p), n),
+         sel AS (
+           SELECT p, rank, msb, sub FROM (
+             SELECT r.p, r.rank, c.msb, c.sub,
+               row_number() OVER (PARTITION BY r.p ORDER BY c.msb, c.sub) AS rn
+             FROM rk r JOIN cum c ON c.cum >= r.rank)
+           WHERE rn = 1),
+         ex AS (SELECT v, row_number() OVER (ORDER BY v) AS xr FROM vals)
+         SELECT p, rank,
+           CASE WHEN msb <= 4 THEN sub ELSE sub << CAST(msb - 4 AS INT) END AS bucket_lo,
+           CASE WHEN msb <= 4 THEN sub ELSE ((sub + 1) << CAST(msb - 4 AS INT)) - 1 END AS bucket_hi,
+           v AS exact_micro
+         FROM sel JOIN ex ON ex.xr = sel.rank
+         ORDER BY p""",
     // Grouped sketch: per-day k-smallest via a ranked window over the
     // distinct (day, hash) pairs.
     "a23_daily_distinct" -> s"""

@@ -66,6 +66,26 @@ class SketchGraphSpec extends SparkSpec {
     assert(back.asScala.toSeq == buf.asScala.toSeq)
   }
 
+  test("log-histogram percentiles: bucket bounds always contain the true " +
+       "rank statistic, with bounded relative width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // heavy-tailed positive values across 5 decades
+    val df = Seq.fill(4000)(math.exp(rnd.nextGaussian() * 2.5)).toDF("value")
+    val rows = Aggregations.logHistogramPercentiles(df, "value",
+      Seq(10, 50, 90, 99)).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (lo, hi, exact) = (r.getAs[Long]("bucket_lo"),
+        r.getAs[Long]("bucket_hi"), r.getAs[Long]("exact_micro"))
+      assert(lo <= exact && exact <= hi,
+        s"p${r.getAs[Long]("p")}: $exact outside [$lo, $hi]")
+      // γ = 2^(1/8): bucket width ≤ ~9% of its lower bound (plus the
+      // tiny-value buckets where the 4-bit mantissa hasn't kicked in)
+      assert(hi - lo <= lo / 8 + 1, s"bucket [$lo, $hi] too wide")
+    }
+  }
+
   /** The recurrence on plain Maps — an independent driver-side image of
     * [[Graph.pageRankPpm]] to pin the distributed form against. */
   private def pageRankLocal(nodes: Seq[Long], edges: Seq[(Long, Long)],

@@ -215,10 +215,10 @@ object EventStreams {
     * quality gate (stateless per-row columns, the SAME expressions batch
     * query x2 oracle-checks) plus exact dedup on the content fingerprint
     * (x0's key; keyed streaming state). Batch certifies the semantics;
-    * this certifies the wiring. Dedup state is unbounded here because
-    * documents carry no event time — a production intake would stamp an
-    * ingest timestamp and watermark it, exactly like [[dedupEvents]].
-    * Emits (doc_id, lang, source, n_tokens, fp) for surviving documents.
+    * this certifies the wiring. Dedup state is unbounded here (documents
+    * carry no event time); [[curateDocumentsBounded]] is the
+    * state-bounded production form. Emits (doc_id, lang, source,
+    * n_tokens, fp) for surviving documents.
     *
     * Known cost, accepted here: predicate pushdown inlines `quality_ok`
     * through the metrics projection, re-running the tokenizing split per
@@ -233,6 +233,26 @@ object EventStreams {
       .filter(col("quality_ok"))
       .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
       .dropDuplicates("fp")
+      .select("doc_id", "lang", "source", "n_tokens", "fp")
+
+  /** [[curateDocuments]] with BOUNDED dedup state — the production form
+    * its own caveat describes: documents carry no event time, so the
+    * intake stamps an ingest timestamp, watermarks it, and dedups via
+    * `dropDuplicatesWithinWatermark`, whose keyed state expires once the
+    * watermark passes a fingerprint's horizon. Contract shift, stated
+    * plainly: a duplicate arriving MORE than `horizon` after its
+    * original passes through (the original's state has been reclaimed) —
+    * at corpus scale that long-tail is the standing band/fingerprint
+    * index's job ([[screenArrivalsIndexed]]), while this bounds the
+    * within-stream state a long-running intake accumulates. */
+  def curateDocumentsBounded(docs: DataFrame,
+                             horizon: String = "1 hour"): DataFrame =
+    graft.operators.TextOps.qualityMetrics(docs, "text")
+      .filter(col("quality_ok"))
+      .withColumn("fp", graft.operators.TextOps.fingerprint(col("text")))
+      .withColumn("__ingest_ts", current_timestamp())
+      .withWatermark("__ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
       .select("doc_id", "lang", "source", "n_tokens", "fp")
 
   /** Production streaming near-dup screen: every arriving micro-batch is

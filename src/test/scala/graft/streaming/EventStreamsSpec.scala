@@ -192,6 +192,13 @@ class EventStreamsSpec extends SparkSpec {
       graft.sources.Tables(spark, "/root/testdata/sf0.001").documents))
     assert(streamed.nonEmpty)
     assert(streamed === batch)
+    // the state-BOUNDED form: within one run (every arrival far inside
+    // the horizon) it must keep exactly the same content set while its
+    // dedup state stays watermark-reclaimable
+    runToMemory(EventStreams.curateDocumentsBounded(
+        EventStreams.readDocuments(spark, docsDir), "1 hour"),
+      "curate_stream_bounded", "append")
+    assert(contents(spark.table("curate_stream_bounded")) === batch)
   }
 
   test("streaming incremental near-dup screen equals the batch screen") {

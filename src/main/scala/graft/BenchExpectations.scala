@@ -95,6 +95,7 @@ object BenchExpectations {
     "pl10_classifier_pipeline" -> 5.4413,
     "pl11_dsir_pipeline" -> 4.3588,
     "pl12_index_refresh" -> 2.4145,
+    "pl13_sketch_report" -> 1.2463,
     "pl1_csv_pipeline" -> 1.6322,
     "pl2_sql_pipeline" -> 0.7956,
     "pl3_realtime_pipeline" -> 1.4549,

@@ -126,6 +126,48 @@ object PipelineQueries {
       nDocs.union(nTokens).union(nLangs).union(qRate)
         .union(dupRedundant).union(nearDups).union(vocabRows)
         .orderBy("metric")
+    }),
+
+    // ------------------------------------------------------ pipeline 13
+    // pl7's SCALE twin: the same nightly corpus-health report computed
+    // through the sketch paths — the form that still runs at 100 TB,
+    // where pl7's exact countDistinct / full vocab groupBy would shuffle
+    // corpus-cardinality keys. Distinct content fingerprints via the KMV
+    // sketch (a20's machinery, k longs per shard), heavy tokens via the
+    // Misra–Gries two-pass (x46's — EXACT output, bounded memory), and
+    // the n_chars distribution via the integer log-histogram (a24's,
+    // mergeable bucket counts; the exact rank statistic rides along to
+    // keep the bucket honest). Every value is BIGINT and every path
+    // integer-deterministic, so the whole report hash-matches.
+    "pl13_sketch_report" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+      val Agg = graft.operators.Aggregations
+      val TO = graft.operators.TextOps
+      val k = CoreQueries.KmvK
+      val est = docs
+        .select(TO.md5Hash60(TO.fingerprint(col("text"))).as("h"))
+        .agg(Agg.kmvSketch(col("h"), k).as("sk"))
+        .select(lit("distinct_fp_est").as("metric"), lit("").as("key"),
+          Agg.kmvEstimate(col("sk"), k).as("value"))
+      val heavy = Agg.heavyHitters(
+          docs.select(explode(TO.tokens(col("text"))).as("token")),
+          "token", TextQueries.HHCapacity)
+        .select(lit("heavy_token").as("metric"), col("token").as("key"),
+          col("n_occurrences").as("value"))
+      val hist = Agg.logHistogramPercentiles(
+        docs.select(col("n_chars").cast("double").as("value")),
+        "value", Seq(50, 95))
+      def histRows(valCol: String, suffix: String) = hist.select(
+        concat(lit("p"), col("p").cast("string"), lit(suffix)).as("metric"),
+        lit("").as("key"), col(valCol).as("value"))
+      val nDocs = docs.agg(count(lit(1)).as("value"))
+        .select(lit("n_docs").as("metric"), lit("").as("key"), col("value"))
+      est.unionByName(heavy)
+        .unionByName(histRows("bucket_lo", "_nchars_micro_lo"))
+        .unionByName(histRows("exact_micro", "_nchars_micro_exact"))
+        .unionByName(nDocs)
+        .orderBy("metric", "key")
     })
   )
 
@@ -157,8 +199,67 @@ object PipelineQueries {
       """SELECT count(*) AS n, round(sum(p_retailprice), 2) AS price_total,
         |  count(*) AS n_verified
         |FROM part""".stripMargin,
-    "pl7_corpus_report" -> corpusReportSql
+    "pl7_corpus_report" -> corpusReportSql,
+    "pl13_sketch_report" -> sketchReportSql
   )
+
+  /** pl13: each sketch path's relational image — KMV = sort-limit over
+    * the distinct fingerprint hashes, heavy hitters = the exact
+    * integer-threshold HAVING (the MG two-pass's guaranteed output), and
+    * the log-histogram = a24's bucketization on n_chars. */
+  private def sketchReportSql: String = {
+    val k = CoreQueries.KmvK
+    val cap = TextQueries.HHCapacity
+    s"""WITH h AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(
+       |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |  ),1,15))::BIGINT AS hv FROM documents),
+       |sk AS (SELECT hv FROM h ORDER BY hv LIMIT $k),
+       |agg AS (SELECT max(hv) AS kth, count(*) AS ns FROM sk),
+       |t AS (SELECT unnest(${TextQueries.toksSql}) AS token FROM documents),
+       |tot AS (SELECT count(*) AS n FROM t),
+       |vals AS (
+       |  SELECT CAST(floor(n_chars * 1000000) AS BIGINT) AS v FROM documents
+       |  WHERE n_chars IS NOT NULL AND n_chars > 0
+       |    AND CAST(floor(n_chars * 1000000) AS BIGINT) > 0),
+       |vn AS (SELECT count(*) AS n FROM vals),
+       |bk AS (
+       |  SELECT msb, CASE WHEN msb <= 4 THEN v ELSE v >> CAST(msb - 4 AS INT) END AS sub,
+       |         count(*) AS c
+       |  FROM (SELECT v, CAST(length(bin(v)) AS BIGINT) AS msb FROM vals)
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT msb, sub, CAST(SUM(c) OVER (ORDER BY msb, sub) AS BIGINT) AS cum
+       |  FROM bk),
+       |rk AS (
+       |  SELECT CAST(p AS BIGINT) AS p, (n * p + 99) // 100 AS rank
+       |  FROM (VALUES (50), (95)) pt(p), vn),
+       |sel AS (
+       |  SELECT p, rank, msb, sub FROM (
+       |    SELECT r.p, r.rank, c.msb, c.sub,
+       |      row_number() OVER (PARTITION BY r.p ORDER BY c.msb, c.sub) AS rn
+       |    FROM rk r JOIN cum c ON c.cum >= r.rank)
+       |  WHERE rn = 1),
+       |ex AS (SELECT v, row_number() OVER (ORDER BY v) AS xr FROM vals)
+       |SELECT 'distinct_fp_est' AS metric, '' AS key,
+       |  CASE WHEN ns < $k THEN ns
+       |       ELSE CAST(floor(${k - 1}.0 * (1152921504606846976.0 / CAST(kth AS DOUBLE))) AS BIGINT) END AS value
+       |FROM agg
+       |UNION ALL
+       |SELECT 'heavy_token', token, CAST(count(*) AS BIGINT)
+       |FROM t GROUP BY token
+       |HAVING count(*) * ($cap + 1) > (SELECT n FROM tot)
+       |UNION ALL
+       |SELECT 'p' || CAST(p AS VARCHAR) || '_nchars_micro_lo', '',
+       |  CASE WHEN msb <= 4 THEN sub ELSE sub << CAST(msb - 4 AS INT) END
+       |FROM sel
+       |UNION ALL
+       |SELECT 'p' || CAST(p AS VARCHAR) || '_nchars_micro_exact', '', v
+       |FROM sel JOIN ex ON ex.xr = sel.rank
+       |UNION ALL
+       |SELECT 'n_docs', '', count(*) FROM documents
+       |ORDER BY metric, key""".stripMargin
+  }
 
   /** Replays every pl7 metric from the shared generated builders (same
     * tokenization, fingerprint, quality arithmetic, and MinHash pipeline

@@ -244,20 +244,38 @@ object Aggregations {
     * map-side where the exact rank statistic needs a global sort.
     * `df(valueCol)` must be positive; rows quantizing to 0 are dropped
     * (sub-microunit values carry no rank information at this γ). */
-  def logHistogramPercentiles(df: DataFrame, valueCol: String,
-                              percentiles: Seq[Int]): DataFrame = {
-    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vals = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+  /** Micro-quantized positive values of `valueCol` — the shared front end
+    * of the histogram paths. */
+  private def microValues(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
       .select(floor(col(valueCol) * 1000000d).cast("long").as("v"))
       .filter(col("v") > 0)
-    val n = vals.agg(count(lit(1)).as("n"))
-    val buckets = vals
+
+  /** The log₂-mantissa bucket counts of `valueCol` — (msb, sub, c) rows,
+    * ≤ a few hundred whatever the input size. These ARE the mergeable
+    * sketch: histograms of disjoint corpora combine by summing `c` per
+    * bucket (which also means a merge is ADDITIVE, not idempotent — a
+    * replay-safe maintainer must version its snapshots, see
+    * [[graft.streaming.EventStreams.maintainValueHistogram]]). */
+  def logHistogramBuckets(df: DataFrame, valueCol: String): DataFrame =
+    microValues(df, valueCol)
       .withColumn("msb", length(expr("bin(v)")).cast("long"))
       .withColumn("sub",
         expr("CASE WHEN msb <= 4 THEN v ELSE shiftright(v, cast(msb - 4 AS INT)) END"))
       .groupBy("msb", "sub").agg(count(lit(1)).as("c"))
+
+  /** Percentile readout from stored bucket counts — the serve half of the
+    * histogram sketch: ceil-rank selection over the cumulative counts,
+    * emitting each requested percentile's containing-bucket integer
+    * bounds. No raw values needed (that is the point of the sketch);
+    * [[logHistogramPercentiles]] adds the true rank statistic when the
+    * raw column IS at hand. */
+  def logHistogramReadout(buckets: DataFrame,
+                          percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100))
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val n = buckets.agg(sum("c").as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("msb", "sub")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -265,21 +283,27 @@ object Aggregations {
     val ranks = percentiles.sorted.map(_.toLong).toDF("p")
       .crossJoin(broadcast(n))
       .select(col("p"), expr("(n * p + 99) div 100").as("rank"))
-    // first bucket whose cumulative count reaches the rank
-    val sel = ranks.join(cum, col("cum") >= col("rank"))
+    ranks.join(cum, col("cum") >= col("rank"))
       .groupBy("p", "rank")
       .agg(min(struct(col("msb"), col("sub"))).as("b"))
       .select(col("p"), col("rank"),
         col("b.msb").as("msb"), col("b.sub").as("sub"))
-    val exact = vals
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("v")))
-    sel.join(exact, col("rn") === col("rank"))
       .select(col("p"), col("rank"),
         expr("CASE WHEN msb <= 4 THEN sub ELSE shiftleft(sub, cast(msb - 4 AS INT)) END")
           .as("bucket_lo"),
         expr("CASE WHEN msb <= 4 THEN sub ELSE shiftleft(sub + 1, cast(msb - 4 AS INT)) - 1 END")
-          .as("bucket_hi"),
+          .as("bucket_hi"))
+  }
+
+  def logHistogramPercentiles(df: DataFrame, valueCol: String,
+                              percentiles: Seq[Int]): DataFrame = {
+    val sel = logHistogramReadout(
+      logHistogramBuckets(df, valueCol), percentiles)
+    val exact = microValues(df, valueCol)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")))
+    sel.join(exact, col("rn") === col("rank"))
+      .select(col("p"), col("rank"), col("bucket_lo"), col("bucket_hi"),
         col("v").as("exact_micro"))
       .orderBy("p")
   }

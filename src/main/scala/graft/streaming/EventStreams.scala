@@ -664,6 +664,45 @@ object EventStreams {
       }
       .start()
 
+  /** Seed the streaming-maintained value histogram: the standing corpus's
+    * log₂-mantissa bucket counts write as version v0. */
+  def seedValueHistogram(corpus: DataFrame, valueCol: String,
+                         histDir: String): Unit =
+    graft.operators.Aggregations.logHistogramBuckets(corpus, valueCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$histDir/v0")
+
+  /** Streaming maintenance of the stored log-histogram — p99-style value
+    * telemetry over an unbounded stream with a few hundred longs of
+    * state: each micro-batch's bucket counts ADD into the stored counts.
+    * Addition is not idempotent (unlike the KMV hash-set union), so this
+    * is exactly the case the versioned-snapshot discipline exists for:
+    * the batch reads the latest version ≤ its own id (immutable on
+    * replay) and overwrites `v<batchId+1>` — a replayed batch recomputes
+    * identical content instead of double-counting, the same argument as
+    * [[maintainVectorIndex]]'s cell counts. Read percentiles off any
+    * pinned version with
+    * [[graft.operators.Aggregations.logHistogramReadout]]. */
+  def maintainValueHistogram(
+      arrivals: DataFrame,
+      valueCol: String,
+      checkpointDir: String,
+      histDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        spark.read.parquet(versionAtMost(histDir, batchId))
+          .unionByName(graft.operators.Aggregations
+            .logHistogramBuckets(batch, valueCol))
+          .groupBy("msb", "sub").agg(sum("c").as("c"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$histDir/v${batchId + 1}")
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+
   private def versionDirs(dir: String): Seq[java.io.File] =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))

@@ -58,7 +58,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Sharding (round-10, the structural fix for suite-scale GC/code-cache
   * amplification): with no query args, the suite is split into
-  * SPARK_GRAFT_BENCH_SHARDS (default 6) cost-balanced shards, each run in
+  * SPARK_GRAFT_BENCH_SHARDS (default: suite size / ~25, the design
+  * point — round 13 showed a fixed count re-growing per-shard load as
+  * the suite grows) cost-balanced shards, each run in
   * a FRESH child JVM sequentially — fresh heap, fresh JIT code cache,
   * shuffle/temp dirs that die with the process. The round-9 driver run
   * flagged 10 queries that pass solo; the diag evidence points at
@@ -81,7 +83,13 @@ object Bench {
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
         all.filter(args.contains)
       }
-    val shards = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARDS", "6").toInt
+    // Shard count scales with suite size (round-13 verdict "What's wrong
+    // #2"): the sharded design point is ~25 queries per child JVM — a fixed
+    // count silently drifts toward the single-JVM amplification regime as
+    // the suite grows (6 shards was 25/shard at 150 queries, 31/shard at
+    // 185). The env var remains an override for targeted dev runs.
+    val shards = sys.env.get("SPARK_GRAFT_BENCH_SHARDS").map(_.toInt)
+      .getOrElse(math.max(1, math.ceil(names.size / 25.0).toInt))
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     if (!isChild) BenchHygiene.sweepStale()
     // Environment telemetry bookends (round-11 verdict task 1): loadavg +

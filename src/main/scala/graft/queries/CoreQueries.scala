@@ -315,7 +315,13 @@ object CoreQueries {
         countDistinct(col("l_linenumber")).as("n_shards"))
       merged.select(
           size(col("sk")).cast("long").as("n_sketch"),
-          element_at(col("sk"), KmvK).as("kth_hash"),
+          // element_at(sk, size(sk)), not element_at(sk, KmvK): the sketch
+          // is ascending, so the last element IS the oracle's max(hv), and
+          // a below-k sketch (corpus with < k distinct keys) degrades to
+          // the same value on both sides instead of a Spark-side NULL
+          // (round-13 advice — the KmvK form was gated only by a test-data
+          // cardinality assumption).
+          element_at(col("sk"), size(col("sk"))).as("kth_hash"),
           Aggregations.kmvEstimate(col("sk"), KmvK).as("est_distinct"))
         .crossJoin(broadcast(exact))
         .select(col("n_shards"), col("n_sketch"), col("kth_hash"),
@@ -349,7 +355,9 @@ object CoreQueries {
         countDistinct(col("l_orderkey")).as("exact_distinct"))
       merged.select(
           size(col("sk")).cast("long").as("n_sketch"),
-          element_at(col("sk"), KmvK).as("kth_hash"),
+          // last element == oracle's max(hv); degrades identically below k
+          // (see a20_kmv_distinct).
+          element_at(col("sk"), size(col("sk"))).as("kth_hash"),
           Aggregations.kmvEstimate(col("sk"), KmvK).as("est_distinct"))
         .crossJoin(broadcast(exact))
         .select(col("n_sketch"), col("kth_hash"), col("est_distinct"),

@@ -1807,11 +1807,17 @@ object VectorQueries {
     * any equality-joinable type). AS MATERIALIZED on each r_i: without
     * it DuckDB inlines the references and re-expands the edge derivation
     * once per iteration level. */
-  private[queries] def pageRankIterCtes(iters: Int): String = {
+  private[graft] def pageRankIterCtes(iters: Int,
+                                      dampPpm: Long = 850000L): String = {
+    // dampPpm is threaded, not hardcoded, so a caller passing a non-default
+    // damping to Graph.pageRankPpm gets an oracle replaying the SAME
+    // recurrence (round-13 advice: the 850000/150000 literals here could
+    // silently diverge from the operator's parameter).
+    val floor = 1000000L - dampPpm
     val chain = (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
          |  SELECT n.id,
-         |    CAST(150000 + (850000 * COALESCE(s.inc, 0)) // 1000000 AS BIGINT) AS r
+         |    CAST($floor + ($dampPpm * COALESCE(s.inc, 0)) // 1000000 AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS id, SUM(p.r // e.outdeg) AS inc
          |    FROM edges e JOIN r${i - 1} p ON p.id = e.src

@@ -29,33 +29,53 @@ object LayoutSink {
   /** Append `df` to a flat parquet table with EXACTLY-ONCE semantics keyed
     * by `batchId` — the transactional-commit contract a streaming
     * foreachBatch sink needs so a replayed micro-batch never inflates the
-    * table. Protocol: write to a staging directory, MOVE the part files in
-    * under deterministic batch-prefixed names (REPLACE_EXISTING — callers
-    * must pass a deterministic frame, so a retry's files are equivalent to
-    * the ones they replace), then commit with a `_batch<id>.done` marker:
+    * table. Protocol: write to a `_`-prefixed staging directory INSIDE the
+    * target (invisible to Spark's file index, same FileSystem so the moves
+    * are renames), sweep any `batch<id>-part*` stragglers a crashed earlier
+    * attempt left (a retry under AQE/changed shuffle config may produce
+    * FEWER part files — without the sweep the excess stale parts would
+    * silently duplicate rows; round-13 advice), MOVE the fresh parts in
+    * under deterministic batch-prefixed names, delete the staging dir, then
+    * commit with a `_batch<id>.done` marker:
     *  - marker present → replay, nothing touched, returns false;
-    *  - crash between moves and marker → the retry re-derives and
-    *    overwrites the same names — convergent, never additive.
-    * The target stays a flat parquet directory (markers are `_`-prefixed,
-    * which Spark's file index ignores), so plain readers, [[compact]], and
-    * tombstone passes work unchanged. Local-FS move/marker here;
-    * production swaps in a table format's transactional commit keyed the
-    * same way. */
+    *  - crash before the marker → the retry sweeps + re-moves from scratch
+    *    — convergent, never additive.
+    * The target stays a flat parquet directory (markers and staging are
+    * `_`-prefixed, which Spark's file index ignores), so plain readers,
+    * [[compact]], and tombstone passes work unchanged. All IO goes through
+    * the Hadoop `FileSystem` API (round-13 verdict task 3), so the protocol
+    * holds wherever `path`'s scheme resolves — local, HDFS, or any mounted
+    * connector. Caveat for S3-family object stores: `rename` there is
+    * copy+delete (non-atomic per file, no directory atomicity), so the
+    * crash window widens — the marker-gated sweep still converges, but a
+    * production S3 deployment should swap in a table format's
+    * transactional commit keyed the same way. */
   def appendExactlyOnce(df: DataFrame, path: String, batchId: Long): Boolean = {
-    val marker = new java.io.File(path, s"_batch$batchId.done")
-    if (marker.exists()) return false
-    new java.io.File(path).mkdirs()
-    val staging = java.nio.file.Files
-      .createTempDirectory(s"graft_append_$batchId")
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(target, s"_batch$batchId.done")
+    if (fs.exists(marker)) return false
+    fs.mkdirs(target)
+    // Sweep stragglers from any crashed earlier attempt of THIS batch
+    // before writing: the retry's plan may legitimately yield a different
+    // part count, and only a full pre-sweep makes the retry's file set the
+    // complete file set.
+    val stale = fs.globStatus(
+      new org.apache.hadoop.fs.Path(target, s"batch$batchId-part*.parquet"))
+    if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
+    val staging = new org.apache.hadoop.fs.Path(target, s"_staging_batch$batchId")
+    fs.delete(staging, true) // a crashed attempt's staging is dead weight
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    staging.toFile.listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
-      .foreach { case (f, i) =>
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(path, s"batch$batchId-part$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fs.listStatus(staging)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).zipWithIndex
+      .foreach { case (st, i) =>
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(target, s"batch$batchId-part$i.parquet"))
       }
-    marker.createNewFile()
+    fs.delete(staging, true) // drop _SUCCESS/.crc residue (round-13 advice)
+    fs.create(marker, true).close()
     true
   }
 

@@ -339,6 +339,21 @@ class IndexLifecycleSpec extends SparkSpec {
     new java.io.File(idx, "_batch0.done").delete()
     assert(TextOps.appendBandIndexExactlyOnce(batchA, "doc_id", "text", idx, 0L))
     assert(indexRows() == afterA)
+    // crash-retry where the first attempt left MORE part files than the
+    // retry writes (AQE/shuffle-config change): the pre-move sweep must
+    // remove the excess stale part or its rows silently duplicate
+    // (round-13 advice). Simulated by cloning a real part under a high
+    // index the retry will never reach.
+    val parts = new java.io.File(idx).listFiles()
+      .filter(_.getName.matches("batch0-part\\d+\\.parquet"))
+    java.nio.file.Files.copy(parts.head.toPath,
+      java.nio.file.Paths.get(idx, "batch0-part99.parquet"))
+    new java.io.File(idx, "_batch0.done").delete()
+    assert(TextOps.appendBandIndexExactlyOnce(batchA, "doc_id", "text", idx, 0L))
+    assert(indexRows() == afterA, "stale straggler part must not survive retry")
+    assert(!new java.io.File(idx, "batch0-part99.parquet").exists())
+    // staging residue never survives a successful commit
+    assert(!new java.io.File(idx, "_staging_batch0").exists())
     // a genuinely new batch under a new id admits on top
     assert(TextOps.appendBandIndexExactlyOnce(batchB, "doc_id", "text", idx, 1L))
     val afterB = indexRows()

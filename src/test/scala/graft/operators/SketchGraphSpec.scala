@@ -89,14 +89,16 @@ class SketchGraphSpec extends SparkSpec {
   /** The recurrence on plain Maps — an independent driver-side image of
     * [[Graph.pageRankPpm]] to pin the distributed form against. */
   private def pageRankLocal(nodes: Seq[Long], edges: Seq[(Long, Long)],
-                            iters: Int): Map[Long, Long] = {
+                            iters: Int,
+                            dampPpm: Long = 850000L): Map[Long, Long] = {
     val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     var r = nodes.map(_ -> 1000000L).toMap
     for (_ <- 1 to iters) {
       val inc = edges.groupBy(_._2).view.mapValues(
         _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
       r = nodes.map(v => v ->
-        (150000L + (850000L * inc.getOrElse(v, 0L)) / 1000000L)).toMap
+        ((1000000L - dampPpm) +
+          (dampPpm * inc.getOrElse(v, 0L)) / 1000000L)).toMap
     }
     r
   }
@@ -116,6 +118,23 @@ class SketchGraphSpec extends SparkSpec {
     assert(got(2L) == 150000L)
     // mutually-endorsing hub pair accumulated mass above initial
     assert(got(0L) > 1000000L && got(1L) > got(2L))
+  }
+
+  test("pageRankPpm threads a non-default damping through operator, local " +
+       "model, and oracle CTE alike (round-13 advice: no constant drift)") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L), (2L, 1L))
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val damp = 600000L
+    val got = Graph.pageRankPpm(
+        nodes.toDF("id"), edges.toDF("src", "dst"), 4, dampPpm = damp)
+      .as[(Long, Long)].collect().toMap
+    assert(got == pageRankLocal(nodes, edges, 4, damp))
+    assert(got(3L) == 1000000L - damp) // floor follows the parameter
+    // the oracle CTE generator emits the SAME parameterized constants
+    val cte = graft.queries.VectorQueries.pageRankIterCtes(2, damp)
+    assert(cte.contains(s"${1000000L - damp} + ($damp * COALESCE"))
+    assert(!cte.contains("850000"))
   }
 
   test("pageRankPpm is partitioning-invariant (integer sums don't reorder)") {

@@ -50,9 +50,14 @@ for name in sorted(oracle):
         fails += 1
         continue
     try:
+        # close() in finally: a throwing oracle query must not leak the
+        # connection and its ten views, or a run with many oracle errors
+        # re-accumulates exactly the allocator state fresh_con() avoids.
         con = fresh_con()
-        odf = norm(con.sql(oracle[name]).df())
-        con.close()
+        try:
+            odf = norm(con.sql(oracle[name]).df())
+        finally:
+            con.close()
     except Exception as e:
         print(f"{name}: ORACLE ERR {e}")
         fails += 1

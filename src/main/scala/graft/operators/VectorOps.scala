@@ -193,12 +193,14 @@ object VectorOps {
     * Assignment ties break on lowest cid. Empty clusters drop out
     * (deterministically on both sides).
     *
-    * Scale: each Lloyd iteration is one scan of the vectors — a zero-shuffle
-    * argmin projection ([[assignToCentroids]]) feeding a k×dim-sized
-    * aggregation with map-side partial combine. Centroids live on the
-    * driver between iterations (k×dim doubles — the same design as Spark
-    * MLlib's KMeans), so lineage does not stack across iterations; the
-    * returned frame is a local k-row table, free to reuse downstream. */
+    * Scale: each Lloyd iteration is one scan of the vectors — the argmin
+    * assignment projection (zero-shuffle literal form at k ≤
+    * [[ArgminLiteralMaxK]], broadcast-join form above — see
+    * [[argminAssign]]) feeding a k×dim-sized aggregation with map-side
+    * partial combine. Centroids live on the driver between iterations
+    * (k×dim doubles — the same design as Spark MLlib's KMeans), so lineage
+    * does not stack across iterations; the returned frame is a local k-row
+    * table, free to reuse downstream. */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
     val spark = embeddings.sparkSession
@@ -232,18 +234,43 @@ object VectorOps {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
 
-  /** Nearest-centroid assignment as a SINGLE zero-shuffle projection: the k
-    * centroids are inlined as literal arrays and the argmin is
-    * `array_min` over `struct(distance, cid)` candidates (struct ordering =
-    * lexicographic, so ties break on lowest cid — identical to the oracle's
-    * `row_number() OVER (ORDER BY dist, cid)`). Replaces the previous
-    * crossJoin + row_number window, which shuffled k copies of every row
-    * *carrying the full embedding* — k× vector amplification through a
-    * sort, the dominant cost of IVF at scale. Distances keep the exact
-    * [[l2sq]] algebraic form so assignment is bit-identical to the replayed
-    * oracle; the constant `dot(c,c)` terms fold at plan time. */
+  /** Cell count above which centroid assignment switches from the
+    * zero-shuffle literal-argmin projection to the broadcast-join form
+    * (round-13 verdict task 2). The literal form inlines k×dim double
+    * literals and k struct expression trees into the plan — the right
+    * zero-shuffle shape at gate-scale k (8–64 cells), but a plan/codegen
+    * blow-up at production coarse-quantizer sizes (4k–64k cells ×
+    * 768 dims would be tens of millions of literal nodes). 64 keeps every
+    * existing gate on the measured literal path while anything
+    * production-shaped routes through the join form. */
+  val ArgminLiteralMaxK = 64
+
+  /** Nearest-centroid assignment, form picked by cell count (the
+    * [[graft.plans.TopKPerKey.topKPerKeyAuto]] pattern): at
+    * k ≤ [[ArgminLiteralMaxK]] the zero-shuffle literal-argmin projection,
+    * above it the broadcast-join form — same argmin semantics, same
+    * double arithmetic, bit-identical assignments (spec-pinned). */
   private def argminAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-                           cents: Seq[(Long, Seq[Double])]): DataFrame = {
+                           cents: Seq[(Long, Seq[Double])]): DataFrame =
+    if (cents.size <= ArgminLiteralMaxK)
+      argminAssignLiteral(embeddings, idCol, vecCol, cents)
+    else
+      argminAssignJoin(embeddings, idCol, vecCol, cents)
+
+  /** The literal form of [[argminAssign]], a SINGLE zero-shuffle
+    * projection: the k centroids are inlined as literal arrays and the
+    * argmin is `array_min` over `struct(distance, cid)` candidates
+    * (struct ordering = lexicographic, so ties break on lowest cid —
+    * identical to the oracle's `row_number() OVER (ORDER BY dist, cid)`).
+    * Replaces the previous crossJoin + row_number window, which shuffled k
+    * copies of every row *carrying the full embedding* — k× vector
+    * amplification through a sort, the dominant cost of IVF at scale.
+    * Distances keep the exact [[l2sq]] algebraic form so assignment is
+    * bit-identical to the replayed oracle; the constant `dot(c,c)` terms
+    * fold at plan time. */
+  private[operators] def argminAssignLiteral(embeddings: DataFrame, idCol: String,
+                                  vecCol: String,
+                                  cents: Seq[(Long, Seq[Double])]): DataFrame = {
     require(cents.nonEmpty, "argminAssign requires at least one centroid")
     val v = col(vecCol)
     val candidates = cents.map { case (cid, c) =>
@@ -252,6 +279,46 @@ object VectorOps {
     }
     embeddings.select(col(idCol).as("vec_id"), v.as("v"),
       array_min(array(candidates: _*)).getField("cid").as("cid"))
+  }
+
+  /** The large-k form of [[argminAssign]]: the WHOLE centroid table
+    * becomes ONE array<struct<cid, c>> value in a one-row BROADCAST
+    * relation (a single plan node whatever k is — no whole-codebook
+    * literal, no codegen blow-up, and the k×dim doubles travel once per
+    * executor via the BlockManager instead of inside every task binary),
+    * joined onto the scan as a 1-row build side (no row amplification),
+    * and the argmin is the codegen'd per-row fold
+    * [[graft.functions.ArgMinCells]] — so the form keeps the literal
+    * projection's ZERO-shuffle/zero-sort shape (a first draft reduced a
+    * k-amplified candidate stream with `min(struct)`, which falls to
+    * SortAggregate: k copies of every row through a per-partition sort —
+    * exactly the amplification the literal argmin exists to avoid).
+    * Arithmetic and tie-break parity with the literal form is pinned by
+    * spec (bit-identical assignments, lowest-cid ties) and replayed by
+    * the x92 oracle at k=256. */
+  private[operators] def argminAssignJoin(embeddings: DataFrame, idCol: String,
+                               vecCol: String,
+                               cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "argminAssign requires at least one centroid")
+    val v = col(vecCol)
+    embeddings
+      .join(broadcast(cellsFrame(embeddings, cents)))
+      .select(col(idCol).as("vec_id"), v.as("v"),
+        argminCells(v, col("__cells")).getField("cid").as("cid"))
+  }
+
+  /** The centroid table as a ONE-ROW frame holding the whole
+    * array<struct<cid, c>> — the broadcast transport of the large-k
+    * assignment forms. */
+  private def cellsFrame(df: DataFrame,
+                         cents: Seq[(Long, Seq[Double])]): DataFrame =
+    df.sparkSession.createDataFrame(Seq(Tuple1(cents))).toDF("__cells")
+
+  /** [[graft.functions.ArgMinCells]] as a Column. */
+  private def argminCells(vec: Column, cells: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.ArgMinCells(
+      ColumnBridge.expression(vec), ColumnBridge.expression(cells)))
   }
 
   /** Nearest-centroid assignment: collects the (small, k-row) centroid frame
@@ -272,14 +339,27 @@ object VectorOps {
                                 centroids: DataFrame): DataFrame = {
     val cents = collectCentroids(centroids)
     require(cents.nonEmpty, "at least one centroid")
-    val v = col(vecCol)
-    val candidates = array(cents.map { case (cid, c) =>
-      val cl = array(c.map(lit): _*)
-      struct(l2sq(v, cl).as("d"), lit(cid).as("cid"))
-    }: _*)
-    embeddings.select(col(idCol).as("vec_id"),
-      array_min(candidates).getField("cid").as("cid"),
-      round(array_min(candidates).getField("d"), 6).as("d2"))
+    if (cents.size <= ArgminLiteralMaxK) {
+      val v = col(vecCol)
+      val candidates = array(cents.map { case (cid, c) =>
+        val cl = array(c.map(lit): _*)
+        struct(l2sq(v, cl).as("d"), lit(cid).as("cid"))
+      }: _*)
+      embeddings.select(col(idCol).as("vec_id"),
+        array_min(candidates).getField("cid").as("cid"),
+        round(array_min(candidates).getField("d"), 6).as("d2"))
+    } else {
+      // large-k: the broadcast-join argmin (see [[argminAssignJoin]]) —
+      // min over the UNROUNDED distance then round, same order of
+      // operations as the literal branch
+      val v = col(vecCol)
+      embeddings
+        .join(broadcast(cellsFrame(embeddings, cents)))
+        .select(col(idCol).as("vec_id"),
+          argminCells(v, col("__cells")).as("__best"))
+        .select(col("vec_id"), col("__best").getField("cid").as("cid"),
+          round(col("__best").getField("d"), 6).as("d2"))
+    }
   }
 
   /** Embedding-space drift between two snapshots — the vector analogue

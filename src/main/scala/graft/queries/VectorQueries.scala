@@ -36,6 +36,17 @@ object VectorQueries {
   val PrNodes = 256L
   val PrIters = 10
 
+  /** x92 big-k coarse quantizer: k=256 cells sits ABOVE
+    * [[VectorOps.ArgminLiteralMaxK]], so training and assignment route
+    * through the broadcast-join argmin (round-13 verdict task 2 — the
+    * production path where the literal form would be a plan/codegen
+    * blow-up) while sharing the x72 composed-serve oracle shape. nprobe
+    * widens with k (8 of 256 ≈ 3% of the corpus probed) so the candidate
+    * pool stays comfortably above K even at the 500-vector scale where
+    * 256 cells hold ~2 vectors each. */
+  val KClustersBig = 256
+  val NProbeBig = 8
+
   /** Per-cell quota for the cluster-balanced diversity sample (x60):
     * below the mean cell size (500/8 ≈ 62), so dense cells are capped
     * and sparse cells keep everything — the flattening that makes the
@@ -478,6 +489,26 @@ object VectorQueries {
         Dim, PqM, PqKs, KmeansIters)
       VectorOps.ivfPqTopK(e, "vec_id", "embedding", QueryVecId, K,
         cent, NProbe, cbs)
+    }),
+
+    // ----------------------------------------------------------------- x92
+    // The x72 composed serve at PRODUCTION coarse-quantizer size: k=256
+    // cells puts every k-means iteration's assignment AND the final cell
+    // assignment on the broadcast-join argmin path (no whole-codebook
+    // literal in any plan — the literal form's k×dim inlining is the one
+    // 100×-scale hazard round 13 named), probed wider (nprobe=8) so the
+    // candidate pool stays above K. The oracle replays the identical
+    // k=256 chain — bit-identical centroids, assignments, and ADC top-k
+    // prove the join form IS the literal form's arithmetic.
+    "x92_ivfpq_bigk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClustersBig, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      VectorOps.ivfPqTopK(e, "vec_id", "embedding", QueryVecId, K,
+        cent, NProbeBig, cbs)
     }),
 
     // ----------------------------------------------------------------- x75
@@ -1126,6 +1157,29 @@ object VectorQueries {
 
   private lazy val ivfPqTopkSql: String = ivfPqTopkSqlFor("embeddings")
 
+  /** The x92 oracle: the x72 replay with the coarse chain at k=256 (the
+    * `g`-tagged CTE namespace so the parameterized chain coexists with
+    * nothing — same generator, bigger k) and the wider probe cut. The
+    * Spark side runs the broadcast-join argmin above
+    * [[VectorOps.ArgminLiteralMaxK]]; this oracle proves that path lands
+    * bit-identically where the replayed literal recurrence lands. */
+  private lazy val ivfPqBigkSql: String =
+    s"""WITH ${kmeansSqlFor("embeddings", Dim, KClustersBig, "g")},
+       |${assignCteFor("embeddings", "assign", s"cg$KmeansIters")},
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+       |probes AS (
+       |  SELECT c.cid FROM cg$KmeansIters c CROSS JOIN q
+       |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbeBig)
+       |SELECT a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |FROM (SELECT vec_id, cid FROM assign) a
+       |JOIN probes p ON a.cid = p.cid
+       |${pqJoinsSql()}
+       |CROSS JOIN q
+       |WHERE a.vec_id <> $QueryVecId
+       |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin
+
   /** The x77/x81 shared oracle: quantizers trained on the base split. */
   private lazy val ivfPqAppendSql: String = ivfPqTopkSqlFor(
     s"(SELECT * FROM embeddings WHERE vec_id % $PqAppendMod != 0)")
@@ -1491,6 +1545,7 @@ object VectorQueries {
          |WHERE b.vec_id <> $QueryVecId
          |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin,
     "x72_ivfpq_topk" -> ivfPqTopkSql,
+    "x92_ivfpq_bigk" -> ivfPqBigkSql,
     // x75 serves the IDENTICAL composed ranking off the stored index —
     // the storage round trip (cells + codes range-laid by cid, centroids,
     // codebooks) must be result-invisible, so it shares x72's oracle

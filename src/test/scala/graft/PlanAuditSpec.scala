@@ -78,6 +78,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins(p).isEmpty, "assignment must not join")
   }
 
+  test("x92 big-k assignment: plan carries NO whole-codebook literal — " +
+       "one-row broadcast + codegen'd fold, zero shuffles, size-independent of k") {
+    // The round-13 verdict's one 100×-scale hazard: at production
+    // coarse-quantizer sizes the literal argmin inlines k×dim literal
+    // nodes (k=256 × dim=64 would print >1M chars of plan; 64k cells ×
+    // 768 dims would not compile). Above ArgminLiteralMaxK the join form
+    // must keep the plan CONSTANT-sized — the whole centroid table in a
+    // one-row broadcast relation, the argmin a codegen'd per-row fold
+    // (ArgMinCells) — while preserving the literal projection's
+    // zero-shuffle / zero-sort / no-amplification shape.
+    val t = graft.sources.Tables(spark, dir)
+    val ops = graft.operators.VectorOps
+    val k = 256
+    assert(k > ops.ArgminLiteralMaxK)
+    val cent = ops.kmeansCentroids(t.embeddings, "vec_id", "embedding", k, 1)
+    val assigned = ops.assignToCentroids(t.embeddings, "vec_id", "embedding", cent)
+    assigned.write.format("noop").mode("overwrite").save()
+    val p = graft.plans.PlanNodes.finalPlan(assigned)
+    val s = p.toString
+    assert(s.length < 100000,
+      s"plan size must not grow with the codebook (${s.length} chars)")
+    assert(shuffleCount(p) === 0, s"assignment must not shuffle:\n$s")
+    assert(!allNodes(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "assignment must not sort")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "centroids must arrive as a (one-row) broadcast relation")
+    assert(s.contains("argmin_cells"), "the codegen'd fold must be in the plan")
+    assert(s.contains("*("), "hot path must stay inside whole-stage codegen")
+    // and the small-k path is untouched: zero shuffles, zero joins, the
+    // literal projection the existing gates measure
+    val smallCent = ops.kmeansCentroids(t.embeddings, "vec_id", "embedding", 8, 1)
+    val smallP = graft.plans.PlanNodes.finalPlan(
+      ops.assignToCentroids(t.embeddings, "vec_id", "embedding", smallCent))
+    assert(shuffleCount(smallP) === 0 && joins(smallP).isEmpty)
+  }
+
   test("x16 ngram jaccard joins stay hash-based — no cartesian/BNLJ fan-out") {
     val p = finalPlan("x16_ngram_jaccard")
     assert(!allNodes(p).exists(

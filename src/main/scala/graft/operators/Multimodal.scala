@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   *    PNG/BMP/GIF/JPEG) — actual decode → scale → re-encode on the same
   *    row-iterator plumbing, spec-verified against in-test constructed
   *    images (re-encoded bytes are codec-version artifacts, so the real
-  *    path is gated by specs, not the SQL oracle).
-  * Audio/video codecs stay stubbed (none ship in this container); a
+  *    path is gated by specs, not the SQL oracle);
+  *  - the REAL audio path ([[decodeAudio]], `javax.sound.sampled`:
+  *    WAV/AIFF/AU containers, integer PCM) — header facts + streaming
+  *    RMS, spec-verified against in-test synthesized waveforms.
+  * Video decode stays stubbed (no demuxer ships in this container); a
   * JavaCV/JNI demuxer swaps in behind the same iterator shape.
   */
 object Multimodal {
@@ -117,6 +120,109 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Features from a REAL audio decode; `decoded=false` rows quarantine
+    * corrupt payloads exactly like [[ImageFeatures]]. `rms` is the
+    * full-scale-normalized root-mean-square over all channels — None when
+    * the encoding is not integer PCM (header facts still reported). */
+  case class AudioFeatures(doc_id: Long, payload_bytes: Long,
+                           sample_rate: Option[Int], channels: Option[Int],
+                           bits_per_sample: Option[Int], n_frames: Option[Long],
+                           duration_ms: Option[Long], rms: Option[Double],
+                           payload_sha256: String, decoded: Boolean)
+
+  /** REAL audio feature extraction — `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, integer PCM payloads; pure JDK, no external codec) on the
+    * same batched per-partition iterator as [[decodeImages]]: header facts
+    * (rate, channels, bit depth, frame count, duration) plus a one-pass
+    * full-scale RMS over the samples — the level statistic an audio
+    * curation filter keys on (silence / clipping detection). Undecodable
+    * payloads quarantine as `decoded=false`; decodable containers with a
+    * non-integer-PCM encoding keep their header facts and a None rms.
+    * Spec-gated on constructed WAV payloads (sample count, RMS,
+    * corrupt-payload quarantine) — a synthesized waveform's decode is
+    * deterministic, but there is no SQL image of a WAV parser, so the
+    * oracle side keeps the stub, the real-image precedent. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { blob =>
+        val sha = md.digest(blob.payload).map("%02x".format(_)).mkString
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(blob.payload))
+          try {
+            val f = ais.getFormat
+            val frames = ais.getFrameLength
+            val durationMs =
+              if (f.getSampleRate > 0 && frames >= 0)
+                Some((frames * 1000L / f.getSampleRate.toLong))
+              else None
+            val rms = audioRms(ais, f)
+            AudioFeatures(blob.doc_id, blob.payload.length.toLong,
+              Some(f.getSampleRate.toInt), Some(f.getChannels),
+              Some(f.getSampleSizeInBits),
+              if (frames >= 0) Some(frames) else None,
+              durationMs, rms, sha, decoded = true)
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) =>
+          AudioFeatures(blob.doc_id, blob.payload.length.toLong,
+            None, None, None, None, None, None, sha, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Full-scale-normalized RMS over every sample of an integer-PCM
+    * stream (8-bit signed/unsigned, 16-bit signed either endianness);
+    * None for other encodings. One streaming pass — never buffers more
+    * than a 64 KiB read block, so a long clip costs no executor memory. */
+  private def audioRms(ais: javax.sound.sampled.AudioInputStream,
+                       f: javax.sound.sampled.AudioFormat): Option[Double] = {
+    import javax.sound.sampled.AudioFormat.Encoding
+    val bits = f.getSampleSizeInBits
+    val supported =
+      (f.getEncoding == Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+        (f.getEncoding == Encoding.PCM_UNSIGNED && bits == 8)
+    if (!supported) return None
+    val signed = f.getEncoding == Encoding.PCM_SIGNED
+    val bigEndian = f.isBigEndian
+    var sumSq = 0.0
+    var n = 0L
+    val buf = new Array[Byte](65536)
+    var carry = -1 // pending first byte of a split 16-bit sample
+    var read = ais.read(buf)
+    while (read > 0) {
+      var i = 0
+      if (bits == 8) {
+        while (i < read) {
+          val s =
+            if (signed) buf(i).toDouble / 128.0
+            else ((buf(i) & 0xff) - 128).toDouble / 128.0
+          sumSq += s * s; n += 1; i += 1
+        }
+      } else {
+        if (carry >= 0 && read > 0) {
+          val s16 =
+            if (bigEndian) ((carry << 8) | (buf(0) & 0xff)).toShort
+            else (((buf(0) & 0xff) << 8) | (carry & 0xff)).toShort
+          val s = s16.toDouble / 32768.0
+          sumSq += s * s; n += 1; carry = -1; i = 1
+        }
+        while (i + 1 < read) {
+          val s16 =
+            if (bigEndian) (((buf(i) & 0xff) << 8) | (buf(i + 1) & 0xff)).toShort
+            else (((buf(i + 1) & 0xff) << 8) | (buf(i) & 0xff)).toShort
+          val s = s16.toDouble / 32768.0
+          sumSq += s * s; n += 1; i += 2
+        }
+        if (i < read) carry = buf(i) & 0xff
+      }
+      read = ais.read(buf)
+    }
+    if (n == 0) None else Some(math.sqrt(sumSq / n))
   }
 
   /** A resized media payload (decode → scale → re-encode in a real codec). */

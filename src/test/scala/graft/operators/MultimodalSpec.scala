@@ -87,6 +87,74 @@ class MultimodalSpec extends SparkSpec {
     assert((round.getRGB(4, 4) & 0xffffff) === 0x0000ff)
   }
 
+  // ------------------------------------------------------- real audio path
+
+  /** A WAV payload: `n` 16-bit little-endian PCM samples at `rate` Hz,
+    * sample i = round(amp * 32767 * sin(2π·f·i/rate)) — or a constant
+    * when f = 0 (constant c has RMS exactly |c|, the cleanest pin). */
+  private def wavBytes(n: Int, rate: Float, amp: Double, freq: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val x =
+        if (freq == 0.0) amp
+        else amp * math.sin(2 * math.Pi * freq * i / rate)
+      val s = math.round(x * 32767).toInt.max(-32768).min(32767)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeAudio: real WAV decode recovers header facts and sample RMS; " +
+       "corrupt payloads quarantine") {
+    val half = math.round(0.5 * 32767) / 32768.0 // the constant the encoder lands on
+    val media = mediaFrame(Seq(
+      (1L, wavBytes(8000, 8000f, 0.5, 0.0), "audio/wav"),   // constant half-scale
+      (2L, wavBytes(4410, 44100f, 0.9, 441.0), "audio/wav"), // 441 Hz sine, 100 ms
+      (3L, "definitely not audio".getBytes("UTF-8"), "audio/wav"),
+      (4L, wavBytes(100, 8000f, 0.5, 0.0).take(20), "audio/wav"))) // truncated header
+      .repartition(2)
+    val feats = Multimodal.decodeAudio(spark, media).collect()
+      .sortBy(_.doc_id).toSeq
+    assert(feats.map(_.decoded) === Seq(true, true, false, false))
+    assert(feats(0).sample_rate === Some(8000) && feats(0).channels === Some(1))
+    assert(feats(0).bits_per_sample === Some(16))
+    assert(feats(0).n_frames === Some(8000L))
+    assert(feats(0).duration_ms === Some(1000L))
+    // constant signal: RMS is the constant itself, to encoder rounding
+    assert(math.abs(feats(0).rms.get - half) < 1e-9,
+      s"rms=${feats(0).rms}")
+    // sine of amplitude A over whole periods: RMS → A/√2 (quantization +
+    // finite-length tolerance)
+    assert(feats(1).n_frames === Some(4410L))
+    assert(math.abs(feats(1).rms.get - 0.9 / math.sqrt(2)) < 1e-3,
+      s"rms=${feats(1).rms}")
+    // quarantine rows keep payload-level facts, decode fields empty
+    assert(feats(2).sample_rate.isEmpty && feats(2).rms.isEmpty)
+    assert(feats(2).payload_sha256.length === 64)
+    assert(feats(3).sample_rate.isEmpty, "truncated header must not decode")
+  }
+
+  test("decodeAudio RMS is read-block-boundary-invariant (split 16-bit " +
+       "samples carry across reads)") {
+    // 40000 samples = 80000 PCM bytes: crosses the 64 KiB read block, so
+    // one sample straddles the boundary — the carry path must reassemble
+    // it; a dropped/mangled boundary sample shifts every later sample by
+    // one byte and destroys the RMS.
+    val media = mediaFrame(Seq(
+      (1L, wavBytes(40000, 8000f, 0.25, 0.0), "audio/wav")))
+    val f = Multimodal.decodeAudio(spark, media).collect().head
+    val q = math.round(0.25 * 32767) / 32768.0
+    assert(f.n_frames === Some(40000L))
+    assert(math.abs(f.rms.get - q) < 1e-9, s"rms=${f.rms}")
+  }
+
   test("extractFeatures runs batched per-partition and is deterministic") {
     val docs = Seq(
       (1L, "hello", "en", "s", 5L), (2L, "world!", "de", "s", 6L)

@@ -161,6 +161,71 @@ class EventStreamsSpec extends SparkSpec {
       sessions.select("user_id", "session_start").distinct().count())
   }
 
+  test("stateful operators are state-store-invariant: the RocksDB provider " +
+       "(the 100 TB-state production store) reproduces every result") {
+    // Round-13 verdict task 7: the maintainers run on the default
+    // HDFS-backed store in every other spec; at production state sizes
+    // RocksDB is the provider, so nothing may depend on default-store
+    // semantics. One pass over every state-store-backed operator FAMILY —
+    // windowed agg, watermarked dedup, session windows, stream-stream
+    // join, flatMapGroupsWithState — each compared to its batch twin or
+    // its default-store run.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val steps = Seq("view", "click", "purchase")
+    def funnelFinal(table: String): Map[Int, Long] =
+      spark.table(table).groupBy("user_id").agg(max("stage").as("stage"))
+        .groupBy("stage").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // default-store reference for the session/funnel shapes
+    runToMemory(EventStreams.sessionCounts(
+      EventStreams.readEvents(spark, eventsDir)), "w3_default_ref", "complete")
+    runToMemory(EventStreams.funnelProgress(
+        EventStreams.readEvents(spark, eventsDir), steps).toDF(),
+      "funnel_default_ref", "update")
+    val sessionsRef = spark.table("w3_default_ref")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val funnelRef = funnelFinal("funnel_default_ref")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readEvents(spark, eventsDir)
+      // windowed aggregation state — equals the ORACLE-GATED batch twin
+      runToMemory(EventStreams.tumblingCounts(stream), "w1_rocks", "complete")
+      assert(spark.table("w1_rocks")
+        .orderBy("window_start", "event_type").collect().toSeq ===
+        graft.queries.WindowQueries.queries("w1_tumbling_window")(
+          spark, "/root/testdata/sf0.001").collect().toSeq)
+      // watermark-bounded dedup state
+      runToMemory(EventStreams.dedupEventsBounded(stream)
+        .select("event_id"), "dedup_rocks", "append")
+      assert(spark.table("dedup_rocks").count() ===
+        graft.sources.Tables(spark, "/root/testdata/sf0.001").events.count())
+      // session-window state — identical sessions to the default store
+      runToMemory(EventStreams.sessionCounts(stream), "w3_rocks", "complete")
+      assert(spark.table("w3_rocks")
+        .orderBy("user_id", "session_start").collect().toSeq === sessionsRef)
+      // stream-stream join state — equals the batch join
+      runToMemory(EventStreams.attributionJoin(stream), "attr_rocks", "append")
+      assert(spark.table("attr_rocks")
+        .orderBy("user_id", "click_id", "purchase_id").collect().toSeq ===
+        EventStreams.attributionJoin(
+            graft.sources.Tables(spark, "/root/testdata/sf0.001").events)
+          .orderBy("user_id", "click_id", "purchase_id").collect().toSeq)
+      // flatMapGroupsWithState (funnel machine) — same final stages as the
+      // default store
+      runToMemory(EventStreams.funnelProgress(stream, steps).toDF(),
+        "funnel_rocks", "update")
+      assert(funnelFinal("funnel_rocks") === funnelRef)
+      assert(funnelRef.values.sum > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming corpus intake (quality gate + exact dedup) equals batch") {
     // Stage the corpus as TWO parquet files: with maxFilesPerTrigger=1 the
     // stream runs two micro-batches, so the keyed dedup state must carry

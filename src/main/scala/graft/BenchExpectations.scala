@@ -233,6 +233,9 @@ object BenchExpectations {
     "x8_embed_neardups" -> 0.5113,
     "x90_ivfpq_residual_append" -> 6.4861,
     "x91_source_authority" -> 5.8488,
+    // round-14 additions, solo-measured at entry (refreshed at close)
+    "x92_ivfpq_bigk" -> 1.7962,
+    "x93_pq_bigks" -> 1.3437,
     "x9_token_stats" -> 0.5091,
   )
 }

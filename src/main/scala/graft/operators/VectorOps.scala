@@ -314,6 +314,84 @@ object VectorOps {
                          cents: Seq[(Long, Seq[Double])]): DataFrame =
     df.sparkSession.createDataFrame(Seq(Tuple1(cents))).toDF("__cells")
 
+  /** Join the one-row [[cellsFrame]] when a large-k query-side form
+    * needs the `__cells` column; identity below the threshold. */
+  private def withCellsCol(df: DataFrame,
+                           cents: Seq[(Long, Seq[Double])]): DataFrame =
+    if (cents.size <= ArgminLiteralMaxK) df
+    else df.join(broadcast(cellsFrame(df, cents)))
+
+  /** The per-query probe-candidate array of struct(d, cid) over `vec`:
+    * k literal structs below the threshold; above it the SAME shape as a
+    * `transform` over the one-row-broadcast `__cells` column (caller
+    * routes through [[withCellsCol]]) — the lambda runs interpreted, but
+    * only per QUERY row, and the downstream
+    * `array_sort`/`slice`/`explode` pipeline is shared verbatim, so the
+    * probe ranking (struct ordering, lowest-cid ties) is identical by
+    * construction. */
+  private def probeCandsCol(vec: Column,
+                            cents: Seq[(Long, Seq[Double])]): Column =
+    if (cents.size <= ArgminLiteralMaxK)
+      array(cents.map { case (cid, c) =>
+        struct(l2sq(vec, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
+      }: _*)
+    else
+      transform(col("__cells"), cell =>
+        struct(l2sq(vec, cell.getField("_2")).as("d"),
+          cell.getField("_1").as("cid")))
+
+  /** cid → centroid lookup map: the literal map below the threshold (k
+    * entries inlined), built per row from `__cells` via
+    * `map_from_entries` above it — query-side probe rows only, where
+    * the row count is bounded by |Q|·nprobe. */
+  private def centroidLookupCol(cents: Seq[(Long, Seq[Double])]): Column =
+    if (cents.size <= ArgminLiteralMaxK) centroidMap(cents)
+    else map_from_entries(transform(col("__cells"), cell =>
+      struct(cell.getField("_1"), cell.getField("_2"))))
+
+  /** All m codebooks as a ONE-ROW frame (`__cb`:
+    * array<array<struct<cid, c>>>) — the broadcast transport of the
+    * large-ks PQ forms, [[cellsFrame]]'s per-subspace generalization. */
+  private def codebooksFrame(df: DataFrame,
+                             codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame =
+    df.sparkSession.createDataFrame(Seq(Tuple1(codebooks))).toDF("__cb")
+
+  /** Join the one-row [[codebooksFrame]] when the large-ks encode/LUT
+    * forms need the `__cb` column; identity below the threshold. */
+  private def withCodebooksCol(df: DataFrame,
+                               codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame =
+    if (codebooks.map(_.size).sum <= ArgminLiteralMaxK) df
+    else df.join(broadcast(codebooksFrame(df, codebooks)))
+
+  /** Per-subspace code columns over sliced attributes `__s0..__s{m-1}`:
+    * the literal per-entry argmin when the stage's TOTAL candidate count
+    * m·ks ≤ [[ArgminLiteralMaxK]], the codegen'd
+    * [[graft.functions.ArgMinCells]] fold over the joined `__cb` column
+    * above it (caller routes the frame through [[withCodebooksCol]]) —
+    * the ENCODE twin of [[argminAssign]]'s dispatch. The criterion is
+    * m·ks, not per-subspace ks, because all m argmins land in ONE
+    * projection stage: at m=8·ks=16 the literal form's generated method
+    * already exceeds janino's 64 KB limit and whole-stage codegen FALLS
+    * BACK — measured 2–5× slower than this fold (x70 3.75s → 0.80s, x74
+    * 6.07s → 1.60s solo at sf0.1), so the broadcast form is also the
+    * FAST path at gate geometry, not merely the large-ks safe one.
+    * Identical arithmetic and lowest-cid ties either way (spec-pinned
+    * both branches; gates cover both since the m=4·ks=8 specs stay
+    * literal). */
+  private def subspaceCodeCols(
+      codebooks: Seq[Seq[(Long, Seq[Double])]]): Seq[Column] =
+    if (codebooks.map(_.size).sum <= ArgminLiteralMaxK)
+      codebooks.zipWithIndex.map { case (cb, j) =>
+        array_min(array(cb.map { case (cid, c) =>
+          struct(l2sq(col(s"__s$j"), array(c.map(lit): _*)).as("d"),
+            lit(cid).as("cid"))
+        }: _*)).getField("cid")
+      }
+    else
+      codebooks.indices.map(j =>
+        argminCells(col(s"__s$j"), element_at(col("__cb"), j + 1))
+          .getField("cid"))
+
   /** [[graft.functions.ArgMinCells]] as a Column. */
   private def argminCells(vec: Column, cells: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -506,15 +584,14 @@ object VectorOps {
     val cents = collectCentroids(centroids)
     require(cents.nonEmpty, "at least one centroid")
     val assigned = assignToCentroids(embeddings, idCol, vecCol, centroids)
-    val candCells = array(cents.map { case (cid, c) =>
-      struct(l2sq(col("__qv"), array(c.map(lit): _*)).as("d"),
-        lit(cid).as("cid"))
-    }: _*)
-    val probes = embeddings.filter(queryPred)
-      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
-        norm2(col(vecCol)).as("__qn"))
+    val probes = withCellsCol(
+        embeddings.filter(queryPred)
+          .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+            norm2(col(vecCol)).as("__qn")),
+        cents)
       .select(col("qid"), col("__qv"), col("__qn"),
-        explode(slice(array_sort(candCells), 1, nprobe)).as("__p"))
+        explode(slice(array_sort(probeCandsCol(col("__qv"), cents)),
+          1, nprobe)).as("__p"))
       .select(col("qid"), col("__qv"), col("__qn"),
         col("__p").getField("cid").as("cid"))
     val w = org.apache.spark.sql.expressions.Window
@@ -756,13 +833,22 @@ object VectorOps {
     var cents: Seq[Seq[(Long, Seq[Double])]] =
       (0 until m).map(j => seed.map { case (cid, subs) => (cid, subs(j)) })
     for (_ <- 1 to iters) {
-      val stacked = sliced.select(explode(array((0 until m).map { j =>
+      // per-subspace argmin: literal candidates at ks ≤ ArgminLiteralMaxK,
+      // the ArgMinCells fold over the one-row-broadcast codebook set above
+      // (the iteration's plan must not inline m·ks literal trees at
+      // production ks — the same dispatch as [[subspaceCodeCols]], built
+      // from THIS iteration's centroids)
+      val src = if (m * ks <= ArgminLiteralMaxK) sliced
+        else sliced.join(broadcast(codebooksFrame(sliced, cents)))
+      val stacked = src.select(explode(array((0 until m).map { j =>
         val v = col(s"__s$j")
-        val cands = cents(j).map { case (cid, c) =>
-          struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
-        }
-        struct(lit(j).as("sub"),
-          array_min(array(cands: _*)).getField("cid").as("cid"), v.as("v"))
+        val cidCol =
+          if (m * ks <= ArgminLiteralMaxK)
+            array_min(array(cents(j).map { case (cid, c) =>
+              struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
+            }: _*)).getField("cid")
+          else argminCells(v, element_at(col("__cb"), j + 1)).getField("cid")
+        struct(lit(j).as("sub"), cidCol.as("cid"), v.as("v"))
       }: _*)).as("e"))
         .select(col("e.sub"), col("e.cid"),
           posexplode(col("e.v")).as(Seq("pos", "x")))
@@ -791,15 +877,11 @@ object VectorOps {
                codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
     val sub = codebooks.head.head._2.length
-    val sliced = embeddings.select(col(idCol) +: codebooks.indices.map(j =>
-      slice(col(vecCol), j * sub + 1, sub).as(s"__s$j")): _*)
-    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
-      array_min(array(cb.map { case (cid, c) =>
-        struct(l2sq(col(s"__s$j"), array(c.map(lit): _*)).as("d"),
-          lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    }
-    sliced.select(col(idCol), array(codes: _*).as("codes"))
+    val sliced = withCodebooksCol(
+      embeddings.select(col(idCol) +: codebooks.indices.map(j =>
+        slice(col(vecCol), j * sub + 1, sub).as(s"__s$j")): _*),
+      codebooks)
+    sliced.select(col(idCol), array(subspaceCodeCols(codebooks): _*).as("codes"))
   }
 
   /** Per-query ADC lookup tables: for each subspace, a code → partial-
@@ -819,6 +901,31 @@ object VectorOps {
       }: _*).as(s"__lut$j")
     }
   }
+
+  /** Project `keep` plus the per-subspace ADC LUT columns onto a QUERY
+    * frame, the form picked by codebook size: the literal map at ks ≤
+    * [[ArgminLiteralMaxK]] (m·ks literal entries — right at gate ks,
+    * a plan blow-up at production ks), `map_from_entries` over the
+    * one-row-broadcast `__cb` column above it. The HOF lambda runs
+    * interpreted, but only per QUERY row — the query side is sampled/
+    * bounded by construction everywhere LUTs are built; the corpus-side
+    * ADC scan pays the same m map lookups either way. LUT VALUES are the
+    * identical [[l2sq]] arithmetic in both forms. */
+  private def withAdcLuts(frame: DataFrame, keep: Seq[Column], vecCol: String,
+                          codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame =
+    if (codebooks.head.size <= ArgminLiteralMaxK)
+      frame.select(keep ++ adcLutColumns(vecCol, codebooks): _*)
+    else {
+      val sub = codebooks.head.head._2.length
+      val luts = codebooks.indices.map { j =>
+        val qSub = slice(col(vecCol), j * sub + 1, sub)
+        map_from_entries(transform(element_at(col("__cb"), j + 1),
+          cell => struct(cell.getField("_1"),
+            l2sq(qSub, cell.getField("_2"))))).as(s"__lut$j")
+      }
+      frame.join(broadcast(codebooksFrame(frame, codebooks)))
+        .select(keep ++ luts: _*)
+    }
 
   /** ADC distance from the stacked LUT columns and the codes array —
     * left-associated sum, matching the oracle's `+` chain. */
@@ -848,8 +955,8 @@ object VectorOps {
     // across its ADC and refine branches). Caller releases via GraftCache.
     val codes = graft.GraftCache.persist(
       pqEncode(embeddings, idCol, vecCol, codebooks))
-    val q = embeddings.filter(queryPred)
-      .select(col(idCol).as("qid") +: adcLutColumns(vecCol, codebooks): _*)
+    val q = withAdcLuts(embeddings.filter(queryPred),
+      Seq(col(idCol).as("qid")), vecCol, codebooks)
     val ranked = codes.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
@@ -868,8 +975,8 @@ object VectorOps {
   def pqKnnAgainstCodes(newVectors: DataFrame, idCol: String, vecCol: String,
                         codes: DataFrame, k: Int,
                         codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
-    val q = newVectors
-      .select(col(idCol).as("qid") +: adcLutColumns(vecCol, codebooks): _*)
+    val q = withAdcLuts(newVectors,
+      Seq(col(idCol).as("qid")), vecCol, codebooks)
     val ranked = codes.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
@@ -924,20 +1031,17 @@ object VectorOps {
                               codes: DataFrame): DataFrame = {
     require(cents.nonEmpty, "routed kNN requires centroids")
     val v = col(vecCol)
-    val cellCands = array(cents.map { case (cid, c) =>
-      struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
-    }: _*)
     // probe pairs and LUTs broadcast as SEPARATE tiny frames: exploding
     // the LUT columns with the probes would ship every query's m maps
     // nprobe times in the broadcast payload (~nprobe× the necessary
     // bytes at production ks/m) — instead the codes scan joins the
     // (qid, cid) pairs on cid, then picks up each query's LUTs once via
     // the qid join
-    val qProbes = queries.select(col(idCol).as("qid"),
-      explode(transform(slice(array_sort(cellCands), 1, nprobe),
+    val qProbes = withCellsCol(queries, cents).select(col(idCol).as("qid"),
+      explode(transform(slice(array_sort(probeCandsCol(v, cents)), 1, nprobe),
         p => p.getField("cid"))).as("cid"))
-    val qLuts = queries
-      .select(col(idCol).as("qid") +: adcLutColumns(vecCol, codebooks): _*)
+    val qLuts = withAdcLuts(queries,
+      Seq(col(idCol).as("qid")), vecCol, codebooks)
     val ranked = codes.join(broadcast(qProbes), "cid")
       .filter(col(idCol) =!= col("qid"))
       .join(broadcast(qLuts), "qid")
@@ -1006,8 +1110,8 @@ object VectorOps {
       .orderBy(col("__dist"), col("cid"))
       .limit(nprobe)
       .select("cid")
-    val q = embeddings.filter(col(idCol) === queryId)
-      .select(adcLutColumns(vecCol, codebooks): _*)
+    val q = withAdcLuts(embeddings.filter(col(idCol) === queryId),
+      Seq.empty, vecCol, codebooks)
     graft.GraftCache.persist(pqEncode(embeddings, idCol, vecCol, codebooks))
       .join(cells, idCol)
       .join(broadcast(probeCells), "cid")
@@ -1034,8 +1138,8 @@ object VectorOps {
                       queryId: Long, k: Int,
                       codebooks: Seq[Seq[(Long, Seq[Double])]],
                       codes: DataFrame): DataFrame = {
-    val q = embeddings.filter(col(idCol) === queryId)
-      .select(adcLutColumns(vecCol, codebooks): _*)
+    val q = withAdcLuts(embeddings.filter(col(idCol) === queryId),
+      Seq.empty, vecCol, codebooks)
     codes
       .filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
@@ -1101,20 +1205,22 @@ object VectorOps {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
     val sub = codebooks.head.head._2.length
     val v = col(vecCol)
-    val cellCands = cents.map { case (cid, c) =>
-      struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
-    }
-    val sliced = embeddings.select(col(idCol) +:
-      (codebooks.indices.map(j =>
-        slice(v, j * sub + 1, sub).as(s"__s$j")) :+
-        array_min(array(cellCands: _*)).getField("cid").as("cid")): _*)
-    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
-      array_min(array(cb.map { case (cid, c) =>
-        struct(l2sq(col(s"__s$j"), array(c.map(lit): _*)).as("d"),
-          lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    }
-    sliced.select(col(idCol), array(codes: _*).as("codes"), col("cid"))
+    val cidCol =
+      if (cents.size <= ArgminLiteralMaxK)
+        array_min(array(cents.map { case (cid, c) =>
+          struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
+        }: _*)).getField("cid")
+      else argminCells(v, col("__cells")).getField("cid")
+    val base =
+      if (cents.size <= ArgminLiteralMaxK) embeddings
+      else embeddings.join(broadcast(cellsFrame(embeddings, cents)))
+    val sliced = withCodebooksCol(
+      base.select(col(idCol) +:
+        (codebooks.indices.map(j =>
+          slice(v, j * sub + 1, sub).as(s"__s$j")) :+ cidCol.as("cid")): _*),
+      codebooks)
+    sliced.select(col(idCol),
+      array(subspaceCodeCols(codebooks): _*).as("codes"), col("cid"))
   }
 
   /** Materialize the COMPOSED IVF-PQ index — the billion-scale serving
@@ -1232,15 +1338,28 @@ object VectorOps {
                 cents: Seq[(Long, Seq[Double])]): DataFrame = {
     require(cents.nonEmpty, "at least one centroid")
     val v = col(vecCol)
-    val candidates = cents.map { case (cid, c) =>
-      struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
+    if (cents.size <= ArgminLiteralMaxK) {
+      val candidates = cents.map { case (cid, c) =>
+        struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cid).as("cid"))
+      }
+      embeddings
+        .select(col(idCol).as("vec_id"), v.as("__v"),
+          array_min(array(candidates: _*)).getField("cid").as("cid"))
+        .select(col("vec_id"), col("cid"),
+          vecSub(col("__v"), element_at(centroidMap(cents), col("cid")))
+            .as("residual"))
+    } else {
+      // large-k: broadcast-join argmin for the cell, then the centroid
+      // lookup as a k-row broadcast HASH join on cid (the literal map
+      // would inline k×dim doubles) — corpus rows stream, nothing
+      // shuffles
+      val centDf = embeddings.sparkSession
+        .createDataFrame(cents).toDF("cid", "__c")
+      argminAssignJoin(embeddings, idCol, vecCol, cents)
+        .join(broadcast(centDf), "cid")
+        .select(col("vec_id"), col("cid"),
+          vecSub(col("v"), col("__c")).as("residual"))
     }
-    embeddings
-      .select(col(idCol).as("vec_id"), v.as("__v"),
-        array_min(array(candidates: _*)).getField("cid").as("cid"))
-      .select(col("vec_id"), col("cid"),
-        vecSub(col("__v"), element_at(centroidMap(cents), col("cid")))
-          .as("residual"))
   }
 
   /** Residual-trained PQ codebooks: the per-subspace k-means chains of
@@ -1264,17 +1383,14 @@ object VectorOps {
                               codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
     val sub = codebooks.head.head._2.length
-    val sliced = residuals(embeddings, idCol, vecCol, cents)
-      .select(col("vec_id").as(idCol) +: col("cid") +:
-        codebooks.indices.map(j =>
-          slice(col("residual"), j * sub + 1, sub).as(s"__s$j")): _*)
-    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
-      array_min(array(cb.map { case (cid, c) =>
-        struct(l2sq(col(s"__s$j"), array(c.map(lit): _*)).as("d"),
-          lit(cid).as("cid"))
-      }: _*)).getField("cid")
-    }
-    sliced.select(col(idCol), array(codes: _*).as("codes"), col("cid"))
+    val sliced = withCodebooksCol(
+      residuals(embeddings, idCol, vecCol, cents)
+        .select(col("vec_id").as(idCol) +: col("cid") +:
+          codebooks.indices.map(j =>
+            slice(col("residual"), j * sub + 1, sub).as(s"__s$j")): _*),
+      codebooks)
+    sliced.select(col(idCol),
+      array(subspaceCodeCols(codebooks): _*).as("codes"), col("cid"))
   }
 
   /** Single-query top-k over RESIDUAL-encoded codes: the query routes to
@@ -1293,17 +1409,15 @@ object VectorOps {
     require(cents.nonEmpty, "at least one centroid")
     val qv = querySource.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qv"))
-    val cellCands = array(cents.map { case (cid, c) =>
-      struct(l2sq(col("__qv"), array(c.map(lit): _*)).as("d"),
-        lit(cid).as("cid"))
-    }: _*)
-    val probes = qv
+    val probes = withCellsCol(qv, cents)
       .select(col("__qv"),
-        explode(transform(slice(array_sort(cellCands), 1, nprobe),
-          p => p.getField("cid"))).as("cid"))
+        explode(transform(
+          slice(array_sort(probeCandsCol(col("__qv"), cents)), 1, nprobe),
+          p => p.getField("cid"))).as("cid"),
+        centroidLookupCol(cents).as("__cmap"))
       .withColumn("__qr",
-        vecSub(col("__qv"), element_at(centroidMap(cents), col("cid"))))
-    val q = probes.select(col("cid") +: adcLutColumns("__qr", codebooks): _*)
+        vecSub(col("__qv"), element_at(col("__cmap"), col("cid"))))
+    val q = withAdcLuts(probes, Seq(col("cid")), "__qr", codebooks)
     codes.filter(col(idCol) =!= queryId)
       .join(broadcast(q), "cid")
       .select(col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
@@ -1336,19 +1450,17 @@ object VectorOps {
                                 codebooks: Seq[Seq[(Long, Seq[Double])]],
                                 codes: DataFrame): DataFrame = {
     require(cents.nonEmpty, "at least one centroid")
-    val cellCands = array(cents.map { case (cid, c) =>
-      struct(l2sq(col("__qv"), array(c.map(lit): _*)).as("d"),
-        lit(cid).as("cid"))
-    }: _*)
-    val qProbes = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val qProbes = withCellsCol(
+        queries.select(col(idCol).as("qid"), col(vecCol).as("__qv")), cents)
       .select(col("qid"), col("__qv"),
-        explode(transform(slice(array_sort(cellCands), 1, nprobe),
-          p => p.getField("cid"))).as("cid"))
+        explode(transform(
+          slice(array_sort(probeCandsCol(col("__qv"), cents)), 1, nprobe),
+          p => p.getField("cid"))).as("cid"),
+        centroidLookupCol(cents).as("__cmap"))
       .withColumn("__qr",
-        vecSub(col("__qv"), element_at(centroidMap(cents), col("cid"))))
-    val qLuts = qProbes.select(col("qid") +: col("cid") +:
-      adcLutColumns("__qr", codebooks): _*)
+        vecSub(col("__qv"), element_at(col("__cmap"), col("cid"))))
+    val qLuts = withAdcLuts(qProbes, Seq(col("qid"), col("cid")), "__qr",
+      codebooks)
     val ranked = codes.join(broadcast(qLuts), "cid")
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
@@ -1409,12 +1521,9 @@ object VectorOps {
     require(cents.nonEmpty, "at least one centroid")
     val qv = querySource.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qv"))
-    val cellCands = array(cents.map { case (cid, c) =>
-      struct(l2sq(col("__qv"), array(c.map(lit): _*)).as("d"),
-        lit(cid).as("cid"))
-    }: _*)
-    val probeIds = qv
-      .select(explode(transform(slice(array_sort(cellCands), 1, nprobe),
+    val probeIds = withCellsCol(qv, cents)
+      .select(explode(transform(
+        slice(array_sort(probeCandsCol(col("__qv"), cents)), 1, nprobe),
         p => p.getField("cid"))).as("cid"))
       .collect().map(_.getLong(0)).toSeq
     ivfPqResidualTopKOverCodes(querySource, idCol, vecCol, queryId, k, nprobe,

@@ -47,6 +47,15 @@ object VectorQueries {
   val KClustersBig = 256
   val NProbeBig = 8
 
+  /** x93 big-ks PQ codebooks: ks=128 per subspace sits above
+    * [[VectorOps.ArgminLiteralMaxK]], so codebook TRAINING (the fused
+    * Lloyd iterations' per-subspace argmins), corpus ENCODE, and the
+    * query-side ADC LUT build all route through the broadcast `__cb`
+    * forms — the production-ks path where the literal forms would inline
+    * m·ks expression trees. Shares the x70 serve oracle shape at the
+    * bigger ks. */
+  val PqKsBig = 128
+
   /** Per-cell quota for the cluster-balanced diversity sample (x60):
     * below the mean cell size (500/8 ≈ 62), so dense cells are capped
     * and sparse cells keep everything — the flattening that makes the
@@ -489,6 +498,22 @@ object VectorQueries {
         Dim, PqM, PqKs, KmeansIters)
       VectorOps.ivfPqTopK(e, "vec_id", "embedding", QueryVecId, K,
         cent, NProbe, cbs)
+    }),
+
+    // ----------------------------------------------------------------- x93
+    // The x70 ADC serve at PRODUCTION codebook size: ks=128 entries per
+    // subspace puts PQ training, corpus encode, and the query LUT build
+    // on the broadcast __cb forms (no m·ks literal trees anywhere — the
+    // encode-side twin of x92's coarse-quantizer claim). The oracle
+    // replays the identical ks=128 per-subspace chains — codebooks,
+    // codes, and the ADC top-k all hash-match, proving the broadcast
+    // forms ARE the literal forms' arithmetic.
+    "x93_pq_bigks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKsBig, KmeansIters)
+      VectorOps.pqTopK(e, "vec_id", "embedding", QueryVecId, K, cbs)
     }),
 
     // ----------------------------------------------------------------- x92
@@ -1068,13 +1093,14 @@ object VectorQueries {
     * chain (`p` = raw-vector codebooks, `r` = residual codebooks) so the
     * residual-recall oracle can carry BOTH quantizer families in one
     * WITH clause. */
-  private def pqChainsSqlFor(baseRel: String, t: String = "p"): String =
+  private def pqChainsSqlFor(baseRel: String, t: String = "p",
+                             ks: Int = PqKs): String =
     (0 until PqM).map { j =>
       val lo = j * PqSub + 1
       val hi = (j + 1) * PqSub
       kmeansSqlFor(
         s"(SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $baseRel)",
-        dim = PqSub, k = PqKs, tag = s"$t$j")
+        dim = PqSub, k = ks, tag = s"$t$j")
     }.mkString(",\n")
 
   /** Per-subspace argmin encode CTEs `enc$t$j` of relation `src`
@@ -1114,9 +1140,9 @@ object VectorQueries {
     * (post-delete serve: the survivors' predicate narrows the served
     * rows while the codebooks still train on the full corpus, the SQL
     * image of delete-without-retrain). */
-  private def pqTopkSqlServing(servedPred: String): String = {
+  private def pqTopkSqlServing(servedPred: String, ks: Int = PqKs): String = {
     val where = if (servedPred.isEmpty) "" else s" WHERE $servedPred"
-    s"""WITH $pqChainsSql,
+    s"""WITH ${pqChainsSqlFor("embeddings", "p", ks)},
        |$pqEncodeSql,
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
        |SELECT b.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
@@ -1546,6 +1572,7 @@ object VectorQueries {
          |ORDER BY adc_d2, b.vec_id LIMIT $K""".stripMargin,
     "x72_ivfpq_topk" -> ivfPqTopkSql,
     "x92_ivfpq_bigk" -> ivfPqBigkSql,
+    "x93_pq_bigks" -> pqTopkSqlServing("", PqKsBig),
     // x75 serves the IDENTICAL composed ranking off the stored index —
     // the storage round trip (cells + codes range-laid by cid, centroids,
     // codebooks) must be result-invisible, so it shares x72's oracle

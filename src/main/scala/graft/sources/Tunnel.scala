@@ -14,14 +14,17 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
   * every accepted connection to the remote bind address, expose
   * `localBindPort`, tear everything down on `close()`.
   *
-  * The SSH leg itself is credentials + a ciphered transport to a
-  * bastion — deployment plumbing a zero-egress sandbox cannot exercise —
-  * so the HOP is the seam: a [[Tunnel.ChannelFactory]] opens the
-  * forward channel to the remote bind address. [[Tunnel.DirectChannel]]
-  * (plain TCP) is the in-sandbox implementation; a deployment swaps in
-  * an SSH-session-backed factory (e.g. JSch `direct-tcpip` channels)
-  * without touching the forwarder or any caller — the same
-  * config-over-code seam as [[graft.sinks.BatchTransports]].
+  * The hop rides the [[Tunnel.ChannelFactory]] seam:
+  * [[Tunnel.DirectChannel]] (plain TCP) for an unciphered bind, and the
+  * REAL SSH-2 hop [[graft.sources.ssh.SshChannelFactory]] — a pure-JDK
+  * client (group14-sha256 kex, rsa-sha2-256 host keys verified against a
+  * pinned blob, aes128-ctr + hmac-sha2-256, password auth, multiplexed
+  * `direct-tcpip` channels; `graft.sources.ssh`) exercised in-spec
+  * against an in-process SSH server running the same transport, with
+  * on-the-wire ciphertext and MAC-tamper checks. Deployments may still
+  * swap any other factory (e.g. a JSch-backed one) without touching the
+  * forwarder — the same config-over-code seam as
+  * [[graft.sinks.BatchTransports]].
   *
   * Scale/placement note: a tunnel is DRIVER-side infrastructure. The
   * forwarded port only exists on the host that opened it, so a

@@ -114,6 +114,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(smallP) === 0 && joins(smallP).isEmpty)
   }
 
+  test("x93 big-ks encode: plan carries no per-entry codebook literals — " +
+       "zero shuffles, zero sorts, constant plan size at ks=128") {
+    // The encode-side twin of the x92 audit: at production ks the literal
+    // encode inlines m·ks struct trees into the corpus-touching
+    // projection; above the threshold the codebooks ride the one-row
+    // __cb broadcast and codes come from the ArgMinCells fold.
+    val t = graft.sources.Tables(spark, dir)
+    val ops = graft.operators.VectorOps
+    val ks = 128
+    assert(ks > ops.ArgminLiteralMaxK)
+    val first = t.embeddings.filter(
+        org.apache.spark.sql.functions.col("vec_id") < ks)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val m = 4; val sub = 16
+    val cbs: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(j =>
+      first.map { case (id, v) => (id, v.slice(j * sub, (j + 1) * sub)) }.toSeq)
+    val encoded = ops.pqEncode(t.embeddings, "vec_id", "embedding", cbs)
+    encoded.write.format("noop").mode("overwrite").save()
+    val p = graft.plans.PlanNodes.finalPlan(encoded)
+    val s = p.toString
+    assert(s.length < 100000,
+      s"plan size must not grow with the codebooks (${s.length} chars)")
+    assert(shuffleCount(p) === 0, s"encode must not shuffle:\n$s")
+    assert(!allNodes(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "encode must not sort")
+    assert(s.contains("argmin_cells"), "the codegen'd fold must be in the plan")
+  }
+
   test("x16 ngram jaccard joins stay hash-based — no cartesian/BNLJ fan-out") {
     val p = finalPlan("x16_ngram_jaccard")
     assert(!allNodes(p).exists(

@@ -145,6 +145,32 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("ivfKnnJoin at LARGE k (broadcast __cells probe path) still " +
+       "degenerates to the exact join at nprobe = |cells|") {
+    // cents > ArgminLiteralMaxK routes BOTH the corpus assignment
+    // (ArgMinCells) and the per-query probe ranking (transform over the
+    // one-row __cells broadcast) through the large-k forms; probing every
+    // cell must still reproduce the exact kNN join exactly — the
+    // end-to-end equivalence that pins the probe pipeline's arithmetic
+    // and ordering.
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val k = 100
+    assert(k > VectorOps.ArgminLiteralMaxK)
+    val cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long").as("cid"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), _.cast("double")).as("c"))
+    val pred = col("vec_id") % 50 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = rows(VectorOps.knnJoin(e, "vec_id", "embedding", pred, 3))
+    val all = rows(VectorOps.ivfKnnJoin(e, "vec_id", "embedding", pred,
+      3, cent, nprobe = k))
+    assert(all === exact,
+      "large-k nprobe = |cells| must reproduce the exact join")
+  }
+
   test("nearDupPairsAgainst: cross-frame pairs only, within-frame dups ignored") {
     val planes = VectorOps.hyperplanes(3, 2)
     val eval = Seq(

@@ -400,6 +400,49 @@ class TextVectorSpec extends SparkSpec {
     wd.foreach { case (id, (cid, _)) => assert(cid === lit(id)) }
   }
 
+  test("pqEncode at large ks (broadcast __cb form) matches an independent " +
+       "driver-side argmin model, and large-k residuals subtract exactly") {
+    // ks=128 > ArgminLiteralMaxK routes the encode through the ArgMinCells
+    // fold over the one-row codebook broadcast; pin it against a local
+    // re-computation with the same fold order and lowest-cid ties.
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val dim = 64; val m = 4; val sub = dim / m; val ks = 128
+    assert(ks > VectorOps.ArgminLiteralMaxK)
+    // synthetic codebooks from the first ks vectors' subvectors (no
+    // training — this spec pins ENCODE, x93 gates the trained chain)
+    val first = e.filter($"vec_id" < ks).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val cbs: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(j =>
+      first.map { case (id, v) => (id, v.slice(j * sub, (j + 1) * sub)) }.toSeq)
+    val got = VectorOps.pqEncode(e, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def l2Local(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    }
+    val vecs = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toMap
+    vecs.foreach { case (id, v) =>
+      val expect = (0 until m).map { j =>
+        val s = v.slice(j * sub, (j + 1) * sub)
+        cbs(j).map { case (cid, c) => (l2Local(s, c), cid) }.min._2
+      }
+      assert(got(id) === expect, s"vec $id")
+    }
+    // large-k residuals: the broadcast-join path must subtract the
+    // ASSIGNED centroid exactly (element = v_i.toDouble - c_i)
+    val cents = first.map { case (id, v) => (id, v.toSeq) }.toSeq
+    val res = VectorOps.residuals(e, "vec_id", "embedding", cents)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    res.take(20).foreach { case (id, (cid, r)) =>
+      val expect = vecs(id).zip(cents.find(_._1 == cid).get._2)
+        .map { case (a, b) => a - b }
+      assert(r === expect, s"vec $id residual")
+    }
+  }
+
   test("ADC distance equals L2 to the reconstructed (decoded) vector") {
     // sum_j l2sq(q_j, cb_j[code_j]) is algebraically l2sq(q, concat of the
     // code's centroids) — the identity that makes ADC a distance to the

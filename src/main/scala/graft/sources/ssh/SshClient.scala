@@ -102,34 +102,44 @@ final class SshClient(host: String, port: Int, user: String, password: String,
       while (true) {
         val p = transport.readPacket()
         val r = new R(p)
+        // channel-scoped messages racing a locally-removed channel (open
+        // timeout, close) are dropped, not fatal: the peer may have data/
+        // adjusts in flight for a channel we already abandoned
         (r.byte(): @annotation.switch) match {
           case Msg.ChannelOpenConfirmation =>
-            val ch = channel(r.uint32())
-            ch.remoteId = r.uint32()
-            ch.addWindow(r.uint32())
-            ch.remoteMaxPacket = r.uint32().toInt
-            ch.opened.countDown()
+            val ch = channels.get(r.uint32())
+            if (ch != null) {
+              ch.remoteId = r.uint32()
+              ch.addWindow(r.uint32())
+              ch.remoteMaxPacket = r.uint32().toInt
+              ch.opened.countDown()
+            }
           case Msg.ChannelOpenFailure =>
-            val ch = channel(r.uint32())
-            r.uint32() // reason code
-            ch.openFailure = r.stringUtf8()
-            ch.opened.countDown()
+            val ch = channels.get(r.uint32())
+            if (ch != null) {
+              r.uint32() // reason code
+              ch.openFailure = r.stringUtf8()
+              ch.opened.countDown()
+            }
           case Msg.ChannelWindowAdjust =>
-            channel(r.uint32()).addWindow(r.uint32())
+            val ch = channels.get(r.uint32())
+            if (ch != null) ch.addWindow(r.uint32())
           case Msg.ChannelData =>
-            channel(r.uint32()).deliver(r.string())
+            val ch = channels.get(r.uint32())
+            if (ch != null) ch.deliver(r.string())
           case Msg.ChannelExtendedData =>
-            val ch = channel(r.uint32()); r.uint32()
-            ch.consumeOnly(r.string().length) // no stderr on direct-tcpip
+            val ch = channels.get(r.uint32()); r.uint32()
+            if (ch != null) ch.consumeOnly(r.string().length) // no stderr here
           case Msg.ChannelEof =>
-            channel(r.uint32()).deliverEof()
+            val ch = channels.get(r.uint32())
+            if (ch != null) ch.deliverEof()
           case Msg.ChannelClose =>
             val id = r.uint32()
             val ch = channels.remove(id)
             if (ch != null) ch.peerClosed()
           case Msg.ChannelRequest =>
-            val ch = channel(r.uint32()); r.stringUtf8()
-            if (r.boolean())
+            val ch = channels.get(r.uint32()); r.stringUtf8()
+            if (ch != null && r.boolean())
               transport.writePacket(new W().putByte(Msg.ChannelFailure)
                 .putUInt32(ch.remoteId).bytes)
           case Msg.GlobalRequest =>
@@ -151,12 +161,6 @@ final class SshClient(host: String, port: Int, user: String, password: String,
         channels.clear()
         transport.close()
     }
-
-  private def channel(id: Long): SshChannel = {
-    val ch = channels.get(id)
-    if (ch == null) throw new SshProtocolException(s"unknown channel $id")
-    ch
-  }
 
   private[ssh] def send(payload: Array[Byte]): Unit = {
     failIfDead()

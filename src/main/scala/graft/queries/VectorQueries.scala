@@ -516,6 +516,24 @@ object VectorQueries {
       VectorOps.pqTopK(e, "vec_id", "embedding", QueryVecId, K, cbs)
     }),
 
+    // ----------------------------------------------------------------- x94
+    // The FULL production geometry composed: k=256 coarse cells AND
+    // ks=128 codebook entries per subspace in one IVF-PQ serve — every
+    // quantizer-touching arrow (coarse training, cell assignment, PQ
+    // training, encode, probe ranking, LUT build) runs its broadcast
+    // large-k form simultaneously, the configuration a real deployment
+    // ships. Oracle replays both parameterized chains at the big sizes.
+    "x94_ivfpq_bigk_bigks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClustersBig, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKsBig, KmeansIters)
+      VectorOps.ivfPqTopK(e, "vec_id", "embedding", QueryVecId, K,
+        cent, NProbeBig, cbs)
+    }),
+
     // ----------------------------------------------------------------- x92
     // The x72 composed serve at PRODUCTION coarse-quantizer size: k=256
     // cells puts every k-means iteration's assignment AND the final cell
@@ -1189,10 +1207,10 @@ object VectorQueries {
     * Spark side runs the broadcast-join argmin above
     * [[VectorOps.ArgminLiteralMaxK]]; this oracle proves that path lands
     * bit-identically where the replayed literal recurrence lands. */
-  private lazy val ivfPqBigkSql: String =
+  private def ivfPqBigkSqlFor(ks: Int): String =
     s"""WITH ${kmeansSqlFor("embeddings", Dim, KClustersBig, "g")},
        |${assignCteFor("embeddings", "assign", s"cg$KmeansIters")},
-       |$pqChainsSql,
+       |${pqChainsSqlFor("embeddings", "p", ks)},
        |$pqEncodeSql,
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
        |probes AS (
@@ -1205,6 +1223,8 @@ object VectorQueries {
        |CROSS JOIN q
        |WHERE a.vec_id <> $QueryVecId
        |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin
+
+  private lazy val ivfPqBigkSql: String = ivfPqBigkSqlFor(PqKs)
 
   /** The x77/x81 shared oracle: quantizers trained on the base split. */
   private lazy val ivfPqAppendSql: String = ivfPqTopkSqlFor(
@@ -1573,6 +1593,7 @@ object VectorQueries {
     "x72_ivfpq_topk" -> ivfPqTopkSql,
     "x92_ivfpq_bigk" -> ivfPqBigkSql,
     "x93_pq_bigks" -> pqTopkSqlServing("", PqKsBig),
+    "x94_ivfpq_bigk_bigks" -> ivfPqBigkSqlFor(PqKsBig),
     // x75 serves the IDENTICAL composed ranking off the stored index —
     // the storage round trip (cells + codes range-laid by cid, centroids,
     // codebooks) must be result-invisible, so it shares x72's oracle

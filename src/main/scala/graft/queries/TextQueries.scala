@@ -76,6 +76,13 @@ object TextQueries {
   val DedupCurveFloor = 0.5
   val DedupCurve = Seq(0.5, 0.9, 0.95, 0.97)
 
+  /** x95 classifier-evaluation curve: decision thresholds swept over the
+    * fixed x53 scorer against x65's rule label. 0.5 is the deployed
+    * gate; the wings show the precision/recall trade a tuner would
+    * actually read. Comparisons run on the ROUND-6 score both engines
+    * share, and the literal thresholds parse to identical doubles. */
+  val PrThresholds = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+
   /** x65 classifier fit: full-batch GD iterations, the exact-binary step
     * (a power of two, so the driver's w − step·g update replays
     * bit-identically in any IEEE engine), and the two-feature rule gate
@@ -533,6 +540,50 @@ object TextQueries {
         Seq(("bias", b), ("accuracy", acc))
       import s.implicits._
       rows.toDF("term", "value").orderBy("term")
+    }),
+
+    // ----------------------------------------------------------------- x95
+    // Classifier EVALUATION — the arrow the features (x49) → fit (x65) →
+    // inference (x53) story was missing: the deployed fixed-weight
+    // scorer's confusion counts against the rule label at each decision
+    // threshold, with precision/recall in EXACT integer ppm (a float
+    // division would be the one non-replayable step — the x57 lesson).
+    // One scan over the z frame, the 5-threshold fan-out row-local, one
+    // 5-group aggregation: the evaluation report costs one pass at any
+    // corpus size, which is why a tuner can afford to run it nightly.
+    "x95_pr_curve" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = TextOps.qualityMetrics(t.documents, "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+          "mean_token_len")
+      val rep = TextOps.repetitionMetrics(t.documents, "doc_id", "text")
+        .select("doc_id", "dup_bigram_frac")
+      val z = Quality.standardize(q.join(rep, Seq("doc_id"), "left"),
+        Seq("n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len",
+          "dup_bigram_frac"))
+      val scored = Quality.scoreLinear(z, ScoreWeights, ScoreBias)
+        .select(col("quality_score").as("sc"),
+          (col("n_tokens") >= FitMinTokens &&
+            col("mean_token_len") <= FitMtlMax).cast("int").as("y"))
+      scored
+        .select(col("sc"), col("y"),
+          explode(array(PrThresholds.map(lit): _*)).as("threshold"))
+        .groupBy("threshold")
+        .agg(
+          sum(when(col("sc") >= col("threshold") && col("y") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("sc") >= col("threshold") && col("y") === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("sc") < col("threshold") && col("y") === 1, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("sc") < col("threshold") && col("y") === 0, 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("CASE WHEN tp + fp = 0 THEN NULL " +
+            "ELSE (tp * 1000000) div (tp + fp) END").as("precision_ppm"),
+          expr("CASE WHEN tp + fn = 0 THEN NULL " +
+            "ELSE (tp * 1000000) div (tp + fn) END").as("recall_ppm"))
+        .orderBy("threshold")
     }),
 
     "x53_quality_scores" -> ((s, dir) => {
@@ -1184,6 +1235,36 @@ object TextQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Replays x95: the fixed scorer (x53's round-6 sigmoid) against x65's
+    * rule label, confusion counts per threshold, precision/recall via
+    * integer ppm floor-division — every emitted number is an exact
+    * integer or the shared round-6 threshold double. */
+  private def prCurveSql: String = {
+    val dot = scoreDotSql
+    val perTh = PrThresholds.map { th =>
+      s"""SELECT CAST($th AS DOUBLE) AS threshold,
+         |  CAST(sum(CASE WHEN sc >= $th AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN sc >= $th AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN sc < $th AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN sc < $th AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |FROM scored""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$qualityFeatureCtes,
+       |scored AS (
+       |  SELECT round(1.0 / (1.0 + exp(-$dot)), 6) AS sc,
+       |    CASE WHEN m.n_tokens >= $FitMinTokens
+       |      AND m.mean_token_len <= $FitMtlMax THEN 1 ELSE 0 END AS y
+       |  FROM z JOIN m USING (doc_id)),
+       |curve AS (
+       |$perTh)
+       |SELECT threshold, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp = 0 THEN NULL
+       |    ELSE (tp * 1000000) // (tp + fp) END AS precision_ppm,
+       |  CASE WHEN tp + fn = 0 THEN NULL
+       |    ELSE (tp * 1000000) // (tp + fn) END AS recall_ppm
+       |FROM curve ORDER BY threshold""".stripMargin
+  }
+
   private def incrementalNearDupSql: String =
     incrementalNearDupSqlFor(s"doc_id % $IncrementalMod <> 0")
 
@@ -1419,6 +1500,7 @@ object TextQueries {
     "x58_filter_cascade" -> filterCascadeSql,
     "x53_quality_scores" -> qualityScoresSql,
     "x65_fit_classifier" -> fitClassifierSql,
+    "x95_pr_curve" -> prCurveSql,
     "x67_dedup_thresholds" -> {
       val perTh = DedupCurve.map { th =>
         s"""SELECT CAST($th AS DOUBLE) AS threshold,

@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   *  - the REAL audio path ([[decodeAudio]], `javax.sound.sampled`:
   *    WAV/AIFF/AU containers, integer PCM) — header facts + streaming
   *    RMS, spec-verified against in-test synthesized waveforms.
-  * Video decode stays stubbed (no demuxer ships in this container); a
-  * JavaCV/JNI demuxer swaps in behind the same iterator shape.
+  *  - the REAL video path ([[decodeVideo]]/[[sampleVideoFrames]], a
+  *    from-scratch YUV4MPEG2 demuxer — Y4M is a published plain-header +
+  *    raw-planar-frames container, so a full parser needs no external
+  *    codec) — header facts, frame segmentation, and an exact integer
+  *    Y-plane byte sum; sampled frames re-encode as gray PNG and chain
+  *    into [[decodeImages]]. Compressed-codec video (H.264 etc.) remains
+  *    environment-bounded; a JNI demuxer swaps in behind the same shape.
   */
 object Multimodal {
 
@@ -283,6 +288,226 @@ object Multimodal {
           width.toLong, height.toLong)
       }
     }
+  }
+
+  // ------------------------------------------------------------------ video
+
+  /** A parsed YUV4MPEG2 stream: header facts plus the byte offset of each
+    * frame's planar data (Y plane first — `width*height` bytes at each
+    * offset). Offsets let [[decodeVideo]] and [[sampleVideoFrames]] share
+    * one strict parse without re-walking the payload. */
+  private[graft] case class Y4mStream(width: Int, height: Int,
+                                      fpsNum: Int, fpsDen: Int,
+                                      colorspace: String,
+                                      frameOffsets: Array[Int]) {
+    def frameDataLen: Int = Y4m.frameDataLen(width, height, colorspace)
+  }
+
+  /** From-scratch YUV4MPEG2 parser — the container mjpegtools/ffmpeg
+    * publish: an ASCII stream header `YUV4MPEG2 W<w> H<h> F<num>:<den>
+    * [I?] [A?] [C<cs>]\n`, then per frame an ASCII `FRAME[ params]\n`
+    * marker followed by one raw planar picture (Y then Cb then Cr; plane
+    * sizes fixed by the colorspace tag). Strict: any malformed header,
+    * unknown colorspace, bad marker, or truncated frame fails the WHOLE
+    * payload (None) — at corpus scale a half-parsed video is a quarantine
+    * signal, not a partial result. */
+  private[graft] object Y4m {
+    private val Magic = "YUV4MPEG2"
+
+    /** Bytes of one frame's planar data, or -1 for an unsupported tag.
+      * 4:2:0 variants quarter the chroma planes (odd dims round up, the
+      * lenient reading — real 4:2:0 requires even dims anyway); 422
+      * halves horizontally; 444 and mono are full/absent chroma. */
+    def frameDataLen(w: Int, h: Int, cs: String): Int = {
+      val y = w * h
+      cs match {
+        case "C420" | "C420jpeg" | "C420paldv" | "C420mpeg2" =>
+          y + 2 * (((w + 1) / 2) * ((h + 1) / 2))
+        case "C422" => y + 2 * (((w + 1) / 2) * h)
+        case "C444" => y + 2 * y
+        case "Cmono" => y
+        case _ => -1
+      }
+    }
+
+    def parse(payload: Array[Byte]): Option[Y4mStream] = {
+      val nl0 = indexOfNl(payload, 0, 512)
+      if (nl0 < 0) return None
+      val header = new String(payload, 0, nl0, "ISO-8859-1")
+      val toks = header.split(' ')
+      if (toks.isEmpty || toks(0) != Magic) return None
+      var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "C420jpeg"
+      try {
+        toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+          t.charAt(0) match {
+            case 'W' => w = t.substring(1).toInt
+            case 'H' => h = t.substring(1).toInt
+            case 'F' =>
+              val p = t.substring(1).split(':')
+              if (p.length != 2) return None
+              fn = p(0).toInt; fd = p(1).toInt
+            case 'C' => cs = t
+            case _ => () // I (interlace), A (aspect), X (comment): not needed
+          }
+        }
+      } catch { case _: NumberFormatException => return None }
+      if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+      val flen = frameDataLen(w, h, cs)
+      if (flen < 0) return None
+      val offs = Array.newBuilder[Int]
+      var pos = nl0 + 1
+      while (pos < payload.length) {
+        // FRAME marker, optional parameters up to the newline
+        if (pos + 5 > payload.length ||
+            payload(pos) != 'F' || payload(pos + 1) != 'R' ||
+            payload(pos + 2) != 'A' || payload(pos + 3) != 'M' ||
+            payload(pos + 4) != 'E') return None
+        val nl = indexOfNl(payload, pos + 5, 512)
+        if (nl < 0 || (nl > pos + 5 && payload(pos + 5) != ' ')) return None
+        if (nl + 1 + flen > payload.length) return None // truncated frame
+        offs += (nl + 1)
+        pos = nl + 1 + flen
+      }
+      Some(Y4mStream(w, h, fn, fd, cs, offs.result()))
+    }
+
+    private def indexOfNl(a: Array[Byte], from: Int, maxScan: Int): Int = {
+      var i = from
+      val end = math.min(a.length, from + maxScan)
+      while (i < end) { if (a(i) == '\n') return i; i += 1 }
+      -1
+    }
+  }
+
+  /** Features from a REAL video demux; `decoded=false` quarantines corrupt
+    * payloads exactly like images/audio. `y_sum` is the exact integer sum
+    * of every Y-plane byte over all frames — unlike a float mean it is
+    * oracle-replayable bit-for-bit, which is how the x96 gate checks the
+    * demuxer actually reads frame bytes, not just counts markers. */
+  case class VideoFeatures(doc_id: Long, payload_bytes: Long,
+                           width: Option[Int], height: Option[Int],
+                           fps_num: Option[Int], fps_den: Option[Int],
+                           colorspace: Option[String], n_frames: Option[Long],
+                           duration_ms: Option[Long], y_sum: Option[Long],
+                           mean_luma: Option[Double],
+                           payload_sha256: String, decoded: Boolean)
+
+  /** REAL video feature extraction — the [[Y4m]] demuxer on the same
+    * batched per-partition iterator as [[decodeImages]]/[[decodeAudio]]:
+    * header facts (dimensions, frame rate, colorspace), strict frame
+    * segmentation, duration, and a one-pass Y-plane luma statistic
+    * (integer sum + normalized mean). Spec-gated on constructed Y4M
+    * payloads; oracle-gated by x96 over deterministically synthesized
+    * videos, where frame count and `y_sum` replay as pure byte
+    * arithmetic in SQL. */
+  def decodeVideo(spark: SparkSession, media: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { blob =>
+        val sha = md.digest(blob.payload).map("%02x".format(_)).mkString
+        Y4m.parse(blob.payload) match {
+          case Some(st) =>
+            val yLen = st.width * st.height
+            var ySum = 0L
+            st.frameOffsets.foreach { off =>
+              var i = off
+              val end = off + yLen
+              while (i < end) { ySum += (blob.payload(i) & 0xff); i += 1 }
+            }
+            val n = st.frameOffsets.length.toLong
+            VideoFeatures(blob.doc_id, blob.payload.length.toLong,
+              Some(st.width), Some(st.height), Some(st.fpsNum), Some(st.fpsDen),
+              Some(st.colorspace), Some(n),
+              Some(n * 1000L * st.fpsDen / st.fpsNum), Some(ySum),
+              if (n > 0) Some(ySum.toDouble / (n * yLen * 255.0)) else None,
+              sha, decoded = true)
+          case None =>
+            VideoFeatures(blob.doc_id, blob.payload.length.toLong,
+              None, None, None, None, None, None, None, None, None,
+              sha, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** One sampled REAL video frame: the Y (luma) plane re-encoded as a
+    * gray PNG — a decodable image payload, so the video tier chains into
+    * [[decodeImages]]/[[resizeImages]] downstream (demux → per-frame
+    * image ops, the training-data video shape). */
+  case class VideoFrame(doc_id: Long, frame_index: Long, width: Int,
+                        height: Int, mean_luma: Double, png: Array[Byte])
+
+  /** REAL frame sampling: every `stride`-th frame of each Y4M payload,
+    * streamed (iterator-to-iterator flatMap, one row in → N frame rows
+    * out, no per-partition buffering beyond one frame's pixels).
+    * Undecodable payloads are DROPPED — the quarantine split belongs to
+    * [[decodeVideo]]'s `decoded` flag upstream, the [[resizeImages]]
+    * precedent. */
+  def sampleVideoFrames(spark: SparkSession, media: DataFrame,
+                        stride: Int): Dataset[VideoFrame] = {
+    import spark.implicits._
+    require(stride > 0, s"invalid stride $stride")
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { blob =>
+        Y4m.parse(blob.payload).iterator.flatMap { st =>
+          val yLen = st.width * st.height
+          st.frameOffsets.iterator.zipWithIndex
+            .collect { case (off, i) if i % stride == 0 =>
+              val img = new java.awt.image.BufferedImage(
+                st.width, st.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var ySum = 0L
+              var p = 0
+              while (p < yLen) {
+                val v = blob.payload(off + p) & 0xff
+                ySum += v
+                raster.setSample(p % st.width, p / st.width, 0, v)
+                p += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              VideoFrame(blob.doc_id, i.toLong, st.width, st.height,
+                ySum.toDouble / (yLen * 255.0), out.toByteArray)
+            }
+        }
+      }
+    }
+  }
+
+  /** Wrap a text table as synthetic Y4M videos for the x96 gate: each
+    * document becomes a `width`×`height` C420 stream whose frames are
+    * consecutive slices of the utf-8 text bytes — up to `maxFrames`
+    * complete frames (`frameDataLen` bytes each; shorter docs get fewer,
+    * possibly zero — a header-only stream is valid Y4M). Deterministic by
+    * construction, so the REAL demuxer's output replays in SQL as byte
+    * arithmetic over `encode(text)`. */
+  def asVideoTable(spark: SparkSession, documents: DataFrame,
+                   width: Int, height: Int, maxFrames: Int): DataFrame = {
+    import spark.implicits._
+    require(width > 0 && height > 0 && maxFrames >= 0)
+    val flen = Y4m.frameDataLen(width, height, "C420")
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420\n"
+      .getBytes("ISO-8859-1")
+    val marker = "FRAME\n".getBytes("ISO-8859-1")
+    documents.select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, lang) =>
+          val bytes = text.getBytes("UTF-8")
+          val k = math.min(maxFrames.toLong, bytes.length.toLong / flen).toInt
+          val out = new java.io.ByteArrayOutputStream(
+            header.length + k * (marker.length + flen))
+          out.write(header)
+          var i = 0
+          while (i < k) {
+            out.write(marker)
+            out.write(bytes, i * flen, flen)
+            i += 1
+          }
+          MediaBlob(id, out.toByteArray, "video/x-yuv4mpeg", lang)
+        }
+      }.toDF()
   }
 
   /** One sampled frame of a media payload. */

@@ -19,6 +19,13 @@ object MediaQueries {
   val FrameStride = 2
   val ResizeW = 16
   val ResizeH = 16
+  // x96 synthetic-video geometry: 16×8 C420 → 128 Y bytes + 64 chroma
+  // bytes = 192 bytes of frame data per frame, up to 4 frames per doc.
+  val VideoW = 16
+  val VideoH = 8
+  val VideoMaxFrames = 4
+  val VideoFrameData: Int = VideoW * VideoH * 3 / 2
+  val VideoYBytes: Int = VideoW * VideoH
 
   def queries: Map[String, Q] = Map(
     // ----------------------------------------------------------------- x10
@@ -59,6 +66,27 @@ object MediaQueries {
           length(col("payload")).cast("long").as("out_bytes"),
           upper(hex(col("payload"))).as("payload_hex"))
         .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x96
+    // REAL video demux, oracle-gated: each document becomes a synthetic
+    // YUV4MPEG2 stream (frames = consecutive 192-byte slices of the utf-8
+    // text), the from-scratch Y4m parser demuxes it, and frame count,
+    // duration, and the exact integer Y-plane byte sum replay in DuckDB
+    // as pure byte arithmetic over encode(text) — proving the parser
+    // segments frames correctly AND reads the actual frame bytes.
+    "x96_video_demux" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.decodeVideo(s,
+          Multimodal.asVideoTable(s, t.documents, VideoW, VideoH, VideoMaxFrames))
+        .toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("fps_num").cast("long").as("fps_num"),
+          col("fps_den").cast("long").as("fps_den"),
+          col("n_frames"), col("duration_ms"), col("y_sum"))
+        .orderBy("doc_id")
     })
   )
 
@@ -94,6 +122,34 @@ object MediaQueries {
          |FROM (SELECT doc_id,
          |  substring(hex(encode(text)), 1, ${2 * ResizeW * ResizeH}) AS ph
          |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    // The demuxer's frame segmentation and Y-plane sum replayed as byte
+    // arithmetic: k = min(4, bytes//192) complete frames; frame i's Y
+    // plane is text bytes [i*192, i*192+128) (chroma fills the rest);
+    // each byte recovered from 2 hex chars via strpos on the hex
+    // alphabet. Docs too short for one frame are valid header-only
+    // streams: 0 frames, 0 sum.
+    "x96_video_demux" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, upper(hex(encode(text))) AS ph,
+         |    least($VideoMaxFrames,
+         |          octet_length(encode(text)) // $VideoFrameData) AS k
+         |  FROM documents),
+         |b AS (
+         |  SELECT m.doc_id,
+         |    (strpos('0123456789ABCDEF',
+         |       substring(ph, (u.i * $VideoFrameData + v.j) * 2 + 1, 1)) - 1) * 16
+         |    + (strpos('0123456789ABCDEF',
+         |       substring(ph, (u.i * $VideoFrameData + v.j) * 2 + 2, 1)) - 1) AS bv
+         |  FROM m, UNNEST(range(0, m.k)) u(i), UNNEST(range(0, $VideoYBytes)) v(j)),
+         |s AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS ys FROM b GROUP BY doc_id)
+         |SELECT m.doc_id,
+         |  CAST($VideoW AS BIGINT) AS width, CAST($VideoH AS BIGINT) AS height,
+         |  CAST(25 AS BIGINT) AS fps_num, CAST(1 AS BIGINT) AS fps_den,
+         |  CAST(m.k AS BIGINT) AS n_frames,
+         |  CAST(m.k * 40 AS BIGINT) AS duration_ms,
+         |  COALESCE(s.ys, 0) AS y_sum
+         |FROM m LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
   )
 }

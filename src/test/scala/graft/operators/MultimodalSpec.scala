@@ -155,6 +155,108 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.rms.get - q) < 1e-9, s"rms=${f.rms}")
   }
 
+  // ------------------------------------------------------- real video path
+
+  /** A YUV4MPEG2 payload: `lumas(i)` fills frame i's whole Y plane (C420
+    * chroma planes fill with 128 — neutral). The cleanest pin: frame i's
+    * mean luma is exactly lumas(i)/255. */
+  private def y4mBytes(w: Int, h: Int, lumas: Seq[Int],
+                       header: String = ""): Array[Byte] = {
+    val hdr = if (header.nonEmpty) header
+              else s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(hdr.getBytes("ISO-8859-1"))
+    val chroma = 2 * (((w + 1) / 2) * ((h + 1) / 2))
+    lumas.foreach { l =>
+      out.write("FRAME\n".getBytes("ISO-8859-1"))
+      for (_ <- 0 until w * h) out.write(l)
+      for (_ <- 0 until chroma) out.write(128)
+    }
+    out.toByteArray
+  }
+
+  test("decodeVideo: real Y4M demux recovers header facts, frame count, " +
+       "and exact Y-plane sums; corrupt payloads quarantine") {
+    val v1 = y4mBytes(16, 8, Seq(0, 51, 255)) // 3 frames, known lumas
+    val media = mediaFrame(Seq(
+      (1L, v1, "video/x-yuv4mpeg"),
+      (2L, y4mBytes(4, 4, Seq(), // header-only stream: valid, 0 frames
+        header = "YUV4MPEG2 W4 H4 F30000:1001 C420mpeg2\n"), "video/x-yuv4mpeg"),
+      (3L, "not a video".getBytes("UTF-8"), "video/x-yuv4mpeg"),
+      (4L, v1.dropRight(10), "video/x-yuv4mpeg"), // truncated final frame
+      (5L, y4mBytes(16, 8, Seq(7),               // unknown colorspace tag
+        header = "YUV4MPEG2 W16 H8 F25:1 C999\n"), "video/x-yuv4mpeg")))
+      .repartition(2)
+    val feats = Multimodal.decodeVideo(spark, media).collect()
+      .sortBy(_.doc_id).toSeq
+    assert(feats.map(_.decoded) === Seq(true, true, false, false, false))
+    assert(feats(0).width === Some(16) && feats(0).height === Some(8))
+    assert(feats(0).fps_num === Some(25) && feats(0).fps_den === Some(1))
+    assert(feats(0).colorspace === Some("C420"))
+    assert(feats(0).n_frames === Some(3L))
+    assert(feats(0).duration_ms === Some(120L)) // 3 frames at 25 fps
+    assert(feats(0).y_sum === Some(128L * (0 + 51 + 255)))
+    assert(math.abs(feats(0).mean_luma.get - (0 + 51 + 255) / (3 * 255.0)) < 1e-12)
+    // header-only stream: decoded, zero frames, fractional fps parsed
+    assert(feats(1).n_frames === Some(0L) && feats(1).y_sum === Some(0L))
+    assert(feats(1).fps_num === Some(30000) && feats(1).fps_den === Some(1001))
+    assert(feats(1).mean_luma.isEmpty)
+    // quarantine rows keep payload-level facts
+    assert(feats(2).width.isEmpty && feats(2).payload_sha256.length === 64)
+    assert(feats(3).width.isEmpty, "truncated frame must fail the payload")
+    assert(feats(4).width.isEmpty, "unknown colorspace must quarantine")
+  }
+
+  test("sampleVideoFrames: strided demux emits real gray PNGs that chain " +
+       "into decodeImages") {
+    val media = mediaFrame(Seq(
+      (1L, y4mBytes(16, 8, Seq(10, 20, 30, 40, 50)), "video/x-yuv4mpeg"),
+      (2L, "garbage".getBytes("UTF-8"), "video/x-yuv4mpeg")))
+    val frames = Multimodal.sampleVideoFrames(spark, media, stride = 2)
+      .collect().sortBy(_.frame_index)
+    assert(frames.map(_.doc_id).distinct.toSeq === Seq(1L),
+      "undecodable payloads are dropped, not fatal")
+    assert(frames.map(_.frame_index).toSeq === Seq(0L, 2L, 4L))
+    assert(frames.forall(f => f.width === 16 && f.height === 8))
+    // constant-luma frames: mean is the fill value / 255 exactly
+    assert(frames.map(f => math.round(f.mean_luma * 255).toInt).toSeq
+      === Seq(10, 30, 50))
+    // each emitted frame is a decodable image of the frame geometry, so
+    // the video tier chains into the image tier's real decoder
+    val asImages = frames.map(f => (f.doc_id * 100 + f.frame_index,
+      f.png, "image/png"))
+    val decoded = Multimodal.decodeImages(spark, mediaFrame(asImages.toSeq))
+      .collect().sortBy(_.doc_id)
+    assert(decoded.forall(_.decoded))
+    assert(decoded.forall(d => d.width === Some(16) && d.height === Some(8)))
+    assert(decoded.forall(_.format === Some("png")))
+    // pixel round-trip: the PNG's raw gray samples ARE the Y plane
+    // (raster samples, not getRGB — the latter applies gray→sRGB gamma)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames(1).png))
+    assert(img.getRaster.getSample(3, 3, 0) === 30)
+  }
+
+  test("asVideoTable: synthetic Y4M from text demuxes to the arithmetic " +
+       "frame count (the x96 construction)") {
+    // 16×8 C420 → 192 bytes/frame: 500 bytes → 2 complete frames; 100
+    // bytes → header-only; maxFrames caps a long doc at 4
+    val docs = Seq(
+      (1L, "a" * 500, "en", "s", 500L),
+      (2L, "b" * 100, "en", "s", 100L),
+      (3L, "c" * 2000, "en", "s", 2000L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vids = Multimodal.asVideoTable(spark, docs, 16, 8, 4)
+    assert(vids.columns.toSeq === Seq("doc_id", "payload", "media_type", "lang"))
+    val feats = Multimodal.decodeVideo(spark, vids).collect().sortBy(_.doc_id)
+    assert(feats.forall(_.decoded), "constructed streams must always parse")
+    assert(feats.map(_.n_frames.get).toSeq === Seq(2L, 0L, 4L))
+    // frame bytes are the text bytes: 'a' = 97, Y plane = first 128 of
+    // each 192-byte slice
+    assert(feats(0).y_sum === Some(2L * 128L * 97L))
+    assert(feats(2).y_sum === Some(4L * 128L * 99L))
+  }
+
   test("extractFeatures runs batched per-partition and is deterministic") {
     val docs = Seq(
       (1L, "hello", "en", "s", 5L), (2L, "world!", "de", "s", 6L)

@@ -41,8 +41,11 @@ object Multimodal {
 
   /** STUB decoder: deterministic fake features in place of a real decode —
     * the ORACLE side (DuckDB replays bytes%640 and sha256 exactly). The
-    * real image decode is [[decodeImages]]; audio/video remain stub-only
-    * per the builder brief (no codecs in this container). */
+    * real decoders are [[decodeImages]] (ImageIO), [[decodeAudio]]
+    * (javax.sound WAV/AIFF/AU PCM), and [[decodeVideo]] (from-scratch
+    * Y4M demuxer); only compressed-codec media (H.264, MP3, …) remains
+    * behind this stub per the builder brief (no codecs in this
+    * container). */
   object FakeDecoder {
     def decode(blob: MediaBlob): MediaFeatures = {
       val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -237,6 +237,7 @@ object BenchExpectations {
     "x94_ivfpq_bigk_bigks" -> 2.0624, // added post-snapshot, solo-measured
     "x95_pr_curve" -> 2.1511, // added post-snapshot, solo-measured
     "x96_video_demux" -> 0.4957, // added post-snapshot, solo-measured
+    "x97_substring_dedup" -> 1.51, // added post-snapshot, solo-measured
     "x9_token_stats" -> 0.4711,
   )
 }

@@ -413,6 +413,75 @@ object TextOps {
           s => s.getField("span"))).as("clean_text"))
   }
 
+  /** Exact-substring dedup — the sliding-window twin of [[spanDedup]],
+    * after the ExactSubstr dedup of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022): a duplicated passage is
+    * caught at ANY token alignment, not only on chunk boundaries, and the
+    * REMOVAL unit is the individual token (the union of every flagged
+    * window's [p, p+W) interval), so a shared passage is excised exactly
+    * while the unique text around it survives. Lee et al. build a suffix
+    * array; the equivalent declarative form is: every W-token window →
+    * 60-bit hash → a window whose hash occurs in ≥ `minDocs` DISTINCT
+    * docs flags its token interval → anti-join tokens against the flagged
+    * positions → reassemble survivors in order. Returns one row per doc:
+    * (id, n_tokens, n_dropped_tokens, n_clean_tokens, clean_text);
+    * docs shorter than one window pass through whole.
+    *
+    * Scale shape: windows hash to longs BEFORE the distinct-doc shuffle
+    * (window strings never cross it); flagged intervals fan out W rows
+    * per flagged window (sparse in a real corpus — bounded by the
+    * boilerplate mass, not the corpus); the token-level mark is a keyed
+    * anti-join, linear in corpus tokens — the same order of work as the
+    * suffix-array construction it replaces, with no per-doc quadratic
+    * corner (an array-contains mask would be O(n·dropped) on a fully
+    * boilerplate doc). Reassembly collect_list is bounded by one doc. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int, minDocs: Int): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(minDocs >= 2, "minDocs < 2 would drop every window")
+    val w = windowTokens
+    // def, not val: re-derive from the scan per pass (the spanDedup trade:
+    // persisting the widest data to save a columnar re-scan loses at 100×).
+    // The generator explodes window POSITIONS only; each span string is
+    // built and hashed ABOVE the Generate from the passed-through token
+    // array (slice + concat_ws). Exploding pre-built ngram arrays instead
+    // (posexplode(ngrams(__tk, w))) re-evaluated the ngram lambda through
+    // the collapsed projection per OUTPUT element — O(windows²·w) per doc,
+    // measured 90× slower on sf0.1 — and materializing the array as an
+    // attribute does not survive CollapseProject into the Generate.
+    def windows = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .select(col("id"), col("__tk"),
+        explode(when(size(col("__tk")) >= w,
+            sequence(lit(0), size(col("__tk")) - w))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("id"), col("pos"),
+        md5Hash60(concat_ws(" ",
+          slice(col("__tk"), col("pos") + 1, lit(w)))).as("spanh"))
+    val shared = windows
+      .groupBy("spanh").agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("spanh")
+    val dropped = windows.join(shared, Seq("spanh"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
+      .distinct()
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .select(col("id"), posexplode_outer(col("__tk")).as(Seq("tpos", "tok")))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id", "tpos"), "left")
+      .groupBy("id")
+      .agg(
+        count(col("tpos")).as("n_tokens"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped_tokens"),
+        (count(col("tpos")) - sum(when(col("__drop"), 1L).otherwise(0L)))
+          .as("n_clean_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__drop").isNull && col("tpos").isNotNull,
+              struct(col("tpos"), col("tok"))))),
+          s => s.getField("tok"))).as("clean_text"))
+  }
+
   /** Exact Jaccard similarity of the distinct-token sets. */
   def jaccard(toksA: Column, toksB: Column): Column = {
     val inter = size(array_intersect(array_distinct(toksA), array_distinct(toksB)))

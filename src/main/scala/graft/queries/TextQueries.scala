@@ -35,6 +35,9 @@ object TextQueries {
   val FuzzyMaxDist = 6
   val SpanTokens = 8
   val SpanMinDocs = 2
+  // x97 exact-substring dedup: sliding windows of the same span geometry
+  val SubstrTokens = 8
+  val SubstrMinDocs = 2
   val IncrementalMod = 10
 
   /** Tombstone membership for the band-index delete gate (x79): within
@@ -810,6 +813,23 @@ object TextQueries {
       TextOps.spanDedup(t.documents, "doc_id", "text", SpanTokens, SpanMinDocs)
         .select(col("id").as("doc_id"), col("n_spans"), col("n_dropped"),
           col("n_clean_tokens"), sha2(col("clean_text"), 256).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ----------------------------------------------------------------- x97
+    // Exact-substring dedup (Lee et al. 2022 ExactSubstr, declarative
+    // form): SLIDING 8-token windows — a duplicated passage flags at any
+    // alignment, and removal is token-exact (the union of flagged window
+    // intervals), unlike x34's chunk-aligned span removal. The sha256 of
+    // the reassembled survivor text proves the interval cover and
+    // reassembly byte-exact.
+    "x97_substring_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.substringDedup(t.documents, "doc_id", "text",
+          SubstrTokens, SubstrMinDocs)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_dropped_tokens"), col("n_clean_tokens"),
+          sha2(col("clean_text"), 256).as("clean_fp"))
         .orderBy("doc_id")
     }),
 
@@ -1589,6 +1609,7 @@ object TextQueries {
          |            JOIN grams gb ON c.id_b = gb.doc_id
          |ORDER BY 1, 2""".stripMargin,
     "x34_span_dedup" -> spanDedupSql,
+    "x97_substring_dedup" -> substringDedupSql,
     "x17_pii_scrub" ->
       s"""SELECT doc_id,
          |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
@@ -1648,6 +1669,47 @@ object TextQueries {
        |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        |  CAST(n_dropped AS BIGINT) AS n_dropped,
        |  CAST(n_clean_tokens AS BIGINT) AS n_clean_tokens,
+       |  sha256(clean_text) AS clean_fp
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replays [[graft.operators.TextOps.substringDedup]]: SLIDING 8-token
+    * windows (positions 0..n−W), 60-bit window hashes, distinct-doc
+    * boilerplate count, token-interval union via UNNEST(range(pos,
+    * pos+W)) + DISTINCT, token-level left join, positional reassembly. */
+  private def substringDedupSql: String = {
+    val w = SubstrTokens
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |wins AS (
+       |  SELECT doc_id, u.i AS pos,
+       |    ${md5h(s"array_to_string(list_slice(toks, u.i + 1, u.i + $w), ' ')")} AS spanh
+       |  FROM toked, UNNEST(range(0, CASE WHEN len(toks) >= $w
+       |    THEN len(toks) - $w + 1 ELSE 0 END)) u(i)),
+       |shared AS (
+       |  SELECT spanh FROM wins
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $SubstrMinDocs),
+       |dropped AS (
+       |  SELECT DISTINCT win.doc_id, u2.j AS tpos
+       |  FROM (SELECT w2.doc_id, w2.pos FROM wins w2
+       |        JOIN shared sh ON w2.spanh = sh.spanh) win,
+       |    UNNEST(range(win.pos, win.pos + $w)) u2(j)),
+       |tokrows AS (
+       |  SELECT doc_id, u.i AS tpos, list_extract(toks, u.i + 1) AS tok
+       |  FROM toked, UNNEST(range(0, len(toks))) u(i)),
+       |agg AS (
+       |  SELECT d.doc_id,
+       |    count(t.tpos) AS n_tokens,
+       |    coalesce(sum(CASE WHEN dr.tpos IS NOT NULL THEN 1 ELSE 0 END), 0)
+       |      AS n_dropped_tokens,
+       |    coalesce(string_agg(CASE WHEN dr.tpos IS NULL THEN t.tok END, ' '
+       |      ORDER BY t.tpos), '') AS clean_text
+       |  FROM documents d
+       |  LEFT JOIN tokrows t ON d.doc_id = t.doc_id
+       |  LEFT JOIN dropped dr ON t.doc_id = dr.doc_id AND t.tpos = dr.tpos
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_dropped_tokens AS BIGINT) AS n_dropped_tokens,
+       |  CAST(n_tokens - n_dropped_tokens AS BIGINT) AS n_clean_tokens,
        |  sha256(clean_text) AS clean_fp
        |FROM agg ORDER BY doc_id""".stripMargin
   }

@@ -80,6 +80,55 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getAs[String]("clean_text") === "p q r s t u p q r")
   }
 
+  // ------------------------------------------------- exact-substring dedup
+
+  test("substringDedup catches a shared passage at ANY alignment and " +
+       "excises exactly its token interval") {
+    // doc 2 embeds doc 1's "c d e" passage OFF chunk boundaries: x34's
+    // non-overlapping 3-token chunks ("z1 z2 c", "d e z3") would miss it;
+    // the sliding window must flag it and cut exactly those three tokens.
+    val df = Seq(
+      (1L, "a b c d e"),       // windows: "a b c","b c d","c d e"
+      (2L, "z1 z2 c d e z3"),  // shares only the "c d e" window, shifted
+      (3L, "")                 // zero tokens
+    ).toDF("doc_id", "text")
+    val out = TextOps.substringDedup(df, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dropped_tokens"),
+          r.getAs[Long]("n_clean_tokens"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) === ((5L, 3L, 2L, "a b")))
+    assert(out(2L) === ((6L, 3L, 3L, "z1 z2 z3")))
+    assert(out(3L) === ((0L, 0L, 0L, "")))
+  }
+
+  test("substringDedup unions overlapping flagged windows into one cover") {
+    // docs share a 5-token passage → three overlapping flagged 3-windows
+    // in each; the interval union must drop exactly the 5 passage tokens,
+    // not 9, and leave the distinct tails intact
+    val df = Seq(
+      (1L, "p q r s t own1"),
+      (2L, "p q r s t own2")
+    ).toDF("doc_id", "text")
+    val out = TextOps.substringDedup(df, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_dropped_tokens"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) === ((5L, "own1")))
+    assert(out(2L) === ((5L, "own2")))
+  }
+
+  test("substringDedup: within-doc repeats survive (distinct-doc count) " +
+       "and short docs pass through whole") {
+    val df = Seq(
+      (1L, "p q r p q r"),  // repeated within ONE doc only
+      (2L, "u v")           // shorter than one window
+    ).toDF("doc_id", "text")
+    val out = TextOps.substringDedup(df, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_dropped_tokens"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) === ((0L, "p q r p q r")))
+    assert(out(2L) === ((0L, "u v")))
+  }
+
   // --------------------------------------------------- incremental near-dup
 
   test("minhashNearDupsAgainst finds cross pairs only, never within-frame") {

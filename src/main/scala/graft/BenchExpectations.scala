@@ -238,6 +238,9 @@ object BenchExpectations {
     "x95_pr_curve" -> 2.1511, // added post-snapshot, solo-measured
     "x96_video_demux" -> 0.4957, // added post-snapshot, solo-measured
     "x97_substring_dedup" -> 1.51, // added post-snapshot, solo-measured
+    "x98_bloom_prune" -> 0.7277, // added post-snapshot, solo-measured
+    "x99_bloom_admission" -> 1.0133, // added post-snapshot, solo-measured
+    "x100_bpe_merges" -> 6.5439, // added post-snapshot, solo-measured
     "x9_token_stats" -> 0.4711,
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Aggregations, Cleaning, Dedup, Derivations, Joins, Merge, Quality, TextOps}
+import graft.operators.{Aggregations, Bloom, Cleaning, Dedup, Derivations, Joins, Merge, Quality, TextOps}
 import graft.sources.Tables
 
 /** Core relational operator queries — one oracle-checked query per operator
@@ -35,6 +35,19 @@ object CoreQueries {
     * per-day user cardinality at sf0.01/sf0.1 (estimate branch live)
     * and above sf0.001's (exact-below-k branch live). */
   val KmvDailyK = 64
+
+  /** Bloom-filter geometry for the x98 pruning gate: 2^16 bits / 4
+    * probes keeps the FP rate well under 1% at sf0.1's supplier-key
+    * cardinality (n/m ≈ 0.006) while the gate result stays exact at ANY
+    * FP rate — the geometry only tunes how much the prune saves. */
+  val BloomBits = 1 << 16
+  val BloomProbes = 4
+
+  /** Build-side nation for the x98 prune (testdata nations are synthetic
+    * NATION_<k> names; NATION_19 holds suppliers at every SF — 1 at
+    * sf0.001, 6 at sf0.01, 42 at sf0.1 — so the gate is never vacuously
+    * empty at any scale). */
+  val BloomNation = "NATION_19"
 
   /** The `orders` column set, shared by the a14 profile oracle generator —
     * row parity with `Aggregations.profile(orders)` needs the same SET of
@@ -286,6 +299,49 @@ object CoreQueries {
           col("__sp").cast("string").as("sum_price"),
           col("__sq").cast("string").as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // ----------------------------------------------------------------- x98
+    // Bloom-filter join pruning (runtime-filter shape, explicit): the
+    // build side's join keys (suppliers of one nation, ~1/25 of
+    // suppliers) fold into ONE array<long> row that broadcasts to every
+    // lineitem task; rows that cannot match are dropped at the scan —
+    // BEFORE any exchange — and only the surviving slice pays the exact
+    // semi-join + aggregation. At 100 TB the pruned mass never enters
+    // the shuffle; the gate's result is the exact join's (a Bloom filter
+    // has no false negatives, and false positives die in the semi-join),
+    // so the oracle is the plain three-table join — FP-rate-invariant by
+    // construction. Decimal-string totals, a19's digit-exact convention.
+    "x98_bloom_prune" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val keys = t.supplier
+        .join(t.nation.filter(col("n_name") === BloomNation),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").cast("long").as("s_suppkey"))
+      // one driver-side row of BloomBits/8 bytes — the filter-build step
+      val words = keys.agg(
+        Bloom.sketch(xxhash64(col("s_suppkey")), BloomBits, BloomProbes)
+          .as("words"))
+        .head().getAs[scala.collection.Seq[Long]]("words").toArray
+      val pruned = Bloom.pruneInline(
+        t.lineitem.select(col("l_suppkey").cast("long").as("l_suppkey"),
+          col("l_extendedprice")),
+        xxhash64(col("l_suppkey")), words, BloomBits, BloomProbes)
+      // merge hint = the 100 TB shape: at production scale the build side
+      // (all suppliers of a nation) exceeds the broadcast threshold and
+      // the exact join is a shuffle join — the bloom's value is pruning
+      // BELOW that exchange. The inline-literal prune pins that shape
+      // (plan-audited): a crossJoin-broadcast prune here would be hoisted
+      // above the semi-join by PushDownLeftSemiAntiJoin and filter
+      // nothing from the shuffle.
+      pruned
+        .join(keys.hint("merge"), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("__sp"))
+        .select(col("l_suppkey"), col("n_items"),
+          col("__sp").cast("string").as("sum_price"))
+        .orderBy("l_suppkey")
     }),
 
     // ----------------------------------------------------------- A6 (sketch)
@@ -995,6 +1051,18 @@ object CoreQueries {
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // The bloom prune is result-invisible (no false negatives; false
+    // positives die in the semi-join), so the oracle is the exact
+    // three-table join the filter accelerates.
+    "x98_bloom_prune" ->
+      s"""SELECT CAST(l.l_suppkey AS BIGINT) AS l_suppkey,
+         count(*) AS n_items,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name = '$BloomNation'
+         GROUP BY 1 ORDER BY 1""",
     // The sketch is a deterministic set function: the k smallest DISTINCT
     // 60-bit md5 hashes. DuckDB's image is a sort-limit over the distinct
     // hashes of the flat corpus — no sharding, no merge — so the gate

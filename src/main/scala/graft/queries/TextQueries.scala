@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftCache
-import graft.operators.{Aggregations, Dedup, Quality, TextOps}
+import graft.operators.{Aggregations, Bloom, BpeTrainer, Dedup, Quality, TextOps}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the text-analysis / dedup suite (engine
@@ -38,6 +38,15 @@ object TextQueries {
   // x97 exact-substring dedup: sliding windows of the same span geometry
   val SubstrTokens = 8
   val SubstrMinDocs = 2
+  /** x99: id offset for the re-keyed replay arrivals (guaranteed true
+    * dupes); far above any testdata doc_id so replay ids never collide. */
+  val ReplayIdOffset = 10000000L
+
+  /** x100: BPE merge-learning iterations — enough that later argmaxes run
+    * on an already-merged corpus (the recurrence is exercised, not just
+    * the first pair count), small enough that the unrolled oracle CTE
+    * chain stays tractable. */
+  val BpeIters = 6
   val IncrementalMod = 10
 
   /** Tombstone membership for the band-index delete gate (x79): within
@@ -833,6 +842,60 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ----------------------------------------------------------------- x99
+    // Bloom-screened admission — the steady-state front door of the
+    // dedup intake at 100 TB: the seen-fingerprint history is folded into
+    // a STORED Bloom filter (8 KiB here; the history itself is never
+    // re-read per batch); arriving docs that MISS the filter are
+    // definitely new and admit join-free, and only the HIT slice (true
+    // dupes + false positives) pays the exact confirm anti-join. The
+    // result equals arrivals ANTI-JOIN history at ANY false-positive
+    // rate (no false negatives by construction), which is exactly what
+    // the oracle replays — the filter is result-invisible, like the
+    // band/PQ index storage round-trips.
+    "x99_bloom_admission" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val history = t.documents.filter(col("doc_id") % IncrementalMod =!= 0)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      // arrivals = the held-out slice (genuinely new) PLUS re-keyed
+      // replays of history docs (guaranteed true dupes) — so the
+      // confirm-join path is exercised by construction, not only by
+      // whatever false positives the geometry happens to produce
+      val arrivals = t.documents.filter(col("doc_id") % IncrementalMod === 0)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .unionByName(t.documents
+          .filter(col("doc_id") % IncrementalMod === 1)
+          .select((col("doc_id") + ReplayIdOffset).as("doc_id"),
+            TextOps.fingerprint(col("text")).as("fp")))
+      val bloomPath = SinkQueries.sinkDir("x99_seen_bloom")
+      Bloom.write(
+        history.agg(Bloom.sketch(xxhash64(col("fp")),
+          CoreQueries.BloomBits, CoreQueries.BloomProbes).as("words")),
+        "words", CoreQueries.BloomBits, CoreQueries.BloomProbes, bloomPath)
+      Bloom.admit(arrivals, history, "fp", Bloom.read(s, bloomPath),
+          CoreQueries.BloomBits, CoreQueries.BloomProbes)
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- x100
+    // BPE merge-rule learning (Sennrich et al. 2016) at the word level —
+    // tokenizer TRAINING, the arrow upstream of every token-budget
+    // operator here. Six iterations of count-pairs → argmax (ties
+    // lexicographic) → greedy left-to-right merge → renumber; the gate
+    // pins the learned rules, their selection-time counts AND the
+    // occurrences actually merged (n_merged < pair_n exactly when the
+    // winning pair overlaps itself inside same-symbol runs). The oracle
+    // replays the full recurrence as an unrolled MATERIALIZED CTE chain —
+    // iteration t's counts run over the corpus AS REWRITTEN by merges
+    // 1..t-1, so a wrong merge application would cascade into every later
+    // row.
+    "x100_bpe_merges" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      BpeTrainer.learnMerges(t.documents, "doc_id", "text", BpeIters)
+        .orderBy("it")
+    }),
+
     // ----------------------------------------------------------------- x17
     // PII scrubbing: synthetic per-document email + URL appended to the
     // text (the testdata carries no live PII), then scrubbed to typed
@@ -1610,6 +1673,24 @@ object TextQueries {
          |ORDER BY 1, 2""".stripMargin,
     "x34_span_dedup" -> spanDedupSql,
     "x97_substring_dedup" -> substringDedupSql,
+    "x100_bpe_merges" -> bpeMergesSql,
+    // The Bloom screen is result-invisible (no false negatives; false
+    // positives are removed by the exact confirm join), so the oracle is
+    // the plain fingerprint anti-join the filter accelerates.
+    "x99_bloom_admission" ->
+      s"""WITH fps AS (
+         |  SELECT doc_id,
+         |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |arr AS (
+         |  SELECT doc_id, fp FROM fps WHERE doc_id % $IncrementalMod = 0
+         |  UNION ALL
+         |  SELECT doc_id + $ReplayIdOffset AS doc_id, fp FROM fps
+         |  WHERE doc_id % $IncrementalMod = 1)
+         |SELECT a.doc_id, a.fp
+         |FROM arr a
+         |WHERE a.fp NOT IN (SELECT fp FROM fps WHERE doc_id % $IncrementalMod <> 0)
+         |ORDER BY a.doc_id""".stripMargin,
     "x17_pii_scrub" ->
       s"""SELECT doc_id,
          |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
@@ -1671,6 +1752,58 @@ object TextQueries {
        |  CAST(n_clean_tokens AS BIGINT) AS n_clean_tokens,
        |  sha256(clean_text) AS clean_fp
        |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replays [[graft.operators.BpeTrainer.learnMerges]] as an unrolled
+    * MATERIALIZED CTE chain (the x65 lesson: without MATERIALIZED, DuckDB
+    * inlines every CTE reference and the plan re-expands exponentially in
+    * the iteration count). Per iteration i over the rewritten corpus
+    * s(i-1):
+    *   n_i: next-symbol + per-symbol rank (for the gaps-and-islands run
+    *        id pos − rank, constant within a maximal same-symbol run);
+    *   p_i/b_i: adjacent-pair counts and the argmax (ties lexicographic);
+    *   f_i: greedy merge starts — when the pair is a symbol with itself,
+    *        only odd in-run ranks start a merge;
+    *   g_i: a row is consumed iff its predecessor started a merge;
+    *   s_i: survivors re-numbered, merge starts rewritten to "a b". */
+  private def bpeMergesSql: String = {
+    val chain = (1 to BpeIters).map { i =>
+      s"""n$i AS MATERIALIZED (
+         |  SELECT id, pos, sym,
+         |    lead(sym) OVER (PARTITION BY id ORDER BY pos) AS nsym,
+         |    row_number() OVER (PARTITION BY id, sym ORDER BY pos) AS rnsym
+         |  FROM s${i - 1}),
+         |b$i AS MATERIALIZED (
+         |  SELECT sym AS a, nsym AS b, count(*) AS c FROM n$i
+         |  WHERE nsym IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1),
+         |f$i AS MATERIALIZED (
+         |  SELECT n.id, n.pos, n.sym, n.nsym,
+         |    n.sym = b.a AND n.nsym = b.b AND (b.a <> b.b OR
+         |      (row_number() OVER (PARTITION BY n.id, n.sym, n.pos - n.rnsym
+         |                          ORDER BY n.pos)) % 2 = 1) AS mstart
+         |  FROM n$i n CROSS JOIN b$i b),
+         |g$i AS MATERIALIZED (
+         |  SELECT id, pos, sym, nsym, mstart,
+         |    coalesce(lag(mstart) OVER (PARTITION BY id ORDER BY pos),
+         |             false) AS consumed
+         |  FROM f$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY pos) AS pos,
+         |    CASE WHEN mstart THEN sym || ' ' || nsym ELSE sym END AS sym
+         |  FROM g$i WHERE NOT consumed),
+         |r$i AS (
+         |  SELECT $i AS it, a AS sym_a, b AS sym_b, c AS pair_n,
+         |    (SELECT count(*) FROM g$i WHERE mstart) AS n_merged
+         |  FROM b$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeIters).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, u.i AS pos, list_extract(toks, u.i + 1) AS sym
+       |  FROM toked, UNNEST(range(0, len(toks))) u(i)),
+       |$chain
+       |SELECT it, sym_a, sym_b, pair_n, n_merged FROM ($union) ORDER BY it""".stripMargin
   }
 
   /** Replays [[graft.operators.TextOps.substringDedup]]: SLIDING 8-token

@@ -153,4 +153,113 @@ class SketchGraphSpec extends SparkSpec {
     // bit-identical ranks
     assert(run(13, compact = true) == run(1, compact = false))
   }
+
+  // ------------------------------------------------------------ bloom filter
+
+  private def bloomWords(hashes: Seq[Long], nBits: Int, probes: Int,
+                         parts: Int): Seq[Long] = {
+    import spark.implicits._
+    hashes.toDF("h").repartition(parts)
+      .agg(Bloom.sketch(col("h"), nBits, probes).as("bf"))
+      .select(explode(col("bf")).as("w")).as[Long].collect().toSeq
+  }
+
+  test("bloom: partition/merge invariance, no false negatives through the " +
+       "SQL-side reader, FP rate sane at the designed geometry") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val members = Seq.fill(2000)(rnd.nextLong()).distinct
+    val w1 = bloomWords(members, 65536, 4, 1)
+    assert(w1 == bloomWords(rnd.shuffle(members), 65536, 4, 16),
+      "words must not depend on row order or partitioning")
+    val bloomDf = members.toDF("h").agg(Bloom.sketch(col("h"), 65536, 4).as("bf"))
+    // every member hits through the builtin-composed reader (no false negatives)
+    val missed = members.toDF("h").crossJoin(bloomDf)
+      .filter(!Bloom.mightContain(col("bf"), col("h"), 65536, 4)).count()
+    assert(missed === 0L)
+    // fresh non-members: FP rate far under 1% at n/m ≈ 0.03, k=4
+    val fresh = Seq.fill(4000)(rnd.nextLong()).distinct.filterNot(members.toSet)
+    val fps = fresh.toDF("h").crossJoin(bloomDf)
+      .filter(Bloom.mightContain(col("bf"), col("h"), 65536, 4)).count()
+    assert(fps.toDouble / fresh.size < 0.01, s"FP rate ${fps.toDouble / fresh.size}")
+  }
+
+  test("bloom orWords merge is lossless: filter(A) | filter(B) == filter(A++B)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val a = Seq.fill(900)(rnd.nextLong())
+    val b = Seq.fill(1100)(rnd.nextLong())
+    val merged = Seq(
+        (a.toDF("h").agg(Bloom.sketch(col("h"), 4096, 3).as("bf"))
+           .as[Seq[Long]].head(),
+         b.toDF("h").agg(Bloom.sketch(col("h"), 4096, 3).as("bf"))
+           .as[Seq[Long]].head()))
+      .toDF("wa", "wb")
+      .select(Bloom.orWords(col("wa"), col("wb")).as("w"))
+      .select(explode(col("w")).as("w")).as[Long].collect().toSeq
+    assert(merged == bloomWords(a ++ b, 4096, 3, 4))
+  }
+
+  test("bloom admit == exact anti-join even at a deliberately saturated " +
+       "filter (FP-invariance), and true dupes are rejected") {
+    import spark.implicits._
+    val history = (1L to 60L).map(i => (i, s"fp$i")).toDF("doc_id", "fp")
+    // arrivals: 5 true dupes of history fps + 10 genuinely new
+    val arrivals = ((101L to 105L).map(i => (i, s"fp${i - 100}")) ++
+      (111L to 120L).map(i => (i, s"new$i"))).toDF("doc_id", "fp")
+    // 64 bits for 60 members: filter near-saturated, FP path heavily live
+    val bloomDf = history.agg(Bloom.sketch(xxhash64(col("fp")), 64, 2).as("words"))
+    val admitted = Bloom.admit(arrivals, history, "fp", bloomDf, 64, 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted == (111L to 120L).toSeq)
+  }
+
+  // ------------------------------------------------------------ bpe trainer
+
+  test("bpe learnMerges: argmax with lexicographic ties, greedy merge, " +
+       "and the next iteration counts over the rewritten corpus") {
+    import spark.implicits._
+    // "w x" appears 3x (docs 1,1,2); after merging it, pair ("w x","y")
+    // appears 2x and must win iteration 2 — which only happens if the
+    // merge was actually applied before recounting
+    val df = Seq(
+      (1L, "w x y w x"),
+      (2L, "w x y z")
+    ).toDF("doc_id", "text")
+    val out = BpeTrainer.learnMerges(df, "doc_id", "text", 2)
+      .orderBy("it")
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, "w", "x", 3L, 3L),
+      (2, "w x", "y", 2L, 2L)))
+  }
+
+  test("bpe learnMerges: self-pair runs merge greedily left-to-right " +
+       "(n_merged < pair_n on overlap)") {
+    import spark.implicits._
+    // run of five a's: adjacent (a,a) pairs = 4, but greedy merging takes
+    // positions 1-2 and 3-4 only => n_merged = 2, leaving [aa, aa, a]
+    val df = Seq((1L, "a a a a a")).toDF("doc_id", "text")
+    val out = BpeTrainer.learnMerges(df, "doc_id", "text", 2)
+      .orderBy("it")
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(out.head == ((1, "a", "a", 4L, 2L)))
+    // iteration 2 runs on ["a a", "a a", "a"]: pairs ("a a","a a")=1 and
+    // ("a a","a")=1 tie on count and on sym; nsym "a" < "a a" breaks the
+    // tie => winner ("a a", "a"), adjacent only at positions 2-3 => one
+    // merge
+    assert(out(1) == ((2, "a a", "a", 1L, 1L)))
+  }
+
+  test("bloom write/read roundtrip preserves words and geometry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_spec").toString
+    val hashes = Seq.fill(500)(new scala.util.Random(29).nextLong())
+    val bloomDf = hashes.toDF("h").agg(Bloom.sketch(col("h"), 8192, 4).as("bf"))
+    Bloom.write(bloomDf, "bf", 8192, 4, s"$dir/bloom")
+    val back = Bloom.read(spark, s"$dir/bloom")
+    assert(back.select("n_bits", "n_probes").as[(Int, Int)].head() == ((8192, 4)))
+    assert(back.select(explode(col("words"))).as[Long].collect().toSeq ==
+      bloomDf.select(explode(col("bf"))).as[Long].collect().toSeq)
+  }
 }

@@ -46,18 +46,57 @@ import org.apache.spark.sql.functions._
   * overlap inside same-symbol runs). */
 object BpeTrainer {
 
+  private val wSeq = Window.partitionBy("id").orderBy("pos")
+
+  /** Corpus in long format: (id, pos, sym), pos 0-based and dense. */
+  private def explodeTokens(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col("id"), posexplode(col("__tk")).as(Seq("pos", "sym")))
+
+  /** Flag one rule's greedy merges over a long-format corpus: adds
+    * `nsym`, `mstart` (this row starts a merge) and `consumed` (this row
+    * was absorbed by its predecessor's merge). */
+  private def flagMerges(seqs: DataFrame, a: String, b: String): DataFrame = {
+    val adjacent = (col("sym") === a) && (col("nsym") === b)
+    // the gaps-and-islands run machinery (two extra (id,sym[,runid])
+    // sorts) only exists when the pair can overlap itself — dispatched at
+    // plan-build time, so the common a≠b rule costs just the
+    // sequence-order windows
+    val flagged =
+      if (a == b) {
+        val wRun = Window.partitionBy("id", "sym").orderBy("pos")
+        val wInRun = Window.partitionBy("id", "sym", "runid").orderBy("pos")
+        seqs
+          .withColumn("runid", col("pos") - row_number().over(wRun))
+          .withColumn("nsym", lead(col("sym"), 1).over(wSeq))
+          .withColumn("mstart",
+            adjacent && row_number().over(wInRun) % 2 === 1)
+      } else
+        seqs
+          .withColumn("nsym", lead(col("sym"), 1).over(wSeq))
+          .withColumn("mstart", adjacent)
+    flagged.withColumn("consumed",
+      coalesce(lag(col("mstart"), 1).over(wSeq), lit(false)))
+  }
+
+  /** Apply flagged merges: drop consumed rows, rewrite merge starts to
+    * the joined symbol, re-number positions densely. */
+  private def applyFlagged(flagged: DataFrame): DataFrame =
+    flagged
+      .filter(!col("consumed"))
+      .withColumn("npos", row_number().over(wSeq))
+      .select(col("id"), col("npos").as("pos"),
+        when(col("mstart"), concat(col("sym"), lit(" "), col("nsym")))
+          .otherwise(col("sym")).as("sym"))
+
   def learnMerges(df: DataFrame, idCol: String, textCol: String,
                   iters: Int): DataFrame = {
     require(iters > 0, "iters must be positive")
     val spark = df.sparkSession
     import spark.implicits._
 
-    val wSeq = Window.partitionBy("id").orderBy("pos")
-    var seqs = df
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__tk"))
-      .select(col("id"), posexplode(col("__tk")).as(Seq("pos", "sym")))
-      .localCheckpoint()
-
+    var seqs = explodeTokens(df, idCol, textCol).localCheckpoint()
     val learned = ArrayBuffer.empty[(Int, String, String, Long, Long)]
     var it = 1
     var exhausted = false
@@ -72,31 +111,36 @@ object BpeTrainer {
       else {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        val wRun = Window.partitionBy("id", "sym").orderBy("pos")
-        val wInRun =
-          Window.partitionBy("id", "sym", "runid").orderBy("pos")
-        val adjacent = (col("sym") === a) && (col("nsym") === b)
-        val flagged = seqs
-          .withColumn("runid", col("pos") - row_number().over(wRun))
-          .withColumn("nsym", lead(col("sym"), 1).over(wSeq))
-          .withColumn("mstart",
-            if (a == b) adjacent && row_number().over(wInRun) % 2 === 1
-            else adjacent)
-          .withColumn("consumed",
-            coalesce(lag(col("mstart"), 1).over(wSeq), lit(false)))
-          .localCheckpoint()
+        val flagged = flagMerges(seqs, a, b).localCheckpoint()
         val nMerged = flagged.filter(col("mstart")).count()
-        seqs = flagged
-          .filter(!col("consumed"))
-          .withColumn("npos", row_number().over(wSeq))
-          .select(col("id"), col("npos").as("pos"),
-            when(col("mstart"), concat(col("sym"), lit(" "), col("nsym")))
-              .otherwise(col("sym")).as("sym"))
-          .localCheckpoint()
+        seqs = applyFlagged(flagged).localCheckpoint()
         learned += ((it, a, b, cnt, nMerged))
         it += 1
       }
     }
     learned.toSeq.toDF("it", "sym_a", "sym_b", "pair_n", "n_merged")
+  }
+
+  /** Tokenizer SERVING: apply a STORED, ordered merge-rule list to the
+    * corpus and summarize each document's final symbol sequence
+    * (id, n_symbols, sym_fp — sha256 over the unit-separator-joined
+    * symbols, so the whole rewritten sequence is hash-pinned). Unlike
+    * training there is no per-iteration argmax, so the entire apply is
+    * ONE declarative plan: a single exchange partitions the exploded
+    * corpus by document, and every per-rule window pass reuses that
+    * partitioning (no further shuffles at any rule count) — the
+    * apply-side 100 TB shape. Docs with no tokens survive with
+    * n_symbols = 0 and the hash of the empty string. */
+  def applyMerges(df: DataFrame, idCol: String, textCol: String,
+                  rules: Seq[(String, String)]): DataFrame = {
+    var seqs = explodeTokens(df, idCol, textCol)
+    for ((a, b) <- rules) seqs = applyFlagged(flagMerges(seqs, a, b))
+    df.select(col(idCol).as("id")).join(seqs, Seq("id"), "left")
+      .groupBy("id")
+      .agg(count(col("pos")).as("n_symbols"),
+        sha2(concat_ws("\u001f", transform(
+          array_sort(collect_list(when(col("pos").isNotNull,
+            struct(col("pos"), col("sym"))))),
+          s => s.getField("sym"))), 256).as("sym_fp"))
   }
 }

@@ -47,6 +47,12 @@ object TextQueries {
     * the first pair count), small enough that the unrolled oracle CTE
     * chain stays tractable. */
   val BpeIters = 6
+
+  /** x101: rule count for the stored-vocab APPLY gate — a prefix of the
+    * x100 training run (greedy BPE is prefix-stable in the iteration
+    * count), kept shorter because the apply oracle must also replay the
+    * training chain to derive the same rules. */
+  val BpeApplyIters = 3
   val IncrementalMod = 10
 
   /** Tombstone membership for the band-index delete gate (x79): within
@@ -896,6 +902,30 @@ object TextQueries {
         .orderBy("it")
     }),
 
+    // ---------------------------------------------------------------- x101
+    // Tokenizer SERVING off a stored vocabulary: learn a short rule list,
+    // WRITE it as the vocab artifact, rehydrate, and apply the stored
+    // rules to the whole corpus — the train-once/apply-everywhere split
+    // of real tokenizers (the storage round trip must be
+    // result-invisible, the band/PQ-index move applied to the vocab).
+    // Apply is one declarative plan: one exchange by doc, every per-rule
+    // window pass reusing that partitioning. The oracle re-derives the
+    // same rules from its own training chain replay and checks each
+    // doc's final symbol count AND a sha256 over the full rewritten
+    // symbol sequence — one mis-merged token anywhere flips the hash.
+    "x101_bpe_apply" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val vocabPath = SinkQueries.sinkDir("x101_bpe_vocab")
+      BpeTrainer.learnMerges(t.documents, "doc_id", "text", BpeApplyIters)
+        .coalesce(1).write.mode("overwrite").parquet(vocabPath)
+      val rules = s.read.parquet(vocabPath).orderBy("it")
+        .select("sym_a", "sym_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      BpeTrainer.applyMerges(t.documents, "doc_id", "text", rules)
+        .select(col("id").as("doc_id"), col("n_symbols"), col("sym_fp"))
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------------------- x17
     // PII scrubbing: synthetic per-document email + URL appended to the
     // text (the testdata carries no live PII), then scrubbed to typed
@@ -1674,6 +1704,7 @@ object TextQueries {
     "x34_span_dedup" -> spanDedupSql,
     "x97_substring_dedup" -> substringDedupSql,
     "x100_bpe_merges" -> bpeMergesSql,
+    "x101_bpe_apply" -> bpeApplySql,
     // The Bloom screen is result-invisible (no false negatives; false
     // positives are removed by the exact confirm join), so the oracle is
     // the plain fingerprint anti-join the filter accelerates.
@@ -1766,8 +1797,30 @@ object TextQueries {
     *        only odd in-run ranks start a merge;
     *   g_i: a row is consumed iff its predecessor started a merge;
     *   s_i: survivors re-numbered, merge starts rewritten to "a b". */
-  private def bpeMergesSql: String = {
-    val chain = (1 to BpeIters).map { i =>
+  private def bpeMergesSql: String = bpeMergesSql(BpeIters)
+
+  /** The apply gate's oracle: replay the training chain to derive the
+    * same rules, then summarize the final corpus s<iters> per document —
+    * symbol count plus sha256 over the unit-separator-joined sequence. */
+  private def bpeApplySql: String = {
+    val i = BpeApplyIters
+    s"""${bpeChainSql(i)}
+       |SELECT d.doc_id,
+       |  CAST(count(s.pos) AS BIGINT) AS n_symbols,
+       |  sha256(coalesce(string_agg(s.sym, chr(31) ORDER BY s.pos), ''))
+       |    AS sym_fp
+       |FROM documents d LEFT JOIN s$i s ON d.doc_id = s.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private def bpeMergesSql(iters: Int): String = {
+    val union = (1 to iters).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""${bpeChainSql(iters)}
+       |SELECT it, sym_a, sym_b, pair_n, n_merged FROM ($union) ORDER BY it""".stripMargin
+  }
+
+  private def bpeChainSql(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
       s"""n$i AS MATERIALIZED (
          |  SELECT id, pos, sym,
          |    lead(sym) OVER (PARTITION BY id ORDER BY pos) AS nsym,
@@ -1797,13 +1850,11 @@ object TextQueries {
          |    (SELECT count(*) FROM g$i WHERE mstart) AS n_merged
          |  FROM b$i)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeIters).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
     s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |s0 AS MATERIALIZED (
        |  SELECT doc_id AS id, u.i AS pos, list_extract(toks, u.i + 1) AS sym
        |  FROM toked, UNNEST(range(0, len(toks))) u(i)),
-       |$chain
-       |SELECT it, sym_a, sym_b, pair_n, n_merged FROM ($union) ORDER BY it""".stripMargin
+       |$chain""".stripMargin
   }
 
   /** Replays [[graft.operators.TextOps.substringDedup]]: SLIDING 8-token

@@ -251,6 +251,32 @@ class SketchGraphSpec extends SparkSpec {
     assert(out(1) == ((2, "a a", "a", 1L, 1L)))
   }
 
+  test("bpe applyMerges: stored-rule serving matches training's final " +
+       "corpus, chained rules compose, empty docs survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w x y w x"),
+      (2L, "w x y z"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    // rules learned by the trainer spec above: (w,x) then ("w x",y)
+    val out = BpeTrainer.applyMerges(df, "doc_id", "text",
+        Seq(("w", "x"), ("w x", "y")))
+      .orderBy("id")
+      .as[(Long, Long, String)].collect().toSeq
+    def fp(syms: String*): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(syms.mkString("\u001f").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    // doc 1: [w,x,y,w,x] -> [w x, y, w x] -> [w x y, w x]
+    // doc 2: [w,x,y,z]   -> [w x, y, z]   -> [w x y, z]
+    assert(out == Seq(
+      (1L, 2L, fp("w x y", "w x")),
+      (2L, 2L, fp("w x y", "z")),
+      (3L, 0L, fp())))
+  }
+
   test("bloom write/read roundtrip preserves words and geometry") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom_spec").toString

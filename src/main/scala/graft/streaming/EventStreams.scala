@@ -703,6 +703,55 @@ object EventStreams {
       }
       .start()
 
+  /** Seed the streaming-maintained seen-fingerprint Bloom filter: the
+    * standing history's fingerprints fold into version v0 (geometry
+    * travels with the artifact — see [[graft.operators.Bloom.write]]). */
+  def seedSeenBloom(history: DataFrame, fpCol: String, nBits: Int,
+                    numProbes: Int, bloomDir: String): Unit =
+    graft.operators.Bloom.write(
+      history.agg(graft.operators.Bloom
+        .sketch(xxhash64(col(fpCol)), nBits, numProbes).as("words")),
+      "words", nBits, numProbes, s"$bloomDir/v0")
+
+  /** Streaming maintenance of the stored admission filter (the x99
+    * lifecycle per micro-batch): each arriving batch's fingerprints are
+    * hashed ALONE (O(|batch|) — the history is never rescanned) into a
+    * batch filter under the geometry STORED in the snapshot (a maintainer
+    * cannot silently change the probe scheme), then OR-merged with the
+    * latest stored words — nBits/64 longs of state however large the
+    * history. The word-wise OR is idempotent and commutative, so beyond
+    * the versioned-snapshot replay discipline every maintainer here
+    * follows (read latest ≤ batchId, write v<batchId+1>), a replayed or
+    * reordered batch converges to identical bits by algebra alone —
+    * the strongest convergence class in the maintainer family. */
+  def maintainSeenBloom(
+      arrivals: DataFrame,
+      fpCol: String,
+      checkpointDir: String,
+      bloomDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = spark.read.parquet(versionAtMost(bloomDir, batchId))
+        val prevRow = prev.select("n_bits", "n_probes").head()
+        val (nb, np) = (prevRow.getInt(0), prevRow.getInt(1))
+        batch
+          .agg(graft.operators.Bloom
+            .sketch(xxhash64(col(fpCol)), nb, np).as("bwords"))
+          .crossJoin(broadcast(prev.select(col("words"))))
+          .select(
+            graft.operators.Bloom.orWords(col("words"), col("bwords"))
+              .as("words"),
+            lit(nb).as("n_bits"), lit(np).as("n_probes"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$bloomDir/v${batchId + 1}")
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+
   private def versionDirs(dir: String): Seq[java.io.File] =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))

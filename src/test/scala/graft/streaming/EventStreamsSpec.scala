@@ -824,4 +824,66 @@ class EventStreamsSpec extends SparkSpec {
     graft.GraftCache.release()
     assert(streamed.nonEmpty && streamed == fromScratch)
   }
+
+  test("streaming seen-bloom maintenance equals the from-scratch filter " +
+       "(idempotent OR merge), keeps stored geometry, never misses a member") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val history = t.documents.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+    val arrivals = t.documents.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+    val (nb, np) = (4096, 3)
+    val bloomDir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    EventStreams.seedSeenBloom(history, "fp", nb, np, bloomDir)
+    // two micro-batches; the second REPLAYS history fingerprints — the OR
+    // must absorb them without changing a bit vs the from-scratch filter
+    val arrivalsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bloom-stream")
+      Seq(arrivals -> "arrivals_0",
+          history.limit(20) -> "arrivals_1").foreach { case (b, name) =>
+        val staging = java.nio.file.Files
+          .createTempDirectory("graft-bloom-split").toString
+        b.select(col("doc_id"), col("fp").as("text")).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        new java.io.File(staging).listFiles()
+          .filter(_.getName.endsWith(".parquet")).take(1)
+          .foreach(f => java.nio.file.Files.copy(
+            f.toPath, java.nio.file.Paths.get(dir.toString, s"$name.parquet")))
+      }
+      dir.toString
+    }
+    // the stream carries the fingerprint in the documents schema's text
+    // column — rename back on read
+    val q = EventStreams.maintainSeenBloom(
+      EventStreams.readDocuments(spark, arrivalsDir)
+        .select(col("text").as("fp")),
+      "fp",
+      java.nio.file.Files.createTempDirectory("graft-bloom-ckpt").toString,
+      bloomDir)
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.read
+      .parquet(EventStreams.latestLabelVersion(bloomDir))
+    assert(latest.select("n_bits", "n_probes").head() ===
+      org.apache.spark.sql.Row(nb, np))
+    val streamedWords = latest.select(explode(col("words")))
+      .collect().map(_.getLong(0)).toSeq
+    val fromScratch = history.select("fp")
+      .unionByName(arrivals.select("fp"))
+      .unionByName(history.limit(20).select("fp"))
+      .agg(graft.operators.Bloom.sketch(xxhash64(col("fp")), nb, np).as("w"))
+      .select(explode(col("w"))).collect().map(_.getLong(0)).toSeq
+    graft.GraftCache.release()
+    assert(streamedWords.exists(_ != 0L) && streamedWords == fromScratch)
+    // no false negatives through the maintained artifact: every history
+    // and arrival fingerprint hits
+    val missed = history.unionByName(arrivals)
+      .crossJoin(broadcast(latest.select(col("words"))))
+      .filter(!graft.operators.Bloom.mightContain(
+        col("words"), xxhash64(col("fp")), nb, np))
+      .count()
+    assert(missed === 0L)
+  }
 }

@@ -240,8 +240,8 @@ object BenchExpectations {
     "x97_substring_dedup" -> 1.51, // added post-snapshot, solo-measured
     "x98_bloom_prune" -> 0.7277, // added post-snapshot, solo-measured
     "x99_bloom_admission" -> 1.0133, // added post-snapshot, solo-measured
-    "x100_bpe_merges" -> 5.5822, // added post-snapshot, solo-measured
-    "x101_bpe_apply" -> 5.5214, // added post-snapshot, solo-measured
+    "x100_bpe_merges" -> 5.2956, // added post-snapshot, solo-measured
+    "x101_bpe_apply" -> 5.1683, // added post-snapshot, solo-measured
     "x9_token_stats" -> 0.4711,
   )
 }

@@ -34,7 +34,13 @@ object ScaleProbe {
     // second pass: the residual append lifecycle (corpus-proportional;
     // the graph gates x89/x91 are fixed-size by design and the KMV
     // gates are sub-second, so none of those probe)
-    "x90_ivfpq_residual_append")
+    "x90_ivfpq_residual_append",
+    // round-14 additions: the sliding-window dedup (window volume and
+    // the flagged-interval fan-out both corpus-proportional) and the two
+    // BPE gates (iterative window passes + corpus-wide pair counts —
+    // shuffle-heaviest of the text tier); x98/x99 bloom gates are
+    // sub-second serve paths and don't probe
+    "x97_substring_dedup", "x100_bpe_merges", "x101_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -97,6 +97,10 @@ object BpeTrainer {
     import spark.implicits._
 
     var seqs = explodeTokens(df, idCol, textCol).localCheckpoint()
+    // every applied merge removes exactly one row, so n_merged is the
+    // row-count delta between checkpoints — no separate flagged-frame
+    // materialization or filter-count job per iteration
+    var nRows = seqs.count()
     val learned = ArrayBuffer.empty[(Int, String, String, Long, Long)]
     var it = 1
     var exhausted = false
@@ -111,10 +115,10 @@ object BpeTrainer {
       else {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        val flagged = flagMerges(seqs, a, b).localCheckpoint()
-        val nMerged = flagged.filter(col("mstart")).count()
-        seqs = applyFlagged(flagged).localCheckpoint()
-        learned += ((it, a, b, cnt, nMerged))
+        seqs = applyFlagged(flagMerges(seqs, a, b)).localCheckpoint()
+        val newRows = seqs.count()
+        learned += ((it, a, b, cnt, nRows - newRows))
+        nRows = newRows
         it += 1
       }
     }

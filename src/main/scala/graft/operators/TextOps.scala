@@ -449,15 +449,7 @@ object TextOps {
     // the collapsed projection per OUTPUT element — O(windows²·w) per doc,
     // measured 90× slower on sf0.1 — and materializing the array as an
     // attribute does not survive CollapseProject into the Generate.
-    def windows = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
-      .select(col("id"), col("__tk"),
-        explode(when(size(col("__tk")) >= w,
-            sequence(lit(0), size(col("__tk")) - w))
-          .otherwise(array().cast("array<int>"))).as("pos"))
-      .select(col("id"), col("pos"),
-        md5Hash60(concat_ws(" ",
-          slice(col("__tk"), col("pos") + 1, lit(w)))).as("spanh"))
+    def windows = slidingWindows(df, idCol, textCol, w)
     val shared = windows
       .groupBy("spanh").agg(countDistinct(col("id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -466,6 +458,36 @@ object TextOps {
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
       .distinct()
+    excise(df, idCol, textCol, dropped)
+  }
+
+  /** Sliding `w`-token windows of every document as (id, pos, spanh) —
+    * spanh a 60-bit hash of the window text. The generator explodes
+    * window POSITIONS only; each span string is built and hashed ABOVE
+    * the Generate from the passed-through token array (slice +
+    * concat_ws). Exploding pre-built ngram arrays instead
+    * (posexplode(ngrams(__tk, w))) re-evaluated the ngram lambda through
+    * the collapsed projection per OUTPUT element — O(windows²·w) per doc,
+    * measured 90× slower on sf0.1 — and materializing the array as an
+    * attribute does not survive CollapseProject into the Generate. */
+  private def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+                             w: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .select(col("id"), col("__tk"),
+        explode(when(size(col("__tk")) >= w,
+            sequence(lit(0), size(col("__tk")) - w))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("id"), col("pos"),
+        md5Hash60(concat_ws(" ",
+          slice(col("__tk"), col("pos") + 1, lit(w)))).as("spanh"))
+
+  /** Excise the token positions in `dropped` (id, tpos) from every
+    * document and reassemble survivors in order: one row per doc with
+    * (id, n_tokens, n_dropped_tokens, n_clean_tokens, clean_text). The
+    * token-level mark is a keyed left join, linear in corpus tokens;
+    * reassembly collect_list is bounded by one doc. */
+  private def excise(df: DataFrame, idCol: String, textCol: String,
+                     dropped: DataFrame): DataFrame =
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
       .select(col("id"), posexplode_outer(col("__tk")).as(Seq("tpos", "tok")))
       .join(dropped.withColumn("__drop", lit(true)), Seq("id", "tpos"), "left")
@@ -480,6 +502,35 @@ object TextOps {
             when(col("__drop").isNull && col("tpos").isNotNull,
               struct(col("tpos"), col("tok"))))),
           s => s.getField("tok"))).as("clean_text"))
+
+  /** WITHIN-document repetition removal — the self-boilerplate cut of the
+    * Gopher/MassiveText repetition filters (Rae et al. 2021 §A1.1) made
+    * surgical: instead of dropping any document whose duplicate-window
+    * fraction crosses a threshold, every REPEATED window keeps its first
+    * occurrence and later occurrences' token intervals are excised, so a
+    * document that loops a navigation bar or a chorus survives with one
+    * copy of it ([[substringDedup]]'s machinery pointed inward — repeats
+    * are counted per document, not across documents). Flags are computed
+    * against the ORIGINAL text in one pass (no iterative re-scan), which
+    * makes the result deterministic and oracle-replayable.
+    *
+    * Scale shape: same as [[substringDedup]] except the window shuffle
+    * key is (id, spanh) — document-local, so the heavy aggregation
+    * co-partitions with the corpus and no cross-document hotspot can
+    * form at any scale. */
+  def selfRepetitionDedup(df: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val w = windowTokens
+    def windows = slidingWindows(df, idCol, textCol, w)
+    val firsts = windows
+      .groupBy("id", "spanh").agg(min(col("pos")).as("minpos"))
+    val dropped = windows.join(firsts, Seq("id", "spanh"))
+      .filter(col("pos") > col("minpos"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
+      .distinct()
+    excise(df, idCol, textCol, dropped)
   }
 
   /** Exact Jaccard similarity of the distinct-token sets. */

@@ -38,6 +38,10 @@ object TextQueries {
   // x97 exact-substring dedup: sliding windows of the same span geometry
   val SubstrTokens = 8
   val SubstrMinDocs = 2
+  /** x102 within-doc repetition removal: a shorter window than x97 —
+    * within-document repeats (choruses, nav bars) are shorter than
+    * cross-document boilerplate, and testdata docs cap at 100 tokens. */
+  val RepWindowTokens = 4
   /** x99: id offset for the re-keyed replay arrivals (guaranteed true
     * dupes); far above any testdata doc_id so replay ids never collide. */
   val ReplayIdOffset = 10000000L
@@ -884,6 +888,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---------------------------------------------------------------- x102
+    // WITHIN-document repetition removal (Gopher/MassiveText repetition
+    // filters made surgical): every repeated 4-token window keeps its
+    // first occurrence; later occurrences' token intervals are excised,
+    // so a looping chorus/nav-bar survives as one copy instead of
+    // dropping the whole document. Flags computed against the original
+    // text in one pass; sha256 of the reassembled survivor text pins the
+    // interval cover byte-exact. The window shuffle key is (doc, spanh) —
+    // document-local, no cross-document hotspot at any scale.
+    "x102_self_repetition" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.selfRepetitionDedup(t.documents, "doc_id", "text",
+          RepWindowTokens)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_dropped_tokens"), col("n_clean_tokens"),
+          sha2(col("clean_text"), 256).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------------------------------------------------------- x100
     // BPE merge-rule learning (Sennrich et al. 2016) at the word level —
     // tokenizer TRAINING, the arrow upstream of every token-budget
@@ -1703,6 +1726,7 @@ object TextQueries {
          |ORDER BY 1, 2""".stripMargin,
     "x34_span_dedup" -> spanDedupSql,
     "x97_substring_dedup" -> substringDedupSql,
+    "x102_self_repetition" -> selfRepetitionSql,
     "x100_bpe_merges" -> bpeMergesSql,
     "x101_bpe_apply" -> bpeApplySql,
     // The Bloom screen is result-invisible (no false negatives; false
@@ -1781,6 +1805,47 @@ object TextQueries {
        |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        |  CAST(n_dropped AS BIGINT) AS n_dropped,
        |  CAST(n_clean_tokens AS BIGINT) AS n_clean_tokens,
+       |  sha256(clean_text) AS clean_fp
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replays [[graft.operators.TextOps.selfRepetitionDedup]]:
+    * [[substringDedupSql]]'s machinery pointed inward — the flag set is
+    * "windows whose (doc, hash) already occurred at a smaller position in
+    * the SAME doc", everything else identical. */
+  private def selfRepetitionSql: String = {
+    val w = RepWindowTokens
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |wins AS (
+       |  SELECT doc_id, u.i AS pos,
+       |    ${md5h(s"array_to_string(list_slice(toks, u.i + 1, u.i + $w), ' ')")} AS spanh
+       |  FROM toked, UNNEST(range(0, CASE WHEN len(toks) >= $w
+       |    THEN len(toks) - $w + 1 ELSE 0 END)) u(i)),
+       |firsts AS (
+       |  SELECT doc_id, spanh, min(pos) AS minpos FROM wins GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT win.doc_id, u2.j AS tpos
+       |  FROM (SELECT w2.doc_id, w2.pos FROM wins w2
+       |        JOIN firsts f ON w2.doc_id = f.doc_id AND w2.spanh = f.spanh
+       |          AND w2.pos > f.minpos) win,
+       |    UNNEST(range(win.pos, win.pos + $w)) u2(j)),
+       |tokrows AS (
+       |  SELECT doc_id, u.i AS tpos, list_extract(toks, u.i + 1) AS tok
+       |  FROM toked, UNNEST(range(0, len(toks))) u(i)),
+       |agg AS (
+       |  SELECT d.doc_id,
+       |    count(t.tpos) AS n_tokens,
+       |    coalesce(sum(CASE WHEN dr.tpos IS NOT NULL THEN 1 ELSE 0 END), 0)
+       |      AS n_dropped_tokens,
+       |    coalesce(string_agg(CASE WHEN dr.tpos IS NULL THEN t.tok END, ' '
+       |      ORDER BY t.tpos), '') AS clean_text
+       |  FROM documents d
+       |  LEFT JOIN tokrows t ON d.doc_id = t.doc_id
+       |  LEFT JOIN dropped dr ON t.doc_id = dr.doc_id AND t.tpos = dr.tpos
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_dropped_tokens AS BIGINT) AS n_dropped_tokens,
+       |  CAST(n_tokens - n_dropped_tokens AS BIGINT) AS n_clean_tokens,
        |  sha256(clean_text) AS clean_fp
        |FROM agg ORDER BY doc_id""".stripMargin
   }

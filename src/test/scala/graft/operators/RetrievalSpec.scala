@@ -129,6 +129,33 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2L) === ((0L, "u v")))
   }
 
+  // --------------------------------------------- within-doc repetition cut
+
+  test("selfRepetitionDedup keeps the first occurrence of a repeated " +
+       "window and excises later copies, within one doc only") {
+    val df = Seq(
+      (1L, "a b c x a b c y"),  // "a b c" repeats at pos 4 -> drop 4..6
+      (2L, "a b c z"),          // same window as doc 1 — cross-doc is NOT a repeat
+      (3L, "u v")               // shorter than one window
+    ).toDF("doc_id", "text")
+    val out = TextOps.selfRepetitionDedup(df, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_dropped_tokens"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) === ((3L, "a b c x y")))
+    assert(out(2L) === ((0L, "a b c z")))
+    assert(out(3L) === ((0L, "u v")))
+  }
+
+  test("selfRepetitionDedup: overlapping repeats union into one cover " +
+       "against the original text (one pass, no re-scan)") {
+    // "p q p q p q": windows(2): pq(0) qp(1) pq(2) qp(3) pq(4); repeats at
+    // 2,3,4 -> union drops tokens 2..5, leaving "p q"
+    val df = Seq((1L, "p q p q p q")).toDF("doc_id", "text")
+    val out = TextOps.selfRepetitionDedup(df, "doc_id", "text", 2).collect()(0)
+    assert(out.getAs[Long]("n_dropped_tokens") === 4L)
+    assert(out.getAs[String]("clean_text") === "p q")
+  }
+
   // --------------------------------------------------- incremental near-dup
 
   test("minhashNearDupsAgainst finds cross pairs only, never within-frame") {

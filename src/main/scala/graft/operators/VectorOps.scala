@@ -787,6 +787,38 @@ object VectorOps {
     cut.withColumn("rk", row_number().over(w))
   }
 
+  /** Hard-negative mining for contrastive/embedding training (the
+    * DPR/ANCE recipe — Karpukhin et al. 2020 §4.2, Xiong et al. 2021):
+    * for each query vector, the k MOST similar candidates whose label
+    * DIFFERS — semantically close yet wrong, exactly the negatives that
+    * teach an encoder its decision boundary (random negatives are too
+    * easy; same-label neighbors would be false negatives). The shape is
+    * [[knnJoinNative]] with the label-mismatch predicate applied BEFORE
+    * the heap cut, so the k survivors are all true negatives (filtering
+    * after a plain kNN would return fewer than k wherever a query's
+    * neighborhood is label-pure). Scale: broadcast query side, one
+    * corpus scan, map-side partial heaps cut |Q|×N to ≤ k·|Q| before the
+    * only exchange — at production |Q|~N, route candidates through the
+    * IVF/PQ index instead (x76's routed form) and keep this predicate. */
+  def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        col(labelCol).as("__ql"), norm2(col(vecCol)).as("__qn"))
+    val scan = embeddings.select(col(idCol), col(vecCol).as("__v"),
+      col(labelCol).as("__l"), norm2(col(vecCol)).as("__n"))
+    val sims = scan.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid") && col("__l") =!= col("__ql"))
+      .select(col("qid"), col(idCol), col("__l").as("neg_label"),
+        round(dot(col("__v"), col("__qv")) / (col("__n") * col("__qn")), 6)
+          .as("sim_r"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(sims, Seq("qid"),
+      Seq(desc("sim_r"), col(idCol)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("sim_r"), col(idCol))
+    cut.withColumn("rk", row_number().over(w))
+  }
+
   // ------------------------------------------------- product quantization
 
   /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product

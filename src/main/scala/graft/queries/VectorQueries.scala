@@ -398,6 +398,22 @@ object VectorQueries {
         .orderBy("qid", "rk")
     }),
 
+    // ---------------------------------------------------------------- x103
+    // Hard-negative mining (DPR/ANCE recipe): for each sampled query
+    // vector, the k most-similar candidates whose LABEL differs —
+    // semantically close yet wrong, the negatives that teach a
+    // contrastive encoder its boundary. The label-mismatch predicate
+    // applies BEFORE the heap cut so every returned row is a true
+    // negative and each query still gets k of them; ranking rides the
+    // native bounded-heap operator (x43's plan) — map-side heaps cut
+    // |Q|×N to ≤ k·|Q| before the only exchange.
+    "x103_hard_negatives" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      VectorOps.hardNegatives(t.embeddings, "vec_id", "embedding", "label",
+          col("vec_id") % KnnQueryMod === 0, KnnK)
+        .orderBy("qid", "rk")
+    }),
+
     // ----------------------------------------------------------------- x43
     // x30's kNN join with the per-query ranking routed through the native
     // bounded-heap top-k operator: the |Q|×N similarity frame is cut to
@@ -1867,6 +1883,7 @@ object VectorQueries {
          |SELECT cid, vec_id FROM ranked WHERE rk <= $DiverseQuota
          |ORDER BY cid, vec_id""".stripMargin,
     "x30_knn_join" -> knnJoinSql,
+    "x103_hard_negatives" -> hardNegativesSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.
     "x43_knn_native" -> knnJoinSql,
@@ -1950,6 +1967,25 @@ object VectorQueries {
        |SELECT id AS vec_id, r AS rank_ppm FROM r$PrIters
        |ORDER BY rank_ppm DESC, vec_id""".stripMargin
   }
+
+  /** [[knnJoinSql]] with the query's label carried and the mismatch
+    * predicate applied before ranking — the replay of
+    * [[graft.operators.VectorOps.hardNegatives]]. */
+  private def hardNegativesSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id, e.label AS neg_label,
+       |    ${cosSql("e.embedding", "q.qv")} AS sim_r
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.qid AND e.label <> q.ql),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim_r DESC, vec_id) AS INT) AS rk
+       |  FROM pairs)
+       |SELECT qid, vec_id, neg_label, sim_r, rk FROM ranked
+       |WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin
 
   private def knnJoinSql: String =
     s"""WITH q AS (

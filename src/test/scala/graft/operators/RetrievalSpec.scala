@@ -156,6 +156,28 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getAs[String]("clean_text") === "p q")
   }
 
+  // ------------------------------------------------------- hard negatives
+
+  test("hardNegatives excludes same-label neighbors BEFORE the cut, so " +
+       "each query still gets k true negatives") {
+    // query 0L (label 0): nearest is 1L (label 0 — same, excluded even
+    // though most similar), then 2L/3L (label 1). With k=2 the result
+    // must be [2L, 3L] — a post-kNN filter would have returned only one.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.14f), 0),   // same label, closest
+      (2L, Array(0.9f, 0.44f), 1),
+      (3L, Array(0.7f, 0.71f), 1),
+      (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.hardNegatives(df, "vec_id", "embedding", "label",
+        col("vec_id") === 0L, 2)
+      .orderBy("rk")
+      .select("vec_id", "neg_label", "rk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq((2L, 1, 1), (3L, 1, 2)))
+  }
+
   // --------------------------------------------------- incremental near-dup
 
   test("minhashNearDupsAgainst finds cross pairs only, never within-frame") {

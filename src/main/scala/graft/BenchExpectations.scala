@@ -146,6 +146,7 @@ object BenchExpectations {
     "x101_bpe_apply" -> 5.3837,
     "x102_self_repetition" -> 1.5012, // added post-snapshot, solo-measured
     "x103_hard_negatives" -> 0.5073, // added post-snapshot, solo-measured
+    "x104_span_corruption" -> 1.6689, // added post-snapshot, solo-measured
     "x10_media_features" -> 0.401,
     "x11_ivf_topk" -> 1.2171,
     "x12_chunk_neardups" -> 0.5172,

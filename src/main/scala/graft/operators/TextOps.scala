@@ -533,6 +533,86 @@ object TextOps {
     excise(df, idCol, textCol, dropped)
   }
 
+  /** T5-style span-corruption sample generation (Raffel et al., "Exploring
+    * the Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", JMLR 2020 §3.1.4): deterministic span masking turns
+    * every document into a (corrupted input, target) denoising pair — the
+    * objective-construction step between curation and export. A token
+    * position STARTS a masked span iff a 60-bit hash of (doc_id, pos)
+    * lands in 1/maskMod of the hash space (RNG-free, so the oracle
+    * replays the exact mask); each start covers `spanLen` positions, and
+    * overlapping/adjacent covers merge into MAXIMAL masked runs —
+    * T5 semantics: one sentinel per run, however many starts produced it.
+    * The input keeps unmasked tokens and replaces each run with
+    * `<extra_id_k>` (k = 0-based run order in the doc); the target is
+    * each sentinel followed by that run's original tokens, terminated by
+    * the final sentinel `<extra_id_n>` (n = run count) — also emitted for
+    * mask-free docs, exactly the reference formulation.
+    *
+    * Scale shape: the mask is a per-position hash (no RNG state, no
+    * per-doc sequential scan); run structure is gaps-and-islands over the
+    * masked positions (runid = pos − rank, non-decreasing in pos, so
+    * dense_rank over it IS the run order); assembly is one keyed
+    * aggregation per doc with collect_list bounded by the document.
+    * Returns (id, n_tokens, n_masked, n_spans, input_text, target_text). */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+                     spanLen: Int, maskMod: Int): DataFrame = {
+    require(spanLen > 0 && maskMod > 1, "spanLen > 0 and maskMod > 1 required")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .select(col("id"), posexplode_outer(col("__tk")).as(Seq("tpos", "tok")))
+    // span starts → interval fan-out → distinct masked positions; starts
+    // near the doc end over-cover harmlessly (the join below only keeps
+    // positions that exist)
+    val masked = toks
+      .filter(col("tpos").isNotNull &&
+        md5Hash60(concat(col("id"), lit(":"), col("tpos"))) % maskMod === 0)
+      .select(col("id"),
+        explode(sequence(col("tpos"), col("tpos") + (spanLen - 1))).as("tpos"))
+      .distinct()
+    val wSeq = Window.partitionBy("id").orderBy("tpos")
+    val runs = toks.join(masked.withColumn("__m", lit(true)), Seq("id", "tpos"), "left")
+      .withColumn("runid",
+        when(col("__m"), col("tpos") - row_number().over(
+          Window.partitionBy("id", "__m").orderBy("tpos"))))
+      .withColumn("k",
+        when(col("__m"), dense_rank().over(
+          Window.partitionBy("id", "__m").orderBy("runid")) - 1))
+      // positions are dense (posexplode), so a run starts exactly where
+      // the previous row is unmasked (or absent)
+      .withColumn("runStart",
+        col("__m") && !coalesce(lag(col("__m"), 1).over(wSeq), lit(false)))
+    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+    runs.groupBy("id")
+      .agg(
+        count(col("tpos")).as("n_tokens"),
+        sum(when(col("__m"), 1L).otherwise(0L)).as("n_masked"),
+        (max(when(col("__m"), col("k"))) + 1).as("__maxk"),
+        // input: unmasked tokens + one sentinel at each run start
+        concat_ws(" ", transform(array_sort(collect_list(
+          when(col("tpos").isNotNull && (col("__m").isNull || col("runStart")),
+            struct(col("tpos"),
+              when(col("runStart"), sentinel).otherwise(col("tok")).as("t"))))),
+          s => s.getField("t"))).as("__input"),
+        // target: per run, sentinel then the run's tokens (sort key puts
+        // the sentinel row at the run's first position, tokens after)
+        concat_ws(" ", transform(array_sort(collect_list(
+          when(col("__m"),
+            struct((col("tpos") * 2 + when(col("runStart"), 0).otherwise(1)).as("o"),
+              when(col("runStart"),
+                concat(sentinel, lit(" "), col("tok"))).otherwise(col("tok")).as("t"))))),
+          s => s.getField("t"))).as("__target"))
+      .select(col("id"), col("n_tokens"), col("n_masked"),
+        coalesce(col("__maxk"), lit(0L)).cast("long").as("n_spans"),
+        col("__input").as("input_text"),
+        concat(
+          when(length(col("__target")) > 0, concat(col("__target"), lit(" ")))
+            .otherwise(lit("")),
+          lit("<extra_id_"), coalesce(col("__maxk"), lit(0L)), lit(">"))
+          .as("target_text"))
+  }
+
   /** Exact Jaccard similarity of the distinct-token sets. */
   def jaccard(toksA: Column, toksB: Column): Column = {
     val inter = size(array_intersect(array_distinct(toksA), array_distinct(toksB)))

@@ -42,6 +42,11 @@ object TextQueries {
     * within-document repeats (choruses, nav bars) are shorter than
     * cross-document boilerplate, and testdata docs cap at 100 tokens. */
   val RepWindowTokens = 4
+
+  /** x104 span corruption: 3-token spans starting at ~1/20 of positions
+    * ≈ 15% token corruption rate — T5's §3.1.4 operating point. */
+  val SpanCorrLen = 3
+  val SpanCorrMod = 20
   /** x99: id offset for the re-keyed replay arrivals (guaranteed true
     * dupes); far above any testdata doc_id so replay ids never collide. */
   val ReplayIdOffset = 10000000L
@@ -907,6 +912,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---------------------------------------------------------------- x104
+    // T5 span-corruption sample generation (Raffel et al. 2020 §3.1.4):
+    // the objective-construction step between curation and export —
+    // deterministic hash-driven span masking (RNG-free, so the oracle
+    // replays the exact mask), maximal-run merging with one sentinel per
+    // run, corrupted input + sentinel-interleaved target per document,
+    // both sha256-pinned so one wrong sentinel index or mis-merged run
+    // anywhere flips the hash.
+    "x104_span_corruption" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.spanCorruption(t.documents, "doc_id", "text",
+          SpanCorrLen, SpanCorrMod)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_masked"),
+          col("n_spans"),
+          sha2(col("input_text"), 256).as("input_fp"),
+          sha2(col("target_text"), 256).as("target_fp"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------------------------------------------------------- x100
     // BPE merge-rule learning (Sennrich et al. 2016) at the word level —
     // tokenizer TRAINING, the arrow upstream of every token-budget
@@ -1727,6 +1751,7 @@ object TextQueries {
     "x34_span_dedup" -> spanDedupSql,
     "x97_substring_dedup" -> substringDedupSql,
     "x102_self_repetition" -> selfRepetitionSql,
+    "x104_span_corruption" -> spanCorruptionSql,
     "x100_bpe_merges" -> bpeMergesSql,
     "x101_bpe_apply" -> bpeApplySql,
     // The Bloom screen is result-invisible (no false negatives; false
@@ -1848,6 +1873,66 @@ object TextQueries {
        |  CAST(n_tokens - n_dropped_tokens AS BIGINT) AS n_clean_tokens,
        |  sha256(clean_text) AS clean_fp
        |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replays [[graft.operators.TextOps.spanCorruption]]: hash-driven span
+    * starts, interval fan-out to masked positions, gaps-and-islands run
+    * ids (runid = pos − rank, non-decreasing, so dense_rank over it is
+    * the run order), sentinel-rewritten input, sentinel-interleaved
+    * target with the terminator sentinel. */
+  private def spanCorruptionSql: String = {
+    val len = SpanCorrLen
+    val mod = SpanCorrMod
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tokrows AS (
+       |  SELECT doc_id, u.i AS tpos, list_extract(toks, u.i + 1) AS tok
+       |  FROM toked, UNNEST(range(0, len(toks))) u(i)),
+       |starts AS (
+       |  SELECT doc_id, tpos FROM tokrows
+       |  WHERE ${md5h(s"doc_id || ':' || tpos")} % $mod = 0),
+       |masked AS (
+       |  SELECT DISTINCT s.doc_id, u2.j AS tpos
+       |  FROM starts s, UNNEST(range(s.tpos, s.tpos + $len)) u2(j)),
+       |m AS (
+       |  SELECT t.doc_id, t.tpos, t.tok, (mk.tpos IS NOT NULL) AS msk
+       |  FROM tokrows t LEFT JOIN masked mk
+       |    ON t.doc_id = mk.doc_id AND t.tpos = mk.tpos),
+       |runsrc AS (
+       |  SELECT *,
+       |    CASE WHEN msk THEN tpos - row_number()
+       |      OVER (PARTITION BY doc_id, msk ORDER BY tpos) END AS runid,
+       |    coalesce(lag(msk) OVER (PARTITION BY doc_id ORDER BY tpos),
+       |      false) AS prevmsk
+       |  FROM m),
+       |runk AS (
+       |  SELECT *,
+       |    CASE WHEN msk THEN dense_rank()
+       |      OVER (PARTITION BY doc_id, msk ORDER BY runid) - 1 END AS k,
+       |    (msk AND NOT prevmsk) AS runstart
+       |  FROM runsrc),
+       |agg AS (
+       |  SELECT doc_id,
+       |    count(*) AS n_tokens,
+       |    coalesce(sum(CASE WHEN msk THEN 1 ELSE 0 END), 0) AS n_masked,
+       |    coalesce(max(k) + 1, 0) AS n_spans,
+       |    coalesce(string_agg(
+       |      CASE WHEN NOT msk THEN tok
+       |           WHEN runstart THEN '<extra_id_' || k || '>' END,
+       |      ' ' ORDER BY tpos), '') AS input_text,
+       |    string_agg(
+       |      CASE WHEN runstart THEN '<extra_id_' || k || '> ' || tok
+       |           WHEN msk THEN tok END,
+       |      ' ' ORDER BY tpos) AS tgt
+       |  FROM runk GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+       |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       |  sha256(coalesce(a.input_text, '')) AS input_fp,
+       |  sha256(CASE WHEN a.tgt IS NOT NULL THEN a.tgt || ' ' ELSE '' END
+       |    || '<extra_id_' || coalesce(a.n_spans, 0) || '>') AS target_fp
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Replays [[graft.operators.BpeTrainer.learnMerges]] as an unrolled

@@ -156,6 +156,61 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getAs[String]("clean_text") === "p q")
   }
 
+  // ------------------------------------------------------ span corruption
+
+  test("spanCorruption matches an independent local T5 model: hash mask, " +
+       "maximal-run merge, sentinel numbering, terminator") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val spanLen = 2
+    val maskMod = 3
+    def local(id: Long, toks: Seq[String]): (Long, Long, String, String) = {
+      val starts = toks.indices.filter(p => h60(s"$id:$p") % maskMod == 0)
+      val masked = starts.flatMap(p => p until math.min(p + spanLen, toks.size))
+        .distinct.sorted.toSet
+      // maximal runs in position order
+      val runs = toks.indices.filter(masked).foldLeft(List.empty[List[Int]]) {
+        case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+          (p :: acc.head) :: acc.tail
+        case (acc, p) => List(p) :: acc
+      }.map(_.reverse).reverse
+      val runOf = runs.zipWithIndex.flatMap { case (r, k) => r.map(_ -> k) }.toMap
+      val input = toks.indices.flatMap { p =>
+        if (!masked(p)) Some(toks(p))
+        else if (runs(runOf(p)).head == p) Some(s"<extra_id_${runOf(p)}>")
+        else None
+      }.mkString(" ")
+      val target = (runs.zipWithIndex.map { case (r, k) =>
+        s"<extra_id_$k> " + r.map(toks).mkString(" ")
+      } :+ s"<extra_id_${runs.size}>").mkString(" ")
+      (masked.size.toLong, runs.size.toLong, input, target)
+    }
+    val docs = Seq(
+      1L -> "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9",
+      2L -> "a b c",
+      3L -> "")
+    val df = docs.toDF("doc_id", "text")
+    val out = TextOps.spanCorruption(df, "doc_id", "text", spanLen, maskMod)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_masked"), r.getAs[Long]("n_spans"),
+          r.getAs[String]("input_text"), r.getAs[String]("target_text")))).toMap
+    for ((id, text) <- docs) {
+      val toks = if (text.isEmpty) Seq() else text.split(" ").toSeq
+      assert(out(id) === local(id, toks), s"doc $id")
+    }
+    // the fixture must actually exercise a run MERGE somewhere (two starts
+    // whose covers touch) or the test proves too little
+    val merged = docs.exists { case (id, text) =>
+      val n = if (text.isEmpty) 0 else text.split(" ").length
+      val starts = (0 until n).filter(p => h60(s"$id:$p") % maskMod == 0)
+      starts.sliding(2).exists(w => w.size == 2 && w(1) - w(0) <= spanLen)
+    }
+    assert(merged, "fixture has no overlapping/adjacent spans — enlarge it")
+  }
+
   // ------------------------------------------------------- hard negatives
 
   test("hardNegatives excludes same-label neighbors BEFORE the cut, so " +

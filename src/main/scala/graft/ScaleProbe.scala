@@ -40,7 +40,8 @@ object ScaleProbe {
     // BPE gates (iterative window passes + corpus-wide pair counts —
     // shuffle-heaviest of the text tier); x98/x99 bloom gates are
     // sub-second serve paths and don't probe
-    "x97_substring_dedup", "x100_bpe_merges", "x101_bpe_apply")
+    "x97_substring_dedup", "x100_bpe_merges", "x101_bpe_apply",
+    "x102_self_repetition", "x104_span_corruption")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -71,8 +71,17 @@ object LayoutSink {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName).zipWithIndex
       .foreach { case (st, i) =>
-        fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(target, s"batch$batchId-part$i.parquet"))
+        val dst = new org.apache.hadoop.fs.Path(
+          target, s"batch$batchId-part$i.parquet")
+        // rename contractually returns false (no exception) on some
+        // FileSystems — an unchecked false here would drop a part file
+        // while the marker still commits, permanent silent row loss
+        // (round-14 advice). Throwing leaves no marker, so the retry
+        // sweeps and re-moves from scratch.
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"rename ${st.getPath} -> $dst returned false; " +
+              s"aborting batch $batchId before the commit marker")
       }
     fs.delete(staging, true) // drop _SUCCESS/.crc residue (round-13 advice)
     fs.create(marker, true).close()

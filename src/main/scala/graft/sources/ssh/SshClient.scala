@@ -111,7 +111,16 @@ final class SshClient(host: String, port: Int, user: String, password: String,
             if (ch != null) {
               ch.remoteId = r.uint32()
               ch.addWindow(r.uint32())
-              ch.remoteMaxPacket = r.uint32().toInt
+              val mp = r.uint32()
+              // a peer max-packet at or below the 64-byte framing headroom
+              // would make every write grant 0 bytes and spin forever —
+              // fail the open instead (round-14 advice); the peer thinks
+              // the channel opened, so close it on the wire too
+              if (mp < 256L) {
+                ch.openFailure = s"implausible peer max packet $mp"
+                transport.writePacket(new W().putByte(Msg.ChannelClose)
+                  .putUInt32(ch.remoteId).bytes)
+              } else ch.remoteMaxPacket = mp.toInt
               ch.opened.countDown()
             }
           case Msg.ChannelOpenFailure =>
@@ -155,9 +164,17 @@ final class SshClient(host: String, port: Int, user: String, password: String,
         }
       }
     } catch {
-      case e: IOException =>
-        dead = e
-        channels.values.forEach(_.connectionDown(e))
+      // NonFatal, not just IOException: a malformed peer packet that trips
+      // an array/parse exception must still kill the connection LOUDLY —
+      // a silently-dead reader thread leaves every open channel blocked
+      // on its queue forever (round-14 advice).
+      case scala.util.control.NonFatal(e) =>
+        val io = e match {
+          case io: IOException => io
+          case other => new IOException(s"SSH reader failed: $other", other)
+        }
+        dead = io
+        channels.values.forEach(_.connectionDown(io))
         channels.clear()
         transport.close()
     }
@@ -219,13 +236,18 @@ private[ssh] final class SshChannel(client: SshClient, localId: Long) {
     windowLock.notifyAll()
   }
 
-  def deliver(bytes: Array[Byte]): Unit = {
-    inQueue.put(Data(bytes))
-    consumeOnly(bytes.length)
-  }
+  // Enqueue only — window accounting happens when the CONSUMER reads the
+  // bytes (the InputStream below), not when the reader thread queues them.
+  // Replenishing at enqueue time never exerts backpressure: a peer sending
+  // faster than the tunnel client reads would grow inQueue without bound,
+  // because each adjust re-arms the peer before the data is drained
+  // (round-14 advice). With read-side accounting the advertised 2 MiB
+  // window is a real bound on buffered-but-unread data.
+  def deliver(bytes: Array[Byte]): Unit = inQueue.put(Data(bytes))
 
-  /** Window accounting for inbound bytes (data we queue AND extended data
-    * we drop): replenish with one adjust per half-window consumed. */
+  /** Window accounting for inbound bytes (data the consumer has READ, and
+    * extended data we drop on arrival): replenish with one adjust per
+    * half-window consumed. */
   def consumeOnly(n: Int): Unit = {
     val adjust = consumedLock.synchronized {
       consumedSinceAdjust += n
@@ -283,6 +305,7 @@ private[ssh] final class SshChannel(client: SshClient, localId: Long) {
       val n = math.min(len, current.length - pos)
       System.arraycopy(current, pos, b, off, n)
       pos += n
+      consumeOnly(n) // replenish only what was handed to the consumer
       n
     }
   }

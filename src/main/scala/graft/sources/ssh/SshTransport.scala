@@ -125,7 +125,7 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
       val lenBuf = new Array[Byte](4)
       in.readFully(lenBuf)
       val len = new R(lenBuf ++ Array[Byte](0)).uint32()
-      checkLen(len)
+      checkLen(len, blockAligned = false)
       val rest = new Array[Byte](len.toInt)
       in.readFully(rest)
       recvSeq = (recvSeq + 1) & 0xffffffffL
@@ -136,7 +136,7 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
       in.readFully(first)
       val firstPlain = recvCipher.update(first)
       val len = new R(firstPlain).uint32()
-      checkLen(len)
+      checkLen(len, blockAligned = true)
       val restLen = 4 + len.toInt - 16
       val rest = new Array[Byte](restLen)
       in.readFully(rest)
@@ -157,8 +157,13 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
     }
   }
 
-  private def checkLen(len: Long): Unit =
-    if (len < 1 || len > 256 * 1024)
+  /** RFC 4253 §6 bounds: the whole packet (4+len) is at least 16 bytes
+    * (len ≥ 12), so the encrypted path's `restLen = 4+len-16` can never
+    * go negative on attacker-supplied lengths; once keys are live, 4+len
+    * must also be a whole number of 16-byte cipher blocks. */
+  private def checkLen(len: Long, blockAligned: Boolean): Unit =
+    if (len < 12 || len > 256 * 1024 ||
+        (blockAligned && (4 + len) % 16 != 0))
       throw new SshProtocolException(s"implausible packet length $len")
 
   // ---------------------------------------------------------------- kex

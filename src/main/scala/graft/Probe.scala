@@ -142,6 +142,42 @@ object Probe {
         graft.GraftCache.release(); n
       }
     }
+
+    // Tokenizer serving at production rule counts (round-15 probe for the
+    // x105 local applier): rules = the corpus's top-N adjacent token pairs
+    // (one aggregation — live rules that actually fire, without paying N
+    // sequential training iterations), applied via the bounded-local-state
+    // loop. The numbers to look for: runtime ~flat from 10 → 1000 rules
+    // (dead-rule skips are hash lookups; live passes pay for themselves in
+    // removed symbols), where the declarative window form grows a plan
+    // node per rule and stops building long before 32k.
+    {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)).orderBy(desc("c"), col("sym"), col("nsym"))
+      val seqW = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val topPairs = docs
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text")))
+          .as(Seq("pos", "sym")))
+        .withColumn("nsym", lead(col("sym"), 1).over(seqW))
+        .filter(col("nsym").isNotNull)
+        .groupBy("sym", "nsym").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 1000)
+        .orderBy("rk").select("sym", "nsym").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      for (n <- Seq(10, 100, 1000)) {
+        timed(s"bpe applyMergesLocal, $n live rules") {
+          graft.operators.BpeTrainer
+            .applyMergesLocal(docs, "doc_id", "text", topPairs.take(n))
+            .agg(sum("n_symbols")).head.getLong(0)
+        }
+      }
+      timed("bpe applyMerges (declarative), 10 rules — the window form") {
+        graft.operators.BpeTrainer
+          .applyMerges(docs, "doc_id", "text", topPairs.take(10))
+          .agg(sum("n_symbols")).head.getLong(0)
+      }
+    }
     spark.stop()
   }
 }

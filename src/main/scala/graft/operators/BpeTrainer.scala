@@ -2,9 +2,10 @@ package graft.operators
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** BPE merge-rule learning over the corpus's token sequences — the
   * tokenizer-TRAINING arrow of the pipeline (Sennrich et al., "Neural
@@ -146,5 +147,122 @@ object BpeTrainer {
           array_sort(collect_list(when(col("pos").isNotNull,
             struct(col("pos"), col("sym"))))),
           s => s.getField("sym"))), 256).as("sym_fp"))
+  }
+
+  // ------------------------------------------------ production-scale apply
+
+  /** Tokenizer SERVING at production rule counts — same contract and
+    * output as [[applyMerges]] (one row per document: id, n_symbols,
+    * sym_fp), but executed as a bounded-local-state greedy loop per
+    * document over the BROADCAST rule list instead of one window pass per
+    * rule. [[applyMerges]]'s plan grows linearly in |rules| in both plan
+    * size and window passes — fine at the 3-rule gate, unbuildable at a
+    * real ~32k-merge vocabulary. Here the plan is CONSTANT-SIZE at any
+    * rule count (one narrow mapPartitions over (id, tokens) — the rules
+    * travel in one Broadcast, never in the plan), there is NO shuffle at
+    * all (tokenization is embarrassingly parallel per document; the
+    * declarative form's explode + re-group disappears), and per-document
+    * work is one hash-set lookup per rule plus a greedy pass ONLY for
+    * rules whose pair is actually adjacent somewhere in the document —
+    * each such pass shrinks the sequence by ≥1 symbol, so scan work is
+    * bounded by rules + tokens·merges regardless of vocab size.
+    *
+    * Row-identical to [[applyMerges]] for unique ids (every consumer):
+    * spec-pinned by an exhaustive randomized equivalence test, and gated
+    * by the same DuckDB oracle (x105 shares x101's replay). One row per
+    * INPUT row here vs per distinct id there — same thing when idCol is
+    * a key. */
+  def applyMergesLocal(df: DataFrame, idCol: String, textCol: String,
+                       rules: Seq[(String, String)]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(rules.toArray)
+    val toked =
+      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__tk"))
+    val outSchema = StructType(Seq(
+      toked.schema("id"),
+      StructField("n_symbols", LongType, nullable = false),
+      StructField("sym_fp", StringType, nullable = false)))
+    toked.mapPartitions { it =>
+      val rs = bc.value
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        val toks: Seq[String] =
+          if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+        val out = applyRulesLocal(toks, rs)
+        val digest = md.digest(
+          out.mkString("\u001f").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Row(r.get(0), out.length.toLong, hex(digest))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Apply the ordered rule list to one document's symbols — the local
+    * twin of rules-many [[flagMerges]]+[[applyFlagged]] passes. Greedy
+    * left-to-right within each rule's pass reproduces the declarative
+    * odd-in-run-rank semantics for self-pairs by construction. The
+    * adjacent-pair set makes the skip test EXACT (a pass runs only when
+    * it will merge at least one occurrence), so dead rules cost one hash
+    * lookup each and live passes pay for themselves in removed symbols. */
+  private[operators] def applyRulesLocal(
+      tokens: Seq[String], rules: Array[(String, String)]): Seq[String] = {
+    if (tokens.length < 2 || rules.isEmpty) return tokens
+    var cur = ArrayBuffer.from(tokens)
+    var pairs = adjacentPairs(cur)
+    var ri = 0
+    while (ri < rules.length && cur.length >= 2) {
+      val (a, b) = rules(ri)
+      if (pairs.contains(pairKey(a, b))) {
+        cur = greedyPass(cur, a, b)
+        pairs = adjacentPairs(cur)
+      }
+      ri += 1
+    }
+    cur.toSeq
+  }
+
+  /** One greedy non-overlapping left-to-right merge pass of (a, b). */
+  private def greedyPass(cur: ArrayBuffer[String], a: String,
+                         b: String): ArrayBuffer[String] = {
+    val out = new ArrayBuffer[String](cur.length)
+    var i = 0
+    while (i < cur.length) {
+      if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+        out += cur(i) + " " + cur(i + 1)
+        i += 2
+      } else {
+        out += cur(i)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Symbols are whitespace tokens (no embedded spaces except those the
+    * merges themselves introduce), and a merged symbol is exactly
+    * `a + " " + b` — so the pair key IS the would-be merged symbol and is
+    * unambiguous. */
+  private def pairKey(a: String, b: String): String = a + " " + b
+
+  private def adjacentPairs(
+      cur: ArrayBuffer[String]): scala.collection.mutable.HashSet[String] = {
+    val s = new scala.collection.mutable.HashSet[String]()
+    var i = 0
+    while (i + 1 < cur.length) {
+      s += pairKey(cur(i), cur(i + 1))
+      i += 1
+    }
+    s
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 }

@@ -973,6 +973,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---------------------------------------------------------------- x105
+    // Tokenizer serving at PRODUCTION rule counts: the bounded-local-state
+    // applier — a constant-size plan (one narrow mapPartitions over
+    // (id, tokens), rules in one Broadcast, zero shuffles) where x101's
+    // declarative form builds one window pass per rule and cannot reach a
+    // real ~32k-merge vocabulary. Same stored-vocab lifecycle (learn →
+    // write → rehydrate → apply), same oracle replay as x101 — the local
+    // greedy loop must land byte-identical to the window formulation
+    // (also ScalaCheck-pinned row-identical in SketchGraphSpec, and
+    // probed at 1k+ rules for flat plan size).
+    "x105_bpe_apply_local" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val vocabPath = SinkQueries.sinkDir("x105_bpe_vocab")
+      BpeTrainer.learnMerges(t.documents, "doc_id", "text", BpeApplyIters)
+        .coalesce(1).write.mode("overwrite").parquet(vocabPath)
+      val rules = s.read.parquet(vocabPath).orderBy("it")
+        .select("sym_a", "sym_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      BpeTrainer.applyMergesLocal(t.documents, "doc_id", "text", rules)
+        .select(col("id").as("doc_id"), col("n_symbols"), col("sym_fp"))
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------------------- x17
     // PII scrubbing: synthetic per-document email + URL appended to the
     // text (the testdata carries no live PII), then scrubbed to typed
@@ -1754,6 +1777,9 @@ object TextQueries {
     "x104_span_corruption" -> spanCorruptionSql,
     "x100_bpe_merges" -> bpeMergesSql,
     "x101_bpe_apply" -> bpeApplySql,
+    // the local applier must land exactly where the declarative one does,
+    // so it faces the identical replay
+    "x105_bpe_apply_local" -> bpeApplySql,
     // The Bloom screen is result-invisible (no false negatives; false
     // positives are removed by the exact confirm join), so the oracle is
     // the plain fingerprint anti-join the filter accelerates.

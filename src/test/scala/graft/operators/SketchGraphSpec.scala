@@ -277,6 +277,49 @@ class SketchGraphSpec extends SparkSpec {
       (3L, 0L, fp())))
   }
 
+  test("bpe applyMergesLocal is row-identical to applyMerges on random " +
+       "corpora and rule lists (self-pairs, compound and dead rules)") {
+    import spark.implicits._
+    // Small alphabet so random rules actually fire; rules drawn from both
+    // base symbols and already-merged compounds so chaining is exercised;
+    // ~half the rules are dead (never adjacent) so the skip path runs too.
+    val rnd = new scala.util.Random(4171)
+    val alphabet = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 8) {
+      val docs = (1L to 30L).map { id =>
+        val n = rnd.nextInt(13) // 0..12 tokens, empties included
+        (id, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val compounds = Seq("a a", "a b", "b a", "c d", "a a a", "a b c")
+      val syms = alphabet ++ compounds
+      val rules = Seq.fill(10)(
+        (syms(rnd.nextInt(syms.size)), syms(rnd.nextInt(syms.size))))
+      val decl = BpeTrainer.applyMerges(df, "doc_id", "text", rules)
+        .orderBy("id").as[(Long, Long, String)].collect().toSeq
+      val local = BpeTrainer.applyMergesLocal(df, "doc_id", "text", rules)
+        .orderBy("id").as[(Long, Long, String)].collect().toSeq
+      assert(local == decl, s"trial $trial diverged: rules=$rules docs=$docs")
+    }
+  }
+
+  test("bpe applyMergesLocal: plan size is FLAT in the rule count and the " +
+       "plan carries no rule literals (the 32k-vocab serving shape)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    def planLen(nRules: Int): Int = {
+      val rules = (1 to nRules).map(i => (s"s$i", s"t$i"))
+      BpeTrainer.applyMergesLocal(df, "doc_id", "text", rules)
+        .queryExecution.executedPlan.toString.length
+    }
+    val small = planLen(2)
+    val big = planLen(2000)
+    // identical modulo plan-id noise: rules live in a Broadcast, not the plan
+    assert(math.abs(big - small) < 100,
+      s"plan grew with rules: $small chars at 2 rules, $big at 2000")
+    assert(small < 20000, s"serving plan unexpectedly large: $small chars")
+  }
+
   test("bloom write/read roundtrip preserves words and geometry") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom_spec").toString

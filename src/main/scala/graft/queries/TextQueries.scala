@@ -62,6 +62,14 @@ object TextQueries {
     * count), kept shorter because the apply oracle must also replay the
     * training chain to derive the same rules. */
   val BpeApplyIters = 3
+
+  /** x106: the PRODUCTION training boundary — BPE merges are learned on
+    * the hash-stratified half of the corpus (id hash-bucket per-mille
+    * below this rate; the [[graft.operators.Curation.stratifiedSample]]
+    * coin, so the boundary is a zero-shuffle pushed filter) and applied
+    * to the FULL corpus through the bounded-local-state applier. */
+  val BpeSamplePerMille = 500
+  val BpeSampleBuckets = 1000
   val IncrementalMod = 10
 
   /** Tombstone membership for the band-index delete gate (x79): within
@@ -996,6 +1004,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---------------------------------------------------------------- x106
+    // The SAMPLED-training production path, gated: BpeTrainer's scaladoc
+    // has always said production tokenizer training runs on a bounded
+    // hash-stratified sample (the recurrence costs one corpus pass per
+    // merge — at 100 TB the trainer reads a deterministic slice, the
+    // SERVE reads everything). This gate executes that documented split:
+    // learn merges on the stratifiedSample half (zero-shuffle pushed
+    // hash-coin filter), store the vocab, apply to the FULL corpus via
+    // the bounded-local-state applier. The oracle replays BOTH sides of
+    // the boundary — the training chain over exactly the sampled slice,
+    // then the apply chain over everything — so a wrong sample boundary
+    // or a rule leaking from unsampled docs flips rows corpus-wide.
+    "x106_bpe_sampled" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sample = graft.operators.Curation.stratifiedSample(t.documents,
+        "lang", "doc_id", Map.empty, BpeSamplePerMille, BpeSampleBuckets)
+      val vocabPath = SinkQueries.sinkDir("x106_bpe_vocab")
+      BpeTrainer.learnMerges(sample, "doc_id", "text", BpeApplyIters)
+        .coalesce(1).write.mode("overwrite").parquet(vocabPath)
+      val rules = s.read.parquet(vocabPath).orderBy("it")
+        .select("sym_a", "sym_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      BpeTrainer.applyMergesLocal(t.documents, "doc_id", "text", rules)
+        .select(col("id").as("doc_id"), col("n_symbols"), col("sym_fp"))
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------------------- x17
     // PII scrubbing: synthetic per-document email + URL appended to the
     // text (the testdata carries no live PII), then scrubbed to typed
@@ -1780,6 +1815,7 @@ object TextQueries {
     // the local applier must land exactly where the declarative one does,
     // so it faces the identical replay
     "x105_bpe_apply_local" -> bpeApplySql,
+    "x106_bpe_sampled" -> bpeSampledApplySql,
     // The Bloom screen is result-invisible (no false negatives; false
     // positives are removed by the exact confirm join), so the oracle is
     // the plain fingerprint anti-join the filter accelerates.
@@ -1995,7 +2031,54 @@ object TextQueries {
        |SELECT it, sym_a, sym_b, pair_n, n_merged FROM ($union) ORDER BY it""".stripMargin
   }
 
-  private def bpeChainSql(iters: Int): String = {
+  /** The x106 oracle: replay the training chain over EXACTLY the sampled
+    * slice (the stratifiedSample hash coin in SQL), then apply the learned
+    * per-iteration winners b1..b<iters> to the FULL corpus through the
+    * same greedy-merge CTE machinery, and summarize per document. Both
+    * sides of the production boundary are replayed — rules derived from
+    * the sample, serving over everything. */
+  private def bpeSampledApplySql: String = {
+    val i = BpeApplyIters
+    val samplePred =
+      s"WHERE ${md5h("CAST(doc_id AS VARCHAR)")} % $BpeSampleBuckets" +
+        s" < $BpeSamplePerMille"
+    val applyChain = (1 to i).map { j =>
+      s"""u$j AS MATERIALIZED (
+         |  SELECT id, pos, sym,
+         |    lead(sym) OVER (PARTITION BY id ORDER BY pos) AS nsym,
+         |    row_number() OVER (PARTITION BY id, sym ORDER BY pos) AS rnsym
+         |  FROM t${j - 1}),
+         |v$j AS MATERIALIZED (
+         |  SELECT u.id, u.pos, u.sym, u.nsym,
+         |    u.sym = b.a AND u.nsym = b.b AND (b.a <> b.b OR
+         |      (row_number() OVER (PARTITION BY u.id, u.sym, u.pos - u.rnsym
+         |                          ORDER BY u.pos)) % 2 = 1) AS mstart
+         |  FROM u$j u CROSS JOIN b$j b),
+         |w$j AS MATERIALIZED (
+         |  SELECT id, pos, sym, nsym, mstart,
+         |    coalesce(lag(mstart) OVER (PARTITION BY id ORDER BY pos),
+         |             false) AS consumed
+         |  FROM v$j),
+         |t$j AS MATERIALIZED (
+         |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY pos) AS pos,
+         |    CASE WHEN mstart THEN sym || ' ' || nsym ELSE sym END AS sym
+         |  FROM w$j WHERE NOT consumed)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeChainSql(i, samplePred)},
+       |toked_full AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |t0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, u.i AS pos, list_extract(toks, u.i + 1) AS sym
+       |  FROM toked_full, UNNEST(range(0, len(toks))) u(i)),
+       |$applyChain
+       |SELECT d.doc_id,
+       |  CAST(count(s.pos) AS BIGINT) AS n_symbols,
+       |  sha256(coalesce(string_agg(s.sym, chr(31) ORDER BY s.pos), ''))
+       |    AS sym_fp
+       |FROM documents d LEFT JOIN t$i s ON d.doc_id = s.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private def bpeChainSql(iters: Int, where: String = ""): String = {
     val chain = (1 to iters).map { i =>
       s"""n$i AS MATERIALIZED (
          |  SELECT id, pos, sym,
@@ -2026,7 +2109,7 @@ object TextQueries {
          |    (SELECT count(*) FROM g$i WHERE mstart) AS n_merged
          |  FROM b$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents $where),
        |s0 AS MATERIALIZED (
        |  SELECT doc_id AS id, u.i AS pos, list_extract(toks, u.i + 1) AS sym
        |  FROM toked, UNNEST(range(0, len(toks))) u(i)),

@@ -105,9 +105,49 @@ object Bench {
       else
         runInProcess(names, sfDir)
 
+    // SELF-ADJUDICATION step 2 (round-14 verdict task 2): a full-suite
+    // parent whose run produced regressions re-runs EXACTLY the flagged
+    // subset solo in one fresh child JVM (seconds of work) and attaches
+    // both readings to the artifact — 16 phantom flags in r14 and 4 in
+    // r13, every one manufactured by grading-box contention and every one
+    // costing a judge session a manual re-run. A flag whose solo reading
+    // sits inside expectation adjudicates itself as contention from the
+    // artifact alone.
+    val flagged = regressionsFor(result, sfDir).map(_._1)
+    val solo: Map[String, Double] =
+      if (flagged.nonEmpty && args.isEmpty && !isChild && flagged.size <= 40) {
+        System.err.println(s"[bench] ${flagged.size} regression flag(s); " +
+          "re-running the flagged subset solo for self-adjudication")
+        try runChild(flagged, -1)._1
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] solo adjudication run failed " +
+            s"(${e.getMessage}); flags stay unadjudicated")
+          Map.empty
+        }
+      } else Map.empty
+
     emit(result, sfDir, writeFile = args.isEmpty && !isChild,
-      envJson = EnvTelemetry.envJson(loadStart, jvmsStart))
+      envJson = EnvTelemetry.envJson(loadStart, jvmsStart), solo = solo)
   }
+
+  /** A measured time past ALL THREE regression thresholds vs its
+    * expectation — relative factor, absolute slack, absolute floor. */
+  private[graft] def pastThresholds(e: Double, v: Double): Boolean =
+    v > e * BenchExpectations.RegressionFactor &&
+      v > e + BenchExpectations.AbsSlackSec &&
+      v > BenchExpectations.MinFlagSec
+
+  /** The regression report, shared by emit and the adjudication trigger:
+    * (name, expected, measured) for every completed query past the
+    * thresholds, at the snapshot's own scale only. */
+  private[graft] def regressionsFor(result: BenchResult,
+                                    sfDir: String): Seq[(String, Double, Double)] =
+    if (!sfDir.endsWith("sf0.1")) Nil
+    else result.timings.sortBy(_._1).collect {
+      case (n, v) if BenchExpectations.secondsAtSf01.get(n)
+          .exists(pastThresholds(_, v)) =>
+        (n, BenchExpectations.secondsAtSf01(n), v)
+    }
 
   /** One run's outcome: per-query timings for everything that completed
     * (plus that pass's task-level GC time — the adjudication signal), and
@@ -159,9 +199,15 @@ object Bench {
 
   /** Print the two contract lines; optionally persist line 1 to
     * bench_full.json (full-suite runs only — shard children and targeted
-    * dev runs must not clobber the committed artifact). */
+    * dev runs must not clobber the committed artifact). `solo` carries the
+    * adjudication pass's per-query timings (empty when no flags or when
+    * adjudication was skipped/failed): each regression entry gains
+    * `"solo":<sec>` and `"solo_ok":true|false` (the SAME three-threshold
+    * predicate applied to the solo reading), so a contended run's artifact
+    * resolves its own flags. */
   private def emit(result: BenchResult, sfDir: String,
-                   writeFile: Boolean, envJson: String): Unit = {
+                   writeFile: Boolean, envJson: String,
+                   solo: Map[String, Double]): Unit = {
     val results = result.timings
     if (result.errors.nonEmpty)
       System.err.println(s"[bench] WARNING: ${result.errors.size} query " +
@@ -175,20 +221,23 @@ object Bench {
     // jitter, absolute-only exempts every sub-floor query from coverage
     // (round-4 advice), and without the floor a sub-second query flags on
     // scheduler noise alone (round-8 p18).
-    val atExpectedSf = sfDir.endsWith("sf0.1")
-    val regressions = if (atExpectedSf) results.sortBy(_._1).collect {
-      case (n, v) if BenchExpectations.secondsAtSf01.get(n).exists(e =>
-        v > e * BenchExpectations.RegressionFactor &&
-          v > e + BenchExpectations.AbsSlackSec &&
-          v > BenchExpectations.MinFlagSec) =>
-        val e = BenchExpectations.secondsAtSf01(n)
-        s"""{"query":"$n","expected":$e,"measured":$v}"""
-    } else Nil
+    val regressions = regressionsFor(result, sfDir).map { case (n, e, v) =>
+      val soloJson = solo.get(n).map { s =>
+        s""","solo":$s,"solo_ok":${!pastThresholds(e, s)}"""
+      }.getOrElse("")
+      s"""{"query":"$n","expected":$e,"measured":$v$soloJson}"""
+    }
     val regs = regressions.mkString("[", ",", "]")
-    if (regressions.nonEmpty)
+    if (regressions.nonEmpty) {
+      val soloOk = solo.count { case (n, s) =>
+        BenchExpectations.secondsAtSf01.get(n).exists(!pastThresholds(_, s))
+      }
       System.err.println(s"[bench] WARNING: ${regressions.size} per-query " +
         s"regression(s) > ${BenchExpectations.RegressionFactor}x vs " +
-        "BenchExpectations (informational; see the regressions field)")
+        s"BenchExpectations (informational; see the regressions field" +
+        (if (solo.nonEmpty) s"; solo re-run cleared $soloOk of them" else "") +
+        ")")
+    }
     val line1 = contractLine(result, sfDir, regs, envJson)
     // Two lines. Line 1 is the contract line (ONE JSON object with the full
     // per-query map). Line 2 is a SHORT summary the driver's bounded
@@ -259,8 +308,6 @@ object Bench {
     * single-JVM in-process run (the harness-fault safety net). */
   private def runSharded(names: Seq[String], shards: Int,
                          sfDir: String): BenchResult = {
-    val javaBin = sys.props("java.home") + "/bin/java"
-    val cp = sys.props("java.class.path")
     val bins = shardAssignment(names, shards)
     val timings = Seq.newBuilder[(String, Double)]
     val gcs = Map.newBuilder[String, Long]
@@ -270,35 +317,7 @@ object Bench {
       System.err.println(s"[bench] shard ${i + 1}/${bins.size}: " +
         s"${qs.size} queries")
       try {
-        val cmd = (Seq(javaBin) ++ childJvmOpts ++
-          Seq("-cp", cp, "graft.Bench") ++ qs)
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
-        // stdout goes to a file, NOT a pipe: a child that hangs would
-        // block the parent in a pipe read before any waitFor timeout
-        // could fire. The error-recording covers thrown failures; this
-        // wall-clock bound covers the other way a query can break — a
-        // hang — which would otherwise stall the suite past the driver's
-        // round budget. 20 min default vs ~35s of real work per shard:
-        // the bound only trips on a genuine wedge, never on a slow box.
-        val outFile = java.io.File.createTempFile(s"graft_bench_shard${i + 1}_", ".out")
-        pb.redirectOutput(outFile)
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-        val p = pb.start()
-        val timeoutSec =
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARD_TIMEOUT_SEC", "1200").toLong
-        val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-        if (!finished) {
-          p.destroyForcibly(); p.waitFor()
-          outFile.delete()
-          sys.error(s"shard ${i + 1} hung past ${timeoutSec}s and was killed")
-        }
-        val rc = p.exitValue()
-        val stdout = new String(
-          java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
-        outFile.delete()
-        require(rc == 0, s"shard ${i + 1} exited $rc")
-        val (m, gc, errs) = parseContractLine(stdout)
+        val (m, gc, errs) = runChild(qs, i + 1)
         shardsOk += 1
         qs.foreach { q =>
           if (m.contains(q)) {
@@ -320,6 +339,46 @@ object Bench {
         "falling back to single-JVM in-process run")
       runInProcess(names, sfDir)
     } else out
+  }
+
+  /** Spawn ONE child JVM running exactly `qs` (child mode — in-process,
+    * no file write) and parse its contract line. Shared by the sharded
+    * suite (one call per shard) and the flag self-adjudication pass
+    * (`label` −1). stdout goes to a file, NOT a pipe: a child that hangs
+    * would block the parent in a pipe read before any waitFor timeout
+    * could fire. The error-recording covers thrown failures; the
+    * wall-clock bound covers the other way a query can break — a hang —
+    * which would otherwise stall the suite past the driver's round
+    * budget. 20 min default vs ~35s of real work per shard: the bound
+    * only trips on a genuine wedge, never on a slow box. */
+  private def runChild(qs: Seq[String], label: Int)
+      : (Map[String, Double], Map[String, Long], Map[String, String]) = {
+    val who = if (label < 0) "solo adjudication" else s"shard $label"
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val cmd = (Seq(javaBin) ++ childJvmOpts ++
+      Seq("-cp", cp, "graft.Bench") ++ qs)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+    val outFile = java.io.File.createTempFile(
+      s"graft_bench_${who.replace(' ', '_')}_", ".out")
+    pb.redirectOutput(outFile)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARD_TIMEOUT_SEC", "1200").toLong
+    val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      p.destroyForcibly(); p.waitFor()
+      outFile.delete()
+      sys.error(s"$who hung past ${timeoutSec}s and was killed")
+    }
+    val rc = p.exitValue()
+    val stdout = new String(
+      java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+    outFile.delete()
+    require(rc == 0, s"$who exited $rc")
+    parseContractLine(stdout)
   }
 
   /** Body of the top-level JSON object field named `key` on `line`,

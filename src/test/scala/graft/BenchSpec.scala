@@ -90,6 +90,26 @@ class BenchSpec extends AnyFunSuite {
     assert(EnvTelemetry.otherJvms >= 0)
   }
 
+  test("regressionsFor applies all three thresholds at the snapshot scale " +
+       "only, and pastThresholds is its exact predicate") {
+    val known = BenchExpectations.secondsAtSf01.toSeq.sortBy(-_._2)
+    assert(known.nonEmpty)
+    val (name, e) = known.head
+    val slow = math.max(e * BenchExpectations.RegressionFactor + 1.0,
+      BenchExpectations.MinFlagSec + 1.0)
+    val result = Bench.BenchResult(
+      timings = Seq(name -> slow, "unknown_query" -> 999.0),
+      gcMs = Map.empty, errors = Map.empty)
+    // flagged at the snapshot's own scale; unknown queries never flag
+    assert(Bench.regressionsFor(result, "/root/testdata/sf0.1") ===
+      Seq((name, e, slow)))
+    // never flagged off-scale
+    assert(Bench.regressionsFor(result, "/root/testdata/sf0.01") === Nil)
+    // an in-expectation reading does not flag (solo_ok's predicate)
+    assert(!Bench.pastThresholds(e, e))
+    assert(Bench.pastThresholds(e, slow))
+  }
+
   test("shardAssignment covers every query exactly once and balances cost") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val bins = Bench.shardAssignment(names, 6)

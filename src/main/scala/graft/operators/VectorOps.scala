@@ -905,15 +905,22 @@ object VectorOps {
     * zero-shuffle projection over one scan; subvector slices materialize
     * to attributes once so the ks-candidate argmin never re-slices.
     * Returns (id, codes array). */
+  /** `carry` columns pass through unchanged beside (id, codes) — index
+    * metadata written ONCE at build time (e.g. the label column the
+    * hard-negative serve filters on), so serving never joins the corpus
+    * for per-row attributes. */
   def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
-               codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+               codebooks: Seq[Seq[(Long, Seq[Double])]],
+               carry: Seq[String] = Nil): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
     val sub = codebooks.head.head._2.length
     val sliced = withCodebooksCol(
-      embeddings.select(col(idCol) +: codebooks.indices.map(j =>
-        slice(col(vecCol), j * sub + 1, sub).as(s"__s$j")): _*),
+      embeddings.select((col(idCol) +: carry.map(col)) ++
+        codebooks.indices.map(j =>
+          slice(col(vecCol), j * sub + 1, sub).as(s"__s$j")): _*),
       codebooks)
-    sliced.select(col(idCol), array(subspaceCodeCols(codebooks): _*).as("codes"))
+    sliced.select((col(idCol) +: carry.map(col)) :+
+      array(subspaceCodeCols(codebooks): _*).as("codes"): _*)
   }
 
   /** Per-query ADC lookup tables: for each subspace, a code → partial-
@@ -1041,6 +1048,48 @@ object VectorOps {
     graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
         Seq(col("__d"), col(idCol)), k)
       .select(col("qid"), col(idCol), round(col("__d"), 6).as("d2"))
+  }
+
+  /** Hard-negative mining OFF the stored PQ index — the 100 TB form of
+    * [[hardNegatives]] (whose exact scan is linear per mining batch):
+    * stage 1 shortlists `candidates` per query by ADC over the STORED
+    * codes with the label-mismatch predicate applied BEFORE the heap cut
+    * — the index carries the label column ([[writePqIndex]]'s `carry`,
+    * written once at build time), so serving reads labels as part of the
+    * m-byte code rows and never joins the corpus; stage 2 re-ranks ONLY
+    * the surviving true negatives on their full vectors (id equi join,
+    * candidate-pool-sized) by the SAME rounded cosine as the exact miner,
+    * so the two forms differ only in shortlist misses — which the recall
+    * gate (x108) measures against the exact form, alongside x80/x82.
+    * Every query fills k true negatives whenever its shortlist does. */
+  def hardNegativesIndexed(queries: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String, full: DataFrame, k: Int,
+                           candidates: Int,
+                           codebooks: Seq[Seq[(Long, Seq[Double])]],
+                           codes: DataFrame): DataFrame = {
+    require(candidates >= k, "candidate pool must cover k")
+    val q = withAdcLuts(queries,
+      Seq(col(idCol).as("qid"), col(labelCol).as("__ql")), vecCol, codebooks)
+    val ranked = codes.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid") && col(labelCol) =!= col("__ql"))
+      .select(col("qid"), col(idCol), col(labelCol).as("neg_label"),
+        round(adcDist(codebooks), 6).as("adc_d2"))
+    val cands = graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
+        Seq(col("adc_d2"), col(idCol)), candidates)
+      .select("qid", idCol, "neg_label")
+    val fullV = full.select(col(idCol), col(vecCol).as("__v"),
+      norm2(col(vecCol)).as("__n"))
+    val qf = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+      norm2(col(vecCol)).as("__qn"))
+    val exact = cands.join(fullV, idCol).join(broadcast(qf), "qid")
+      .select(col("qid"), col(idCol), col("neg_label"),
+        round(dot(col("__v"), col("__qv")) / (col("__n") * col("__qn")), 6)
+          .as("sim_r"))
+    val cut = graft.plans.TopKPerKey.topKPerKey(exact, Seq("qid"),
+      Seq(desc("sim_r"), col(idCol)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("sim_r"), col(idCol))
+    cut.withColumn("rk", row_number().over(w))
   }
 
   /** ROUTED batch kNN over the stored composed index
@@ -1189,8 +1238,9 @@ object VectorOps {
     * At 100 TB the codes table is ~m bytes/vector — the index IS the
     * scannable artifact. */
   def writePqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-                   codebooks: Seq[Seq[(Long, Seq[Double])]], dir: String): Unit = {
-    pqEncode(embeddings, idCol, vecCol, codebooks)
+                   codebooks: Seq[Seq[(Long, Seq[Double])]], dir: String,
+                   carry: Seq[String] = Nil): Unit = {
+    pqEncode(embeddings, idCol, vecCol, codebooks, carry)
       .write.mode("overwrite").parquet(s"$dir/codes")
     writeCodebooks(embeddings.sparkSession, codebooks, dir)
   }

@@ -782,6 +782,64 @@ object VectorQueries {
         .orderBy("qid", "d2", "vec_id")
     }),
 
+    // ---------------------------------------------------------------- x107
+    // Hard-negative mining OFF the stored index — x103's filter-before-
+    // heap semantics composed with x88's two-stage indexed serve (the
+    // 100 TB mining form; x103's exact scan is one full corpus pass per
+    // mining batch): the index stores the LABEL beside each vector's m
+    // codes (written once at build), the ADC shortlist applies the
+    // label-mismatch predicate BEFORE its heap cut so every query's
+    // candidate pool is all true negatives, and the exact cosine re-rank
+    // touches only the survivors' full vectors. The oracle replays the
+    // whole chain — codebooks, encode, label-filtered ADC cut, cosine
+    // re-rank.
+    "x107_hard_negatives_indexed" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x107_pq_index")
+      VectorOps.writePqIndex(e, "vec_id", "embedding", cbs, idx,
+        carry = Seq("label"))
+      VectorOps.hardNegativesIndexed(
+          e.filter(col("vec_id") % KnnQueryMod === 0), "vec_id", "embedding",
+          "label", e, KnnK, PqCandidates,
+          VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+        .orderBy("qid", "rk")
+    }),
+
+    // ---------------------------------------------------------------- x108
+    // The honesty number for x107, alongside x80/x82: per-query recall of
+    // the indexed hard-negative miner against the exact-scan miner
+    // (identical final metric — rounded cosine — so the only divergence
+    // channel is shortlist misses in the label-filtered ADC cut). The
+    // oracle replays BOTH miners and the recall arithmetic.
+    "x108_hard_negative_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val pred = col("vec_id") % KnnQueryMod === 0
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x108_pq_index")
+      VectorOps.writePqIndex(e, "vec_id", "embedding", cbs, idx,
+        carry = Seq("label"))
+      val exact = VectorOps.hardNegatives(e, "vec_id", "embedding", "label",
+        pred, KnnK).select("qid", "vec_id")
+      val indexed = VectorOps.hardNegativesIndexed(e.filter(pred), "vec_id",
+          "embedding", "label", e, KnnK, PqCandidates,
+          VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+        .select("qid", "vec_id")
+      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      val nHit = exact.join(indexed, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_indexed"))
+      nExact.join(nHit, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_indexed"), lit(0L)).as("n_indexed"),
+          round(coalesce(col("n_indexed"), lit(0L)) / col("n_exact"), 4)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
     // ----------------------------------------------------------------- x87
     // The residual twin of x76 — routed BATCH kNN served off the STORED
     // residual index: every sampled query's probe cells compute as a
@@ -1884,6 +1942,8 @@ object VectorQueries {
          |ORDER BY cid, vec_id""".stripMargin,
     "x30_knn_join" -> knnJoinSql,
     "x103_hard_negatives" -> hardNegativesSql,
+    "x107_hard_negatives_indexed" -> hardNegativesIndexedSql,
+    "x108_hard_negative_recall" -> hardNegativeRecallSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.
     "x43_knn_native" -> knnJoinSql,
@@ -1967,6 +2027,77 @@ object VectorQueries {
        |SELECT id AS vec_id, r AS rank_ppm FROM r$PrIters
        |ORDER BY rank_ppm DESC, vec_id""".stripMargin
   }
+
+  /** Shared x107/x108 CTE block: the label-filtered ADC shortlist off the
+    * encoded codes (`adcr`, rk ≤ PqCandidates — the mismatch predicate
+    * sits BEFORE the cut) and the exact cosine re-rank of exactly those
+    * survivors (`refp`) — the replay of
+    * [[graft.operators.VectorOps.hardNegativesIndexed]]. Callers prepend
+    * the codebook/encode chains and the `q` CTE. */
+  private def hardNegIndexedCtes: String =
+    s"""adcp AS (
+       |  SELECT q.qid, b.vec_id, b.label AS neg_label,
+       |    round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |  FROM (SELECT vec_id, label FROM embeddings) b
+       |  ${pqJoinsSql()}
+       |  CROSS JOIN q
+       |  WHERE b.vec_id <> q.qid AND b.label <> q.ql),
+       |adcr AS (
+       |  SELECT qid, vec_id, neg_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS rk FROM adcp)
+       |  WHERE rk <= $PqCandidates),
+       |refp AS (
+       |  SELECT a.qid, a.vec_id, a.neg_label,
+       |    ${cosSql("e.embedding", "q.qv")} AS sim_r
+       |  FROM adcr a JOIN embeddings e USING (vec_id)
+       |  JOIN q ON q.qid = a.qid)""".stripMargin
+
+  private def hardNegativesIndexedSql: String =
+    s"""WITH $pqChainsSql,
+       |$pqEncodeSql,
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |$hardNegIndexedCtes
+       |SELECT qid, vec_id, neg_label, sim_r, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim_r DESC, vec_id) AS INT) AS rk FROM refp)
+       |WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin
+
+  /** x108: both miners replayed — the exact label-filtered cosine top-k
+    * and the indexed two-stage chain — plus the per-query recall
+    * arithmetic (x80's report form). */
+  private def hardNegativeRecallSql: String =
+    s"""WITH $pqChainsSql,
+       |$pqEncodeSql,
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |exactp AS (
+       |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.qid AND e.label <> q.ql),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim_r DESC, vec_id) AS rk FROM exactp)
+       |  WHERE rk <= $KnnK),
+       |$hardNegIndexedCtes,
+       |idxk AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim_r DESC, vec_id) AS rk FROM refp)
+       |  WHERE rk <= $KnnK),
+       |ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1),
+       |ni AS (
+       |  SELECT qid, count(*) AS n_indexed
+       |  FROM exact JOIN idxk USING (qid, vec_id) GROUP BY 1)
+       |SELECT ne.qid, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(coalesce(n_indexed, 0) AS BIGINT) AS n_indexed,
+       |  round(coalesce(n_indexed, 0) / n_exact::DOUBLE, 4) AS recall
+       |FROM ne LEFT JOIN ni USING (qid)
+       |ORDER BY qid""".stripMargin
 
   /** [[knnJoinSql]] with the query's label carried and the mismatch
     * predicate applied before ranking — the replay of

@@ -99,6 +99,7 @@ object BenchExpectations {
     "pl11_dsir_pipeline" -> 4.1703,
     "pl12_index_refresh" -> 2.8145,
     "pl13_sketch_report" -> 1.0834,
+    "pl14_bloom_rotate" -> 2.183, // added post-snapshot, solo-measured
     "pl1_csv_pipeline" -> 1.649,
     "pl2_sql_pipeline" -> 0.7222,
     "pl3_realtime_pipeline" -> 1.3951,
@@ -147,6 +148,10 @@ object BenchExpectations {
     "x102_self_repetition" -> 1.5012, // added post-snapshot, solo-measured
     "x103_hard_negatives" -> 0.5073, // added post-snapshot, solo-measured
     "x104_span_corruption" -> 1.6689, // added post-snapshot, solo-measured
+    "x105_bpe_apply_local" -> 4.5755, // added post-snapshot, solo-measured
+    "x106_bpe_sampled" -> 2.7742, // added post-snapshot, solo-measured
+    "x107_hard_negatives_indexed" -> 2.6525, // added post-snapshot, solo-measured
+    "x108_hard_negative_recall" -> 2.3779, // added post-snapshot, solo-measured
     "x10_media_features" -> 0.401,
     "x11_ivf_topk" -> 1.2171,
     "x12_chunk_neardups" -> 0.5172,

@@ -618,6 +618,73 @@ class PlanAuditSpec extends SparkSpec {
       s"nothing in the scoring plan justifies a sort-merge join:\n$p")
   }
 
+  test("SUITE-WIDE: every query is cartesian-free and every " +
+       "BroadcastNestedLoopJoin build side is a bounded broadcast " +
+       "(round-14 verdict task 6 — was a manual judge sweep)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    // Bound on a BNLJ build side: the legitimate builds are 1-row
+    // sketch/codebook/filter/argmax frames and ≤|strata|/≤nprobe frames —
+    // all far below this. A future query sneaking a REAL nested-loop join
+    // in (corpus-sized build side) fails loudly with its row count.
+    val MaxBuildRows = 128L
+    // Documented exceptions — request-shaped constants, never data-scaled:
+    // w9's build is the gap-fill calendar spine × event-type strata
+    // (hours in the requested horizon; ~720×5 at the month-long testdata
+    // window). Still bounded: the override is a ceiling, not a waiver.
+    val overrides = Map("w9_gapfill" -> 8192L)
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bnljSeen = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = graft.plans.PlanNodes.finalPlan(fn(spark, dir))
+        val bound = overrides.getOrElse(name, MaxBuildRows)
+        allNodes(p).foreach {
+          case _: CartesianProductExec =>
+            offenders += s"$name: CartesianProduct"
+          case j: BroadcastNestedLoopJoinExec =>
+            bnljSeen += 1
+            val build = if (j.buildSide == BuildLeft) j.left else j.right
+            // the broadcast exchange's ACTUAL executed row count (the
+            // plan ran above), found through AQE stage wrappers; a
+            // ReusedExchangeExec is a LEAF whose original lives in its
+            // `child` field, so it needs its own arm
+            val rows = graft.plans.PlanNodes.allNodes(build).flatMap {
+              case b: BroadcastExchangeExec =>
+                Some(b.metrics("numOutputRows").value)
+              case r: ReusedExchangeExec =>
+                graft.plans.PlanNodes.allNodes(r.child).collectFirst {
+                  case b: BroadcastExchangeExec =>
+                    b.metrics("numOutputRows").value
+                }
+              case _ => None
+            }.headOption
+            rows match {
+              case None =>
+                offenders += s"$name: BNLJ build side has no broadcast exchange"
+              case Some(n) if n > bound =>
+                offenders += s"$name: BNLJ build side broadcast $n rows " +
+                  s"(> $bound)"
+              case _ => ()
+            }
+          case _ => ()
+        }
+      } catch { case e: Throwable =>
+        offenders += s"$name: audit failed to run: ${e.getMessage}"
+      } finally {
+        graft.GraftCache.release()
+        spark.catalog.clearCache()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"suite-wide plan audit failures:\n${offenders.mkString("\n")}")
+    // the audit must actually be exercising the BNLJ path, not silently
+    // matching nothing (54 occurrences at round 14)
+    assert(bnljSeen >= 10, s"only $bnljSeen BNLJ nodes seen — node " +
+      "matching is likely broken")
+  }
+
   test("j8 bloom probe filters the big side BELOW the join") {
     val p = finalPlan("j8_bloom_join")
     val join = joins(p).headOption.getOrElse(fail(s"no join in:\n$p"))

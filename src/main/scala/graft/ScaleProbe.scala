@@ -41,7 +41,14 @@ object ScaleProbe {
     // shuffle-heaviest of the text tier); x98/x99 bloom gates are
     // sub-second serve paths and don't probe
     "x97_substring_dedup", "x100_bpe_merges", "x101_bpe_apply",
-    "x102_self_repetition", "x104_span_corruption")
+    "x102_self_repetition", "x104_span_corruption",
+    // round-15 additions: the local-state BPE serve and its sampled-
+    // training twin (corpus-proportional apply passes), the pl8 funnel
+    // with its new Bloom front door is already listed, the indexed
+    // hard-negative serve (codes-scan-proportional), and the bit-level
+    // bloom lifecycle gate (history-proportional build + screen)
+    "x105_bpe_apply_local", "x106_bpe_sampled",
+    "x107_hard_negatives_indexed", "pl14_bloom_rotate")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries
@@ -100,8 +107,9 @@ object ScaleProbe {
                                outDir: String): Unit = {
     val e = spark.read.parquet(s"$SrcDir/embeddings.parquet")
     val offset = e.agg(max("vec_id")).head.getLong(0) + 1
+    val rest = e.columns.filterNot(_ == "vec_id").map(col).toSeq
     (0 until factor).map { i =>
-      e.select((col("vec_id") + lit(i * offset)).as("vec_id"), col("embedding"))
+      e.select((col("vec_id") + lit(i * offset)).as("vec_id") +: rest: _*)
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")

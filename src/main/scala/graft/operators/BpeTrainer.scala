@@ -126,16 +126,20 @@ object BpeTrainer {
     learned.toSeq.toDF("it", "sym_a", "sym_b", "pair_n", "n_merged")
   }
 
-  /** Tokenizer SERVING: apply a STORED, ordered merge-rule list to the
-    * corpus and summarize each document's final symbol sequence
-    * (id, n_symbols, sym_fp — sha256 over the unit-separator-joined
-    * symbols, so the whole rewritten sequence is hash-pinned). Unlike
-    * training there is no per-iteration argmax, so the entire apply is
-    * ONE declarative plan: a single exchange partitions the exploded
-    * corpus by document, and every per-rule window pass reuses that
-    * partitioning (no further shuffles at any rule count) — the
-    * apply-side 100 TB shape. Docs with no tokens survive with
-    * n_symbols = 0 and the hash of the empty string. */
+  /** Tokenizer SERVING, declarative form: apply a STORED, ordered
+    * merge-rule list to the corpus and summarize each document's final
+    * symbol sequence (id, n_symbols, sym_fp — sha256 over the
+    * unit-separator-joined symbols, so the whole rewritten sequence is
+    * hash-pinned). Unlike training there is no per-iteration argmax, so
+    * the entire apply is ONE declarative plan: a single exchange
+    * partitions the exploded corpus by document, and every per-rule
+    * window pass reuses that partitioning. The plan still GROWS one
+    * window pass per rule, so this form is for short rule lists (gates,
+    * diagnostics, the oracle-shaped twin); production rule counts (a
+    * ~32k-merge vocab) go through [[applyMergesLocal]], which is
+    * spec-pinned row-identical with a constant-size plan. Docs with no
+    * tokens survive with n_symbols = 0 and the hash of the empty
+    * string. */
   def applyMerges(df: DataFrame, idCol: String, textCol: String,
                   rules: Seq[(String, String)]): DataFrame = {
     var seqs = explodeTokens(df, idCol, textCol)

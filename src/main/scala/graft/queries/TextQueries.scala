@@ -975,23 +975,27 @@ object TextQueries {
         require(b <= (1L << 30), s"rebuild geometry overflow: $b bits")
         b.toInt
       }
-      def filterAt(nBits: Int) =
+      // One bounded row of nBits/8 bytes per build — fetched to the
+      // driver so (a) fill popcount is plain Long.bitCount arithmetic
+      // and (b) the screen is an INLINE-LITERAL predicate over the
+      // arrivals scan (the x98 below-the-shuffle shape), not a
+      // broadcast join. The KEEP branch then costs exactly ONE history
+      // pass (production: zero — it reads the stored words); only a
+      // rotate pays the rebuild pass, which any resize must.
+      def wordsAt(nBits: Int): Array[Long] =
         history.agg(Bloom.sketch(TextOps.md5Hash60(col("fp")),
-          nBits, probes).as("words"))
+          nBits, probes).as("words")).head.getSeq[Long](0).toArray
       def scenario(name: String, nBits: Int): DataFrame = {
-        // exact integer fill: popcount of the filter words in ppm of
-        // nBits (driver-side division of two exact longs; the words
-        // frame is one bounded row)
-        val pc = filterAt(nBits).select(
-          aggregate(transform(col("words"), w => bit_count(w).cast("long")),
-            lit(0L), (a, x) => a + x).as("pc")).head.getLong(0)
+        val w0 = wordsAt(nBits)
+        // exact integer fill: popcount of the filter words in ppm
+        val pc = w0.map(java.lang.Long.bitCount(_).toLong).sum
         val fillPpm = pc * 1000000L / nBits
         val rotate = fillPpm > RotateFillPpm
         val servedBits = if (rotate) rebuildBits(nBits) else nBits
-        val screened = arrivals.crossJoin(broadcast(filterAt(servedBits)))
-          .withColumn("__maybe", Bloom.mightContain(col("words"),
+        val servedWords = if (rotate) wordsAt(servedBits) else w0
+        val screened = arrivals.withColumn("__maybe",
+          Bloom.mightContain(typedlit(servedWords),
             TextOps.md5Hash60(col("fp")), servedBits, probes))
-          .drop("words")
         val admitted = screened.filter(!col("__maybe"))
           .unionByName(screened.filter(col("__maybe"))
             .join(history.select("fp").distinct(), Seq("fp"), "left_anti"))

@@ -151,6 +151,7 @@ object BenchExpectations {
     "x105_bpe_apply_local" -> 3.6956,
     "x106_bpe_sampled" -> 4.1086,
     "x107_hard_negatives_indexed" -> 2.6906,
+    "x109_hard_negatives_routed" -> 4.9375, // added post-snapshot, solo-measured
     "x108_hard_negative_recall" -> 2.6873,
     "x10_media_features" -> 0.5051,
     "x11_ivf_topk" -> 1.3672,

@@ -48,7 +48,8 @@ object ScaleProbe {
     // hard-negative serve (codes-scan-proportional), and the bit-level
     // bloom lifecycle gate (history-proportional build + screen)
     "x105_bpe_apply_local", "x106_bpe_sampled",
-    "x107_hard_negatives_indexed", "pl14_bloom_rotate")
+    "x107_hard_negatives_indexed", "x109_hard_negatives_routed",
+    "pl14_bloom_rotate")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -1077,6 +1077,52 @@ object VectorOps {
     val cands = graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
         Seq(col("adc_d2"), col(idCol)), candidates)
       .select("qid", idCol, "neg_label")
+    refineNegatives(cands, queries, idCol, vecCol, full, k)
+  }
+
+  /** Hard-negative mining through the ROUTED composed index — the form a
+    * 100 TB miner actually deploys: each query's nprobe nearest cells
+    * compute as a zero-shuffle projection, the candidate set is a cid
+    * EQUI JOIN against the stored (range-laid) codes — the probe's
+    * `cid IN` pushes to parquet min/max file pruning, so a mining batch
+    * reads ~nprobe/k of the index, m bytes + one label per touched
+    * vector — the label-mismatch predicate applies BEFORE the per-query
+    * heap cut, and the exact cosine re-rank touches only survivors.
+    * [[hardNegativesIndexed]] with x76's routing as stage 1; same output
+    * contract, same oracle shape, recall bounded below the all-codes
+    * form only by routing misses (neighbours outside the probed
+    * cells). */
+  def hardNegativesRouted(queries: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, full: DataFrame, k: Int,
+                          candidates: Int, nprobe: Int,
+                          cents: Seq[(Long, Seq[Double])],
+                          codebooks: Seq[Seq[(Long, Seq[Double])]],
+                          codes: DataFrame): DataFrame = {
+    require(candidates >= k, "candidate pool must cover k")
+    require(cents.nonEmpty, "routed mining requires centroids")
+    val v = col(vecCol)
+    val qProbes = withCellsCol(queries, cents).select(col(idCol).as("qid"),
+      explode(transform(slice(array_sort(probeCandsCol(v, cents)), 1, nprobe),
+        p => p.getField("cid"))).as("cid"))
+    val qLuts = withAdcLuts(queries,
+      Seq(col(idCol).as("qid"), col(labelCol).as("__ql")), vecCol, codebooks)
+    val ranked = codes.join(broadcast(qProbes), "cid")
+      .join(broadcast(qLuts), "qid")
+      .filter(col(idCol) =!= col("qid") && col(labelCol) =!= col("__ql"))
+      .select(col("qid"), col(idCol), col(labelCol).as("neg_label"),
+        round(adcDist(codebooks), 6).as("adc_d2"))
+    val cands = graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
+        Seq(col("adc_d2"), col(idCol)), candidates)
+      .select("qid", idCol, "neg_label")
+    refineNegatives(cands, queries, idCol, vecCol, full, k)
+  }
+
+  /** Stage 2 of both indexed miners: exact cosine re-rank of the
+    * shortlist on the full vectors (id equi join, candidate-pool-sized),
+    * same rounded metric and tie order as the exact [[hardNegatives]]. */
+  private def refineNegatives(cands: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String,
+                              full: DataFrame, k: Int): DataFrame = {
     val fullV = full.select(col(idCol), col(vecCol).as("__v"),
       norm2(col(vecCol)).as("__n"))
     val qf = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
@@ -1282,7 +1328,8 @@ object VectorOps {
     * cell argmin reads the unsliced vector alongside them. */
   def pqEncodeWithCells(embeddings: DataFrame, idCol: String,
                         vecCol: String, cents: Seq[(Long, Seq[Double])],
-                        codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+                        codebooks: Seq[Seq[(Long, Seq[Double])]],
+                        carry: Seq[String] = Nil): DataFrame = {
     require(cents.nonEmpty, "at least one centroid")
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
     val sub = codebooks.head.head._2.length
@@ -1297,12 +1344,12 @@ object VectorOps {
       if (cents.size <= ArgminLiteralMaxK) embeddings
       else embeddings.join(broadcast(cellsFrame(embeddings, cents)))
     val sliced = withCodebooksCol(
-      base.select(col(idCol) +:
+      base.select((col(idCol) +: carry.map(col)) ++
         (codebooks.indices.map(j =>
           slice(v, j * sub + 1, sub).as(s"__s$j")) :+ cidCol.as("cid")): _*),
       codebooks)
-    sliced.select(col(idCol),
-      array(subspaceCodeCols(codebooks): _*).as("codes"), col("cid"))
+    sliced.select((col(idCol) +: carry.map(col)) ++
+      Seq(array(subspaceCodeCols(codebooks): _*).as("codes"), col("cid")): _*)
   }
 
   /** Materialize the COMPOSED IVF-PQ index — the billion-scale serving
@@ -1317,10 +1364,11 @@ object VectorOps {
   def writeIvfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame,
                       codebooks: Seq[Seq[(Long, Seq[Double])]], dir: String,
-                      numFiles: Int = 16): Unit = {
+                      numFiles: Int = 16,
+                      carry: Seq[String] = Nil): Unit = {
     graft.sinks.LayoutSink.writeRangeLayout(
       pqEncodeWithCells(embeddings, idCol, vecCol, collectCentroids(centroids),
-        codebooks),
+        codebooks, carry),
       "cid", numFiles, s"$dir/codes")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     writeCodebooks(embeddings.sparkSession, codebooks, dir)

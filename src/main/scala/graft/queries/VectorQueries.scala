@@ -840,6 +840,33 @@ object VectorQueries {
         .orderBy("qid")
     }),
 
+    // ---------------------------------------------------------------- x109
+    // The ROUTED hard-negative miner — x107 with x76's cell routing as
+    // stage 1: a mining batch reads ~nprobe/k of the range-laid index
+    // (cid equi join behind parquet min/max pruning; m bytes + one label
+    // per touched vector) instead of x107's all-codes ADC scan, with the
+    // label-mismatch predicate still BEFORE the per-query heap cut and
+    // the exact cosine re-rank touching only survivors. The deployed
+    // 100 TB mining form; oracle replays k-means routing, codebooks,
+    // encode, the label-filtered routed ADC cut, and the re-rank.
+    "x109_hard_negatives_routed" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x109_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx,
+        carry = Seq("label"))
+      VectorOps.hardNegativesRouted(
+          e.filter(col("vec_id") % KnnQueryMod === 0), "vec_id", "embedding",
+          "label", e, KnnK, PqCandidates, NProbe,
+          VectorOps.collectCentroids(s.read.parquet(s"$idx/centroids")),
+          VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+        .orderBy("qid", "rk")
+    }),
+
     // ----------------------------------------------------------------- x87
     // The residual twin of x76 — routed BATCH kNN served off the STORED
     // residual index: every sampled query's probe cells compute as a
@@ -1944,6 +1971,7 @@ object VectorQueries {
     "x103_hard_negatives" -> hardNegativesSql,
     "x107_hard_negatives_indexed" -> hardNegativesIndexedSql,
     "x108_hard_negative_recall" -> hardNegativeRecallSql,
+    "x109_hard_negatives_routed" -> hardNegativesRoutedSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.
     "x43_knn_native" -> knnJoinSql,
@@ -2098,6 +2126,50 @@ object VectorQueries {
        |  round(coalesce(n_indexed, 0) / n_exact::DOUBLE, 4) AS recall
        |FROM ne LEFT JOIN ni USING (qid)
        |ORDER BY qid""".stripMargin
+
+  /** x109: the routed miner's replay — k-means chain, per-query probe
+    * cells, the label-filtered ADC cut restricted to probed cells, exact
+    * cosine re-rank of survivors
+    * ([[graft.operators.VectorOps.hardNegativesRouted]]). The base
+    * relation folds the label into the assigned rows so pqJoinsSql's
+    * USING (vec_id) stays unambiguous. */
+  private def hardNegativesRoutedSql: String =
+    s"""WITH $kmeansSql,
+       |$assignCte,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c$KmeansIters c)
+       |  WHERE rn <= $NProbe),
+       |radcp AS (
+       |  SELECT q.qid, a.vec_id, a.label AS neg_label,
+       |    round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |  FROM (SELECT s.vec_id, s.cid, e.label FROM assign s
+       |        JOIN embeddings e USING (vec_id)) a
+       |  JOIN probes p ON a.cid = p.cid
+       |  JOIN q ON q.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> q.qid AND a.label <> q.ql),
+       |radcr AS (
+       |  SELECT qid, vec_id, neg_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS rk FROM radcp)
+       |  WHERE rk <= $PqCandidates),
+       |rrefp AS (
+       |  SELECT a.qid, a.vec_id, a.neg_label,
+       |    ${cosSql("e.embedding", "q.qv")} AS sim_r
+       |  FROM radcr a JOIN embeddings e USING (vec_id)
+       |  JOIN q ON q.qid = a.qid)
+       |SELECT qid, vec_id, neg_label, sim_r, rk FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim_r DESC, vec_id) AS INT) AS rk FROM rrefp)
+       |WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin
 
   /** [[knnJoinSql]] with the query's label carried and the mismatch
     * predicate applied before ranking — the replay of

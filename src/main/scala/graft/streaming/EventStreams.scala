@@ -752,6 +752,88 @@ object EventStreams {
       }
       .start()
 
+  /** [[seedSeenBloom]] plus the history seed the ROTATING maintainer
+    * needs: a filter resize cannot be an OR-merge, so the rebuild's
+    * source of truth — the fingerprint history — must be materialized
+    * from day one. Seeded through the same marker-gated exactly-once
+    * layout the maintainer appends to (seed batch id −1, below every
+    * micro-batch id). */
+  def seedSeenBloomWithHistory(history: DataFrame, fpCol: String,
+                               nBits: Int, numProbes: Int,
+                               bloomDir: String, histDir: String): Unit = {
+    seedSeenBloom(history, fpCol, nBits, numProbes, bloomDir)
+    graft.sinks.LayoutSink.appendExactlyOnce(
+      history.select(col(fpCol).as("fp")), histDir, -1L): Unit
+  }
+
+  /** [[maintainSeenBloom]] with the pl14 saturation lifecycle composed
+    * in — the streaming tier's escape from fixed-geometry saturation
+    * (a filter whose geometry never changes silently widens the
+    * admission confirm-join slice as history grows). Per micro-batch:
+    * (1) the batch's fingerprints APPEND to the exactly-once history
+    * layout (the rebuild's source — a resize cannot be an OR);
+    * (2) the batch OR-absorbs into the stored words under the STORED
+    * geometry, exactly as [[maintainSeenBloom]];
+    * (3) the absorbed filter's EXACT integer fill ppm (driver popcount
+    * of the one bounded words row) gates the write: under the threshold
+    * the absorbed words persist as v<batchId+1>; past it the next
+    * version is REBUILT from the full history at the pl14-sized
+    * geometry — smallest power of two holding 2·|history|·probes bits,
+    * floored at 2× the outgoing size (a bare doubling of a badly
+    * undersized filter comes back still saturated).
+    *
+    * Replay-convergent like every maintainer here, including THROUGH a
+    * rotation: the history append is marker-gated idempotent, the
+    * absorb is idempotent OR over inputs ≤ batchId, the fill check is a
+    * pure function of the absorbed words, and a replayed rebuild
+    * re-reads exactly the same history rows (later batches cannot have
+    * run yet when batchId replays) — identical bits either way
+    * (spec-pinned by a fresh-checkpoint replay). */
+  def maintainSeenBloomRotating(
+      arrivals: DataFrame,
+      fpCol: String,
+      checkpointDir: String,
+      bloomDir: String,
+      histDir: String,
+      rotateFillPpm: Long = 500000L): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        graft.sinks.LayoutSink.appendExactlyOnce(
+          batch.select(col(fpCol).as("fp")), histDir, batchId): Unit
+        val prev = spark.read.parquet(versionAtMost(bloomDir, batchId))
+        val prevRow = prev.select("n_bits", "n_probes").head()
+        val (nb, np) = (prevRow.getInt(0), prevRow.getInt(1))
+        val absorbed: Array[Long] = batch
+          .agg(graft.operators.Bloom
+            .sketch(xxhash64(col(fpCol)), nb, np).as("bwords"))
+          .crossJoin(broadcast(prev.select(col("words"))))
+          .select(graft.operators.Bloom.orWords(col("words"), col("bwords"))
+            .as("words"))
+          .head().getSeq[Long](0).toArray
+        val pc = absorbed.map(java.lang.Long.bitCount(_).toLong).sum
+        if (pc * 1000000L / nb > rotateFillPpm) {
+          val history = spark.read.parquet(histDir)
+          val need = 2L * history.count() * np
+          var b = 2L * nb
+          while (b < need) b *= 2
+          require(b <= (1L << 30), s"rebuild geometry overflow: $b bits")
+          graft.operators.Bloom.write(
+            history.agg(graft.operators.Bloom
+              .sketch(xxhash64(col("fp")), b.toInt, np).as("words")),
+            "words", b.toInt, np, s"$bloomDir/v${batchId + 1}")
+        } else
+          Seq((absorbed.toSeq, nb, np)).toDF("words", "n_bits", "n_probes")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$bloomDir/v${batchId + 1}")
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+
   private def versionDirs(dir: String): Seq[java.io.File] =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))

@@ -886,4 +886,89 @@ class EventStreamsSpec extends SparkSpec {
       .count()
     assert(missed === 0L)
   }
+
+  test("rotating seen-bloom maintainer: keeps geometry while roomy, " +
+       "rebuilds at the history-sized geometry past 50% fill, loses no " +
+       "member, and a fresh-checkpoint replay converges THROUGH the rotation") {
+    import spark.implicits._
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val history = t.documents.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+    val arrivals0 = t.documents.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+    // 700 genuinely-fresh fingerprints: batch 0 (450-doc history + 50
+    // arrivals = 500 members, ≤ 1500 distinct bits collision-free) can
+    // never reach 2048 of 4096 — keep, by bound; batch 1 takes the
+    // member count to 1200 (3600 probe inserts, expected fill ≈ 58%) —
+    // past 50% with wide margin on this fixed data
+    val arrivals1 = spark.range(700)
+      .select((col("id") + 100000L).as("doc_id"),
+        concat(lit("fresh"), col("id")).as("fp"))
+    val (nb, np) = (4096, 3)
+    val bloomDir = java.nio.file.Files
+      .createTempDirectory("graft-bloomrot").toString
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft-bloomrot-hist").toString
+    EventStreams.seedSeenBloomWithHistory(history, "fp", nb, np,
+      bloomDir, histDir)
+    val arrivalsDir = java.nio.file.Files
+      .createTempDirectory("graft-bloomrot-stream").toString
+    Seq(arrivals0 -> ("arrivals_0", 60000L),
+        arrivals1 -> ("arrivals_1", 30000L)).foreach {
+      case (b, (name, ageMs)) =>
+        val staging = java.nio.file.Files
+          .createTempDirectory("graft-bloomrot-split").toString
+        b.select(col("doc_id"), col("fp").as("text")).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        new java.io.File(staging).listFiles()
+          .filter(_.getName.endsWith(".parquet")).take(1)
+          .foreach { f =>
+            val dst = java.nio.file.Paths.get(arrivalsDir, s"$name.parquet")
+            java.nio.file.Files.copy(f.toPath, dst)
+            // pin micro-batch ORDER: the file source picks up files by
+            // modification time, and the keep-then-rotate assertions
+            // below are order-sensitive
+            dst.toFile.setLastModified(System.currentTimeMillis() - ageMs)
+          }
+    }
+    def run(): Unit = {
+      val q = EventStreams.maintainSeenBloomRotating(
+        EventStreams.readDocuments(spark, arrivalsDir)
+          .select(col("text").as("fp")),
+        "fp",
+        java.nio.file.Files.createTempDirectory("graft-bloomrot-ckpt").toString,
+        bloomDir, histDir)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    // batch 0 (the 50 real arrivals) stays under 50% fill → geometry kept
+    val v1 = spark.read.parquet(s"$bloomDir/v1")
+    assert(v1.select("n_bits").head().getInt(0) === nb)
+    // batch 1 (700 fresh) blows past it → rebuilt from the FULL history
+    // at the sized geometry: smallest pow2 ≥ max(2·4096, 2·1200·3 = 7200)
+    val v2 = spark.read.parquet(s"$bloomDir/v2")
+    val nb2 = v2.select("n_bits").head().getInt(0)
+    assert(nb2 === 8192, s"expected history-sized rebuild, got $nb2 bits")
+    assert(v2.select("n_probes").head().getInt(0) === np)
+    // no member lost through the rotation: every fingerprint ever seen
+    // hits the rebuilt filter
+    val all = history.unionByName(arrivals0).unionByName(arrivals1)
+    val missed = all.crossJoin(broadcast(v2.select(col("words"))))
+      .filter(!graft.operators.Bloom.mightContain(
+        col("words"), xxhash64(col("fp")), nb2, np))
+      .count()
+    assert(missed === 0L)
+    // replay convergence THROUGH the rotation: a full re-run from a
+    // fresh checkpoint (same dirs) must leave both versions bit-identical
+    val words2 = v2.select(explode(col("words"))).as[Long].collect().toSeq
+    run()
+    val v2b = spark.read.parquet(s"$bloomDir/v2")
+    assert(v2b.select("n_bits").head().getInt(0) === nb2)
+    assert(v2b.select(explode(col("words"))).as[Long].collect().toSeq
+      === words2)
+    graft.GraftCache.release()
+  }
 }

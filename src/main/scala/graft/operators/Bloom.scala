@@ -96,13 +96,22 @@ object Bloom {
 
   /** Prune with the filter words as ONE array literal (a single
     * `Literal` node holding nBits/64 longs — not a per-element
-    * expression tree, so no plan/codegen blow-up at any sane filter
-    * size). The filter becomes an ordinary probe-side predicate that
-    * sits directly over the scan, BELOW any later exchange — the shape
-    * join reordering cannot undo, and the right one ahead of a shuffle
-    * join. Fetching the words is one driver-side row of nBits/8 bytes
-    * (8 KiB–1 MiB at practical geometries); beyond ~tens of MiB a
-    * broadcast-variable form would be preferable to a plan constant. */
+    * expression tree, so no codegen blow-up). The filter becomes an
+    * ordinary probe-side predicate that sits directly over the scan,
+    * BELOW any later exchange — the shape join reordering cannot undo,
+    * and the right one ahead of a shuffle join. Fetching the words is
+    * one driver-side row of nBits/8 bytes.
+    *
+    * GEOMETRY CEILING (measured): [[mightContain]] references its words
+    * argument once per probe, so the literal lands numProbes times in
+    * the predicate tree, and Catalyst's per-rule tree processing pays
+    * for the array value far above its byte size — a 16K-long literal
+    * (1 Mi-bit filter, 4 probes) measured ~3 s of driver-side plan work
+    * PER RUN (pl14, round 15). Keep this form under ~1–2K words
+    * (≤ 128 Ki-bit filters); above that, ship the words as DATA — a
+    * one-row local-relation broadcast cross join (the [[admit]] shape),
+    * which carries the array in an InternalRow the tree rules never
+    * traverse. */
   def pruneInline(probe: DataFrame, probeHash: Column, words: Array[Long],
                   nBits: Int, numProbes: Int): DataFrame =
     probe.filter(mightContain(typedlit(words), probeHash, nBits, numProbes))

@@ -993,9 +993,17 @@ object TextQueries {
         val rotate = fillPpm > RotateFillPpm
         val servedBits = if (rotate) rebuildBits(nBits) else nBits
         val servedWords = if (rotate) wordsAt(servedBits) else w0
-        val screened = arrivals.withColumn("__maybe",
-          Bloom.mightContain(typedlit(servedWords),
+        // served words ride as DATA (a one-row local relation broadcast),
+        // not as an expression-tree literal: mightContain references its
+        // words argument once per probe, and a 16K-long array literal
+        // copied into four probe subtrees measured ~3 s/run of pure
+        // driver-side tree processing at the roomy geometry
+        import s.implicits._
+        val servedDf = Seq(Tuple1(servedWords.toSeq)).toDF("words")
+        val screened = arrivals.crossJoin(broadcast(servedDf))
+          .withColumn("__maybe", Bloom.mightContain(col("words"),
             TextOps.md5Hash60(col("fp")), servedBits, probes))
+          .drop("words")
         val admitted = screened.filter(!col("__maybe"))
           .unionByName(screened.filter(col("__maybe"))
             .join(history.select("fp").distinct(), Seq("fp"), "left_anti"))

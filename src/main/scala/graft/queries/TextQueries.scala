@@ -967,8 +967,9 @@ object TextQueries {
       // which is exactly when re-sizing is free: smallest power of two
       // holding 2·|history|·probes bits (≤50% fill with headroom), floored
       // at 2× the outgoing geometry. A bare doubling of a badly
-      // undersized filter would come back still saturated.
-      val nHist = history.count()
+      // undersized filter would come back still saturated. Lazy: the
+      // count job only runs when a scenario actually rotates.
+      lazy val nHist = history.count()
       def rebuildBits(nBits: Int): Int = {
         var b = 2L * nBits
         while (b < 2L * nHist * probes) b *= 2
@@ -1000,10 +1001,14 @@ object TextQueries {
         // driver-side tree processing at the roomy geometry
         import s.implicits._
         val servedDf = Seq(Tuple1(servedWords.toSeq)).toDF("words")
-        val screened = arrivals.crossJoin(broadcast(servedDf))
-          .withColumn("__maybe", Bloom.mightContain(col("words"),
-            TextOps.md5Hash60(col("fp")), servedBits, probes))
-          .drop("words")
+        // persisted: the screened frame feeds the stats agg and BOTH
+        // admission branches — three consumers, one arrivals
+        // fingerprint pass (the pl8 discipline)
+        val screened = GraftCache.persist(
+          arrivals.crossJoin(broadcast(servedDf))
+            .withColumn("__maybe", Bloom.mightContain(col("words"),
+              TextOps.md5Hash60(col("fp")), servedBits, probes))
+            .drop("words"))
         val admitted = screened.filter(!col("__maybe"))
           .unionByName(screened.filter(col("__maybe"))
             .join(history.select("fp").distinct(), Seq("fp"), "left_anti"))
@@ -2256,32 +2261,48 @@ object TextQueries {
     * same greedy-merge CTE machinery, and summarize per document. Both
     * sides of the production boundary are replayed — rules derived from
     * the sample, serving over everything. */
+  /** The lead/in-symbol-rank CTE every merge pass starts from. */
+  private def bpeLeadCte(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT id, pos, sym,
+       |    lead(sym) OVER (PARTITION BY id ORDER BY pos) AS nsym,
+       |    row_number() OVER (PARTITION BY id, sym ORDER BY pos) AS rnsym
+       |  FROM $src)""".stripMargin
+
+  /** One greedy merge pass applied to a prepared lead relation, as three
+    * CTEs — THE shared machinery of every BPE oracle (x100/x101/x105/
+    * x106): mstart vs the 1-row rule relation (self-pairs merge at odd
+    * in-run ranks — the gaps-and-islands arithmetic exists exactly
+    * once), consumed = predecessor merged, survivors re-numbered and
+    * rewritten into `out`. */
+  private def bpeMergePassCtes(leadRel: String, ruleRel: String,
+                               flag: String, cons: String,
+                               out: String): String =
+    s"""$flag AS MATERIALIZED (
+       |  SELECT n.id, n.pos, n.sym, n.nsym,
+       |    n.sym = b.a AND n.nsym = b.b AND (b.a <> b.b OR
+       |      (row_number() OVER (PARTITION BY n.id, n.sym, n.pos - n.rnsym
+       |                          ORDER BY n.pos)) % 2 = 1) AS mstart
+       |  FROM $leadRel n CROSS JOIN $ruleRel b),
+       |$cons AS MATERIALIZED (
+       |  SELECT id, pos, sym, nsym, mstart,
+       |    coalesce(lag(mstart) OVER (PARTITION BY id ORDER BY pos),
+       |             false) AS consumed
+       |  FROM $flag),
+       |$out AS MATERIALIZED (
+       |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY pos) AS pos,
+       |    CASE WHEN mstart THEN sym || ' ' || nsym ELSE sym END AS sym
+       |  FROM $cons WHERE NOT consumed)""".stripMargin
+
   private def bpeSampledApplySql: String = {
     val i = BpeApplyIters
     val samplePred =
       s"WHERE ${md5h("CAST(doc_id AS VARCHAR)")} % $BpeSampleBuckets" +
         s" < $BpeSamplePerMille"
     val applyChain = (1 to i).map { j =>
-      s"""u$j AS MATERIALIZED (
-         |  SELECT id, pos, sym,
-         |    lead(sym) OVER (PARTITION BY id ORDER BY pos) AS nsym,
-         |    row_number() OVER (PARTITION BY id, sym ORDER BY pos) AS rnsym
-         |  FROM t${j - 1}),
-         |v$j AS MATERIALIZED (
-         |  SELECT u.id, u.pos, u.sym, u.nsym,
-         |    u.sym = b.a AND u.nsym = b.b AND (b.a <> b.b OR
-         |      (row_number() OVER (PARTITION BY u.id, u.sym, u.pos - u.rnsym
-         |                          ORDER BY u.pos)) % 2 = 1) AS mstart
-         |  FROM u$j u CROSS JOIN b$j b),
-         |w$j AS MATERIALIZED (
-         |  SELECT id, pos, sym, nsym, mstart,
-         |    coalesce(lag(mstart) OVER (PARTITION BY id ORDER BY pos),
-         |             false) AS consumed
-         |  FROM v$j),
-         |t$j AS MATERIALIZED (
-         |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY pos) AS pos,
-         |    CASE WHEN mstart THEN sym || ' ' || nsym ELSE sym END AS sym
-         |  FROM w$j WHERE NOT consumed)""".stripMargin
+      s"""${bpeLeadCte(s"u$j", s"t${j - 1}")},
+         |${bpeMergePassCtes(s"u$j", s"b$j", s"v$j", s"w$j", s"t$j")}"""
+        .stripMargin
     }.mkString(",\n")
     s"""${bpeChainSql(i, samplePred)},
        |toked_full AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -2299,30 +2320,12 @@ object TextQueries {
 
   private def bpeChainSql(iters: Int, where: String = ""): String = {
     val chain = (1 to iters).map { i =>
-      s"""n$i AS MATERIALIZED (
-         |  SELECT id, pos, sym,
-         |    lead(sym) OVER (PARTITION BY id ORDER BY pos) AS nsym,
-         |    row_number() OVER (PARTITION BY id, sym ORDER BY pos) AS rnsym
-         |  FROM s${i - 1}),
+      s"""${bpeLeadCte(s"n$i", s"s${i - 1}")},
          |b$i AS MATERIALIZED (
          |  SELECT sym AS a, nsym AS b, count(*) AS c FROM n$i
          |  WHERE nsym IS NOT NULL
          |  GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1),
-         |f$i AS MATERIALIZED (
-         |  SELECT n.id, n.pos, n.sym, n.nsym,
-         |    n.sym = b.a AND n.nsym = b.b AND (b.a <> b.b OR
-         |      (row_number() OVER (PARTITION BY n.id, n.sym, n.pos - n.rnsym
-         |                          ORDER BY n.pos)) % 2 = 1) AS mstart
-         |  FROM n$i n CROSS JOIN b$i b),
-         |g$i AS MATERIALIZED (
-         |  SELECT id, pos, sym, nsym, mstart,
-         |    coalesce(lag(mstart) OVER (PARTITION BY id ORDER BY pos),
-         |             false) AS consumed
-         |  FROM f$i),
-         |s$i AS MATERIALIZED (
-         |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY pos) AS pos,
-         |    CASE WHEN mstart THEN sym || ' ' || nsym ELSE sym END AS sym
-         |  FROM g$i WHERE NOT consumed),
+         |${bpeMergePassCtes(s"n$i", s"b$i", s"f$i", s"g$i", s"s$i")},
          |r$i AS (
          |  SELECT $i AS it, a AS sym_a, b AS sym_b, c AS pair_n,
          |    (SELECT count(*) FROM g$i WHERE mstart) AS n_merged

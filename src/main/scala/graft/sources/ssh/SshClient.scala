@@ -114,14 +114,12 @@ final class SshClient(host: String, port: Int, user: String, password: String,
               val mp = r.uint32()
               // a peer max-packet at or below the 64-byte framing headroom
               // would make every write grant 0 bytes and spin forever —
-              // fail the open instead (round-14 advice); the peer thinks
-              // the channel opened, so close it on the wire too
-              if (mp < 256L) {
-                ch.openFailure = s"implausible peer max packet $mp"
-                transport.writePacket(new W().putByte(Msg.ChannelClose)
-                  .putUInt32(ch.remoteId).bytes)
-              } else ch.remoteMaxPacket = mp.toInt
-              ch.opened.countDown()
+              // fail the open instead (round-14 advice)
+              if (mp < 256L) ch.failOpen(s"implausible peer max packet $mp")
+              else {
+                ch.remoteMaxPacket = mp.toInt
+                ch.opened.countDown()
+              }
             }
           case Msg.ChannelOpenFailure =>
             val ch = channels.get(r.uint32())
@@ -260,6 +258,18 @@ private[ssh] final class SshChannel(client: SshClient, localId: Long) {
     if (adjust > 0L && remoteId >= 0 && !closeSent)
       client.send(new W().putByte(Msg.ChannelWindowAdjust)
         .putUInt32(remoteId).putUInt32(adjust).bytes)
+  }
+
+  /** Open-failure path for a confirmed-but-unusable channel: record the
+    * reason, close on the wire (the peer believes the channel opened)
+    * THROUGH the close-once machinery — so the peer's reciprocal
+    * CHANNEL_CLOSE finds closeSent already set and cannot trigger a
+    * second CLOSE for an id the peer has discarded (strict peers
+    * disconnect the whole multiplexed session on that). */
+  def failOpen(reason: String): Unit = {
+    openFailure = reason
+    sendCloseOnce()
+    opened.countDown()
   }
 
   def deliverEof(): Unit = inQueue.put(Eof)

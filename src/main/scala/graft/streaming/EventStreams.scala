@@ -816,6 +816,19 @@ object EventStreams {
           .head().getSeq[Long](0).toArray
         val pc = absorbed.map(java.lang.Long.bitCount(_).toLong).sum
         if (pc * 1000000L / nb > rotateFillPpm) {
+          // Guard: the rebuild treats histDir as the filter's source of
+          // truth. A filter seeded with plain [[seedSeenBloom]] (no
+          // history seed) would rebuild WITHOUT every seeded member and
+          // silently re-admit them all forever — fail fast instead.
+          val seedMarker =
+            new org.apache.hadoop.fs.Path(histDir, "_batch-1.done")
+          val fs = seedMarker.getFileSystem(
+            spark.sessionState.newHadoopConf())
+          require(fs.exists(seedMarker),
+            s"rotation requires a seeded history: $histDir lacks the " +
+              "seedSeenBloomWithHistory seed marker (_batch-1.done); " +
+              "rebuilding from a partial history would drop every " +
+              "seeded member")
           val history = spark.read.parquet(histDir)
           val need = 2L * history.count() * np
           var b = 2L * nb
@@ -826,9 +839,9 @@ object EventStreams {
               .sketch(xxhash64(col("fp")), b.toInt, np).as("words")),
             "words", b.toInt, np, s"$bloomDir/v${batchId + 1}")
         } else
-          Seq((absorbed.toSeq, nb, np)).toDF("words", "n_bits", "n_probes")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$bloomDir/v${batchId + 1}")
+          graft.operators.Bloom.write(
+            Seq(Tuple1(absorbed.toSeq)).toDF("words"),
+            "words", nb, np, s"$bloomDir/v${batchId + 1}")
         graft.GraftCache.release()
         ()
       }

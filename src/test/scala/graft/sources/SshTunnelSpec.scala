@@ -164,6 +164,42 @@ class SshTunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("a peer-supplied packet length below the RFC 4253 minimum aborts " +
+       "the connection with a protocol error, not an array exception") {
+    // round-14 advice: len 1..11 passed the old bounds check and made the
+    // encrypted path's restLen negative; the pre-key plaintext path's
+    // copyOfRange similarly underflowed. A fake server that speaks the
+    // version exchange and then frames garbage with len=5 must produce a
+    // LOUD IOException mentioning the implausible length.
+    val srv = new java.net.ServerSocket(
+      0, 5, java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val s = srv.accept()
+        val out = s.getOutputStream
+        out.write("SSH-2.0-fakesrv\r\n".getBytes("UTF-8"))
+        out.flush()
+        // drain the client's version line, then send a 4-byte length
+        // field of 5 followed by 5 garbage bytes
+        val in = s.getInputStream
+        var c = in.read()
+        while (c != -1 && c != '\n') c = in.read()
+        out.write(Array[Byte](0, 0, 0, 5, 9, 9, 9, 9, 9))
+        out.flush()
+        Thread.sleep(2000)
+        s.close()
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    try {
+      val e = intercept[Exception](new graft.sources.ssh.SshClient(
+        "127.0.0.1", srv.getLocalPort, "pac", "s3cret", _ => true))
+      assert(e.getMessage.contains("implausible packet length"),
+        s"expected the checkLen protocol error, got: $e")
+    } finally srv.close()
+  }
+
   test("hop to a dead target: open() fails cleanly (CHANNEL_OPEN_FAILURE), " +
        "session survives for the next relay") {
     val probe = new ServerSocket(0); val deadPort = probe.getLocalPort

@@ -57,7 +57,22 @@ object Bloom {
     require(nBits >= 64 && (nBits & (nBits - 1)) == 0,
       s"nBits must be a power of two >= 64, got $nBits")
     require(numProbes > 0, s"numProbes must be positive, got $numProbes")
-    val m = lit((nBits - 1).toLong)
+    mightContainDyn(words, hash, lit(nBits), numProbes)
+  }
+
+  /** [[mightContain]] with the geometry as a COLUMN — the probe form the
+    * sharded frame needs, where each shard row carries its own `n_bits`
+    * (shards rotate independently, so geometries diverge). Same probe
+    * scheme; the mask is computed per row instead of folded at plan time
+    * (still all codegen'd builtins — when `nBits` is a literal, constant
+    * folding collapses it to the static form's plan). `nBits` values must
+    * individually satisfy the power-of-two contract; that is enforced at
+    * filter BUILD time ([[sketch]]'s require), and geometry travels with
+    * the stored artifact, so a probe can only ever see built values. */
+  def mightContainDyn(words: Column, hash: Column, nBits: Column,
+                      numProbes: Int): Column = {
+    require(numProbes > 0, s"numProbes must be positive, got $numProbes")
+    val m = nBits.cast("long") - lit(1L)
     val base = hash.bitwiseAND(m)
     val step = shiftrightunsigned(hash, 20).bitwiseAND(m).bitwiseOR(lit(1L))
     (0 until numProbes).map { i =>
@@ -143,4 +158,157 @@ object Bloom {
       .join(history.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     definiteNew.unionByName(confirmed)
   }
+
+  // ------------------------------------------------------- sharded filter
+
+  /** SHARDED filter frame — the scale form of the stored admission filter
+    * (round-15 verdict #1: a single one-row filter is hard-capped at 2^30
+    * bits ≈ 130 M members at 4 probes; 100 TB of documents is 10⁹–10¹²
+    * fingerprints). The fingerprint space is partitioned by hash bits the
+    * probe scheme never reads: shard = (h >>> 50) & (nShards−1). The
+    * frame holds exactly `nShards` rows
+    *   (shard, words, n_bits, n_probes, n_shards)
+    * with PER-SHARD geometry (`n_bits` is a row value, not a frame
+    * constant), so shards rotate independently and total capacity is
+    * nShards · 2^30 bits — 2^40 at the 1024-shard ceiling, ~10¹¹ members
+    * at ≤50% fill. Probing routes each row to its shard's frame row via a
+    * broadcast hash join (nShards tiny rows), the dynamic-geometry
+    * [[mightContainDyn]] tests membership, and the driver only ever
+    * touches per-shard SCALARS (fill ppm, member counts) — never a words
+    * array: popcounts run distributedly via [[shardFill]].
+    *
+    * Routing bits 50..59 are disjoint from the probe scheme's base (bits
+    * 0..29 at the 2^30/shard ceiling) and step (bits 20..49) windows, and
+    * exist in both engine hash families (the 60-bit oracle-replayable
+    * [[graft.functions.Md5Hash60]] and 64-bit `xxhash64`) — hence the
+    * 1024-shard ceiling (10 routing bits under the 60-bit hash). */
+  val ShardShift = 50
+
+  /** Largest supported shard count: 10 routing bits (see [[ShardShift]]). */
+  val MaxShards = 1024
+
+  private def requireShards(nShards: Int): Unit =
+    require(nShards >= 1 && nShards <= MaxShards &&
+        (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two in [1, $MaxShards], got $nShards")
+
+  /** Shard id of a hash: top routing bits, masked to the shard count. */
+  def shardOf(hash: Column, nShards: Int): Column = {
+    requireShards(nShards)
+    shiftrightunsigned(hash, ShardShift)
+      .bitwiseAND(lit((nShards - 1).toLong)).cast("int")
+  }
+
+  /** All-zero words for an empty shard — built with `array_repeat`, not a
+    * big array literal (a multi-thousand-element `Literal` measured ~3 s
+    * per run of driver-side tree processing — see [[pruneInline]]). */
+  private def zeroWords(nBits: Column): Column =
+    array_repeat(lit(0L), (nBits.cast("int") / 64).cast("int"))
+
+  /** Build the sharded frame over `items` at a uniform starting geometry:
+    * one groupBy-shard aggregation (map-side partial combine — only
+    * nShards · nBits/8 bytes cross the wire), then a left join against
+    * the full shard range so EMPTY shards materialize as zero-words rows
+    * (every consumer — absorb, probe, fill — relies on the frame being
+    * total over shard ids). */
+  def sketchSharded(items: DataFrame, hash: Column, nBitsPerShard: Int,
+                    numProbes: Int, nShards: Int): DataFrame = {
+    requireShards(nShards)
+    val built = items.groupBy(shardOf(hash, nShards).as("shard"))
+      .agg(sketch(hash, nBitsPerShard, numProbes).as("words"))
+    items.sparkSession.range(nShards)
+      .select(col("id").cast("int").as("shard"))
+      .join(built, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("words"), zeroWords(lit(nBitsPerShard))).as("words"),
+        lit(nBitsPerShard).as("n_bits"), lit(numProbes).as("n_probes"),
+        lit(nShards).as("n_shards"))
+  }
+
+  /** Build shard rows at PER-SHARD geometries (the rebuild primitive):
+    * one aggregation job per DISTINCT target `n_bits` (bounded by the ~25
+    * possible powers of two, in practice 1–2), each covering only its
+    * shards' slice of `items`. Returns exactly one row per target shard,
+    * zero-words rows included. */
+  def sketchShardedAt(items: DataFrame, hash: Column, targets: Map[Int, Int],
+                      numProbes: Int, nShards: Int): DataFrame = {
+    requireShards(nShards)
+    require(targets.nonEmpty, "sketchShardedAt requires at least one target shard")
+    val spark = items.sparkSession
+    targets.groupBy(_._2).map { case (nb, entries) =>
+      val ids = entries.keys.toSeq
+      val built = items.filter(shardOf(hash, nShards).isin(ids: _*))
+        .groupBy(shardOf(hash, nShards).as("shard"))
+        .agg(sketch(hash, nb, numProbes).as("words"))
+      import spark.implicits._
+      ids.toDF("shard").join(built, Seq("shard"), "left")
+        .select(col("shard"),
+          coalesce(col("words"), zeroWords(lit(nb))).as("words"),
+          lit(nb).as("n_bits"), lit(numProbes).as("n_probes"),
+          lit(nShards).as("n_shards"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Route each probe row to its shard and test membership under that
+    * shard's stored geometry — adds a `__maybe` column. The frame
+    * broadcasts (nShards rows); the join key is the derived shard id, so
+    * the test sits directly over the probe scan, below any later
+    * exchange. */
+  def screenSharded(probe: DataFrame, probeHash: Column, frame: DataFrame,
+                    numProbes: Int, nShards: Int): DataFrame =
+    probe.withColumn("__shard", shardOf(probeHash, nShards))
+      .join(broadcast(frame.select(col("shard").as("__shard"),
+        col("words").as("__w"), col("n_bits").as("__nb"))), Seq("__shard"), "left")
+      .withColumn("__maybe", coalesce(
+        mightContainDyn(col("__w"), probeHash, col("__nb"), numProbes),
+        lit(false)))
+      .drop("__shard", "__w", "__nb")
+
+  /** [[admit]] through the sharded frame: identical exact-result contract
+    * (== arrivals ANTI-JOIN history at any FP rate); the shard routing
+    * only changes which filter row screens each arrival. */
+  def admitSharded(arrivals: DataFrame, history: DataFrame, fpCol: String,
+                   frame: DataFrame, numProbes: Int, nShards: Int): DataFrame = {
+    val screened = screenSharded(arrivals, xxhash64(col(fpCol)), frame,
+      numProbes, nShards)
+    val definiteNew = screened.filter(!col("__maybe")).drop("__maybe")
+    val confirmed = screened.filter(col("__maybe")).drop("__maybe")
+      .join(history.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+    definiteNew.unionByName(confirmed)
+  }
+
+  /** Exact per-shard fill, in ppm of each shard's own geometry — the
+    * rotation decision number, computed DISTRIBUTEDLY (bit_count folded
+    * over the words inside the scan; the driver collects nShards scalar
+    * rows, never a words array). Decimal floor-division keeps the
+    * arithmetic bit-identical to integer `popcount·10⁶ / n_bits` (a
+    * double division could round across the threshold). */
+  def shardFill(frame: DataFrame): DataFrame =
+    frame.select(col("shard"), col("n_bits"),
+      floor(aggregate(col("words"), lit(0L), (acc, w) => acc + bit_count(w))
+          .cast("decimal(38,0)") * 1000000 / col("n_bits"))
+        .cast("long").as("fill_ppm"))
+
+  /** Rebuild geometry for one saturated shard: smallest power of two
+    * holding 2·members·probes bits (≤50% target fill with headroom),
+    * floored at 2× the outgoing size — a bare doubling of a badly
+    * undersized filter comes back still saturated. The per-SHARD 2^30
+    * ceiling still applies (it is what sharding exists to multiply);
+    * overflowing it means the shard count, not the geometry, is
+    * undersized. */
+  def rebuildBitsFor(outBits: Int, members: Long, numProbes: Int): Int = {
+    var b = 2L * outBits
+    while (b < 2L * members * numProbes) b *= 2
+    require(b <= (1L << 30),
+      s"per-shard rebuild geometry overflow: $b bits — increase nShards")
+    b.toInt
+  }
+
+  /** Store / rehydrate the sharded frame (nShards rows; geometry rides
+    * per row, so a reader cannot probe any shard with the wrong scheme). */
+  def writeSharded(frame: DataFrame, path: String): Unit =
+    frame.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def readSharded(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -331,4 +331,115 @@ class SketchGraphSpec extends SparkSpec {
     assert(back.select(explode(col("words"))).as[Long].collect().toSeq ==
       bloomDf.select(explode(col("bf"))).as[Long].collect().toSeq)
   }
+
+  // --------------------------------------------------- sharded bloom filter
+
+  test("sharded bloom at nShards=1 is bit-identical to the monolithic filter " +
+       "and the dynamic-geometry reader matches the static one") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val members = Seq.fill(1500)(rnd.nextLong()).distinct
+    val frame = Bloom.sketchSharded(members.toDF("h"), col("h"), 8192, 4, 1)
+    val shardedWords = frame.select(explode(col("words")).as("w"))
+      .as[Long].collect().toSeq
+    assert(shardedWords == bloomWords(members, 8192, 4, 8),
+      "single-shard frame must carry the monolithic filter's exact bits")
+    assert(frame.select("shard", "n_bits", "n_probes", "n_shards")
+      .as[(Int, Int, Int, Int)].head() == ((0, 8192, 4, 1)))
+    // every member hits through the shard-routed reader
+    val missed = Bloom.screenSharded(members.toDF("h"), col("h"), frame, 4, 1)
+      .filter(!col("__maybe")).count()
+    assert(missed === 0L)
+  }
+
+  test("sharded bloom: frame is total over shards (empties as zero words), " +
+       "no false negatives across shards, admitSharded == exact anti-join") {
+    import spark.implicits._
+    val nS = 8
+    // skew the hash top bits so some shards are EMPTY by construction:
+    // only route to shards 0..2
+    val rnd = new scala.util.Random(37)
+    def hashIn(shard: Long): Long =
+      (rnd.nextLong() & ((1L << Bloom.ShardShift) - 1)) | (shard << Bloom.ShardShift)
+    val history = (Seq.fill(600)(hashIn(0)) ++ Seq.fill(600)(hashIn(1)) ++
+      Seq.fill(600)(hashIn(2))).distinct
+    val frame = Bloom.sketchSharded(history.toDF("h"), col("h"), 1024, 4, nS)
+    assert(frame.count() === nS.toLong, "frame must have one row per shard")
+    val emptyFills = Bloom.shardFill(frame)
+      .filter(col("shard") >= 3).select("fill_ppm").as[Long].collect()
+    assert(emptyFills.forall(_ == 0L), "empty shards must be zero-filled")
+    // no false negatives at a deliberately tight geometry
+    val missed = Bloom.screenSharded(history.toDF("h"), col("h"), frame, 4, nS)
+      .filter(!col("__maybe")).count()
+    assert(missed === 0L)
+    // admitSharded is exact at any FP rate (tight geometry → many FPs):
+    // screen on fingerprint STRINGS like the production path
+    val histFp = (1 to 400).map(i => s"doc-$i").toDF("fp")
+    val arrFp = (201 to 600).map(i => s"doc-$i").toDF("fp")
+    val fpFrame = Bloom.sketchSharded(histFp, xxhash64(col("fp")), 256, 4, nS)
+    val admitted = Bloom.admitSharded(arrFp, histFp, "fp", fpFrame, 4, nS)
+      .select("fp").as[String].collect().toSet
+    assert(admitted == (401 to 600).map(i => s"doc-$i").toSet)
+  }
+
+  test("sharded bloom: per-shard rebuild at diverged geometries keeps every " +
+       "member findable and shardFill matches a driver popcount") {
+    import spark.implicits._
+    val nS = 4
+    val rnd = new scala.util.Random(41)
+    val members = Seq.fill(3000)(rnd.nextLong()).distinct
+    val frame = Bloom.sketchSharded(members.toDF("h"), col("h"), 512, 4, nS)
+    // shardFill == exact driver popcount, shard by shard
+    val fills = Bloom.shardFill(frame).select("shard", "fill_ppm")
+      .as[(Int, Long)].collect().toMap
+    val driverFills = frame.select("shard", "words")
+      .as[(Int, Seq[Long])].collect().map { case (s, w) =>
+        s -> w.map(java.lang.Long.bitCount(_).toLong).sum * 1000000L / 512L
+      }.toMap
+    assert(fills == driverFills)
+    // rotate shards 1 and 3 to different, larger geometries
+    val counts = members.toDF("h")
+      .groupBy(Bloom.shardOf(col("h"), nS).as("shard")).count()
+      .as[(Int, Long)].collect().toMap
+    val targets = Map(
+      1 -> Bloom.rebuildBitsFor(512, counts(1), 4),
+      3 -> Bloom.rebuildBitsFor(512, counts(3) * 4, 4)) // force distinct sizes
+    val rebuilt = Bloom.sketchShardedAt(members.toDF("h"), col("h"),
+      targets, 4, nS)
+    assert(rebuilt.select("shard", "n_bits").as[(Int, Int)].collect().toMap
+      == targets)
+    val served = frame.filter(!col("shard").isin(1, 3)).unionByName(rebuilt)
+    assert(served.count() === nS.toLong)
+    val missed = Bloom.screenSharded(members.toDF("h"), col("h"), served, 4, nS)
+      .filter(!col("__maybe")).count()
+    assert(missed === 0L, "mixed per-shard geometries must keep all members")
+    // rebuilt shards actually decongested: fill dropped on shard 1
+    val fills2 = Bloom.shardFill(served).select("shard", "fill_ppm")
+      .as[(Int, Long)].collect().toMap
+    assert(fills2(1) < fills(1))
+  }
+
+  test("sharded bloom rebuildBitsFor: pow2 sizing with the 2x floor and the " +
+       "per-shard ceiling") {
+    assert(Bloom.rebuildBitsFor(64, 0, 4) === 128)       // floor: 2x outgoing
+    assert(Bloom.rebuildBitsFor(64, 1000, 4) === 8192)   // 2*1000*4=8000 -> 8192
+    assert(Bloom.rebuildBitsFor(1 << 20, 100, 4) === (1 << 21))
+    intercept[IllegalArgumentException] {
+      Bloom.rebuildBitsFor(1 << 29, (1L << 40), 4)       // needs > 2^30/shard
+    }
+  }
+
+  test("sharded bloom write/read roundtrip preserves per-shard rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_shard_spec").toString
+    val members = Seq.fill(800)(new scala.util.Random(43).nextLong())
+    val frame = Bloom.sketchSharded(members.toDF("h"), col("h"), 2048, 4, 4)
+    Bloom.writeSharded(frame, s"$dir/frame")
+    val back = Bloom.readSharded(spark, s"$dir/frame")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("shard", "words", "n_bits", "n_probes", "n_shards")
+        .as[(Int, Seq[Long], Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(key(back) == key(frame))
+  }
 }

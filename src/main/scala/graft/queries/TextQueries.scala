@@ -88,6 +88,17 @@ object TextQueries {
   val BloomTightBits = 64
   val IncrementalMod = 10
 
+  /** x110 SHARDED Bloom lifecycle (round-15 verdict #1): the monolithic
+    * filter's 2^30-bit ceiling caps history at ~130 M fingerprints; the
+    * sharded frame multiplies that by the shard count (fingerprint top
+    * bits route to per-shard filters that rotate INDEPENDENTLY). Gate
+    * geometry: 4 shards; the roomy per-shard size keeps every shard under
+    * the fill threshold at every test SF, the tight one saturates every
+    * non-empty shard — both decision branches replayed per shard. */
+  val BloomShards = 4
+  val ShardRoomyBits = 1 << 18
+  val ShardTightBits = 64
+
   /** Tombstone membership for the band-index delete gate (x79): within
     * the standing corpus (doc_id % [[IncrementalMod]] ≠ 0), documents
     * with doc_id % 3 = 0 are removed in the new snapshot — a residue
@@ -837,13 +848,16 @@ object TextQueries {
         withFp.groupBy("fp").agg(min("doc_id").as("doc_id")),
         Seq("fp", "doc_id"), "left_semi"))
       val histFps = corpus.select(TextOps.fingerprint(col("text")).as("fp"))
+      // the stored seen-filter is the SHARDED frame (x110 tier) — at
+      // 100 TB the history's fingerprints exceed any single filter's
+      // 2^30-bit ceiling; shard routing costs one broadcast hash join on
+      // nShards tiny rows and the admission result stays the exact
+      // anti-join (FP-invariant), so this gate's oracle is unchanged
       val bloomPath = SinkQueries.sinkDir("pl8_seen_bloom")
-      Bloom.write(histFps.agg(Bloom.sketch(xxhash64(col("fp")),
-          CoreQueries.BloomBits, CoreQueries.BloomProbes).as("words")),
-        "words", CoreQueries.BloomBits, CoreQueries.BloomProbes, bloomPath)
-      val fresh = GraftCache.persist(Bloom.admit(exact, histFps, "fp",
-        Bloom.read(s, bloomPath), CoreQueries.BloomBits,
-        CoreQueries.BloomProbes))
+      Bloom.writeSharded(Bloom.sketchSharded(histFps, xxhash64(col("fp")),
+        CoreQueries.BloomBits, CoreQueries.BloomProbes, BloomShards), bloomPath)
+      val fresh = GraftCache.persist(Bloom.admitSharded(exact, histFps, "fp",
+        Bloom.readSharded(s, bloomPath), CoreQueries.BloomProbes, BloomShards))
       val flagged = TextOps.minhashNearDupsAgainstIndex(
           fresh.select("doc_id", "text"), s.read.parquet(idx), corpus,
           "doc_id", "text", NearDupThreshold)
@@ -966,49 +980,34 @@ object TextQueries {
       // rebuild must re-read history anyway (word-wise OR cannot resize),
       // which is exactly when re-sizing is free: smallest power of two
       // holding 2·|history|·probes bits (≤50% fill with headroom), floored
-      // at 2× the outgoing geometry. A bare doubling of a badly
-      // undersized filter would come back still saturated. Lazy: the
+      // at 2× the outgoing geometry ([[Bloom.rebuildBitsFor]]). Lazy: the
       // count job only runs when a scenario actually rotates.
       lazy val nHist = history.count()
-      def rebuildBits(nBits: Int): Int = {
-        var b = 2L * nBits
-        while (b < 2L * nHist * probes) b *= 2
-        require(b <= (1L << 30), s"rebuild geometry overflow: $b bits")
-        b.toInt
-      }
-      // One bounded row of nBits/8 bytes per build — fetched to the
-      // driver so (a) fill popcount is plain Long.bitCount arithmetic
-      // and (b) the screen is an INLINE-LITERAL predicate over the
-      // arrivals scan (the x98 below-the-shuffle shape), not a
-      // broadcast join. The KEEP branch then costs exactly ONE history
-      // pass (production: zero — it reads the stored words); only a
-      // rotate pays the rebuild pass, which any resize must.
-      def wordsAt(nBits: Int): Array[Long] =
-        history.agg(Bloom.sketch(TextOps.md5Hash60(col("fp")),
-          nBits, probes).as("words")).head.getSeq[Long](0).toArray
+      // Serving goes through the SHARDED frame at nShards = 1 — the
+      // monolithic lifecycle is the single-shard special case of the
+      // x110 tier (same bits, same probe scheme, same fill/rebuild
+      // arithmetic, so this gate's oracle is unchanged). The driver only
+      // ever reads the fill SCALAR ([[Bloom.shardFill]] popcounts inside
+      // the scan); the words stay executor-side and the screen routes
+      // through a broadcast hash join on the shard key — nothing fetches
+      // or re-broadcasts an nBits/8-byte array at any geometry, which
+      // retires the measured 16K-long-literal driver tax outright.
+      val hashC = TextOps.md5Hash60(col("fp"))
+      def frameAt(nBits: Int): DataFrame = GraftCache.persist(
+        Bloom.sketchSharded(history, hashC, nBits, probes, 1))
       def scenario(name: String, nBits: Int): DataFrame = {
-        val w0 = wordsAt(nBits)
-        // exact integer fill: popcount of the filter words in ppm
-        val pc = w0.map(java.lang.Long.bitCount(_).toLong).sum
-        val fillPpm = pc * 1000000L / nBits
+        val f0 = frameAt(nBits)
+        // exact integer fill ppm — one scalar row to the driver
+        val fillPpm = Bloom.shardFill(f0).select("fill_ppm").head.getLong(0)
         val rotate = fillPpm > RotateFillPpm
-        val servedBits = if (rotate) rebuildBits(nBits) else nBits
-        val servedWords = if (rotate) wordsAt(servedBits) else w0
-        // served words ride as DATA (a one-row local relation broadcast),
-        // not as an expression-tree literal: mightContain references its
-        // words argument once per probe, and a 16K-long array literal
-        // copied into four probe subtrees measured ~3 s/run of pure
-        // driver-side tree processing at the roomy geometry
-        import s.implicits._
-        val servedDf = Seq(Tuple1(servedWords.toSeq)).toDF("words")
+        val servedBits =
+          if (rotate) Bloom.rebuildBitsFor(nBits, nHist, probes) else nBits
+        val served = if (rotate) frameAt(servedBits) else f0
         // persisted: the screened frame feeds the stats agg and BOTH
         // admission branches — three consumers, one arrivals
         // fingerprint pass (the pl8 discipline)
         val screened = GraftCache.persist(
-          arrivals.crossJoin(broadcast(servedDf))
-            .withColumn("__maybe", Bloom.mightContain(col("words"),
-              TextOps.md5Hash60(col("fp")), servedBits, probes))
-            .drop("words"))
+          Bloom.screenSharded(arrivals, hashC, served, probes, 1))
         val admitted = screened.filter(!col("__maybe"))
           .unionByName(screened.filter(col("__maybe"))
             .join(history.select("fp").distinct(), Seq("fp"), "left_anti"))
@@ -1024,6 +1023,90 @@ object TextQueries {
       scenario("1_roomy", BloomRoomyBits)
         .unionByName(scenario("2_saturated", BloomTightBits))
         .orderBy("scenario")
+    }),
+
+    // ---------------------------------------------------------------- x110
+    // SHARDED Bloom saturation lifecycle — pl14 at the 100 TB operating
+    // point (round-15 verdict #1): the monolithic filter is hard-capped at
+    // 2^30 bits in one words row (~130 M members at 4 probes), and its
+    // rotate branch popcounts the whole array on the driver. Here the
+    // fingerprint space shards on hash top bits (routing bits the probe
+    // scheme never reads), the filter is a frame of per-shard rows with
+    // PER-SHARD geometry, fill is popcounted DISTRIBUTEDLY (the driver
+    // collects nShards scalars, never words), saturated shards rebuild
+    // INDEPENDENTLY at geometry sized from their own member count, and
+    // the serve routes each arrival to its shard row via a broadcast hash
+    // join. Like pl14 the filter is built on the md5 oracle hash, so
+    // DuckDB replays every shard's BITS: per-shard fill ppm, decision,
+    // rebuilt geometry, and the served screen's hit/miss split — plus the
+    // exact per-shard admission count (geometry-invariant).
+    "x110_sharded_bloom_rotate" -> ((s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val nS = BloomShards
+      val probes = CoreQueries.BloomProbes
+      val h = TextOps.md5Hash60(col("fp"))
+      val history = GraftCache.persist(
+        t.documents.filter(col("doc_id") % IncrementalMod =!= 0)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")))
+      val arrivals = GraftCache.persist(
+        t.documents.filter(col("doc_id") % IncrementalMod === 0)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+          .unionByName(t.documents
+            .filter(col("doc_id") % IncrementalMod === 1)
+            .select((col("doc_id") + ReplayIdOffset).as("doc_id"),
+              TextOps.fingerprint(col("text")).as("fp")))
+          .withColumn("shard", Bloom.shardOf(h, nS)))
+      // the rebuild-sizing input: nShards bounded scalar rows
+      val histCounts = history.groupBy(Bloom.shardOf(h, nS).as("shard"))
+        .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+      def scenario(name: String, nBits: Int): DataFrame = {
+        val frame = GraftCache.persist(
+          Bloom.sketchSharded(history, h, nBits, probes, nS))
+        // decision inputs: nShards scalar rows (exact integer fill ppm)
+        val fills = Bloom.shardFill(frame).select("shard", "fill_ppm")
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val targets: Map[Int, Int] = fills.collect {
+          case (sh, ppm) if ppm > RotateFillPpm =>
+            sh -> Bloom.rebuildBitsFor(nBits, histCounts(sh), probes)
+        }
+        val served = GraftCache.persist(
+          if (targets.isEmpty) frame
+          else frame.filter(!col("shard").isin(targets.keys.toSeq: _*))
+            .unionByName(
+              Bloom.sketchShardedAt(history, h, targets, probes, nS)))
+        val screened = GraftCache.persist(Bloom.screenSharded(
+          arrivals, h, served, probes, nS))
+        val admitted = screened.filter(!col("__maybe"))
+          .unionByName(screened.filter(col("__maybe"))
+            .join(history.select("fp").distinct(), Seq("fp"), "left_anti"))
+        val stats = screened.groupBy("shard")
+          .agg(count(lit(1)).as("n_arrived"),
+            sum(when(col("__maybe"), 0L).otherwise(1L)).as("n_miss"),
+            sum(when(col("__maybe"), 1L).otherwise(0L)).as("n_hit"))
+        val adm = admitted.groupBy("shard")
+          .agg(count(lit(1)).as("n_admitted"))
+        val info = (0 until nS).map { sh =>
+          val rotate = fills(sh) > RotateFillPpm
+          (name, sh, histCounts(sh), fills(sh),
+            if (rotate) "rotate" else "keep",
+            (if (rotate) targets(sh) else nBits).toLong)
+        }.toDF("scenario", "shard", "n_hist", "fill_ppm", "decision",
+          "served_bits")
+        info.join(stats, Seq("shard"), "left")
+          .join(adm, Seq("shard"), "left")
+          .select(col("scenario"), col("shard").cast("long").as("shard"),
+            col("n_hist"), col("fill_ppm"), col("decision"),
+            col("served_bits"),
+            coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
+            coalesce(col("n_miss"), lit(0L)).as("n_miss"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"))
+      }
+      scenario("1_roomy", ShardRoomyBits)
+        .unionByName(scenario("2_saturated", ShardTightBits))
+        .orderBy("scenario", "shard")
     }),
 
     // ---------------------------------------------------------------- x102
@@ -1492,6 +1575,97 @@ object TextQueries {
        |) ORDER BY scenario""".stripMargin
   }
 
+  /** x110: [[bloomRotateSql]] generalized per shard — every arithmetic
+    * step gains a `shard` grouping key (shard = hash top routing bits),
+    * the served geometry becomes a per-shard COLUMN joined into the
+    * probe-position expressions, and both the fill decision and the
+    * rebuild sizing replay independently per shard. */
+  private def shardedBloomRotateSql: String = {
+    val p = CoreQueries.BloomProbes
+    val nS = BloomShards
+    // probe position with the mask as a correlated column (g.nb - 1)
+    def posExpr(hExpr: String) =
+      s"((($hExpr & (g.nb-1)) + u.i * ((($hExpr >> 20) & (g.nb-1)) | 1)) & (g.nb-1))"
+    def posExprConst(hExpr: String, mExpr: String) =
+      s"((($hExpr & $mExpr) + u.i * ((($hExpr >> 20) & $mExpr) | 1)) & $mExpr)"
+    def scenarioCtes(tag: String, initBits: Int) =
+      s"""hpos_$tag AS (
+         |  SELECT DISTINCT shard, ${posExprConst("h", (initBits - 1).toString)} AS pos
+         |  FROM hh, UNNEST(range(0, $p)) u(i)),
+         |fill_$tag AS (
+         |  SELECT shard, count(*) * 1000000 // $initBits AS ppm
+         |  FROM hpos_$tag GROUP BY 1),
+         |geo_$tag AS (
+         |  SELECT s.shard,
+         |    CAST(coalesce(f.ppm, 0) AS BIGINT) AS ppm,
+         |    CASE WHEN coalesce(f.ppm, 0) > $RotateFillPpm THEN 'rotate'
+         |      ELSE 'keep' END AS decision,
+         |    CAST(CASE WHEN coalesce(f.ppm, 0) > $RotateFillPpm THEN
+         |      (SELECT min(1::BIGINT << k.k) FROM range(6, 31) k(k)
+         |       WHERE (1::BIGINT << k.k) >= GREATEST(${2L * initBits},
+         |         2 * coalesce(c.n, 0) * $p))
+         |      ELSE $initBits END AS BIGINT) AS nb,
+         |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_hist
+         |  FROM shards s LEFT JOIN fill_$tag f ON s.shard = f.shard
+         |    LEFT JOIN hcnt c ON s.shard = c.shard),
+         |hpos2_$tag AS (
+         |  SELECT DISTINCT hh.shard, ${posExpr("hh.h")} AS pos
+         |  FROM hh JOIN geo_$tag g ON hh.shard = g.shard,
+         |    UNNEST(range(0, $p)) u(i)),
+         |apos_$tag AS (
+         |  SELECT a.doc_id, a.shard, ${posExpr("a.h")} AS pos
+         |  FROM ah a JOIN geo_$tag g ON a.shard = g.shard,
+         |    UNNEST(range(0, $p)) u(i)),
+         |amaybe_$tag AS (
+         |  SELECT a.doc_id, a.shard, bool_and(hp.pos IS NOT NULL) AS maybe
+         |  FROM apos_$tag a LEFT JOIN hpos2_$tag hp
+         |    ON a.shard = hp.shard AND a.pos = hp.pos
+         |  GROUP BY 1, 2),
+         |stats_$tag AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_arrived,
+         |    CAST(count(*) FILTER (WHERE NOT maybe) AS BIGINT) AS n_miss,
+         |    CAST(count(*) FILTER (WHERE maybe) AS BIGINT) AS n_hit
+         |  FROM amaybe_$tag GROUP BY 1)""".stripMargin
+    def scenarioSelect(name: String, tag: String) =
+      s"""SELECT '$name' AS scenario, g.shard, g.n_hist, g.ppm AS fill_ppm,
+         |  g.decision, g.nb AS served_bits,
+         |  CAST(coalesce(st.n_arrived, 0) AS BIGINT) AS n_arrived,
+         |  CAST(coalesce(st.n_miss, 0) AS BIGINT) AS n_miss,
+         |  CAST(coalesce(st.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(ad.n, 0) AS BIGINT) AS n_admitted
+         |FROM geo_$tag g LEFT JOIN stats_$tag st ON g.shard = st.shard
+         |  LEFT JOIN admg ad ON g.shard = ad.shard""".stripMargin
+    s"""WITH fps AS (
+       |  SELECT doc_id,
+       |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |histfp AS (
+       |  SELECT fp FROM fps WHERE doc_id % $IncrementalMod <> 0),
+       |arr AS (
+       |  SELECT doc_id, fp FROM fps WHERE doc_id % $IncrementalMod = 0
+       |  UNION ALL
+       |  SELECT doc_id + $ReplayIdOffset AS doc_id, fp FROM fps
+       |  WHERE doc_id % $IncrementalMod = 1),
+       |hh AS (
+       |  SELECT h, (h >> ${Bloom.ShardShift}) & ${nS - 1} AS shard
+       |  FROM (SELECT ${md5h("fp")} AS h FROM histfp)),
+       |ah AS (
+       |  SELECT doc_id, fp, h, (h >> ${Bloom.ShardShift}) & ${nS - 1} AS shard
+       |  FROM (SELECT doc_id, fp, ${md5h("fp")} AS h FROM arr)),
+       |shards AS (SELECT k AS shard FROM range(0, $nS) r(k)),
+       |hcnt AS (SELECT shard, count(*) AS n FROM hh GROUP BY 1),
+       |admg AS (
+       |  SELECT shard, count(*) AS n FROM ah
+       |  WHERE fp NOT IN (SELECT fp FROM histfp) GROUP BY 1),
+       |${scenarioCtes("r", ShardRoomyBits)},
+       |${scenarioCtes("t", ShardTightBits)}
+       |SELECT * FROM (
+       |${scenarioSelect("1_roomy", "r")}
+       |UNION ALL
+       |${scenarioSelect("2_saturated", "t")}
+       |) ORDER BY scenario, shard""".stripMargin
+  }
+
   /** Replays x45: the x39 screen arithmetic at the fuzzy threshold,
     * aggregated per flagged TRAIN document. */
   private def fuzzyDecontamSql: String =
@@ -1916,6 +2090,7 @@ object TextQueries {
       s"doc_id % $IncrementalMod <> 0 AND doc_id % $BandDeleteMod <> 0"),
     "pl8_nightly_ingest" -> nightlyIngestSql,
     "pl14_bloom_rotate" -> bloomRotateSql,
+    "x110_sharded_bloom_rotate" -> shardedBloomRotateSql,
     "x45_fuzzy_decontam" -> fuzzyDecontamSql,
     "x47_unicode_dedup" ->
       """WITH v AS (

@@ -466,7 +466,7 @@ object EventStreams {
         val internal = graft.operators.TextOps
           .minhashNearDups(batch, "doc_id", "text", threshold)
           .select("id_a", "id_b")
-        val labels = spark.read.parquet(latestLabelVersion(labelsDir))
+        val labels = spark.read.parquet(latestLabelVersion(spark, labelsDir))
         graft.operators.Dedup
           .incrementalComponents(labels, cross.unionByName(internal),
             "id_a", "id_b")
@@ -552,9 +552,9 @@ object EventStreams {
           // exists — this is what makes the recomputed decision identical.
           val cents = graft.operators.VectorOps.collectCentroids(
             spark.read.parquet(
-              versionAtMost(s"$indexDir/centroids", batchId)))
+              versionAtMost(spark, s"$indexDir/centroids", batchId)))
           val standing = spark.read
-            .parquet(versionAtMost(s"$indexDir/cellcounts", batchId))
+            .parquet(versionAtMost(spark, s"$indexDir/cellcounts", batchId))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           val bCounts = graft.operators.VectorOps
             .collectCellCounts(b, "vec_id", "embedding", cents)
@@ -651,7 +651,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        spark.read.parquet(latestLabelVersion(sketchDir)).select(col("h"))
+        spark.read.parquet(latestLabelVersion(spark, sketchDir)).select(col("h"))
           .unionByName(batch
             .select(graft.operators.TextOps
               .md5Hash60(col(keyCol).cast("string")).as("h")))
@@ -692,7 +692,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        spark.read.parquet(versionAtMost(histDir, batchId))
+        spark.read.parquet(versionAtMost(spark, histDir, batchId))
           .unionByName(graft.operators.Aggregations
             .logHistogramBuckets(batch, valueCol))
           .groupBy("msb", "sub").agg(sum("c").as("c"))
@@ -734,7 +734,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val prev = spark.read.parquet(versionAtMost(bloomDir, batchId))
+        val prev = spark.read.parquet(versionAtMost(spark, bloomDir, batchId))
         val prevRow = prev.select("n_bits", "n_probes").head()
         val (nb, np) = (prevRow.getInt(0), prevRow.getInt(1))
         batch
@@ -752,44 +752,128 @@ object EventStreams {
       }
       .start()
 
-  /** [[seedSeenBloom]] plus the history seed the ROTATING maintainer
-    * needs: a filter resize cannot be an OR-merge, so the rebuild's
-    * source of truth — the fingerprint history — must be materialized
-    * from day one. Seeded through the same marker-gated exactly-once
+  /** Seed the SHARDED rotating maintainer: the standing history folds
+    * into the sharded frame v0 ([[graft.operators.Bloom.sketchSharded]];
+    * per-shard geometry travels with the artifact) and the history
+    * fingerprints materialize through the same marker-gated exactly-once
     * layout the maintainer appends to (seed batch id −1, below every
-    * micro-batch id). */
-  def seedSeenBloomWithHistory(history: DataFrame, fpCol: String,
-                               nBits: Int, numProbes: Int,
-                               bloomDir: String, histDir: String): Unit = {
-    seedSeenBloom(history, fpCol, nBits, numProbes, bloomDir)
+    * micro-batch id) — a filter resize cannot be an OR-merge, so the
+    * rebuild's source of truth must exist from day one. `base_req` = 0
+    * is the rotation watermark: versions record the newest rebuild
+    * request they have cut over to (see [[maintainSeenBloomSharded]]). */
+  def seedSeenBloomSharded(history: DataFrame, fpCol: String,
+                           nBitsPerShard: Int, numProbes: Int, nShards: Int,
+                           bloomDir: String, histDir: String): Unit = {
+    graft.operators.Bloom.writeSharded(
+      graft.operators.Bloom.sketchSharded(history.select(col(fpCol)),
+          xxhash64(col(fpCol)), nBitsPerShard, numProbes, nShards)
+        .withColumn("base_req", lit(0L)),
+      s"$bloomDir/v0")
     graft.sinks.LayoutSink.appendExactlyOnce(
       history.select(col(fpCol).as("fp")), histDir, -1L): Unit
   }
 
-  /** [[maintainSeenBloom]] with the pl14 saturation lifecycle composed
-    * in — the streaming tier's escape from fixed-geometry saturation
-    * (a filter whose geometry never changes silently widens the
-    * admission confirm-join slice as history grows). Per micro-batch:
+  private val FrameCols =
+    Seq("shard", "words", "n_bits", "n_probes", "n_shards")
+
+  /** OR-absorb per-shard sketch rows into a frame (geometries must match
+    * per shard — guaranteed because the sketch side is always built AT
+    * the frame's stored geometry). `delta` may cover a subset of shards;
+    * missing shards pass through unchanged. */
+  private def orFrames(frame: DataFrame, delta: DataFrame): DataFrame =
+    frame.join(delta.select(col("shard"), col("words").as("__dw")),
+        Seq("shard"), "left")
+      .select(col("shard"),
+        when(col("__dw").isNull, col("words"))
+          .otherwise(graft.operators.Bloom.orWords(col("words"), col("__dw")))
+          .as("words"),
+        col("n_bits"), col("n_probes"), col("n_shards"))
+
+  /** The on-disk parquet part files of specific history batches — the
+    * exactly-once layout names parts `batch<id>-part<i>.parquet`, so a
+    * bounded id range reads without scanning the whole table. */
+  private def historyBatchFiles(spark: SparkSession, histDir: String,
+                                ids: Seq[Long]): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(histDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ids.flatMap { k =>
+      Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, s"batch$k-part*.parquet")))
+        .toSeq.flatten.map(_.getPath.toString)
+    }
+  }
+
+  /** Highest batch id committed to the history layout (marker files). */
+  private def historyMaxBatch(spark: SparkSession, histDir: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(histDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val ids = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "_batch*.done")))
+      .toSeq.flatten
+      .map(_.getPath.getName.stripPrefix("_batch").stripSuffix(".done").toLong)
+    require(ids.nonEmpty, s"no committed history batches under $histDir")
+    ids.max
+  }
+
+  private def rotationRequestIds(spark: SparkSession,
+                                 bloomDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(bloomDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "rotate-req-*")))
+      .toSeq.flatten
+      .map(_.getPath.getName.stripPrefix("rotate-req-").toLong)
+  }
+
+  private def readRotationRequest(spark: SparkSession, bloomDir: String,
+                                  reqId: Long): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(bloomDir, s"rotate-req-$reqId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    } finally in.close()
+  }
+
+  /** [[maintainSeenBloom]] over the SHARDED frame with the saturation
+    * lifecycle DECOUPLED from ingest (round-15 verdict #1 + #2): the old
+    * rotating maintainer was capped at 2^30 bits in one words row,
+    * popcounted it on the driver, and the threshold-tripping micro-batch
+    * paid a FULL history re-sketch inline — O(|history|) ingest latency.
+    * Here, per micro-batch, inline work is O(|batch|) plus nShards-row
+    * frame ops, always:
     * (1) the batch's fingerprints APPEND to the exactly-once history
-    * layout (the rebuild's source — a resize cannot be an OR);
-    * (2) the batch OR-absorbs into the stored words under the STORED
-    * geometry, exactly as [[maintainSeenBloom]];
-    * (3) the absorbed filter's EXACT integer fill ppm (driver popcount
-    * of the one bounded words row) gates the write: under the threshold
-    * the absorbed words persist as v<batchId+1>; past it the next
-    * version is REBUILT from the full history at the pl14-sized
-    * geometry — smallest power of two holding 2·|history|·probes bits,
-    * floored at 2× the outgoing size (a bare doubling of a badly
-    * undersized filter comes back still saturated).
+    *     layout;
+    * (2) if a COMPLETED rebuild artifact is pending (written offline by
+    *     [[rebuildRotation]]) and newer than the frame's `base_req`
+    *     watermark, CUT OVER: rotated shards take the rebuilt rows,
+    *     OR-absorbing any history batches the rebuild had not yet seen
+    *     (its recorded `hist_max` bounds that re-read to the handful of
+    *     interim batches — never the full history); untouched shards keep
+    *     their absorbed rows;
+    * (3) the batch OR-absorbs into every shard at its stored geometry
+    *     ([[graft.operators.Bloom.sketchShardedAt]] — one aggregation per
+    *     distinct live geometry), and v<batchId+1> is written;
+    * (4) per-shard fill ppm (popcounted DISTRIBUTEDLY inside the scan of
+    *     the nShards-row frame) gates a rotation REQUEST: a small marker
+    *     file naming the saturated shards — no rebuild work in-stream.
+    *     One request can be outstanding at a time (requests below the
+    *     watermark are consumed, above it deduplicated).
     *
-    * Replay-convergent like every maintainer here, including THROUGH a
-    * rotation: the history append is marker-gated idempotent, the
-    * absorb is idempotent OR over inputs ≤ batchId, the fill check is a
-    * pure function of the absorbed words, and a replayed rebuild
-    * re-reads exactly the same history rows (later batches cannot have
-    * run yet when batchId replays) — identical bits either way
-    * (spec-pinned by a fresh-checkpoint replay). */
-  def maintainSeenBloomRotating(
+    * Serving invariant at EVERY version, rotation in flight or not: no
+    * false negatives — each version's member set is all fingerprints of
+    * batches ≤ its id (absorbs are idempotent ORs; the rebuild re-reads
+    * the marker-committed history). Replay convergence THROUGH the async
+    * rotation holds for the FINAL artifact: pre-cutover versions may
+    * legitimately differ between a first run and a full fresh-checkpoint
+    * replay (a replay that finds the pending artifact already complete
+    * cuts over earlier), but every post-cutover version absorbs the same
+    * member set at the same geometry, so the bits converge — the
+    * spec pins final-version bit-identity plus the per-version
+    * no-false-negative invariant. */
+  def maintainSeenBloomSharded(
       arrivals: DataFrame,
       fpCol: String,
       checkpointDir: String,
@@ -801,72 +885,151 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
         graft.sinks.LayoutSink.appendExactlyOnce(
           batch.select(col(fpCol).as("fp")), histDir, batchId): Unit
-        val prev = spark.read.parquet(versionAtMost(bloomDir, batchId))
-        val prevRow = prev.select("n_bits", "n_probes").head()
-        val (nb, np) = (prevRow.getInt(0), prevRow.getInt(1))
-        val absorbed: Array[Long] = batch
-          .agg(graft.operators.Bloom
-            .sketch(xxhash64(col(fpCol)), nb, np).as("bwords"))
-          .crossJoin(broadcast(prev.select(col("words"))))
-          .select(graft.operators.Bloom.orWords(col("words"), col("bwords"))
-            .as("words"))
-          .head().getSeq[Long](0).toArray
-        val pc = absorbed.map(java.lang.Long.bitCount(_).toLong).sum
-        if (pc * 1000000L / nb > rotateFillPpm) {
-          // Guard: the rebuild treats histDir as the filter's source of
-          // truth. A filter seeded with plain [[seedSeenBloom]] (no
-          // history seed) would rebuild WITHOUT every seeded member and
-          // silently re-admit them all forever — fail fast instead.
-          val seedMarker =
-            new org.apache.hadoop.fs.Path(histDir, "_batch-1.done")
-          val fs = seedMarker.getFileSystem(
-            spark.sessionState.newHadoopConf())
-          require(fs.exists(seedMarker),
+        val prev = spark.read.parquet(versionAtMost(spark, bloomDir, batchId))
+        // bounded scalar collects: per-shard geometry + frame constants
+        val geo = prev.select("shard", "n_bits").collect()
+          .map(r => r.getInt(0) -> r.getInt(1)).toMap
+        val meta = prev.select("n_probes", "n_shards", "base_req").head()
+        val (np, nS, baseReq) = (meta.getInt(0), meta.getInt(1), meta.getLong(2))
+        // completed pending rebuild newer than the watermark? cut over
+        val fsDir = new org.apache.hadoop.fs.Path(bloomDir)
+        val fs = fsDir.getFileSystem(spark.sessionState.newHadoopConf())
+        val readyReq = rotationRequestIds(spark, bloomDir)
+          .filter(r => r > baseReq && fs.exists(new org.apache.hadoop.fs.Path(
+            fsDir, s"pending-$r/_SUCCESS")))
+          .sorted.lastOption
+        val (base, servedGeo, newBase) = readyReq match {
+          case Some(r) =>
+            val rebuilt = spark.read.parquet(s"$bloomDir/pending-$r")
+            val histMax = rebuilt.select("hist_max").head().getLong(0)
+            val rotGeo = rebuilt.select("shard", "n_bits").collect()
+              .map(x => x.getInt(0) -> x.getInt(1)).toMap
+            // interim = history batches the rebuild had not seen yet —
+            // bounded by the rebuild-to-cutover gap, never the history
+            val interim = historyBatchFiles(spark, histDir,
+              (histMax + 1) until batchId)
+            val rotatedRows =
+              if (interim.isEmpty) rebuilt.select(FrameCols.map(col): _*)
+              else orFrames(rebuilt.select(FrameCols.map(col): _*),
+                graft.operators.Bloom.sketchShardedAt(
+                  spark.read.parquet(interim: _*), xxhash64(col("fp")),
+                  rotGeo, np, nS))
+            val kept = prev.select(FrameCols.map(col): _*)
+              .filter(!col("shard").isin(rotGeo.keys.toSeq: _*))
+            (kept.unionByName(rotatedRows), geo ++ rotGeo, r)
+          case None => (prev.select(FrameCols.map(col): _*), geo, baseReq)
+        }
+        val batchSk = graft.operators.Bloom.sketchShardedAt(
+          batch.select(col(fpCol).as("fp")), xxhash64(col("fp")),
+          servedGeo, np, nS)
+        graft.operators.Bloom.writeSharded(
+          orFrames(base, batchSk).withColumn("base_req", lit(newBase)),
+          s"$bloomDir/v${batchId + 1}")
+        // rotation decision from the just-written frame (nShards rows;
+        // popcount runs inside the scan, driver sees scalars)
+        val saturated = graft.operators.Bloom.shardFill(
+            spark.read.parquet(s"$bloomDir/v${batchId + 1}"))
+          .filter(col("fill_ppm") > rotateFillPpm)
+          .select("shard").collect().map(_.getInt(0)).sorted
+        // skip when a request is in flight (> watermark), and never
+        // re-issue an id a prior run already used (a replayed batch must
+        // not overwrite a consumed request with a different shard list —
+        // the still-saturated shard simply re-requests at a later batch)
+        val outstanding = rotationRequestIds(spark, bloomDir)
+          .exists(r => r > newBase || r >= batchId + 1)
+        if (saturated.nonEmpty && !outstanding) {
+          // fail fast on an unseeded history: a rebuild from a partial
+          // history would drop every seeded member and silently re-admit
+          // them forever
+          require(fs.exists(new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(histDir), "_batch-1.done")),
             s"rotation requires a seeded history: $histDir lacks the " +
-              "seedSeenBloomWithHistory seed marker (_batch-1.done); " +
-              "rebuilding from a partial history would drop every " +
-              "seeded member")
-          val history = spark.read.parquet(histDir)
-          val need = 2L * history.count() * np
-          var b = 2L * nb
-          while (b < need) b *= 2
-          require(b <= (1L << 30), s"rebuild geometry overflow: $b bits")
-          graft.operators.Bloom.write(
-            history.agg(graft.operators.Bloom
-              .sketch(xxhash64(col("fp")), b.toInt, np).as("words")),
-            "words", b.toInt, np, s"$bloomDir/v${batchId + 1}")
-        } else
-          graft.operators.Bloom.write(
-            Seq(Tuple1(absorbed.toSeq)).toDF("words"),
-            "words", nb, np, s"$bloomDir/v${batchId + 1}")
+              "seedSeenBloomSharded seed marker (_batch-1.done)")
+          val req = fs.create(new org.apache.hadoop.fs.Path(
+            fsDir, s"rotate-req-${batchId + 1}"), true)
+          try req.write(saturated.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally req.close()
+        }
         graft.GraftCache.release()
         ()
       }
       .start()
 
-  private def versionDirs(dir: String): Seq[java.io.File] =
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+  /** The OFFLINE/async half of the rotation (the pl12 versioned-artifact
+    * pattern): serve continues on the absorbed filter while this job
+    * rebuilds the requested shards from the marker-committed history at
+    * geometry sized for each shard's CURRENT member count
+    * ([[graft.operators.Bloom.rebuildBitsFor]]), records the highest
+    * history batch it saw (`hist_max` — the cutover's interim bound),
+    * and publishes atomically under `pending-<reqId>` (parquet `_SUCCESS`
+    * is the done marker the maintainer gates on). Idempotent: re-running
+    * overwrites the same immutable-once-consumed artifact; returns false
+    * when no request is outstanding. */
+  def rebuildRotation(spark: SparkSession, bloomDir: String,
+                      histDir: String): Boolean = {
+    val fsDir = new org.apache.hadoop.fs.Path(bloomDir)
+    val fs = fsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val open = rotationRequestIds(spark, bloomDir).filter(r =>
+      !fs.exists(new org.apache.hadoop.fs.Path(fsDir, s"pending-$r/_SUCCESS")))
+    if (open.isEmpty) return false
+    val reqId = open.max
+    val shards = readRotationRequest(spark, bloomDir, reqId)
+    val latest = spark.read.parquet(latestLabelVersion(spark, bloomDir))
+    val geo = latest.select("shard", "n_bits").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val meta = latest.select("n_probes", "n_shards").head()
+    val (np, nS) = (meta.getInt(0), meta.getInt(1))
+    // pin the batch set FIRST, then read exactly those files — a
+    // concurrent stream may append more batches while this job runs;
+    // hist_max must bound what the artifact actually contains
+    val histMax = historyMaxBatch(spark, histDir)
+    val files = historyBatchFiles(spark, histDir, -1L to histMax)
+    val hist = spark.read.parquet(files: _*)
+    val hash = xxhash64(col("fp"))
+    val counts = hist
+      .filter(graft.operators.Bloom.shardOf(hash, nS).isin(shards: _*))
+      .groupBy(graft.operators.Bloom.shardOf(hash, nS).as("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val targets = shards.map(sh =>
+      sh -> graft.operators.Bloom.rebuildBitsFor(geo(sh), counts(sh), np)).toMap
+    graft.operators.Bloom.sketchShardedAt(hist, hash, targets, np, nS)
+      .withColumn("hist_max", lit(histMax))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$bloomDir/pending-$reqId")
+    true
+  }
 
-  def latestLabelVersion(labelsDir: String): String = {
-    val versions = versionDirs(labelsDir)
+  private def versionDirs(spark: SparkSession,
+                          dir: String): Seq[(Long, String)] = {
+    // Hadoop FileSystem, not java.io.File: version resolution must work
+    // on every scheme the appends do (round-15 advice)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(st => (st.getPath.getName.drop(1).toLong, st.getPath.toString))
+  }
+
+  def latestLabelVersion(spark: SparkSession, labelsDir: String): String = {
+    val versions = versionDirs(spark, labelsDir)
     require(versions.nonEmpty, s"no label snapshots under $labelsDir (seed v0 first)")
-    versions.maxBy(_.getName.drop(1).toLong).getAbsolutePath
+    versions.maxBy(_._1)._2
   }
 
   /** The latest snapshot version numbered ≤ `maxN` — the replay-stable
     * read for a micro-batch with id `maxN`: its own output version is
     * `v<maxN+1>`, so everything ≤ maxN is input state that existed (and
     * can never change) before the batch first ran. */
-  def versionAtMost(dir: String, maxN: Long): String = {
-    val versions = versionDirs(dir)
-      .filter(_.getName.drop(1).toLong <= maxN)
+  def versionAtMost(spark: SparkSession, dir: String, maxN: Long): String = {
+    val versions = versionDirs(spark, dir).filter(_._1 <= maxN)
     require(versions.nonEmpty,
       s"no snapshot version <= v$maxN under $dir (seed v0 first)")
-    versions.maxBy(_.getName.drop(1).toLong).getAbsolutePath
+    versions.maxBy(_._1)._2
   }
 
   /** The reference's batched micro-sink as a streaming sink (SURVEY.md §2.9:

@@ -575,7 +575,7 @@ class EventStreamsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.read
-      .parquet(EventStreams.latestLabelVersion(labelsDir))
+      .parquet(EventStreams.latestLabelVersion(spark, labelsDir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val full = graft.operators.Dedup.connectedComponents(
         graft.operators.TextOps.minhashNearDups(t.documents, "doc_id", "text", 0.5),
@@ -640,11 +640,11 @@ class EventStreamsSpec extends SparkSpec {
     info(log.mkString(", "))
     assert(log.map(_._2).toSeq === Seq("append", "retrain"),
       "in-dist batch must append, shifted batch must retrain")
-    def centsPath = EventStreams.latestLabelVersion(s"$idxDir/centroids")
+    def centsPath = EventStreams.latestLabelVersion(spark, s"$idxDir/centroids")
     def state() = (
       VectorOps.collectCentroids(spark.read.parquet(centsPath)).toSeq,
       spark.read.parquet(
-          EventStreams.latestLabelVersion(s"$idxDir/cellcounts"))
+          EventStreams.latestLabelVersion(spark, s"$idxDir/cellcounts"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
       spark.read.parquet(s"$idxDir/corpus")
         .collect().map(_.getLong(0)).sorted.toSeq)
@@ -767,7 +767,7 @@ class EventStreamsSpec extends SparkSpec {
     }
     runStream()
     def stored() = spark.read
-      .parquet(EventStreams.latestLabelVersion(histDir))
+      .parquet(EventStreams.latestLabelVersion(spark, histDir))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val fromScratch = graft.operators.Aggregations
       .logHistogramBuckets(t.events, "value")
@@ -813,7 +813,7 @@ class EventStreamsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.read
-      .parquet(EventStreams.latestLabelVersion(sketchDir))
+      .parquet(EventStreams.latestLabelVersion(spark, sketchDir))
       .collect().map(_.getLong(0)).sorted.toSeq
     val fromScratch = t.documents
       .select(graft.operators.TextOps
@@ -865,7 +865,7 @@ class EventStreamsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val latest = spark.read
-      .parquet(EventStreams.latestLabelVersion(bloomDir))
+      .parquet(EventStreams.latestLabelVersion(spark, bloomDir))
     assert(latest.select("n_bits", "n_probes").head() ===
       org.apache.spark.sql.Row(nb, np))
     val streamedWords = latest.select(explode(col("words")))
@@ -887,9 +887,11 @@ class EventStreamsSpec extends SparkSpec {
     assert(missed === 0L)
   }
 
-  test("rotating seen-bloom maintainer: keeps geometry while roomy, " +
-       "rebuilds at the history-sized geometry past 50% fill, loses no " +
-       "member, and a fresh-checkpoint replay converges THROUGH the rotation") {
+  test("sharded rotating seen-bloom maintainer: the tripping batch only " +
+       "REQUESTS (O(|batch|) inline — no geometry change, no history scan), " +
+       "the offline rebuild publishes a pending artifact, the next batch " +
+       "cuts over per shard, no member is ever lost, and a fresh-checkpoint " +
+       "replay converges to the same final bits THROUGH the async rotation") {
     import spark.implicits._
     val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
     val history = t.documents.filter(col("doc_id") % 10 =!= 0)
@@ -898,77 +900,128 @@ class EventStreamsSpec extends SparkSpec {
     val arrivals0 = t.documents.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
         graft.operators.TextOps.fingerprint(col("text")).as("fp"))
-    // 700 genuinely-fresh fingerprints: batch 0 (450-doc history + 50
-    // arrivals = 500 members, ≤ 1500 distinct bits collision-free) can
-    // never reach 2048 of 4096 — keep, by bound; batch 1 takes the
-    // member count to 1200 (3600 probe inserts, expected fill ≈ 58%) —
-    // past 50% with wide margin on this fixed data
+    // batch 0: 500 members over 4 shards ≈ 125/shard, 375 probe inserts
+    // into 1024 bits → ~31% fill, under threshold on every shard; batch 1
+    // adds 700 fresh members → ~300/shard, ~900 inserts → expected fill
+    // ≈ 58%, past 50% on every shard with σ-margin on this fixed data
     val arrivals1 = spark.range(700)
       .select((col("id") + 100000L).as("doc_id"),
         concat(lit("fresh"), col("id")).as("fp"))
-    val (nb, np) = (4096, 3)
+    // batch 2: a few more fresh fps — the cutover carrier
+    val arrivals2 = spark.range(40)
+      .select((col("id") + 200000L).as("doc_id"),
+        concat(lit("later"), col("id")).as("fp"))
+    val (nb, np, nS) = (1024, 3, 4)
     val bloomDir = java.nio.file.Files
       .createTempDirectory("graft-bloomrot").toString
     val histDir = java.nio.file.Files
       .createTempDirectory("graft-bloomrot-hist").toString
-    EventStreams.seedSeenBloomWithHistory(history, "fp", nb, np,
+    EventStreams.seedSeenBloomSharded(history, "fp", nb, np, nS,
       bloomDir, histDir)
     val arrivalsDir = java.nio.file.Files
       .createTempDirectory("graft-bloomrot-stream").toString
-    Seq(arrivals0 -> ("arrivals_0", 60000L),
-        arrivals1 -> ("arrivals_1", 30000L)).foreach {
-      case (b, (name, ageMs)) =>
-        val staging = java.nio.file.Files
-          .createTempDirectory("graft-bloomrot-split").toString
-        b.select(col("doc_id"), col("fp").as("text")).coalesce(1)
-          .write.mode("overwrite").parquet(staging)
-        new java.io.File(staging).listFiles()
-          .filter(_.getName.endsWith(".parquet")).take(1)
-          .foreach { f =>
-            val dst = java.nio.file.Paths.get(arrivalsDir, s"$name.parquet")
-            java.nio.file.Files.copy(f.toPath, dst)
-            // pin micro-batch ORDER: the file source picks up files by
-            // modification time, and the keep-then-rotate assertions
-            // below are order-sensitive
-            dst.toFile.setLastModified(System.currentTimeMillis() - ageMs)
-          }
+    def stage(b: org.apache.spark.sql.DataFrame, name: String,
+              ageMs: Long): Unit = {
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-bloomrot-split").toString
+      b.select(col("doc_id"), col("fp").as("text")).coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).take(1)
+        .foreach { f =>
+          val dst = java.nio.file.Paths.get(arrivalsDir, s"$name.parquet")
+          java.nio.file.Files.copy(f.toPath, dst)
+          // pin micro-batch ORDER: the file source picks up files by
+          // modification time and the lifecycle asserts are order-sensitive
+          dst.toFile.setLastModified(System.currentTimeMillis() - ageMs)
+        }
     }
-    def run(): Unit = {
-      val q = EventStreams.maintainSeenBloomRotating(
+    stage(arrivals0, "arrivals_0", 60000L)
+    stage(arrivals1, "arrivals_1", 30000L)
+    def run(ckpt: String): Unit = {
+      val q = EventStreams.maintainSeenBloomSharded(
         EventStreams.readDocuments(spark, arrivalsDir)
           .select(col("text").as("fp")),
-        "fp",
-        java.nio.file.Files.createTempDirectory("graft-bloomrot-ckpt").toString,
-        bloomDir, histDir)
+        "fp", ckpt, bloomDir, histDir)
       q.processAllAvailable()
       q.stop()
     }
-    run()
-    // batch 0 (the 50 real arrivals) stays under 50% fill → geometry kept
+    def noneMissed(version: String,
+                   members: org.apache.spark.sql.DataFrame): Unit = {
+      val frame = spark.read.parquet(s"$bloomDir/$version")
+      val missed = graft.operators.Bloom.screenSharded(
+          members, xxhash64(col("fp")), frame, np, nS)
+        .filter(!col("__maybe")).count()
+      assert(missed === 0L, s"$version lost members")
+    }
+    val ckpt1 = java.nio.file.Files
+      .createTempDirectory("graft-bloomrot-ckpt").toString
+    run(ckpt1)
+    // batch 0: all shards under threshold → absorbed, no request
     val v1 = spark.read.parquet(s"$bloomDir/v1")
-    assert(v1.select("n_bits").head().getInt(0) === nb)
-    // batch 1 (700 fresh) blows past it → rebuilt from the FULL history
-    // at the sized geometry: smallest pow2 ≥ max(2·4096, 2·1200·3 = 7200)
+    assert(v1.count() === nS.toLong)
+    assert(v1.select("n_bits").distinct().head().getInt(0) === nb)
+    assert(!new java.io.File(s"$bloomDir/rotate-req-1").exists())
+    // batch 1 trips the threshold, but the ASYNC contract holds: the
+    // version it wrote is still the absorbed OLD geometry (no inline
+    // rebuild, no history scan) and a rotation request exists instead
     val v2 = spark.read.parquet(s"$bloomDir/v2")
-    val nb2 = v2.select("n_bits").head().getInt(0)
-    assert(nb2 === 8192, s"expected history-sized rebuild, got $nb2 bits")
-    assert(v2.select("n_probes").head().getInt(0) === np)
-    // no member lost through the rotation: every fingerprint ever seen
-    // hits the rebuilt filter
-    val all = history.unionByName(arrivals0).unionByName(arrivals1)
-    val missed = all.crossJoin(broadcast(v2.select(col("words"))))
-      .filter(!graft.operators.Bloom.mightContain(
-        col("words"), xxhash64(col("fp")), nb2, np))
-      .count()
-    assert(missed === 0L)
-    // replay convergence THROUGH the rotation: a full re-run from a
-    // fresh checkpoint (same dirs) must leave both versions bit-identical
-    val words2 = v2.select(explode(col("words"))).as[Long].collect().toSeq
-    run()
-    val v2b = spark.read.parquet(s"$bloomDir/v2")
-    assert(v2b.select("n_bits").head().getInt(0) === nb2)
-    assert(v2b.select(explode(col("words"))).as[Long].collect().toSeq
-      === words2)
+    assert(v2.select("n_bits").distinct().head().getInt(0) === nb,
+      "the tripping batch must not rebuild inline")
+    assert(v2.select("base_req").distinct().head().getLong(0) === 0L)
+    val reqFile = new java.io.File(s"$bloomDir/rotate-req-2")
+    assert(reqFile.exists(), "tripping batch must write a rotation request")
+    val requested = scala.io.Source.fromFile(reqFile).mkString
+      .trim.split(",").map(_.toInt).toSet
+    assert(requested.nonEmpty)
+    // serving invariant while the rotation is in flight: the absorbed
+    // (saturated) filter still holds every member
+    val seen01 = history.select("fp")
+      .unionByName(arrivals0.select("fp")).unionByName(arrivals1.select("fp"))
+    noneMissed("v2", seen01)
+    // offline rebuild: publishes pending-2 with a done marker; idempotent
+    assert(EventStreams.rebuildRotation(spark, bloomDir, histDir))
+    assert(new java.io.File(s"$bloomDir/pending-2/_SUCCESS").exists())
+    assert(!EventStreams.rebuildRotation(spark, bloomDir, histDir),
+      "a completed request must not rebuild again")
+    val pendingBits = spark.read.parquet(s"$bloomDir/pending-2")
+      .select("shard", "n_bits").as[(Int, Int)].collect().toMap
+    assert(pendingBits.keySet === requested)
+    assert(pendingBits.values.forall(_ > nb), "rebuilds must grow geometry")
+    // batch 2 (same checkpoint, new file) cuts over: requested shards at
+    // the rebuilt geometry, watermark advanced, nothing lost
+    stage(arrivals2, "arrivals_2", 10000L)
+    run(ckpt1)
+    val v3 = spark.read.parquet(s"$bloomDir/v3")
+    val v3bits = v3.select("shard", "n_bits").as[(Int, Int)].collect().toMap
+    requested.foreach(sh => assert(v3bits(sh) === pendingBits(sh)))
+    (0 until nS).filterNot(requested).foreach(sh => assert(v3bits(sh) === nb))
+    assert(v3.select("base_req").distinct().head().getLong(0) === 2L)
+    val seenAll = seen01.unionByName(arrivals2.select("fp"))
+    noneMissed("v3", seenAll)
+    // fill actually dropped on the rotated shards
+    val fill3 = graft.operators.Bloom.shardFill(v3)
+      .select("shard", "fill_ppm").as[(Int, Long)].collect().toMap
+    requested.foreach(sh => assert(fill3(sh) <= 500000L,
+      s"shard $sh still saturated after rotation: ${fill3(sh)} ppm"))
+    // replay convergence THROUGH the async rotation: a full re-run from a
+    // fresh checkpoint (same dirs — the pending artifact now exists from
+    // batch 0's perspective, so the cutover lands EARLIER; the final
+    // artifact must still be bit-identical)
+    def frameBits(version: String): Map[Int, (Int, Seq[Long])] =
+      spark.read.parquet(s"$bloomDir/$version")
+        .select("shard", "n_bits", "words")
+        .as[(Int, Int, Seq[Long])].collect()
+        .map { case (s, b, w) => s -> ((b, w)) }.toMap
+    val finalBits = frameBits("v3")
+    run(java.nio.file.Files
+      .createTempDirectory("graft-bloomrot-ckpt2").toString)
+    assert(frameBits("v3") === finalBits,
+      "fresh-checkpoint replay must converge to the same final bits")
+    // and the per-version serving invariant held during the replay too
+    noneMissed("v1", seen01.limit(0).unionByName(history.select("fp"))
+      .unionByName(arrivals0.select("fp")))
+    noneMissed("v2", seen01)
     graft.GraftCache.release()
   }
 }

@@ -303,6 +303,76 @@ class SketchGraphSpec extends SparkSpec {
     }
   }
 
+  test("bpe applyRulesLocal: compound-pair keys never alias (rule (a, b c) " +
+       "does not fire on adjacency (a b, c)) and the honest chain does") {
+    // adjacency ("x y", "z") present; rule ("x", "y z") must NOT fire —
+    // the round-15 string key "a b c" matched both spellings (wasted
+    // pass); tuple keys make the skip test exact in both directions
+    val out = BpeTrainer.applyRulesLocal(Seq("x", "y", "z"),
+      Array(("x", "y"), ("x", "y z")))
+    assert(out == Seq("x y", "z"))
+    val out2 = BpeTrainer.applyRulesLocal(Seq("x", "y", "z"),
+      Array(("x", "y"), ("x y", "z")))
+    assert(out2 == Seq("x y z"))
+  }
+
+  test("bpe applyRulesLocal equals a rebuild-per-pass reference on " +
+       "adversarial same-symbol runs") {
+    def naive(tokens: Seq[String], rules: Seq[(String, String)]): Seq[String] = {
+      var cur = tokens.toVector
+      for ((a, b) <- rules) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+            out += cur(i) + " " + cur(i + 1); i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        cur = out.result()
+      }
+      cur
+    }
+    // same-symbol power chain over a 100003-token single-symbol run
+    // (odd length → a remainder survives at every level)
+    val run = Seq.fill(100003)("a")
+    val chain = Iterator.iterate("a")(s => s + " " + s).take(12)
+      .map(s => (s, s)).toArray
+    assert(BpeTrainer.applyRulesLocal(run, chain) == naive(run, chain.toSeq))
+    // randomized same-symbol-heavy small docs
+    val rnd = new scala.util.Random(4173)
+    for (_ <- 1 to 50) {
+      val toks = Seq.fill(rnd.nextInt(40))(if (rnd.nextBoolean()) "a" else "b")
+      val pool = Seq("a", "b", "a a", "b b", "a b", "a a a a")
+      val rules = Seq.fill(8)(
+        (pool(rnd.nextInt(pool.size)), pool(rnd.nextInt(pool.size))))
+      assert(BpeTrainer.applyRulesLocal(toks, rules.toArray)
+          == naive(toks, rules),
+        s"toks=$toks rules=$rules")
+    }
+  }
+
+  test("bpe applyRulesLocal: many live rules on a long document stay " +
+       "near-linear (the chained-rescan pathology, round-15 verdict #3)") {
+    val nRules = 20000
+    val reps = 5
+    val rnd = new scala.util.Random(4177)
+    val blocks = rnd.shuffle(
+      (0 until nRules).flatMap(i => Seq.fill(reps)(i)).toVector)
+    val tokens = blocks.flatMap(i => Seq(s"p$i", s"q$i")) // 200k tokens
+    val rules = (0 until nRules).map(i => (s"p$i", s"q$i")).toArray
+    val t0 = System.nanoTime()
+    val out = BpeTrainer.applyRulesLocal(tokens, rules)
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(out.length == nRules * reps)
+    assert(out.forall { s =>
+      val p = s.split(" "); p.length == 2 && p(1) == "q" + p(0).drop(1)
+    })
+    // the round-15 form rescanned 200k tokens once per live rule (~4·10^9
+    // steps, minutes); the indexed form does ~10^6 — a generous ceiling
+    // still separates the complexity classes cleanly
+    assert(ms < 30000, s"applyRulesLocal took ${ms}ms — rescan pathology")
+  }
+
   test("bpe applyMergesLocal: plan size is FLAT in the rule count and the " +
        "plan carries no rule literals (the 32k-vocab serving shape)") {
     import spark.implicits._

@@ -71,6 +71,14 @@ object TextQueries {
   val BpeSamplePerMille = 500
   val BpeSampleBuckets = 1000
 
+  /** x111 batched BPE training: per scan, up to [[BpeBatchN]] symbol-
+    * disjoint pairs are accepted in (count desc, lexicographic) order and
+    * merged in ONE pass — [[BpeBatchScans]] scans learn as many rules as
+    * ~BpeBatchN·BpeBatchScans serial iterations in 1/BpeBatchN the jobs
+    * (the 32k-vocab training-latency fix, round-15 verdict #4). */
+  val BpeBatchScans = 2
+  val BpeBatchN = 3
+
   /** pl14 Bloom saturation lifecycle: a stored admission filter whose
     * geometry is fixed forever silently widens its confirm-join slice as
     * the history grows (FP rate climbs with fill). The gate's decision
@@ -1165,6 +1173,26 @@ object TextQueries {
         .orderBy("it")
     }),
 
+    // ---------------------------------------------------------------- x111
+    // BATCHED BPE training (round-15 verdict #4): x100 is one Spark job +
+    // one driver argmax PER MERGE — a production 32k-merge vocabulary is
+    // 32k sequential jobs, days of scheduler latency at any data size.
+    // Here each scan accepts up to BpeBatchN symbol-disjoint pairs in
+    // (count desc, lex) order and merges them all in ONE pass (disjoint
+    // symbols ⇒ occurrences never overlap and counts of later accepted
+    // pairs are invariant under earlier ones — simultaneous == slot-order
+    // serial). The oracle replays the whole batched recurrence: per-scan
+    // pair ranks, the non-interacting selection cascade, the multi-rule
+    // merge pass, and per-slot merged-occurrence counts; scan 2 runs over
+    // the corpus as rewritten by scan 1, so any selection or application
+    // error cascades.
+    "x111_bpe_batched" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      BpeTrainer.learnMergesBatched(t.documents, "doc_id", "text",
+          BpeBatchScans, BpeBatchN)
+        .orderBy("scan", "slot")
+    }),
+
     // ---------------------------------------------------------------- x101
     // Tokenizer SERVING off a stored vocabulary: learn a short rule list,
     // WRITE it as the vocab artifact, rehydrate, and apply the stored
@@ -2091,6 +2119,7 @@ object TextQueries {
     "pl8_nightly_ingest" -> nightlyIngestSql,
     "pl14_bloom_rotate" -> bloomRotateSql,
     "x110_sharded_bloom_rotate" -> shardedBloomRotateSql,
+    "x111_bpe_batched" -> bpeBatchedSql,
     "x45_fuzzy_decontam" -> fuzzyDecontamSql,
     "x47_unicode_dedup" ->
       """WITH v AS (
@@ -2491,6 +2520,74 @@ object TextQueries {
        |    AS sym_fp
        |FROM documents d LEFT JOIN t$i s ON d.doc_id = s.id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** x111: replay the BATCHED recurrence — per scan, pair counts get a
+    * deterministic rank (count desc, lexicographic), the non-interacting
+    * selection is an unrolled cascade (slot k = the lowest-ranked pair
+    * sharing no symbol with slots 1..k−1), and the merge pass is the
+    * shared machinery generalized to a LEFT JOIN against the slot
+    * relation (each row matches ≤1 rule; non-interaction keeps merge
+    * starts of different rules non-adjacent, so consumed = lag(mstart)
+    * stays exact). Scan 2 runs over scan 1's rewritten corpus. */
+  private def bpeBatchedSql: String = {
+    val n = BpeBatchN
+    val chain = (1 to BpeBatchScans).map { i =>
+      val sels = (1 to n).map { k =>
+        val prev =
+          if (k == 1) "SELECT NULL AS a, NULL AS b WHERE false"
+          else (1 until k).map(j => s"SELECT a, b FROM q${i}_$j")
+            .mkString(" UNION ALL ")
+        s"""q${i}_$k AS MATERIALIZED (
+           |  SELECT a, b, c FROM p$i p
+           |  WHERE p.rk = (SELECT min(p2.rk) FROM p$i p2
+           |    WHERE NOT EXISTS (SELECT 1 FROM ($prev) s
+           |      WHERE p2.a IN (s.a, s.b) OR p2.b IN (s.a, s.b))))"""
+          .stripMargin
+      }.mkString(",\n")
+      val slots = (1 to n).map(k => s"SELECT $k AS slot, a, b, c FROM q${i}_$k")
+        .mkString(" UNION ALL ")
+      s"""${bpeLeadCte(s"n$i", s"s${i - 1}")},
+         |pc$i AS MATERIALIZED (
+         |  SELECT sym AS a, nsym AS b, count(*) AS c FROM n$i
+         |  WHERE nsym IS NOT NULL GROUP BY 1, 2),
+         |p$i AS MATERIALIZED (
+         |  SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+         |  FROM pc$i),
+         |$sels,
+         |b$i AS MATERIALIZED ($slots),
+         |f$i AS MATERIALIZED (
+         |  SELECT n.id, n.pos, n.sym, n.nsym,
+         |    b.a IS NOT NULL AND (b.a <> b.b OR
+         |      (row_number() OVER (PARTITION BY n.id, n.sym, n.pos - n.rnsym
+         |                          ORDER BY n.pos)) % 2 = 1) AS mstart
+         |  FROM n$i n LEFT JOIN b$i b ON n.sym = b.a AND n.nsym = b.b),
+         |g$i AS MATERIALIZED (
+         |  SELECT id, pos, sym, nsym, mstart,
+         |    coalesce(lag(mstart) OVER (PARTITION BY id ORDER BY pos), false)
+         |      AS consumed
+         |  FROM f$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY pos) AS pos,
+         |    CASE WHEN mstart THEN sym || ' ' || nsym ELSE sym END AS sym
+         |  FROM g$i WHERE NOT consumed),
+         |r$i AS (
+         |  SELECT $i AS scan, b.slot, b.a AS sym_a, b.b AS sym_b,
+         |    b.c AS pair_n,
+         |    (SELECT count(*) FROM g$i g
+         |     WHERE g.mstart AND g.sym = b.a AND g.nsym = b.b) AS n_merged
+         |  FROM b$i b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeBatchScans).map(i => s"SELECT * FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, u.i AS pos, list_extract(toks, u.i + 1) AS sym
+       |  FROM toked, UNNEST(range(0, len(toks))) u(i)),
+       |$chain
+       |SELECT scan, slot, sym_a, sym_b, CAST(pair_n AS BIGINT) AS pair_n,
+       |  CAST(n_merged AS BIGINT) AS n_merged
+       |FROM ($union) ORDER BY scan, slot""".stripMargin
   }
 
   private def bpeChainSql(iters: Int, where: String = ""): String = {

@@ -303,6 +303,73 @@ class SketchGraphSpec extends SparkSpec {
     }
   }
 
+  test("bpe batched selection at N=1 equals serial greedy training " +
+       "(rules, counts and merged occurrences), in a third the jobs") {
+    import spark.implicits._
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    def countJobs(body: => Seq[(Int, String, String, Long, Long)])
+      : (Seq[(Int, String, String, Long, Long)], Int) = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      // listener events are async — give the bus a moment to drain; the
+      // assertion below has 2x slack, so a few stragglers cannot flip it
+      try { val r = body; Thread.sleep(500); (r, jobs.get()) }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (serial, serialJobs) = countJobs {
+      BpeTrainer.learnMerges(t.documents, "doc_id", "text", 6)
+        .orderBy("it")
+        .as[(Int, String, String, Long, Long)].collect().toSeq
+    }
+    val (batched1, _) = countJobs {
+      BpeTrainer.learnMergesBatched(t.documents, "doc_id", "text", 6, 1)
+        .orderBy("scan")
+        .select("scan", "sym_a", "sym_b", "pair_n", "n_merged")
+        .as[(Int, String, String, Long, Long)].collect().toSeq
+    }
+    assert(batched1 == serial,
+      "batchN=1 must reproduce serial greedy exactly")
+    // the latency claim: 6 rules in 2 scans (N=3) runs ~3x fewer jobs
+    // than 6 serial iterations
+    val (batched3, batchedJobs) = countJobs {
+      BpeTrainer.learnMergesBatched(t.documents, "doc_id", "text", 2, 3)
+        .collect()
+      Seq.empty
+    }
+    assert(batched3.isEmpty) // shape only; correctness is the x111 oracle
+    assert(batchedJobs * 2 < serialJobs,
+      s"expected ~3x fewer jobs, got serial=$serialJobs batched=$batchedJobs")
+  }
+
+  test("bpe batched selection equals serial greedy when the top pairs are " +
+       "symbol-disjoint (the non-interacting-prefix guarantee)") {
+    import spark.implicits._
+    // frequencies engineered strictly decreasing and disjoint:
+    // (a,b) x 12, (c,d) x 9, (e,f) x 7 — no shared symbols, no ties, and
+    // UNIQUE separators between blocks so no boundary or created pair
+    // ever reaches count 2 (a repeated separator would hand serial greedy
+    // a created pair as its second argmax — exactly the case the
+    // guarantee excludes)
+    val blocks = Seq.fill(12)("a b") ++ Seq.fill(9)("c d") ++
+      Seq.fill(7)("e f")
+    val doc = blocks.zipWithIndex
+      .map { case (b, i) => s"$b u$i" }.mkString(" ")
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val serial = BpeTrainer.learnMerges(df, "doc_id", "text", 3)
+      .orderBy("it").as[(Int, String, String, Long, Long)].collect().toSeq
+    val batched = BpeTrainer.learnMergesBatched(df, "doc_id", "text", 1, 3)
+      .orderBy("slot")
+      .select("slot", "sym_a", "sym_b", "pair_n", "n_merged")
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(batched == serial)
+  }
+
   test("bpe applyRulesLocal: compound-pair keys never alias (rule (a, b c) " +
        "does not fire on adjacency (a b, c)) and the honest chain does") {
     // adjacency ("x y", "z") present; rule ("x", "y z") must NOT fire —

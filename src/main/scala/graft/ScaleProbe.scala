@@ -49,7 +49,12 @@ object ScaleProbe {
     // bloom lifecycle gate (history-proportional build + screen)
     "x105_bpe_apply_local", "x106_bpe_sampled",
     "x107_hard_negatives_indexed", "x109_hard_negatives_routed",
-    "pl14_bloom_rotate")
+    "pl14_bloom_rotate",
+    // round-16 additions: the sharded bloom lifecycle (history-
+    // proportional per-shard build + routed screen), the batched BPE
+    // trainer (same scans as serial at 1/N the iterations), and the
+    // training-pair export funnel (routed mining + CC split + pack)
+    "x110_sharded_bloom_rotate", "x111_bpe_batched", "pl15_training_pairs")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

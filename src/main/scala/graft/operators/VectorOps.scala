@@ -801,15 +801,35 @@ object VectorOps {
     * only exchange — at production |Q|~N, route candidates through the
     * IVF/PQ index instead (x76's routed form) and keep this predicate. */
   def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
-                    labelCol: String, queryPred: Column, k: Int): DataFrame = {
+                    labelCol: String, queryPred: Column, k: Int): DataFrame =
+    labelMatchedKnn(embeddings, idCol, vecCol, labelCol, queryPred, k,
+      sameLabel = false, labelOut = "neg_label")
+
+  /** The POSITIVE twin of [[hardNegatives]]: for each query vector, the k
+    * most similar candidates whose label MATCHES — the in-batch positive
+    * a contrastive pair needs when positives aren't given a priori
+    * (nearest same-label neighbor as the anchor's positive; the pl15
+    * training-pair exporter consumes k = 1). Same shape, same rounded
+    * cosine, same tie order — only the label predicate flips. */
+  def hardPositives(embeddings: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryPred: Column, k: Int): DataFrame =
+    labelMatchedKnn(embeddings, idCol, vecCol, labelCol, queryPred, k,
+      sameLabel = true, labelOut = "pos_label")
+
+  private def labelMatchedKnn(embeddings: DataFrame, idCol: String,
+                              vecCol: String, labelCol: String,
+                              queryPred: Column, k: Int, sameLabel: Boolean,
+                              labelOut: String): DataFrame = {
     val q = embeddings.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
         col(labelCol).as("__ql"), norm2(col(vecCol)).as("__qn"))
     val scan = embeddings.select(col(idCol), col(vecCol).as("__v"),
       col(labelCol).as("__l"), norm2(col(vecCol)).as("__n"))
+    val labelPred =
+      if (sameLabel) col("__l") === col("__ql") else col("__l") =!= col("__ql")
     val sims = scan.crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col("qid") && col("__l") =!= col("__ql"))
-      .select(col("qid"), col(idCol), col("__l").as("neg_label"),
+      .filter(col(idCol) =!= col("qid") && labelPred)
+      .select(col("qid"), col(idCol), col("__l").as(labelOut),
         round(dot(col("__v"), col("__qv")) / (col("__n") * col("__qn")), 6)
           .as("sim_r"))
     val cut = graft.plans.TopKPerKey.topKPerKey(sims, Seq("qid"),

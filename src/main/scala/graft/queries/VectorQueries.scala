@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Curation, Graph, VectorOps}
 import graft.sources.Tables
@@ -95,6 +95,12 @@ object VectorQueries {
     * shortlists by ADC and re-ranks exact — recall then only needs the
     * true neighbours to SURVIVE the cut. x71 audits both numbers. */
   val PqCandidates = 48
+
+  /** pl15 training-pair export: device-batch packing budget in VECTORS
+    * per bin (each unit = anchor + positive + KnnK negatives = 5), and
+    * the shard fan-out of the packer. */
+  val PairPackBudget = 16L
+  val PairPackShards = 2
 
   /** Tombstone membership for the PQ-delete gate (x83): vec_id % 5 = 3
     * is the removed set — a different residue class than the query
@@ -865,6 +871,78 @@ object VectorQueries {
           VectorOps.collectCentroids(s.read.parquet(s"$idx/centroids")),
           VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
         .orderBy("qid", "rk")
+    }),
+
+    // ---------------------------------------------------------------- pl15
+    // Training-pair EXPORT pipeline (round-15 verdict #5) — the tiers that
+    // existed separately, chained into the artifact a contrastive trainer
+    // actually consumes: mine hard negatives off the STORED IVF-PQ index
+    // (x109's routed form — ~nprobe/k of the index read per batch), pick
+    // each anchor's positive as its exact nearest SAME-label neighbor,
+    // assemble (anchor, positive, negatives) units, split LEAKAGE-SAFE
+    // over the mined association graph (any vector reachable from an
+    // anchor through a mined edge shares its split — x52's
+    // connected-components key, so an eval anchor's positive or negative
+    // can never appear in train), pack the train units into fixed-size
+    // device batches (x66's packer on vectors-per-unit), and export the
+    // packed assignment to parquet. Reported as a pl8-style funnel
+    // (units + vectors per stage) whose conservation laws the oracle
+    // replays end to end: mining, positive choice, CC split arithmetic,
+    // hash-bucket split, bin assignment.
+    "pl15_training_pairs" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = graft.GraftCache.persist(t.embeddings)
+      val anchorPred = col("vec_id") % KnnQueryMod === 0
+      val anchors = e.filter(anchorPred)
+      val positives = graft.GraftCache.persist(
+        VectorOps.hardPositives(e, "vec_id", "embedding", "label",
+            anchorPred, 1)
+          .select(col("qid"), col("vec_id").as("pos_id")))
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("pl15_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx,
+        carry = Seq("label"))
+      val negatives = graft.GraftCache.persist(
+        VectorOps.hardNegativesRouted(e.filter(anchorPred), "vec_id",
+            "embedding", "label", e, KnnK, PqCandidates, NProbe,
+            VectorOps.collectCentroids(s.read.parquet(s"$idx/centroids")),
+            VectorOps.readPqCodebooks(s, idx),
+            s.read.parquet(s"$idx/codes"))
+          .select(col("qid"), col("vec_id").as("neg_id")))
+      val units = positives.join(
+        negatives.groupBy("qid").agg(count(lit(1)).as("n_negs")), Seq("qid"))
+      val edges = positives
+        .select(col("qid").as("id_a"), col("pos_id").as("id_b"))
+        .unionByName(negatives
+          .select(col("qid").as("id_a"), col("neg_id").as("id_b")))
+      val splits = Curation.assignSplitsLeakageSafe(e.select("vec_id"),
+        "vec_id", edges, "id_a", "id_b", CurationQueries.SplitWeights)
+      val unitSplits = graft.GraftCache.persist(units
+        .join(splits.select(col("vec_id").as("qid"), col("split")),
+          Seq("qid"))
+        .withColumn("n_vecs", col("n_negs") + lit(2L)))
+      val train = unitSplits.filter(col("split") === "train")
+      val packed = Curation.packSequences(
+        train.select("qid", "pos_id", "n_vecs"), "qid", "n_vecs",
+        PairPackBudget, PairPackShards)
+      val outDir = SinkQueries.sinkDir("pl15_train_pairs")
+      packed.write.mode("overwrite").parquet(outDir)
+      val exported = s.read.parquet(outDir)
+      def stage(name: String, df: DataFrame, vecs: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_units"),
+            coalesce(sum(vecs), lit(0L)).as("n_vecs"))
+          .select(lit(name).as("stage"), col("n_units"), col("n_vecs"))
+      val bins = packed.groupBy("shard", "bin")
+        .agg(sum("n_vecs").as("bin_vecs"))
+      stage("1_anchors", anchors, lit(1L))
+        .unionByName(stage("2_paired", unitSplits, col("n_vecs")))
+        .unionByName(stage("3_train", train, col("n_vecs")))
+        .unionByName(stage("4_pack_bins", bins, col("bin_vecs")))
+        .unionByName(stage("5_exported", exported, col("n_vecs")))
+        .orderBy("stage")
     }),
 
     // ----------------------------------------------------------------- x87
@@ -1972,6 +2050,7 @@ object VectorQueries {
     "x107_hard_negatives_indexed" -> hardNegativesIndexedSql,
     "x108_hard_negative_recall" -> hardNegativeRecallSql,
     "x109_hard_negatives_routed" -> hardNegativesRoutedSql,
+    "pl15_training_pairs" -> trainingPairsSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.
     "x43_knn_native" -> knnJoinSql,
@@ -2170,6 +2249,117 @@ object VectorQueries {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
        |    ORDER BY sim_r DESC, vec_id) AS INT) AS rk FROM rrefp)
        |WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin
+
+  /** pl15: the full training-pair funnel replayed — x109's routed-mining
+    * chain (k-means, probes, label-filtered ADC cut, exact re-rank) for
+    * the negatives, a brute-force same-label top-1 for the positives, the
+    * x52 recursive-CTE connected-components split key over the mined
+    * edges, the hash-bucket split, and the x24 cumulative-sum bin
+    * assignment — ending in the five funnel stages with their
+    * conservation laws (4_pack_bins and 5_exported carry exactly
+    * 3_train's vectors). */
+  private def trainingPairsSql: String = {
+    def idh(e: String) =
+      s"('0x' || substr(md5(CAST($e AS VARCHAR)),1,15))::BIGINT"
+    val splitCase = {
+      val cases = CurationQueries.SplitWeights.scanLeft(("", 0.0)) {
+        case ((_, acc), (name, w)) => (name, acc + w)
+      }.tail.init
+        .map { case (name, thr) =>
+          s"WHEN ${idh("coalesce(c.component, u.qid)")} % 1000 " +
+            s"< ${thr * 1000} THEN '$name'" }
+        .mkString(" ")
+      s"CASE $cases ELSE '${CurationQueries.SplitWeights.last._1}' END"
+    }
+    s"""WITH RECURSIVE $kmeansSql,
+       |$assignCte,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c$KmeansIters c)
+       |  WHERE rn <= $NProbe),
+       |radcp AS (
+       |  SELECT q.qid, a.vec_id,
+       |    round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |  FROM (SELECT s.vec_id, s.cid, e.label FROM assign s
+       |        JOIN embeddings e USING (vec_id)) a
+       |  JOIN probes p ON a.cid = p.cid
+       |  JOIN q ON q.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> q.qid AND a.label <> q.ql),
+       |radcr AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS rk FROM radcp)
+       |  WHERE rk <= $PqCandidates),
+       |rrefp AS (
+       |  SELECT a.qid, a.vec_id,
+       |    ${cosSql("e.embedding", "q.qv")} AS sim_r
+       |  FROM radcr a JOIN embeddings e USING (vec_id)
+       |  JOIN q ON q.qid = a.qid),
+       |negs AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim_r DESC, vec_id) AS rk FROM rrefp)
+       |  WHERE rk <= $KnnK),
+       |pospairs AS (
+       |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.qid AND e.label = q.ql),
+       |pos AS (
+       |  SELECT qid, vec_id AS pos_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim_r DESC, vec_id) AS rk FROM pospairs)
+       |  WHERE rk <= 1),
+       |nn AS (SELECT qid, count(*) AS n_negs FROM negs GROUP BY 1),
+       |units AS (
+       |  SELECT p.qid, p.pos_id, nn.n_negs + 2 AS n_vecs
+       |  FROM pos p JOIN nn USING (qid)),
+       |edges AS (
+       |  SELECT qid AS id_a, pos_id AS id_b FROM pos
+       |  UNION ALL SELECT qid, vec_id FROM negs),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM edges
+       |        UNION SELECT id_b AS s, id_a AS d FROM edges),
+       |reach AS (
+       |  SELECT s AS id, s AS label FROM sym
+       |  UNION
+       |  SELECT sym.d AS id, r.label FROM reach r JOIN sym ON sym.s = r.id),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+       |usplit AS (
+       |  SELECT u.*, $splitCase AS split
+       |  FROM units u LEFT JOIN comp c ON u.qid = c.id),
+       |train AS (SELECT * FROM usplit WHERE split = 'train'),
+       |packsrc AS (
+       |  SELECT qid, n_vecs, ${idh("qid")} AS h FROM train),
+       |packedo AS (
+       |  SELECT CAST(h % $PairPackShards AS INT) AS shard, n_vecs,
+       |    sum(n_vecs) OVER (PARTITION BY h % $PairPackShards
+       |      ORDER BY h, qid ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM packsrc),
+       |bins AS (
+       |  SELECT shard, (cum - n_vecs) // $PairPackBudget AS bin,
+       |    sum(n_vecs) AS bin_vecs
+       |  FROM packedo GROUP BY 1, 2)
+       |SELECT stage, CAST(n_units AS BIGINT) AS n_units,
+       |  CAST(n_vecs AS BIGINT) AS n_vecs FROM (
+       |  SELECT '1_anchors' AS stage, count(*) AS n_units,
+       |    count(*) AS n_vecs FROM q
+       |  UNION ALL SELECT '2_paired', count(*), coalesce(sum(n_vecs), 0)
+       |    FROM usplit
+       |  UNION ALL SELECT '3_train', count(*), coalesce(sum(n_vecs), 0)
+       |    FROM train
+       |  UNION ALL SELECT '4_pack_bins', count(*), coalesce(sum(bin_vecs), 0)
+       |    FROM bins
+       |  UNION ALL SELECT '5_exported', count(*), coalesce(sum(n_vecs), 0)
+       |    FROM packsrc
+       |) ORDER BY stage""".stripMargin
+  }
 
   /** [[knnJoinSql]] with the query's label carried and the mismatch
     * predicate applied before ranking — the replay of

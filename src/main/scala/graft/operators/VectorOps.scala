@@ -1197,6 +1197,53 @@ object VectorOps {
       Seq(col("adc_d2"), col(idCol)), k)
   }
 
+  /** Recall-vs-nprobe curve, fitted at index build time on a HELD-OUT
+    * query sample (round-15 verdict #6): for each candidate nprobe
+    * 1..maxProbe, the micro recall@k of the routed ADC serve against the
+    * exact L2 top-k — hits·10⁶ / exact, all-integer so an external
+    * engine replays the exact curve. Stored with the index, the curve
+    * turns the serving knob from a guess into a contract: [[chooseNprobe]]
+    * picks the cheapest nprobe that clears a requested recall floor.
+    * Cost: maxProbe routed serves over the SAMPLE (not the corpus) plus
+    * one exact scan of sample×corpus — build-time, amortized over every
+    * serve the index answers. */
+  def fitRecallCurve(holdout: DataFrame, idCol: String, vecCol: String,
+                     full: DataFrame, k: Int, maxProbe: Int,
+                     cents: Seq[(Long, Seq[Double])],
+                     codebooks: Seq[Seq[(Long, Seq[Double])]],
+                     codes: DataFrame): DataFrame = {
+    require(maxProbe >= 1, "maxProbe must cover at least one cell")
+    val q = holdout.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val exactP = full.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(q)).filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), l2sq(col("__v"), col("__qv")).as("d2"))
+    val exact = graft.GraftCache.persist(
+      graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
+        Seq(col("d2"), col(idCol)), k).select("qid", idCol))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    (1 to maxProbe).map { np =>
+      val routed = pqKnnAgainstCodesRouted(holdout, idCol, vecCol, k, np,
+        cents, codebooks, codes).select("qid", idCol)
+      exact.join(routed, Seq("qid", idCol))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(nExact)
+        .select(lit(np).as("nprobe"),
+          expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The serve-time half of the adaptive knob: the SMALLEST nprobe whose
+    * held-out recall clears the floor, falling back to maxProbe when the
+    * curve never reaches it (probe-everything is the honest ceiling —
+    * residual misses there are PQ quantization, which no nprobe fixes).
+    * One bounded driver fetch of maxProbe scalar rows. */
+  def chooseNprobe(curve: DataFrame, floorPpm: Long, maxProbe: Int): Int = {
+    val rows = curve.select("nprobe", "recall_ppm").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    rows.filter(_._2 >= floorPpm).map(_._1).sorted.headOption
+      .getOrElse(maxProbe)
+  }
+
   /** [[pqKnnAgainstCodesRouted]] with the centroid frame collected per
     * call — the one-shot batch form. Long-lived callers (the streaming
     * screen's per-micro-batch loop) pass the pre-collected seq instead,

@@ -102,6 +102,12 @@ object VectorQueries {
   val PairPackBudget = 16L
   val PairPackShards = 2
 
+  /** x112 adaptive nprobe: the held-out query residue (disjoint from the
+    * serving queries' residue 0 under the same mod) and the requested
+    * recall floor the chosen nprobe must clear on the held-out curve. */
+  val RecallHoldoutRes = 1L
+  val RecallFloorPpm = 900000L
+
   /** Tombstone membership for the PQ-delete gate (x83): vec_id % 5 = 3
     * is the removed set — a different residue class than the query
     * vector (0) and the append batches (% 10 = 0), so the lifecycle
@@ -871,6 +877,45 @@ object VectorQueries {
           VectorOps.collectCentroids(s.read.parquet(s"$idx/centroids")),
           VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
         .orderBy("qid", "rk")
+    }),
+
+    // ---------------------------------------------------------------- x112
+    // RECALL-TARGETED adaptive nprobe (round-15 verdict #6): the recall
+    // harness existed (x80/x82/x108) but serving took nprobe as a
+    // constant guess. Here the index build fits a recall-vs-nprobe curve
+    // on a HELD-OUT query sample (integer ppm — exactly replayable),
+    // stores it with the index, and the serve derives its nprobe as the
+    // smallest value clearing the requested floor (fallback: probe
+    // everything). The gate's output is the SERVE at the chosen nprobe
+    // with the choice as a column — the oracle replays the exact top-k,
+    // all maxProbe routed serves, the curve arithmetic, the floor choice,
+    // AND the served rows, so a one-off error anywhere in the chain
+    // shifts nprobe_used or the rows.
+    "x112_adaptive_nprobe" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = graft.GraftCache.persist(t.embeddings)
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x112_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx)
+      val cents = VectorOps.collectCentroids(
+        s.read.parquet(s"$idx/centroids"))
+      val cb = VectorOps.readPqCodebooks(s, idx)
+      val codes = s.read.parquet(s"$idx/codes")
+      val holdout = e.filter(col("vec_id") % KnnQueryMod === RecallHoldoutRes)
+      VectorOps.fitRecallCurve(holdout, "vec_id", "embedding", e,
+          KnnK, KClusters, cents, cb, codes)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$idx/recall_curve")
+      val chosen = VectorOps.chooseNprobe(
+        s.read.parquet(s"$idx/recall_curve"), RecallFloorPpm, KClusters)
+      VectorOps.pqKnnAgainstCodesRouted(
+          e.filter(col("vec_id") % KnnQueryMod === 0), "vec_id", "embedding",
+          KnnK, chosen, cents, cb, codes)
+        .withColumn("nprobe_used", lit(chosen))
+        .orderBy("qid", "adc_d2", "vec_id")
     }),
 
     // ---------------------------------------------------------------- pl15
@@ -2051,6 +2096,7 @@ object VectorQueries {
     "x108_hard_negative_recall" -> hardNegativeRecallSql,
     "x109_hard_negatives_routed" -> hardNegativesRoutedSql,
     "pl15_training_pairs" -> trainingPairsSql,
+    "x112_adaptive_nprobe" -> adaptiveNprobeSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.
     "x43_knn_native" -> knnJoinSql,
@@ -2359,6 +2405,80 @@ object VectorQueries {
        |  UNION ALL SELECT '5_exported', count(*), coalesce(sum(n_vecs), 0)
        |    FROM packsrc
        |) ORDER BY stage""".stripMargin
+  }
+
+  /** x112: exact held-out top-k, all maxProbe routed serves, the integer
+    * recall curve, the floor choice, and the serve at the chosen nprobe
+    * — one unrolled WITH clause. */
+  private def adaptiveNprobeSql: String = {
+    val perNp = (1 to KClusters).map { np =>
+      s"""hp$np AS MATERIALIZED (
+         |  SELECT qid, cid FROM (
+         |    SELECT hq.qid, c.cid, row_number() OVER (PARTITION BY hq.qid
+         |      ORDER BY ${l2Sql("hq.qv", "c.c")}, c.cid) AS rn
+         |    FROM hq CROSS JOIN c$KmeansIters c)
+         |  WHERE rn <= $np),
+         |hr$np AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_d2, vec_id) AS rk FROM (
+         |      SELECT hq.qid, a.vec_id,
+         |        round(${pqAdcSql("hq.qv")}, 6) AS adc_d2
+         |      FROM (SELECT vec_id, cid FROM assign) a
+         |      JOIN hp$np p ON a.cid = p.cid JOIN hq ON hq.qid = p.qid
+         |      ${pqJoinsSql()}
+         |      WHERE a.vec_id <> hq.qid))
+         |  WHERE rk <= $KnnK),
+         |rec$np AS (
+         |  SELECT $np AS nprobe,
+         |    (SELECT count(*) FROM hexact JOIN hr$np USING (qid, vec_id))
+         |      * 1000000 // (SELECT count(*) FROM hexact) AS recall_ppm)"""
+        .stripMargin
+    }.mkString(",\n")
+    val curveUnion = (1 to KClusters).map(np => s"SELECT * FROM rec$np")
+      .mkString(" UNION ALL ")
+    s"""WITH $kmeansSql,
+       |$assignCte,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |hq AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = $RecallHoldoutRes),
+       |hexactp AS (
+       |  SELECT hq.qid, e.vec_id, ${l2Sql("e.embedding", "hq.qv")} AS d2
+       |  FROM embeddings e, hq WHERE e.vec_id <> hq.qid),
+       |hexact AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY d2, vec_id) AS rk FROM hexactp)
+       |  WHERE rk <= $KnnK),
+       |$perNp,
+       |curve AS MATERIALIZED ($curveUnion),
+       |chosen AS (
+       |  SELECT CAST(coalesce(
+       |    (SELECT min(nprobe) FROM curve
+       |     WHERE recall_ppm >= $RecallFloorPpm),
+       |    $KClusters) AS INT) AS np),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |sprobes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c$KmeansIters c)
+       |  WHERE rn <= (SELECT np FROM chosen)),
+       |sranked AS (
+       |  SELECT q.qid, a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |  FROM (SELECT vec_id, cid FROM assign) a
+       |  JOIN sprobes p ON a.cid = p.cid JOIN q ON q.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> q.qid)
+       |SELECT qid, vec_id, adc_d2,
+       |  (SELECT np FROM chosen) AS nprobe_used FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc_d2, vec_id) AS rk FROM sranked)
+       |WHERE rk <= $KnnK ORDER BY qid, adc_d2, vec_id""".stripMargin
   }
 
   /** [[knnJoinSql]] with the query's label carried and the mismatch

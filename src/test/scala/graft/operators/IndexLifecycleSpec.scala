@@ -359,4 +359,44 @@ class IndexLifecycleSpec extends SparkSpec {
     val afterB = indexRows()
     assert(afterB.size > afterA.size && afterB.values.forall(_ == 1))
   }
+
+  test("adaptive nprobe: the chosen value is the cheapest floor-clearing " +
+       "point of the held-out recall curve, and the floor is met on the " +
+       "held-out set whenever the curve reaches it") {
+    import graft.queries.VectorQueries._
+    val e = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+      KClusters, KmeansIters)
+    val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+      Dim, PqM, PqKs, KmeansIters)
+    val cents = VectorOps.collectCentroids(cent)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-nprobe-idx").toString
+    VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx)
+    val codes = spark.read.parquet(s"$idx/codes")
+    val holdout = e.filter(col("vec_id") % KnnQueryMod === RecallHoldoutRes)
+    val curve = VectorOps.fitRecallCurve(holdout, "vec_id", "embedding", e,
+        KnnK, KClusters, cents, cbs, codes)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(curve.keySet === (1 to KClusters).toSet)
+    assert(curve.values.forall(ppm => ppm >= 0L && ppm <= 1000000L))
+    val curveDf = {
+      import spark.implicits._
+      curve.toSeq.toDF("nprobe", "recall_ppm")
+    }
+    // choice semantics at the gate's floor
+    val chosen = VectorOps.chooseNprobe(curveDf, RecallFloorPpm, KClusters)
+    val clearing = curve.filter(_._2 >= RecallFloorPpm).keys
+    if (clearing.nonEmpty) {
+      assert(chosen === clearing.min)
+      assert(curve(chosen) >= RecallFloorPpm,
+        s"chosen nprobe $chosen misses the floor: ${curve(chosen)} ppm")
+      // cheapest: every smaller nprobe is under the floor
+      (1 until chosen).foreach(np =>
+        assert(curve(np) < RecallFloorPpm, s"nprobe $np already clears"))
+    } else assert(chosen === KClusters, "fallback must probe everything")
+    // an unreachable floor always falls back; a free floor picks nprobe 1
+    assert(VectorOps.chooseNprobe(curveDf, 1000001L, KClusters) === KClusters)
+    assert(VectorOps.chooseNprobe(curveDf, 0L, KClusters) === 1)
+  }
 }

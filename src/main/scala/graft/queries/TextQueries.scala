@@ -1262,6 +1262,16 @@ object TextQueries {
       val rules = s.read.parquet(vocabPath).orderBy("it")
         .select("sym_a", "sym_b").collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
+      // Guard the oracle's unrolled shape (round-15 advice): if the
+      // sampled corpus exhausted distinct pairs early, learnMerges
+      // returns FEWER rules, but the oracle's merge-pass chain is
+      // unrolled exactly BpeApplyIters deep — an empty rule CTE would
+      // CROSS JOIN every document away and the gate would diverge
+      // silently. Fail loudly here instead; at every test SF the sample
+      // has pairs to spare.
+      require(rules.length == BpeApplyIters,
+        s"sampled training exhausted pairs after ${rules.length} of " +
+          s"$BpeApplyIters merges; the unrolled oracle cannot replay this")
       BpeTrainer.applyMergesLocal(t.documents, "doc_id", "text", rules)
         .select(col("id").as("doc_id"), col("n_symbols"), col("sym_fp"))
         .orderBy("doc_id")

@@ -136,7 +136,7 @@ final class SshClient(host: String, port: Int, user: String, password: String,
             if (ch != null) ch.deliver(r.string())
           case Msg.ChannelExtendedData =>
             val ch = channels.get(r.uint32()); r.uint32()
-            if (ch != null) ch.consumeOnly(r.string().length) // no stderr here
+            if (ch != null) ch.deliverExtended(r.string().length) // no stderr here
           case Msg.ChannelEof =>
             val ch = channels.get(r.uint32())
             if (ch != null) ch.deliverEof()
@@ -219,6 +219,20 @@ private[ssh] final class SshChannel(client: SshClient, localId: Long) {
   // our window for the PEER's writes
   private val consumedLock = new Object
   private var consumedSinceAdjust = 0L
+  // delivered-but-unconsumed inbound bytes: read-side replenishment bounds
+  // a COMPLIANT peer at the advertised window; a peer that keeps sending
+  // past it must kill the connection loudly, not grow inQueue without
+  // limit (round-15 advice). One MaxPacket of slack over the strict bound
+  // keeps a borderline last packet from flapping the session.
+  private var outstandingInbound = 0L
+
+  private def noteInbound(n: Int): Unit = consumedLock.synchronized {
+    outstandingInbound += n
+    if (outstandingInbound > SshClient.LocalWindow + SshClient.MaxPacket)
+      throw new SshProtocolException(
+        s"peer overran the receive window: $outstandingInbound bytes " +
+          s"outstanding, advertised window ${SshClient.LocalWindow}")
+  }
 
   private sealed trait InEvent
   private case class Data(bytes: Array[Byte]) extends InEvent
@@ -240,8 +254,20 @@ private[ssh] final class SshChannel(client: SshClient, localId: Long) {
   // faster than the tunnel client reads would grow inQueue without bound,
   // because each adjust re-arms the peer before the data is drained
   // (round-14 advice). With read-side accounting the advertised 2 MiB
-  // window is a real bound on buffered-but-unread data.
-  def deliver(bytes: Array[Byte]): Unit = inQueue.put(Data(bytes))
+  // window is a real bound on buffered-but-unread data — and noteInbound
+  // ENFORCES it against non-compliant peers.
+  def deliver(bytes: Array[Byte]): Unit = {
+    noteInbound(bytes.length)
+    inQueue.put(Data(bytes))
+  }
+
+  /** Extended data is dropped on arrival: it counts against the window at
+    * receipt (a violator dies like any other) and is consumed
+    * immediately. */
+  def deliverExtended(n: Int): Unit = {
+    noteInbound(n)
+    consumeOnly(n)
+  }
 
   /** Window accounting for inbound bytes (data the consumer has READ, and
     * extended data we drop on arrival): replenish with one adjust per
@@ -249,6 +275,7 @@ private[ssh] final class SshChannel(client: SshClient, localId: Long) {
   def consumeOnly(n: Int): Unit = {
     val adjust = consumedLock.synchronized {
       consumedSinceAdjust += n
+      outstandingInbound -= n
       if (consumedSinceAdjust >= SshClient.LocalWindow / 2) {
         val a = consumedSinceAdjust
         consumedSinceAdjust = 0L

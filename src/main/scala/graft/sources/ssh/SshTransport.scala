@@ -34,8 +34,13 @@ import SshWire.{Msg, R, W}
   * single-suite offer means a peer that cannot speak the suite fails the
   * kex loudly instead of negotiating down. Both roles (client and the
   * in-spec server fixture) run this same class, so the framing and kex
-  * arithmetic are exercised against themselves AND against the RFC test
-  * vectors in `SshWireSpec`. */
+  * arithmetic are exercised against themselves, against the RFC test
+  * vectors in `SshWireSpec`, AND — in the server role — against an
+  * INDEPENDENT implementation: `SshInteropSpec` drives the container's
+  * real OpenSSH client through kex (OpenSSH verifies this class's
+  * rsa-sha2-256 exchange-hash signature), password auth, and a
+  * multi-window direct-tcpip echo, asserting the negotiated suite from
+  * the client's own log. */
 final class SshTransport(socket: Socket, val clientRole: Boolean,
                          localVersion: String = "SSH-2.0-graft_14") {
   import SshTransport._

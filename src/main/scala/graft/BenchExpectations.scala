@@ -251,6 +251,13 @@ object BenchExpectations {
     "x97_substring_dedup" -> 2.0352,
     "x98_bloom_prune" -> 0.8394,
     "x99_bloom_admission" -> 1.1467,
-    "x9_token_stats" -> 0.4492
+    "x9_token_stats" -> 0.4492,
+    // round-16 gates: provisional solo-run values (idle box, loadavg
+    // 0.66, args-mode run of exactly these four) — re-snapshotted from
+    // the closing full-suite run like everything else
+    "pl15_training_pairs" -> 8.6029,
+    "x110_sharded_bloom_rotate" -> 2.1355,
+    "x111_bpe_batched" -> 3.2515,
+    "x112_adaptive_nprobe" -> 9.1007
   )
 }

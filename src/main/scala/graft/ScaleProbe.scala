@@ -54,7 +54,8 @@ object ScaleProbe {
     // proportional per-shard build + routed screen), the batched BPE
     // trainer (same scans as serial at 1/N the iterations), and the
     // training-pair export funnel (routed mining + CC split + pack)
-    "x110_sharded_bloom_rotate", "x111_bpe_batched", "pl15_training_pairs")
+    "x110_sharded_bloom_rotate", "x111_bpe_batched", "pl15_training_pairs",
+    "x112_adaptive_nprobe")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -153,6 +153,17 @@ object Bloom {
       .withColumn("__maybe",
         mightContain(col("words"), xxhash64(col(fpCol)), nBits, numProbes))
       .drop("words")
+    admitScreened(screened, history, fpCol)
+  }
+
+  /** The confirm half of every admission screen — ONE definition shared
+    * by [[admit]], [[admitSharded]] and the lifecycle gates (pl14/x110):
+    * given a frame carrying the screen's `__maybe` flag, admit the
+    * definite-new slice join-free and confirm the maybe-seen slice
+    * against `history` exactly (anti-join on `fpCol`); the flag is
+    * dropped. Result == input ANTI-JOIN history at any FP rate. */
+  def admitScreened(screened: DataFrame, history: DataFrame,
+                    fpCol: String): DataFrame = {
     val definiteNew = screened.filter(!col("__maybe")).drop("__maybe")
     val confirmed = screened.filter(col("__maybe")).drop("__maybe")
       .join(history.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
@@ -249,13 +260,23 @@ object Bloom {
     }.reduce(_ unionByName _)
   }
 
+  /** Rejects probe frames already carrying columns this operator will
+    * introduce — silent clobbering otherwise (the `Curation.requireAbsent`
+    * guard discipline). */
+  private def requireAbsent(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved column(s): ${clash.mkString(", ")}")
+  }
+
   /** Route each probe row to its shard and test membership under that
     * shard's stored geometry — adds a `__maybe` column. The frame
     * broadcasts (nShards rows); the join key is the derived shard id, so
     * the test sits directly over the probe scan, below any later
     * exchange. */
   def screenSharded(probe: DataFrame, probeHash: Column, frame: DataFrame,
-                    numProbes: Int, nShards: Int): DataFrame =
+                    numProbes: Int, nShards: Int): DataFrame = {
+    requireAbsent(probe, "__shard", "__w", "__nb", "__maybe")
     probe.withColumn("__shard", shardOf(probeHash, nShards))
       .join(broadcast(frame.select(col("shard").as("__shard"),
         col("words").as("__w"), col("n_bits").as("__nb"))), Seq("__shard"), "left")
@@ -263,19 +284,15 @@ object Bloom {
         mightContainDyn(col("__w"), probeHash, col("__nb"), numProbes),
         lit(false)))
       .drop("__shard", "__w", "__nb")
+  }
 
   /** [[admit]] through the sharded frame: identical exact-result contract
     * (== arrivals ANTI-JOIN history at any FP rate); the shard routing
     * only changes which filter row screens each arrival. */
   def admitSharded(arrivals: DataFrame, history: DataFrame, fpCol: String,
-                   frame: DataFrame, numProbes: Int, nShards: Int): DataFrame = {
-    val screened = screenSharded(arrivals, xxhash64(col(fpCol)), frame,
-      numProbes, nShards)
-    val definiteNew = screened.filter(!col("__maybe")).drop("__maybe")
-    val confirmed = screened.filter(col("__maybe")).drop("__maybe")
-      .join(history.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
-    definiteNew.unionByName(confirmed)
-  }
+                   frame: DataFrame, numProbes: Int, nShards: Int): DataFrame =
+    admitScreened(screenSharded(arrivals, xxhash64(col(fpCol)), frame,
+      numProbes, nShards), history, fpCol)
 
   /** Exact per-shard fill, in ppm of each shard's own geometry — the
     * rotation decision number, computed DISTRIBUTEDLY (bit_count folded

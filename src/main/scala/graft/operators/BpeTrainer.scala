@@ -134,11 +134,17 @@ object BpeTrainer {
     * them in ONE merge pass, cutting the job count ~batchN×. Selection is
     * the standard non-interacting batch rule: walk pairs in (count desc,
     * lexicographic) order and accept a pair only if it shares NO symbol
-    * with any pair already accepted this scan. Non-interaction gives two
+    * with any pair already accepted this scan — where "symbols of a pair"
+    * includes the MERGED symbol `a + " " + b` it would create: without
+    * that, accepting ("a","b") alongside ("a b","d") would pass a naive
+    * string-disjointness test while the first pair CREATES adjacencies of
+    * the second, exactly the compound-aliasing class applyRulesLocal's
+    * tuple keys closed. Non-interaction gives two
     * exact properties: (a) accepted pairs' occurrences can never overlap,
     * so one simultaneous greedy pass is well-defined and equals applying
     * them one-by-one in slot order; (b) applying an accepted pair cannot
-    * change a later accepted pair's count. Batched therefore equals
+    * create or destroy a later accepted pair's occurrences, so counts
+    * stay selection-time-true. Batched therefore equals
     * serial greedy whenever serial's next argmax is never a pair CREATED
     * by an earlier merge of the same scan (the non-interacting-prefix
     * guarantee, spec-pinned at batchN = 1 where it is unconditional).
@@ -202,12 +208,16 @@ object BpeTrainer {
         .orderBy(col("c").desc, col("sym").asc, col("nsym").asc)
         .limit(k).collect()
       val acc = ArrayBuffer.empty[(String, String, Long)]
+      // symbols touched by accepted pairs INCLUDING the merged symbol
+      // each creates — a candidate touching any of them interacts
       val used = scala.collection.mutable.HashSet.empty[String]
       var i = 0
       while (i < page.length && acc.length < n) {
         val (a, b, c) =
           (page(i).getString(0), page(i).getString(1), page(i).getLong(2))
-        if (!used(a) && !used(b)) { acc += ((a, b, c)); used += a; used += b }
+        if (!used(a) && !used(b)) {
+          acc += ((a, b, c)); used += a; used += b; used += (a + " " + b)
+        }
         i += 1
       }
       if (acc.length == n || page.length < k) return acc.toSeq

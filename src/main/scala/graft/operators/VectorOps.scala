@@ -1239,7 +1239,14 @@ object VectorOps {
     * One bounded driver fetch of maxProbe scalar rows. */
   def chooseNprobe(curve: DataFrame, floorPpm: Long, maxProbe: Int): Int = {
     val rows = curve.select("nprobe", "recall_ppm").collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
+      .map { r =>
+        // an integer-div NULL means the fit saw zero exact neighbors —
+        // an empty/self-only holdout; fail with the cause, not an NPE
+        require(!r.isNullAt(1),
+          "recall curve has no denominator: the held-out sample produced " +
+            "zero exact neighbors (empty holdout?)")
+        r.getInt(0) -> r.getLong(1)
+      }
     rows.filter(_._2 >= floorPpm).map(_._1).sorted.headOption
       .getOrElse(maxProbe)
   }

@@ -1016,9 +1016,7 @@ object TextQueries {
         // fingerprint pass (the pl8 discipline)
         val screened = GraftCache.persist(
           Bloom.screenSharded(arrivals, hashC, served, probes, 1))
-        val admitted = screened.filter(!col("__maybe"))
-          .unionByName(screened.filter(col("__maybe"))
-            .join(history.select("fp").distinct(), Seq("fp"), "left_anti"))
+        val admitted = Bloom.admitScreened(screened, history, "fp")
         screened.agg(count(lit(1)).as("n_arrived"),
             sum(when(col("__maybe"), 0L).otherwise(1L)).as("n_miss"),
             sum(when(col("__maybe"), 1L).otherwise(0L)).as("n_hit"))
@@ -1086,9 +1084,7 @@ object TextQueries {
               Bloom.sketchShardedAt(history, h, targets, probes, nS)))
         val screened = GraftCache.persist(Bloom.screenSharded(
           arrivals, h, served, probes, nS))
-        val admitted = screened.filter(!col("__maybe"))
-          .unionByName(screened.filter(col("__maybe"))
-            .join(history.select("fp").distinct(), Seq("fp"), "left_anti"))
+        val admitted = Bloom.admitScreened(screened, history, "fp")
         val stats = screened.groupBy("shard")
           .agg(count(lit(1)).as("n_arrived"),
             sum(when(col("__maybe"), 0L).otherwise(1L)).as("n_miss"),
@@ -1178,10 +1174,11 @@ object TextQueries {
     // one driver argmax PER MERGE — a production 32k-merge vocabulary is
     // 32k sequential jobs, days of scheduler latency at any data size.
     // Here each scan accepts up to BpeBatchN symbol-disjoint pairs in
-    // (count desc, lex) order and merges them all in ONE pass (disjoint
-    // symbols ⇒ occurrences never overlap and counts of later accepted
-    // pairs are invariant under earlier ones — simultaneous == slot-order
-    // serial). The oracle replays the whole batched recurrence: per-scan
+    // (count desc, lex) order — disjoint over each pair's sides AND the
+    // merged symbol it creates — and merges them all in ONE pass
+    // (occurrences never overlap, and earlier accepted pairs can neither
+    // create nor destroy later ones' occurrences — simultaneous ==
+    // slot-order serial). The oracle replays the whole batched recurrence: per-scan
     // pair ranks, the non-interacting selection cascade, the multi-rule
     // merge pass, and per-slot merged-occurrence counts; scan 2 runs over
     // the corpus as rewritten by scan 1, so any selection or application
@@ -2552,7 +2549,8 @@ object TextQueries {
            |  SELECT a, b, c FROM p$i p
            |  WHERE p.rk = (SELECT min(p2.rk) FROM p$i p2
            |    WHERE NOT EXISTS (SELECT 1 FROM ($prev) s
-           |      WHERE p2.a IN (s.a, s.b) OR p2.b IN (s.a, s.b))))"""
+           |      WHERE p2.a IN (s.a, s.b, s.a || ' ' || s.b)
+           |         OR p2.b IN (s.a, s.b, s.a || ' ' || s.b))))"""
           .stripMargin
       }.mkString(",\n")
       val slots = (1 to n).map(k => s"SELECT $k AS slot, a, b, c FROM q${i}_$k")

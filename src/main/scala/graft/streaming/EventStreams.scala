@@ -789,18 +789,27 @@ object EventStreams {
           .as("words"),
         col("n_bits"), col("n_probes"), col("n_shards"))
 
+  private val HistoryPartName = "batch(-?\\d+)-part\\d+\\.parquet".r
+
   /** The on-disk parquet part files of specific history batches — the
     * exactly-once layout names parts `batch<id>-part<i>.parquet`, so a
-    * bounded id range reads without scanning the whole table. */
+    * bounded id set reads without scanning the whole table. ONE listing
+    * call filtered locally, never a glob per id: the rebuild passes the
+    * full id range, and per-id round trips would make its listing
+    * O(total batches) metadata RPCs on an object store. */
   private def historyBatchFiles(spark: SparkSession, histDir: String,
                                 ids: Seq[Long]): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(histDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    ids.flatMap { k =>
-      Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(dir, s"batch$k-part*.parquet")))
-        .toSeq.flatten.map(_.getPath.toString)
-    }
+    val wanted = ids.toSet
+    Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "batch*-part*.parquet")))
+      .toSeq.flatten.map(_.getPath)
+      .filter(p => p.getName match {
+        case HistoryPartName(id) => wanted.contains(id.toLong)
+        case _ => false
+      })
+      .map(_.toString)
   }
 
   /** Highest batch id committed to the history layout (marker files). */
@@ -821,7 +830,9 @@ object EventStreams {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "rotate-req-*")))
       .toSeq.flatten
-      .map(_.getPath.getName.stripPrefix("rotate-req-").toLong)
+      // tolerant parse: a stray copy-tool/editor suffix on a matching
+      // name must be ignored, not fail the micro-batch
+      .flatMap(_.getPath.getName.stripPrefix("rotate-req-").toLongOption)
   }
 
   private def readRotationRequest(spark: SparkSession, bloomDir: String,
@@ -947,11 +958,21 @@ object EventStreams {
               new org.apache.hadoop.fs.Path(histDir), "_batch-1.done")),
             s"rotation requires a seeded history: $histDir lacks the " +
               "seedSeenBloomSharded seed marker (_batch-1.done)")
-          val req = fs.create(new org.apache.hadoop.fs.Path(
-            fsDir, s"rotate-req-${batchId + 1}"), true)
+          // write-then-rename so the offline rebuild can never read a
+          // partially written shard list (the tmp name is _-prefixed and
+          // cannot match the rotate-req-* glob)
+          val tmp = new org.apache.hadoop.fs.Path(
+            fsDir, s"_rotate-req-${batchId + 1}.tmp")
+          val req = fs.create(tmp, true)
           try req.write(saturated.mkString(",")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally req.close()
+          val dst = new org.apache.hadoop.fs.Path(
+            fsDir, s"rotate-req-${batchId + 1}")
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(
+              s"rename $tmp -> $dst returned false; rotation request " +
+                "not committed")
         }
         graft.GraftCache.release()
         ()

@@ -14,12 +14,11 @@ package graft
   * measurably inflates timings (round 4 saw 2-4x phantom "regressions"
   * from exactly that).
   *
-  * Current snapshot: round-14 SECOND-PASS closing full-suite solo run at
-  * HEAD — all 195 queries from ONE coherent run (219.7s total; the +33s
-  * over the first-pass 186.4s/187 carries the 8 second-pass gates,
-  * dominated by the two ~5s BPE training/serving gates — ZERO in-suite
-  * flags, zero errors; quiet box per the contract line's env field,
-  * loadavg 0.69 at start, one other JVM throughout; 8 cost-balanced
+  * Current snapshot: round-16 closing full-suite solo run at HEAD — all
+  * 208 queries from ONE coherent run (291.6s total, carrying the round's
+  * 4 new gates: x110 2.1s, x111 2.7s, x112 10.6s, pl15 7.5s — ZERO
+  * in-suite flags, zero errors; quiet box per the contract line's env
+  * field, loadavg 0.93 at start, one other JVM throughout; cost-balanced
   * shards at the ~25/shard design point). No query flagged in-suite, so
   * no solo adjudication was needed; the standing rule from round 13
   * remains — a query flagged in-suite and adjudicated solo snapshots
@@ -48,216 +47,213 @@ object BenchExpectations {
   val MinFlagSec = 0.75
 
   val secondsAtSf01: Map[String, Double] = Map(
-    "a10_reconcile" -> 0.3379,
-    "a11_percentiles" -> 1.1859,
-    "a12_rollup" -> 0.4248,
-    "a13_group_stats" -> 0.5749,
-    "a14_profile" -> 0.8893,
-    "a15_cube" -> 0.4672,
-    "a16_incremental_agg" -> 0.4496,
-    "a17_quality_checks" -> 0.5023,
-    "a18_group_mode" -> 0.4119,
-    "a19_decimal_money" -> 0.792,
-    "a1_group_sum" -> 0.4935,
-    "a20_kmv_distinct" -> 0.6945,
-    "a21_kmv_incremental" -> 1.3279,
-    "a22_kmv_overlap" -> 0.8247,
-    "a23_daily_distinct" -> 0.782,
-    "a24_value_histogram" -> 0.8462,
-    "a3_cycle_breakdown" -> 0.2901,
-    "a4_conditional_pivot" -> 0.522,
-    "a7_distinct_values" -> 0.3542,
-    "a8_global_stats" -> 0.2779,
-    "d1_amount_bins" -> 0.2326,
-    "d2_company_type" -> 0.3881,
-    "d3_party_pivot" -> 0.5313,
-    "d4_composite_key" -> 0.1556,
-    "j1_lookup_join" -> 0.3876,
-    "j2_anti_join" -> 0.3998,
-    "j2_dedup_keepfirst" -> 1.2799,
-    "j3_asof_join" -> 0.7474,
-    "j4_range_join" -> 0.7417,
-    "j5_upsert_merge" -> 0.4424,
-    "j6_scd2" -> 0.5617,
-    "j7_salted_join" -> 0.7527,
-    "j8_bloom_join" -> 0.6794,
-    "j9_snapshot_diff" -> 0.6269,
-    "join_q10_returns" -> 0.6542,
-    "join_q18_big_orders" -> 0.6023,
-    "join_q3_revenue" -> 0.7834,
-    "join_q5_nation_revenue" -> 1.0194,
-    "p11_iso8601" -> 0.46,
-    "p14_pushdown_filter" -> 0.3006,
-    "p18_json_extract" -> 0.4349,
-    "p2_normalize_dropnull" -> 0.2332,
-    "p3_clean_normalize" -> 0.2077,
-    "p5_name_coercion" -> 0.6456,
-    "p6_datetime_coercion" -> 0.3973,
-    "p8_null_fill" -> 0.2811,
-    "p9_metadata" -> 0.2118,
-    "pl10_classifier_pipeline" -> 4.3638,
-    "pl11_dsir_pipeline" -> 4.2184,
-    "pl12_index_refresh" -> 2.8611,
-    "pl13_sketch_report" -> 1.0988,
-    "pl14_bloom_rotate" -> 1.3602,
-    "pl1_csv_pipeline" -> 1.7624,
-    "pl2_sql_pipeline" -> 0.6529,
-    "pl3_realtime_pipeline" -> 1.2595,
-    "pl4_issues_pipeline" -> 0.8154,
-    "pl5_curation_pipeline" -> 2.3827,
-    "pl6_events_pipeline" -> 1.3758,
-    "pl7_corpus_report" -> 1.5734,
-    "pl8_nightly_ingest" -> 5.9601,
-    "pl9_export_shards" -> 1.0794,
-    "s10_tree_paths" -> 0.9359,
-    "s11_dryrun" -> 0.1827,
-    "s12_orc_scan" -> 0.8501,
-    "s13_json_scan" -> 0.3764,
-    "s14_partitioned_scan" -> 0.7877,
-    "s16_bucketed_join" -> 2.8877,
-    "s17_zorder_scan" -> 1.1401,
-    "s18_schema_evolution" -> 0.8521,
-    "s19_compaction" -> 1.5839,
-    "s1_csv_scan" -> 0.8479,
-    "s2_jdbc_roundtrip" -> 0.391,
-    "s3_jdbc_partitioned" -> 0.4999,
-    "s7_sink_roundtrip" -> 0.3066,
-    "s8_batched_sink" -> 0.4391,
-    "s9_tree_roundtrip" -> 0.2388,
-    "t1_topk_rows" -> 0.1353,
-    "t2_topk_groups" -> 0.221,
-    "u1_set_ops" -> 0.4669,
-    "u2_unpivot" -> 0.3833,
-    "w10_event_paths" -> 0.4616,
-    "w11_time_to_convert" -> 0.6481,
-    "w12_attribution" -> 0.7502,
-    "w13_stream_join" -> 0.3356,
-    "w1_tumbling_window" -> 0.328,
-    "w2_sliding_window" -> 0.2916,
-    "w3_session_window" -> 0.7757,
-    "w4_window_rank" -> 0.5575,
-    "w5_lag_cumsum" -> 0.7025,
-    "w6_funnel" -> 1.2318,
-    "w7_retention" -> 0.8679,
-    "w8_anomaly" -> 0.6496,
-    "w8_rank_native" -> 0.3609,
-    "w9_gapfill" -> 0.5441,
-    "x0_exact_dedup" -> 0.2877,
-    "x100_bpe_merges" -> 4.9334,
-    "x101_bpe_apply" -> 5.7217,
-    "x102_self_repetition" -> 2.6521,
-    "x103_hard_negatives" -> 0.9147,
-    "x104_span_corruption" -> 2.112,
-    "x105_bpe_apply_local" -> 3.5397,
-    "x106_bpe_sampled" -> 3.2423,
-    "x107_hard_negatives_indexed" -> 3.0724,
-    "x108_hard_negative_recall" -> 2.2027,
-    "x109_hard_negatives_routed" -> 5.5195,
-    "x10_media_features" -> 0.3405,
-    "x11_ivf_topk" -> 1.0563,
-    "x12_chunk_neardups" -> 0.602,
-    "x13_token_chunks" -> 0.7666,
-    "x14_fuzzy_names" -> 0.2961,
-    "x15_tfidf_top_term" -> 1.0956,
-    "x16_ngram_jaccard" -> 0.9687,
-    "x17_pii_scrub" -> 0.5009,
-    "x18_simhash_neardups" -> 1.409,
-    "x19_stratified_sample" -> 0.2925,
-    "x1_fingerprint" -> 0.2589,
-    "x20_domain_cap" -> 0.2802,
-    "x21_decontaminate" -> 1.109,
-    "x22_int8_quant" -> 0.4911,
-    "x23_train_shuffle" -> 0.3058,
-    "x24_sequence_pack" -> 0.3622,
-    "x25_frame_sample" -> 0.3088,
-    "x26_media_resize" -> 0.2088,
-    "x27_quant_topk" -> 0.2661,
-    "x28_dedup_clusters" -> 1.8261,
-    "x29_repetition_metrics" -> 0.9941,
-    "x2_quality_metrics" -> 0.519,
-    "x30_knn_join" -> 0.5501,
-    "x31_vocab_stats" -> 0.4078,
-    "x32_bigram_logprob" -> 1.4461,
-    "x33_embed_clusters" -> 2.3331,
-    "x34_span_dedup" -> 1.1144,
-    "x35_semdedup" -> 1.4699,
-    "x36_hybrid_rrf" -> 0.7738,
-    "x37_domain_mix" -> 0.5903,
-    "x38_native_topk" -> 0.3259,
-    "x39_incremental_neardups" -> 1.4106,
-    "x3_lang_id" -> 0.5409,
-    "x40_perplexity_bins" -> 1.629,
-    "x41_indexed_screen" -> 2.2253,
-    "x42_domain_mix_up" -> 0.6949,
-    "x43_knn_native" -> 0.4415,
-    "x44_temperature_mix" -> 1.5516,
-    "x45_fuzzy_decontam" -> 2.171,
-    "x46_heavy_tokens" -> 0.5567,
-    "x47_unicode_dedup" -> 0.7595,
-    "x48_incremental_clusters" -> 2.6467,
-    "x49_quality_features" -> 2.5105,
-    "x4_minhash_neardups" -> 1.4793,
-    "x50_train_split" -> 0.4616,
-    "x51_corpus_drift" -> 0.4675,
-    "x52_leakage_safe_splits" -> 2.0871,
-    "x53_quality_scores" -> 2.5296,
-    "x54_jl_projection" -> 1.364,
-    "x55_jl_knn" -> 0.7722,
-    "x56_weighted_sample" -> 0.2877,
-    "x57_dsir_select" -> 2.4003,
-    "x58_filter_cascade" -> 1.8161,
-    "x59_dsir_screen" -> 1.8978,
-    "x5_simhash" -> 1.2111,
-    "x60_diverse_sample" -> 0.7856,
-    "x61_gram_coverage" -> 0.7433,
-    "x62_embedding_drift" -> 0.9716,
-    "x63_semantic_decontam" -> 0.3649,
-    "x64_ann_recall" -> 1.3427,
-    "x65_fit_classifier" -> 2.9266,
-    "x66_pack_efficiency" -> 1.0252,
-    "x67_dedup_thresholds" -> 1.928,
-    "x68_leakage_audit" -> 1.9331,
-    "x69_quality_canonical" -> 2.3345,
-    "x6_brute_topk" -> 0.1552,
-    "x70_pq_topk" -> 1.7398,
-    "x71_pq_recall" -> 2.7926,
-    "x72_ivfpq_topk" -> 1.7635,
-    "x73_pq_indexed" -> 1.8361,
-    "x74_pq_append" -> 2.3861,
-    "x75_ivfpq_indexed" -> 2.832,
-    "x76_pq_routed_knn" -> 3.1851,
-    "x77_ivfpq_append" -> 4.541,
-    "x78_ivfpq_residual" -> 2.3307,
-    "x79_band_delete" -> 4.0529,
-    "x7_ann_topk" -> 0.255,
-    "x80_routed_recall" -> 5.3159,
-    "x81_ivfpq_compact" -> 4.0851,
-    "x82_residual_recall" -> 4.5351,
-    "x83_pq_delete" -> 1.9191,
-    "x84_ivfpq_residual_indexed" -> 3.5666,
-    "x85_ivfpq_delete" -> 3.4138,
-    "x86_clustered_recall" -> 5.9136,
-    "x87_residual_routed_knn" -> 3.7323,
-    "x88_two_stage_indexed" -> 2.5994,
-    "x89_knn_pagerank" -> 2.5463,
-    "x8_embed_neardups" -> 0.4567,
-    "x90_ivfpq_residual_append" -> 4.253,
-    "x91_source_authority" -> 3.8404,
-    "x92_ivfpq_bigk" -> 2.3637,
-    "x93_pq_bigks" -> 1.399,
-    "x94_ivfpq_bigk_bigks" -> 1.9993,
-    "x95_pr_curve" -> 3.1871,
-    "x96_video_demux" -> 0.4368,
-    "x97_substring_dedup" -> 2.0352,
-    "x98_bloom_prune" -> 0.8394,
-    "x99_bloom_admission" -> 1.1467,
-    "x9_token_stats" -> 0.4492,
-    // round-16 gates: provisional solo-run values (idle box, loadavg
-    // 0.66, args-mode run of exactly these four) — re-snapshotted from
-    // the closing full-suite run like everything else
-    "pl15_training_pairs" -> 8.6029,
-    "x110_sharded_bloom_rotate" -> 2.1355,
-    "x111_bpe_batched" -> 3.2515,
-    "x112_adaptive_nprobe" -> 9.1007
+    "a10_reconcile" -> 0.3704,
+    "a11_percentiles" -> 0.8009,
+    "a12_rollup" -> 0.4236,
+    "a13_group_stats" -> 0.3398,
+    "a14_profile" -> 1.0602,
+    "a15_cube" -> 0.5197,
+    "a16_incremental_agg" -> 0.6452,
+    "a17_quality_checks" -> 0.3851,
+    "a18_group_mode" -> 0.3118,
+    "a19_decimal_money" -> 0.7916,
+    "a1_group_sum" -> 0.5001,
+    "a20_kmv_distinct" -> 0.6222,
+    "a21_kmv_incremental" -> 1.4094,
+    "a22_kmv_overlap" -> 1.0935,
+    "a23_daily_distinct" -> 0.7205,
+    "a24_value_histogram" -> 0.667,
+    "a3_cycle_breakdown" -> 0.24,
+    "a4_conditional_pivot" -> 0.7703,
+    "a7_distinct_values" -> 0.1921,
+    "a8_global_stats" -> 0.3555,
+    "d1_amount_bins" -> 0.3565,
+    "d2_company_type" -> 0.288,
+    "d3_party_pivot" -> 0.6201,
+    "d4_composite_key" -> 0.1852,
+    "j1_lookup_join" -> 0.3862,
+    "j2_anti_join" -> 0.4744,
+    "j2_dedup_keepfirst" -> 1.5843,
+    "j3_asof_join" -> 0.8668,
+    "j4_range_join" -> 0.8944,
+    "j5_upsert_merge" -> 0.4149,
+    "j6_scd2" -> 0.6712,
+    "j7_salted_join" -> 0.9101,
+    "j8_bloom_join" -> 0.7083,
+    "j9_snapshot_diff" -> 0.5638,
+    "join_q10_returns" -> 0.8205,
+    "join_q18_big_orders" -> 0.7438,
+    "join_q3_revenue" -> 0.8045,
+    "join_q5_nation_revenue" -> 1.1212,
+    "p11_iso8601" -> 0.4293,
+    "p14_pushdown_filter" -> 0.2871,
+    "p18_json_extract" -> 0.5295,
+    "p2_normalize_dropnull" -> 0.2212,
+    "p3_clean_normalize" -> 0.1951,
+    "p5_name_coercion" -> 0.6318,
+    "p6_datetime_coercion" -> 0.3971,
+    "p8_null_fill" -> 0.2428,
+    "p9_metadata" -> 0.148,
+    "pl10_classifier_pipeline" -> 4.9122,
+    "pl11_dsir_pipeline" -> 4.8397,
+    "pl12_index_refresh" -> 3.5522,
+    "pl13_sketch_report" -> 1.1022,
+    "pl14_bloom_rotate" -> 1.8461,
+    "pl15_training_pairs" -> 7.485,
+    "pl1_csv_pipeline" -> 1.6807,
+    "pl2_sql_pipeline" -> 0.7463,
+    "pl3_realtime_pipeline" -> 1.409,
+    "pl4_issues_pipeline" -> 0.5143,
+    "pl5_curation_pipeline" -> 2.6696,
+    "pl6_events_pipeline" -> 1.5367,
+    "pl7_corpus_report" -> 1.5199,
+    "pl8_nightly_ingest" -> 5.1488,
+    "pl9_export_shards" -> 1.4297,
+    "s10_tree_paths" -> 0.8943,
+    "s11_dryrun" -> 0.2715,
+    "s12_orc_scan" -> 1.1069,
+    "s13_json_scan" -> 0.4392,
+    "s14_partitioned_scan" -> 0.9343,
+    "s16_bucketed_join" -> 3.1813,
+    "s17_zorder_scan" -> 1.2598,
+    "s18_schema_evolution" -> 0.6408,
+    "s19_compaction" -> 1.1979,
+    "s1_csv_scan" -> 1.0733,
+    "s2_jdbc_roundtrip" -> 0.4845,
+    "s3_jdbc_partitioned" -> 0.592,
+    "s7_sink_roundtrip" -> 0.3835,
+    "s8_batched_sink" -> 0.4492,
+    "s9_tree_roundtrip" -> 0.292,
+    "t1_topk_rows" -> 0.1125,
+    "t2_topk_groups" -> 0.2504,
+    "u1_set_ops" -> 0.5166,
+    "u2_unpivot" -> 0.4836,
+    "w10_event_paths" -> 0.5151,
+    "w11_time_to_convert" -> 0.6007,
+    "w12_attribution" -> 0.5228,
+    "w13_stream_join" -> 0.4271,
+    "w1_tumbling_window" -> 0.3672,
+    "w2_sliding_window" -> 0.3825,
+    "w3_session_window" -> 0.6834,
+    "w4_window_rank" -> 0.562,
+    "w5_lag_cumsum" -> 0.6248,
+    "w6_funnel" -> 0.4843,
+    "w7_retention" -> 0.6505,
+    "w8_anomaly" -> 0.5089,
+    "w8_rank_native" -> 0.362,
+    "w9_gapfill" -> 0.4949,
+    "x0_exact_dedup" -> 0.3753,
+    "x100_bpe_merges" -> 5.0648,
+    "x101_bpe_apply" -> 5.2499,
+    "x102_self_repetition" -> 1.9321,
+    "x103_hard_negatives" -> 0.5502,
+    "x104_span_corruption" -> 1.9186,
+    "x105_bpe_apply_local" -> 4.5628,
+    "x106_bpe_sampled" -> 3.3732,
+    "x107_hard_negatives_indexed" -> 2.3161,
+    "x108_hard_negative_recall" -> 3.5132,
+    "x109_hard_negatives_routed" -> 4.0223,
+    "x10_media_features" -> 0.4719,
+    "x110_sharded_bloom_rotate" -> 2.1147,
+    "x111_bpe_batched" -> 2.7051,
+    "x112_adaptive_nprobe" -> 10.5738,
+    "x11_ivf_topk" -> 1.184,
+    "x12_chunk_neardups" -> 0.6667,
+    "x13_token_chunks" -> 0.5982,
+    "x14_fuzzy_names" -> 0.4678,
+    "x15_tfidf_top_term" -> 1.1885,
+    "x16_ngram_jaccard" -> 1.3356,
+    "x17_pii_scrub" -> 0.4496,
+    "x18_simhash_neardups" -> 1.8967,
+    "x19_stratified_sample" -> 0.2778,
+    "x1_fingerprint" -> 0.349,
+    "x20_domain_cap" -> 0.2268,
+    "x21_decontaminate" -> 0.9284,
+    "x22_int8_quant" -> 0.7049,
+    "x23_train_shuffle" -> 0.2025,
+    "x24_sequence_pack" -> 0.4262,
+    "x25_frame_sample" -> 0.2698,
+    "x26_media_resize" -> 0.2149,
+    "x27_quant_topk" -> 0.3278,
+    "x28_dedup_clusters" -> 1.6494,
+    "x29_repetition_metrics" -> 0.9867,
+    "x2_quality_metrics" -> 0.5878,
+    "x30_knn_join" -> 0.5095,
+    "x31_vocab_stats" -> 0.3989,
+    "x32_bigram_logprob" -> 1.1068,
+    "x33_embed_clusters" -> 2.5751,
+    "x34_span_dedup" -> 1.4695,
+    "x35_semdedup" -> 1.9871,
+    "x36_hybrid_rrf" -> 0.8546,
+    "x37_domain_mix" -> 0.6525,
+    "x38_native_topk" -> 0.3668,
+    "x39_incremental_neardups" -> 1.3904,
+    "x3_lang_id" -> 0.5529,
+    "x40_perplexity_bins" -> 1.3078,
+    "x41_indexed_screen" -> 2.0902,
+    "x42_domain_mix_up" -> 0.7982,
+    "x43_knn_native" -> 0.4996,
+    "x44_temperature_mix" -> 1.2596,
+    "x45_fuzzy_decontam" -> 1.5951,
+    "x46_heavy_tokens" -> 0.6494,
+    "x47_unicode_dedup" -> 0.7266,
+    "x48_incremental_clusters" -> 2.3094,
+    "x49_quality_features" -> 3.4774,
+    "x4_minhash_neardups" -> 1.2535,
+    "x50_train_split" -> 0.3181,
+    "x51_corpus_drift" -> 0.507,
+    "x52_leakage_safe_splits" -> 1.437,
+    "x53_quality_scores" -> 2.5026,
+    "x54_jl_projection" -> 1.3889,
+    "x55_jl_knn" -> 0.6473,
+    "x56_weighted_sample" -> 0.2304,
+    "x57_dsir_select" -> 2.8066,
+    "x58_filter_cascade" -> 1.6707,
+    "x59_dsir_screen" -> 1.7854,
+    "x5_simhash" -> 1.26,
+    "x60_diverse_sample" -> 0.8296,
+    "x61_gram_coverage" -> 0.8653,
+    "x62_embedding_drift" -> 1.41,
+    "x63_semantic_decontam" -> 0.4877,
+    "x64_ann_recall" -> 1.9773,
+    "x65_fit_classifier" -> 2.5258,
+    "x66_pack_efficiency" -> 0.8235,
+    "x67_dedup_thresholds" -> 2.2014,
+    "x68_leakage_audit" -> 2.0971,
+    "x69_quality_canonical" -> 1.7717,
+    "x6_brute_topk" -> 0.1683,
+    "x70_pq_topk" -> 1.5063,
+    "x71_pq_recall" -> 2.1811,
+    "x72_ivfpq_topk" -> 1.6986,
+    "x73_pq_indexed" -> 1.9104,
+    "x74_pq_append" -> 2.15,
+    "x75_ivfpq_indexed" -> 3.379,
+    "x76_pq_routed_knn" -> 4.0647,
+    "x77_ivfpq_append" -> 4.2115,
+    "x78_ivfpq_residual" -> 2.2191,
+    "x79_band_delete" -> 2.8318,
+    "x7_ann_topk" -> 0.2791,
+    "x80_routed_recall" -> 3.8792,
+    "x81_ivfpq_compact" -> 3.5671,
+    "x82_residual_recall" -> 4.1104,
+    "x83_pq_delete" -> 2.007,
+    "x84_ivfpq_residual_indexed" -> 3.7613,
+    "x85_ivfpq_delete" -> 2.7464,
+    "x86_clustered_recall" -> 4.1525,
+    "x87_residual_routed_knn" -> 4.1524,
+    "x88_two_stage_indexed" -> 2.0949,
+    "x89_knn_pagerank" -> 2.7313,
+    "x8_embed_neardups" -> 0.6014,
+    "x90_ivfpq_residual_append" -> 4.1307,
+    "x91_source_authority" -> 3.1088,
+    "x92_ivfpq_bigk" -> 1.9808,
+    "x93_pq_bigks" -> 1.512,
+    "x94_ivfpq_bigk_bigks" -> 2.4653,
+    "x95_pr_curve" -> 2.156,
+    "x96_video_demux" -> 0.4245,
+    "x97_substring_dedup" -> 2.3494,
+    "x98_bloom_prune" -> 0.7364,
+    "x99_bloom_admission" -> 0.9953,
+    "x9_token_stats" -> 0.4609
   )
 }

@@ -16,7 +16,9 @@ package graft
   *
   * Current snapshot: round-16 closing full-suite solo run at HEAD — all
   * 208 queries from ONE coherent run (291.6s total, carrying the round's
-  * 4 new gates: x110 2.1s, x111 2.7s, x112 10.6s, pl15 7.5s — ZERO
+  * 4 new gates: x110 2.1s, x111 2.7s, x112 10.6s — re-measured solo at
+  * 7.52s after the post-snapshot single-scan curve-fit rewrite, the
+  * tighter value snapshotted per the min rule — pl15 7.5s; ZERO
   * in-suite flags, zero errors; quiet box per the contract line's env
   * field, loadavg 0.93 at start, one other JVM throughout; cost-balanced
   * shards at the ~25/shard design point). No query flagged in-suite, so
@@ -156,7 +158,7 @@ object BenchExpectations {
     "x10_media_features" -> 0.4719,
     "x110_sharded_bloom_rotate" -> 2.1147,
     "x111_bpe_batched" -> 2.7051,
-    "x112_adaptive_nprobe" -> 10.5738,
+    "x112_adaptive_nprobe" -> 7.5242, // single-scan curve fit, solo re-measure
     "x11_ivf_topk" -> 1.184,
     "x12_chunk_neardups" -> 0.6667,
     "x13_token_chunks" -> 0.5982,

@@ -1204,9 +1204,14 @@ object VectorOps {
     * engine replays the exact curve. Stored with the index, the curve
     * turns the serving knob from a guess into a contract: [[chooseNprobe]]
     * picks the cheapest nprobe that clears a requested recall floor.
-    * Cost: maxProbe routed serves over the SAMPLE (not the corpus) plus
-    * one exact scan of sample×corpus — build-time, amortized over every
-    * serve the index answers. */
+    * Cost: ONE routed ADC pass at maxProbe (each candidate row carries
+    * the RANK of the cell it was probed from, so the serve at any
+    * smaller nprobe is a filter + heap cut over the same cached frame —
+    * never maxProbe separate codes scans) plus one exact scan of
+    * sample×corpus — build-time, amortized over every serve the index
+    * answers. The per-nprobe results are definitionally identical to
+    * [[pqKnnAgainstCodesRouted]] at that nprobe: "cells ranked ≤ np"
+    * is exactly the slice that serve probes. */
   def fitRecallCurve(holdout: DataFrame, idCol: String, vecCol: String,
                      full: DataFrame, k: Int, maxProbe: Int,
                      cents: Seq[(Long, Seq[Double])],
@@ -1221,9 +1226,25 @@ object VectorOps {
       graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
         Seq(col("d2"), col(idCol)), k).select("qid", idCol))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val v = col(vecCol)
+    val qProbes = withCellsCol(holdout, cents)
+      .select(col(idCol).as("qid"),
+        posexplode(transform(
+          slice(array_sort(probeCandsCol(v, cents)), 1, maxProbe),
+          p => p.getField("cid"))).as(Seq("__cr", "cid")))
+      .select(col("qid"), (col("__cr") + 1).as("__cellrank"), col("cid"))
+    val qLuts = withAdcLuts(holdout, Seq(col(idCol).as("qid")), vecCol,
+      codebooks)
+    val cand = graft.GraftCache.persist(
+      codes.join(broadcast(qProbes), "cid")
+        .filter(col(idCol) =!= col("qid"))
+        .join(broadcast(qLuts), "qid")
+        .select(col("qid"), col(idCol), col("__cellrank"),
+          round(adcDist(codebooks), 6).as("adc_d2")))
     (1 to maxProbe).map { np =>
-      val routed = pqKnnAgainstCodesRouted(holdout, idCol, vecCol, k, np,
-        cents, codebooks, codes).select("qid", idCol)
+      val routed = graft.plans.TopKPerKey.topKPerKey(
+        cand.filter(col("__cellrank") <= np), Seq("qid"),
+        Seq(col("adc_d2"), col(idCol)), k).select("qid", idCol)
       exact.join(routed, Seq("qid", idCol))
         .agg(count(lit(1)).as("n_hit"))
         .crossJoin(nExact)

@@ -101,7 +101,7 @@ object BenchExpectations {
     "pl12_index_refresh" -> 3.5522,
     "pl13_sketch_report" -> 1.1022,
     "pl14_bloom_rotate" -> 1.8461,
-    "pl15_training_pairs" -> 7.485,
+    "pl15_training_pairs" -> 8.6595, // re-measured solo after the routed-positives switch (+~1.2s: the second routed mining pass)
     "pl1_csv_pipeline" -> 1.6807,
     "pl2_sql_pipeline" -> 0.7463,
     "pl3_realtime_pipeline" -> 1.409,
@@ -159,6 +159,7 @@ object BenchExpectations {
     "x110_sharded_bloom_rotate" -> 2.1147,
     "x111_bpe_batched" -> 2.7051,
     "x112_adaptive_nprobe" -> 7.5242, // single-scan curve fit, solo re-measure
+    "x113_hard_positive_recall" -> 4.1868, // solo-measured at add time
     "x11_ivf_topk" -> 1.184,
     "x12_chunk_neardups" -> 0.6667,
     "x13_token_chunks" -> 0.5982,

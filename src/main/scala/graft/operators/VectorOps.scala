@@ -1097,7 +1097,7 @@ object VectorOps {
     val cands = graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
         Seq(col("adc_d2"), col(idCol)), candidates)
       .select("qid", idCol, "neg_label")
-    refineNegatives(cands, queries, idCol, vecCol, full, k)
+    refineMined(cands, queries, idCol, vecCol, full, k, "neg_label")
   }
 
   /** Hard-negative mining through the ROUTED composed index — the form a
@@ -1117,7 +1117,34 @@ object VectorOps {
                           candidates: Int, nprobe: Int,
                           cents: Seq[(Long, Seq[Double])],
                           codebooks: Seq[Seq[(Long, Seq[Double])]],
-                          codes: DataFrame): DataFrame = {
+                          codes: DataFrame): DataFrame =
+    routedLabelMatchedKnn(queries, idCol, vecCol, labelCol, full, k,
+      candidates, nprobe, cents, codebooks, codes,
+      sameLabel = false, labelOut = "neg_label")
+
+  /** The POSITIVE twin of [[hardNegativesRouted]] — the deploy form of
+    * [[hardPositives]] (whose exact scan is linear per mining batch):
+    * nearest SAME-label candidates off the stored routed index, the
+    * label-EQUALITY predicate before the heap cut, exact cosine re-rank
+    * of survivors. The pl15 training-pair exporter mines both sides of
+    * its units through this routed path; x113 is the recall-honesty gate
+    * vs the exact miner, mirroring x108's for negatives. */
+  def hardPositivesRouted(queries: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, full: DataFrame, k: Int,
+                          candidates: Int, nprobe: Int,
+                          cents: Seq[(Long, Seq[Double])],
+                          codebooks: Seq[Seq[(Long, Seq[Double])]],
+                          codes: DataFrame): DataFrame =
+    routedLabelMatchedKnn(queries, idCol, vecCol, labelCol, full, k,
+      candidates, nprobe, cents, codebooks, codes,
+      sameLabel = true, labelOut = "pos_label")
+
+  private def routedLabelMatchedKnn(
+      queries: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      full: DataFrame, k: Int, candidates: Int, nprobe: Int,
+      cents: Seq[(Long, Seq[Double])],
+      codebooks: Seq[Seq[(Long, Seq[Double])]], codes: DataFrame,
+      sameLabel: Boolean, labelOut: String): DataFrame = {
     require(candidates >= k, "candidate pool must cover k")
     require(cents.nonEmpty, "routed mining requires centroids")
     val v = col(vecCol)
@@ -1126,29 +1153,34 @@ object VectorOps {
         p => p.getField("cid"))).as("cid"))
     val qLuts = withAdcLuts(queries,
       Seq(col(idCol).as("qid"), col(labelCol).as("__ql")), vecCol, codebooks)
+    val labelPred =
+      if (sameLabel) col(labelCol) === col("__ql")
+      else col(labelCol) =!= col("__ql")
     val ranked = codes.join(broadcast(qProbes), "cid")
       .join(broadcast(qLuts), "qid")
-      .filter(col(idCol) =!= col("qid") && col(labelCol) =!= col("__ql"))
-      .select(col("qid"), col(idCol), col(labelCol).as("neg_label"),
+      .filter(col(idCol) =!= col("qid") && labelPred)
+      .select(col("qid"), col(idCol), col(labelCol).as(labelOut),
         round(adcDist(codebooks), 6).as("adc_d2"))
     val cands = graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
         Seq(col("adc_d2"), col(idCol)), candidates)
-      .select("qid", idCol, "neg_label")
-    refineNegatives(cands, queries, idCol, vecCol, full, k)
+      .select("qid", idCol, labelOut)
+    refineMined(cands, queries, idCol, vecCol, full, k, labelOut)
   }
 
-  /** Stage 2 of both indexed miners: exact cosine re-rank of the
+  /** Stage 2 of every indexed miner: exact cosine re-rank of the
     * shortlist on the full vectors (id equi join, candidate-pool-sized),
-    * same rounded metric and tie order as the exact [[hardNegatives]]. */
-  private def refineNegatives(cands: DataFrame, queries: DataFrame,
-                              idCol: String, vecCol: String,
-                              full: DataFrame, k: Int): DataFrame = {
+    * same rounded metric and tie order as the exact [[hardNegatives]] /
+    * [[hardPositives]]. */
+  private def refineMined(cands: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String,
+                          full: DataFrame, k: Int,
+                          labelOut: String): DataFrame = {
     val fullV = full.select(col(idCol), col(vecCol).as("__v"),
       norm2(col(vecCol)).as("__n"))
     val qf = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
       norm2(col(vecCol)).as("__qn"))
     val exact = cands.join(fullV, idCol).join(broadcast(qf), "qid")
-      .select(col("qid"), col(idCol), col("neg_label"),
+      .select(col("qid"), col(idCol), col(labelOut),
         round(dot(col("__v"), col("__qv")) / (col("__n") * col("__qn")), 6)
           .as("sim_r"))
     val cut = graft.plans.TopKPerKey.topKPerKey(exact, Seq("qid"),

@@ -918,13 +918,51 @@ object VectorQueries {
         .orderBy("qid", "adc_d2", "vec_id")
     }),
 
+    // ---------------------------------------------------------------- x113
+    // Recall-honesty gate for the POSITIVE miner — x108's contract
+    // applied to the same-label side: the routed positive miner (pl15's
+    // deploy path) and the exact one share the final rounded cosine and
+    // tie order, so the only divergence channel is shortlist misses,
+    // measured here per query against the exact scan. Oracle replays
+    // both miners end to end.
+    "x113_hard_positive_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val pred = col("vec_id") % KnnQueryMod === 0
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x113_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx,
+        carry = Seq("label"))
+      val exact = VectorOps.hardPositives(e, "vec_id", "embedding", "label",
+        pred, KnnK).select("qid", "vec_id")
+      val routed = VectorOps.hardPositivesRouted(e.filter(pred), "vec_id",
+          "embedding", "label", e, KnnK, PqCandidates, NProbe,
+          VectorOps.collectCentroids(s.read.parquet(s"$idx/centroids")),
+          VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+        .select("qid", "vec_id")
+      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      val nHit = exact.join(routed, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_routed"))
+      nExact.join(nHit, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_routed"), lit(0L)).as("n_routed"),
+          round(coalesce(col("n_routed"), lit(0L)) / col("n_exact"), 4)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
     // ---------------------------------------------------------------- pl15
     // Training-pair EXPORT pipeline (round-15 verdict #5) — the tiers that
     // existed separately, chained into the artifact a contrastive trainer
-    // actually consumes: mine hard negatives off the STORED IVF-PQ index
-    // (x109's routed form — ~nprobe/k of the index read per batch), pick
-    // each anchor's positive as its exact nearest SAME-label neighbor,
-    // assemble (anchor, positive, negatives) units, split LEAKAGE-SAFE
+    // actually consumes: mine hard negatives AND each anchor's positive
+    // (nearest same-label neighbor) off the STORED IVF-PQ index — both
+    // sides of every unit go through the routed path (~nprobe/k of the
+    // index read per mining batch; x108/x113 are the per-side recall
+    // honesty gates), assemble (anchor, positive, negatives) units,
+    // split LEAKAGE-SAFE
     // over the mined association graph (any vector reachable from an
     // anchor through a mined edge shares its split — x52's
     // connected-components key, so an eval anchor's positive or negative
@@ -939,10 +977,6 @@ object VectorQueries {
       val e = graft.GraftCache.persist(t.embeddings)
       val anchorPred = col("vec_id") % KnnQueryMod === 0
       val anchors = e.filter(anchorPred)
-      val positives = graft.GraftCache.persist(
-        VectorOps.hardPositives(e, "vec_id", "embedding", "label",
-            anchorPred, 1)
-          .select(col("qid"), col("vec_id").as("pos_id")))
       val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
         KClusters, KmeansIters)
       val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
@@ -950,12 +984,19 @@ object VectorQueries {
       val idx = SinkQueries.sinkDir("pl15_ivfpq_index")
       VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx,
         carry = Seq("label"))
+      val cents = VectorOps.collectCentroids(
+        s.read.parquet(s"$idx/centroids"))
+      val cb = VectorOps.readPqCodebooks(s, idx)
+      val codes = s.read.parquet(s"$idx/codes")
+      val positives = graft.GraftCache.persist(
+        VectorOps.hardPositivesRouted(e.filter(anchorPred), "vec_id",
+            "embedding", "label", e, 1, PqCandidates, NProbe,
+            cents, cb, codes)
+          .select(col("qid"), col("vec_id").as("pos_id")))
       val negatives = graft.GraftCache.persist(
         VectorOps.hardNegativesRouted(e.filter(anchorPred), "vec_id",
             "embedding", "label", e, KnnK, PqCandidates, NProbe,
-            VectorOps.collectCentroids(s.read.parquet(s"$idx/centroids")),
-            VectorOps.readPqCodebooks(s, idx),
-            s.read.parquet(s"$idx/codes"))
+            cents, cb, codes)
           .select(col("qid"), col("vec_id").as("neg_id")))
       val units = positives.join(
         negatives.groupBy("qid").agg(count(lit(1)).as("n_negs")), Seq("qid"))
@@ -2097,6 +2138,7 @@ object VectorQueries {
     "x109_hard_negatives_routed" -> hardNegativesRoutedSql,
     "pl15_training_pairs" -> trainingPairsSql,
     "x112_adaptive_nprobe" -> adaptiveNprobeSql,
+    "x113_hard_positive_recall" -> hardPositiveRecallSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.
     "x43_knn_native" -> knnJoinSql,
@@ -2252,6 +2294,66 @@ object VectorQueries {
        |FROM ne LEFT JOIN ni USING (qid)
        |ORDER BY qid""".stripMargin
 
+  /** x113: the positive miner's recall — exact same-label top-k vs the
+    * routed form (probes, label-EQUALITY ADC cut, exact re-rank), per
+    * query; the x108 contract applied to the positive side. */
+  private def hardPositiveRecallSql: String =
+    s"""WITH $kmeansSql,
+       |$assignCte,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |exactp AS (
+       |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> q.qid AND e.label = q.ql),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim_r DESC, vec_id) AS rk FROM exactp)
+       |  WHERE rk <= $KnnK),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c$KmeansIters c)
+       |  WHERE rn <= $NProbe),
+       |radcp AS (
+       |  SELECT q.qid, a.vec_id,
+       |    round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |  FROM (SELECT s.vec_id, s.cid, e.label FROM assign s
+       |        JOIN embeddings e USING (vec_id)) a
+       |  JOIN probes p ON a.cid = p.cid
+       |  JOIN q ON q.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> q.qid AND a.label = q.ql),
+       |radcr AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS rk FROM radcp)
+       |  WHERE rk <= $PqCandidates),
+       |rrefp AS (
+       |  SELECT a.qid, a.vec_id,
+       |    ${cosSql("e.embedding", "q.qv")} AS sim_r
+       |  FROM radcr a JOIN embeddings e USING (vec_id)
+       |  JOIN q ON q.qid = a.qid),
+       |routedk AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim_r DESC, vec_id) AS rk FROM rrefp)
+       |  WHERE rk <= $KnnK),
+       |ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1),
+       |ni AS (
+       |  SELECT qid, count(*) AS n_routed
+       |  FROM exact JOIN routedk USING (qid, vec_id) GROUP BY 1)
+       |SELECT ne.qid, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(coalesce(n_routed, 0) AS BIGINT) AS n_routed,
+       |  round(coalesce(n_routed, 0) / n_exact::DOUBLE, 4) AS recall
+       |FROM ne LEFT JOIN ni USING (qid)
+       |ORDER BY qid""".stripMargin
+
   /** x109: the routed miner's replay — k-means chain, per-query probe
     * cells, the label-filtered ADC cut restricted to probed cells, exact
     * cosine re-rank of survivors
@@ -2296,12 +2398,14 @@ object VectorQueries {
        |    ORDER BY sim_r DESC, vec_id) AS INT) AS rk FROM rrefp)
        |WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin
 
-  /** pl15: the full training-pair funnel replayed — x109's routed-mining
-    * chain (k-means, probes, label-filtered ADC cut, exact re-rank) for
-    * the negatives, a brute-force same-label top-1 for the positives, the
-    * x52 recursive-CTE connected-components split key over the mined
-    * edges, the hash-bucket split, and the x24 cumulative-sum bin
-    * assignment — ending in the five funnel stages with their
+  /** pl15: the full training-pair funnel replayed — the routed-mining
+    * chain (k-means, probes, label-filtered ADC cut, exact re-rank) run
+    * TWICE off one shared probe/assignment set (label mismatch for the
+    * negatives, label equality + top-1 for the positives — both unit
+    * sides go through the index, x108/x113 being the per-side recall
+    * gates), the x52 recursive-CTE connected-components split key over
+    * the mined edges, the hash-bucket split, and the x24 cumulative-sum
+    * bin assignment — ending in the five funnel stages with their
     * conservation laws (4_pack_bins and 5_exported carry exactly
     * 3_train's vectors). */
   private def trainingPairsSql: String = {
@@ -2330,11 +2434,13 @@ object VectorQueries {
        |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
        |    FROM q CROSS JOIN c$KmeansIters c)
        |  WHERE rn <= $NProbe),
+       |al AS MATERIALIZED (
+       |  SELECT s.vec_id, s.cid, e.label FROM assign s
+       |  JOIN embeddings e USING (vec_id)),
        |radcp AS (
        |  SELECT q.qid, a.vec_id,
        |    round(${pqAdcSql("q.qv")}, 6) AS adc_d2
-       |  FROM (SELECT s.vec_id, s.cid, e.label FROM assign s
-       |        JOIN embeddings e USING (vec_id)) a
+       |  FROM al a
        |  JOIN probes p ON a.cid = p.cid
        |  JOIN q ON q.qid = p.qid
        |  ${pqJoinsSql()}
@@ -2354,14 +2460,28 @@ object VectorQueries {
        |    SELECT *, row_number() OVER (PARTITION BY qid
        |      ORDER BY sim_r DESC, vec_id) AS rk FROM rrefp)
        |  WHERE rk <= $KnnK),
-       |pospairs AS (
-       |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS sim_r
-       |  FROM embeddings e, q
-       |  WHERE e.vec_id <> q.qid AND e.label = q.ql),
+       |pradcp AS (
+       |  SELECT q.qid, a.vec_id,
+       |    round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |  FROM al a
+       |  JOIN probes p ON a.cid = p.cid
+       |  JOIN q ON q.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> q.qid AND a.label = q.ql),
+       |pradcr AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS rk FROM pradcp)
+       |  WHERE rk <= $PqCandidates),
+       |prref AS (
+       |  SELECT a.qid, a.vec_id,
+       |    ${cosSql("e.embedding", "q.qv")} AS sim_r
+       |  FROM pradcr a JOIN embeddings e USING (vec_id)
+       |  JOIN q ON q.qid = a.qid),
        |pos AS (
        |  SELECT qid, vec_id AS pos_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
-       |      ORDER BY sim_r DESC, vec_id) AS rk FROM pospairs)
+       |      ORDER BY sim_r DESC, vec_id) AS rk FROM prref)
        |  WHERE rk <= 1),
        |nn AS (SELECT qid, count(*) AS n_negs FROM negs GROUP BY 1),
        |units AS (

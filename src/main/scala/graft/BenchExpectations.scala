@@ -160,6 +160,7 @@ object BenchExpectations {
     "x111_bpe_batched" -> 2.7051,
     "x112_adaptive_nprobe" -> 7.5242, // single-scan curve fit, solo re-measure
     "x113_hard_positive_recall" -> 4.1868, // solo-measured at add time
+    "x114_adaptive_nprobe_refresh" -> 9.8828, // solo-measured at add time (two curve fits + append by design)
     "x11_ivf_topk" -> 1.184,
     "x12_chunk_neardups" -> 0.6667,
     "x13_token_chunks" -> 0.5982,

@@ -55,7 +55,8 @@ object ScaleProbe {
     // trainer (same scans as serial at 1/N the iterations), and the
     // training-pair export funnel (routed mining + CC split + pack)
     "x110_sharded_bloom_rotate", "x111_bpe_batched", "pl15_training_pairs",
-    "x112_adaptive_nprobe", "x113_hard_positive_recall")
+    "x112_adaptive_nprobe", "x113_hard_positive_recall",
+    "x114_adaptive_nprobe_refresh")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -1289,7 +1289,11 @@ object VectorOps {
     * held-out recall clears the floor, falling back to maxProbe when the
     * curve never reaches it (probe-everything is the honest ceiling —
     * residual misses there are PQ quantization, which no nprobe fixes).
-    * One bounded driver fetch of maxProbe scalar rows. */
+    * One bounded driver fetch of maxProbe scalar rows. STALENESS: the
+    * curve is a property of the index it was fitted on — any maintenance
+    * that changes the cell population (append, compact, retrain) should
+    * refit before serving through the old choice (x114 gates the
+    * append case; pl12's drift gate is the retrain trigger). */
   def chooseNprobe(curve: DataFrame, floorPpm: Long, maxProbe: Int): Int = {
     val rows = curve.select("nprobe", "recall_ppm").collect()
       .map { r =>

@@ -918,6 +918,55 @@ object VectorQueries {
         .orderBy("qid", "adc_d2", "vec_id")
     }),
 
+    // ---------------------------------------------------------------- x114
+    // The adaptive knob MAINTAINED through index maintenance: x112 fits
+    // the recall curve once at build, but the curve is a property of the
+    // index it was fitted on — an append changes the cell population and
+    // silently invalidates the stored choice. Here the x77 append
+    // lifecycle composes with the x112 fit: curve + choice on the base
+    // index, appended batch encoded with the STORED quantizers, curve
+    // REFIT on the post-append index (same held-out queries, exact
+    // ground truth over the served corpus of each phase), choice
+    // re-derived. Oracle replays both phases' curves bit-for-bit (the
+    // appended codes are provably where encode-everything-with-base-
+    // quantizers lands — x77's premise), so a stale-curve serve cannot
+    // hide.
+    "x114_adaptive_nprobe_refresh" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = graft.GraftCache.persist(t.embeddings)
+      val base = e.filter(col("vec_id") % PqAppendMod =!= 0)
+      val batch = e.filter(col("vec_id") % PqAppendMod === 0)
+      val cent = VectorOps.kmeansCentroids(base, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(base, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x114_ivfpq_index")
+      VectorOps.writeIvfPqIndex(base, "vec_id", "embedding", cent, cbs, idx)
+      val cents = VectorOps.collectCentroids(
+        s.read.parquet(s"$idx/centroids"))
+      val cb = VectorOps.readPqCodebooks(s, idx)
+      val holdout = e.filter(col("vec_id") % KnnQueryMod === RecallHoldoutRes)
+      def phase(name: String, corpus: DataFrame): DataFrame = {
+        // localCheckpoint (eager), NOT persist: the append that follows
+        // phase 1 goes through DataFrameWriter, which RECACHES every
+        // cached plan reading the codes path against a refreshed file
+        // listing — a persisted phase-1 curve would silently re-
+        // materialize over the post-append index. The checkpoint cuts
+        // lineage to materialized blocks (8 rows), leaving no path
+        // reference for the recache to rewrite.
+        val curve = VectorOps.fitRecallCurve(
+          holdout, "vec_id", "embedding", corpus, KnnK, KClusters,
+          cents, cb, s.read.parquet(s"$idx/codes")).localCheckpoint()
+        val chosen = VectorOps.chooseNprobe(curve, RecallFloorPpm, KClusters)
+        curve.select(lit(name).as("phase"), col("nprobe"),
+          col("recall_ppm"), (col("nprobe") === chosen).as("chosen"))
+      }
+      val p1 = phase("1_base", base)
+      VectorOps.appendIvfPqIndex(batch, "vec_id", "embedding", idx)
+      val p2 = phase("2_appended", e)
+      p1.unionByName(p2).orderBy("phase", "nprobe")
+    }),
+
     // ---------------------------------------------------------------- x113
     // Recall-honesty gate for the POSITIVE miner — x108's contract
     // applied to the same-label side: the routed positive miner (pl15's
@@ -2139,6 +2188,7 @@ object VectorQueries {
     "pl15_training_pairs" -> trainingPairsSql,
     "x112_adaptive_nprobe" -> adaptiveNprobeSql,
     "x113_hard_positive_recall" -> hardPositiveRecallSql,
+    "x114_adaptive_nprobe_refresh" -> adaptiveNprobeRefreshSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.
     "x43_knn_native" -> knnJoinSql,
@@ -2293,6 +2343,82 @@ object VectorQueries {
        |  round(coalesce(n_indexed, 0) / n_exact::DOUBLE, 4) AS recall
        |FROM ne LEFT JOIN ni USING (qid)
        |ORDER BY qid""".stripMargin
+
+  /** x114: both phases' recall curves replayed — quantizers trained on
+    * the BASE slice, every row assigned/encoded with them (x77's
+    * append-equivalence premise), one candidate frame carrying each
+    * (query, vector) pair's probe-cell rank and base-membership flag,
+    * then per (phase, nprobe): filter + rank + hit count against that
+    * phase's exact top-k, and the floor choice per phase. */
+  private def adaptiveNprobeRefreshSql: String = {
+    val baseSrc =
+      s"(SELECT * FROM embeddings WHERE vec_id % $PqAppendMod <> 0)"
+    def phaseCtes(tag: String, pred: String) = {
+      val perNp = (1 to KClusters).map { np =>
+        s"""routed_${tag}_$np AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY adc_d2, vec_id) AS rk
+           |    FROM hcand WHERE $pred AND cellrank <= $np)
+           |  WHERE rk <= $KnnK),
+           |rec_${tag}_$np AS (
+           |  SELECT $np AS nprobe,
+           |    (SELECT count(*) FROM hexact_$tag
+           |     JOIN routed_${tag}_$np USING (qid, vec_id))
+           |      * 1000000 // (SELECT count(*) FROM hexact_$tag)
+           |      AS recall_ppm)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to KClusters)
+        .map(np => s"SELECT * FROM rec_${tag}_$np").mkString(" UNION ALL ")
+      s"""hexact_$tag AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY d2, vec_id) AS rk
+         |    FROM (
+         |      SELECT hq.qid, e.vec_id,
+         |        ${l2Sql("e.embedding", "hq.qv")} AS d2
+         |      FROM embeddings e, hq
+         |      WHERE e.vec_id <> hq.qid
+         |        AND ${pred.replace("vec_id", "e.vec_id")}))
+         |  WHERE rk <= $KnnK),
+         |$perNp,
+         |curve_$tag AS MATERIALIZED ($union),
+         |chosen_$tag AS (
+         |  SELECT CAST(coalesce(
+         |    (SELECT min(nprobe) FROM curve_$tag
+         |     WHERE recall_ppm >= $RecallFloorPpm),
+         |    $KClusters) AS INT) AS np)""".stripMargin
+    }
+    s"""WITH ${kmeansSqlFor(baseSrc)},
+       |${pqChainsSqlFor(baseSrc)},
+       |$pqEncodeSql,
+       |${assignCteFor("embeddings")},
+       |hq AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = $RecallHoldoutRes),
+       |hpr AS (
+       |  SELECT hq.qid, c.cid, row_number() OVER (PARTITION BY hq.qid
+       |    ORDER BY ${l2Sql("hq.qv", "c.c")}, c.cid) AS rn
+       |  FROM hq CROSS JOIN c$KmeansIters c),
+       |hcand AS MATERIALIZED (
+       |  SELECT hq.qid, a.vec_id, p.rn AS cellrank,
+       |    round(${pqAdcSql("hq.qv")}, 6) AS adc_d2
+       |  FROM (SELECT vec_id, cid FROM assign) a
+       |  JOIN hpr p ON a.cid = p.cid
+       |  JOIN hq ON hq.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> hq.qid),
+       |${phaseCtes("b", "vec_id % " + PqAppendMod + " <> 0")},
+       |${phaseCtes("a", "TRUE")}
+       |SELECT phase, nprobe, CAST(recall_ppm AS BIGINT) AS recall_ppm,
+       |  chosen FROM (
+       |  SELECT '1_base' AS phase, nprobe, recall_ppm,
+       |    nprobe = (SELECT np FROM chosen_b) AS chosen FROM curve_b
+       |  UNION ALL
+       |  SELECT '2_appended', nprobe, recall_ppm,
+       |    nprobe = (SELECT np FROM chosen_a) AS chosen FROM curve_a
+       |) ORDER BY phase, nprobe""".stripMargin
+  }
 
   /** x113: the positive miner's recall — exact same-label top-k vs the
     * routed form (probes, label-EQUALITY ADC cut, exact re-rank), per

@@ -719,7 +719,12 @@ object EventStreams {
     * batch filter under the geometry STORED in the snapshot (a maintainer
     * cannot silently change the probe scheme), then OR-merged with the
     * latest stored words — nBits/64 longs of state however large the
-    * history. The word-wise OR is idempotent and commutative, so beyond
+    * history. FIXED-GEOMETRY tier: the single one-row filter caps at
+    * 2^30 bits (~130 M members at 4 probes) and saturates silently as
+    * history grows; past either limit, deploy
+    * [[maintainSeenBloomSharded]] — the sharded frame multiplies
+    * capacity by the shard count and rotates saturated shards
+    * asynchronously. The word-wise OR is idempotent and commutative, so beyond
     * the versioned-snapshot replay discipline every maintainer here
     * follows (read latest ≤ batchId, write v<batchId+1>), a replayed or
     * reordered batch converges to identical bits by algebra alone —

@@ -273,16 +273,43 @@ object Bloom {
     * shard's stored geometry — adds a `__maybe` column. The frame
     * broadcasts (nShards rows); the join key is the derived shard id, so
     * the test sits directly over the probe scan, below any later
-    * exchange. */
+    * exchange.
+    *
+    * The caller's routing constants are VALIDATED against the artifact's
+    * own `n_shards`/`n_probes` columns, lazily on the broadcast side
+    * (nShards rows — zero extra jobs): a stored frame re-read after the
+    * shard-count constant changed would otherwise route probes to the
+    * wrong shard rows, and the resulting false negatives silently become
+    * re-admitted duplicates downstream of [[admitSharded]]. A probe row
+    * whose shard has NO frame row fails loudly too — only a total frame
+    * (every shard 0..n−1 present, as [[sketchSharded]] and the rotation
+    * maintainer always produce) may serve; [[sketchShardedAt]] returns a
+    * schema-identical PARTIAL frame by design, and defaulting its absent
+    * shards to "unseen" would bypass the history confirm-join without
+    * any error. */
   def screenSharded(probe: DataFrame, probeHash: Column, frame: DataFrame,
                     numProbes: Int, nShards: Int): DataFrame = {
     requireAbsent(probe, "__shard", "__w", "__nb", "__maybe")
+    val checked = frame.select(
+      col("shard").as("__shard"),
+      when(col("n_shards") === lit(nShards) && col("n_probes") === lit(numProbes),
+          col("words"))
+        .otherwise(raise_error(concat(
+          lit(s"sharded-bloom geometry mismatch: caller passed nShards=$nShards" +
+            s" numProbes=$numProbes but the artifact row has n_shards="),
+          col("n_shards"), lit(" n_probes="), col("n_probes"))))
+        .as("__w"),
+      col("n_bits").as("__nb"))
     probe.withColumn("__shard", shardOf(probeHash, nShards))
-      .join(broadcast(frame.select(col("shard").as("__shard"),
-        col("words").as("__w"), col("n_bits").as("__nb"))), Seq("__shard"), "left")
-      .withColumn("__maybe", coalesce(
-        mightContainDyn(col("__w"), probeHash, col("__nb"), numProbes),
-        lit(false)))
+      .join(broadcast(checked), Seq("__shard"), "left")
+      .withColumn("__maybe",
+        when(col("__w").isNotNull,
+          coalesce(mightContainDyn(col("__w"), probeHash, col("__nb"), numProbes),
+            lit(false)))
+        .otherwise(raise_error(concat(
+          lit("sharded-bloom frame is not total: no row for shard "),
+          col("__shard"),
+          lit(s" of $nShards — a partial sketchShardedAt frame cannot serve")))))
       .drop("__shard", "__w", "__nb")
   }
 

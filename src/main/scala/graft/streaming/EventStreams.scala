@@ -769,11 +769,11 @@ object EventStreams {
   def seedSeenBloomSharded(history: DataFrame, fpCol: String,
                            nBitsPerShard: Int, numProbes: Int, nShards: Int,
                            bloomDir: String, histDir: String): Unit = {
-    graft.operators.Bloom.writeSharded(
+    publishFrameVersion(
       graft.operators.Bloom.sketchSharded(history.select(col(fpCol)),
           xxhash64(col(fpCol)), nBitsPerShard, numProbes, nShards)
         .withColumn("base_req", lit(0L)),
-      s"$bloomDir/v0")
+      bloomDir, 0L)
     graft.sinks.LayoutSink.appendExactlyOnce(
       history.select(col(fpCol).as("fp")), histDir, -1L): Unit
   }
@@ -796,22 +796,51 @@ object EventStreams {
 
   private val HistoryPartName = "batch(-?\\d+)-part\\d+\\.parquet".r
 
-  /** The on-disk parquet part files of specific history batches — the
-    * exactly-once layout names parts `batch<id>-part<i>.parquet`, so a
-    * bounded id set reads without scanning the whole table. ONE listing
-    * call filtered locally, never a glob per id: the rebuild passes the
-    * full id range, and per-id round trips would make its listing
-    * O(total batches) metadata RPCs on an object store. */
+  /** Publish a sharded-frame version atomically: write under a tmp name
+    * the `v\d+` resolver can never match, then RENAME into place — the
+    * same write-then-rename discipline as `rotate-req-*` and the
+    * `pending-*` `_SUCCESS` gate. A plain `mode("overwrite")` on
+    * `v<id>` leaves a delete-files-then-write window in which the
+    * concurrent offline [[rebuildRotation]] (which reads the LATEST
+    * version) could list a partially-deleted/partially-written dir; a
+    * replayed micro-batch rewriting its own version in place has the
+    * same window. Rename replaces that window with one metadata op. */
+  private def publishFrameVersion(frame: DataFrame, bloomDir: String,
+                                  id: Long): Unit = {
+    val spark = frame.sparkSession
+    val base = new org.apache.hadoop.fs.Path(bloomDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(base, s"_v$id.tmp")
+    fs.delete(tmp, true): Unit
+    graft.operators.Bloom.writeSharded(frame, tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(base, s"v$id")
+    fs.delete(dst, true): Unit // a replayed batch rewrites its own version
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"rename $tmp -> $dst returned false; frame version not committed")
+  }
+
+  /** The on-disk parquet part files of history batches `lo..hi`
+    * (inclusive) — the exactly-once layout names parts
+    * `batch<id>-part<i>.parquet`, so a bounded id range reads without
+    * scanning the whole table. ONE listing call filtered locally, never
+    * a glob per id: the rebuild passes the full id range, and per-id
+    * round trips would make its listing O(total batches) metadata RPCs
+    * on an object store. Bounds, not a materialized id set: both call
+    * sites pass contiguous ranges, and the rebuild's range starts at the
+    * seed batch −1 — a Set there would hold every batch id ever
+    * processed on the driver. */
   private def historyBatchFiles(spark: SparkSession, histDir: String,
-                                ids: Seq[Long]): Seq[String] = {
+                                lo: Long, hi: Long): Seq[String] = {
+    if (lo > hi) return Seq.empty
     val dir = new org.apache.hadoop.fs.Path(histDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val wanted = ids.toSet
     Option(fs.globStatus(
         new org.apache.hadoop.fs.Path(dir, "batch*-part*.parquet")))
       .toSeq.flatten.map(_.getPath)
       .filter(p => p.getName match {
-        case HistoryPartName(id) => wanted.contains(id.toLong)
+        case HistoryPartName(id) =>
+          val i = id.toLong; i >= lo && i <= hi
         case _ => false
       })
       .map(_.toString)
@@ -925,7 +954,7 @@ object EventStreams {
             // interim = history batches the rebuild had not seen yet —
             // bounded by the rebuild-to-cutover gap, never the history
             val interim = historyBatchFiles(spark, histDir,
-              (histMax + 1) until batchId)
+              histMax + 1, batchId - 1)
             val rotatedRows =
               if (interim.isEmpty) rebuilt.select(FrameCols.map(col): _*)
               else orFrames(rebuilt.select(FrameCols.map(col): _*),
@@ -940,9 +969,9 @@ object EventStreams {
         val batchSk = graft.operators.Bloom.sketchShardedAt(
           batch.select(col(fpCol).as("fp")), xxhash64(col("fp")),
           servedGeo, np, nS)
-        graft.operators.Bloom.writeSharded(
+        publishFrameVersion(
           orFrames(base, batchSk).withColumn("base_req", lit(newBase)),
-          s"$bloomDir/v${batchId + 1}")
+          bloomDir, batchId + 1)
         // rotation decision from the just-written frame (nShards rows;
         // popcount runs inside the scan, driver sees scalars)
         val saturated = graft.operators.Bloom.shardFill(
@@ -1008,11 +1037,16 @@ object EventStreams {
       .map(r => r.getInt(0) -> r.getInt(1)).toMap
     val meta = latest.select("n_probes", "n_shards").head()
     val (np, nS) = (meta.getInt(0), meta.getInt(1))
+    // versions publish by rename (see publishFrameVersion), so a partial
+    // dir should be unobservable — but geometry for a rebuild must never
+    // be sized from a short frame, so validate totality anyway
+    require(geo.size == nS,
+      s"frame version is not total: ${geo.size} shard rows, n_shards=$nS")
     // pin the batch set FIRST, then read exactly those files — a
     // concurrent stream may append more batches while this job runs;
     // hist_max must bound what the artifact actually contains
     val histMax = historyMaxBatch(spark, histDir)
-    val files = historyBatchFiles(spark, histDir, -1L to histMax)
+    val files = historyBatchFiles(spark, histDir, -1L, histMax)
     val hist = spark.read.parquet(files: _*)
     val hash = xxhash64(col("fp"))
     val counts = hist

@@ -315,12 +315,20 @@ class SketchGraphSpec extends SparkSpec {
     }
     def countJobs(body: => Seq[(Int, String, String, Long, Long)])
       : (Seq[(Int, String, String, Long, Long)], Int) = {
-      spark.sparkContext.addSparkListener(listener)
+      // listener events are async — drain the bus DETERMINISTICALLY both
+      // before arming the counter (stragglers from a previous measured
+      // body must not land inside this window) and after the body (its
+      // own tail events must be counted); a fixed sleep does neither
+      // reliably on a loaded box
+      val sc = spark.sparkContext
+      org.apache.spark.graftbridge.ListenerBridge.drainListenerBus(sc)
+      sc.addSparkListener(listener)
       jobs.set(0)
-      // listener events are async — give the bus a moment to drain; the
-      // assertion below has 2x slack, so a few stragglers cannot flip it
-      try { val r = body; Thread.sleep(500); (r, jobs.get()) }
-      finally spark.sparkContext.removeSparkListener(listener)
+      try {
+        val r = body
+        org.apache.spark.graftbridge.ListenerBridge.drainListenerBus(sc)
+        (r, jobs.get())
+      } finally sc.removeSparkListener(listener)
     }
     val (serial, serialJobs) = countJobs {
       BpeTrainer.learnMerges(t.documents, "doc_id", "text", 6)
@@ -564,6 +572,32 @@ class SketchGraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Bloom.rebuildBitsFor(1 << 29, (1L << 40), 4)       // needs > 2^30/shard
     }
+  }
+
+  test("sharded bloom screen fails loudly on geometry mismatch and on a " +
+       "partial frame — never silently 'unseen'") {
+    import spark.implicits._
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .take(10).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val members = (1L to 200L).map(i => i * 0x9E3779B97F4A7C15L).toDF("h")
+    val frame = Bloom.sketchSharded(members, col("h"), 1024, 4, 4)
+    // a re-read artifact probed with a changed shard-count constant would
+    // route to the wrong rows — must raise, not re-admit duplicates
+    val e1 = intercept[Throwable] {
+      Bloom.screenSharded(members, col("h"), frame, 4, 8).collect()
+    }
+    assert(msgChain(e1).contains("geometry mismatch"), msgChain(e1))
+    val e2 = intercept[Throwable] {
+      Bloom.screenSharded(members, col("h"), frame, 2, 4).collect()
+    }
+    assert(msgChain(e2).contains("geometry mismatch"), msgChain(e2))
+    // a PARTIAL sketchShardedAt frame must not masquerade as 'unseen'
+    val partial = Bloom.sketchShardedAt(members, col("h"), Map(0 -> 1024), 4, 4)
+    val e3 = intercept[Throwable] {
+      Bloom.screenSharded(members, col("h"), partial, 4, 4).collect()
+    }
+    assert(msgChain(e3).contains("not total"), msgChain(e3))
   }
 
   test("sharded bloom write/read roundtrip preserves per-shard rows") {

@@ -1827,4 +1827,220 @@ object VectorOps {
     else
       pruned.write.mode("overwrite").parquet(outPath)
   }
+
+  // ------------------------------------------- OPQ (learned-rotation PQ)
+
+  /** One-row broadcast transport of a dim×dim rotation (row-major) — the
+    * [[cellsFrame]] pattern: dim² doubles ride ONE local-relation row,
+    * never literal plan nodes (a 64×64 literal matrix in a projection
+    * would both blow the janino method budget out of whole-stage codegen
+    * and pay the measured big-literal driver plan tax on every query). */
+  private def rotationFrame(df: DataFrame, r: Seq[Seq[Double]]): DataFrame =
+    df.sparkSession.createDataFrame(Seq(Tuple1(r))).toDF("__rot")
+
+  /** R·v over the joined `__rot` column: out[i] = round(Σ_j R[i][j]·v[j],
+    * 6). The inner product is the codegen'd [[dot]] (ascending fold —
+    * bit-equal to DuckDB's sequential list_sum replay, so there is no
+    * aggregation-order ambiguity to absorb); the round-6 pins the rotated
+    * coordinates to the decimal lattice every downstream k-means /
+    * encode / ADC replay already trains on. */
+  private def rotateCol(vec: Column): Column =
+    transform(col("__rot"), row => round(dot(row, vec), 6))
+
+  /** Rotate `vecCol` in place by the dim×dim matrix `r`; every other
+    * column passes through. This is the whole OPQ serving seam: the
+    * rotation applies once at the boundary (corpus at build/append time,
+    * query at serve time) and EVERYTHING downstream — coarse quantizer,
+    * codebooks, encode, routed probe, ADC — runs verbatim in the rotated
+    * space, so the entire stored-index lifecycle is inherited rather
+    * than reimplemented. */
+  def rotate(df: DataFrame, vecCol: String, r: Seq[Seq[Double]]): DataFrame = {
+    val keep = df.columns.map(c =>
+      if (c == vecCol) rotateCol(col(c)).as(c) else col(c))
+    df.join(broadcast(rotationFrame(df, r))).select(keep.toSeq: _*)
+  }
+
+  def identityRotation(dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** decode(encode(·)) reconstruction over the joined `__cb` column and a
+    * `codes` array — per subspace, the codebook centroid the code names,
+    * concatenated back to a dim-vector. Used only inside the fit's one
+    * cross-matrix scan. */
+  private def reconstructCol: Column =
+    flatten(zip_with(col("__cb"), col("codes"), (cbj, cj) =>
+      element_at(map_from_entries(cbj), cj)))
+
+  /** The Procrustes cross-matrix of one OPQ alternation: M[i][j] =
+    * round(avg over rows of y[i]·x[j], 6), where y = decode(encode(R·x))
+    * lives in the ROTATED space and x is the ORIGINAL vector — tr(RᵀM)
+    * is (up to constants) the negated quantization error, so the
+    * orthogonal maximizer of tr(RᵀM) is the rotation update (Ge, He, Ke
+    * & Sun, "Optimized Product Quantization", CVPR 2013, the OPQ-NP
+    * R-step). ONE scan over (x, codes): the double posexplode amplifies
+    * rows map-side only — dim² avg buffers partial-aggregate before the
+    * exchange (the [[kmeansCentroids]] shape) — and round-6 absorbs
+    * aggregation-order ulp exactly as the centroid means do. */
+  private def procrustesCross(encoded: DataFrame, origCol: String,
+                              codebooks: Seq[Seq[(Long, Seq[Double])]],
+                              dim: Int): Seq[Seq[Double]] = {
+    val rows = encoded
+      .join(broadcast(codebooksFrame(encoded, codebooks)))
+      .select(reconstructCol.as("__y"), col(origCol).as("__x"))
+      .select(posexplode(col("__y")).as(Seq("i", "yi")), col("__x"))
+      .select(col("i"), col("yi"), posexplode(col("__x")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(round(avg(col("yi") * col("xj").cast("double")), 6).as("v"))
+      .collect()
+    val m = Array.ofDim[Double](dim, dim)
+    rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    m.map(_.toSeq).toSeq
+  }
+
+  /** Spark-round-compatible decimal rounding (shortest-decimal HALF_UP —
+    * what `functions.round` does for doubles), driver-side. */
+  private def roundAt(v: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Default Newton–Schulz iteration count for [[polarFactor]]: from the
+    * Frobenius-normalized start the smallest singular value grows ~1.5×
+    * per step (σ ← 1.5σ − 0.5σ³), then converges quadratically near 1 —
+    * 40 steps close a σmin/‖M‖_F ratio down to ~1e-6 with margin (the
+    * correlated gate corpus's circulant mixing leaves near-null
+    * covariance frequencies, so its cross-matrix IS ill-conditioned: 16
+    * steps measured RᵀR−I ≈ 0.14, 40 measure ~1e-8 — below anything the
+    * round-6 encode lattice can see). Each step is dim×dim driver
+    * arithmetic / three small matmul CTEs in the replay — widening the
+    * count costs microseconds, under-running it breaks orthogonality. */
+  val NewtonSchulzIters = 40
+
+  /** Orthogonal Procrustes factor polar(M) = U·Vᵀ WITHOUT an SVD: the
+    * Newton–Schulz iteration X ← 1.5·X − 0.5·X·Xᵀ·X from X₀ = M/‖M‖_F
+    * converges to the polar factor (Higham, "Computing the polar
+    * decomposition — with applications", 1986; ‖M‖_F bounds σmax(X₀) ≤ 1,
+    * inside the (0,√3) convergence region). An SVD is not replayable in
+    * portable SQL; a fixed-iteration matmul chain is — every matmul
+    * entry rounds to 9 decimals (entries stay O(1)), so an external
+    * engine lands bit-identically regardless of its summation order, and
+    * because the fixed point is orthogonal the 1e-9 lattice noise is
+    * re-absorbed each step instead of accumulating. Driver-side dim×dim
+    * arithmetic (64³ flops per matmul); all data-sized work stays in
+    * [[procrustesCross]]'s one scan. */
+  def polarFactor(m: Seq[Seq[Double]],
+                  iters: Int = NewtonSchulzIters): Seq[Seq[Double]] = {
+    val n = m.size
+    require(m.forall(_.size == n), "square matrix required")
+    val fro2 = roundAt(m.iterator.flatten.foldLeft(0.0)((a, v) => a + v * v), 6)
+    require(fro2 > 0.0, "polarFactor of a zero matrix")
+    val s = math.sqrt(fro2)
+    var x = m.map(_.map(v => roundAt(v / s, 9)).toArray).toArray
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(n, n) { (i, k) =>
+        var acc = 0.0; var j = 0
+        while (j < n) { acc += x(i)(j) * x(k)(j); j += 1 }
+        roundAt(acc, 9)
+      }
+      val z = Array.tabulate(n, n) { (i, j) =>
+        var acc = 0.0; var k = 0
+        while (k < n) { acc += y(i)(k) * x(k)(j); k += 1 }
+        roundAt(acc, 9)
+      }
+      x = Array.tabulate(n, n)((i, j) => roundAt(1.5 * x(i)(j) - 0.5 * z(i)(j), 9))
+    }
+    x.map(_.toSeq).toSeq
+  }
+
+  /** OPQ — the learned-rotation upgrade of [[pqCodebooks]] (Ge et al.,
+    * CVPR 2013, OPQ-NP). Fixed-iteration alternation, every step on the
+    * oracle's decimal lattice:
+    *
+    *   R₀ = I; repeat opqIters times {
+    *     train codebooks on round6(R_t·x)   ([[pqCodebooks]], verbatim);
+    *     y  = decode(encode(round6(R_t·x)));
+    *     M  = round6(avg y·xᵀ)              (ONE scan, [[procrustesCross]]);
+    *     R_{t+1} = polar(M)                 ([[polarFactor]], driver-side)
+    *   }; final codebooks train on round6(R_final·x).
+    *
+    * The rotation aligns the subspace split with the data's principal
+    * structure — correlated coordinates that straddle the contiguous
+    * split get rotated so their shared energy lands inside single
+    * subspaces, cutting quantization MSE at equal m/ks (identical
+    * codebook budget). On isotropic iid embeddings the gain is ~zero by
+    * construction; the x116 gate measures it where cross-subspace
+    * correlation exists. Returns (R_final, codebooks in R_final space).
+    * Cost: opqIters+1 codebook trainings + opqIters cross-matrix scans. */
+  def fitOpq(embeddings: DataFrame, idCol: String, vecCol: String,
+             dim: Int, m: Int, ks: Int, kmIters: Int, opqIters: Int,
+             nsIters: Int = NewtonSchulzIters)
+      : (Seq[Seq[Double]], Seq[Seq[(Long, Seq[Double])]]) = {
+    require(opqIters >= 0, "opqIters must be >= 0")
+    var r = identityRotation(dim)
+    def rotatedBoth() = embeddings
+      .join(broadcast(rotationFrame(embeddings, r)))
+      .select(col(idCol), col(vecCol).as("__x"), rotateCol(col(vecCol)).as("__rx"))
+    var both = graft.GraftCache.persist(rotatedBoth())
+    var cbs = pqCodebooks(both, idCol, "__rx", dim, m, ks, kmIters)
+    for (_ <- 1 to opqIters) {
+      val enc = pqEncode(both, idCol, "__rx", cbs, carry = Seq("__x"))
+      r = polarFactor(procrustesCross(enc, "__x", cbs, dim), nsIters)
+      both = graft.GraftCache.persist(rotatedBoth())
+      cbs = pqCodebooks(both, idCol, "__rx", dim, m, ks, kmIters)
+    }
+    (r, cbs)
+  }
+
+  /** Mean quantization error of an encode at its codebooks:
+    * round(avg ‖v − decode(encode(v))‖², 6) — the objective OPQ's
+    * rotation is fitted to reduce; reported next to recall so the gate
+    * pins the mechanism, not just the outcome. One scan; `encoded`
+    * carries (vecCol, codes). */
+  def quantMse(encoded: DataFrame, vecCol: String,
+               codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame =
+    encoded.join(broadcast(codebooksFrame(encoded, codebooks)))
+      .select(reconstructCol.as("__y"), col(vecCol).as("__x"))
+      .agg(round(avg(l2sq(col("__x"), col("__y"))), 6).as("mse"))
+
+  /** Materialize the OPQ composed index: the rotation joins `centroids/`
+    * and `codebooks/` as a third driver-resident artifact (`rotation/`,
+    * dim rows — the index is self-contained), and `codes/` is
+    * [[writeIvfPqIndex]] over the ROTATED corpus, range-laid by cell id
+    * with the same probe-pruning read path. Appends, deletes, compaction
+    * and the recall/nprobe maintenance all operate on the rotated-space
+    * artifacts unchanged — the rotation only ever touches vectors at the
+    * encode/query boundary. */
+  def writeOpqIvfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                         rotation: Seq[Seq[Double]], centroids: DataFrame,
+                         codebooks: Seq[Seq[(Long, Seq[Double])]], dir: String,
+                         numFiles: Int = 16, carry: Seq[String] = Nil): Unit = {
+    writeIvfPqIndex(rotate(embeddings, vecCol, rotation), idCol, vecCol,
+      centroids, codebooks, dir, numFiles, carry)
+    writeRotation(embeddings.sparkSession, rotation, dir)
+  }
+
+  def writeRotation(spark: org.apache.spark.sql.SparkSession,
+                    rotation: Seq[Seq[Double]], dir: String): Unit = {
+    import spark.implicits._
+    rotation.zipWithIndex.map { case (row, i) => (i, row) }
+      .toDF("i", "r").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/rotation")
+  }
+
+  def readRotation(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$dir/rotation").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      .map(_._2).toSeq
+
+  /** [[ivfPqTopKOverIndex]] through a stored rotation: rotate the query
+    * source at the boundary, then the inherited routed serve — probe the
+    * rotated centroids, `cid IN (probes)` file-pruned codes scan, ADC in
+    * rotated space. One serving implementation for PQ and OPQ. */
+  def opqTopKOverIndex(querySource: DataFrame, idCol: String, vecCol: String,
+                       queryId: Long, k: Int, nprobe: Int,
+                       rotation: Seq[Seq[Double]], centroids: DataFrame,
+                       codebooks: Seq[Seq[(Long, Seq[Double])]],
+                       codes: DataFrame): DataFrame =
+    ivfPqTopKOverIndex(rotate(querySource, vecCol, rotation), idCol, vecCol,
+      queryId, k, nprobe, centroids, codebooks, codes)
 }

@@ -193,6 +193,26 @@ object VectorQueries {
         x.cast("double") + off
       }).as("embedding"))
 
+  /** Cross-subspace CORRELATED derivation of the embeddings table
+    * (x115/x116 — the regime OPQ's learned rotation exists for): element
+    * j becomes x[j] + x[(j+8) mod 64] + x[(j+16) mod 64], left-associated
+    * exact double adds identical on both engines (per-row scalar ops —
+    * no aggregation, so no rounding is needed). Each output coordinate
+    * mixes inputs 8 and 16 apart, giving corr ≈ 2/3 between coordinates
+    * in ADJACENT contiguous subspaces (PqSub = 8) — shared energy the
+    * unrotated split must quantize redundantly in every subspace it
+    * straddles, and a rotation can concentrate. The iid table itself is
+    * OPQ's null case (isotropy ⇒ no rotation helps), exactly as it is
+    * PQ-residual's (x82 vs x86). */
+  def correlatedEmbeddings(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("embedding"), (x, j) =>
+        x.cast("double") +
+          element_at(col("embedding"), pmod(j + lit(8), lit(Dim)) + 1)
+            .cast("double") +
+          element_at(col("embedding"), pmod(j + lit(16), lit(Dim)) + 1)
+            .cast("double")).as("embedding"))
+
   /** Drift gate for the index-refresh pipeline (pl12): retrain when the
     * arriving batch's cell-share TVD against the standing corpus exceeds
     * this many parts per million (0.2). The in-distribution batch (a

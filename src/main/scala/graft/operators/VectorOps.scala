@@ -1308,6 +1308,54 @@ object VectorOps {
       .getOrElse(maxProbe)
   }
 
+  /** [[fitRecallCurve]] for an index WITHOUT PQ codes — the coarse-only
+    * routed form pl12's exact-serving refresh pipeline runs: for each
+    * nprobe 1..maxProbe, the held-out recall@k of "exact L2 within the
+    * np nearest cells" against the exact L2 top-k over the whole
+    * corpus. Same integer-ppm contract and the same
+    * one-candidate-frame cost shape (each (query, vector) pair carries
+    * the rank of its cell in the query's probe order; every nprobe is
+    * a filter + heap cut over that cached frame), so a retrain that
+    * changes the cells refits in one pass and [[chooseNprobe]] turns
+    * the serve's probe count back into a contract. */
+  def fitCoarseRecallCurve(holdout: DataFrame, idCol: String, vecCol: String,
+                           full: DataFrame, k: Int, maxProbe: Int,
+                           cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(maxProbe >= 1, "maxProbe must cover at least one cell")
+    val q = holdout.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val exactP = full.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(q)).filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), l2sq(col("__v"), col("__qv")).as("d2"))
+    val exact = graft.GraftCache.persist(
+      graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
+        Seq(col("d2"), col(idCol)), k).select("qid", idCol))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val v = col(vecCol)
+    val qProbes = withCellsCol(holdout, cents)
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        posexplode(transform(
+          slice(array_sort(probeCandsCol(v, cents)), 1, maxProbe),
+          p => p.getField("cid"))).as(Seq("__cr", "cid")))
+      .select(col("qid"), col("__qv"), (col("__cr") + 1).as("__cellrank"),
+        col("cid"))
+    val assigned = argminAssign(full, idCol, vecCol, cents)
+    val cand = graft.GraftCache.persist(
+      assigned.join(broadcast(qProbes), "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as(idCol), col("__cellrank"),
+          l2sq(col("v"), col("__qv")).as("d2")))
+    (1 to maxProbe).map { np =>
+      val routed = graft.plans.TopKPerKey.topKPerKey(
+        cand.filter(col("__cellrank") <= np), Seq("qid"),
+        Seq(col("d2"), col(idCol)), k).select("qid", idCol)
+      exact.join(routed, Seq("qid", idCol))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(nExact)
+        .select(lit(np).as("nprobe"),
+          expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** [[pqKnnAgainstCodesRouted]] with the centroid frame collected per
     * call — the one-shot batch form. Long-lived callers (the streaming
     * screen's per-micro-batch loop) pass the pre-collected seq instead,
@@ -1838,14 +1886,19 @@ object VectorOps {
   private def rotationFrame(df: DataFrame, r: Seq[Seq[Double]]): DataFrame =
     df.sparkSession.createDataFrame(Seq(Tuple1(r))).toDF("__rot")
 
-  /** R·v over the joined `__rot` column: out[i] = round(Σ_j R[i][j]·v[j],
-    * 6). The inner product is the codegen'd [[dot]] (ascending fold —
-    * bit-equal to DuckDB's sequential list_sum replay, so there is no
-    * aggregation-order ambiguity to absorb); the round-6 pins the rotated
-    * coordinates to the decimal lattice every downstream k-means /
-    * encode / ADC replay already trains on. */
+  /** R·v over the joined `__rot` column: out[i] = Σ_j R[i][j]·v[j] — the
+    * codegen'd [[dot]] ascending fold, UNROUNDED. Deliberately so:
+    * rounding rotated coordinates to a decimal lattice makes every
+    * downstream k-means mean an average of lattice rationals, which
+    * lands EXACTLY on round-6 half-boundaries at high rate (measured:
+    * 1–2 centroid-coordinate flips per DuckDB run, each amplified
+    * through the fit) — full-entropy doubles keep boundary ties at the
+    * negligible ulp rate the rest of the suite's chains live with, and
+    * the ulp-level fold-vs-aggregate difference between engines is
+    * absorbed by the round-6 at the chain means / ADC outputs exactly
+    * as it is for the raw-embedding chains. */
   private def rotateCol(vec: Column): Column =
-    transform(col("__rot"), row => round(dot(row, vec), 6))
+    transform(col("__rot"), row => dot(row, vec))
 
   /** Rotate `vecCol` in place by the dim×dim matrix `r`; every other
     * column passes through. This is the whole OPQ serving seam: the
@@ -1871,48 +1924,80 @@ object VectorOps {
     flatten(zip_with(col("__cb"), col("codes"), (cbj, cj) =>
       element_at(map_from_entries(cbj), cj)))
 
-  /** The Procrustes cross-matrix of one OPQ alternation: M[i][j] =
-    * round(avg over rows of y[i]·x[j], 6), where y = decode(encode(R·x))
-    * lives in the ROTATED space and x is the ORIGINAL vector — tr(RᵀM)
-    * is (up to constants) the negated quantization error, so the
-    * orthogonal maximizer of tr(RᵀM) is the rotation update (Ge, He, Ke
-    * & Sun, "Optimized Product Quantization", CVPR 2013, the OPQ-NP
-    * R-step). ONE scan over (x, codes): the double posexplode amplifies
-    * rows map-side only — dim² avg buffers partial-aggregate before the
-    * exchange (the [[kmeansCentroids]] shape) — and round-6 absorbs
-    * aggregation-order ulp exactly as the centroid means do. */
-  private def procrustesCross(encoded: DataFrame, origCol: String,
-                              codebooks: Seq[Seq[(Long, Seq[Double])]],
-                              dim: Int): Seq[Seq[Double]] = {
+  /** Fixed-point scales of the integer Procrustes solve. Cross-matrix
+    * entries live at 1e6 (the round-6 lattice both engines' chain
+    * replays already share); rotation entries at 1e8 — fine enough that
+    * the quantized iteration's orthogonality defect (~dim·1e-8) is
+    * invisible to the round-6 encode lattice, coarse enough that every
+    * intermediate product-sum (≤ dim·(√3·1e8)² < 2e18) fits signed
+    * 64-bit on the Spark driver and DuckDB's hugeint sums with 4×
+    * headroom. */
+  val CrossScale = 1000000L
+  val PolarScale = 100000000L
+
+  /** Round-half-away-from-zero integer division (b > 0, even) — the one
+    * rounding rule Scala `/` (truncate) and DuckDB `//` (truncate) can
+    * both express exactly: add ±b/2 toward the sign, then truncate. */
+  private def rdiv(a: Long, b: Long): Long = {
+    val h = b / 2
+    (a + (if (a < 0) -h else h)) / b
+  }
+
+  /** Exact integer square root (largest t with t² ≤ v). */
+  private def isqrt(v: Long): Long = {
+    var t = math.sqrt(v.toDouble).toLong
+    while ((t + 1) * (t + 1) <= v) t += 1
+    while (t * t > v) t -= 1
+    t
+  }
+
+  /** The Procrustes cross-matrix of one OPQ alternation, on the
+    * [[CrossScale]] integer lattice: M[i][j] = rdiv(Σ rows yl[i]·xl[j],
+    * n·1e6) where y = decode(encode(R·x)) lives in the ROTATED space, x
+    * is the ORIGINAL vector's round-6 image, and yl/xl are their exact
+    * 1e6 lattice integers — tr(RᵀM) is (up to constants) the negated
+    * quantization error, so the orthogonal maximizer of tr(RᵀM) is the
+    * rotation update (Ge, He, Ke & Sun, "Optimized Product
+    * Quantization", CVPR 2013, the OPQ-NP R-step). ONE scan over
+    * (x, codes): the double posexplode amplifies rows map-side only —
+    * dim² sum/count buffers partial-aggregate before the exchange (the
+    * [[kmeansCentroids]] shape). INTEGER sums are order-independent, so
+    * the oracle's replay is bit-identical by construction — the
+    * round-6-absorbs-ulp argument is NOT enough here, because the polar
+    * solve downstream is ill-conditioned exactly when the corpus has
+    * near-null covariance directions (measured: double-arithmetic
+    * replays diverged at 1e-4 in the fitted rotation). */
+  private def procrustesCrossInt(encoded: DataFrame, latticeXCol: String,
+                                 codebooks: Seq[Seq[(Long, Seq[Double])]],
+                                 dim: Int): Seq[Seq[Long]] = {
     val rows = encoded
       .join(broadcast(codebooksFrame(encoded, codebooks)))
-      .select(reconstructCol.as("__y"), col(origCol).as("__x"))
+      .select(reconstructCol.as("__y"), col(latticeXCol).as("__x"))
       .select(posexplode(col("__y")).as(Seq("i", "yi")), col("__x"))
       .select(col("i"), col("yi"), posexplode(col("__x")).as(Seq("j", "xj")))
+      .select(col("i"), col("j"),
+        round(col("yi") * CrossScale, 0).cast("long").as("yl"),
+        round(col("xj") * CrossScale, 0).cast("long").as("xl"))
       .groupBy("i", "j")
-      .agg(round(avg(col("yi") * col("xj").cast("double")), 6).as("v"))
+      .agg(sum(col("yl") * col("xl")).as("s"), count(lit(1)).as("n"))
       .collect()
-    val m = Array.ofDim[Double](dim, dim)
-    rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val m = Array.ofDim[Long](dim, dim)
+    rows.foreach(r =>
+      m(r.getInt(0))(r.getInt(1)) = rdiv(r.getLong(2), r.getLong(3) * CrossScale))
     m.map(_.toSeq).toSeq
   }
 
-  /** Spark-round-compatible decimal rounding (shortest-decimal HALF_UP —
-    * what `functions.round` does for doubles), driver-side. */
-  private def roundAt(v: Double, scale: Int): Double =
-    java.math.BigDecimal.valueOf(v)
-      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
-
-  /** Default Newton–Schulz iteration count for [[polarFactor]]: from the
-    * Frobenius-normalized start the smallest singular value grows ~1.5×
-    * per step (σ ← 1.5σ − 0.5σ³), then converges quadratically near 1 —
-    * 40 steps close a σmin/‖M‖_F ratio down to ~1e-6 with margin (the
-    * correlated gate corpus's circulant mixing leaves near-null
-    * covariance frequencies, so its cross-matrix IS ill-conditioned: 16
-    * steps measured RᵀR−I ≈ 0.14, 40 measure ~1e-8 — below anything the
-    * round-6 encode lattice can see). Each step is dim×dim driver
-    * arithmetic / three small matmul CTEs in the replay — widening the
-    * count costs microseconds, under-running it breaks orthogonality. */
+  /** Default Newton–Schulz iteration count for [[polarFactorInt]]: from
+    * the Frobenius-normalized start the smallest singular value grows
+    * ~1.5× per step (σ ← 1.5σ − 0.5σ³), then converges quadratically
+    * near 1 — 40 steps close a σmin/‖M‖_F ratio down to ~1e-6 with
+    * margin (the correlated gate corpus's circulant mixing leaves
+    * near-null covariance frequencies, so its cross-matrix IS
+    * ill-conditioned: 16 steps measured RᵀR−I ≈ 0.14, 40 reach the 1e-8
+    * lattice floor — below anything the round-6 encode lattice can
+    * see). Each step is dim×dim driver arithmetic / three small matmul
+    * CTEs in the replay — widening the count costs microseconds,
+    * under-running it breaks orthogonality. */
   val NewtonSchulzIters = 40
 
   /** Orthogonal Procrustes factor polar(M) = U·Vᵀ WITHOUT an SVD: the
@@ -1920,47 +2005,65 @@ object VectorOps {
     * converges to the polar factor (Higham, "Computing the polar
     * decomposition — with applications", 1986; ‖M‖_F bounds σmax(X₀) ≤ 1,
     * inside the (0,√3) convergence region). An SVD is not replayable in
-    * portable SQL; a fixed-iteration matmul chain is — every matmul
-    * entry rounds to 9 decimals (entries stay O(1)), so an external
-    * engine lands bit-identically regardless of its summation order, and
-    * because the fixed point is orthogonal the 1e-9 lattice noise is
-    * re-absorbed each step instead of accumulating. Driver-side dim×dim
-    * arithmetic (64³ flops per matmul); all data-sized work stays in
-    * [[procrustesCross]]'s one scan. */
-  def polarFactor(m: Seq[Seq[Double]],
-                  iters: Int = NewtonSchulzIters): Seq[Seq[Double]] = {
+    * portable SQL; a fixed-iteration matmul chain on an EXACT INTEGER
+    * lattice is: `m` enters at [[CrossScale]], X iterates at
+    * [[PolarScale]], every product-sum is an exact 64-bit integer (so
+    * summation order cannot matter), and every rescale is the shared
+    * [[rdiv]] rule. Floating-point matmuls rounded per entry are NOT
+    * enough: the polar map's sensitivity to M scales like 1/σmin, so on
+    * an ill-conditioned cross-matrix the two engines' ulp-level sum
+    * orders amplified to 1e-4 rotation disagreement (measured, round-16
+    * form); on the integer lattice both engines compute the SAME bits by
+    * construction. Driver-side dim×dim Long arithmetic (64³ multiplies
+    * per matmul); all data-sized work stays in [[procrustesCrossInt]]'s
+    * one scan. */
+  def polarFactorInt(m: Seq[Seq[Long]],
+                     iters: Int = NewtonSchulzIters): Seq[Seq[Double]] = {
     val n = m.size
     require(m.forall(_.size == n), "square matrix required")
-    val fro2 = roundAt(m.iterator.flatten.foldLeft(0.0)((a, v) => a + v * v), 6)
-    require(fro2 > 0.0, "polarFactor of a zero matrix")
-    val s = math.sqrt(fro2)
-    var x = m.map(_.map(v => roundAt(v / s, 9)).toArray).toArray
+    val fro2 = m.iterator.flatten.foldLeft(0L)((a, v) => a + v * v)
+    require(fro2 > 0L, "polarFactor of a zero matrix")
+    val t = isqrt(fro2) // ‖M‖_F at CrossScale
+    var x = Array.tabulate(n, n)((i, j) => rdiv(m(i)(j) * PolarScale, t))
     for (_ <- 1 to iters) {
       val y = Array.tabulate(n, n) { (i, k) =>
-        var acc = 0.0; var j = 0
+        var acc = 0L; var j = 0
         while (j < n) { acc += x(i)(j) * x(k)(j); j += 1 }
-        roundAt(acc, 9)
+        rdiv(acc, PolarScale)
       }
       val z = Array.tabulate(n, n) { (i, j) =>
-        var acc = 0.0; var k = 0
+        var acc = 0L; var k = 0
         while (k < n) { acc += y(i)(k) * x(k)(j); k += 1 }
-        roundAt(acc, 9)
+        rdiv(acc, PolarScale)
       }
-      x = Array.tabulate(n, n)((i, j) => roundAt(1.5 * x(i)(j) - 0.5 * z(i)(j), 9))
+      x = Array.tabulate(n, n)((i, j) => rdiv(3L * x(i)(j) - z(i)(j), 2L))
     }
-    x.map(_.toSeq).toSeq
+    x.map(_.map(_.toDouble / PolarScale).toSeq).toSeq
   }
+
+  /** [[polarFactorInt]] from a double matrix — spec/driver convenience:
+    * snaps entries to the [[CrossScale]] lattice, then the exact chain. */
+  def polarFactor(m: Seq[Seq[Double]],
+                  iters: Int = NewtonSchulzIters): Seq[Seq[Double]] =
+    polarFactorInt(m.map(_.map(v => math.round(v * CrossScale))), iters)
 
   /** OPQ — the learned-rotation upgrade of [[pqCodebooks]] (Ge et al.,
     * CVPR 2013, OPQ-NP). Fixed-iteration alternation, every step on the
     * oracle's decimal lattice:
     *
     *   R₀ = I; repeat opqIters times {
-    *     train codebooks on round6(R_t·x)   ([[pqCodebooks]], verbatim);
-    *     y  = decode(encode(round6(R_t·x)));
-    *     M  = round6(avg y·xᵀ)              (ONE scan, [[procrustesCross]]);
-    *     R_{t+1} = polar(M)                 ([[polarFactor]], driver-side)
-    *   }; final codebooks train on round6(R_final·x).
+    *     train codebooks on R_t·x           ([[pqCodebooks]], verbatim);
+    *     y  = decode(encode(R_t·x));
+    *     M  = avg y·round6(x)ᵀ on the 1e6 lattice
+    *                                (ONE scan, [[procrustesCrossInt]]);
+    *     R_{t+1} = polar(M)         ([[polarFactorInt]], driver-side)
+    *   }; final codebooks train on R_final·x.
+    *
+    * The cross-matrix takes the ORIGINAL vector's round-6 image rather
+    * than the raw double (a ≤5e-7 perturbation of the fit objective —
+    * far below the quantization error the rotation is minimizing) so
+    * that both sides of the product live on the exact integer lattice
+    * and the whole R-step replays bit-identically.
     *
     * The rotation aligns the subspace split with the data's principal
     * structure — correlated coordinates that straddle the contiguous
@@ -1976,14 +2079,19 @@ object VectorOps {
       : (Seq[Seq[Double]], Seq[Seq[(Long, Seq[Double])]]) = {
     require(opqIters >= 0, "opqIters must be >= 0")
     var r = identityRotation(dim)
+    // __xl: the ORIGINAL vector's round-6 lattice image — constant across
+    // alternations (the rotation never touches it), one side of every
+    // cross-matrix product
     def rotatedBoth() = embeddings
       .join(broadcast(rotationFrame(embeddings, r)))
-      .select(col(idCol), col(vecCol).as("__x"), rotateCol(col(vecCol)).as("__rx"))
+      .select(col(idCol),
+        transform(col(vecCol), v => round(v.cast("double"), 6)).as("__xl"),
+        rotateCol(col(vecCol)).as("__rx"))
     var both = graft.GraftCache.persist(rotatedBoth())
     var cbs = pqCodebooks(both, idCol, "__rx", dim, m, ks, kmIters)
     for (_ <- 1 to opqIters) {
-      val enc = pqEncode(both, idCol, "__rx", cbs, carry = Seq("__x"))
-      r = polarFactor(procrustesCross(enc, "__x", cbs, dim), nsIters)
+      val enc = pqEncode(both, idCol, "__rx", cbs, carry = Seq("__xl"))
+      r = polarFactorInt(procrustesCrossInt(enc, "__xl", cbs, dim), nsIters)
       both = graft.GraftCache.persist(rotatedBoth())
       cbs = pqCodebooks(both, idCol, "__rx", dim, m, ks, kmIters)
     }

@@ -108,6 +108,14 @@ object VectorQueries {
   val RecallHoldoutRes = 1L
   val RecallFloorPpm = 900000L
 
+  /** OPQ alternation count (x115/x116): ONE R-step already captures the
+    * bulk of the rotation gain on the correlated gate corpus (measured
+    * 11.5% MSE cut in OpqSpec), and each extra iteration adds a full
+    * codebook training + cross-matrix scan to BOTH engines' replays —
+    * the oracle unrolls the whole fit, so the gate pins the cheapest
+    * alternation that demonstrates the mechanism. */
+  val OpqIters = 1
+
   /** Tombstone membership for the PQ-delete gate (x83): vec_id % 5 = 3
     * is the removed set — a different residue class than the query
     * vector (0) and the append batches (% 10 = 0), so the lifecycle
@@ -987,6 +995,95 @@ object VectorQueries {
       p1.unionByName(p2).orderBy("phase", "nprobe")
     }),
 
+    // ---------------------------------------------------------------- x117
+    // x114's maintenance contract closed over the OTHER lifecycle arc:
+    // delete (x85's tombstone prune, re-laid by cid) then compact
+    // (x81's layout fold) also change the cell population, so the
+    // stored curve/choice from build time is stale after them exactly
+    // as it is after an append. Phase 1 fits on the full index; the
+    // delete prunes, the compaction folds; phase 2 REFITS on the
+    // compacted codes with the survivors as exact ground truth and
+    // re-derives the choice. The oracle replays both phases' curves —
+    // delete narrows the served rows, never the quantizers (x85's
+    // premise), and compaction is result-invisible (x81's), so a
+    // stale-curve serve cannot hide behind either.
+    "x117_adaptive_nprobe_lifecycle" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = graft.GraftCache.persist(t.embeddings)
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x117_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx)
+      val cents = VectorOps.collectCentroids(
+        s.read.parquet(s"$idx/centroids"))
+      val cb = VectorOps.readPqCodebooks(s, idx)
+      val holdout = e.filter(col("vec_id") % KnnQueryMod === RecallHoldoutRes)
+      def phase(name: String, corpus: DataFrame, codes: String): DataFrame = {
+        // localCheckpoint for the same DataFrameWriter-recache reason as
+        // x114: the delete/compact writes that follow phase 1 must not
+        // re-materialize a lazily-cached phase-1 curve over the pruned
+        // index
+        val curve = VectorOps.fitRecallCurve(
+          holdout, "vec_id", "embedding", corpus, KnnK, KClusters,
+          cents, cb, s.read.parquet(codes)).localCheckpoint()
+        val chosen = VectorOps.chooseNprobe(curve, RecallFloorPpm, KClusters)
+        curve.select(lit(name).as("phase"), col("nprobe"),
+          col("recall_ppm"), (col("nprobe") === chosen).as("chosen"))
+      }
+      val p1 = phase("1_full", e, s"$idx/codes")
+      val removed = e.filter(col("vec_id") % VecDeleteMod === VecDeleteRem)
+        .select("vec_id")
+      val pruned = SinkQueries.sinkDir("x117_codes_pruned")
+      VectorOps.deletePqCodes(s, idx, removed, "vec_id", pruned)
+      val compacted = SinkQueries.sinkDir("x117_codes_compacted")
+      graft.sinks.LayoutSink.compact(s, pruned, compacted, 32L * 1024,
+        Some("cid"))
+      val survivors = e.filter(col("vec_id") % VecDeleteMod =!= VecDeleteRem)
+      val p2 = phase("2_pruned", survivors, compacted)
+      p1.unionByName(p2).orderBy("phase", "nprobe")
+    }),
+
+    // ---------------------------------------------------------------- x118
+    // The SERVE half of x117's arc — the deployed read after a
+    // delete+compact maintenance window: refit on the compacted index,
+    // re-derive the choice, serve the production batch queries through
+    // it (x112's serve shape), nprobe_used stamped so the artifact
+    // records which knob setting actually answered. The oracle replays
+    // the post-maintenance curve, the floor choice, and the routed ADC
+    // ranking over the survivors end to end.
+    "x118_adaptive_nprobe_lifecycle_serve" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = graft.GraftCache.persist(t.embeddings)
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x118_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx)
+      val cents = VectorOps.collectCentroids(
+        s.read.parquet(s"$idx/centroids"))
+      val cb = VectorOps.readPqCodebooks(s, idx)
+      val removed = e.filter(col("vec_id") % VecDeleteMod === VecDeleteRem)
+        .select("vec_id")
+      val pruned = SinkQueries.sinkDir("x118_codes_pruned")
+      VectorOps.deletePqCodes(s, idx, removed, "vec_id", pruned)
+      val compacted = SinkQueries.sinkDir("x118_codes_compacted")
+      graft.sinks.LayoutSink.compact(s, pruned, compacted, 32L * 1024,
+        Some("cid"))
+      val survivors = e.filter(col("vec_id") % VecDeleteMod =!= VecDeleteRem)
+      val holdout = e.filter(col("vec_id") % KnnQueryMod === RecallHoldoutRes)
+      val curve = VectorOps.fitRecallCurve(holdout, "vec_id", "embedding",
+        survivors, KnnK, KClusters, cents, cb, s.read.parquet(compacted))
+      val chosen = VectorOps.chooseNprobe(curve, RecallFloorPpm, KClusters)
+      VectorOps.pqKnnAgainstCodesRouted(
+          e.filter(col("vec_id") % KnnQueryMod === 0), "vec_id", "embedding",
+          KnnK, chosen, cents, cb, s.read.parquet(compacted))
+        .withColumn("nprobe_used", lit(chosen))
+        .orderBy("qid", "adc_d2", "vec_id")
+    }),
+
     // ---------------------------------------------------------------- x113
     // Recall-honesty gate for the POSITIVE miner — x108's contract
     // applied to the same-label side: the routed positive miner (pl15's
@@ -1182,16 +1279,29 @@ object VectorQueries {
         val ppm = VectorOps.cellShareTvdPpm(base, batch, "vec_id",
           "embedding", cents)
         val retrain = ppm > RefreshDriftPpm
-        val corpus = toD(base).unionByName(toD(batch))
+        val corpus = graft.GraftCache.persist(
+          toD(base).unionByName(toD(batch)))
         val serveCents =
           if (retrain) VectorOps.kmeansCentroids(corpus, "vec_id",
             "embedding", KClusters, KmeansIters)
           else cents
+        // the serving cells changed (retrain) or their population did
+        // (append) — either way the stored probe choice is stale
+        // (x114/x117's contract), so the pipeline REFITS the coarse
+        // recall curve on the decided index and re-derives the knob
+        // before serving, instead of serving a fixed nprobe constant
+        val cseq = VectorOps.collectCentroids(serveCents)
+        val holdout = corpus.filter(
+          col("vec_id") % KnnQueryMod === RecallHoldoutRes)
+        val chosen = VectorOps.chooseNprobe(
+          VectorOps.fitCoarseRecallCurve(holdout, "vec_id", "embedding",
+            corpus, KnnK, KClusters, cseq),
+          RecallFloorPpm, KClusters)
         val q = corpus.filter(col("vec_id") === QueryVecId)
           .select(col("embedding").as("__qv"))
         val probeCells = serveCents.crossJoin(broadcast(q))
           .select(col("cid"), VectorOps.l2sq(col("__qv"), col("c")).as("__d"))
-          .orderBy(col("__d"), col("cid")).limit(NProbe).select("cid")
+          .orderBy(col("__d"), col("cid")).limit(chosen).select("cid")
         VectorOps.assignToCentroids(corpus, "vec_id", "embedding", serveCents)
           .filter(col("vec_id") =!= QueryVecId)
           .join(broadcast(probeCells), "cid")
@@ -1201,6 +1311,7 @@ object VectorQueries {
           .orderBy(col("d2"), col("vec_id")).limit(1)
           .select(lit(name).as("scenario"), lit(ppm).as("drift_ppm"),
             lit(if (retrain) "retrain" else "append").as("decision"),
+            lit(chosen).as("nprobe_used"),
             col("vec_id").as("top1_vec_id"), col("d2").as("top1_d2"))
       }
       scenario("1_indist", batchA).unionByName(scenario("2_shifted", batchB))
@@ -1346,6 +1457,81 @@ object VectorQueries {
           round(coalesce(col("n_refined"), lit(0L)) / col("n_exact"), 4)
             .as("refined_recall"))
         .orderBy("qid")
+    }),
+
+    // ---------------------------------------------------------------- x115
+    // OPQ end-to-end: fit the learned rotation on the correlated corpus
+    // (the regime cross-subspace correlation exists for — see
+    // [[correlatedEmbeddings]]), materialize the composed index WITH the
+    // rotation as a stored artifact, rehydrate everything, and serve the
+    // routed top-k through the rotate-at-the-boundary seam. The oracle
+    // replays the ENTIRE fit — identity-lattice chains, Procrustes
+    // cross-matrix, the 40 unrolled Newton–Schulz polar steps, the
+    // rotated-space chains — then the probe cut and ADC, so the learned
+    // rotation itself is the verified contract, not just the serve.
+    "x115_opq_serve" -> ((s, dir) => {
+      val e = correlatedEmbeddings(Tables(s, dir).embeddings)
+      val (r, cbs) = VectorOps.fitOpq(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters, OpqIters)
+      val cents = VectorOps.kmeansCentroids(
+        VectorOps.rotate(e, "embedding", r), "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val idx = SinkQueries.sinkDir("x115_opq_index")
+      VectorOps.writeOpqIvfPqIndex(e, "vec_id", "embedding", r, cents, cbs, idx)
+      VectorOps.opqTopKOverIndex(e, "vec_id", "embedding", QueryVecId, K,
+        NProbe, VectorOps.readRotation(s, idx),
+        s.read.parquet(s"$idx/centroids"),
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
+    }),
+
+    // ---------------------------------------------------------------- x116
+    // The measured WHY of x115 — the x82/x86-style honesty pair for the
+    // learned rotation: plain PQ vs OPQ at EQUAL m/ks/nprobe on the
+    // correlated corpus, reporting quantization MSE (the objective the
+    // R-step minimizes) and mean routed recall vs the exact L2 kNN (the
+    // number a deployed index monitors). One row, four round-pinned
+    // values; the oracle replays both branches — the identity lattice IS
+    // the PQ branch, so the fit replay is shared, not doubled.
+    "x116_opq_gain" -> ((s, dir) => {
+      val e = correlatedEmbeddings(Tables(s, dir).embeddings)
+      val qpred = col("vec_id") % KnnQueryMod === 0
+      val q = e.filter(qpred)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
+      val exactP = e.select(col("vec_id"), col("embedding").as("__v"))
+        .crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorOps.l2sq(col("__v"), col("__qv")).as("d2"))
+      val exact = graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
+        Seq(col("d2"), col("vec_id")), KnnK).select("qid", "vec_id")
+      def meanRecall(served: DataFrame, alias: String): DataFrame =
+        exact.groupBy("qid").agg(count(lit(1)).as("nx"))
+          .join(exact.join(served, Seq("qid", "vec_id"))
+            .groupBy("qid").agg(count(lit(1)).as("nh")), Seq("qid"), "left")
+          .agg(round(avg(coalesce(col("nh"), lit(0L)) / col("nx")), 4)
+            .as(alias))
+      // opqIters = 0 degenerates to plain PQ on the same round-6 lattice
+      // the rotated branch trains on — the controlled baseline.
+      def branch(opqIters: Int, t: String): (DataFrame, DataFrame) = {
+        val (r, cbs) = VectorOps.fitOpq(e, "vec_id", "embedding",
+          Dim, PqM, PqKs, KmeansIters, opqIters)
+        val rot = graft.GraftCache.persist(VectorOps.rotate(e, "embedding", r))
+        val enc = VectorOps.pqEncode(rot, "vec_id", "embedding", cbs,
+          carry = Seq("embedding"))
+        val mse = VectorOps.quantMse(enc, "embedding", cbs)
+          .select(col("mse").as(s"${t}_mse"))
+        val cents = VectorOps.collectCentroids(VectorOps.kmeansCentroids(
+          rot, "vec_id", "embedding", KClusters, KmeansIters))
+        val codes = VectorOps.pqEncodeWithCells(rot, "vec_id", "embedding",
+          cents, cbs)
+        val served = VectorOps.pqKnnAgainstCodesRouted(rot.filter(qpred),
+          "vec_id", "embedding", KnnK, NProbe, cents, cbs, codes)
+          .select("qid", "vec_id")
+        (mse, meanRecall(served, s"${t}_recall"))
+      }
+      val (msePq, recPq) = branch(0, "pq")
+      val (mseOpq, recOpq) = branch(OpqIters, "opq")
+      msePq.crossJoin(broadcast(mseOpq))
+        .crossJoin(broadcast(recPq)).crossJoin(broadcast(recOpq))
     })
   )
 
@@ -1741,6 +1927,225 @@ object VectorQueries {
   private lazy val clusteredRecallSql: String =
     residualRecallSqlFor("cemb", clusteredCte + ",\n")
 
+  /** x115/x116's corpus derivation — the SQL image of
+    * [[correlatedEmbeddings]]: three left-associated DOUBLE adds per
+    * element (per-row scalar arithmetic — exact on both engines), the
+    * list rebuilt positionally via the range join with (j−1) converting
+    * to Spark's 0-based lambda index. */
+  private def correlatedCte: String =
+    s"""corr AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list(embedding[j]::DOUBLE
+       |      + embedding[((j - 1 + 8) % $Dim) + 1]::DOUBLE
+       |      + embedding[((j - 1 + 16) % $Dim) + 1]::DOUBLE
+       |      ORDER BY j) AS embedding
+       |  FROM embeddings, range(1, ${Dim + 1}) r(j)
+       |  GROUP BY vec_id)""".stripMargin
+
+  /** Round-half-away-from-zero integer division — the SQL image of
+    * VectorOps' `rdiv` (DuckDB `//` truncates toward zero exactly like
+    * Scala Long `/`, so adding ±b/2 toward the sign then truncating is
+    * the same rule on both engines; b is always even here). */
+  private def rdivSql(a: String, b: String): String =
+    s"CAST((($a) + CASE WHEN ($a) < 0 THEN -(($b) // 2) ELSE ($b) // 2 END)" +
+      s" // ($b) AS BIGINT)"
+
+  /** SQL replay of [[VectorOps.polarFactorInt]] — the Newton–Schulz
+    * polar iteration unrolled as INTEGER matmul CTEs over (i, j, v)
+    * relations: `$src` holds M on the 1e6 lattice, X₀ = M·1e8/isqrt(ΣM²)
+    * (exact integer sqrt via double-sqrt plus a ±1 fix-up), then per
+    * step Y = X·Xᵀ, Z = Y·X, X ← (3X − Z)/2, every rescale the shared
+    * rdiv rule at [[VectorOps.PolarScale]]. Integer sums are
+    * order-independent, so the chain is bit-identical to the driver's
+    * sequential loops BY CONSTRUCTION — double matmuls rounded per entry
+    * are not (the polar map amplifies ulp-level sum-order noise by
+    * 1/σmin; measured 1e-4 rotation divergence on the correlated
+    * corpus's ill-conditioned cross-matrix). Emits rr = rot$iters as
+    * doubles (v/1e8 — exact-input correctly-rounded division, identical
+    * on both engines). */
+  private def polarSqlFor(src: String, iters: Int): String = {
+    val ps = VectorOps.PolarScale
+    // AS MATERIALIZED on every step: each step references its
+    // predecessor THREE times, so DuckDB's default single-reference
+    // inlining would expand the 40-step chain 3^40-fold (measured: 5
+    // inlined steps already take 10s; 40 materialized take 0.5s). The
+    // hint is the Postgres-shared CTE-fence syntax, not a DuckDB-ism.
+    val init =
+      s"""frt AS MATERIALIZED (
+         |  SELECT CASE WHEN (t0 + 1) * (t0 + 1) <= f2 THEN t0 + 1
+         |              WHEN t0 * t0 > f2 THEN t0 - 1
+         |              ELSE t0 END AS t
+         |  FROM (SELECT f2, CAST(floor(sqrt(f2::DOUBLE)) AS BIGINT) AS t0
+         |        FROM (SELECT CAST(sum(v * v) AS BIGINT) AS f2 FROM $src))),
+         |rot0 AS MATERIALIZED (
+         |  SELECT i, j, ${rdivSql(s"v * $ps", "(SELECT t FROM frt)")} AS v
+         |  FROM $src)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""ns${t}y AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS k, ${rdivSql("sum(a.v * b.v)", s"$ps")} AS v
+         |  FROM rot${t - 1} a JOIN rot${t - 1} b ON a.j = b.j GROUP BY 1, 2),
+         |ns${t}z AS MATERIALIZED (
+         |  SELECT y.i, x.j, ${rdivSql("sum(y.v * x.v)", s"$ps")} AS v
+         |  FROM ns${t}y y JOIN rot${t - 1} x ON y.k = x.i GROUP BY 1, 2),
+         |rot$t AS MATERIALIZED (
+         |  SELECT x.i, x.j, ${rdivSql("3 * x.v - z.v", "2")} AS v
+         |  FROM rot${t - 1} x JOIN ns${t}z z ON z.i = x.i AND z.j = x.j)"""
+        .stripMargin
+    }
+    val fin =
+      s"""rr AS MATERIALIZED (
+         |  SELECT i, j, v::DOUBLE / $ps AS v FROM rot$iters)""".stripMargin
+    ((init +: steps) :+ fin).mkString(",\n")
+  }
+
+  /** The OPQ fit replay shared by x115 and x116 (opqIters = 1): the
+    * correlated corpus (R₀ = I rotates it to itself exactly — zero
+    * terms add exactly in the fold); the p-tagged chains + encode on
+    * corr; the Procrustes cross-matrix on the exact 1e6 integer lattice
+    * (y = decode(encode(corr)) centroid lattice ints × the original
+    * vector's round-6 lattice ints, integer-summed — order-independent,
+    * so bit-identical to the Spark scan by construction); the unrolled
+    * integer polar solve; the fitted-rotation image rx1 = R·corr
+    * (UNROUNDED — see rotateCol's scaladoc: a rotated-coordinate
+    * lattice would make every downstream centroid mean a half-boundary
+    * coin flip); and the o-tagged final chains + encode on rx1. */
+  private def opqFitCtes: String = {
+    val cs = VectorOps.CrossScale
+    val yparts = (0 until PqM).map { j =>
+      s"""  SELECT e.vec_id, ${j * PqSub} + d.di - 1 AS i,
+         |    CAST(round(cc.c[d.di] * $cs, 0) AS BIGINT) AS yl
+         |  FROM encp$j e JOIN cp$j$KmeansIters cc ON e.code = cc.cid,
+         |    range(1, ${PqSub + 1}) d(di)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    // corr/rx1/xj are each referenced by dozens of downstream chain
+    // CTEs — MATERIALIZED keeps every reference a table read instead of
+    // a re-execution (and keeps the parquet leaf opened once).
+    s"""$correlatedCte,
+       |${pqChainsSqlFor("corr", "p")},
+       |${pqEncodeSqlFor("corr", "p")},
+       |xj AS MATERIALIZED (
+       |  SELECT vec_id, j - 1 AS j, embedding[j] AS xj,
+       |    CAST(round(round(embedding[j], 6) * $cs, 0) AS BIGINT) AS xl
+       |  FROM corr, range(1, ${Dim + 1}) r(j)),
+       |yparts AS MATERIALIZED (
+       |$yparts),
+       |mm AS MATERIALIZED (
+       |  SELECT y.i, x.j,
+       |    ${rdivSql("sum(y.yl * x.xl)", s"count(*) * $cs")} AS v
+       |  FROM yparts y JOIN xj x USING (vec_id) GROUP BY 1, 2),
+       |${polarSqlFor("mm", VectorOps.NewtonSchulzIters)},
+       |rx1 AS MATERIALIZED (
+       |  SELECT vec_id, list(s ORDER BY i) AS embedding FROM (
+       |    SELECT x.vec_id, r.i, sum(r.v * x.xj) AS s
+       |    FROM rr r JOIN xj x ON r.j = x.j
+       |    GROUP BY 1, 2)
+       |  GROUP BY vec_id),
+       |${pqChainsSqlFor("rx1", "o")},
+       |${pqEncodeSqlFor("rx1", "o")}""".stripMargin
+  }
+
+  /** x115: the fit replay, the coarse chain + assignment in the rotated
+    * space, and the routed ADC serve — the query enters through the same
+    * rotate-at-the-boundary image (its rx1 row). */
+  private lazy val opqServeSql: String =
+    s"""WITH $opqFitCtes,
+       |${kmeansSqlFor("rx1")},
+       |${assignCteFor("rx1")},
+       |q AS (SELECT embedding AS qv FROM rx1 WHERE vec_id = $QueryVecId),
+       |probes AS (
+       |  SELECT c.cid FROM c$KmeansIters c CROSS JOIN q
+       |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbe)
+       |SELECT a.vec_id, round(${pqAdcSql("q.qv", "o")}, 6) AS adc_d2
+       |FROM (SELECT vec_id, cid FROM assign) a
+       |JOIN probes p ON a.cid = p.cid
+       |${pqJoinsSql("o")}
+       |CROSS JOIN q
+       |WHERE a.vec_id <> $QueryVecId
+       |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin
+
+  /** One branch of the x116 pair: coarse chain `chain` over the branch's
+    * rotated corpus `rx`, its assignment, the sampled rotated queries,
+    * per-query probe cut, routed ADC ranking through the `t`-tagged
+    * codebook joins, cut to KnnK — emits k$name (qid, vec_id). */
+  private def opqBranchRoutedCtes(name: String, rx: String, chain: String,
+                                  t: String): String =
+    s"""${assignCteFor(rx, s"asg$name", chain)},
+       |q$name AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM $rx
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |pr$name AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q$name q CROSS JOIN $chain c)
+       |  WHERE rn <= $NProbe),
+       |rk$name AS (
+       |  SELECT q.qid, a.vec_id, round(${pqAdcSql("q.qv", t)}, 6) AS adc_d2
+       |  FROM (SELECT vec_id, cid FROM asg$name) a
+       |  JOIN pr$name p ON a.cid = p.cid
+       |  JOIN q$name q ON q.qid = p.qid
+       |  ${pqJoinsSql(t)}
+       |  WHERE a.vec_id <> q.qid),
+       |k$name AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS rk FROM rk$name)
+       |  WHERE rk <= $KnnK)""".stripMargin
+
+  /** The per-subspace reconstruction y = decode(encode(·)) as one
+    * concatenated list per vector, through the `t`-tagged joins. */
+  private def opqReconCte(name: String, rx: String, t: String): String =
+    s"""$name AS (
+       |  SELECT b.vec_id,
+       |    ${(0 until PqM).map(j => s"cc$t$j.c").mkString(" || ")} AS y
+       |  FROM $rx b
+       |  ${pqJoinsSql(t)})""".stripMargin
+
+  /** x116: both branches' MSE (round6 avg ‖x − y‖² in each branch's own
+    * rotated space — rotation is an isometry, so the pair is comparable)
+    * and both branches' mean routed recall against the exact L2 kNN of
+    * the ORIGINAL correlated corpus (vec_id sets are space-invariant).
+    * The `b`-tagged coarse chain serves the PQ branch (corr), the
+    * `v`-tagged one the OPQ branch (rx1). */
+  private lazy val opqGainSql: String =
+    s"""WITH $opqFitCtes,
+       |${opqReconCte("ypq", "corr", "p")},
+       |msep AS (
+       |  SELECT round(avg(${l2Sql("b.embedding", "y.y")}), 6) AS pq_mse
+       |  FROM corr b JOIN ypq y USING (vec_id)),
+       |${opqReconCte("yopq", "rx1", "o")},
+       |mseo AS (
+       |  SELECT round(avg(${l2Sql("b.embedding", "y.y")}), 6) AS opq_mse
+       |  FROM rx1 b JOIN yopq y USING (vec_id)),
+       |${kmeansSqlFor("corr", Dim, KClusters, "b")},
+       |${kmeansSqlFor("rx1", Dim, KClusters, "v")},
+       |qe AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM corr
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |exactp AS (
+       |  SELECT q.qid, e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d2
+       |  FROM corr e, qe q WHERE e.vec_id <> q.qid),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY d2, vec_id) AS rk FROM exactp)
+       |  WHERE rk <= $KnnK),
+       |${opqBranchRoutedCtes("p", "corr", s"cb$KmeansIters", "p")},
+       |${opqBranchRoutedCtes("o", "rx1", s"cv$KmeansIters", "o")},
+       |nx AS (SELECT qid, count(*) AS nx FROM exact GROUP BY 1),
+       |recp AS (
+       |  SELECT round(avg(coalesce(h.nh, 0) / x.nx::DOUBLE), 4) AS pq_recall
+       |  FROM nx x LEFT JOIN (
+       |    SELECT qid, count(*) AS nh FROM exact JOIN kp USING (qid, vec_id)
+       |    GROUP BY 1) h USING (qid)),
+       |reco AS (
+       |  SELECT round(avg(coalesce(h.nh, 0) / x.nx::DOUBLE), 4) AS opq_recall
+       |  FROM nx x LEFT JOIN (
+       |    SELECT qid, count(*) AS nh FROM exact JOIN ko USING (qid, vec_id)
+       |    GROUP BY 1) h USING (qid))
+       |SELECT msep.pq_mse, mseo.opq_mse, recp.pq_recall, reco.opq_recall
+       |FROM msep, mseo, recp, reco""".stripMargin
+
   /** pl12's oracle: the drift numbers in pure BIGINT arithmetic (the ppm
     * replay of [[VectorOps.cellShareTvdPpm]]), the CASE decision, and
     * both branch serves — append (standing untagged chain over
@@ -1768,13 +2173,66 @@ object VectorQueries {
          |ppm$tag AS (
          |  SELECT CAST(num * 1000000 // (2 * t.no * t.nn) AS BIGINT) AS ppm
          |  FROM num$tag, t$tag t)""".stripMargin
+    // the coarse recall-curve refit of the decided index (the SQL image
+    // of [[VectorOps.fitCoarseRecallCurve]] + [[VectorOps.chooseNprobe]]):
+    // held-out queries from the scenario's merged corpus, one candidate
+    // frame carrying each pair's probe-cell rank and exact d2, per-nprobe
+    // filter + rank + hit count, floor choice
+    def curveCtes(tag: String, corpusRel: String, chain: String): String = {
+      val perNp = (1 to KClusters).map { np =>
+        s"""crt${tag}_$np AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY d2, vec_id) AS rk
+           |    FROM hcand$tag WHERE cellrank <= $np)
+           |  WHERE rk <= $KnnK),
+           |crec${tag}_$np AS (
+           |  SELECT $np AS nprobe,
+           |    (SELECT count(*) FROM hex$tag
+           |     JOIN crt${tag}_$np USING (qid, vec_id))
+           |      * 1000000 // (SELECT count(*) FROM hex$tag)
+           |      AS recall_ppm)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to KClusters)
+        .map(np => s"SELECT * FROM crec${tag}_$np").mkString(" UNION ALL ")
+      s"""hq$tag AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM $corpusRel
+         |  WHERE vec_id % $KnnQueryMod = $RecallHoldoutRes),
+         |hpr$tag AS (
+         |  SELECT hq.qid, c.cid, row_number() OVER (PARTITION BY hq.qid
+         |    ORDER BY ${l2Sql("hq.qv", "c.c")}, c.cid) AS rn
+         |  FROM hq$tag hq CROSS JOIN $chain c),
+         |hcand$tag AS MATERIALIZED (
+         |  SELECT hq.qid, a.vec_id, p.rn AS cellrank,
+         |    ${l2Sql("a.embedding", "hq.qv")} AS d2
+         |  FROM $corpusRel a JOIN hpr$tag p ON a.cid = p.cid
+         |  JOIN hq$tag hq ON hq.qid = p.qid
+         |  WHERE a.vec_id <> hq.qid),
+         |hex$tag AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY d2, vec_id) AS rk
+         |    FROM (
+         |      SELECT hq.qid, e.vec_id,
+         |        ${l2Sql("e.embedding", "hq.qv")} AS d2
+         |      FROM $corpusRel e, hq$tag hq WHERE e.vec_id <> hq.qid))
+         |  WHERE rk <= $KnnK),
+         |$perNp,
+         |ccurve$tag AS MATERIALIZED ($union),
+         |cchosen$tag AS (
+         |  SELECT CAST(coalesce(
+         |    (SELECT min(nprobe) FROM ccurve$tag
+         |     WHERE recall_ppm >= $RecallFloorPpm),
+         |    $KClusters) AS INT) AS np)""".stripMargin
+    }
     def serveCtes(tag: String, assignRel: String, chain: String,
                   qSrc: String): String =
       s"""qq$tag AS (SELECT embedding AS qv FROM $qSrc
          |  WHERE vec_id = $QueryVecId),
          |pp$tag AS (
          |  SELECT c.cid FROM $chain c CROSS JOIN qq$tag q
-         |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbe),
+         |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid
+         |  LIMIT (SELECT np FROM cchosen$tag)),
          |sv$tag AS (
          |  SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qv")}, 6) AS d2
          |  FROM $assignRel e JOIN pp$tag p ON e.cid = p.cid
@@ -1786,6 +2244,7 @@ object VectorQueries {
          |  (SELECT ppm FROM ppm$tag) AS drift_ppm,
          |  CASE WHEN (SELECT ppm FROM ppm$tag) > $RefreshDriftPpm
          |    THEN 'retrain' ELSE 'append' END AS decision,
+         |  (SELECT np FROM cchosen$tag) AS nprobe_used,
          |  vec_id AS top1_vec_id, d2 AS top1_d2 FROM sv$tag""".stripMargin
     s"""WITH ${kmeansSqlFor(baseSrc)},
        |sb AS (
@@ -1798,8 +2257,9 @@ object VectorQueries {
        |${assignCteFor("sb", "nb")},
        |${ppmCtes("A", "na")},
        |${ppmCtes("B", "nb")},
-       |aA AS (SELECT vec_id, embedding, cid FROM oa
+       |aA AS MATERIALIZED (SELECT vec_id, embedding, cid FROM oa
        |  UNION ALL SELECT vec_id, embedding, cid FROM na),
+       |${curveCtes("A", "aA", s"c$KmeansIters")},
        |${serveCtes("A", "aA", s"c$KmeansIters", "embeddings")},
        |u2 AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
@@ -1808,7 +2268,9 @@ object VectorQueries {
        |  UNION ALL SELECT vec_id, embedding FROM sb),
        |${kmeansSqlFor("u2", tag = "z")},
        |${assignCteFor("u2", "ab", s"cz$KmeansIters")},
-       |${serveCtes("B", "ab", s"cz$KmeansIters", "sb")}
+       |ab2 AS MATERIALIZED (SELECT vec_id, embedding, cid FROM ab),
+       |${curveCtes("B", "ab2", s"cz$KmeansIters")},
+       |${serveCtes("B", "ab2", s"cz$KmeansIters", "sb")}
        |SELECT * FROM (
        |${reportRow("1_indist", "A")}
        |UNION ALL
@@ -1959,6 +2421,14 @@ object VectorQueries {
     // CTE replays the exact derivation, then the identical raw/residual
     // recall replay runs with every corpus reference re-pointed at it.
     "x86_clustered_recall" -> clusteredRecallSql,
+    // x115/x116 replay the ENTIRE OPQ fit — identity-lattice chains,
+    // Procrustes cross-matrix, 40 unrolled Newton–Schulz polar steps,
+    // rotated-space chains — so the learned rotation itself is the
+    // verified contract; x115 then serves the routed ADC top-k through
+    // the stored composed index, x116 reports the PQ-vs-OPQ MSE/recall
+    // pair at equal m/ks/nprobe.
+    "x115_opq_serve" -> opqServeSql,
+    "x116_opq_gain" -> opqGainSql,
     // x88: the two-stage replay — ADC candidate cut (rk ≤ PqCandidates)
     // then exact re-rank of exactly those survivors, emitting the
     // round-6 exact distance; the storage round trip is result-
@@ -2209,6 +2679,8 @@ object VectorQueries {
     "x112_adaptive_nprobe" -> adaptiveNprobeSql,
     "x113_hard_positive_recall" -> hardPositiveRecallSql,
     "x114_adaptive_nprobe_refresh" -> adaptiveNprobeRefreshSql,
+    "x117_adaptive_nprobe_lifecycle" -> adaptiveLifecycleSql,
+    "x118_adaptive_nprobe_lifecycle_serve" -> adaptiveLifecycleServeSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.
     "x43_knn_native" -> knnJoinSql,
@@ -2364,56 +2836,55 @@ object VectorQueries {
        |FROM ne LEFT JOIN ni USING (qid)
        |ORDER BY qid""".stripMargin
 
-  /** x114: both phases' recall curves replayed — quantizers trained on
-    * the BASE slice, every row assigned/encoded with them (x77's
-    * append-equivalence premise), one candidate frame carrying each
-    * (query, vector) pair's probe-cell rank and base-membership flag,
-    * then per (phase, nprobe): filter + rank + hit count against that
-    * phase's exact top-k, and the floor choice per phase. */
-  private def adaptiveNprobeRefreshSql: String = {
-    val baseSrc =
-      s"(SELECT * FROM embeddings WHERE vec_id % $PqAppendMod <> 0)"
-    def phaseCtes(tag: String, pred: String) = {
-      val perNp = (1 to KClusters).map { np =>
-        s"""routed_${tag}_$np AS (
-           |  SELECT qid, vec_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY qid
-           |      ORDER BY adc_d2, vec_id) AS rk
-           |    FROM hcand WHERE $pred AND cellrank <= $np)
-           |  WHERE rk <= $KnnK),
-           |rec_${tag}_$np AS (
-           |  SELECT $np AS nprobe,
-           |    (SELECT count(*) FROM hexact_$tag
-           |     JOIN routed_${tag}_$np USING (qid, vec_id))
-           |      * 1000000 // (SELECT count(*) FROM hexact_$tag)
-           |      AS recall_ppm)""".stripMargin
-      }.mkString(",\n")
-      val union = (1 to KClusters)
-        .map(np => s"SELECT * FROM rec_${tag}_$np").mkString(" UNION ALL ")
-      s"""hexact_$tag AS MATERIALIZED (
+  /** One maintenance phase of an adaptive-nprobe lifecycle oracle
+    * (shared by x114/x117/x118): the phase's exact holdout top-k over
+    * its served rows (`pred`), per-nprobe routed rank + hit count off
+    * the shared `hcand` frame, the curve union, and the floor choice
+    * `chosen_$tag`. */
+  private def adaptivePhaseCtes(tag: String, pred: String): String = {
+    val perNp = (1 to KClusters).map { np =>
+      s"""routed_${tag}_$np AS (
          |  SELECT qid, vec_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qid
-         |      ORDER BY d2, vec_id) AS rk
-         |    FROM (
-         |      SELECT hq.qid, e.vec_id,
-         |        ${l2Sql("e.embedding", "hq.qv")} AS d2
-         |      FROM embeddings e, hq
-         |      WHERE e.vec_id <> hq.qid
-         |        AND ${pred.replace("vec_id", "e.vec_id")}))
+         |      ORDER BY adc_d2, vec_id) AS rk
+         |    FROM hcand WHERE $pred AND cellrank <= $np)
          |  WHERE rk <= $KnnK),
-         |$perNp,
-         |curve_$tag AS MATERIALIZED ($union),
-         |chosen_$tag AS (
-         |  SELECT CAST(coalesce(
-         |    (SELECT min(nprobe) FROM curve_$tag
-         |     WHERE recall_ppm >= $RecallFloorPpm),
-         |    $KClusters) AS INT) AS np)""".stripMargin
-    }
-    s"""WITH ${kmeansSqlFor(baseSrc)},
-       |${pqChainsSqlFor(baseSrc)},
-       |$pqEncodeSql,
-       |${assignCteFor("embeddings")},
-       |hq AS (
+         |rec_${tag}_$np AS (
+         |  SELECT $np AS nprobe,
+         |    (SELECT count(*) FROM hexact_$tag
+         |     JOIN routed_${tag}_$np USING (qid, vec_id))
+         |      * 1000000 // (SELECT count(*) FROM hexact_$tag)
+         |      AS recall_ppm)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to KClusters)
+      .map(np => s"SELECT * FROM rec_${tag}_$np").mkString(" UNION ALL ")
+    s"""hexact_$tag AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY d2, vec_id) AS rk
+       |    FROM (
+       |      SELECT hq.qid, e.vec_id,
+       |        ${l2Sql("e.embedding", "hq.qv")} AS d2
+       |      FROM embeddings e, hq
+       |      WHERE e.vec_id <> hq.qid
+       |        AND ${pred.replace("vec_id", "e.vec_id")}))
+       |  WHERE rk <= $KnnK),
+       |$perNp,
+       |curve_$tag AS MATERIALIZED ($union),
+       |chosen_$tag AS (
+       |  SELECT CAST(coalesce(
+       |    (SELECT min(nprobe) FROM curve_$tag
+       |     WHERE recall_ppm >= $RecallFloorPpm),
+       |    $KClusters) AS INT) AS np)""".stripMargin
+  }
+
+  /** The shared holdout-candidate block of the lifecycle oracles: the
+    * held-out queries, their full probe-cell ranking, and ONE candidate
+    * frame carrying every (query, vector) pair's probe-cell rank and
+    * rounded ADC — each phase/nprobe slice is a filter over it, exactly
+    * as [[VectorOps.fitRecallCurve]] slices its cached frame. */
+  private def adaptiveHoldoutCtes: String =
+    s"""hq AS (
        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |  WHERE vec_id % $KnnQueryMod = $RecallHoldoutRes),
        |hpr AS (
@@ -2427,17 +2898,86 @@ object VectorQueries {
        |  JOIN hpr p ON a.cid = p.cid
        |  JOIN hq ON hq.qid = p.qid
        |  ${pqJoinsSql()}
-       |  WHERE a.vec_id <> hq.qid),
-       |${phaseCtes("b", "vec_id % " + PqAppendMod + " <> 0")},
-       |${phaseCtes("a", "TRUE")}
+       |  WHERE a.vec_id <> hq.qid)""".stripMargin
+
+  /** Curve-pair lifecycle oracle (x114/x117): quantizers trained on
+    * `trainSrc`, every row assigned/encoded with them, then per phase
+    * (tag, label, served-rows predicate): exact top-k, per-nprobe
+    * routed recall, floor choice — the maintenance op between the
+    * phases (append / delete+compact) never appears because its effect
+    * IS the predicate (append-equivalence is x77's premise; delete
+    * narrows served rows per x85's; compaction is result-invisible per
+    * x81's). */
+  private def adaptiveLifecycleSqlFor(
+      trainSrc: String, phases: Seq[(String, String, String)]): String = {
+    val phaseBlocks = phases.map(p => adaptivePhaseCtes(p._1, p._3))
+      .mkString(",\n")
+    val union = phases.map { case (tag, label, _) =>
+      s"""  SELECT '$label' AS phase, nprobe, recall_ppm,
+         |    nprobe = (SELECT np FROM chosen_$tag) AS chosen
+         |  FROM curve_$tag""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${kmeansSqlFor(trainSrc)},
+       |${pqChainsSqlFor(trainSrc)},
+       |$pqEncodeSql,
+       |${assignCteFor("embeddings")},
+       |$adaptiveHoldoutCtes,
+       |$phaseBlocks
        |SELECT phase, nprobe, CAST(recall_ppm AS BIGINT) AS recall_ppm,
        |  chosen FROM (
-       |  SELECT '1_base' AS phase, nprobe, recall_ppm,
-       |    nprobe = (SELECT np FROM chosen_b) AS chosen FROM curve_b
-       |  UNION ALL
-       |  SELECT '2_appended', nprobe, recall_ppm,
-       |    nprobe = (SELECT np FROM chosen_a) AS chosen FROM curve_a
+       |$union
        |) ORDER BY phase, nprobe""".stripMargin
+  }
+
+  /** x114: both phases' recall curves replayed — quantizers trained on
+    * the BASE slice (x77's append-equivalence premise): phase 1 serves
+    * the base rows, phase 2 everything. */
+  private def adaptiveNprobeRefreshSql: String =
+    adaptiveLifecycleSqlFor(
+      s"(SELECT * FROM embeddings WHERE vec_id % $PqAppendMod <> 0)",
+      Seq(("b", "1_base", s"vec_id % $PqAppendMod <> 0"),
+        ("a", "2_appended", "TRUE")))
+
+  /** x117: the delete→compact arc — quantizers train on the FULL corpus
+    * (delete is never a retrain): phase 1 serves everything, phase 2
+    * the tombstone survivors. */
+  private def adaptiveLifecycleSql: String =
+    adaptiveLifecycleSqlFor("embeddings",
+      Seq(("f", "1_full", "TRUE"),
+        ("p", "2_pruned", s"vec_id % $VecDeleteMod <> $VecDeleteRem")))
+
+  /** x118: the post-maintenance SERVE — the phase-2 curve + choice of
+    * x117, then the routed ADC ranking of the production queries over
+    * the survivors at the chosen nprobe, nprobe_used stamped (x112's
+    * serve tail with the survivor predicate). */
+  private def adaptiveLifecycleServeSql: String = {
+    val surv = s"vec_id % $VecDeleteMod <> $VecDeleteRem"
+    s"""WITH $kmeansSql,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |${assignCteFor("embeddings")},
+       |$adaptiveHoldoutCtes,
+       |${adaptivePhaseCtes("p", surv)},
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |sprobes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c$KmeansIters c)
+       |  WHERE rn <= (SELECT np FROM chosen_p)),
+       |sranked AS (
+       |  SELECT q.qid, a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |  FROM (SELECT vec_id, cid FROM assign WHERE $surv) a
+       |  JOIN sprobes p ON a.cid = p.cid JOIN q ON q.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> q.qid)
+       |SELECT qid, vec_id, adc_d2,
+       |  (SELECT np FROM chosen_p) AS nprobe_used FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc_d2, vec_id) AS rk FROM sranked)
+       |WHERE rk <= $KnnK ORDER BY qid, adc_d2, vec_id""".stripMargin
   }
 
   /** x113: the positive miner's recall — exact same-label top-k vs the

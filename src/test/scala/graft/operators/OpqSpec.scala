@@ -43,14 +43,17 @@ class OpqSpec extends SparkSpec {
       Seq(c, -s, 0.0, 0.0), Seq(s, c, 0.0, 0.0),
       Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
     val scaled = rot.map(_.map(_ * 3.0))
+    // the convenience wrapper snaps the input to the 1e6 CrossScale
+    // lattice, so the recovered factor is exact only to ~5e-7 (the
+    // iteration itself adds ≤ the 1e-8 PolarScale lattice per entry)
     val p = VectorOps.polarFactor(scaled, 40)
     val diff = p.zip(rot).map { case (pr, rr) =>
       pr.zip(rr).map { case (a, b) => math.abs(a - b) }.max }.max
-    assert(diff < 1e-7, s"polar factor diverged from the rotation: $diff")
+    assert(diff < 1e-6, s"polar factor diverged from the rotation: $diff")
     val pOfRot = VectorOps.polarFactor(rot, 40)
     val diff2 = pOfRot.zip(rot).map { case (pr, rr) =>
       pr.zip(rr).map { case (a, b) => math.abs(a - b) }.max }.max
-    assert(diff2 < 1e-7)
+    assert(diff2 < 1e-6)
   }
 
   test("fitOpq returns an orthogonal rotation (RᵀR = I to 1e-6) and " +
@@ -60,14 +63,14 @@ class OpqSpec extends SparkSpec {
     val rtr = matmul(r.transpose, r)
     val dev = maxAbs(minusIdentity(rtr))
     assert(dev < 1e-6, s"RᵀR deviates from I by $dev")
-    // isometry: ‖R·x‖² == ‖x‖² within rotation orthogonality + round-6
+    // isometry: ‖R·x‖² == ‖x‖² within rotation orthogonality
     val rotated = VectorOps.rotate(corr, "embedding", r)
     val norms = corr.select(col("vec_id"),
         VectorOps.dot(col("embedding"), col("embedding")).as("n0"))
       .join(rotated.select(col("vec_id"),
         VectorOps.dot(col("embedding"), col("embedding")).as("n1")), "vec_id")
       .select(max(abs(col("n0") - col("n1")))).head.getDouble(0)
-    // round-6 on each coordinate moves ‖·‖² by ≤ dim·2·|x|·5e-7 ≈ 4e-4
+    // R's 1e-8 lattice moves ‖·‖² by ≤ dim·2·|x|·‖ΔR·x‖ ≈ 1e-4
     assert(norms < 1e-2, s"rotation is not an isometry: max |Δ‖x‖²| = $norms")
   }
 
@@ -81,7 +84,7 @@ class OpqSpec extends SparkSpec {
         carry = Seq("embedding"))
       VectorOps.quantMse(enc, "embedding", cbs).head.getDouble(0)
     }
-    val pqCorr = mseOf(corr, 0) // opqIters=0 → R=I → plain PQ (round-6 lattice)
+    val pqCorr = mseOf(corr, 0) // opqIters=0 → R=I → plain PQ
     val opqCorr = mseOf(corr, 1)
     info(s"correlated corpus: PQ mse=$pqCorr OPQ mse=$opqCorr " +
       f"(${100.0 * (pqCorr - opqCorr) / pqCorr}%.1f%% lower)")

@@ -112,6 +112,28 @@ object CoreQueries {
        |  HAVING sum(CASE WHEN party = 'democrat' THEN amount ELSE 0 END) > 0
        |      OR sum(CASE WHEN party = 'republican' THEN amount ELSE 0 END) > 0)""".stripMargin
 
+  /** The j5/j10/j11 CDC changeset over the customer snapshot — updates
+    * %7 (+1000 balance, UPDATED segment), deletes %11=3 (delete wins on
+    * overlap via the %7-first CASE order), inserts %13=1 under shifted
+    * keys. ONE builder so the eager-merge gate (j5) and the
+    * merge-on-read gates (j10/j11) provably apply the identical change. */
+  private def customerChanges(c: DataFrame): DataFrame = {
+    val upserts = c
+      .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 3)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1000)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 7 === 0, lit("UPDATED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 11 === 3, lit("D")).otherwise(lit("U")).as("op"))
+    val inserts = c.filter(col("c_custkey") % 13 === 1)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+        col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"),
+        lit("U").as("op"))
+    upserts.unionByName(inserts)
+  }
+
   def queries: Map[String, Q] = Map(
     // ---------------------------------------------------------------- A1/A8
     // Group-sum over sort keys (pac_data_processor.py:69) — TPC-H Q1 shape.
@@ -634,22 +656,43 @@ object CoreQueries {
     // delete-wins on overlap) to the customer snapshot via ONE full-outer
     // keyed join, then aggregate the merged state per segment.
     "j5_upsert_merge" -> ((s, dir) => {
-      val t = Tables(s, dir)
-      val c = t.customer
-      val upserts = c
-        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 3)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1000)
-            .otherwise(col("c_acctbal")).as("c_acctbal"),
-          when(col("c_custkey") % 7 === 0, lit("UPDATED"))
-            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
-          when(col("c_custkey") % 11 === 3, lit("D")).otherwise(lit("U")).as("op"))
-      val inserts = c.filter(col("c_custkey") % 13 === 1)
-        .select((col("c_custkey") + 10000000L).as("c_custkey"),
-          concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
-          col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"),
-          lit("U").as("op"))
-      Merge.applyChanges(c, upserts.unionByName(inserts), Seq("c_custkey"), "op")
+      val c = Tables(s, dir).customer
+      Merge.applyChanges(c, customerChanges(c), Seq("c_custkey"), "op")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal_total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ------------------------------------------------------------------ J10
+    // j5's merge as MERGE-ON-READ — the table-tier tombstone shape
+    // (Iceberg/Delta): the identical changeset lands as one delete file
+    // + one appended data file (O(|changeset|) bytes; every base file
+    // untouched — at 100 TB the eager j5 rewrite moves the whole table
+    // per merge), and the READ folds them with one key anti-join. Same
+    // oracle as j5: the storage strategy must be result-invisible.
+    "j10_mor_merge" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val tbl = SinkQueries.sinkDir("j10_mor_table")
+      graft.sinks.MorTable.writeBase(c, tbl, "c_custkey")
+      graft.sinks.MorTable.merge(customerChanges(c), tbl, "c_custkey", "op", 1L)
+      graft.sinks.MorTable.read(s, tbl, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal_total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ------------------------------------------------------------------ J11
+    // J10's maintenance half: compaction folds the tombstones into a
+    // fresh range-laid base (read-side anti-join cost capped, key
+    // pruning restored on the merged rows) and must be result-invisible
+    // — the read off the compacted table shares j5's oracle verbatim.
+    "j11_mor_compact" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val tbl = SinkQueries.sinkDir("j11_mor_table")
+      graft.sinks.MorTable.writeBase(c, tbl, "c_custkey")
+      graft.sinks.MorTable.merge(customerChanges(c), tbl, "c_custkey", "op", 1L)
+      graft.sinks.MorTable.compact(s, tbl, "c_custkey")
+      graft.sinks.MorTable.read(s, tbl, "c_custkey")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal_total"))
         .orderBy("c_mktsegment")
@@ -1037,6 +1080,29 @@ object CoreQueries {
     })
   )
 
+  /** j5's eager-merge replay — shared verbatim by j10 (merge-on-read
+    * fold) and j11 (compacted fold): the storage strategy is
+    * result-invisible, so all three gates pin the same merged state. */
+  private lazy val upsertMergeSql: String =
+    """WITH ch AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 11 = 3 THEN 'D' ELSE 'U' END AS op
+        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+        |    c_nationkey, CAST(0.0 AS DOUBLE), c_mktsegment, 'U'
+        |  FROM customer WHERE c_custkey % 13 = 1
+        |), merged AS (
+        |  SELECT
+        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE b.c_acctbal END AS c_acctbal
+        |  FROM customer b FULL OUTER JOIN ch ON b.c_custkey = ch.c_custkey
+        |  WHERE ch.op IS NULL OR ch.op <> 'D')
+        |SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal_total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "a1_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1315,25 +1381,13 @@ object CoreQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "j5_upsert_merge" ->
-      """WITH ch AS (
-        |  SELECT c_custkey, c_name, c_nationkey,
-        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
-        |    CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
-        |    CASE WHEN c_custkey % 11 = 3 THEN 'D' ELSE 'U' END AS op
-        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 3
-        |  UNION ALL
-        |  SELECT c_custkey + 10000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
-        |    c_nationkey, CAST(0.0 AS DOUBLE), c_mktsegment, 'U'
-        |  FROM customer WHERE c_custkey % 13 = 1
-        |), merged AS (
-        |  SELECT
-        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
-        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE b.c_acctbal END AS c_acctbal
-        |  FROM customer b FULL OUTER JOIN ch ON b.c_custkey = ch.c_custkey
-        |  WHERE ch.op IS NULL OR ch.op <> 'D')
-        |SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal_total
-        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // j10/j11 serve the IDENTICAL merged state through the merge-on-read
+    // layout (tombstone fold / compacted fold) — the storage strategy is
+    // result-invisible, so both share j5's oracle verbatim (the x73/x75
+    // pattern applied to the table tier).
+    "j5_upsert_merge" -> upsertMergeSql,
+    "j10_mor_merge" -> upsertMergeSql,
+    "j11_mor_compact" -> upsertMergeSql,
     "j9_snapshot_diff" ->
       """WITH fp AS (
         |  SELECT doc_id,

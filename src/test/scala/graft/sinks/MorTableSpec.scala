@@ -1,0 +1,130 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Design claims behind the j10/j11 merge-on-read gates: a merge never
+  * touches existing files (the O(|changeset|) write bound), sequence
+  * numbers order stacked merges correctly, the fold equals the eager
+  * merge across multiple changesets, compaction is result-invisible and
+  * clears the tombstones, and the base scan's key pruning survives the
+  * tombstone anti-join. */
+class MorTableSpec extends SparkSpec {
+
+  private def customers =
+    graft.sources.Tables(spark, "/root/testdata/sf0.001").customer
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-mor-$tag").toString
+
+  private def listData(dir: String): Set[(String, Long)] = {
+    val d = new java.io.File(s"$dir/data")
+    d.listFiles.filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSet
+  }
+
+  private def changes1 = customers
+    .filter(col("c_custkey") % 7 === 0)
+    .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      (col("c_acctbal") + 500).as("c_acctbal"),
+      lit("SEG1").as("c_mktsegment"), lit("U").as("op"))
+    .unionByName(customers.filter(col("c_custkey") % 11 === 3)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"), lit("D").as("op")))
+    // delete-wins on the %7 ∩ %11 overlap, and one op per key (the
+    // applyChanges contract both forms share)
+    .withColumn("__rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("c_custkey")
+        .orderBy(col("op").desc)))
+    .filter(col("__rk") === 1).drop("__rk")
+
+  // second changeset: re-update some survivors, re-insert a deleted key
+  private def changes2 = customers
+    .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 3 === 0)
+    .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      lit(-1.0).as("c_acctbal"), lit("SEG2").as("c_mktsegment"),
+      lit("U").as("op"))
+    .unionByName(customers.filter(col("c_custkey") === 14) // 14 % 7 = 0
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"), lit("D").as("op")))
+    .withColumn("__rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("c_custkey")
+        .orderBy(col("op").desc)))
+    .filter(col("__rk") === 1).drop("__rk")
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("c_custkey").collect().map(_.toSeq).toSeq
+
+  test("a merge writes new files only — every base file survives " +
+       "byte-identical (the O(|changeset|) write bound)") {
+    val dir = tmpDir("writebound")
+    MorTable.writeBase(customers, dir, "c_custkey")
+    val before = listData(dir)
+    MorTable.merge(changes1, dir, "c_custkey", "op", 1L)
+    val after = listData(dir)
+    assert(before.subsetOf(after),
+      "merge must never rewrite or touch an existing base file")
+    assert(after.size > before.size, "merge must append its rows")
+  }
+
+  test("two stacked merges fold to exactly the eager merge of both " +
+       "changesets (sequence ordering: later tombstones mask earlier " +
+       "versions, never their own batch's rows)") {
+    val dir = tmpDir("stacked")
+    MorTable.writeBase(customers, dir, "c_custkey")
+    MorTable.merge(changes1, dir, "c_custkey", "op", 1L)
+    MorTable.merge(changes2, dir, "c_custkey", "op", 2L)
+    val mor = MorTable.read(spark, dir, "c_custkey")
+    val eager = graft.operators.Merge.applyChanges(
+      graft.operators.Merge.applyChanges(customers, changes1,
+        Seq("c_custkey"), "op"),
+      changes2, Seq("c_custkey"), "op")
+    assert(sortedRows(mor.select(eager.columns.map(col).toIndexedSeq: _*))
+      == sortedRows(eager),
+      "merge-on-read fold must equal the eager double merge")
+  }
+
+  test("compaction is result-invisible, clears the tombstones, and " +
+       "restores the single-base layout") {
+    val dir = tmpDir("compact")
+    MorTable.writeBase(customers, dir, "c_custkey")
+    MorTable.merge(changes1, dir, "c_custkey", "op", 1L)
+    MorTable.merge(changes2, dir, "c_custkey", "op", 2L)
+    val before = sortedRows(MorTable.read(spark, dir, "c_custkey"))
+    MorTable.compact(spark, dir, "c_custkey")
+    assert(!new java.io.File(s"$dir/deletes").exists,
+      "compaction must clear the delete files")
+    val foldedDf = MorTable.read(spark, dir, "c_custkey")
+    val after = sortedRows(foldedDf)
+    assert(after == before, "compaction must not change the folded state")
+    // a third merge on the compacted table keeps working (seq restarts
+    // above the folded base's 0) — pin the collected pre-merge state so
+    // the lazy read cannot pick up the new files
+    val foldedLocal = spark.createDataFrame(
+      java.util.Arrays.asList(foldedDf.collect(): _*), foldedDf.schema)
+    MorTable.merge(changes1, dir, "c_custkey", "op", 1L)
+    val eager3 = graft.operators.Merge.applyChanges(foldedLocal, changes1,
+      Seq("c_custkey"), "op")
+    assert(sortedRows(MorTable.read(spark, dir, "c_custkey")
+        .select(eager3.columns.map(col).toIndexedSeq: _*))
+      == sortedRows(eager3),
+      "post-compaction merges must fold to the eager merge of the " +
+        "compacted state")
+  }
+
+  test("the tombstone anti-join preserves key pushdown on the data scan " +
+       "(file pruning stays live at 100 TB)") {
+    val dir = tmpDir("prune")
+    MorTable.writeBase(customers, dir, "c_custkey")
+    MorTable.merge(changes1, dir, "c_custkey", "op", 1L)
+    val plan = MorTable.read(spark, dir, "c_custkey")
+      .filter(col("c_custkey") < 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), " +
+      "LessThan(c_custkey,50)]") ||
+      plan.contains("LessThan(c_custkey,50)"),
+      s"key predicate must reach the parquet scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "the tombstone fold must stay an equi anti-join")
+  }
+}

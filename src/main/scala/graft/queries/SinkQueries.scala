@@ -236,6 +236,35 @@ object SinkQueries {
     // the oracle computes the same aggregate straight from the source, so
     // a pass proves compaction is lossless. File-count collapse itself is
     // asserted in the SinksSpec (a storage property, not a row contract).
+    // ------------------------------------------------------------------ S20
+    // Manifest-committed exactly-once append, end to end: three batches
+    // land via appendExactlyOnceManifest (attempt-unique part dirs +
+    // create-if-absent manifest — no rename anywhere in the commit, the
+    // object-store-safe protocol), the middle one is REPLAYED (must
+    // short-circuit), and the read resolves through the manifests only.
+    // The aggregate must equal the plain table scan — commits are
+    // exactly-once and readers see whole batches or nothing.
+    "s20_manifest_sink" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val tbl = sinkDir("s20_manifest_table")
+      clean(tbl)
+      val src = t.orders.select("o_orderkey", "o_orderpriority",
+        "o_totalprice")
+      LayoutSink.appendExactlyOnceManifest(
+        src.filter(col("o_orderkey") % 3 === 0), tbl, 0L)
+      LayoutSink.appendExactlyOnceManifest(
+        src.filter(col("o_orderkey") % 3 === 1), tbl, 1L)
+      LayoutSink.appendExactlyOnceManifest(
+        src.filter(col("o_orderkey") % 3 === 1), tbl, 1L) // replay: no-op
+      LayoutSink.appendExactlyOnceManifest(
+        src.filter(col("o_orderkey") % 3 === 2), tbl, 2L)
+      LayoutSink.readManifested(s, tbl)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     "s19_compaction" -> ((s, dir) => {
       val t = Tables(s, dir)
       val frag = sinkDir("s19_frag"); val comp = sinkDir("s19_compact")
@@ -393,6 +422,12 @@ object SinkQueries {
         |FROM lineitem WHERE l_orderkey < 3000 AND l_partkey < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s19_compaction" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s20 re-assembles the whole orders slice set through the manifest
+    // protocol — exactly-once commits make it the plain scan.
+    "s20_manifest_sink" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

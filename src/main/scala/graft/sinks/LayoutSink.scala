@@ -46,10 +46,11 @@ object LayoutSink {
     * the Hadoop `FileSystem` API (round-13 verdict task 3), so the protocol
     * holds wherever `path`'s scheme resolves — local, HDFS, or any mounted
     * connector. Caveat for S3-family object stores: `rename` there is
-    * copy+delete (non-atomic per file, no directory atomicity), so the
-    * crash window widens — the marker-gated sweep still converges, but a
-    * production S3 deployment should swap in a table format's
-    * transactional commit keyed the same way. */
+    * copy+delete (non-atomic per file, no directory atomicity), so a
+    * reader listing mid-move can see half a batch — on such stores use
+    * [[appendExactlyOnceManifest]], whose commit never renames anything
+    * (attempt-unique part dirs + create-if-absent manifest; spec-proven
+    * over a copy+delete-rename mock FileSystem). */
   def appendExactlyOnce(df: DataFrame, path: String, batchId: Long): Boolean = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val target = new org.apache.hadoop.fs.Path(path)
@@ -86,6 +87,129 @@ object LayoutSink {
     fs.delete(staging, true) // drop _SUCCESS/.crc residue (round-13 advice)
     fs.create(marker, true).close()
     true
+  }
+
+  /** Manifest-committed exactly-once append — the rename-less escape
+    * [[appendExactlyOnce]]'s scaladoc promises for object stores. The
+    * rename protocol's visibility step (move parts into the listed
+    * namespace) is exactly what a copy+delete rename breaks: a reader
+    * listing mid-move sees half a batch. Here NOTHING the commit
+    * depends on is ever renamed:
+    *
+    *  - parts land under an ATTEMPT-UNIQUE directory
+    *    (`batch<id>-<attempt>/`) that is never reused across retries, so
+    *    a crashed attempt's files are dead weight, never a hazard;
+    *  - the commit is the create-if-absent of an immutable manifest
+    *    `_manifest_batch<id>` listing exactly that attempt's part files
+    *    (relative paths, one per line, a `count=<n>` trailer sealing
+    *    completeness);
+    *  - readers resolve through manifests only ([[readManifested]]) —
+    *    uncommitted attempts are invisible by construction, so there is
+    *    no moment at which a reader can observe a partial batch;
+    *  - replay detection keys on manifest presence: a sealed manifest
+    *    short-circuits the retry (returns false, nothing written); a
+    *    crashed mid-write manifest (no trailer) is provably dead — its
+    *    writer crashed before sealing — so the retry deletes and
+    *    recommits it.
+    *
+    * On a store with atomic conditional PUT (S3, GCS) the manifest
+    * create IS the transaction; on filesystems the create(overwrite =
+    * false) is the same one-winner gate. Concurrent DISTINCT attempts of
+    * one batch id are serialized by that gate; the unsealed-manifest
+    * takeover assumes one writer per batch id at a time — exactly the
+    * foreachBatch replay model (Spark serializes a sink's batches), the
+    * caller this exists for. Returns true iff THIS call committed. */
+  def appendExactlyOnceManifest(df: DataFrame, path: String,
+                                batchId: Long): Boolean = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(conf)
+    val manifest =
+      new org.apache.hadoop.fs.Path(target, s"_manifest_batch$batchId")
+    if (readManifestLines(fs, manifest).isDefined) return false
+    // an unsealed manifest's writer crashed before the trailer — take over
+    fs.delete(manifest, false): Unit
+    val attempt = new org.apache.hadoop.fs.Path(target,
+      s"batch$batchId-${java.util.UUID.randomUUID().toString.take(12)}")
+    df.write.mode(SaveMode.Overwrite).parquet(attempt.toString)
+    val parts = fs.listStatus(attempt)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => s"${attempt.getName}/${st.getPath.getName}").sorted
+    val out =
+      try fs.create(manifest, false)
+      catch {
+        case _: java.io.IOException =>
+          // lost the one-winner gate to a concurrent committer: this
+          // attempt's files are dead weight — reclaim and report replay
+          fs.delete(attempt, true): Unit
+          return false
+      }
+    try {
+      val body = (parts :+ s"count=${parts.length}").mkString("\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    true
+  }
+
+  /** The committed file list of `manifest`, or None when it is absent or
+    * unsealed (missing/inconsistent `count=` trailer — a crashed commit). */
+  private def readManifestLines(fs: org.apache.hadoop.fs.FileSystem,
+                                manifest: org.apache.hadoop.fs.Path)
+      : Option[Seq[String]] = {
+    if (!fs.exists(manifest)) return None
+    val in = fs.open(manifest)
+    val buf = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+    finally in.close()
+    val body = new String(buf.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val lines = body.split("\n", -1).toSeq
+    lines.lastOption.collect {
+      case t if t == s"count=${lines.length - 1}" => lines.dropRight(1)
+    }
+  }
+
+  /** Read a manifest-committed table: the union of every sealed
+    * manifest's part files. Plain directory listing is never consulted,
+    * so crashed attempts and in-flight commits are invisible. */
+  def readManifested(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifests = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(target, "_manifest_batch*")))
+      .getOrElse(Array.empty).toSeq
+    val files = manifests.flatMap(m =>
+      readManifestLines(fs, m.getPath).getOrElse(Seq.empty))
+      .map(rel => new org.apache.hadoop.fs.Path(target, rel).toString)
+    require(files.nonEmpty,
+      s"no sealed manifest under $path — nothing has committed yet")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Reclaim attempt directories whose batch already has a sealed
+    * manifest naming a DIFFERENT attempt — crashed or race-losing
+    * leftovers. Attempt dirs of batches with no sealed manifest are left
+    * alone (they may belong to the in-flight writer). Returns the number
+    * of directories removed. */
+  def sweepOrphanAttempts(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Int = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val attemptRe = "^batch(\\d+)-[0-9a-f]{12}$".r
+    val dirs = Option(fs.listStatus(target)).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case attemptRe(id) => Some((id.toLong, st.getPath))
+        case _ => None
+      })
+    val removed = dirs.filter { case (id, dir) =>
+      readManifestLines(fs,
+        new org.apache.hadoop.fs.Path(target, s"_manifest_batch$id"))
+        .exists(lines => !lines.exists(_.startsWith(dir.getName + "/")))
+    }
+    removed.foreach { case (_, dir) => fs.delete(dir, true): Unit }
+    removed.length
   }
 
   /** Morton Z-value of two non-negative integer columns: bit i of `a` lands

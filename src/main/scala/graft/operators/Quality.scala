@@ -202,6 +202,53 @@ object Quality {
     (w, b)
   }
 
+  /** One-vs-rest multiclass [[fitLogistic]] with BATCHED iterations: per
+    * GD step, ONE scan computes every class's full gradient vector (an
+    * `__err_<k>` projection per class — each the bias-first sigmoid
+    * margin — then |classes|·(|features|+1) simple mean aggregates), so
+    * a K-class fit costs `iters` driver round-trips instead of K·iters
+    * (the x111 batched-selection move applied to training; measured 3×
+    * wall-clock on the x119 gate, where per-job overhead dominated the
+    * tiny per-scan compute). Arithmetic is [[fitLogistic]]'s verbatim —
+    * the same round-4 mean gradients and power-of-two updates — so each
+    * class's weights land exactly where K independent fits land, and an
+    * oracle replaying K independent chains agrees bit-for-bit. Returns
+    * (class → (weights, bias)) in `classes` order. */
+  def fitLogisticOvr(df: DataFrame, featureCols: Seq[String],
+                     classCol: String, classes: Seq[String], iters: Int,
+                     step: Double): Seq[(String, (Seq[Double], Double))] = {
+    require(featureCols.nonEmpty, "at least one feature")
+    require(classes.nonEmpty, "at least one class")
+    require(iters > 0 && step > 0)
+    val n = featureCols.size
+    val ws = Array.fill(classes.size)(Vector.fill(n)(0.0))
+    val bs = Array.fill(classes.size)(0.0)
+    for (_ <- 1 to iters) {
+      val errCols = classes.zipWithIndex.map { case (cls, k) =>
+        val margin = featureCols.zip(ws(k)).foldLeft(lit(bs(k)): Column) {
+          case (acc, (c, wi)) => acc + coalesce(col(c), lit(0.0)) * lit(wi)
+        }
+        (lit(1.0) / (lit(1.0) + exp(-margin)) -
+          (col(classCol) === cls).cast("double")).as(s"__err_$k")
+      }
+      val errFrame = df.select(
+        featureCols.map(col) ++ errCols: _*)
+      val gs = classes.indices.flatMap { k =>
+        featureCols.map(c =>
+          round(avg(col(s"__err_$k") * coalesce(col(c), lit(0.0))), 4)) :+
+          round(avg(col(s"__err_$k")), 4)
+      }
+      val g = errFrame.agg(gs.head, gs.tail: _*).head()
+      classes.indices.foreach { k =>
+        val off = k * (n + 1)
+        ws(k) = ws(k).indices
+          .map(i => ws(k)(i) - step * g.getDouble(off + i)).toVector
+        bs(k) = bs(k) - step * g.getDouble(off + n)
+      }
+    }
+    classes.zipWithIndex.map { case (cls, k) => cls -> (ws(k), bs(k)) }
+  }
+
   /** Fixed-weight linear quality scorer — the inference half of the
     * fastText/CCNet-style quality classifier whose training input
     * [[standardize]] builds: score = sigmoid(w · features + b), gate at

@@ -66,6 +66,30 @@ object TextOps {
         lit(0L)).as("rhash"))
   }
 
+  /** Hashed character-bigram relative-frequency features — the fastText
+    * feature shape for the trained language-ID gate (x119): per document,
+    * f_d = |bigrams hashing to bucket d| / |bigrams| over the LOWERCASED
+    * text, bucket = (cp₁·31 + cp₂) mod `buckets`. The counting pass is
+    * the codegen'd [[graft.functions.CharBigramBuckets]] (per-char work —
+    * the [[rollingHashes]] precedent); the ratios are exact int/int
+    * divisions, so the oracle's positional replay is bit-identical.
+    * Documents with fewer than two characters have no bigrams and are
+    * dropped (both engines). Returns (idCol, carry…, f0..f{buckets-1}). */
+  def hashedCharBigramFeatures(docs: DataFrame, idCol: String,
+                               textCol: String, buckets: Int,
+                               carry: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val counts = ColumnBridge.column(graft.functions.CharBigramBuckets(
+      ColumnBridge.expression(lower(col(textCol))), buckets))
+    docs.select((col(idCol) +: carry.map(col)) :+ counts.as("__c"): _*)
+      .withColumn("__n", aggregate(col("__c"), lit(0L), _ + _))
+      .filter(col("__n") > 0)
+      .select((col(idCol) +: carry.map(col)) ++
+        (0 until buckets).map(d =>
+          (element_at(col("__c"), d + 1).cast("double") / col("__n"))
+            .as(s"f$d")): _*)
+  }
+
   /** Count of tokens exactly equal to `word`. */
   def tokenMatches(toks: Column, word: String): Column =
     size(filter(toks, t => t === word))

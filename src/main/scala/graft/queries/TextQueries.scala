@@ -180,6 +180,41 @@ object TextQueries {
   val CascadeStopFloor = 0.02
   val CascadeDupMax = 0.2
 
+  /** x119 TRAINED language-ID (the fastText shape: hashed char-n-gram
+    * features → one-vs-rest logistic → argmax): 32 hash buckets (plenty
+    * for 5 languages — the learner needs separating DIRECTIONS, not
+    * per-n-gram weights), 6 GD iterations at the x65 step. The synthetic
+    * corpus's `lang` column is drawn independently of its text (all five
+    * languages share one vocabulary — x65's scaladoc makes the same
+    * point), so the gate trains on a DERIVED corpus whose labels are
+    * textually realized: each document carries a deterministic suffix of
+    * its language's function words (the x86 move — derive the regime the
+    * operator exists for, measure there). ASCII-only suffixes keep both
+    * engines' lower()/ascii() byte-for-byte trivial; zh is romanized for
+    * the same reason. */
+  val LangIdBuckets = 32
+  val LangIdIters = 6
+  val LangIdStep = 8.0
+  val LangIdMarkers: Seq[(String, String)] = Seq(
+    "de" -> " der und die ein von zu nicht das",
+    "en" -> " the and of to in is that for",
+    "es" -> " el los una que con para por las",
+    "fr" -> " le les une est dans sur pour des",
+    "zh" -> " de shi zai wo men hao bu zhe")
+
+  /** The x119 training corpus: each document's text plus its language's
+    * deterministic marker suffix (see the LangIdBuckets scaladoc for why
+    * the derivation exists). */
+  def langMarkedDocuments(docs: DataFrame): DataFrame = {
+    val sfx = LangIdMarkers.tail.foldLeft(
+      when(col("lang") === LangIdMarkers.head._1,
+        lit(LangIdMarkers.head._2))) { case (acc, (l, m)) =>
+      acc.when(col("lang") === l, lit(m))
+    }.otherwise(lit(""))
+    docs.select(col("doc_id"), col("lang"),
+      concat(col("text"), sfx).as("text"))
+  }
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
     // Exact dedup by hash-groupBy: fingerprint → one shuffle → per-key
@@ -654,6 +689,57 @@ object TextQueries {
           expr("CASE WHEN tp + fn = 0 THEN NULL " +
             "ELSE (tp * 1000000) div (tp + fn) END").as("recall_ppm"))
         .orderBy("threshold")
+    }),
+
+    // ---------------------------------------------------------------- x119
+    // TRAINED language-ID — the fastText shape end to end, in-engine:
+    // hashed char-bigram relative frequencies (codegen'd counting pass),
+    // standardize, one-vs-rest logistic GD (x65's fit, 5 heads), argmax
+    // serve, per-language confusion counts with integer-ppm precision/
+    // recall (x95's form). Trains on [[langMarkedDocuments]] — the
+    // derived corpus whose labels are textually realized (see the
+    // LangIdBuckets scaladoc). The oracle replays the feature hash, the
+    // standardization, all five unrolled GD chains, the argmax, and the
+    // confusion arithmetic bit-for-bit.
+    "x119_langid_train" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val langs = LangIdMarkers.map(_._1)
+      val feats = (0 until LangIdBuckets).map(d => s"f$d")
+      val zFeats = feats.map("z_" + _)
+      val raw = TextOps.hashedCharBigramFeatures(
+        langMarkedDocuments(t.documents), "doc_id", "text", LangIdBuckets,
+        carry = Seq("lang"))
+      val z = GraftCache.persist(Quality.standardize(raw, feats)
+        .select(col("doc_id") +: col("lang") +: zFeats.map(col): _*))
+      val fits = Quality.fitLogisticOvr(z, zFeats, "lang", langs,
+        LangIdIters, LangIdStep)
+      val scored = fits.map { case (l, (w, b)) =>
+        // serving margin mirrors scoreLinear: flat fold, bias LAST
+        val m = zFeats.zip(w).map { case (f, wi) =>
+          coalesce(col(f), lit(0.0)) * lit(wi) }.reduce(_ + _) + lit(b)
+        z.select(col("doc_id"), col("lang"), lit(l).as("p"), m.as("s"))
+      }.reduce(_ unionByName _)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("s").desc, col("p"))
+      val pred = scored.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("lang").as("actual"), col("p").as("pred_lang"))
+      pred.select(col("actual"), col("pred_lang"),
+          explode(array(langs.map(lit): _*)).as("l"))
+        .groupBy("l")
+        .agg(
+          sum(when(col("actual") === col("l") &&
+            col("pred_lang") === col("l"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("actual") =!= col("l") &&
+            col("pred_lang") === col("l"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("actual") === col("l") &&
+            col("pred_lang") =!= col("l"), 1L).otherwise(0L)).as("fn"))
+        .select(col("l").as("lang"), col("tp"), col("fp"), col("fn"),
+          expr("CASE WHEN tp + fp = 0 THEN NULL " +
+            "ELSE (tp * 1000000) div (tp + fp) END").as("precision_ppm"),
+          expr("CASE WHEN tp + fn = 0 THEN NULL " +
+            "ELSE (tp * 1000000) div (tp + fn) END").as("recall_ppm"))
+        .orderBy("lang")
     }),
 
     "x53_quality_scores" -> ((s, dir) => {
@@ -1875,6 +1961,118 @@ object TextQueries {
        |ORDER BY term""".stripMargin
   }
 
+  /** Replays x119 end to end: the marked corpus, the positional
+    * char-bigram hash (integer counts — exact), relative frequencies
+    * (one int/int division per cell), round-4 standardization, FIVE
+    * unrolled one-vs-rest GD chains (x65's discipline: bias-first
+    * gradient margin computed once per row per iteration, round-4 mean
+    * gradients, power-of-two step), the bias-last serving margins, the
+    * (score DESC, lang ASC) argmax, and the per-language confusion
+    * counts in exact integer ppm. */
+  private def langIdTrainSql: String = {
+    val langs = LangIdMarkers.map(_._1)
+    val d = LangIdBuckets
+    val feats = (0 until d).map(i => s"f$i")
+    val zf = feats.map("z_" + _)
+    val sfxCases = LangIdMarkers
+      .map { case (l, m) => s"WHEN '$l' THEN '$m'" }.mkString(" ")
+    val fExprs = (0 until d).map(i =>
+      s"CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS DOUBLE)" +
+        s" / count(*) AS f$i").mkString(",\n    ")
+    val statExprs = feats.zipWithIndex.map { case (f, i) =>
+      s"avg($f) AS m$i, stddev_pop($f) AS s$i" }.mkString(",\n    ")
+    val zExprs = feats.zipWithIndex.map { case (f, i) =>
+      s"round(CASE WHEN s$i = 0 THEN 0 ELSE ($f - m$i) / s$i END, 4)" +
+        s" AS z_$f" }.mkString(",\n  ")
+    def marginBiasFirst(w: Int => String, b: String): String =
+      zf.zipWithIndex.foldLeft(b) { case (acc, (f, i)) =>
+        s"($acc + coalesce($f, 0.0) * ${w(i)})"
+      }
+    def chain(tag: String, lang: String): String = {
+      val iterCtes = (1 to LangIdIters).map { t =>
+        val (wRef, bRef, from) =
+          if (t == 1) ((_: Int) => "0.0", "0.0", s"zl_$tag")
+          else ((i: Int) => s"w$tag${t - 1}.w$i", s"w$tag${t - 1}.b",
+            s"zl_$tag, w$tag${t - 1}")
+        val m = marginBiasFirst(wRef, bRef)
+        val gs = zf.indices.map(i =>
+          s"round(avg(err * coalesce(${zf(i)}, 0.0)), 4) AS g$i") :+
+          "round(avg(err), 4) AS gb"
+        val ws = zf.indices.map(i =>
+          s"${wRef(i)} - $LangIdStep * it$tag$t.g$i AS w$i") :+
+          s"$bRef - $LangIdStep * it$tag$t.gb AS b"
+        val wFrom = if (t == 1) s"it$tag$t" else s"w$tag${t - 1}, it$tag$t"
+        s"""e$tag$t AS MATERIALIZED (
+           |  SELECT ${zf.mkString(", ")},
+           |    1.0 / (1.0 + exp(-$m)) - y AS err
+           |  FROM $from),
+           |it$tag$t AS MATERIALIZED (SELECT ${gs.mkString(",\n    ")}
+           |  FROM e$tag$t),
+           |w$tag$t AS MATERIALIZED (SELECT ${ws.mkString(",\n    ")}
+           |  FROM $wFrom)""".stripMargin
+      }
+      s"""zl_$tag AS MATERIALIZED (
+         |  SELECT doc_id, ${zf.mkString(", ")},
+         |    CASE WHEN lang = '$lang' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM z),
+         |${iterCtes.mkString(",\n")}""".stripMargin
+    }
+    val wN = (l: String) => s"w$l$LangIdIters"
+    val scoreCols = langs.map { l =>
+      val dot = zf.zipWithIndex
+        .map { case (f, i) => s"coalesce(z.$f, 0.0) * ${wN(l)}.w$i" }
+        .mkString("((", " + ", s") + ${wN(l)}.b)")
+      s"$dot AS s_$l"
+    }.mkString(",\n    ")
+    val scoreUnion = langs.map(l =>
+      s"SELECT doc_id, actual, '$l' AS p, s_$l AS s FROM scored")
+      .mkString("\n  UNION ALL ")
+    val confRows = langs.map { l =>
+      s"""SELECT '$l' AS lang,
+         |  CAST(sum(CASE WHEN actual = '$l' AND pred_lang = '$l'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN actual <> '$l' AND pred_lang = '$l'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN actual = '$l' AND pred_lang <> '$l'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |FROM pred""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH marked AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    lower(text || CASE lang $sfxCases ELSE '' END) AS t
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, length(t)),
+       |    i -> (ascii(substr(t, i, 1)) * 31
+       |          + ascii(substr(t, i + 1, 1))) % $d)) AS b
+       |  FROM marked),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, lang, $fExprs
+       |  FROM pos GROUP BY 1, 2),
+       |st AS (SELECT $statExprs FROM feat),
+       |z AS MATERIALIZED (
+       |  SELECT doc_id, lang, $zExprs
+       |  FROM feat, st),
+       |${langs.map(l => chain(l, l)).mkString(",\n")},
+       |scored AS MATERIALIZED (
+       |  SELECT z.doc_id, z.lang AS actual,
+       |    $scoreCols
+       |  FROM z${langs.map(l => s", ${wN(l)}").mkString}),
+       |ranked AS (
+       |  SELECT actual, p, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY s DESC, p) AS rn FROM (
+       |  $scoreUnion)),
+       |pred AS (SELECT actual, p AS pred_lang FROM ranked WHERE rn = 1),
+       |conf AS (
+       |$confRows)
+       |SELECT lang, tp, fp, fn,
+       |  CASE WHEN tp + fp = 0 THEN NULL
+       |    ELSE (tp * 1000000) // (tp + fp) END AS precision_ppm,
+       |  CASE WHEN tp + fn = 0 THEN NULL
+       |    ELSE (tp * 1000000) // (tp + fn) END AS recall_ppm
+       |FROM conf ORDER BY lang""".stripMargin
+  }
+
   private def qualityScoresSql: String = {
     val dot = scoreDotSql
     s"""$qualityFeatureCtes,
@@ -2154,6 +2352,7 @@ object TextQueries {
     "x53_quality_scores" -> qualityScoresSql,
     "x65_fit_classifier" -> fitClassifierSql,
     "x95_pr_curve" -> prCurveSql,
+    "x119_langid_train" -> langIdTrainSql,
     "x67_dedup_thresholds" -> {
       val perTh = DedupCurve.map { th =>
         s"""SELECT CAST($th AS DOUBLE) AS threshold,

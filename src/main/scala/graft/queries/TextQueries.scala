@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftCache
-import graft.operators.{Aggregations, Bloom, BpeTrainer, Dedup, Quality, TextOps}
+import graft.operators.{Aggregations, Bloom, BpeTrainer, Dedup, Quality, TextOps, UnigramLm}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the text-analysis / dedup suite (engine
@@ -192,6 +192,22 @@ object TextQueries {
     * operator exists for, measure there). ASCII-only suffixes keep both
     * engines' lower()/ascii() byte-for-byte trivial; zh is romanized for
     * the same reason. */
+  /** x120/x121 unigram-LM tokenizer (SentencePiece's model family, the
+    * hard-EM variant — see [[graft.operators.UnigramLm]]): pieces up to
+    * 4 chars, a 48-piece multi-char budget on top of the full alphabet,
+    * 2 EM iterations (each is one distributed segment+recount pass; the
+    * oracle unrolls whatever these say). UniMaxWordLen bounds the
+    * oracle's unrolled per-position DP — the trainer fails loudly past
+    * it (the x106 guard pattern); the synthetic corpus tops out at 8.
+    * The unknown-char cost (30 nats) exceeds any real piece cost, so
+    * unknowns never beat vocabulary pieces but keep every word
+    * segmentable. */
+  val UniMaxPieceLen = 4
+  val UniMaxPieces = 48
+  val UniEmIters = 2
+  val UniMaxWordLen = 12
+  val UniUnkCostMicro = 30000000L
+
   val LangIdBuckets = 32
   val LangIdIters = 6
   val LangIdStep = 8.0
@@ -740,6 +756,48 @@ object TextQueries {
           expr("CASE WHEN tp + fn = 0 THEN NULL " +
             "ELSE (tp * 1000000) div (tp + fn) END").as("recall_ppm"))
         .orderBy("lang")
+    }),
+
+    // ---------------------------------------------------------------- x120
+    // Unigram-LM tokenizer TRAINING (SentencePiece's model, hard-EM on
+    // the integer micro-nat lattice — BPE's sibling family: a learned
+    // piece vocabulary with costs instead of merge rules). Seed = all
+    // substrings ≤ 4 chars cut to the frequency-top budget + the full
+    // alphabet; each EM iteration Viterbi-segments every distinct word,
+    // recounts pieces exactly (integer sums weighted by word frequency),
+    // prunes unused multis, re-derives costs. The oracle replays the
+    // seed cut, both unrolled per-position DP chains, the recounts, and
+    // the micro-nat cost derivation — a wrong path anywhere cascades
+    // into the next iteration's counts.
+    "x120_unigram_train" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val words = UnigramLm.wordCounts(t.documents, "doc_id", "text")
+      val vocab = UnigramLm.fitViterbiEm(words, UniMaxPieceLen,
+        UniMaxPieces, UniEmIters, UniUnkCostMicro, UniMaxWordLen)
+      import s.implicits._
+      vocab.toDF("piece", "cnt", "cost_micro").orderBy("piece")
+    }),
+
+    // ---------------------------------------------------------------- x121
+    // Unigram tokenizer SERVING off the stored vocabulary — the x105
+    // seam for the unigram family: train → write the (piece, cnt, cost)
+    // artifact → rehydrate → segment the WHOLE corpus through the
+    // bounded-local-state Viterbi applier (constant-size zero-shuffle
+    // plan at any vocab size). Per-document output is x101's shape
+    // (piece count + sha256 over the unit-separator-joined pieces), so
+    // one mis-segmented word anywhere flips the hash; the oracle
+    // re-derives the vocabulary from its own fit replay and segments
+    // every document positionally.
+    "x121_unigram_apply" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val words = UnigramLm.wordCounts(t.documents, "doc_id", "text")
+      val vocabPath = SinkQueries.sinkDir("x121_unigram_vocab")
+      UnigramLm.writeVocab(s, UnigramLm.fitViterbiEm(words, UniMaxPieceLen,
+        UniMaxPieces, UniEmIters, UniUnkCostMicro, UniMaxWordLen), vocabPath)
+      UnigramLm.applyUnigramLocal(t.documents, "doc_id", "text",
+          UnigramLm.readVocab(s, vocabPath), UniMaxPieceLen, UniUnkCostMicro)
+        .select(col("id").as("doc_id"), col("n_pieces"), col("piece_fp"))
+        .orderBy("doc_id")
     }),
 
     "x53_quality_scores" -> ((s, dir) => {
@@ -2073,6 +2131,128 @@ object TextQueries {
        |FROM conf ORDER BY lang""".stripMargin
   }
 
+  /** One unrolled Viterbi DP pass of the x120/x121 replay: over the
+    * `base` frame (word, wn, len, …), against the `costCte` (piece,
+    * cost) vocabulary, positions 1..UniMaxWordLen. dp_j is the encoded
+    * candidate min (totalCost·8 + lastPieceLen — integer min == min cost
+    * then SHORTEST last piece, the operator's k-ascending strict-less
+    * rule); s_j rebuilds the prefix segmentation string from the backrefs
+    * in the same pass (DuckDB lateral aliases). `least` ignores NULL
+    * candidates (k > j, absent multi-char pieces, j > len). Emits
+    * useg$tag: (word, wn, seg). */
+  private def unigramDpChain(tag: String, base: String,
+                             costCte: String): String = {
+    val w = UniMaxWordLen
+    val kMaxAll = UniMaxPieceLen
+    val ctes = (1 to w).map { j =>
+      val kMax = math.min(j, kMaxAll)
+      val joins = (1 to kMax).map(k =>
+        s"LEFT JOIN $costCte c$k ON c$k.piece = substr(d.word, ${j - k + 1}, $k)")
+        .mkString("\n  ")
+      val cands = (1 to kMax).map { k =>
+        val prev = if (j - k == 0) "0" else s"d.dp${j - k} // 8"
+        val cost =
+          if (k == 1) s"coalesce(c1.cost, $UniUnkCostMicro)" else s"c$k.cost"
+        s"CASE WHEN d.len >= $j THEN ($prev + $cost) * 8 + $k END"
+      }.mkString(",\n      ")
+      val segs = (1 to kMax).map { k =>
+        val piece = s"substr(d.word, ${j - k + 1}, $k)"
+        val s = if (j - k == 0) piece else s"d.s${j - k} || chr(31) || $piece"
+        s"WHEN $k THEN $s"
+      }.mkString(" ")
+      s"""ud$tag$j AS MATERIALIZED (
+         |  SELECT d.*, least(
+         |      $cands) AS dp$j,
+         |    CASE dp$j % 8 $segs END AS s$j
+         |  FROM ud$tag${j - 1} d
+         |  $joins)""".stripMargin
+    }.mkString(",\n")
+    s"""ud${tag}0 AS (SELECT * FROM $base),
+       |$ctes,
+       |useg$tag AS MATERIALIZED (
+       |  SELECT word, wn,
+       |    CASE len ${(1 to w).map(j => s"WHEN $j THEN s$j").mkString(" ")}
+       |    END AS seg
+       |  FROM ud$tag$w)""".stripMargin
+  }
+
+  /** Micro-nat cost table from a (piece, cnt) frame: +1 smoothing, the
+    * DSIR integer-lattice ln. */
+  private def unigramCostCte(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT piece, cnt + 1 AS cnt,
+       |    -CAST(round(ln((cnt + 1)::DOUBLE /
+       |      (SELECT CAST(sum(cnt + 1) AS BIGINT) FROM $src)) * 1000000, 0)
+       |      AS BIGINT) AS cost
+       |  FROM $src)""".stripMargin
+
+  /** The x120 fit replay up to the final cost table uc$UniEmIters: the
+    * distinct-word frame, the substring seed with its frequency-top cut,
+    * then per EM iteration one DP chain + exact recount + prune +
+    * re-cost. */
+  private def unigramFitCtes: String = {
+    val k = UniMaxPieceLen
+    val iters = (1 to UniEmIters).map { m =>
+      s"""${unigramDpChain(s"$m", "uw", s"uc${m - 1}")},
+         |ucnt$m AS (
+         |  SELECT piece, CAST(sum(wn) AS BIGINT) AS cnt FROM (
+         |    SELECT wn, unnest(string_split(seg, chr(31))) AS piece
+         |    FROM useg$m) GROUP BY 1),
+         |uv$m AS MATERIALIZED (
+         |  SELECT v.piece, coalesce(c.cnt, 0) AS cnt
+         |  FROM (SELECT piece FROM uc${m - 1}) v
+         |  LEFT JOIN ucnt$m c USING (piece)
+         |  WHERE length(v.piece) = 1 OR coalesce(c.cnt, 0) > 0),
+         |${unigramCostCte(s"uc$m", s"uv$m")}""".stripMargin
+    }.mkString(",\n")
+    s"""uw AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wn, length(word) AS len
+       |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |  GROUP BY 1),
+       |useed AS (
+       |  SELECT piece, CAST(sum(wn) AS BIGINT) AS cnt FROM (
+       |    SELECT wn, unnest(flatten(list_transform(range(1, len + 1),
+       |      i -> list_transform(range(1, least($k, len - i + 1) + 1),
+       |        q -> substr(word, i, q))))) AS piece
+       |    FROM uw) GROUP BY 1),
+       |uv0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece)
+       |      AS rk FROM useed WHERE length(piece) > 1)
+       |  WHERE rk <= $UniMaxPieces
+       |  UNION ALL
+       |  SELECT piece, cnt FROM useed WHERE length(piece) = 1),
+       |${unigramCostCte("uc0", "uv0")},
+       |$iters""".stripMargin
+  }
+
+  private def unigramTrainSql: String =
+    s"""WITH $unigramFitCtes
+       |SELECT piece, cnt, cost AS cost_micro FROM uc$UniEmIters
+       |ORDER BY piece""".stripMargin
+
+  /** x121: the fit replay, one MORE DP chain under the FINAL costs (the
+    * serve segments with the stored model, not the last E-step's), then
+    * positional per-document assembly — per-word piece counts summed and
+    * the sha256 over the unit-separator-joined pieces in token order. */
+  private def unigramApplySql: String =
+    s"""WITH $unigramFitCtes,
+       |${unigramDpChain("a", "uw", s"uc$UniEmIters")},
+       |dtok AS (
+       |  SELECT doc_id, u.i AS pos, list_extract(toks, u.i + 1) AS word
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) t,
+       |    UNNEST(range(0, len(toks))) u(i)),
+       |dseg AS (
+       |  SELECT d.doc_id, d.pos, s.seg,
+       |    CAST(len(string_split(s.seg, chr(31))) AS BIGINT) AS np
+       |  FROM dtok d JOIN usega s USING (word))
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sum(x.np), 0) AS BIGINT) AS n_pieces,
+       |  sha256(coalesce(string_agg(x.seg, chr(31) ORDER BY x.pos), ''))
+       |    AS piece_fp
+       |FROM documents d LEFT JOIN dseg x USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def qualityScoresSql: String = {
     val dot = scoreDotSql
     s"""$qualityFeatureCtes,
@@ -2353,6 +2533,8 @@ object TextQueries {
     "x65_fit_classifier" -> fitClassifierSql,
     "x95_pr_curve" -> prCurveSql,
     "x119_langid_train" -> langIdTrainSql,
+    "x120_unigram_train" -> unigramTrainSql,
+    "x121_unigram_apply" -> unigramApplySql,
     "x67_dedup_thresholds" -> {
       val perTh = DedupCurve.map { th =>
         s"""SELECT CAST($th AS DOUBLE) AS threshold,

@@ -97,10 +97,18 @@ final class SshClient(host: String, port: Int, user: String, password: String,
     if (d != null) throw new IOException("SSH connection is down", d)
   }
 
+  /** Shrink the transport's re-key budget (spec knob — see
+    * [[SshTransport.rekeyAfterBytes]]). */
+  def setRekeyAfterBytes(n: Long): Unit = transport.rekeyAfterBytes = n
+
+  /** Completed key exchanges on this connection (initial kex = 1). */
+  def kexCount: Int = transport.kexCount
+
   private def readLoop(): Unit =
     try {
       while (true) {
-        val p = transport.readPacket()
+        if (transport.needsRekey) transport.rekeyInitiate()
+        val p = transport.nextPacket()
         val r = new R(p)
         // channel-scoped messages racing a locally-removed channel (open
         // timeout, close) are dropped, not fatal: the peer may have data/
@@ -153,6 +161,11 @@ final class SshClient(host: String, port: Int, user: String, password: String,
             r.stringUtf8()
             if (r.boolean())
               transport.writePacket(Array(Msg.RequestFailure.toByte))
+          case Msg.KexInit =>
+            // peer-initiated re-key (RFC 4253 §9) — answered inline on
+            // this reader thread; channel writers block on the packet
+            // monitor for the exchange's duration
+            transport.rekeyRespond(p)
           case Msg.Ignore | Msg.Debug | Msg.Unimplemented => ()
           case Msg.Disconnect =>
             r.uint32()

@@ -27,12 +27,21 @@ import SshWire.{Msg, R, W}
   *  - MAC `hmac-sha2-256` (RFC 6668; over seq ‖ plaintext packet)
   *  - compression `none`
   *
-  * Scope honesty: re-keying is NOT implemented (RFC 4253 §9 recommends
-  * rekey per GB; the tunnel sessions this serves are short-lived relays —
-  * a deployment that streams terabytes through ONE hop session should
-  * rotate connections, which [[SshChannelFactory]] makes cheap), and the
-  * single-suite offer means a peer that cannot speak the suite fails the
-  * kex loudly instead of negotiating down. Both roles (client and the
+  * RE-KEYING (RFC 4253 §9) is implemented for both roles and both
+  * initiators: after [[rekeyAfterBytes]] of encrypted traffic (the RFC's
+  * per-GB guidance is the default) the connection's reader initiates a
+  * fresh KEXINIT → DH → NEWKEYS exchange, and a peer-initiated KEXINIT
+  * arriving mid-session is answered the same way ([[rekeyRespond]]).
+  * The exchange runs ON the reader thread while HOLDING the packet-write
+  * monitor, so concurrent channel writers block for its duration —
+  * which is exactly §9's requirement that no non-kex packet follows our
+  * KEXINIT until NEWKEYS; peer packets already in flight when we
+  * initiate are buffered ([[nextPacket]] drains them to the normal
+  * dispatch afterward, order preserved). The session id stays the FIRST
+  * exchange hash (§7.2) while every cipher/MAC key re-derives from the
+  * new K ‖ H. The single-suite offer means a peer that cannot speak the
+  * suite fails the kex loudly instead of negotiating down. Both roles
+  * (client and the
   * in-spec server fixture) run this same class, so the framing and kex
   * arithmetic are exercised against themselves, against the RFC test
   * vectors in `SshWireSpec`, AND — in the server role — against an
@@ -60,6 +69,33 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
   var sessionId: Array[Byte] = _
 
   var peerVersion: String = _
+
+  // ------------------------------------------------------------ re-keying
+
+  /** Encrypted-traffic budget (both directions) before the reader
+    * initiates a re-key — RFC 4253 §9's one-gigabyte guidance; specs
+    * shrink it to force re-keys through small transfers. */
+  @volatile var rekeyAfterBytes: Long = 1L << 30
+
+  private val sinceKex = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private var kexes = 0
+  private var clientVerify: Array[Byte] => Boolean = _
+  private var serverHostKey: java.security.KeyPair = _
+
+  /** Completed key exchanges (initial + re-keys) — spec observability. */
+  def kexCount: Int = kexes
+
+  def needsRekey: Boolean =
+    sendCipher != null && sinceKex.get >= rekeyAfterBytes
+
+  /** Non-kex packets the peer had in flight when WE initiated a re-key,
+    * preserved in arrival order for the normal dispatch loop. Reader-
+    * thread-only, like [[readPacket]]. */
+  private val pending = new java.util.ArrayDeque[Array[Byte]]()
+
+  /** The reader's packet source: drains re-key-buffered packets first. */
+  def nextPacket(): Array[Byte] =
+    if (!pending.isEmpty) pending.poll() else readPacket()
 
   // ------------------------------------------------------ version exchange
 
@@ -117,6 +153,7 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
       }
       out.write(sendCipher.update(plain))
       out.write(mac)
+      sinceKex.addAndGet(plain.length + 32L): Unit
     }
     out.flush()
     sendSeq = (sendSeq + 1) & 0xffffffffL
@@ -156,6 +193,7 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
       if (!MessageDigest.isEqual(recvMac.doFinal(), macGot))
         throw new SshProtocolException("MAC verification failed")
       recvSeq = (recvSeq + 1) & 0xffffffffL
+      sinceKex.addAndGet(4L + len + 32L): Unit
       val plain = firstPlain ++ restPlain
       val padLen = plain(4) & 0xff
       java.util.Arrays.copyOfRange(plain, 5, 4 + len.toInt - padLen)
@@ -216,17 +254,79 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
     * signature over H with the host key `verify` accepts, NEWKEYS, derive
     * and activate keys. `verify` receives the raw `ssh-rsa` public blob —
     * the known-hosts seam (the spec fixture pins the expected blob;
-    * accept-all is never the default). */
+    * accept-all is never the default) — and is RETAINED: every later
+    * re-key verifies the fresh exchange hash against it too. */
   def clientKex(verifyHostKey: Array[Byte] => Boolean): Unit = {
     require(clientRole)
-    val iC = kexInitPayload()
-    writePacket(iC)
-    val iS = readPacket()
-    checkPeerKexInit(iS)
+    clientVerify = verifyHostKey
+    rekeyInitiate()
+  }
+
+  /** SERVER key exchange against [[clientKex]]: same suite, host keypair
+    * supplied by the fixture and retained for re-keys. */
+  def serverKex(hostKey: java.security.KeyPair): Unit = {
+    require(!clientRole)
+    serverHostKey = hostKey
+    rekeyInitiate()
+  }
+
+  /** Initiate a (re-)key exchange — also the INITIAL kex, which is the
+    * same protocol with no keys live. Runs on the reader thread; holds
+    * the write monitor throughout, so no non-kex packet can follow our
+    * KEXINIT (RFC 4253 §9). Peer non-kex packets already in flight are
+    * buffered for [[nextPacket]]. */
+  def rekeyInitiate(): Unit = synchronized {
+    val mine = kexInitPayload()
+    writePacket(mine)
+    var peerInit: Array[Byte] = null
+    var guard = 0
+    while (peerInit == null) {
+      guard += 1
+      if (guard > 100000)
+        throw new SshProtocolException("no KEXINIT from peer")
+      val p = readPacket()
+      (p(0) & 0xff) match {
+        case Msg.KexInit => peerInit = p
+        case Msg.Ignore | Msg.Debug => ()
+        case other if sendCipher == null =>
+          // initial kex: nothing else is legal before KEXINIT
+          throw new SshProtocolException(
+            s"expected KEXINIT, got message $other")
+        case _ => pending.add(p): Unit
+      }
+    }
+    runKex(mine, peerInit)
+  }
+
+  /** Answer a peer-initiated mid-session KEXINIT (the reader saw it in
+    * the dispatch loop). Same monitor discipline as [[rekeyInitiate]]. */
+  def rekeyRespond(peerInit: Array[Byte]): Unit = synchronized {
+    runKex(kexInitPayload() match {
+      case mine => writePacket(mine); mine
+    }, peerInit)
+  }
+
+  private def runKex(mine: Array[Byte], peerInit: Array[Byte]): Unit = {
+    checkPeerKexInit(peerInit)
+    if (clientRole) doKexClient(mine, peerInit)
+    else doKexServer(peerInit, mine)
+  }
+
+  /** The next kex-phase message, skipping IGNORE/DEBUG (legal anywhere,
+    * and OpenSSH emits them). After both KEXINITs the peer sends nothing
+    * else until NEWKEYS, so anything unexpected is a protocol error. */
+  private def readKexMessage(): Array[Byte] = {
+    var p = readPacket()
+    while ((p(0) & 0xff) == Msg.Ignore || (p(0) & 0xff) == Msg.Debug)
+      p = readPacket()
+    p
+  }
+
+  private def doKexClient(iC: Array[Byte], iS: Array[Byte]): Unit = {
     val x = new BigInteger(2048 - 2, rnd).add(BigInteger.TWO)
     val e = G.modPow(x, P)
     writePacket(new W().putByte(Msg.KexDhInit).putMpint(e).bytes)
-    val reply = new R(readPacket())
+    val reply = new R(readKexMessage())
     if (reply.byte() != Msg.KexDhReply)
       throw new SshProtocolException("expected KEXDH_REPLY")
     val hostKeyBlob = reply.string()
@@ -234,7 +334,7 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
     val sigBlob = reply.string()
     if (f.signum <= 0 || f.compareTo(P) >= 0)
       throw new SshProtocolException("server DH value out of range")
-    if (!verifyHostKey(hostKeyBlob))
+    if (!clientVerify(hostKeyBlob))
       throw new SshProtocolException("host key rejected")
     val k = f.modPow(x, P)
     val h = exchangeHash(localVersion, peerVersion, iC, iS, hostKeyBlob, e, f, k)
@@ -242,15 +342,9 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
     finishKex(k, h)
   }
 
-  /** SERVER key exchange against [[clientKex]]: same suite, host keypair
-    * supplied by the fixture. */
-  def serverKex(hostKey: java.security.KeyPair): Unit = {
-    require(!clientRole)
-    val iS = kexInitPayload()
-    writePacket(iS)
-    val iC = readPacket()
-    checkPeerKexInit(iC)
-    val init = new R(readPacket())
+  private def doKexServer(iC: Array[Byte], iS: Array[Byte]): Unit = {
+    val hostKey = serverHostKey
+    val init = new R(readKexMessage())
     if (init.byte() != Msg.KexDhInit)
       throw new SshProtocolException("expected KEXDH_INIT")
     val e = init.mpint()
@@ -311,7 +405,7 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
   private def finishKex(k: BigInteger, h: Array[Byte]): Unit = {
     if (sessionId == null) sessionId = h
     writePacket(Array(Msg.NewKeys.toByte))
-    val nk = readPacket()
+    val nk = readKexMessage()
     if (nk.length != 1 || (nk(0) & 0xff) != Msg.NewKeys)
       throw new SshProtocolException("expected NEWKEYS")
     def key(x: Char, n: Int) = deriveKey(k, h, x, sessionId, n)
@@ -326,6 +420,8 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
     recvCipher = ctr(Cipher.DECRYPT_MODE, keyIn, ivIn)
     sendMac = hmac(macOut)
     recvMac = hmac(macIn)
+    sinceKex.set(0L)
+    kexes += 1
   }
 
   private def ctr(mode: Int, key: Array[Byte], iv: Array[Byte]): Cipher = {

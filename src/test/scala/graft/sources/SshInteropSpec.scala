@@ -26,6 +26,36 @@ class SshInteropSpec extends AnyFunSuite {
 
   test("OpenSSH client tunnels through the from-scratch server: kex, " +
        "host-key verification, password auth and a 4 MiB echo round-trip") {
+    val log = opensshEcho(new SshTestServer("tunnel", "hunter2"))._1
+    assert(log.contains("diffie-hellman-group14-sha256"), log)
+    assert(log.contains("rsa-sha2-256"), log)
+    assert(log.contains("aes128-ctr"), log)
+    assert(log.contains("hmac-sha2-256"), log)
+    assert(log.contains("Authenticated to"), log)
+  }
+
+  test("OpenSSH client survives server-initiated RE-KEYS mid-echo " +
+       "(RFC 4253 \u00a79): the 8 MiB round-trip crosses a 256 KiB " +
+       "re-key budget dozens of times and the stream stays intact") {
+    // the tiny budget makes OUR server initiate KEXINIT repeatedly while
+    // channel data is flowing; OpenSSH must answer each one and keep the
+    // forward alive — an independent implementation validating the whole
+    // \u00a79 state machine, not just the happy path
+    val (log, serverKexes) =
+      opensshEcho(new SshTestServer("tunnel", "hunter2",
+        rekeyBytes = 256L * 1024))
+    assert(serverKexes >= 2,
+      s"server completed only $serverKexes kex(es) — no re-key happened")
+    // the client's own view: one KEXINIT per exchange beyond the initial
+    val kexinits = "SSH2_MSG_KEXINIT received".r
+      .findAllMatchIn(log).length
+    assert(kexinits >= 2, s"client log shows $kexinits KEXINITs:\n$log")
+  }
+
+  /** Drive the container's OpenSSH client through the given server with
+    * a 4 MiB echo round-trip; returns (client -v log, the server's max
+    * per-connection kex count). Closes the server. */
+  private def opensshEcho(server: SshTestServer): (String, Int) = {
     val sshBin = new java.io.File("/usr/bin/ssh")
     assume(sshBin.canExecute, "no OpenSSH client in this container")
     // plain TCP echo target behind the bastion
@@ -50,7 +80,6 @@ class SshInteropSpec extends AnyFunSuite {
     echoThread.setDaemon(true)
     echoThread.start()
 
-    val server = new SshTestServer("tunnel", "hunter2")
     val lport = freePort()
     val tmp = java.nio.file.Files.createTempDirectory("graft-ssh-interop")
     val askpass = tmp.resolve("askpass.sh")
@@ -129,14 +158,7 @@ class SshInteropSpec extends AnyFunSuite {
         assert(java.util.Arrays.equals(got, payload),
           "echoed bytes diverged from the payload")
       } finally s.close()
-      // the client's own view of the negotiation — a downgrade anywhere
-      // would pass the echo but fail here
-      val log = sshLog
-      assert(log.contains("diffie-hellman-group14-sha256"), log)
-      assert(log.contains("rsa-sha2-256"), log)
-      assert(log.contains("aes128-ctr"), log)
-      assert(log.contains("hmac-sha2-256"), log)
-      assert(log.contains("Authenticated to"), log)
+      (sshLog, server.maxKexCount)
     } finally {
       proc.destroyForcibly()
       proc.waitFor()

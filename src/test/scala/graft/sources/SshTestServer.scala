@@ -20,9 +20,13 @@ import graft.sources.ssh.SshWire.{Msg, R, W}
   * encrypted+MAC'd packets, window-controlled channel data.
   *
   * TEST FIXTURE ONLY: single fixed credential pair, no pty/exec/session
-  * channels, no rekey — the surface a tunnel relay needs and nothing
-  * else. */
-final class SshTestServer(user: String, password: String) extends AutoCloseable {
+  * channels — the surface a tunnel relay needs and nothing else.
+  * Re-keying (RFC 4253 §9) is live in both directions: `rekeyBytes`
+  * shrinks the transport budget so small transfers force server-
+  * initiated re-keys, and client-initiated KEXINITs are answered in the
+  * dispatch loop. */
+final class SshTestServer(user: String, password: String,
+                          rekeyBytes: Long = 1L << 30) extends AutoCloseable {
 
   val hostKey: java.security.KeyPair = {
     val g = java.security.KeyPairGenerator.getInstance("RSA")
@@ -36,6 +40,16 @@ final class SshTestServer(user: String, password: String) extends AutoCloseable 
     val pub = hostKey.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
     new W().putString("ssh-rsa")
       .putMpint(pub.getPublicExponent).putMpint(pub.getModulus).bytes
+  }
+
+  private val transports = ConcurrentHashMap.newKeySet[SshTransport]()
+
+  /** Most key exchanges completed on any one connection (initial = 1) —
+    * the re-key specs' observability. */
+  def maxKexCount: Int = {
+    var m = 0
+    transports.forEach(t => m = math.max(m, t.kexCount))
+    m
   }
 
   private val server = new ServerSocket()
@@ -61,6 +75,8 @@ final class SshTestServer(user: String, password: String) extends AutoCloseable 
     try {
       socket.setTcpNoDelay(true)
       val t = new SshTransport(socket, clientRole = false)
+      transports.add(t): Unit
+      t.rekeyAfterBytes = rekeyBytes
       t.exchangeVersions()
       t.serverKex(hostKey)
       // service + auth
@@ -107,8 +123,11 @@ final class SshTestServer(user: String, password: String) extends AutoCloseable 
     val chans = new ConcurrentHashMap[Long, Chan]() // key = OUR channel id
     var nextId = 0L
     while (true) {
-      val r = new R(t.readPacket())
+      if (t.needsRekey) t.rekeyInitiate()
+      val p = t.nextPacket()
+      val r = new R(p)
       r.byte() match {
+        case Msg.KexInit => t.rekeyRespond(p)
         case Msg.ChannelOpen =>
           val kind = r.stringUtf8()
           val clientId = r.uint32()

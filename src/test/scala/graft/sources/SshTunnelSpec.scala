@@ -107,6 +107,55 @@ class SshTunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("re-keying (RFC 4253 §9) from BOTH initiators: data crosses the " +
+       "exchanges intact and every side re-derives keys") {
+    withUpperEcho { echoPort =>
+      def echoThrough(cli: SshClient): Unit = {
+        val sock = cli.openDirectTcpip("127.0.0.1", echoPort)
+        try {
+          sock.setSoTimeout(30000)
+          val big = "abcdefgh" * (512 * 1024 / 8) // 1 MiB round trip
+          sock.getOutputStream.write(
+            big.getBytes(StandardCharsets.UTF_8))
+          sock.getOutputStream.flush()
+          sock.shutdownOutput()
+          val got = new String(sock.getInputStream.readAllBytes(),
+            StandardCharsets.UTF_8)
+          assert(got === big.toUpperCase)
+        } finally sock.close()
+      }
+      // SERVER-initiated: tiny server budget, default client budget —
+      // the client answers mid-stream KEXINITs
+      val sshd1 = new SshTestServer("pac", "s3cret", rekeyBytes = 64L * 1024)
+      try {
+        val cli = new SshClient("127.0.0.1", sshd1.port, "pac", "s3cret",
+          blob => java.util.Arrays.equals(blob, sshd1.hostKeyBlob))
+        try {
+          echoThrough(cli)
+          assert(cli.kexCount >= 2,
+            s"client completed ${cli.kexCount} kex(es); expected re-keys")
+          assert(sshd1.maxKexCount >= 2)
+          // the connection is still healthy after the re-keys
+          echoThrough(cli)
+        } finally cli.close()
+      } finally sshd1.close()
+      // CLIENT-initiated: tiny client budget against a default server
+      val sshd2 = new SshTestServer("pac", "s3cret")
+      try {
+        val cli = new SshClient("127.0.0.1", sshd2.port, "pac", "s3cret",
+          blob => java.util.Arrays.equals(blob, sshd2.hostKeyBlob))
+        try {
+          cli.setRekeyAfterBytes(64L * 1024)
+          echoThrough(cli)
+          assert(cli.kexCount >= 2,
+            s"client initiated ${cli.kexCount} kex(es); expected re-keys")
+          assert(sshd2.maxKexCount >= 2)
+          echoThrough(cli)
+        } finally cli.close()
+      } finally sshd2.close()
+    }
+  }
+
   test("payload larger than the channel window round-trips intact " +
        "(WINDOW_ADJUST exercised in both directions)") {
     withUpperEcho { echoPort =>

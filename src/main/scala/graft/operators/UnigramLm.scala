@@ -149,19 +149,17 @@ object UnigramLm {
     require(tooLong == 0L,
       s"$tooLong word(s) exceed maxWordLen=$maxWordLen — the oracle's " +
         "unrolled DP cannot replay them")
-    val alphabet = seedVocab(words, 1, 0).map(_._1).toSet
     var vocab = costsOf(seedVocab(words, maxPieceLen, maxPieces))
     for (_ <- 1 to iters) {
       val counted = viterbiCounts(words,
         vocab.map(v => v._1 -> v._3).toMap, maxPieceLen, unkCostMicro)
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-      // prune multis no path uses; the alphabet survives at count 0
-      // (smoothing keeps it alive) so every word stays segmentable
+      // prune multis no path uses; the single-char alphabet always
+      // survives (count 0 → smoothing keeps it alive), so every word
+      // stays segmentable
       val kept = vocab.map(_._1).filter(p =>
-        p.length == 1 || counted.getOrElse(p, 0L) > 0L) ++
-        alphabet.filterNot(vocab.map(_._1).contains)
-      vocab = costsOf(kept.distinct.sorted
-        .map(p => (p, counted.getOrElse(p, 0L))))
+        p.length == 1 || counted.getOrElse(p, 0L) > 0L)
+      vocab = costsOf(kept.sorted.map(p => (p, counted.getOrElse(p, 0L))))
     }
     vocab
   }

@@ -1979,12 +1979,30 @@ object VectorOps {
         round(col("yi") * CrossScale, 0).cast("long").as("yl"),
         round(col("xj") * CrossScale, 0).cast("long").as("xl"))
       .groupBy("i", "j")
-      .agg(sum(col("yl") * col("xl")).as("s"), count(lit(1)).as("n"))
+      // DECIMAL(38,0) sum: a LongType sum of 1e12-magnitude products
+      // silently wraps past ~1e6 rows, corrupting the cross-matrix while
+      // the chain still claims exactness; decimal keeps the sum exact to
+      // 1e38 (the DuckDB replay's hugeint sum is exact to the same
+      // order), at a cost only this one build-time scan pays
+      .agg(sum(col("yl").cast("decimal(19,0)") *
+        col("xl").cast("decimal(19,0)")).as("s"), count(lit(1)).as("n"))
       .collect()
     val m = Array.ofDim[Long](dim, dim)
-    rows.foreach(r =>
-      m(r.getInt(0))(r.getInt(1)) = rdiv(r.getLong(2), r.getLong(3) * CrossScale))
+    rows.foreach { r =>
+      val sum = r.getDecimal(2).toBigInteger
+      val den = java.math.BigInteger.valueOf(r.getLong(3) * CrossScale)
+      m(r.getInt(0))(r.getInt(1)) = rdivBig(sum, den)
+    }
     m.map(_.toSeq).toSeq
+  }
+
+  /** [[rdiv]] in BigInteger — the cross-matrix sums exceed 64 bits at
+    * scale. BigInteger divide truncates toward zero like Scala Long. */
+  private def rdivBig(a: java.math.BigInteger,
+                      b: java.math.BigInteger): Long = {
+    val h = b.shiftRight(1)
+    val adj = if (a.signum < 0) a.subtract(h) else a.add(h)
+    adj.divide(b).longValueExact
   }
 
   /** Default Newton–Schulz iteration count for [[polarFactorInt]]: from

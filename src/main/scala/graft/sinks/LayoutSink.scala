@@ -129,8 +129,11 @@ object LayoutSink {
     if (readManifestLines(fs, manifest).isDefined) return false
     // an unsealed manifest's writer crashed before the trailer — take over
     fs.delete(manifest, false): Unit
+    // dashless hex so the attempt-name shape matches sweepOrphanAttempts'
+    // pattern (a raw UUID prefix carries a dash at index 8)
     val attempt = new org.apache.hadoop.fs.Path(target,
-      s"batch$batchId-${java.util.UUID.randomUUID().toString.take(12)}")
+      s"batch$batchId-${java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)}")
     df.write.mode(SaveMode.Overwrite).parquet(attempt.toString)
     val parts = fs.listStatus(attempt)
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -138,9 +141,13 @@ object LayoutSink {
     val out =
       try fs.create(manifest, false)
       catch {
-        case _: java.io.IOException =>
-          // lost the one-winner gate to a concurrent committer: this
-          // attempt's files are dead weight — reclaim and report replay
+        // only an actual already-exists loss of the one-winner gate is a
+        // replay; any other create failure (quota, permission, network)
+        // must propagate — swallowing it would delete the batch's data
+        // and report "already committed" for a batch that never landed
+        case e: java.io.IOException
+            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              fs.exists(manifest) =>
           fs.delete(attempt, true): Unit
           return false
       }

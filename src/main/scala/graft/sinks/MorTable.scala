@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Merge-on-read keyed table — the Iceberg/Delta MOR shape for the TABLE
   * tier, closing the asymmetry with the index tier (which already
   * tombstones: `deletePqCodes`, the band index's delete files): a merge
-  * writes (a) one key-delete file masking every base row it replaces or
-  * removes and (b) the new/updated rows as an appended data file, both
-  * stamped with a monotonically increasing sequence number, and the READ
-  * folds them — a data row survives iff no delete with a STRICTLY HIGHER
-  * sequence carries its key (an upsert's own tombstone shares its
-  * sequence, so it masks every older version but never its own row).
+  * writes (a) one key-delete file set masking every base row it replaces
+  * or removes and (b) the new/updated rows as appended data files, both
+  * under a sequence-numbered PARTITION DIRECTORY (`__seq=N/` — Spark's
+  * partition discovery derives the sequence column from the path), and
+  * the READ folds them — a data row survives iff no delete with a
+  * STRICTLY HIGHER sequence carries its key (an upsert's own tombstone
+  * shares its sequence, so it masks every older version but never its
+  * own row).
   *
   * The 100 TB point: [[graft.operators.Merge.applyChanges]] (the eager
   * form, j5) is one full-outer join that REWRITES the whole table per
@@ -21,13 +23,28 @@ import org.apache.spark.sql.functions._
   * [[compact]] periodically folds away — the classic write-amplification
   * vs read-amplification trade, chosen per table by merge:read ratio.
   *
-  * Layout: `data/` holds the range-laid base (seq 0, disjoint key ranges
-  * per file — selective key predicates prune whole files by parquet
-  * min/max) plus one appended file set per merge (appends are not
+  * Commit discipline: each merge's sequence directories are written with
+  * OVERWRITE, so replaying a failed merge at the same seq CONVERGES
+  * (the foreachBatch retry model) instead of duplicating rows. Data
+  * lands BEFORE tombstones: a crash between the two leaves transient
+  * DUPLICATE visibility (old + new version of the upserted keys) until
+  * the retry completes — recoverable and loud in any keyed consumer —
+  * never silent row loss (tombstones-first would transiently DELETE
+  * every upserted key). Sequences must increase across the table's
+  * whole lifetime, including across compactions: [[compact]] re-stamps
+  * the folded base at the maximum folded sequence, so stale tombstones
+  * (all ≤ that sequence) mask nothing if a crash leaves them behind —
+  * every crash point of the swap is either the old state, a loudly
+  * missing data directory (the one-rename window), or the correct
+  * folded state.
+  *
+  * Layout: `data/__seq=0/` holds the range-laid base (disjoint key
+  * ranges per file — selective key predicates prune whole files by
+  * parquet min/max); each merge adds `data/__seq=N/` (appends are not
   * range-laid; pruning degrades gracefully on them until compaction
-  * re-lays, exactly the index tier's append-then-compact lifecycle).
-  * `deletes/` holds skinny (key, __seq) tombstone files — changeset-
-  * sized, never table-sized.
+  * re-lays, exactly the index tier's append-then-compact lifecycle) and
+  * skinny `deletes/__seq=N/` (key) tombstones — changeset-sized, never
+  * table-sized.
   */
 object MorTable {
 
@@ -39,40 +56,38 @@ object MorTable {
                 numFiles: Int = 16): Unit = {
     require(!df.columns.contains(SeqCol),
       s"column name $SeqCol is reserved by MorTable")
-    LayoutSink.writeRangeLayout(df.withColumn(SeqCol, lit(0L)),
-      keyCol, numFiles, s"$dir/data")
+    LayoutSink.writeRangeLayout(df, keyCol, numFiles, s"$dir/data/$SeqCol=0")
   }
 
   /** Apply a keyed changeset — the same contract as
     * [[graft.operators.Merge.applyChanges]] (op "U" upserts, "D"
     * deletes, one op per key) — WITHOUT touching any existing file:
-    * every changed key tombstones at `seq` (masking all older versions
-    * of that key at read), and the upsert rows append as new data files
-    * at the same `seq` (surviving their own tombstone by the
-    * strictly-higher rule). `seq` must increase across merges on the
-    * same table; replaying a merge at the same seq is NOT idempotent —
-    * route replay-prone callers through a batch-id commit layer
-    * ([[LayoutSink.appendExactlyOnce]]'s contract). */
+    * the upsert rows land as `data/__seq=N/` and every changed key
+    * tombstones at `deletes/__seq=N/` (masking all older versions at
+    * read; the upserts survive their own tombstone by the
+    * strictly-higher rule). Both directories are OVERWRITE-written, so
+    * retrying a failed merge at the same seq converges. `seq` must
+    * exceed every sequence the table has ever carried (see the class
+    * doc; [[compact]] re-stamps the base at the folded maximum). */
   def merge(changes: DataFrame, dir: String, keyCol: String, opCol: String,
             seq: Long): Unit = {
     require(seq >= 1L, "merge sequence numbers start at 1 (base is 0)")
     val spark = changes.sparkSession
-    changes.select(col(keyCol), lit(seq).as(SeqCol))
-      .write.mode(SaveMode.Append).parquet(s"$dir/deletes")
-    // column order pinned to the stored schema: parquet readers take the
-    // first footer's ordering, so an append with permuted columns would
-    // corrupt the fold
-    val dataCols = spark.read.parquet(s"$dir/data").columns
+    // data BEFORE tombstones — see the class doc's commit discipline.
+    // Column order pinned to the stored schema: parquet readers take the
+    // first footer's ordering, so a permuted append would corrupt reads.
+    val dataCols = spark.read.parquet(s"$dir/data").drop(SeqCol).columns
     changes.filter(col(opCol) =!= "D").drop(opCol)
-      .withColumn(SeqCol, lit(seq))
       .select(dataCols.map(col).toIndexedSeq: _*)
-      .write.mode(SaveMode.Append).parquet(s"$dir/data")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$SeqCol=$seq")
+    changes.select(col(keyCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/deletes/$SeqCol=$seq")
   }
 
   /** The folded current state: scan ∪ anti-join on the tombstones. ONE
     * equi anti-join on the key with the sequence comparison riding the
     * join condition — the delete side is changeset-sized, so AQE
-    * broadcasts it onto the data scan and the base files' key pruning
+    * broadcasts it onto the data scan, and the base files' key pruning
     * (and any pushed predicate the caller adds above) is untouched. */
   def read(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
     val data = spark.read.parquet(s"$dir/data")
@@ -88,34 +103,40 @@ object MorTable {
       .drop(SeqCol)
   }
 
-  /** Fold the tombstones into a fresh sequence-0 range-laid base and
-    * clear them — the maintenance pass that caps read-side anti-join
-    * cost (the table twin of the index tier's code compaction). The
-    * swap is write-new → rename-old-out → rename-new-in → delete-old,
-    * the same same-filesystem rename discipline as the rest of the sink
-    * tier (see [[LayoutSink.appendExactlyOnce]]'s S3 caveat — a
-    * rename-less store needs a manifest commit instead). */
+  /** Fold the tombstones into a fresh range-laid base and clear them —
+    * the maintenance pass that caps read-side anti-join cost (the table
+    * twin of the index tier's code compaction). The folded base is
+    * re-stamped at the MAXIMUM folded sequence, which makes every crash
+    * point of the swap safe (class doc): any stale tombstone a crash
+    * leaves behind is ≤ that sequence and masks nothing. Single
+    * maintainer at a time, like [[LayoutSink.compact]]. */
   def compact(spark: SparkSession, dir: String, keyCol: String,
               numFiles: Int = 16): Unit = {
+    val data = spark.read.parquet(s"$dir/data")
+    val maxSeq = data.agg(max(col(SeqCol)).cast("long")).head().getLong(0)
     val folded = read(spark, dir, keyCol)
     val conf = spark.sessionState.newHadoopConf()
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(base, "_compact_tmp")
     fs.delete(tmp, true): Unit
-    LayoutSink.writeRangeLayout(folded.withColumn(SeqCol, lit(0L)),
-      keyCol, numFiles, tmp.toString)
-    val data = new org.apache.hadoop.fs.Path(base, "data")
+    LayoutSink.writeRangeLayout(folded, keyCol, numFiles,
+      new org.apache.hadoop.fs.Path(tmp, s"$SeqCol=$maxSeq").toString)
+    val dataDir = new org.apache.hadoop.fs.Path(base, "data")
     val old = new org.apache.hadoop.fs.Path(base, "_data_old")
     fs.delete(old, true): Unit
-    if (!fs.rename(data, old))
-      throw new java.io.IOException(s"rename $data -> $old returned false")
-    if (!fs.rename(tmp, data)) {
-      // roll back so the table is never left without a data dir
-      fs.rename(old, data): Unit
-      throw new java.io.IOException(s"rename $tmp -> $data returned false")
+    if (!fs.rename(dataDir, old))
+      throw new java.io.IOException(s"rename $dataDir -> $old returned false")
+    if (!fs.rename(tmp, dataDir)) {
+      // roll back so the table is never left without a data dir; the
+      // tombstones are still in place, so the rolled-back state is the
+      // exact pre-compaction table
+      fs.rename(old, dataDir): Unit
+      throw new java.io.IOException(s"rename $tmp -> $dataDir returned false")
     }
     fs.delete(old, true): Unit
+    // pure cleanup: every tombstone is ≤ maxSeq and the folded rows sit
+    // AT maxSeq, so leftovers mask nothing if this delete never runs
     fs.delete(new org.apache.hadoop.fs.Path(base, "deletes"), true): Unit
   }
 }

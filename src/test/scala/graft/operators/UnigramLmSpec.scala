@@ -39,12 +39,13 @@ class UnigramLmSpec extends SparkSpec {
     assert(Set("a", "b", "c", "d").subsetOf(pieces),
       "the alphabet must survive every iteration")
     // every multi-char survivor was actually used by some Viterbi path
+    // under the FINAL costs (a pruning regression would leave stale
+    // multis the paths no longer touch)
     val costs = vocab.map(v => v._1 -> v._3).toMap
     val used = words.collect().flatMap(r =>
       UnigramLm.viterbiSegment(r.getString(0), costs, 4, Unk)).toSet
     vocab.filter(_._1.length > 1).foreach { case (p, _, _) =>
-      assert(used.contains(p) || pieces.contains(p),
-        s"stale piece $p")
+      assert(used.contains(p), s"stale multi-char piece $p survived pruning")
     }
     // "abab" should compress below character level
     val seg = UnigramLm.viterbiSegment("abab", costs, 4, Unk)

@@ -18,9 +18,11 @@ class MorTableSpec extends SparkSpec {
     java.nio.file.Files.createTempDirectory(s"graft-mor-$tag").toString
 
   private def listData(dir: String): Set[(String, Long)] = {
-    val d = new java.io.File(s"$dir/data")
-    d.listFiles.filter(_.getName.endsWith(".parquet"))
-      .map(f => (f.getName, f.lastModified)).toSet
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$dir/data"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getPath, f.lastModified)).toSet
   }
 
   private def changes1 = customers
@@ -97,12 +99,13 @@ class MorTableSpec extends SparkSpec {
     val foldedDf = MorTable.read(spark, dir, "c_custkey")
     val after = sortedRows(foldedDf)
     assert(after == before, "compaction must not change the folded state")
-    // a third merge on the compacted table keeps working (seq restarts
-    // above the folded base's 0) — pin the collected pre-merge state so
-    // the lazy read cannot pick up the new files
+    // a third merge on the compacted table keeps working — sequences are
+    // lifetime-monotone, so it must exceed the re-stamped base (seq 2);
+    // pin the collected pre-merge state so the lazy read cannot pick up
+    // the new files
     val foldedLocal = spark.createDataFrame(
       java.util.Arrays.asList(foldedDf.collect(): _*), foldedDf.schema)
-    MorTable.merge(changes1, dir, "c_custkey", "op", 1L)
+    MorTable.merge(changes1, dir, "c_custkey", "op", 3L)
     val eager3 = graft.operators.Merge.applyChanges(foldedLocal, changes1,
       Seq("c_custkey"), "op")
     assert(sortedRows(MorTable.read(spark, dir, "c_custkey")

@@ -2158,6 +2158,20 @@ object VectorOps {
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
       .map(_._2).toSeq
 
+  /** [[appendIvfPqIndex]] through the STORED rotation — the OPQ index's
+    * O(|batch|) maintenance: rotate the arriving batch at the boundary
+    * with the artifact's own rotation (never a refit), then the
+    * inherited append (stored centroids assign, stored codebooks encode,
+    * one projection; standing rows never read). Delete, compact, and the
+    * adaptive-nprobe maintenance inherit UNCHANGED: rotated-space codes
+    * are plain IVF-PQ codes, and the rotation only ever touches vectors
+    * at the encode/query boundary. */
+  def appendOpqIvfPqIndex(newVectors: DataFrame, idCol: String,
+                          vecCol: String, dir: String): Unit =
+    appendIvfPqIndex(
+      rotate(newVectors, vecCol, readRotation(newVectors.sparkSession, dir)),
+      idCol, vecCol, dir)
+
   /** [[ivfPqTopKOverIndex]] through a stored rotation: rotate the query
     * source at the boundary, then the inherited routed serve — probe the
     * rotated centroids, `cid IN (probes)` file-pruned codes scan, ADC in

@@ -26,6 +26,11 @@ object MediaQueries {
   val VideoMaxFrames = 4
   val VideoFrameData: Int = VideoW * VideoH * 3 / 2
   val VideoYBytes: Int = VideoW * VideoH
+  // x123 synthetic-AVI geometry: 192-byte frame chunks (x96's slice
+  // size), up to 4 per doc, 25 fps (40 000 µs/frame).
+  val AviFrameLen = 192
+  val AviMaxFrames = 4
+  val AviUsecPerFrame = 40000
 
   def queries: Map[String, Q] = Map(
     // ----------------------------------------------------------------- x10
@@ -86,6 +91,31 @@ object MediaQueries {
           col("fps_num").cast("long").as("fps_num"),
           col("fps_den").cast("long").as("fps_den"),
           col("n_frames"), col("duration_ms"), col("y_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- x123
+    // REAL RIFF/AVI demux, oracle-gated: each document becomes a real
+    // AVI container (fourcc chunk tree, word alignment, avih/strh/strf
+    // headers) whose MJPEG frame chunks are consecutive 192-byte slices
+    // of the utf-8 text; the from-scratch chunk walker extracts header
+    // facts and the exact frame-byte sum, which replay in DuckDB as
+    // byte arithmetic over encode(text) — proving the walker segments
+    // the container correctly AND reads the actual chunk payloads. The
+    // compressed-codec half (the frames being real JPEGs decoded by
+    // ImageIO through sampleAviFrames → decodeImages) is spec-gated —
+    // re-encoded JPEG bytes are codec-version artifacts, the
+    // decodeImages precedent.
+    "x123_avi_demux" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.demuxAvi(s,
+          Multimodal.asAviTable(s, t.documents, VideoW, VideoH,
+            AviFrameLen, AviMaxFrames, AviUsecPerFrame))
+        .toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames"), col("duration_ms"), col("byte_sum"))
         .orderBy("doc_id")
     })
   )
@@ -149,6 +179,31 @@ object MediaQueries {
          |  CAST(m.k AS BIGINT) AS n_frames,
          |  CAST(m.k * 40 AS BIGINT) AS duration_ms,
          |  COALESCE(s.ys, 0) AS y_sum
+         |FROM m LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // The AVI walker's segmentation and byte sum replayed as arithmetic:
+    // k = min(4, bytes//192) frame chunks, whose payloads are exactly
+    // the first k·192 text bytes — so byte_sum is the hex-recovered sum
+    // over that prefix; duration = k·40 ms at 40 000 µs/frame.
+    "x123_avi_demux" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, upper(hex(encode(text))) AS ph,
+         |    least($AviMaxFrames,
+         |          octet_length(encode(text)) // $AviFrameLen) AS k
+         |  FROM documents),
+         |b AS (
+         |  SELECT m.doc_id,
+         |    (strpos('0123456789ABCDEF',
+         |       substring(ph, v.j * 2 + 1, 1)) - 1) * 16
+         |    + (strpos('0123456789ABCDEF',
+         |       substring(ph, v.j * 2 + 2, 1)) - 1) AS bv
+         |  FROM m, UNNEST(range(0, m.k * $AviFrameLen)) v(j)),
+         |s AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS bs FROM b GROUP BY doc_id)
+         |SELECT m.doc_id,
+         |  CAST($VideoW AS BIGINT) AS width, CAST($VideoH AS BIGINT) AS height,
+         |  CAST(m.k AS BIGINT) AS n_frames,
+         |  CAST(m.k * ${AviUsecPerFrame / 1000} AS BIGINT) AS duration_ms,
+         |  COALESCE(s.bs, 0) AS byte_sum
          |FROM m LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
   )

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Aggregations, Dedup}
-import graft.sinks.{DocumentSink, LayoutSink, TreeSink}
+import graft.sinks.{BloomSkipIndex, DocumentSink, LayoutSink, TreeSink}
 import graft.sources.Tables
 
 /** Oracle-checked round-trip queries for the sink layer (SURVEY.md §2.1
@@ -265,6 +265,60 @@ object SinkQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // ----------------------------------------------------------------- s22
+    // Snapshot time travel over the manifest protocol: three
+    // batch-numbered manifest commits, then TWO coexisting reads — the
+    // table as of batch 1 (manifests 0..1) and the latest — rolled into
+    // one tagged report. Immutable manifests make the snapshot exactly
+    // "union of manifests with id ≤ N"; no copy, no extra metadata, the
+    // Iceberg/Delta snapshot-read shape on the rename-less commit.
+    "s22_time_travel" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val tbl = sinkDir("s22_tt_table")
+      clean(tbl)
+      val src = t.orders.select("o_orderkey", "o_orderpriority",
+        "o_totalprice")
+      (0L to 2L).foreach { b =>
+        LayoutSink.appendExactlyOnceManifest(
+          src.filter(col("o_orderkey") % 3 === b), tbl, b): Unit
+      }
+      def report(df: DataFrame, tag: String): DataFrame =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .select(lit(tag).as("snapshot"), col("o_orderpriority"),
+            col("n"), col("total"))
+      report(LayoutSink.readManifested(s, tbl, asOfBatch = 1L), "asof_1")
+        .unionByName(report(LayoutSink.readManifested(s, tbl), "latest"))
+        .orderBy("snapshot", "o_orderpriority")
+    }),
+
+    // ----------------------------------------------------------------- s21
+    // Per-file Bloom skipping index ([[graft.sinks.BloomSkipIndex]]): the
+    // standing slice range-lays by the lookup key, ONE scan folds each
+    // file's key hashes into a sidecar row, an arriving slice appends as
+    // unsorted extra files and the index maintains itself in O(|new
+    // files|), and the point lookup probes the SIDECAR (never the table),
+    // reads only surviving files, and re-applies the exact predicate —
+    // so the result is FP-invariant and the oracle is the plain IN
+    // filter. Keys 1/32 live in the standing half, 3/33 in the appended
+    // files: a false negative in either build or update drops rows here.
+    "s21_bloom_skip" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val tbl = sinkDir("s21_bloom_table"); val idx = sinkDir("s21_bloom_index")
+      clean(tbl); clean(idx); clean(idx + "_next")
+      val src = t.lineitem.select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      LayoutSink.writeRangeLayout(
+        src.filter(col("l_orderkey") % 3 =!= 0), "l_orderkey", 12, tbl)
+      BloomSkipIndex.write(s, tbl, "l_orderkey", 1 << 13, 5, idx)
+      src.filter(col("l_orderkey") % 3 === 0).repartition(4)
+        .write.mode("append").parquet(tbl)
+      BloomSkipIndex.update(s, tbl, "l_orderkey", idx)
+      BloomSkipIndex.lookup(s, tbl, idx, "l_orderkey", Seq(1L, 3L, 32L, 33L))
+        .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    }),
+
     "s19_compaction" -> ((s, dir) => {
       val t = Tables(s, dir)
       val frag = sinkDir("s19_frag"); val comp = sinkDir("s19_compact")
@@ -425,6 +479,25 @@ object SinkQueries {
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s21's lookup re-applies the exact predicate after file pruning, so
+    // the oracle is the plain IN filter — any bloom false negative
+    // (build, update, or geometry drift) surfaces as missing rows.
+    "s21_bloom_skip" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey IN (1, 3, 32, 33)
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // s22: the as-of-1 snapshot is exactly the %3∈{0,1} slice set,
+    // latest is the whole table — snapshot reads are pure filters on the
+    // committed batches.
+    "s22_time_travel" ->
+      """SELECT 'asof_1' AS snapshot, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 2
+        |UNION ALL
+        |SELECT 'latest' AS snapshot, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin,
     // s20 re-assembles the whole orders slice set through the manifest
     // protocol — exactly-once commits make it the plain scan.
     "s20_manifest_sink" ->

@@ -231,6 +231,35 @@ object TextQueries {
       concat(col("text"), sfx).as("text"))
   }
 
+  /** x119's fit+serve as a frame: (doc_id, actual, pred_lang) for every
+    * document of the marked corpus — hashed char-bigram features,
+    * standardize, five one-vs-rest logistic GD chains, bias-last
+    * serving margins, (score DESC, lang ASC) argmax. Shared by the
+    * x119 confusion gate and pl16's per-language curation routing. */
+  def langIdPredictions(marked: DataFrame): DataFrame = {
+    val langs = LangIdMarkers.map(_._1)
+    val feats = (0 until LangIdBuckets).map(d => s"f$d")
+    val zFeats = feats.map("z_" + _)
+    val raw = TextOps.hashedCharBigramFeatures(marked, "doc_id", "text",
+      LangIdBuckets, carry = Seq("lang"))
+    val z = GraftCache.persist(Quality.standardize(raw, feats)
+      .select(col("doc_id") +: col("lang") +: zFeats.map(col): _*))
+    val fits = Quality.fitLogisticOvr(z, zFeats, "lang", langs,
+      LangIdIters, LangIdStep)
+    val scored = fits.map { case (l, (w, b)) =>
+      // serving margin mirrors scoreLinear: flat fold, bias LAST
+      val m = zFeats.zip(w).map { case (f, wi) =>
+        coalesce(col(f), lit(0.0)) * lit(wi) }.reduce(_ + _) + lit(b)
+      z.select(col("doc_id"), col("lang"), lit(l).as("p"), m.as("s"))
+    }.reduce(_ unionByName _)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("s").desc, col("p"))
+    scored.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("actual"),
+        col("p").as("pred_lang"))
+  }
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------ x0
     // Exact dedup by hash-groupBy: fingerprint → one shuffle → per-key
@@ -720,26 +749,7 @@ object TextQueries {
     "x119_langid_train" -> ((s, dir) => {
       val t = Tables(s, dir)
       val langs = LangIdMarkers.map(_._1)
-      val feats = (0 until LangIdBuckets).map(d => s"f$d")
-      val zFeats = feats.map("z_" + _)
-      val raw = TextOps.hashedCharBigramFeatures(
-        langMarkedDocuments(t.documents), "doc_id", "text", LangIdBuckets,
-        carry = Seq("lang"))
-      val z = GraftCache.persist(Quality.standardize(raw, feats)
-        .select(col("doc_id") +: col("lang") +: zFeats.map(col): _*))
-      val fits = Quality.fitLogisticOvr(z, zFeats, "lang", langs,
-        LangIdIters, LangIdStep)
-      val scored = fits.map { case (l, (w, b)) =>
-        // serving margin mirrors scoreLinear: flat fold, bias LAST
-        val m = zFeats.zip(w).map { case (f, wi) =>
-          coalesce(col(f), lit(0.0)) * lit(wi) }.reduce(_ + _) + lit(b)
-        z.select(col("doc_id"), col("lang"), lit(l).as("p"), m.as("s"))
-      }.reduce(_ unionByName _)
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("s").desc, col("p"))
-      val pred = scored.withColumn("rn", row_number().over(win))
-        .filter(col("rn") === 1)
-        .select(col("lang").as("actual"), col("p").as("pred_lang"))
+      val pred = langIdPredictions(langMarkedDocuments(t.documents))
       pred.select(col("actual"), col("pred_lang"),
           explode(array(langs.map(lit): _*)).as("l"))
         .groupBy("l")
@@ -798,6 +808,44 @@ object TextQueries {
           UnigramLm.readVocab(s, vocabPath), UniMaxPieceLen, UniUnkCostMicro)
         .select(col("id").as("doc_id"), col("n_pieces"), col("piece_fp"))
         .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- pl16
+    // Multilingual curation funnel — the trained lang-ID (x119) deployed
+    // as a ROUTER: every document gets a predicted language, then each
+    // language's slice runs the standard curation ladder — quality gate
+    // (x2's metrics), exact dedup with canonical keeper selection
+    // (x0/x69's keep-min-doc_id) — and the report rolls up the funnel
+    // per language: docs → quality survivors → unique keepers → kept
+    // token mass (the per-language budget a training-mix planner
+    // consumes). Every stage is keyed aggregation/joins on doc_id or
+    // (lang, fp) — no windows over the corpus, no driver loops; at 100
+    // TB the lang-ID serve is one codegen'd pass (the model is a
+    // broadcast literal) and the ladder is the already-scaled x0/x2
+    // shapes. The oracle replays the full fit (five GD chains), the
+    // argmax routing, both per-doc images, and the rollup arithmetic.
+    "pl16_multilingual_curation" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val marked = GraftCache.persist(langMarkedDocuments(t.documents))
+      val pred = langIdPredictions(marked).select("doc_id", "pred_lang")
+      val q = TextOps.qualityMetrics(marked, "text")
+        .select("doc_id", "n_tokens", "quality_ok")
+      val fp = marked.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val per = pred.join(q, "doc_id").join(fp, "doc_id")
+      val qual = per.filter(col("quality_ok"))
+      val keep = qual.groupBy("pred_lang", "fp")
+        .agg(min_by(col("n_tokens"), col("doc_id")).as("kt"))
+      per.groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
+        .join(qual.groupBy("pred_lang")
+          .agg(count(lit(1)).as("n_quality")), Seq("pred_lang"), "left")
+        .join(keep.groupBy("pred_lang")
+          .agg(count(lit(1)).as("n_unique"),
+            sum("kt").as("n_tokens_kept")), Seq("pred_lang"), "left")
+        .na.fill(0L, Seq("n_quality", "n_unique", "n_tokens_kept"))
+        .select(col("pred_lang").as("lang"), col("n_docs"),
+          col("n_quality"), col("n_unique"), col("n_tokens_kept"))
+        .orderBy("lang")
     }),
 
     "x53_quality_scores" -> ((s, dir) => {
@@ -2026,8 +2074,12 @@ object TextQueries {
     * gradient margin computed once per row per iteration, round-4 mean
     * gradients, power-of-two step), the bias-last serving margins, the
     * (score DESC, lang ASC) argmax, and the per-language confusion
-    * counts in exact integer ppm. */
-  private def langIdTrainSql: String = {
+    * counts in exact integer ppm.
+    *
+    * [[langIdPredCtes]] is the shared prefix — CTEs through
+    * `pred(doc_id, actual, pred_lang)` — reused by pl16's per-language
+    * curation funnel, so the two oracles cannot drift. */
+  private def langIdPredCtes: String = {
     val langs = LangIdMarkers.map(_._1)
     val d = LangIdBuckets
     val feats = (0 until d).map(i => s"f$i")
@@ -2085,17 +2137,7 @@ object TextQueries {
     val scoreUnion = langs.map(l =>
       s"SELECT doc_id, actual, '$l' AS p, s_$l AS s FROM scored")
       .mkString("\n  UNION ALL ")
-    val confRows = langs.map { l =>
-      s"""SELECT '$l' AS lang,
-         |  CAST(sum(CASE WHEN actual = '$l' AND pred_lang = '$l'
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |  CAST(sum(CASE WHEN actual <> '$l' AND pred_lang = '$l'
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |  CAST(sum(CASE WHEN actual = '$l' AND pred_lang <> '$l'
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS fn
-         |FROM pred""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH marked AS MATERIALIZED (
+    s"""marked AS MATERIALIZED (
        |  SELECT doc_id, lang,
        |    lower(text || CASE lang $sfxCases ELSE '' END) AS t
        |  FROM documents),
@@ -2117,10 +2159,26 @@ object TextQueries {
        |    $scoreCols
        |  FROM z${langs.map(l => s", ${wN(l)}").mkString}),
        |ranked AS (
-       |  SELECT actual, p, row_number() OVER (PARTITION BY doc_id
+       |  SELECT doc_id, actual, p, row_number() OVER (PARTITION BY doc_id
        |    ORDER BY s DESC, p) AS rn FROM (
        |  $scoreUnion)),
-       |pred AS (SELECT actual, p AS pred_lang FROM ranked WHERE rn = 1),
+       |pred AS (SELECT doc_id, actual, p AS pred_lang
+       |  FROM ranked WHERE rn = 1)""".stripMargin
+  }
+
+  private def langIdTrainSql: String = {
+    val langs = LangIdMarkers.map(_._1)
+    val confRows = langs.map { l =>
+      s"""SELECT '$l' AS lang,
+         |  CAST(sum(CASE WHEN actual = '$l' AND pred_lang = '$l'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN actual <> '$l' AND pred_lang = '$l'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN actual = '$l' AND pred_lang <> '$l'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |FROM pred""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $langIdPredCtes,
        |conf AS (
        |$confRows)
        |SELECT lang, tp, fp, fn,
@@ -2129,6 +2187,55 @@ object TextQueries {
        |  CASE WHEN tp + fn = 0 THEN NULL
        |    ELSE (tp * 1000000) // (tp + fn) END AS recall_ppm
        |FROM conf ORDER BY lang""".stripMargin
+  }
+
+  /** pl16: the pred prefix, the UN-lowercased marked corpus (the
+    * quality/fingerprint image runs on the text the model scored, not
+    * its lowered feature rendering), x2's quality replay, x1's
+    * fingerprint, per-(lang, fp) canonical keeper via arg_min, and the
+    * four-stage funnel rollup. */
+  private def multilingualCurationSql: String = {
+    val sfxCases = LangIdMarkers
+      .map { case (l, m) => s"WHEN '$l' THEN '$m'" }.mkString(" ")
+    s"""WITH $langIdPredCtes,
+       |mdoc AS MATERIALIZED (
+       |  SELECT doc_id, text || CASE lang $sfxCases ELSE '' END AS text
+       |  FROM documents),
+       |toked AS (SELECT doc_id, text, $toksSql AS toks FROM mdoc),
+       |qm AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    ${punctRatioSql("text")} AS punct_ratio,
+       |    ${stopRatioSql("toks")} AS stopword_ratio
+       |  FROM toked),
+       |q AS (
+       |  SELECT doc_id, n_tokens,
+       |    ${qualityOkSql("n_tokens", "punct_ratio", "stopword_ratio")}
+       |      AS quality_ok
+       |  FROM qm),
+       |f AS (
+       |  SELECT doc_id,
+       |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM mdoc),
+       |per AS (
+       |  SELECT p.doc_id, p.pred_lang, q.n_tokens, q.quality_ok, f.fp
+       |  FROM pred p JOIN q USING (doc_id) JOIN f USING (doc_id)),
+       |qual AS (SELECT * FROM per WHERE quality_ok),
+       |keep AS (
+       |  SELECT pred_lang, fp, arg_min(n_tokens, doc_id) AS kt
+       |  FROM qual GROUP BY 1, 2)
+       |SELECT d.pred_lang AS lang,
+       |  d.n_docs,
+       |  coalesce(nq.n_quality, 0) AS n_quality,
+       |  coalesce(nk.n_unique, 0) AS n_unique,
+       |  coalesce(nk.n_tokens_kept, 0) AS n_tokens_kept
+       |FROM (SELECT pred_lang, count(*) AS n_docs FROM per GROUP BY 1) d
+       |LEFT JOIN (SELECT pred_lang, count(*) AS n_quality
+       |           FROM qual GROUP BY 1) nq USING (pred_lang)
+       |LEFT JOIN (SELECT pred_lang, count(*) AS n_unique,
+       |             CAST(sum(kt) AS BIGINT) AS n_tokens_kept
+       |           FROM keep GROUP BY 1) nk USING (pred_lang)
+       |ORDER BY lang""".stripMargin
   }
 
   /** One unrolled Viterbi DP pass of the x120/x121 replay: over the
@@ -2533,6 +2640,7 @@ object TextQueries {
     "x65_fit_classifier" -> fitClassifierSql,
     "x95_pr_curve" -> prCurveSql,
     "x119_langid_train" -> langIdTrainSql,
+    "pl16_multilingual_curation" -> multilingualCurationSql,
     "x120_unigram_train" -> unigramTrainSql,
     "x121_unigram_apply" -> unigramApplySql,
     "x67_dedup_thresholds" -> {

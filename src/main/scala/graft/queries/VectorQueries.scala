@@ -1532,6 +1532,41 @@ object VectorQueries {
       val (mseOpq, recOpq) = branch(OpqIters, "opq")
       msePq.crossJoin(broadcast(mseOpq))
         .crossJoin(broadcast(recPq)).crossJoin(broadcast(recOpq))
+    }),
+
+    // ---------------------------------------------------------------- x122
+    // OPQ index MAINTENANCE — the lifecycle arrow x115 leaves open,
+    // closed the x77/x81 way: the standing base fits the rotation and
+    // both quantizers and writes the composed artifact once; the
+    // arriving batch rotates through the STORED rotation (never a
+    // refit) and appends in O(|batch|); a compact re-lays the codes by
+    // cid from their own skinny bytes; the query serves base ∪ batch
+    // off the compacted index. The oracle fits everything on the base
+    // split and rotate-assigns-encodes the whole corpus — append and
+    // compact must land exactly where fit-on-base-encode-everything
+    // lands. Delete and the adaptive-nprobe refit inherit unchanged
+    // (rotated-space codes are plain IVF-PQ codes — x85/x117's passes
+    // operate on the same artifact shape).
+    "x122_opq_append" -> ((s, dir) => {
+      val e = correlatedEmbeddings(Tables(s, dir).embeddings)
+      val base = e.filter(col("vec_id") % PqAppendMod =!= 0)
+      val batch = e.filter(col("vec_id") % PqAppendMod === 0)
+      val (r, cbs) = VectorOps.fitOpq(base, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters, OpqIters)
+      val cents = VectorOps.kmeansCentroids(
+        VectorOps.rotate(base, "embedding", r), "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val idx = SinkQueries.sinkDir("x122_opq_index")
+      VectorOps.writeOpqIvfPqIndex(base, "vec_id", "embedding", r, cents,
+        cbs, idx)
+      VectorOps.appendOpqIvfPqIndex(batch, "vec_id", "embedding", idx)
+      val compacted = SinkQueries.sinkDir("x122_opq_codes_compacted")
+      graft.sinks.LayoutSink.compact(s, s"$idx/codes", compacted,
+        32L * 1024, Some("cid"))
+      VectorOps.opqTopKOverIndex(e, "vec_id", "embedding", QueryVecId, K,
+        NProbe, VectorOps.readRotation(s, idx),
+        s.read.parquet(s"$idx/centroids"),
+        VectorOps.readPqCodebooks(s, idx), s.read.parquet(compacted))
     })
   )
 
@@ -2008,8 +2043,20 @@ object VectorQueries {
     * integer polar solve; the fitted-rotation image rx1 = R·corr
     * (UNROUNDED — see rotateCol's scaladoc: a rotated-coordinate
     * lattice would make every downstream centroid mean a half-boundary
-    * coin flip); and the o-tagged final chains + encode on rx1. */
-  private def opqFitCtes: String = {
+    * coin flip); and the o-tagged final chains + encode on rx1.
+    *
+    * `fitPred` (x122): restrict every FIT input — the p chains, the
+    * p-encode feeding the cross-matrix, the o chains — to the rows
+    * matching it, while xj/rx1 and the o-encode stay corpus-wide: the
+    * SQL image of fit-on-base, rotate-and-encode-everything, which is
+    * exactly what write-then-append with stored artifacts must equal. */
+  private def opqFitCtesFor(fitPred: String): String = {
+    val corrFit =
+      if (fitPred.isEmpty) "corr"
+      else s"(SELECT * FROM corr WHERE $fitPred)"
+    val rx1Fit =
+      if (fitPred.isEmpty) "rx1"
+      else s"(SELECT * FROM rx1 WHERE $fitPred)"
     val cs = VectorOps.CrossScale
     val yparts = (0 until PqM).map { j =>
       s"""  SELECT e.vec_id, ${j * PqSub} + d.di - 1 AS i,
@@ -2021,8 +2068,8 @@ object VectorQueries {
     // CTEs — MATERIALIZED keeps every reference a table read instead of
     // a re-execution (and keeps the parquet leaf opened once).
     s"""$correlatedCte,
-       |${pqChainsSqlFor("corr", "p")},
-       |${pqEncodeSqlFor("corr", "p")},
+       |${pqChainsSqlFor(corrFit, "p")},
+       |${pqEncodeSqlFor(corrFit, "p")},
        |xj AS MATERIALIZED (
        |  SELECT vec_id, j - 1 AS j, embedding[j] AS xj,
        |    CAST(round(round(embedding[j], 6) * $cs, 0) AS BIGINT) AS xl
@@ -2040,9 +2087,11 @@ object VectorQueries {
        |    FROM rr r JOIN xj x ON r.j = x.j
        |    GROUP BY 1, 2)
        |  GROUP BY vec_id),
-       |${pqChainsSqlFor("rx1", "o")},
+       |${pqChainsSqlFor(rx1Fit, "o")},
        |${pqEncodeSqlFor("rx1", "o")}""".stripMargin
   }
+
+  private def opqFitCtes: String = opqFitCtesFor("")
 
   /** x115: the fit replay, the coarse chain + assignment in the rotated
     * space, and the routed ADC serve — the query enters through the same
@@ -2062,6 +2111,30 @@ object VectorQueries {
        |CROSS JOIN q
        |WHERE a.vec_id <> $QueryVecId
        |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin
+
+  /** x122: the fit replay restricted to the base split (both PQ chain
+    * families AND the coarse chain train on base rows only), the
+    * corpus-wide assignment/encode through the fitted rotation, and the
+    * routed serve — the SQL image of write-OPQ-index-on-base, append the
+    * batch through the STORED rotation/centroids/codebooks, compact,
+    * serve base ∪ batch. */
+  private lazy val opqAppendServeSql: String = {
+    val pred = s"vec_id % $PqAppendMod != 0"
+    s"""WITH ${opqFitCtesFor(pred)},
+       |${kmeansSqlFor(s"(SELECT * FROM rx1 WHERE $pred)")},
+       |${assignCteFor("rx1")},
+       |q AS (SELECT embedding AS qv FROM rx1 WHERE vec_id = $QueryVecId),
+       |probes AS (
+       |  SELECT c.cid FROM c$KmeansIters c CROSS JOIN q
+       |  ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid LIMIT $NProbe)
+       |SELECT a.vec_id, round(${pqAdcSql("q.qv", "o")}, 6) AS adc_d2
+       |FROM (SELECT vec_id, cid FROM assign) a
+       |JOIN probes p ON a.cid = p.cid
+       |${pqJoinsSql("o")}
+       |CROSS JOIN q
+       |WHERE a.vec_id <> $QueryVecId
+       |ORDER BY adc_d2, a.vec_id LIMIT $K""".stripMargin
+  }
 
   /** One branch of the x116 pair: coarse chain `chain` over the branch's
     * rotated corpus `rx`, its assignment, the sampled rotated queries,
@@ -2429,6 +2502,7 @@ object VectorQueries {
     // pair at equal m/ks/nprobe.
     "x115_opq_serve" -> opqServeSql,
     "x116_opq_gain" -> opqGainSql,
+    "x122_opq_append" -> opqAppendServeSql,
     // x88: the two-stage replay — ADC candidate cut (rk ≤ PqCandidates)
     // then exact re-rank of exactly those survivors, emitting the
     // round-6 exact distance; the storage round trip is result-

@@ -1,0 +1,165 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bloom
+
+/** Per-FILE Bloom-filter skipping index over a parquet table — the
+  * point-lookup sidecar Delta/Iceberg keep in their transaction logs
+  * (engine extension; the reference's per-document upsert path
+  * `pac_data_processor.py:263-276` re-reads its whole sink collection to
+  * find one key, which is the anti-pattern this index retires at scale).
+  *
+  * Shape: ONE scan of the table folds each file's key hashes into an
+  * nBits Bloom filter ([[graft.functions.BloomSketch]] — native typed
+  * aggregate, no UDF), stored as a sidecar of (file, words, n_bits,
+  * n_probes) rows — one row per data file, KILOBYTES per 100 GB of data.
+  * A point lookup probes the sidecar (nFiles rows, never the table),
+  * collects only the SURVIVING file names, and reads just those files
+  * with the exact predicate re-applied — so the result is EXACT,
+  * invariant to the filter's false-positive rate, and therefore
+  * oracle-checkable against a plain filter on the source table.
+  *
+  * Why this beats footer min/max at 100 TB: parquet footers prune too,
+  * but a reader must OPEN every footer to know — a million-file table
+  * pays a million metadata round trips per lookup on an object store.
+  * The sidecar answers the same question from ONE small parquet read,
+  * and unlike min/max it keeps pruning when the key does not correlate
+  * with the file layout, as long as each key lands in FEW files (the
+  * clustered/point-lookup regime; for a key scattered uniformly across
+  * every file no skipping index can help, and the filter honestly
+  * selects every file).
+  *
+  * Geometry (n_bits, n_probes) RIDES WITH THE ARTIFACT and is validated
+  * on every probe — a parameter/artifact mismatch fails loudly instead
+  * of routing probes to wrong bit positions (the sharded-Bloom lesson:
+  * a wrong-geometry probe is a silent false negative, the one error
+  * class a Bloom consumer cannot detect downstream).
+  *
+  * Maintenance is O(|new files|): [[update]] diffs the table's file
+  * listing against the indexed rows and folds ONLY unindexed files —
+  * the append-then-maintain lifecycle shared with the band index and
+  * the IVF-PQ codes. Compaction/rewrite of the table invalidates
+  * removed files' rows; [[update]] also drops rows whose file no longer
+  * exists, so a rebuild after compact touches exactly the new files. */
+object BloomSkipIndex {
+
+  /** Key hash shared by build and probe: the codegen'd builtin
+    * `xxhash64` (FP-invariance makes oracle-replayable hashing
+    * unnecessary — [[Bloom.sketch]] scaladoc). */
+  private def keyHash(c: org.apache.spark.sql.Column) = xxhash64(c)
+
+  private def baseName(s: String): String =
+    s.substring(s.lastIndexOf('/') + 1)
+
+  /** Name-component membership test as builtins (no UDF). */
+  private def udfFreeNameIn(file: org.apache.spark.sql.Column,
+                            names: Set[String]): org.apache.spark.sql.Column =
+    element_at(split(file, "/"), -1).isin(names.toSeq: _*)
+
+  /** Build the sidecar in ONE table scan. Overwrites any prior index. */
+  def write(spark: SparkSession, tablePath: String, keyCol: String,
+            nBits: Int, nProbes: Int, indexDir: String): Unit = {
+    spark.read.parquet(tablePath)
+      .select(input_file_name().as("file"), keyHash(col(keyCol)).as("__h"))
+      .groupBy("file")
+      .agg(Bloom.sketch(col("__h"), nBits, nProbes).as("words"))
+      .withColumn("n_bits", lit(nBits))
+      .withColumn("n_probes", lit(nProbes))
+      .coalesce(1) // one row per data file — metadata-sized by construction
+      .write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** Fold files that appeared since the last build/update into the index
+    * and drop rows for files that no longer exist — O(|changed files|)
+    * data read, never a full table re-scan. Geometry comes from the
+    * stored artifact (single-geometry invariant enforced). */
+  def update(spark: SparkSession, tablePath: String, keyCol: String,
+             indexDir: String): Unit = {
+    val idx = spark.read.parquet(indexDir)
+    val (nBits, nProbes) = geometry(idx)
+    // diff on file NAMES (unique within a directory): the index stores
+    // input_file_name()'s URI rendering, the listing yields Hadoop's —
+    // two spellings of one path must not read as distinct files
+    val indexed = idx.select("file").collect()
+      .map(r => baseName(r.getString(0))).toSet
+    val live = listDataFiles(spark, tablePath)
+    val liveNames = live.map(baseName).toSet
+    val fresh = live.filterNot(f => indexed(baseName(f)))
+    val keptRows = idx.filter(
+      udfFreeNameIn(col("file"), liveNames))
+    val freshRows =
+      if (fresh.isEmpty) None
+      else Some(spark.read.parquet(fresh: _*)
+        .select(input_file_name().as("file"), keyHash(col(keyCol)).as("__h"))
+        .groupBy("file")
+        .agg(Bloom.sketch(col("__h"), nBits, nProbes).as("words"))
+        .withColumn("n_bits", lit(nBits))
+        .withColumn("n_probes", lit(nProbes)))
+    val next = freshRows.fold(keptRows)(keptRows.unionByName(_))
+    // the sidecar is tiny — rewrite it atomically via a staging dir so a
+    // concurrent reader never sees a half-deleted index
+    val tmp = indexDir + "_next"
+    next.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"rename $tmp -> $indexDir failed; index not committed")
+  }
+
+  /** The data files the index's probes can select — the same set a
+    * plain `spark.read.parquet(tablePath)` would scan. */
+  private def listDataFiles(spark: SparkSession,
+                            tablePath: String): Array[String] = {
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(dir)
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.toUri.toString)
+  }
+
+  /** The artifact's single (n_bits, n_probes) pair; mixed geometries or
+    * an empty index fail loudly — see the object scaladoc. */
+  private def geometry(idx: DataFrame): (Int, Int) = {
+    val gs = idx.select("n_bits", "n_probes").distinct().collect()
+    require(gs.length == 1,
+      s"bloom skip index must carry exactly one geometry, found ${gs.length}")
+    (gs(0).getInt(0), gs(0).getInt(1))
+  }
+
+  /** The files that MIGHT contain any of `keys` — the probe runs in
+    * Spark over the sidecar rows (the filter words never collect to the
+    * driver; only the surviving FILE NAMES do, which is bounded by the
+    * listing the read needs anyway). Exposed for spec-level audits of
+    * the no-false-negative contract. */
+  def matchingFiles(spark: SparkSession, indexDir: String,
+                    keys: Seq[Long]): Seq[String] = {
+    require(keys.nonEmpty, "empty key set")
+    val idx = spark.read.parquet(indexDir)
+    val (nBits, nProbes) = geometry(idx)
+    val hit = keys
+      .map(k => Bloom.mightContain(col("words"), keyHash(lit(k)), nBits, nProbes))
+      .reduce(_ || _)
+    idx.filter(hit).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Exact point lookup THROUGH the index: probe → read only surviving
+    * files (schema pinned from the table so pruning cannot change it) →
+    * exact IN filter. Zero surviving files short-circuits to an empty
+    * frame without touching the table's data. */
+  def lookup(spark: SparkSession, tablePath: String, indexDir: String,
+             keyCol: String, keys: Seq[Long]): DataFrame = {
+    val schema = spark.read.parquet(tablePath).schema
+    val files = matchingFiles(spark, indexDir, keys)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(files: _*)
+        .filter(col(keyCol).isin(keys: _*))
+  }
+}

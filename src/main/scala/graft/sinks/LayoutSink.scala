@@ -178,19 +178,30 @@ object LayoutSink {
 
   /** Read a manifest-committed table: the union of every sealed
     * manifest's part files. Plain directory listing is never consulted,
-    * so crashed attempts and in-flight commits are invisible. */
+    * so crashed attempts and in-flight commits are invisible.
+    *
+    * TIME TRAVEL comes free with the manifest protocol (the
+    * Iceberg/Delta snapshot-read shape): manifests are immutable and
+    * batch-numbered, so "the table as of batch N" is exactly the union
+    * of manifests with id ≤ N — `asOfBatch` selects it with zero extra
+    * metadata, and two readers at different snapshots share the same
+    * immutable part files. Default reads the latest. */
   def readManifested(spark: org.apache.spark.sql.SparkSession,
-                     path: String): DataFrame = {
+                     path: String,
+                     asOfBatch: Long = Long.MaxValue): DataFrame = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val manifests = Option(fs.globStatus(
       new org.apache.hadoop.fs.Path(target, "_manifest_batch*")))
       .getOrElse(Array.empty).toSeq
+      .filter(_.getPath.getName
+        .stripPrefix("_manifest_batch").toLong <= asOfBatch)
     val files = manifests.flatMap(m =>
       readManifestLines(fs, m.getPath).getOrElse(Seq.empty))
       .map(rel => new org.apache.hadoop.fs.Path(target, rel).toString)
     require(files.nonEmpty,
-      s"no sealed manifest under $path — nothing has committed yet")
+      s"no sealed manifest under $path at batch <= $asOfBatch — " +
+        "nothing has committed yet")
     spark.read.parquet(files: _*)
   }
 

@@ -257,6 +257,76 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2).y_sum === Some(4L * 128L * 99L))
   }
 
+  // ---------------------------------------------------------- real avi path
+
+  test("demuxAvi: real RIFF walk recovers header facts, frame count, and " +
+       "the exact frame-byte sum; corrupt payloads quarantine") {
+    val f1 = Array.tabulate[Byte](100)(i => (i % 7).toByte)
+    val f2 = Array.tabulate[Byte](33)(i => (i % 5).toByte) // odd → pad byte
+    val avi = Multimodal.Avi.mux(Seq(f1, f2), 32, 24, 40000)
+    val media = mediaFrame(Seq(
+      (1L, avi, "video/x-msvideo"),
+      (2L, Multimodal.Avi.mux(Seq.empty, 8, 8, 33367), "video/x-msvideo"),
+      (3L, "RIFFgarbage".getBytes("UTF-8"), "video/x-msvideo"),
+      (4L, avi.take(avi.length - 5), "video/x-msvideo"))) // truncated chunk
+    val feats = Multimodal.demuxAvi(spark, media).collect().sortBy(_.doc_id)
+    assert(feats(0).decoded)
+    assert(feats(0).width === Some(32) && feats(0).height === Some(24))
+    assert(feats(0).n_frames === Some(2L))
+    assert(feats(0).duration_ms === Some(80L))
+    // pad bytes are container framing, never payload: the sum is exactly
+    // the muxed frame bytes
+    val want = (f1 ++ f2).map(b => (b & 0xff).toLong).sum
+    assert(feats(0).byte_sum === Some(want))
+    // empty movi list is a valid zero-frame file
+    assert(feats(1).decoded && feats(1).n_frames === Some(0L)
+      && feats(1).byte_sum === Some(0L))
+    assert(!feats(2).decoded, "bad magic must quarantine")
+    assert(!feats(3).decoded, "a chunk past its parent must quarantine")
+  }
+
+  test("MJPEG end to end: real JPEG frames in a real AVI container demux " +
+       "byte-exact and decode through the image tier") {
+    val jpegs = Seq(0xff0000, 0x00ff00, 0x0000ff, 0x808080)
+      .map(c => imageBytes(24, 16, "jpeg", c))
+    val avi = Multimodal.Avi.mux(jpegs, 24, 16, 40000)
+    val media = mediaFrame(Seq((7L, avi, "video/x-msvideo")))
+    val feats = Multimodal.demuxAvi(spark, media).collect()
+    assert(feats(0).decoded && feats(0).n_frames === Some(4L))
+    val frames = Multimodal.sampleAviFrames(spark, media, stride = 1)
+      .collect().sortBy(_.frame_index)
+    assert(frames.length === 4)
+    assert(frames.zip(jpegs).forall { case (f, j) =>
+      f.frame_bytes.sameElements(j) },
+      "demuxed chunks must be byte-identical to the muxed JPEGs")
+    val decoded = Multimodal.decodeImages(spark, mediaFrame(
+      frames.map(f => (f.frame_index, f.frame_bytes, "image/jpeg")).toSeq))
+      .collect()
+    assert(decoded.forall(_.decoded))
+    assert(decoded.forall(d => d.width === Some(24) && d.height === Some(16)))
+    assert(decoded.forall(_.format === Some("jpeg")))
+    // strided sampling keeps every 2nd frame
+    val strided = Multimodal.sampleAviFrames(spark, media, stride = 2)
+      .collect().sortBy(_.frame_index)
+    assert(strided.map(_.frame_index).toSeq === Seq(0L, 2L))
+  }
+
+  test("asAviTable: synthetic AVI from text demuxes to the arithmetic " +
+       "frame count and prefix byte sum (the x123 construction)") {
+    val docs = Seq(
+      (1L, "a" * 500, "en", "s", 500L),
+      (2L, "b" * 100, "en", "s", 100L),
+      (3L, "c" * 2000, "en", "s", 2000L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val avis = Multimodal.asAviTable(spark, docs, 16, 8, 192, 4, 40000)
+    assert(avis.columns.toSeq === Seq("doc_id", "payload", "media_type", "lang"))
+    val feats = Multimodal.demuxAvi(spark, avis).collect().sortBy(_.doc_id)
+    assert(feats.forall(_.decoded), "constructed containers must always parse")
+    assert(feats.map(_.n_frames.get).toSeq === Seq(2L, 0L, 4L))
+    assert(feats(0).byte_sum === Some(2L * 192L * 97L))
+    assert(feats(2).byte_sum === Some(4L * 192L * 99L))
+  }
+
   test("extractFeatures runs batched per-partition and is deterministic") {
     val docs = Seq(
       (1L, "hello", "en", "s", 5L), (2L, "world!", "de", "s", 6L)

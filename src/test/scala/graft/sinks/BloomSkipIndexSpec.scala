@@ -1,0 +1,132 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Design claims of [[BloomSkipIndex]] the s21 oracle cannot see: the
+  * no-false-negative file selection, the fact that the probe actually
+  * PRUNES on a range layout, O(|new files|) maintenance, and the
+  * loud-failure geometry/emptiness contracts. */
+class BloomSkipIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-bskip-$tag").toString
+
+  private def baseName(s: String): String =
+    s.substring(s.lastIndexOf('/') + 1)
+
+  test("lookup equals the direct filter; selection covers every file " +
+       "that truly holds a key and prunes the rest on a range layout") {
+    val t = graft.sources.Tables(spark, sf)
+    val tbl = tmp("t1") + "/tbl"; val idx = tmp("t1") + "/idx"
+    val src = t.lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+    LayoutSink.writeRangeLayout(src, "l_orderkey", 12, tbl)
+    BloomSkipIndex.write(spark, tbl, "l_orderkey", 1 << 13, 5, idx)
+
+    val keys = Seq(1L, 32L, 1000L)
+    val got = BloomSkipIndex.lookup(spark, tbl, idx, "l_orderkey", keys)
+      .orderBy("l_orderkey", "l_partkey").collect().toSeq
+    val want = spark.read.parquet(tbl)
+      .filter(col("l_orderkey").isin(keys: _*))
+      .orderBy("l_orderkey", "l_partkey").collect().toSeq
+    assert(got == want)
+
+    // no false negatives: every file truly containing a key is selected
+    val selected = BloomSkipIndex
+      .matchingFiles(spark, idx, keys).map(baseName).toSet
+    val truth = spark.read.parquet(tbl)
+      .filter(col("l_orderkey").isin(keys: _*))
+      .select(input_file_name()).distinct()
+      .collect().map(r => baseName(r.getString(0))).toSet
+    assert(truth.subsetOf(selected))
+
+    // and it PRUNES: 3 clustered keys cannot touch most of 12 range files
+    val total = spark.read.parquet(tbl)
+      .select(input_file_name()).distinct().count()
+    assert(selected.size < total,
+      s"selected ${selected.size} of $total files — no pruning happened")
+  }
+
+  test("update folds only unindexed files and drops rows for removed " +
+       "ones; lookups then see appended data") {
+    val t = graft.sources.Tables(spark, sf)
+    val tbl = tmp("t2") + "/tbl"; val idx = tmp("t2") + "/idx"
+    val src = t.lineitem.select("l_orderkey", "l_partkey")
+    LayoutSink.writeRangeLayout(
+      src.filter(col("l_orderkey") % 2 === 0), "l_orderkey", 6, tbl)
+    BloomSkipIndex.write(spark, tbl, "l_orderkey", 1 << 13, 5, idx)
+    val before = spark.read.parquet(idx).count()
+
+    src.filter(col("l_orderkey") % 2 === 1).repartition(3)
+      .write.mode("append").parquet(tbl)
+    BloomSkipIndex.update(spark, tbl, "l_orderkey", idx)
+    val after = spark.read.parquet(idx)
+    assert(after.count() == before + 3)
+    // exactly one row per live data file
+    val liveNames = new java.io.File(tbl).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".") && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    val idxNames = after.select("file").collect()
+      .map(r => baseName(r.getString(0))).toSet
+    assert(idxNames == liveNames)
+
+    // odd keys live only in appended files; the lookup must find them
+    val got = BloomSkipIndex.lookup(spark, tbl, idx, "l_orderkey", Seq(1L, 3L))
+      .orderBy("l_orderkey", "l_partkey").collect().toSeq
+    val want = spark.read.parquet(tbl)
+      .filter(col("l_orderkey").isin(1L, 3L))
+      .orderBy("l_orderkey", "l_partkey").collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    // idempotent: a second update with no new files is a no-op
+    BloomSkipIndex.update(spark, tbl, "l_orderkey", idx)
+    assert(spark.read.parquet(idx).count() == before + 3)
+  }
+
+  test("zero surviving files short-circuits to an empty frame with the " +
+       "table schema") {
+    val t = graft.sources.Tables(spark, sf)
+    val tbl = tmp("t3") + "/tbl"; val idx = tmp("t3") + "/idx"
+    val src = t.lineitem.select("l_orderkey", "l_partkey")
+    LayoutSink.writeRangeLayout(src, "l_orderkey", 4, tbl)
+    BloomSkipIndex.write(spark, tbl, "l_orderkey", 1 << 16, 7, idx)
+    // a key far outside the domain: with 2^16 bits over ~6k keys the FP
+    // rate is ~0, so no file survives and the table is never read
+    val out = BloomSkipIndex.lookup(
+      spark, tbl, idx, "l_orderkey", Seq(Long.MaxValue - 17))
+    assert(out.columns.toSeq == Seq("l_orderkey", "l_partkey"))
+    assert(out.count() == 0)
+  }
+
+  test("mixed geometry in the artifact fails loudly at probe time") {
+    val t = graft.sources.Tables(spark, sf)
+    val tbl = tmp("t4") + "/tbl"; val idx = tmp("t4") + "/idx"
+    LayoutSink.writeRangeLayout(
+      t.lineitem.select("l_orderkey"), "l_orderkey", 4, tbl)
+    BloomSkipIndex.write(spark, tbl, "l_orderkey", 1 << 13, 5, idx)
+    // poison: one row with a different geometry (a wrong-geometry probe
+    // would be a SILENT false negative — the contract is to refuse)
+    spark.read.parquet(idx)
+      .limit(1)
+      .withColumn("n_bits", lit(1 << 14))
+      .write.mode("append").parquet(idx)
+    val e = intercept[IllegalArgumentException] {
+      BloomSkipIndex.matchingFiles(spark, idx, Seq(1L))
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
+  test("empty key set is refused") {
+    val t = graft.sources.Tables(spark, sf)
+    val tbl = tmp("t5") + "/tbl"; val idx = tmp("t5") + "/idx"
+    LayoutSink.writeRangeLayout(
+      t.lineitem.select("l_orderkey"), "l_orderkey", 2, tbl)
+    BloomSkipIndex.write(spark, tbl, "l_orderkey", 1 << 13, 5, idx)
+    intercept[IllegalArgumentException] {
+      BloomSkipIndex.lookup(spark, tbl, idx, "l_orderkey", Seq.empty)
+    }
+  }
+}

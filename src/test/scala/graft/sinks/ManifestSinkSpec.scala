@@ -63,6 +63,26 @@ class ManifestSinkSpec extends SparkSpec {
     assert(readIds(tbl) == (0L until 15L))
   }
 
+  test("time travel: asOfBatch reads exactly the manifests with id <= N, " +
+       "snapshots coexist, and an empty snapshot fails loudly") {
+    val tbl = tmpTable("asof")
+    assert(LayoutSink.appendExactlyOnceManifest(batch(0, 5), tbl, 0L))
+    assert(LayoutSink.appendExactlyOnceManifest(batch(5, 9), tbl, 1L))
+    assert(LayoutSink.appendExactlyOnceManifest(batch(9, 12), tbl, 2L))
+    def ids(asOf: Long): Seq[Long] =
+      LayoutSink.readManifested(spark, tbl, asOf)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(0L) == (0L until 5L))
+    assert(ids(1L) == (0L until 9L))
+    // both snapshots and the latest view are live at once — immutable
+    // manifests share the same part files
+    assert(ids(Long.MaxValue) == (0L until 12L))
+    assert(readIds(tbl) == (0L until 12L))
+    intercept[IllegalArgumentException] {
+      LayoutSink.readManifested(spark, tbl, -1L)
+    }
+  }
+
   test("a crashed attempt (parts written, no manifest) is invisible to " +
        "readers; the retry commits fresh and the sweep reclaims the orphan") {
     val tbl = tmpTable("crash")

@@ -74,13 +74,19 @@ object MorTable {
     require(seq >= 1L, "merge sequence numbers start at 1 (base is 0)")
     val spark = changes.sparkSession
     // data BEFORE tombstones — see the class doc's commit discipline.
-    // Column order pinned to the stored schema: parquet readers take the
-    // first footer's ordering, so a permuted append would corrupt reads.
-    val dataCols = spark.read.parquet(s"$dir/data").drop(SeqCol).columns
+    // Column order AND types pinned to the stored schema: parquet
+    // readers take the first footer's ordering, and a physically wider
+    // append (e.g. a change feed that decoded keys as long against an
+    // int base) would fail every later read of the mixed directory —
+    // the cast aligns at write time, where a narrowing ANSI cast fails
+    // loudly instead of corrupting.
+    val dataSchema = spark.read.parquet(s"$dir/data").drop(SeqCol).schema
     changes.filter(col(opCol) =!= "D").drop(opCol)
-      .select(dataCols.map(col).toIndexedSeq: _*)
+      .select(dataSchema.map(f => col(f.name).cast(f.dataType).as(f.name))
+        .toIndexedSeq: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$SeqCol=$seq")
-    changes.select(col(keyCol))
+    changes
+      .select(col(keyCol).cast(dataSchema(keyCol).dataType).as(keyCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/deletes/$SeqCol=$seq")
   }
 

@@ -1099,6 +1099,34 @@ object EventStreams {
     * the idempotent re-run semantics the reference approximates with its
     * dedup-before-upload pass. Returns the started query; reports accumulate
     * into `reports` (one per micro-batch). */
+  /** Streaming CDC intake for the merge-on-read table
+    * ([[graft.sinks.MorTable]]): each micro-batch of keyed change rows
+    * (op "U" upserts, "D" deletes) lands as ONE sequence-numbered merge
+    * — O(|batch|) bytes written, the standing table never read or
+    * rewritten, which is the only sustainable shape for a change stream
+    * feeding a 100 TB table (the eager j5 rewrite would move the whole
+    * table per micro-batch). Sequence = batchId + 1 (the base snapshot
+    * is 0), so tombstone ordering follows stream order, and a REPLAYED
+    * batch — foreachBatch's at-least-once contract — re-runs merge at
+    * the SAME sequence, whose overwrite commit CONVERGES instead of
+    * duplicating rows: exactly-once table state on at-least-once
+    * delivery, the same discipline as the indexed streaming screens.
+    * One checkpoint owns one table for the query's lifetime (batch ids
+    * must keep increasing across restarts — they do, under the same
+    * checkpoint). Compaction stays an offline maintainer (j11's pass),
+    * exactly like the vector-index and band-index loops. */
+  def streamChangesToMor(changes: DataFrame, dir: String, keyCol: String,
+                         opCol: String, checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sinks.MorTable.merge(batch.toDF(), dir, keyCol, opCol,
+          batchId + 1)
+      }
+      .start()
+
   def streamToDocumentSink(
       events: DataFrame,
       writer: graft.sinks.DocumentSink.BatchWriter,

@@ -115,6 +115,43 @@ class MorTableSpec extends SparkSpec {
         "compacted state")
   }
 
+  test("streaming CDC intake: micro-batches land as sequenced merges, " +
+       "the folded state equals the eager double merge, and a replayed " +
+       "batch (at-least-once delivery) converges instead of duplicating") {
+    val dir = tmpDir("stream"); val ckpt = tmpDir("stream-ckpt")
+    MorTable.writeBase(customers, dir, "c_custkey")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment", "op")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("c_custkey").cast("long"), col("c_name"),
+          col("c_nationkey").cast("long"), col("c_acctbal").cast("double"),
+          col("c_mktsegment"), col("op"))
+        .as[(Long, String, Long, Double, String, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Double, String, String)]
+    val q = graft.streaming.EventStreams.streamChangesToMor(
+      ms.toDF().toDF(cols: _*), dir, "c_custkey", "op", ckpt)
+    try {
+      ms.addData(tuples(changes1): _*); q.processAllAvailable()
+      ms.addData(tuples(changes2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val eager = graft.operators.Merge.applyChanges(
+      graft.operators.Merge.applyChanges(customers, changes1,
+        Seq("c_custkey"), "op"),
+      changes2, Seq("c_custkey"), "op")
+    def folded() = sortedRows(MorTable.read(spark, dir, "c_custkey")
+      .select(eager.columns.map(col).toIndexedSeq: _*))
+    val want = sortedRows(eager)
+    assert(folded() == want,
+      "streamed merges must fold to the eager double merge")
+    // foreachBatch replays a batch after a crash — the same-sequence
+    // overwrite commit must converge to the identical state
+    MorTable.merge(changes1, dir, "c_custkey", "op", 1L)
+    assert(folded() == want, "a replayed batch must not change the state")
+  }
+
   test("the tombstone anti-join preserves key pushdown on the data scan " +
        "(file pruning stays live at 100 TB)") {
     val dir = tmpDir("prune")

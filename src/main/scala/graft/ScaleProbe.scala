@@ -56,7 +56,19 @@ object ScaleProbe {
     // training-pair export funnel (routed mining + CC split + pack)
     "x110_sharded_bloom_rotate", "x111_bpe_batched", "pl15_training_pairs",
     "x112_adaptive_nprobe", "x113_hard_positive_recall",
-    "x114_adaptive_nprobe_refresh")
+    "x114_adaptive_nprobe_refresh",
+    // round-17 additions: the OPQ lifecycle (fit + rotated index build
+    // are corpus-proportional; the append is batch-proportional), the
+    // post-maintenance adaptive-nprobe serve, the trained lang-ID fit
+    // and the unigram tokenizer serve (corpus-proportional scans), the
+    // lang-routed curation funnel, the AVI demux (payload-proportional
+    // chunk walk), and the bloom skip index build+lookup (build is
+    // table-proportional, the lookup must stay file-pruned); s22 is
+    // metadata-sized and x116 is a double-fit measurement gate — no
+    // probe value
+    "x115_opq_serve", "x117_adaptive_nprobe_lifecycle",
+    "x119_langid_train", "x121_unigram_apply", "x122_opq_append",
+    "x123_avi_demux", "pl16_multilingual_curation", "s21_bloom_skip")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

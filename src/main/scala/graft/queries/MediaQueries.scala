@@ -31,6 +31,8 @@ object MediaQueries {
   val AviFrameLen = 192
   val AviMaxFrames = 4
   val AviUsecPerFrame = 40000
+  // x125: one gzip member per 256-byte text record (the WARC shape).
+  val WarcChunkLen = 256
 
   def queries: Map[String, Q] = Map(
     // ----------------------------------------------------------------- x10
@@ -116,6 +118,27 @@ object MediaQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames"), col("duration_ms"), col("byte_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- x125
+    // REAL concatenated-gzip decode (the WARC/CommonCrawl record
+    // container — RFC 1952 members, one per record): each document
+    // becomes text split into 256-byte records, each its own gzip
+    // member; the from-scratch member walker parses every header,
+    // raw-inflates through the real zlib codec, VERIFIES each trailer's
+    // CRC32+ISIZE, and reports member count, decompressed size, and the
+    // content digest — which by construction replay in DuckDB as byte
+    // arithmetic and sha256(text), so the whole decode chain is
+    // oracle-checked without a SQL DEFLATE. The quarantine/corruption
+    // half is spec-gated (constructed corrupt members).
+    "x125_warc_gzip" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.decodeGzipMembers(s,
+          Multimodal.asWarcTable(s, t.documents, WarcChunkLen))
+        .toDF()
+        .select(col("doc_id"), col("n_members"), col("total_bytes"),
+          col("content_sha256"))
         .orderBy("doc_id")
     })
   )
@@ -205,6 +228,17 @@ object MediaQueries {
          |  CAST(m.k * ${AviUsecPerFrame / 1000} AS BIGINT) AS duration_ms,
          |  COALESCE(s.bs, 0) AS byte_sum
          |FROM m LEFT JOIN s USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // The gzip member walk replayed arithmetically: ceil(bytes/256)
+    // members, total = the byte length, content = the text itself (the
+    // decode is verified by the digest — a wrong inflate anywhere
+    // changes the sha).
+    "x125_warc_gzip" ->
+      s"""SELECT doc_id,
+         |  CAST((octet_length(encode(text)) + ${WarcChunkLen - 1})
+         |    // $WarcChunkLen AS BIGINT) AS n_members,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes,
+         |  sha256(text) AS content_sha256
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

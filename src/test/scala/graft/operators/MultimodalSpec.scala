@@ -327,6 +327,93 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2).byte_sum === Some(4L * 192L * 99L))
   }
 
+  // --------------------------------------------------------- real gzip path
+
+  test("decodeGzipMembers: real member walk inflates, verifies CRC/ISIZE, " +
+       "and reports per-member sizes; corruption quarantines instead of " +
+       "silently truncating") {
+    def member(s: String) =
+      Multimodal.GzipMembers.gzipMember(s.getBytes("UTF-8"))
+    val good = member("hello ") ++ member("world, ") ++ member("gzip!")
+    // garbage BETWEEN members: GZIPInputStream would silently stop after
+    // member 1 — the strict walker must quarantine
+    val midGarbage = member("hello ") ++
+      "NOT A GZIP HEADER".getBytes("UTF-8") ++ member("world")
+    // flipped byte inside the DEFLATE body (CRC must catch it even when
+    // the stream still inflates)
+    val crcBroken = {
+      val b = member("some payload that is long enough to damage")
+      b(b.length - 12) = (b(b.length - 12) ^ 0x41).toByte; b
+    }
+    val truncated = good.dropRight(3)
+    val media = mediaFrame(Seq(
+      (1L, good, "application/gzip"),
+      (2L, Array.emptyByteArray, "application/gzip"), // zero members: valid
+      (3L, midGarbage, "application/gzip"),
+      (4L, crcBroken, "application/gzip"),
+      (5L, truncated, "application/gzip")))
+    val feats = Multimodal.decodeGzipMembers(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).decoded)
+    assert(feats(0).n_members === Some(3L))
+    assert(feats(0).member_bytes === Some(Seq(6L, 7L, 5L)))
+    assert(feats(0).total_bytes === Some(18L))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val wantSha = md.digest("hello world, gzip!".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(feats(0).content_sha256 === Some(wantSha),
+      "decompressed concatenation must be the original records in order")
+    assert(feats(1).decoded && feats(1).n_members === Some(0L))
+    assert(!feats(2).decoded, "garbage between members must quarantine")
+    assert(!feats(3).decoded, "a CRC mismatch must quarantine")
+    assert(!feats(4).decoded, "a truncated trailer must quarantine")
+  }
+
+  test("gzip member walk handles FNAME/FEXTRA/FCOMMENT header flags " +
+       "(RFC 1952 optional fields real encoders emit)") {
+    // hand-build a member with FNAME + FEXTRA: header, fields, raw
+    // deflate body, CRC32 + ISIZE trailer
+    val content = "flagged member".getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8).toByte, // FEXTRA|FNAME
+      0, 0, 0, 0, 0, 0))
+    out.write(Array[Byte](3, 0)) // FEXTRA: 3 bytes follow
+    out.write(Array[Byte](1, 2, 3))
+    out.write("name.txt".getBytes("UTF-8")); out.write(0) // FNAME, NUL-ended
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(content); d.finish()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new java.util.zip.CRC32(); crc.update(content)
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    out.write(u32(crc.getValue)); out.write(u32(content.length.toLong))
+    val feats = Multimodal.decodeGzipMembers(spark,
+      mediaFrame(Seq((1L, out.toByteArray, "application/gzip"))))
+      .collect()
+    assert(feats(0).decoded, "optional header fields must parse")
+    assert(feats(0).member_bytes === Some(Seq(content.length.toLong)))
+  }
+
+  test("asWarcTable: text splits into 256-byte gzip members that decode " +
+       "back to the text (the x125 construction)") {
+    val docs = Seq(
+      (1L, "a" * 600, "en", "s", 600L),
+      (2L, "", "en", "s", 0L),
+      (3L, "short", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val warc = Multimodal.asWarcTable(spark, docs, 256)
+    val feats = Multimodal.decodeGzipMembers(spark, warc)
+      .collect().sortBy(_.doc_id)
+    assert(feats.forall(_.decoded))
+    assert(feats.map(_.n_members.get).toSeq === Seq(3L, 0L, 1L))
+    assert(feats(0).member_bytes === Some(Seq(256L, 256L, 88L)))
+    assert(feats(0).total_bytes === Some(600L))
+  }
+
   test("extractFeatures runs batched per-partition and is deterministic") {
     val docs = Seq(
       (1L, "hello", "en", "s", 5L), (2L, "world!", "de", "s", 6L)

@@ -68,7 +68,8 @@ object ScaleProbe {
     // probe value
     "x115_opq_serve", "x117_adaptive_nprobe_lifecycle",
     "x119_langid_train", "x121_unigram_apply", "x122_opq_append",
-    "x123_avi_demux", "pl16_multilingual_curation", "s21_bloom_skip")
+    "x123_avi_demux", "x125_warc_gzip", "pl16_multilingual_curation",
+    "pl17_warc_ingest", "s21_bloom_skip")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -121,6 +121,56 @@ object MediaQueries {
         .orderBy("doc_id")
     }),
 
+    // ---------------------------------------------------------------- x124
+    // REAL container frame sampling, oracle-gated — x25's byte-exact
+    // hex discipline applied to the AVI walker instead of the fixed-
+    // stride stub: every 2nd movi chunk of each synthetic container,
+    // compared as hex strings against the text slices the muxer framed.
+    // Proves the sampler returns the exact chunk payloads (offsets,
+    // lengths, pad-byte exclusion) — the property the MJPEG chain into
+    // decodeImages rests on.
+    "x124_avi_frames" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.sampleAviFrames(s,
+          Multimodal.asAviTable(s, t.documents, VideoW, VideoH,
+            AviFrameLen, AviMaxFrames, AviUsecPerFrame), FrameStride)
+        .toDF()
+        .select(col("doc_id"), col("frame_index"),
+          upper(hex(col("frame_bytes"))).as("frame_hex"))
+        .orderBy("doc_id", "frame_index")
+    }),
+
+    // ---------------------------------------------------------------- pl17
+    // Crawl-ingest pipeline: WARC-shaped payloads (x125's container) →
+    // strict inflate back to text → the curation ladder (x2 quality
+    // gate, x0 exact dedup with canonical keepers) → one funnel report.
+    // The recovery is oracle-invisible by construction (inflate ∘ mux =
+    // id), so the DuckDB replay runs the ladder straight on documents —
+    // a wrong member walk, a dropped record, or a mis-decoded byte
+    // anywhere surfaces as a funnel-count or token-mass mismatch. Every
+    // stage is scan-local or keyed aggregation; the inflate runs inside
+    // the scan partition (no exchange added to the 100 TB read path).
+    "pl17_warc_ingest" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val recovered = Multimodal.inflateWarcText(s,
+        Multimodal.asWarcTable(s, t.documents, WarcChunkLen)).toDF()
+      val q = graft.operators.TextOps.qualityMetrics(recovered, "text")
+        .select("doc_id", "n_tokens", "quality_ok")
+      val fp = recovered.select(col("doc_id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      val per = q.join(fp, "doc_id")
+      val qual = per.filter(col("quality_ok"))
+      val keep = qual.groupBy("fp")
+        .agg(min_by(col("n_tokens"), col("doc_id")).as("kt"))
+      recovered.agg(count(lit(1)).as("n_recovered"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .crossJoin(broadcast(
+          qual.agg(count(lit(1)).as("n_quality"))))
+        .crossJoin(broadcast(
+          keep.agg(count(lit(1)).as("n_unique"),
+            coalesce(sum("kt"), lit(0L)).as("n_tokens_kept"))))
+    }),
+
     // ---------------------------------------------------------------- x125
     // REAL concatenated-gzip decode (the WARC/CommonCrawl record
     // container — RFC 1952 members, one per record): each document
@@ -229,6 +279,56 @@ object MediaQueries {
          |  COALESCE(s.bs, 0) AS byte_sum
          |FROM m LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // The sampler's chunks replayed as hex slices: frame i of the
+    // synthetic container is text bytes [i·192, (i+1)·192) — 2 hex chars
+    // per byte; only COMPLETE frames were framed (k = min(4, bytes//192))
+    // and every 2nd is kept. Byte-exact: a pad byte leaking into a
+    // payload or an off-by-one chunk offset flips the hex.
+    "x124_avi_frames" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, upper(hex(encode(text))) AS ph,
+         |    least($AviMaxFrames,
+         |          octet_length(encode(text)) // $AviFrameLen) AS k
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, u.i AS frame_index,
+         |    substring(ph, (u.i * ${2 * AviFrameLen})::BIGINT + 1,
+         |      ${2 * AviFrameLen}) AS frame_hex
+         |  FROM m, UNNEST(range(0, m.k)) u(i)
+         |  WHERE u.i % $FrameStride = 0)
+         |SELECT doc_id, frame_index, frame_hex
+         |FROM f ORDER BY doc_id, frame_index""".stripMargin,
+    // pl17: inflate ∘ mux = identity, so the ladder replays straight on
+    // documents — x2's quality image, x1's fingerprint, arg_min keepers.
+    "pl17_warc_ingest" ->
+      s"""WITH toked AS (
+         |  SELECT doc_id, text, ${TextQueries.toksSql} AS toks FROM documents),
+         |qm AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    ${TextQueries.punctRatioSql("text")} AS punct_ratio,
+         |    ${TextQueries.stopRatioSql("toks")} AS stopword_ratio
+         |  FROM toked),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |    ${TextQueries.qualityOkSql("n_tokens", "punct_ratio", "stopword_ratio")}
+         |      AS quality_ok
+         |  FROM qm),
+         |f AS (
+         |  SELECT doc_id,
+         |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |qual AS (
+         |  SELECT q.doc_id, q.n_tokens, f.fp
+         |  FROM q JOIN f USING (doc_id) WHERE q.quality_ok),
+         |keep AS (SELECT fp, arg_min(n_tokens, doc_id) AS kt
+         |  FROM qual GROUP BY 1)
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS n_recovered,
+         |  (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) AS n_chars,
+         |  (SELECT count(*) FROM qual) AS n_quality,
+         |  (SELECT count(*) FROM keep) AS n_unique,
+         |  (SELECT coalesce(CAST(sum(kt) AS BIGINT), 0) FROM keep)
+         |    AS n_tokens_kept""".stripMargin,
     // The gzip member walk replayed arithmetically: ceil(bytes/256)
     // members, total = the byte length, content = the text itself (the
     // decode is verified by the digest — a wrong inflate anywhere

@@ -47,8 +47,14 @@ object BloomSkipIndex {
 
   /** Key hash shared by build and probe: the codegen'd builtin
     * `xxhash64` (FP-invariance makes oracle-replayable hashing
-    * unnecessary — [[Bloom.sketch]] scaladoc). */
-  private def keyHash(c: org.apache.spark.sql.Column) = xxhash64(c)
+    * unnecessary — [[Bloom.sketch]] scaladoc). The key is canonicalized
+    * to LONG first: Spark's hash functions are type-dependent (the same
+    * numeric value hashes differently as int vs long), and the probe
+    * side hashes Long literals — without the cast, an int-typed key
+    * column would silently false-negative EVERY probe, the one error
+    * class a Bloom consumer cannot detect downstream. */
+  private def keyHash(c: org.apache.spark.sql.Column) =
+    xxhash64(c.cast("long"))
 
   private def baseName(s: String): String =
     s.substring(s.lastIndexOf('/') + 1)

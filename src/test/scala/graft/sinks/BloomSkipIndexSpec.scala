@@ -119,6 +119,21 @@ class BloomSkipIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("geometry"))
   }
 
+  test("an int-typed key column probes correctly — the hash is " +
+       "canonicalized to long, so probe literals and column values agree") {
+    import spark.implicits._
+    val tbl = tmp("t6") + "/tbl"; val idx = tmp("t6") + "/idx"
+    val df = (0 until 1000).map(i => (i, s"v$i")).toDF("k", "v") // k: int
+    LayoutSink.writeRangeLayout(df, "k", 4, tbl)
+    BloomSkipIndex.write(spark, tbl, "k", 1 << 13, 5, idx)
+    val got = BloomSkipIndex.lookup(spark, tbl, idx, "k", Seq(7L, 500L))
+      .orderBy("k").collect().toSeq
+    val want = spark.read.parquet(tbl).filter(col("k").isin(7, 500))
+      .orderBy("k").collect().toSeq
+    assert(got == want && got.nonEmpty,
+      "int keys must not false-negative against long probe literals")
+  }
+
   test("empty key set is refused") {
     val t = graft.sources.Tables(spark, sf)
     val tbl = tmp("t5") + "/tbl"; val idx = tmp("t5") + "/idx"

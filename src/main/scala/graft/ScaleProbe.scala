@@ -97,6 +97,10 @@ object ScaleProbe {
       blowUpEmbeddings(spark, factor, outDir)
       blowUpDocuments(spark, factor, outDir)
     }
+    // lineitem joined the probe corpus in round 17 (s21); build it even
+    // into a pre-round-17 blow-up dir
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
+      blowUpLineitem(spark, factor, outDir)
     println(f"${"query"}%-26s ${"sf0.1"}%9s ${s"sf0.1x$factor"}%9s  ratio")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -134,6 +138,21 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** factor copies with disjoint ORDER key ranges (copy i shifts
+    * l_orderkey like the embedding ids) — s21's bloom skip index then
+    * faces a genuinely 10×-larger table and key domain. */
+  private def blowUpLineitem(spark: SparkSession, factor: Int,
+                             outDir: String): Unit = {
+    val l = spark.read.parquet(s"$SrcDir/lineitem.parquet")
+    val offset = l.agg(max("l_orderkey")).head.getLong(0) + 1
+    val rest = l.columns.filterNot(_ == "l_orderkey").map(col).toSeq
+    (0 until factor).map { i =>
+      l.select((col("l_orderkey") + lit(i * offset)).as("l_orderkey") +: rest: _*)
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   /** factor copies with disjoint ids AND per-copy token namespaces

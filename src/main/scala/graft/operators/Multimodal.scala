@@ -586,9 +586,13 @@ object Multimodal {
       val hdrl = list("hdrl",
         chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++
           chunk("strf", strf)))
-      val movi = list("movi",
-        frames.iterator.map(f => chunk("00dc", f))
-          .foldLeft(Array.emptyByteArray)(_ ++ _))
+      val movi = list("movi", {
+        // linear assembly — an array foldLeft recopies the accumulated
+        // body once per frame (quadratic in file size for long videos)
+        val b = new java.io.ByteArrayOutputStream()
+        frames.foreach(f => b.write(chunk("00dc", f)))
+        b.toByteArray
+      })
       val body = hdrl ++ movi
       val out = new java.io.ByteArrayOutputStream(12 + body.length)
       fcc(out, "RIFF"); u32(out, 4 + body.length); fcc(out, "AVI ")

@@ -39,7 +39,14 @@ object UnigramLm {
   /** Distinct words of the corpus with occurrence counts — the frame EM
     * iterates over. Tokenization is [[TextOps.tokens]] (lowercase,
     * whitespace), shared with every token-level operator. */
-  def wordCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** "Single character" everywhere in this file means one CODE POINT
+    * (matching SQL `length`/`substr` and the oracle's DP) — a non-BMP
+    * alphabet piece is 2 UTF-16 units but must still count as the
+    * always-survives single-char class. */
+  private def isOneCodePoint(p: String): Boolean =
+    p.codePointCount(0, p.length) == 1
+
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wn"))
 
@@ -51,8 +58,16 @@ object UnigramLm {
     * candidates must be vocab members. */
   def viterbiSegment(word: String, cost: collection.Map[String, Long],
                      maxPieceLen: Int, unkCostMicro: Long): Seq[String] = {
-    val n = word.length
+    // the DP steps CODE POINTS, not UTF-16 units: the vocabulary, the
+    // maxWordLen guard (Spark `length()`), and the oracle's per-position
+    // substr/len DP are all code-point based — a code-unit DP would cut
+    // any non-BMP character into lone surrogates, miss every vocabulary
+    // piece containing it, and silently diverge from the replay
+    val cps = word.codePoints().toArray
+    val n = cps.length
     if (n == 0) return Nil
+    def slice(from: Int, until: Int): String =
+      new String(cps, from, until - from)
     val dp = Array.fill(n + 1)(Long.MaxValue)
     val bp = new Array[Int](n + 1)
     dp(0) = 0L
@@ -62,7 +77,7 @@ object UnigramLm {
       val kMax = math.min(j, maxPieceLen)
       while (k <= kMax) {
         if (dp(j - k) != Long.MaxValue) {
-          val piece = word.substring(j - k, j)
+          val piece = slice(j - k, j)
           val c =
             if (k == 1) cost.getOrElse(piece, unkCostMicro)
             else cost.getOrElse(piece, -1L)
@@ -78,7 +93,7 @@ object UnigramLm {
     val out = List.newBuilder[String]
     val stack = collection.mutable.ArrayBuffer.empty[String]
     var p = n
-    while (p > 0) { stack += word.substring(p - bp(p), p); p -= bp(p) }
+    while (p > 0) { stack += slice(p - bp(p), p); p -= bp(p) }
     stack.reverseIterator.foreach(out += _)
     out.result()
   }
@@ -131,7 +146,7 @@ object UnigramLm {
             k => col("word").substr(i, k))))).as("piece"))
       .groupBy("piece").agg(sum(col("wn")).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val (chars, multi) = subs.partition(_._1.length == 1)
+    val (chars, multi) = subs.partition(p => isOneCodePoint(p._1))
     val kept = multi.sortBy { case (p, c) => (-c, p) }.take(maxPieces)
     (chars ++ kept).sortBy(_._1).toSeq
   }
@@ -158,7 +173,7 @@ object UnigramLm {
       // survives (count 0 → smoothing keeps it alive), so every word
       // stays segmentable
       val kept = vocab.map(_._1).filter(p =>
-        p.length == 1 || counted.getOrElse(p, 0L) > 0L)
+        isOneCodePoint(p) || counted.getOrElse(p, 0L) > 0L)
       vocab = costsOf(kept.sorted.map(p => (p, counted.getOrElse(p, 0L))))
     }
     vocab

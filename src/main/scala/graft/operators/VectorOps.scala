@@ -1250,21 +1250,9 @@ object VectorOps {
                      codebooks: Seq[Seq[(Long, Seq[Double])]],
                      codes: DataFrame): DataFrame = {
     require(maxProbe >= 1, "maxProbe must cover at least one cell")
-    val q = holdout.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
-    val exactP = full.select(col(idCol), col(vecCol).as("__v"))
-      .crossJoin(broadcast(q)).filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol), l2sq(col("__v"), col("__qv")).as("d2"))
-    val exact = graft.GraftCache.persist(
-      graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
-        Seq(col("d2"), col(idCol)), k).select("qid", idCol))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val v = col(vecCol)
-    val qProbes = withCellsCol(holdout, cents)
-      .select(col(idCol).as("qid"),
-        posexplode(transform(
-          slice(array_sort(probeCandsCol(v, cents)), 1, maxProbe),
-          p => p.getField("cid"))).as(Seq("__cr", "cid")))
-      .select(col("qid"), (col("__cr") + 1).as("__cellrank"), col("cid"))
+    val (exact, nExact) = exactHoldoutTopK(holdout, idCol, vecCol, full, k)
+    val qProbes = probeRankFrame(holdout, idCol, vecCol, cents, maxProbe,
+      carryQv = false)
     val qLuts = withAdcLuts(holdout, Seq(col(idCol).as("qid")), vecCol,
       codebooks)
     val cand = graft.GraftCache.persist(
@@ -1273,17 +1261,62 @@ object VectorOps {
         .join(broadcast(qLuts), "qid")
         .select(col("qid"), col(idCol), col("__cellrank"),
           round(adcDist(codebooks), 6).as("adc_d2")))
+    recallByNprobe(cand, exact, nExact, idCol, "adc_d2", k, maxProbe)
+  }
+
+  /** Exact held-out ground truth shared by both curve fits: per-query
+    * exact L2 top-k over the full corpus (broadcast query side, heap
+    * cut before any exchange), cached, plus its row count. */
+  private def exactHoldoutTopK(holdout: DataFrame, idCol: String,
+                               vecCol: String, full: DataFrame,
+                               k: Int): (DataFrame, DataFrame) = {
+    val q = holdout.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val exactP = full.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(q)).filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), l2sq(col("__v"), col("__qv")).as("d2"))
+    val exact = graft.GraftCache.persist(
+      graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
+        Seq(col("d2"), col(idCol)), k).select("qid", idCol))
+    (exact, exact.agg(count(lit(1)).as("n_exact")))
+  }
+
+  /** Each held-out query fanned out to its maxProbe nearest cells with
+    * the cell's PROBE RANK riding along — the one frame every nprobe is
+    * a filter of. `carryQv` keeps the query vector for curve fits whose
+    * candidate distance is exact L2 (the coarse form). */
+  private def probeRankFrame(holdout: DataFrame, idCol: String,
+                             vecCol: String, cents: Seq[(Long, Seq[Double])],
+                             maxProbe: Int, carryQv: Boolean): DataFrame = {
+    val v = col(vecCol)
+    val qv = if (carryQv) Seq(col(vecCol).as("__qv")) else Nil
+    val qvOut = if (carryQv) Seq(col("__qv")) else Nil
+    withCellsCol(holdout, cents)
+      .select(col(idCol).as("qid") +: qv :+
+        posexplode(transform(
+          slice(array_sort(probeCandsCol(v, cents)), 1, maxProbe),
+          p => p.getField("cid"))).as(Seq("__cr", "cid")): _*)
+      .select(col("qid") +: qvOut :+
+        (col("__cr") + 1).as("__cellrank") :+ col("cid"): _*)
+  }
+
+  /** The shared per-nprobe loop: "cells ranked ≤ np" is exactly the
+    * slice that serve probes, so each point is a filter + heap cut over
+    * the one cached candidate frame, and the ppm arithmetic/tie rule
+    * cannot drift between the ADC and coarse fits. */
+  private def recallByNprobe(cand: DataFrame, exact: DataFrame,
+                             nExact: DataFrame, idCol: String,
+                             distCol: String, k: Int,
+                             maxProbe: Int): DataFrame =
     (1 to maxProbe).map { np =>
       val routed = graft.plans.TopKPerKey.topKPerKey(
         cand.filter(col("__cellrank") <= np), Seq("qid"),
-        Seq(col("adc_d2"), col(idCol)), k).select("qid", idCol)
+        Seq(col(distCol), col(idCol)), k).select("qid", idCol)
       exact.join(routed, Seq("qid", idCol))
         .agg(count(lit(1)).as("n_hit"))
         .crossJoin(nExact)
         .select(lit(np).as("nprobe"),
           expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
     }.reduce(_ unionByName _)
-  }
 
   /** The serve-time half of the adaptive knob: the SMALLEST nprobe whose
     * held-out recall clears the floor, falling back to maxProbe when the
@@ -1322,38 +1355,16 @@ object VectorOps {
                            full: DataFrame, k: Int, maxProbe: Int,
                            cents: Seq[(Long, Seq[Double])]): DataFrame = {
     require(maxProbe >= 1, "maxProbe must cover at least one cell")
-    val q = holdout.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
-    val exactP = full.select(col(idCol), col(vecCol).as("__v"))
-      .crossJoin(broadcast(q)).filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol), l2sq(col("__v"), col("__qv")).as("d2"))
-    val exact = graft.GraftCache.persist(
-      graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
-        Seq(col("d2"), col(idCol)), k).select("qid", idCol))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val v = col(vecCol)
-    val qProbes = withCellsCol(holdout, cents)
-      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
-        posexplode(transform(
-          slice(array_sort(probeCandsCol(v, cents)), 1, maxProbe),
-          p => p.getField("cid"))).as(Seq("__cr", "cid")))
-      .select(col("qid"), col("__qv"), (col("__cr") + 1).as("__cellrank"),
-        col("cid"))
+    val (exact, nExact) = exactHoldoutTopK(holdout, idCol, vecCol, full, k)
+    val qProbes = probeRankFrame(holdout, idCol, vecCol, cents, maxProbe,
+      carryQv = true)
     val assigned = argminAssign(full, idCol, vecCol, cents)
     val cand = graft.GraftCache.persist(
       assigned.join(broadcast(qProbes), "cid")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as(idCol), col("__cellrank"),
           l2sq(col("v"), col("__qv")).as("d2")))
-    (1 to maxProbe).map { np =>
-      val routed = graft.plans.TopKPerKey.topKPerKey(
-        cand.filter(col("__cellrank") <= np), Seq("qid"),
-        Seq(col("d2"), col(idCol)), k).select("qid", idCol)
-      exact.join(routed, Seq("qid", idCol))
-        .agg(count(lit(1)).as("n_hit"))
-        .crossJoin(nExact)
-        .select(lit(np).as("nprobe"),
-          expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
-    }.reduce(_ unionByName _)
+    recallByNprobe(cand, exact, nExact, idCol, "d2", k, maxProbe)
   }
 
   /** [[pqKnnAgainstCodesRouted]] with the centroid frame collected per

@@ -306,7 +306,7 @@ object SinkQueries {
     "s21_bloom_skip" -> ((s, dir) => {
       val t = Tables(s, dir)
       val tbl = sinkDir("s21_bloom_table"); val idx = sinkDir("s21_bloom_index")
-      clean(tbl); clean(idx); clean(idx + "_next")
+      clean(tbl); clean(idx); clean(idx + "_next"); clean(idx + "_old")
       val src = t.lineitem.select(
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
       LayoutSink.writeRangeLayout(

@@ -781,7 +781,7 @@ object TextQueries {
     // into the next iteration's counts.
     "x120_unigram_train" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val words = UnigramLm.wordCounts(t.documents, "doc_id", "text")
+      val words = UnigramLm.wordCounts(t.documents, "text")
       val vocab = UnigramLm.fitViterbiEm(words, UniMaxPieceLen,
         UniMaxPieces, UniEmIters, UniUnkCostMicro, UniMaxWordLen)
       import s.implicits._
@@ -800,7 +800,7 @@ object TextQueries {
     // every document positionally.
     "x121_unigram_apply" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val words = UnigramLm.wordCounts(t.documents, "doc_id", "text")
+      val words = UnigramLm.wordCounts(t.documents, "text")
       val vocabPath = SinkQueries.sinkDir("x121_unigram_vocab")
       UnigramLm.writeVocab(s, UnigramLm.fitViterbiEm(words, UniMaxPieceLen,
         UniMaxPieces, UniEmIters, UniUnkCostMicro, UniMaxWordLen), vocabPath)

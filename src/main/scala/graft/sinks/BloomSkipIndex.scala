@@ -104,29 +104,52 @@ object BloomSkipIndex {
         .withColumn("n_bits", lit(nBits))
         .withColumn("n_probes", lit(nProbes)))
     val next = freshRows.fold(keptRows)(keptRows.unionByName(_))
-    // the sidecar is tiny — rewrite it atomically via a staging dir so a
-    // concurrent reader never sees a half-deleted index
-    val tmp = indexDir + "_next"
-    next.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // the sidecar is tiny — publish the rewrite with the two-rename swap
+    // (MorTable.compact's discipline): stage, move the old dir aside,
+    // move the stage in, then drop the old. Every crash point leaves
+    // either the old index, a loudly missing dir that the ROLLBACK
+    // below repairs on the spot, or the new index — never a silent
+    // half-state, and never delete-before-replace (whose crash window
+    // loses the index outright).
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + "_next")
+    next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"rename $tmp -> $indexDir failed; index not committed")
+    val old = new org.apache.hadoop.fs.Path(indexDir + "_old")
+    fs.delete(old, true): Unit
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(
+        s"rename $indexDir -> $old returned false; index unchanged")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p): Unit // roll back — never leave the index missing
+      throw new java.io.IOException(
+        s"rename $tmp -> $indexDir returned false; old index restored")
+    }
+    fs.delete(old, true): Unit
   }
 
   /** The data files the index's probes can select — the same set a
-    * plain `spark.read.parquet(tablePath)` would scan. */
+    * plain `spark.read.parquet(tablePath)` would scan: RECURSIVE, so a
+    * partitioned layout (dir/part=x/…) diffs against the same files
+    * [[write]] indexed (a top-level-only listing would see zero files
+    * there and [[update]] would commit an EMPTY sidecar over a good
+    * one), and `_`/`.`-prefixed path components are skipped at EVERY
+    * level exactly like Spark's file index (staging dirs, markers). */
   private def listDataFiles(spark: SparkSession,
                             tablePath: String): Array[String] = {
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(dir)
-      .filter(s => s.isFile && {
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-      .map(_.getPath.toUri.toString)
+    val root = dir.toUri.getPath
+    val out = Array.newBuilder[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(root)
+      val hidden = rel.split('/')
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (st.isFile && !hidden) out += st.getPath.toUri.toString
+    }
+    out.result()
   }
 
   /** The artifact's single (n_bits, n_probes) pair; mixed geometries or
@@ -155,7 +178,9 @@ object BloomSkipIndex {
   }
 
   /** Exact point lookup THROUGH the index: probe → read only surviving
-    * files (schema pinned from the table so pruning cannot change it) →
+    * files (schema pinned from the table so pruning cannot change it;
+    * `basePath` pinned so a partitioned layout's path-derived columns
+    * survive the file-level selection instead of reading back null) →
     * exact IN filter. Zero surviving files short-circuits to an empty
     * frame without touching the table's data. */
   def lookup(spark: SparkSession, tablePath: String, indexDir: String,
@@ -165,7 +190,8 @@ object BloomSkipIndex {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.schema(schema).parquet(files: _*)
+      spark.read.option("basePath", tablePath).schema(schema)
+        .parquet(files: _*)
         .filter(col(keyCol).isin(keys: _*))
   }
 }

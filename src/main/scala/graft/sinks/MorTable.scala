@@ -97,10 +97,23 @@ object MorTable {
     * (and any pushed predicate the caller adds above) is untouched. */
   def read(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
     val data = spark.read.parquet(s"$dir/data")
-    val fs = new org.apache.hadoop.fs.Path(s"$dir/deletes")
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes")))
+    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(delPath))
       return data.drop(SeqCol) // freshly compacted / never merged
+    // a crashed FIRST merge can leave deletes/ holding a seq dir with no
+    // part files yet (data lands before tombstones, and Overwrite
+    // creates the directory before writing) — zero parquet files cannot
+    // infer a schema, and the documented crash window must read as
+    // transient duplicates, not as an unreadable table
+    val hasParts = {
+      val it = fs.listFiles(delPath, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!hasParts) return data.drop(SeqCol)
     val dels = spark.read.parquet(s"$dir/deletes")
       .select(col(keyCol).as("__del_key"), col(SeqCol).as("__del_seq"))
     data.join(dels,

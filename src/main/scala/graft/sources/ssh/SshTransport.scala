@@ -85,8 +85,24 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
   /** Completed key exchanges (initial + re-keys) — spec observability. */
   def kexCount: Int = kexes
 
-  def needsRekey: Boolean =
-    sendCipher != null && sinceKex.get >= rekeyAfterBytes
+  /** The client's effective threshold runs an eighth LATE: both ends
+    * count the same bidirectional traffic, so under symmetric budgets
+    * the two counters cross in the same instant — and two CONCURRENT
+    * initiators can four-way deadlock on a saturated tunnel (each
+    * reader parked on the write monitor held by a channel writer that
+    * is blocked on a socket the other side has stopped draining). The
+    * skew makes the server the initiator under symmetric budgets (the
+    * client's counter resets on the responded kex ~12% before its own
+    * threshold — socket-buffer drift is megabytes against a 128 MiB gap
+    * at the default budget), while one-sided budgets keep either role a
+    * capable initiator, which is what the tunnel deployments configure
+    * and the specs drive. */
+  def needsRekey: Boolean = {
+    val eff =
+      if (clientRole) rekeyAfterBytes + (rekeyAfterBytes >> 3)
+      else rekeyAfterBytes
+    sendCipher != null && sinceKex.get >= eff
+  }
 
   /** Non-kex packets the peer had in flight when WE initiated a re-key,
     * preserved in arrival order for the normal dispatch loop. Reader-

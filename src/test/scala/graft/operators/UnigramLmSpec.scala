@@ -33,7 +33,7 @@ class UnigramLmSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq((1L, "abab abab cd"), (2L, "abab cd cd"))
       .toDF("doc_id", "text")
-    val words = UnigramLm.wordCounts(docs, "doc_id", "text")
+    val words = UnigramLm.wordCounts(docs, "text")
     val vocab = UnigramLm.fitViterbiEm(words, 4, 8, 2, Unk, 12)
     val pieces = vocab.map(_._1).toSet
     assert(Set("a", "b", "c", "d").subsetOf(pieces),
@@ -56,7 +56,7 @@ class UnigramLmSpec extends SparkSpec {
        "and hashes the full piece sequence") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001")
       .documents.limit(50)
-    val words = UnigramLm.wordCounts(docs, "doc_id", "text")
+    val words = UnigramLm.wordCounts(docs, "text")
     val vocab = UnigramLm.fitViterbiEm(words, 4, 16, 1, Unk, 12)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-unigram-vocab").toString
@@ -79,5 +79,22 @@ class UnigramLmSpec extends SparkSpec {
         (r.getLong(0), pieces.length.toLong, fp)
       }.sortBy(_._1)
     assert(applied.toSeq == expected.toSeq)
+  }
+
+  test("viterbiSegment steps CODE POINTS: non-BMP characters segment as " +
+       "single characters, never lone surrogates") {
+    val emoji = new String(Character.toChars(0x1F600)) // 1 cp, 2 units
+    val cost = Map("a" -> 10L, "b" -> 10L)
+    val segs = UnigramLm.viterbiSegment(s"a${emoji}b", cost, 4, 1000000L)
+    assert(segs.length == 3, s"expected 3 pieces, got $segs")
+    assert(segs(1) == emoji,
+      "the non-BMP char must be one unk single-char piece")
+    assert(segs.forall(p => !p.exists(c =>
+      Character.isSurrogate(c) && p.codePointCount(0, p.length) == p.length)),
+      "no piece may be a lone surrogate")
+    // a vocab piece CONTAINING a non-BMP char must match as a unit
+    val cost2 = cost + (s"a$emoji" -> 5L)
+    assert(UnigramLm.viterbiSegment(s"a${emoji}b", cost2, 4, 1000000L)
+      == Seq(s"a$emoji", "b"))
   }
 }

@@ -119,6 +119,32 @@ class BloomSkipIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("geometry"))
   }
 
+  test("update on a PARTITIONED layout sees the same recursive file set " +
+       "write indexed — maintenance must never empty a good sidecar") {
+    val t = graft.sources.Tables(spark, sf)
+    val tbl = tmp("t7") + "/tbl"; val idx = tmp("t7") + "/idx"
+    val src = t.lineitem.select("l_orderkey", "l_partkey", "l_returnflag")
+    src.filter(col("l_orderkey") % 2 === 0)
+      .write.partitionBy("l_returnflag").parquet(tbl)
+    BloomSkipIndex.write(spark, tbl, "l_orderkey", 1 << 13, 5, idx)
+    val before = spark.read.parquet(idx).count()
+    assert(before > 0, "partitioned layouts must index their leaf files")
+    // no new files: update must be a no-op, not an empty overwrite
+    BloomSkipIndex.update(spark, tbl, "l_orderkey", idx)
+    assert(spark.read.parquet(idx).count() == before)
+    // new files inside partition dirs fold in
+    src.filter(col("l_orderkey") % 2 === 1)
+      .write.mode("append").partitionBy("l_returnflag").parquet(tbl)
+    BloomSkipIndex.update(spark, tbl, "l_orderkey", idx)
+    assert(spark.read.parquet(idx).count() > before)
+    val got = BloomSkipIndex.lookup(spark, tbl, idx, "l_orderkey", Seq(1L, 2L))
+      .orderBy("l_orderkey", "l_partkey").collect().toSeq
+    val want = spark.read.parquet(tbl)
+      .filter(col("l_orderkey").isin(1L, 2L))
+      .orderBy("l_orderkey", "l_partkey").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("an int-typed key column probes correctly — the hash is " +
        "canonicalized to long, so probe literals and column values agree") {
     import spark.implicits._

@@ -115,6 +115,21 @@ class MorTableSpec extends SparkSpec {
         "compacted state")
   }
 
+  test("a crashed first merge (tombstone dir created, no part files yet) " +
+       "reads as the pre-merge table, never as an unreadable one") {
+    val dir = tmpDir("crashwin")
+    MorTable.writeBase(customers, dir, "c_custkey")
+    // the documented crash window: data-before-tombstones, Overwrite
+    // created deletes/__seq=1/ but no parquet landed before the crash
+    assert(new java.io.File(s"$dir/deletes/$SeqColName=1").mkdirs())
+    val got = sortedRows(MorTable.read(spark, dir, "c_custkey")
+      .select(customers.columns.map(col).toIndexedSeq: _*))
+    assert(got == sortedRows(customers),
+      "an empty tombstone directory must fold as zero deletes")
+  }
+
+  private val SeqColName = "__seq"
+
   test("streaming CDC intake: micro-batches land as sequenced merges, " +
        "the folded state equals the eager double merge, and a replayed " +
        "batch (at-least-once delivery) converges instead of duplicating") {

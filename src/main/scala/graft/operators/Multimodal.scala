@@ -760,8 +760,10 @@ object Multimodal {
                           content_sha256: Option[String], decoded: Boolean)
 
   /** From-scratch gzip member walker: per member, parse the RFC 1952
-    * header (magic, CM=8, FLG with FEXTRA/FNAME/FCOMMENT/FHCRC all
-    * handled), raw-inflate via the JDK `Inflater` (the real DEFLATE
+    * header (magic, CM=8, FLG with FEXTRA/FNAME/FCOMMENT handled and
+    * FHCRC VERIFIED against the header bytes' CRC32 low half — a
+    * corrupted header with FHCRC set must not pass a strict walker),
+    * raw-inflate via the JDK `Inflater` (the real DEFLATE
     * codec — zlib, not a stub), then VERIFY the trailer's CRC32 and
     * ISIZE before trusting the bytes; repeat until the payload is
     * exhausted. Strict like [[Y4m]]/[[Avi]]: any bad magic, truncation,
@@ -795,7 +797,14 @@ object Multimodal {
         }
         if ((flg & 8) != 0 && !skipZeroTerminated()) return None  // FNAME
         if ((flg & 16) != 0 && !skipZeroTerminated()) return None // FCOMMENT
-        if ((flg & 2) != 0) p += 2                                // FHCRC
+        if ((flg & 2) != 0) { // FHCRC: low 16 bits of the header bytes' CRC32
+          if (p + 2 > n) return None
+          val hcrc = new java.util.zip.CRC32()
+          hcrc.update(payload, pos, p - pos)
+          val stored = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
+          if ((hcrc.getValue & 0xffffL).toInt != stored) return None
+          p += 2
+        }
         if (p > n) return None
         // ---- raw DEFLATE body
         val inf = new java.util.zip.Inflater(true)

@@ -36,9 +36,6 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object UnigramLm {
 
-  /** Distinct words of the corpus with occurrence counts — the frame EM
-    * iterates over. Tokenization is [[TextOps.tokens]] (lowercase,
-    * whitespace), shared with every token-level operator. */
   /** "Single character" everywhere in this file means one CODE POINT
     * (matching SQL `length`/`substr` and the oracle's DP) — a non-BMP
     * alphabet piece is 2 UTF-16 units but must still count as the
@@ -46,6 +43,9 @@ object UnigramLm {
   private def isOneCodePoint(p: String): Boolean =
     p.codePointCount(0, p.length) == 1
 
+  /** Distinct words of the corpus with occurrence counts — the frame EM
+    * iterates over. Tokenization is [[TextOps.tokens]] (lowercase,
+    * whitespace), shared with every token-level operator. */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wn"))

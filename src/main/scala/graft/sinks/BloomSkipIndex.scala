@@ -56,13 +56,20 @@ object BloomSkipIndex {
   private def keyHash(c: org.apache.spark.sql.Column) =
     xxhash64(c.cast("long"))
 
-  private def baseName(s: String): String =
-    s.substring(s.lastIndexOf('/') + 1)
-
-  /** Name-component membership test as builtins (no UDF). */
-  private def udfFreeNameIn(file: org.apache.spark.sql.Column,
-                            names: Set[String]): org.apache.spark.sql.Column =
-    element_at(split(file, "/"), -1).isin(names.toSeq: _*)
+  /** Canonical FULL-path form for diffing the stored `input_file_name()`
+    * strings against the Hadoop listing: both are URI renderings of the
+    * same path but spell scheme/encoding differently (`file:///x` vs
+    * `file:/x`, percent-encoded vs raw). Decoding to the URI's path
+    * component unifies them while keeping the partition directories —
+    * basenames alone are NOT unique across a partitionBy layout (one job
+    * emits identically-named part files into every partition dir), so a
+    * basename diff can both strand stale rows and silently skip live
+    * files. Falls back to the raw string only if URI parsing fails. */
+  private def canonicalPath(s: String): String =
+    try {
+      val p = new java.net.URI(s).getPath
+      if (p == null || p.isEmpty) s else p
+    } catch { case _: java.net.URISyntaxException => s }
 
   /** Build the sidecar in ONE table scan. Overwrites any prior index. */
   def write(spark: SparkSession, tablePath: String, keyCol: String,
@@ -83,18 +90,25 @@ object BloomSkipIndex {
     * stored artifact (single-geometry invariant enforced). */
   def update(spark: SparkSession, tablePath: String, keyCol: String,
              indexDir: String): Unit = {
+    repairPublish(spark, indexDir)
     val idx = spark.read.parquet(indexDir)
     val (nBits, nProbes) = geometry(idx)
-    // diff on file NAMES (unique within a directory): the index stores
-    // input_file_name()'s URI rendering, the listing yields Hadoop's —
-    // two spellings of one path must not read as distinct files
-    val indexed = idx.select("file").collect()
-      .map(r => baseName(r.getString(0))).toSet
+    // diff on canonicalized FULL paths (partition dirs included): the
+    // index stores input_file_name()'s URI rendering, the listing yields
+    // Hadoop's — two spellings of one path must not read as distinct
+    // files, and two partition dirs' identically-named part files must
+    // not read as one (see canonicalPath)
+    val indexedFiles = idx.select("file").collect().map(_.getString(0))
+    val indexedCanon = indexedFiles.map(canonicalPath).toSet
     val live = listDataFiles(spark, tablePath)
-    val liveNames = live.map(baseName).toSet
-    val fresh = live.filterNot(f => indexed(baseName(f)))
-    val keptRows = idx.filter(
-      udfFreeNameIn(col("file"), liveNames))
+    val liveCanon = live.map(canonicalPath).toSet
+    val fresh = live.filterNot(f => indexedCanon(canonicalPath(f)))
+    // survivors selected by the EXACT stored strings (driver-decided from
+    // the canonical diff; the sidecar is metadata-sized so the broadcast
+    // keep-list is too) — no column-side path parsing to get wrong
+    val keep = indexedFiles.filter(s => liveCanon(canonicalPath(s))).toSeq
+    val keptRows = idx.join(
+      broadcast(spark.createDataFrame(keep.map(Tuple1(_))).toDF("file")), Seq("file"))
     val freshRows =
       if (fresh.isEmpty) None
       else Some(spark.read.parquet(fresh: _*)
@@ -106,11 +120,14 @@ object BloomSkipIndex {
     val next = freshRows.fold(keptRows)(keptRows.unionByName(_))
     // the sidecar is tiny — publish the rewrite with the two-rename swap
     // (MorTable.compact's discipline): stage, move the old dir aside,
-    // move the stage in, then drop the old. Every crash point leaves
-    // either the old index, a loudly missing dir that the ROLLBACK
-    // below repairs on the spot, or the new index — never a silent
-    // half-state, and never delete-before-replace (whose crash window
-    // loses the index outright).
+    // move the stage in, then drop the old. An in-process rename failure
+    // ROLLS BACK below; a hard crash between the two renames leaves the
+    // index dir missing with a COMPLETE _next (written before any
+    // rename) and a COMPLETE _old beside it — repairPublish() at the
+    // next entry point renames one back (preferring _next, the newer
+    // state), so recovery is automatic, not manual. Never
+    // delete-before-replace (whose crash window loses the index
+    // outright).
     val tmp = new org.apache.hadoop.fs.Path(indexDir + "_next")
     next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val p = new org.apache.hadoop.fs.Path(indexDir)
@@ -126,6 +143,30 @@ object BloomSkipIndex {
         s"rename $tmp -> $indexDir returned false; old index restored")
     }
     fs.delete(old, true): Unit
+  }
+
+  /** Self-repair for a hard crash inside [[update]]'s two-rename publish:
+    * if the index dir is missing but a staged `_next` (complete — fully
+    * written before either rename starts) or the set-aside `_old` exists,
+    * rename it back into place. Prefer `_next`: a crash between the two
+    * renames means the new index was already durable, so repair completes
+    * the publish rather than rewinding it. Called on entry to every
+    * reader/maintainer so recovery needs no operator action. */
+  private def repairPublish(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val next = new org.apache.hadoop.fs.Path(indexDir + "_next")
+      val old = new org.apache.hadoop.fs.Path(indexDir + "_old")
+      if (fs.exists(next)) {
+        if (!fs.rename(next, p))
+          throw new java.io.IOException(s"repair rename $next -> $indexDir failed")
+        fs.delete(old, true): Unit
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, p))
+          throw new java.io.IOException(s"repair rename $old -> $indexDir failed")
+      }
+    }
   }
 
   /** The data files the index's probes can select — the same set a
@@ -169,6 +210,7 @@ object BloomSkipIndex {
   def matchingFiles(spark: SparkSession, indexDir: String,
                     keys: Seq[Long]): Seq[String] = {
     require(keys.nonEmpty, "empty key set")
+    repairPublish(spark, indexDir)
     val idx = spark.read.parquet(indexDir)
     val (nBits, nProbes) = geometry(idx)
     val hit = keys

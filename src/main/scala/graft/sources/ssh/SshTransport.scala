@@ -85,7 +85,7 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
   /** Completed key exchanges (initial + re-keys) — spec observability. */
   def kexCount: Int = kexes
 
-  /** The client's effective threshold runs an eighth LATE: both ends
+  /** The server's effective threshold runs an eighth EARLY: both ends
     * count the same bidirectional traffic, so under symmetric budgets
     * the two counters cross in the same instant — and two CONCURRENT
     * initiators can four-way deadlock on a saturated tunnel (each
@@ -95,12 +95,15 @@ final class SshTransport(socket: Socket, val clientRole: Boolean,
     * client's counter resets on the responded kex ~12% before its own
     * threshold — socket-buffer drift is megabytes against a 128 MiB gap
     * at the default budget), while one-sided budgets keep either role a
-    * capable initiator, which is what the tunnel deployments configure
-    * and the specs drive. */
+    * capable initiator. The tie is broken by moving the server EARLIER,
+    * never the client later: the budget encodes the cipher's data limit
+    * (RFC 4253 §9), so NEITHER role may run past the configured bound —
+    * a client facing a server with a larger or disabled budget must
+    * still re-key at its own limit, not 12% beyond it. */
   def needsRekey: Boolean = {
     val eff =
-      if (clientRole) rekeyAfterBytes + (rekeyAfterBytes >> 3)
-      else rekeyAfterBytes
+      if (clientRole) rekeyAfterBytes
+      else rekeyAfterBytes - (rekeyAfterBytes >> 3)
     sendCipher != null && sinceKex.get >= eff
   }
 

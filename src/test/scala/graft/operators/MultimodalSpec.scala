@@ -398,6 +398,48 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).member_bytes === Some(Seq(content.length.toLong)))
   }
 
+  test("gzip member walk VERIFIES FHCRC: a good header CRC16 parses, a " +
+       "corrupted header with FHCRC set quarantines") {
+    val content = "hcrc member".getBytes("UTF-8")
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def withFhcrc(poisonHeader: Boolean): Array[Byte] = {
+      val hdr = new java.io.ByteArrayOutputStream()
+      hdr.write(Array[Byte](0x1f, 0x8b.toByte, 8, (2 | 8).toByte, // FHCRC|FNAME
+        0, 0, 0, 0, 0, 0))
+      hdr.write("n.txt".getBytes("UTF-8")); hdr.write(0)
+      val hbytes = hdr.toByteArray
+      val hcrc = new java.util.zip.CRC32(); hcrc.update(hbytes)
+      // corrupt a header byte AFTER computing the CRC — the on-wire
+      // header then disagrees with the stored CRC16 exactly like real
+      // transit corruption (the byte is MTIME, covered by FHCRC only,
+      // so nothing else in the parse would catch it)
+      if (poisonHeader) hbytes(5) = 0x7f
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(hbytes)
+      val stored = hcrc.getValue
+      out.write((stored & 0xff).toInt); out.write(((stored >> 8) & 0xff).toInt)
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(content); d.finish()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val crc = new java.util.zip.CRC32(); crc.update(content)
+      out.write(u32(crc.getValue)); out.write(u32(content.length.toLong))
+      out.toByteArray
+    }
+    val feats = Multimodal.decodeGzipMembers(spark, mediaFrame(Seq(
+        (1L, withFhcrc(poisonHeader = false), "application/gzip"),
+        (2L, withFhcrc(poisonHeader = true), "application/gzip"))))
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).decoded, "valid FHCRC must parse")
+    assert(feats(0).member_bytes === Some(Seq(content.length.toLong)))
+    assert(!feats(1).decoded,
+      "corrupted header under FHCRC must quarantine, not pass silently")
+  }
+
   test("asWarcTable: text splits into 256-byte gzip members that decode " +
        "back to the text (the x125 construction)") {
     val docs = Seq(

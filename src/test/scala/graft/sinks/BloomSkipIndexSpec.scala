@@ -160,6 +160,88 @@ class BloomSkipIndexSpec extends SparkSpec {
       "int keys must not false-negative against long probe literals")
   }
 
+  test("maintenance diffs canonical FULL paths: identically-named part " +
+       "files in different partition dirs are distinct files") {
+    import spark.implicits._
+    val root = tmp("t8"); val tbl = root + "/tbl"; val idx = root + "/idx"
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(1).write.parquet(tbl + "/p=0")
+    BloomSkipIndex.write(spark, tbl, "k", 1 << 13, 5, idx)
+    // place a SECOND file with the SAME basename into a new partition dir
+    // — exactly what one partitionBy job produces (identical part number
+    // + job UUID in every partition dir it writes)
+    val stage = root + "/stage"
+    (1000 until 1100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(1).write.parquet(stage)
+    val p0name = new java.io.File(tbl + "/p=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getName
+    val staged = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val p1 = new java.io.File(tbl + "/p=1"); assert(p1.mkdirs())
+    java.nio.file.Files.copy(staged.toPath,
+      new java.io.File(p1, p0name).toPath)
+    // a basename diff would see p=1's file as already indexed and NEVER
+    // fold it — a permanent silent false negative on its keys
+    BloomSkipIndex.update(spark, tbl, "k", idx)
+    assert(spark.read.parquet(idx).count() == 2)
+    val got = BloomSkipIndex.lookup(spark, tbl, idx, "k", Seq(1005L))
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1005L), s"same-basename partition file not indexed: $got")
+    // remove p=0's file while its same-named twin survives in p=1: the
+    // stale row must DROP (a basename diff keeps it, and lookups then
+    // try to read a nonexistent path)
+    assert(new java.io.File(tbl + s"/p=0/$p0name").delete())
+    BloomSkipIndex.update(spark, tbl, "k", idx)
+    assert(spark.read.parquet(idx).count() == 1)
+    assert(BloomSkipIndex.lookup(spark, tbl, idx, "k", Seq(5L)).isEmpty,
+      "key living only in the removed file must now be absent")
+    assert(BloomSkipIndex.lookup(spark, tbl, idx, "k", Seq(1005L))
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(1005L))
+  }
+
+  private def renameDir(from: String, to: String): Unit =
+    assert(new java.io.File(from).renameTo(new java.io.File(to)), s"$from -> $to")
+
+  private def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t): Unit
+      else { java.nio.file.Files.copy(p, t): Unit }
+    }
+  }
+
+  test("a hard crash between the two publish renames self-repairs at the " +
+       "next entry point — no manual recovery") {
+    val t = graft.sources.Tables(spark, sf)
+    val root = tmp("t9"); val tbl = root + "/tbl"; val idx = root + "/idx"
+    LayoutSink.writeRangeLayout(
+      t.lineitem.select("l_orderkey"), "l_orderkey", 4, tbl)
+    BloomSkipIndex.write(spark, tbl, "l_orderkey", 1 << 13, 5, idx)
+    val want = BloomSkipIndex.matchingFiles(spark, idx, Seq(1L)).toSet
+
+    // crash point: after rename(idx -> _old), before rename(_next -> idx)
+    // — both siblings complete, the index dir missing. Repair must
+    // complete the publish from _next (the newer, fully-written state).
+    copyDir(idx, idx + "_next")
+    renameDir(idx, idx + "_old")
+    assert(BloomSkipIndex.matchingFiles(spark, idx, Seq(1L)).toSet == want)
+    assert(new java.io.File(idx).exists())
+    assert(!new java.io.File(idx + "_old").exists())
+    assert(!new java.io.File(idx + "_next").exists())
+
+    // degenerate crash state: only _old survives — repair rewinds to it
+    renameDir(idx, idx + "_old")
+    assert(BloomSkipIndex.matchingFiles(spark, idx, Seq(1L)).toSet == want)
+    assert(new java.io.File(idx).exists())
+
+    // update() repairs too, then proceeds normally
+    renameDir(idx, idx + "_old")
+    BloomSkipIndex.update(spark, tbl, "l_orderkey", idx)
+    assert(BloomSkipIndex.matchingFiles(spark, idx, Seq(1L)).toSet == want)
+  }
+
   test("empty key set is refused") {
     val t = graft.sources.Tables(spark, sf)
     val tbl = tmp("t5") + "/tbl"; val idx = tmp("t5") + "/idx"

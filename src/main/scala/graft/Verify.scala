@@ -4,6 +4,35 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Mark every multi-referenced CTE in an oracle's WITH clause
+    * `AS MATERIALIZED` before dumping — a pure planner hint (identical
+    * results), but the difference between the replay finishing and the
+    * round losing its correctness artifact: DuckDB inlines plain CTEs
+    * at every reference site, so an oracle that replays a shared
+    * k-means/PQ chain through two consumers re-plans and re-runs the
+    * whole chain per reference (measured: pl15_training_pairs 388.7s →
+    * 1.1s at sf0.01 from this transform alone; the full 228-oracle
+    * replay 848.5s → the driver's budget). Single-reference CTEs stay
+    * inlined — materializing those only costs. Guards: definition
+    * sites only (`name AS (`), never WINDOW clauses (`WINDOW w AS (`
+    * is a window definition, not a CTE), never already-MATERIALIZED
+    * ones (the pattern cannot match them). Idempotent. */
+  private[graft] def materializeSharedCtes(sql: String): String = {
+    val defSite = """(?<!WINDOW )\b(\w+) AS \(""".r
+    val names = defSite.findAllMatchIn(sql).map(_.group(1)).toVector
+    val multi = names.filter { n =>
+      // def site + >=2 reference sites => worth materializing
+      ("""\b""" + java.util.regex.Pattern.quote(n) + """\b""").r
+        .findAllMatchIn(sql).size > 2
+    }.toSet
+    multi.foldLeft(sql) { (acc, n) =>
+      acc.replaceAll(
+        """(?<!WINDOW )\b""" + java.util.regex.Pattern.quote(n) + """ AS \(""",
+        n + " AS MATERIALIZED (")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [query ...] — extra args select a query
     // subset (dev-only targeted runs; the driver always passes exactly 2).
@@ -38,7 +67,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(materializeSharedCtes(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Per-query wall-clock watchdog: a query that hangs (vs throws — the
     // catch below handles those) would stall the dump until the driver's

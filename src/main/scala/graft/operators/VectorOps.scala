@@ -1229,6 +1229,79 @@ object VectorOps {
       Seq(col("adc_d2"), col(idCol)), k)
   }
 
+  /** FILTERED routed kNN — the production "top-k among rows WHERE p"
+    * serve over the stored composed index: the predicate evaluates over
+    * CARRIED columns of the codes rows ([[writeIvfPqIndex]]'s `carry`,
+    * written once at build), and is applied to the codes SCAN — below
+    * the probe join and the per-query heap cut — so it reaches the
+    * parquet reader as a pushed filter beside the probe's cid file
+    * pruning (plan-audited), and a query still reads ~nprobe/k of the
+    * index, m bytes + the carried columns per touched vector.
+    * [[pqKnnAgainstCodesRouted]] with the predicate as stage 0; same
+    * ADC ranking, ties on lowest id. Recall honesty: a stricter
+    * predicate pushes the k-th TRUE filtered neighbour farther from the
+    * query, so at fixed nprobe more of the exact filtered top-k falls
+    * outside the probed cells — [[filteredRecallGrid]] measures exactly
+    * that selectivity×nprobe interaction against the exact filtered
+    * kNN (the x126/x128 gate pair). */
+  def filteredKnnRouted(queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nprobe: Int,
+                        cents: Seq[(Long, Seq[Double])],
+                        codebooks: Seq[Seq[(Long, Seq[Double])]],
+                        codes: DataFrame, pred: Column): DataFrame = {
+    require(cents.nonEmpty, "routed kNN requires centroids")
+    val v = col(vecCol)
+    val qProbes = withCellsCol(queries, cents).select(col(idCol).as("qid"),
+      explode(transform(slice(array_sort(probeCandsCol(v, cents)), 1, nprobe),
+        p => p.getField("cid"))).as("cid"))
+    val qLuts = withAdcLuts(queries,
+      Seq(col(idCol).as("qid")), vecCol, codebooks)
+    val ranked = codes.filter(pred).join(broadcast(qProbes), "cid")
+      .filter(col(idCol) =!= col("qid"))
+      .join(broadcast(qLuts), "qid")
+      .select(col("qid"), col(idCol), round(adcDist(codebooks), 6).as("adc_d2"))
+    graft.plans.TopKPerKey.topKPerKey(ranked, Seq("qid"),
+      Seq(col("adc_d2"), col(idCol)), k)
+  }
+
+  /** The selectivity×nprobe honesty grid for [[filteredKnnRouted]]: for
+    * each named predicate and each nprobe 1..maxProbe, the micro
+    * recall@k of the filtered routed serve against the EXACT filtered
+    * kNN (brute L2 over the predicate's survivors) — integer ppm, so an
+    * external engine replays the exact numbers. ONE probe fan-out and
+    * ONE ADC candidate scan at maxProbe serve the whole grid: the
+    * predicates are row-local over carried columns, so filtering the
+    * cached candidate frame is identical to filtering the codes scan
+    * (what the serve does), and each grid cell is a filter + heap cut —
+    * never |preds|·maxProbe separate scans. The exact side runs once
+    * per predicate (build-time honesty cost, the x80/x108 discipline). */
+  def filteredRecallGrid(queries: DataFrame, idCol: String, vecCol: String,
+                         full: DataFrame, k: Int, maxProbe: Int,
+                         cents: Seq[(Long, Seq[Double])],
+                         codebooks: Seq[Seq[(Long, Seq[Double])]],
+                         codes: DataFrame, carry: Seq[String],
+                         preds: Seq[(String, Column)]): DataFrame = {
+    require(maxProbe >= 1, "maxProbe must cover at least one cell")
+    require(preds.nonEmpty, "grid needs at least one predicate")
+    val qProbes = probeRankFrame(queries, idCol, vecCol, cents, maxProbe,
+      carryQv = false)
+    val qLuts = withAdcLuts(queries, Seq(col(idCol).as("qid")), vecCol,
+      codebooks)
+    val cand = graft.GraftCache.persist(
+      codes.join(broadcast(qProbes), "cid")
+        .filter(col(idCol) =!= col("qid"))
+        .join(broadcast(qLuts), "qid")
+        .select(Seq(col("qid"), col(idCol), col("__cellrank"),
+          round(adcDist(codebooks), 6).as("adc_d2")) ++ carry.map(col): _*))
+    preds.map { case (tag, p) =>
+      val (exact, nExact) =
+        exactHoldoutTopK(queries, idCol, vecCol, full.filter(p), k)
+      recallByNprobe(cand.filter(p), exact, nExact, idCol, "adc_d2", k,
+          maxProbe)
+        .select(lit(tag).as("sel"), col("nprobe"), col("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Recall-vs-nprobe curve, fitted at index build time on a HELD-OUT
     * query sample (round-15 verdict #6): for each candidate nprobe
     * 1..maxProbe, the micro recall@k of the routed ADC serve against the

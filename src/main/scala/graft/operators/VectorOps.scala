@@ -1233,10 +1233,12 @@ object VectorOps {
     * serve over the stored composed index: the predicate evaluates over
     * CARRIED columns of the codes rows ([[writeIvfPqIndex]]'s `carry`,
     * written once at build), and is applied to the codes SCAN — below
-    * the probe join and the per-query heap cut — so it reaches the
-    * parquet reader as a pushed filter beside the probe's cid file
-    * pruning (plan-audited), and a query still reads ~nprobe/k of the
-    * index, m bytes + the carried columns per touched vector.
+    * the probe join and the per-query heap cut — so equality/range
+    * predicates reach the parquet reader as PushedFilters beside the
+    * probe's cid file pruning, arithmetic ones (a modulo) evaluate in
+    * the scan-side filter directly above it (both plan-audited), and a
+    * query still reads ~nprobe/k of the index, m bytes + the carried
+    * columns per touched vector.
     * [[pqKnnAgainstCodesRouted]] with the predicate as stage 0; same
     * ADC ranking, ties on lowest id. Recall honesty: a stricter
     * predicate pushes the k-th TRUE filtered neighbour farther from the

@@ -698,6 +698,42 @@ object CoreQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // ------------------------------------------------------------------ J12
+    // ADDITIVE SCHEMA EVOLUTION through a MOR merge (round-17 verdict
+    // #3): the changeset carries a column the base has never seen
+    // (c_tier). The merge lands it physically in its own seq files, the
+    // sidecar widens, and the READ null-backfills every pre-evolution
+    // row through the pinned schema — zero base bytes rewritten. The
+    // oracle is the eager rewrite with the same evolution applied:
+    // storage strategy AND evolution mechanics must be result-invisible.
+    // n_tiered counts non-null c_tier (exactly the post-evolution rows),
+    // pinning the backfill behavior in the hash.
+    "j12_mor_evolve" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val tbl = SinkQueries.sinkDir("j12_mor_table")
+      graft.sinks.MorTable.writeBase(c, tbl, "c_custkey")
+      val ch = customerChanges(c).withColumn("c_tier",
+        when(col("c_acctbal") > 5000, lit("gold")).otherwise(lit("std")))
+      graft.sinks.MorTable.merge(ch, tbl, "c_custkey", "op", 1L)
+      morEvolveReport(graft.sinks.MorTable.read(s, tbl, "c_custkey"))
+    }),
+
+    // ------------------------------------------------------------------ J13
+    // J12's maintenance half: compaction across the evolution boundary
+    // MATERIALIZES the widened schema (the folded base carries c_tier
+    // physically, nulls for pre-evolution rows) and must stay
+    // result-invisible — shares j12's oracle verbatim.
+    "j13_mor_evolve_compact" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val tbl = SinkQueries.sinkDir("j13_mor_table")
+      graft.sinks.MorTable.writeBase(c, tbl, "c_custkey")
+      val ch = customerChanges(c).withColumn("c_tier",
+        when(col("c_acctbal") > 5000, lit("gold")).otherwise(lit("std")))
+      graft.sinks.MorTable.merge(ch, tbl, "c_custkey", "op", 1L)
+      graft.sinks.MorTable.compact(s, tbl, "c_custkey")
+      morEvolveReport(graft.sinks.MorTable.read(s, tbl, "c_custkey"))
+    }),
+
     // ------------------------------------------------------------------- J9
     // Snapshot diff by content fingerprint: the validation report a
     // nightly ingest runs before swapping snapshots — added / removed /
@@ -1083,6 +1119,46 @@ object CoreQueries {
   /** j5's eager-merge replay — shared verbatim by j10 (merge-on-read
     * fold) and j11 (compacted fold): the storage strategy is
     * result-invisible, so all three gates pin the same merged state. */
+  /** The shared j12/j13 report over the folded state: segment rollup +
+    * the evolution-sensitive columns (n_tiered counts non-null c_tier —
+    * old rows must read back null; n_gold checks the values landed). */
+  private def morEvolveReport(folded: DataFrame): DataFrame =
+    folded.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum("c_acctbal"), 2).as("bal_total"),
+        count(col("c_tier")).as("n_tiered"),
+        sum(when(col("c_tier") === "gold", 1L).otherwise(0L)).as("n_gold"))
+      .orderBy("c_mktsegment")
+
+  /** j12/j13: the eager-rewrite image of the evolved merge — the change
+    * CTE gains c_tier, base rows surface NULL for it, and the rollup
+    * replays the backfill-sensitive counts. */
+  private lazy val morEvolveSql: String =
+    """WITH ch AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 11 = 3 THEN 'D' ELSE 'U' END AS op
+        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+        |    c_nationkey, CAST(0.0 AS DOUBLE), c_mktsegment, 'U'
+        |  FROM customer WHERE c_custkey % 13 = 1
+        |), cht AS (
+        |  SELECT *, CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS c_tier
+        |  FROM ch
+        |), merged AS (
+        |  SELECT
+        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_tier ELSE NULL END AS c_tier
+        |  FROM customer b FULL OUTER JOIN cht ch ON b.c_custkey = ch.c_custkey
+        |  WHERE ch.op IS NULL OR ch.op <> 'D')
+        |SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal_total,
+        |  count(c_tier) AS n_tiered,
+        |  CAST(sum(CASE WHEN c_tier = 'gold' THEN 1 ELSE 0 END) AS BIGINT) AS n_gold
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   private lazy val upsertMergeSql: String =
     """WITH ch AS (
         |  SELECT c_custkey, c_name, c_nationkey,
@@ -1388,6 +1464,8 @@ object CoreQueries {
     "j5_upsert_merge" -> upsertMergeSql,
     "j10_mor_merge" -> upsertMergeSql,
     "j11_mor_compact" -> upsertMergeSql,
+    "j12_mor_evolve" -> morEvolveSql,
+    "j13_mor_evolve_compact" -> morEvolveSql,
     "j9_snapshot_diff" ->
       """WITH fp AS (
         |  SELECT doc_id,

@@ -1567,8 +1567,80 @@ object VectorQueries {
         NProbe, VectorOps.readRotation(s, idx),
         s.read.parquet(s"$idx/centroids"),
         VectorOps.readPqCodebooks(s, idx), s.read.parquet(compacted))
+    }),
+
+    // ---------------------------------------------------------------- x126
+    // FILTERED routed serve — the production "top-k among rows WHERE p"
+    // query shape (round-17 verdict #2): the predicate evaluates over a
+    // CARRIED column of the stored codes (written once at build, the
+    // x107 mechanism generalized from label-mismatch to an arbitrary
+    // row-local predicate), applied to the codes SCAN below the probe
+    // join and the heap cut — pushable shapes reach PushedFilters beside
+    // the cid pruning, and a filtered query still reads ~nprobe/k of the
+    // index. The oracle replays both quantizer chains,
+    // the probe ranking, and the predicate-filtered cell-joined ADC
+    // top-k.
+    "x126_filtered_knn" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x126_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx,
+        carry = Seq("label"))
+      VectorOps.filteredKnnRouted(
+          e.filter(col("vec_id") % KnnQueryMod === 0), "vec_id", "embedding",
+          KnnK, NProbe,
+          VectorOps.collectCentroids(s.read.parquet(s"$idx/centroids")),
+          VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"),
+          col("label") % 3 === 1)
+        .orderBy("qid", "adc_d2", "vec_id")
+    }),
+
+    // ---------------------------------------------------------------- x128
+    // The selectivity×nprobe HONESTY GRID for the filtered serve — the
+    // x108 discipline applied across predicate strength: recall@k of
+    // x126's serve shape vs the EXACT filtered kNN, per (predicate,
+    // nprobe) cell, integer ppm. A stricter predicate pushes the k-th
+    // true filtered neighbour farther out, so at fixed nprobe more of
+    // the exact top-k lives outside the probed cells — the grid makes
+    // the interaction a measured contract instead of folklore, and the
+    // serve-time nprobe for a filtered workload reads off the row that
+    // clears the floor. One ADC scan at maxProbe serves all 24 cells.
+    "x128_filtered_knn_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = graft.GraftCache.persist(t.embeddings)
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x128_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx,
+        carry = Seq("label"))
+      VectorOps.filteredRecallGrid(
+          e.filter(col("vec_id") % KnnQueryMod === 0), "vec_id", "embedding",
+          e, KnnK, KClusters,
+          VectorOps.collectCentroids(s.read.parquet(s"$idx/centroids")),
+          VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"),
+          Seq("label"), FilteredSels.map { case (tag, p) => tag -> p() })
+        .orderBy("sel", "nprobe")
     })
   )
+
+  /** The x126/x128 predicate family over the carried label column, as
+    * (tag, Spark predicate thunk, SQL predicate) triples shared by the
+    * queries and their oracles — selectivities ~1/2, ~1/5, ~1/10. */
+  private val FilteredSelsSql = Seq(
+    ("half", "label % 2 = 0"),
+    ("fifth", "label % 5 = 0"),
+    ("tenth", "label = 7"))
+  private def FilteredSels: Seq[(String, () => org.apache.spark.sql.Column)] =
+    Seq(
+      ("half", () => col("label") % 2 === 0),
+      ("fifth", () => col("label") % 5 === 0),
+      ("tenth", () => col("label") === 7))
 
   // --------------------------------------------------------- oracle SQL gen
 
@@ -2660,6 +2732,13 @@ object VectorQueries {
          |    ORDER BY adc_d2, vec_id) AS rk FROM ranked)
          |WHERE rk <= $KnnK
          |ORDER BY qid, adc_d2, vec_id""".stripMargin,
+    // x126: x76's routed replay with the carried-label predicate applied
+    // to the candidate rows before the per-query cut — the SQL image of
+    // filtering the codes scan.
+    "x126_filtered_knn" -> filteredKnnSql,
+    // x128: per (predicate, nprobe) recall of the filtered routed serve
+    // vs the exact filtered kNN — one candidate frame, 24 slices.
+    "x128_filtered_knn_recall" -> filteredRecallGridSql,
     "x63_semantic_decontam" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS block FROM embeddings),
@@ -3120,6 +3199,95 @@ object VectorQueries {
     * ([[graft.operators.VectorOps.hardNegativesRouted]]). The base
     * relation folds the label into the assigned rows so pqJoinsSql's
     * USING (vec_id) stays unambiguous. */
+  /** x126: the filtered routed serve — x76's replay chain with the
+    * carried-label predicate in the candidate WHERE clause. */
+  private def filteredKnnSql: String =
+    s"""WITH $kmeansSql,
+       |$assignCte,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c$KmeansIters c)
+       |  WHERE rn <= $NProbe),
+       |ranked AS (
+       |  SELECT q.qid, a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |  FROM (SELECT s.vec_id, s.cid, e.label FROM assign s
+       |        JOIN embeddings e USING (vec_id)) a
+       |  JOIN probes p ON a.cid = p.cid
+       |  JOIN q ON q.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> q.qid AND a.label % 3 = 1)
+       |SELECT qid, vec_id, adc_d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc_d2, vec_id) AS rk FROM ranked)
+       |WHERE rk <= $KnnK
+       |ORDER BY qid, adc_d2, vec_id""".stripMargin
+
+  /** x128: the selectivity×nprobe recall grid — one MATERIALIZED
+    * candidate frame carrying (cellrank, adc_d2, label); per predicate
+    * an exact filtered top-k and per nprobe a filter + cut + ppm — the
+    * SQL image of [[VectorOps.filteredRecallGrid]]'s one-scan shape. */
+  private def filteredRecallGridSql: String = {
+    val selBlocks = FilteredSelsSql.map { case (tag, pred) =>
+      val perNp = (1 to KClusters).map { np =>
+        s"""fr_${tag}_$np AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY adc_d2, vec_id) AS rk
+           |    FROM fcand WHERE $pred AND cellrank <= $np)
+           |  WHERE rk <= $KnnK),
+           |frec_${tag}_$np AS (
+           |  SELECT '$tag' AS sel, $np AS nprobe,
+           |    (SELECT count(*) FROM fex_$tag
+           |     JOIN fr_${tag}_$np USING (qid, vec_id))
+           |      * 1000000 // (SELECT count(*) FROM fex_$tag)
+           |      AS recall_ppm)""".stripMargin
+      }.mkString(",\n")
+      s"""fex_$tag AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY d2, vec_id) AS rk
+         |    FROM (
+         |      SELECT q.qid, e.vec_id, ${l2Sql("e.embedding", "q.qv")} AS d2
+         |      FROM embeddings e, q
+         |      WHERE e.vec_id <> q.qid AND e.$pred))
+         |  WHERE rk <= $KnnK),
+         |$perNp""".stripMargin
+    }.mkString(",\n")
+    val union = FilteredSelsSql.flatMap { case (tag, _) =>
+      (1 to KClusters).map(np => s"SELECT * FROM frec_${tag}_$np")
+    }.mkString(" UNION ALL ")
+    s"""WITH $kmeansSql,
+       |$assignCte,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |qpr AS (
+       |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+       |  FROM q CROSS JOIN c$KmeansIters c),
+       |fcand AS MATERIALIZED (
+       |  SELECT q.qid, a.vec_id, a.label, p.rn AS cellrank,
+       |    round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |  FROM (SELECT s.vec_id, s.cid, e.label FROM assign s
+       |        JOIN embeddings e USING (vec_id)) a
+       |  JOIN qpr p ON a.cid = p.cid
+       |  JOIN q ON q.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> q.qid),
+       |$selBlocks
+       |SELECT sel, nprobe, recall_ppm FROM ($union)
+       |ORDER BY sel, nprobe""".stripMargin
+  }
+
   private def hardNegativesRoutedSql: String =
     s"""WITH $kmeansSql,
        |$assignCte,

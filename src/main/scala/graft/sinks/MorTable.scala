@@ -50,6 +50,59 @@ object MorTable {
 
   private val SeqCol = "__seq"
 
+  /** The table's CURRENT schema lives in a one-file sidecar
+    * (`_schema/schema.json`), not in parquet footers — the Delta/Iceberg
+    * schema-in-log move, for two reasons at once. (1) EVOLUTION: after
+    * an additive merge the directory holds files of two physical widths;
+    * single-footer inference returns whichever file it sampled (a later
+    * merge pinned against an OLD footer would silently drop the new
+    * column), and `mergeSchema` reads every footer — a distributed job
+    * per read on a million-file table. The sidecar answers in one tiny
+    * read. (2) NULL BACKFILL: pinning the widened schema on the reader
+    * makes parquet fill the old files' missing columns with null — the
+    * read-time backfill contract — with zero rewriting. Updated
+    * atomically (temp + rename); readers pin either the pre- or
+    * post-evolution schema, both of which read every file correctly
+    * (a narrower schema ignores the new column; a wider one backfills).
+    * Tables written before the sidecar existed fall back to footer
+    * inference, preserving their behavior. */
+  private val SchemaDir = "_schema"
+
+  private def writeSchemaSidecar(spark: SparkSession, dir: String,
+                                 schema: org.apache.spark.sql.types.StructType): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir, SchemaDir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(d): Unit
+    val tmp = new org.apache.hadoop.fs.Path(d, ".schema.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(d, "schema.json")
+    fs.delete(dst, false): Unit
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"schema sidecar publish failed: $tmp -> $dst")
+  }
+
+  private def readSchemaSidecar(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(dir, s"$SchemaDir/schema.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json =
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** The schema merges pin against and reads backfill to: the sidecar,
+    * or (pre-sidecar tables) one sampled footer. */
+  private def storedSchema(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType =
+    readSchemaSidecar(spark, dir).getOrElse(
+      spark.read.parquet(s"$dir/data").drop(SeqCol).schema)
+
   /** Write the initial snapshot as the sequence-0 base, range-laid on
     * `keyCol` so every data file covers a disjoint key range. */
   def writeBase(df: DataFrame, dir: String, keyCol: String,
@@ -57,6 +110,7 @@ object MorTable {
     require(!df.columns.contains(SeqCol),
       s"column name $SeqCol is reserved by MorTable")
     LayoutSink.writeRangeLayout(df, keyCol, numFiles, s"$dir/data/$SeqCol=0")
+    writeSchemaSidecar(df.sparkSession, dir, df.schema)
   }
 
   /** Apply a keyed changeset — the same contract as
@@ -68,7 +122,20 @@ object MorTable {
     * strictly-higher rule). Both directories are OVERWRITE-written, so
     * retrying a failed merge at the same seq converges. `seq` must
     * exceed every sequence the table has ever carried (see the class
-    * doc; [[compact]] re-stamps the base at the folded maximum). */
+    * doc; [[compact]] re-stamps the base at the folded maximum).
+    *
+    * ADDITIVE SCHEMA EVOLUTION: a changeset may carry columns the table
+    * has never seen — a real CDC feed evolves. New columns append to
+    * the stored schema (this merge's files carry them physically; every
+    * OLDER file null-backfills at read through the widened sidecar,
+    * zero bytes rewritten; [[compact]] materializes the width), and the
+    * sidecar publishes the widened schema AFTER this merge's data lands
+    * (either crash order reads correctly — see [[SchemaDir]]). Columns
+    * may never be DROPPED by a changeset: a missing stored column fails
+    * loudly (a silently null-filled column is how a misconfigured
+    * upstream eats a table). Existing columns COERCE to the stored type
+    * (the ANSI cast below — an incompatible feed fails at write time,
+    * never corrupts the directory). */
   def merge(changes: DataFrame, dir: String, keyCol: String, opCol: String,
             seq: Long): Unit = {
     require(seq >= 1L, "merge sequence numbers start at 1 (base is 0)")
@@ -80,11 +147,25 @@ object MorTable {
     // int base) would fail every later read of the mixed directory —
     // the cast aligns at write time, where a narrowing ANSI cast fails
     // loudly instead of corrupting.
-    val dataSchema = spark.read.parquet(s"$dir/data").drop(SeqCol).schema
+    val dataSchema = storedSchema(spark, dir)
+    val changeCols = changes.columns.filterNot(_ == opCol)
+    val missing = dataSchema.fieldNames.filterNot(changeCols.contains)
+    require(missing.isEmpty,
+      s"changeset must carry every stored column (evolution is additive " +
+        s"only): missing ${missing.mkString(", ")}")
+    val newCols = changeCols.filterNot(dataSchema.fieldNames.contains)
+    require(!newCols.contains(SeqCol), s"column name $SeqCol is reserved")
+    val aligned =
+      dataSchema.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+        newCols.map(col(_))
     changes.filter(col(opCol) =!= "D").drop(opCol)
-      .select(dataSchema.map(f => col(f.name).cast(f.dataType).as(f.name))
-        .toIndexedSeq: _*)
+      .select(aligned.toIndexedSeq: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$SeqCol=$seq")
+    if (newCols.nonEmpty) {
+      val widened = newCols.foldLeft(dataSchema)((acc, n) =>
+        acc.add(changes.schema(n)))
+      writeSchemaSidecar(spark, dir, widened)
+    }
     changes
       .select(col(keyCol).cast(dataSchema(keyCol).dataType).as(keyCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/deletes/$SeqCol=$seq")
@@ -96,7 +177,16 @@ object MorTable {
     * broadcasts it onto the data scan, and the base files' key pruning
     * (and any pushed predicate the caller adds above) is untouched. */
   def read(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
-    val data = spark.read.parquet(s"$dir/data")
+    // schema pinned from the sidecar: files older than an additive
+    // evolution null-backfill their missing columns right in the parquet
+    // reader (no footer scans, no rewrite); pre-sidecar tables keep
+    // their footer-inferred behavior
+    val data = readSchemaSidecar(spark, dir) match {
+      case Some(sc) => spark.read
+        .schema(sc.add(SeqCol, org.apache.spark.sql.types.LongType))
+        .parquet(s"$dir/data")
+      case None => spark.read.parquet(s"$dir/data")
+    }
     val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
     val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delPath))

@@ -467,6 +467,62 @@ class PlanAuditSpec extends SparkSpec {
     graft.GraftCache.release()
   }
 
+  test("x126 filtered routed kNN: the carried-column predicate lands on " +
+      "the codes scan below the probe join — pushable shapes reach " +
+      "PushedFilters") {
+    // the gate's own modulo predicate evaluates scan-side (x76's shape +
+    // a filter under the cell join, never above the heap cut)
+    val p = finalPlan("x126_filtered_knn")
+    val nodes = allNodes(p)
+    assert(nodes.collect {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("cid")) ||
+           j.rightKeys.exists(_.toString.contains("cid")) => j }.nonEmpty,
+      s"cell equi join not found in:\n$p")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"routing must kill the all-codes BNLJ fan-out:\n$p")
+    val codesScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("x126_ivfpq_index/codes") => f }
+    assert(codesScans.nonEmpty, s"serve must read the stored codes:\n$p")
+    codesScans.foreach { f =>
+      assert(!f.schema.fieldNames.contains("embedding"),
+        s"the codes scan must never carry corpus vectors:\n$f")
+    }
+    // a PUSHABLE predicate (plain equality) reaches the parquet reader:
+    // run the serve directly with label = 7 and read its scan
+    val t = graft.sources.Tables(spark, dir)
+    val e = t.embeddings
+    import graft.operators.VectorOps
+    import graft.queries.VectorQueries.{KClusters, KmeansIters, Dim, PqM, PqKs, KnnK, NProbe, KnnQueryMod}
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-x126-audit").toString + "/x126_audit_index"
+    val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+      KClusters, KmeansIters)
+    val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+      Dim, PqM, PqKs, KmeansIters)
+    VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx,
+      carry = Seq("label"))
+    val served = VectorOps.filteredKnnRouted(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") % KnnQueryMod === 0),
+      "vec_id", "embedding", KnnK, NProbe,
+      VectorOps.collectCentroids(spark.read.parquet(s"$idx/centroids")),
+      VectorOps.readPqCodebooks(spark, idx),
+      spark.read.parquet(s"$idx/codes"),
+      org.apache.spark.sql.functions.col("label") === 7)
+    val sp = graft.plans.PlanNodes.finalPlan(served)
+    val auditScans = allNodes(sp).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("x126_audit_index/codes") => f }
+    assert(auditScans.nonEmpty, s"serve must read the stored codes:\n$sp")
+    auditScans.foreach { f =>
+      assert(f.toString.contains("EqualTo(label,7)"),
+        s"an equality predicate must reach the codes scan's PushedFilters:\n$f")
+    }
+    graft.GraftCache.release()
+  }
+
   test("x43 native kNN rank: heap cut below the exchange, rank window only over survivors") {
     val p = finalPlan("x43_knn_native")
     val nodes = allNodes(p)

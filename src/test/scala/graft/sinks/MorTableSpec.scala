@@ -130,6 +130,116 @@ class MorTableSpec extends SparkSpec {
 
   private val SeqColName = "__seq"
 
+  private def changes1Evolved = changes1.withColumn("c_tier",
+    when(col("c_acctbal") > 5000, lit("gold")).otherwise(lit("std")))
+
+  test("additive evolution: an evolved merge null-backfills old rows at " +
+       "read, keeps the write bound, folds to the eager merge, and " +
+       "replays convergently at the same seq") {
+    val dir = tmpDir("evolve")
+    MorTable.writeBase(customers, dir, "c_custkey")
+    val before = listData(dir)
+    MorTable.merge(changes1Evolved, dir, "c_custkey", "op", 1L)
+    // the evolution is O(|changeset|) too: no base file touched
+    assert(before.subsetOf(listData(dir)),
+      "an evolved merge must never rewrite a base file")
+    val mor = MorTable.read(spark, dir, "c_custkey")
+    assert(mor.columns.contains("c_tier"), "read must surface the new column")
+    // old rows read back null; merged rows carry the written values
+    val eager = graft.operators.Merge.applyChanges(
+      customers.withColumn("c_tier", lit(null).cast("string")),
+      changes1Evolved, Seq("c_custkey"), "op")
+    assert(sortedRows(mor.select(eager.columns.map(col).toIndexedSeq: _*))
+      == sortedRows(eager),
+      "evolved fold must equal the eager merge with null-backfilled base")
+    // at-least-once replay of the SAME evolved merge converges
+    MorTable.merge(changes1Evolved, dir, "c_custkey", "op", 1L)
+    assert(sortedRows(MorTable.read(spark, dir, "c_custkey")
+        .select(eager.columns.map(col).toIndexedSeq: _*))
+      == sortedRows(eager),
+      "replaying an evolved merge must converge, not duplicate")
+  }
+
+  test("evolution crash windows: a stale (narrow) sidecar still reads the " +
+       "whole table minus the new column; a widened sidecar over data " +
+       "that never landed reads all-null for it") {
+    val dir = tmpDir("evolvecrash")
+    MorTable.writeBase(customers, dir, "c_custkey")
+    MorTable.merge(changes1Evolved, dir, "c_custkey", "op", 1L)
+    val wide = java.nio.file.Paths.get(s"$dir/_schema/schema.json")
+    val wideJson = java.nio.file.Files.readString(wide)
+    // tampering below bypasses the Hadoop local FS, so its checksum
+    // sidecar (.schema.json.crc) goes stale — drop it or reads fail on
+    // the CRC, which is a test-harness artifact, not a product path
+    def dropCrc(): Unit = {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/_schema/.schema.json.crc")): Unit
+    }
+    // window (a): data landed, crash before the sidecar publish — readers
+    // pin the OLD schema; the new column is invisible but nothing breaks
+    java.nio.file.Files.writeString(wide,
+      org.apache.spark.sql.types.StructType(
+        customers.schema.fields).json)
+    dropCrc()
+    val narrow = MorTable.read(spark, dir, "c_custkey")
+    assert(!narrow.columns.contains("c_tier"),
+      "pre-publish readers must see the old schema")
+    val eagerNarrow = graft.operators.Merge.applyChanges(
+      customers, changes1, Seq("c_custkey"), "op")
+    assert(sortedRows(narrow.select(
+        eagerNarrow.columns.map(col).toIndexedSeq: _*))
+      == sortedRows(eagerNarrow),
+      "the narrow read must still fold every row correctly")
+    // window (b): sidecar widened, crash before the data write — every
+    // file lacks the column, the read backfills all-null
+    java.nio.file.Files.writeString(wide, wideJson)
+    dropCrc()
+    val dataDir = new java.io.File(s"$dir/data/$SeqColName=1")
+    dataDir.listFiles.foreach(f => assert(f.delete()))
+    assert(dataDir.delete())
+    val allNull = MorTable.read(spark, dir, "c_custkey")
+    assert(allNull.columns.contains("c_tier"))
+    assert(allNull.filter(col("c_tier").isNotNull).count() == 0,
+      "with no post-evolution data file, the column is all null")
+  }
+
+  test("compaction across the evolution boundary materializes the widened " +
+       "schema physically and stays result-invisible") {
+    val dir = tmpDir("evolvecompact")
+    MorTable.writeBase(customers, dir, "c_custkey")
+    MorTable.merge(changes1Evolved, dir, "c_custkey", "op", 1L)
+    val before = sortedRows(MorTable.read(spark, dir, "c_custkey"))
+    MorTable.compact(spark, dir, "c_custkey")
+    assert(sortedRows(MorTable.read(spark, dir, "c_custkey")) == before,
+      "compaction must not change the folded state")
+    // every compacted file physically carries the new column now — no
+    // backfill left to do (footer-level check, not sidecar-level)
+    val files = new java.io.File(s"$dir/data").listFiles
+      .filter(_.getName.startsWith(s"$SeqColName="))
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val footer = spark.read.parquet(f.getPath)
+      assert(footer.columns.contains("c_tier"),
+        s"compacted file ${f.getName} must materialize the widened schema")
+    }
+    // post-compaction evolved state accepts further merges
+    MorTable.merge(changes2.withColumn("c_tier", lit("v2")), dir,
+      "c_custkey", "op", 2L)
+    val again = MorTable.read(spark, dir, "c_custkey")
+    assert(again.filter(col("c_tier") === "v2").count() > 0)
+  }
+
+  test("a changeset missing a stored column is refused loudly — evolution " +
+       "is additive only") {
+    val dir = tmpDir("evolverefuse")
+    MorTable.writeBase(customers, dir, "c_custkey")
+    val e = intercept[IllegalArgumentException] {
+      MorTable.merge(changes1.drop("c_mktsegment"), dir, "c_custkey", "op", 1L)
+    }
+    assert(e.getMessage.contains("c_mktsegment"))
+  }
+
   test("streaming CDC intake: micro-batches land as sequenced merges, " +
        "the folded state equals the eager double merge, and a replayed " +
        "batch (at-least-once delivery) converges instead of duplicating") {

@@ -134,7 +134,76 @@ object CoreQueries {
     upserts.unionByName(inserts)
   }
 
+  /** Second-night changeset for pl18 — updates %9=2 (doubled balance,
+    * PHASE2 segment), deletes %17=5 (delete wins on overlap), full rows
+    * derived from the ORIGINAL snapshot so the oracle replays it as a
+    * pure customer-table expression. */
+  private def customerChanges2(c: DataFrame): DataFrame = c
+    .filter(col("c_custkey") % 9 === 2 || col("c_custkey") % 17 === 5)
+    .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      when(col("c_custkey") % 9 === 2, col("c_acctbal") * 2)
+        .otherwise(col("c_acctbal")).as("c_acctbal"),
+      when(col("c_custkey") % 9 === 2, lit("PHASE2"))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+      when(col("c_custkey") % 17 === 5, lit("D")).otherwise(lit("U")).as("op"))
+
   def queries: Map[String, Q] = Map(
+    // ----------------------------------------------------------------- PL18
+    // The TABLE TIER's nightly maintenance loop, composed end to end
+    // (round-17 verdict #5): a MOR table takes two nights of CDC merges;
+    // the threshold-triggered maintenance pass no-ops while the backlog
+    // is below water, then fires — MorTable.compact folds the
+    // tombstones, BloomSkipIndex.update refreshes the point-lookup
+    // sidecar over the folded files, and the folded state publishes as
+    // a manifest-committed immutable snapshot. Funnel stages pin every
+    // leg: the folded count, BOTH trigger branches, zero backlog after
+    // the fold, index-routed point lookups EQUAL on the live (stale
+    // index + unfolded merges) and folded tables, the snapshot count,
+    // and the idempotent second pass. Oracle = the eager double merge.
+    "pl18_table_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir).customer
+      val tbl = SinkQueries.sinkDir("pl18_mor")
+      val idx = SinkQueries.sinkDir("pl18_skipidx")
+      val snap = SinkQueries.sinkDir("pl18_snapshot")
+      Seq(tbl, idx, idx + "_next", idx + "_old", snap)
+        .foreach(SinkQueries.clean)
+      val keys = Seq(2L, 3L, 14L, 22L, 10000001L)
+      graft.sinks.MorTable.writeBase(c, tbl, "c_custkey")
+      graft.sinks.BloomSkipIndex.write(
+        s, s"$tbl/data", "c_custkey", 1 << 13, 5, idx)
+      graft.sinks.MorTable.merge(customerChanges(c), tbl, "c_custkey", "op", 1L)
+      // night 1: backlog (1 batch) below the threshold — must no-op
+      val noop1 = !graft.sinks.TableMaintenance.maintain(
+        s, tbl, "c_custkey", idx, Some(snap), minTombstoneBatches = 2)
+      graft.sinks.MorTable.merge(customerChanges2(c), tbl, "c_custkey", "op", 2L)
+      // point lookup while the index is STALE and two merges are
+      // unfolded — correctness must not depend on maintenance timing
+      val live = graft.sinks.MorTable.lookupThroughIndex(
+        s, tbl, "c_custkey", idx, keys).count()
+      // night 2: backlog (2 batches) at the threshold — fold + refresh +
+      // publish
+      val ran = graft.sinks.TableMaintenance.maintain(
+        s, tbl, "c_custkey", idx, Some(snap), minTombstoneBatches = 2)
+      val post = graft.sinks.MorTable.lookupThroughIndex(
+        s, tbl, "c_custkey", idx, keys).count()
+      val left = graft.sinks.TableMaintenance.tombstoneBatches(s, tbl)
+      val snapN = graft.sinks.LayoutSink.readManifested(s, snap).count()
+      val noop2 = !graft.sinks.TableMaintenance.maintain(
+        s, tbl, "c_custkey", idx, Some(snap), minTombstoneBatches = 2)
+      val merged = graft.sinks.MorTable.read(s, tbl, "c_custkey").count()
+      Seq(
+        ("1_base", c.count()),
+        ("2_merged", merged),
+        ("3_first_pass_noop", if (noop1) 1L else 0L),
+        ("4_compaction_ran", if (ran) 1L else 0L),
+        ("5_tombstones_left", left.toLong),
+        ("6_lookup_live", live),
+        ("7_lookup_post", post),
+        ("8_snapshot", snapN),
+        ("9_second_pass_noop", if (noop2) 1L else 0L)
+      ).toDF("stage", "n").orderBy("stage")
+    }),
     // ---------------------------------------------------------------- A1/A8
     // Group-sum over sort keys (pac_data_processor.py:69) — TPC-H Q1 shape.
     "a1_group_sum" -> ((s, dir) => {
@@ -1159,6 +1228,50 @@ object CoreQueries {
         |  CAST(sum(CASE WHEN c_tier = 'gold' THEN 1 ELSE 0 END) AS BIGINT) AS n_gold
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** pl18: the eager image of two stacked merges (m1, m2 — the same
+    * full-outer-join shape as j5's oracle, chained), then the funnel —
+    * every storage-mechanics stage (trigger branches, backlog, replay
+    * no-op) pins to a literal the Spark side must EARN from the real
+    * filesystem state, and every data stage to an m2 count. */
+  private lazy val tableMaintenanceSql: String = {
+    val keysIn = "(2, 3, 14, 22, 10000001)"
+    """WITH ch1 AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
+      |    CASE WHEN c_custkey % 11 = 3 THEN 'D' ELSE 'U' END AS op
+      |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+      |    c_nationkey, CAST(0.0 AS DOUBLE), c_mktsegment, 'U'
+      |  FROM customer WHERE c_custkey % 13 = 1
+      |), m1 AS MATERIALIZED (
+      |  SELECT coalesce(ch.c_custkey, b.c_custkey) AS c_custkey
+      |  FROM customer b FULL OUTER JOIN ch1 ch ON b.c_custkey = ch.c_custkey
+      |  WHERE ch.op IS NULL OR ch.op <> 'D'
+      |), ch2 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 17 = 5 THEN 'D' ELSE 'U' END AS op
+      |  FROM customer WHERE c_custkey % 9 = 2 OR c_custkey % 17 = 5
+      |), m2 AS MATERIALIZED (
+      |  SELECT coalesce(ch.c_custkey, b.c_custkey) AS c_custkey
+      |  FROM m1 b FULL OUTER JOIN ch2 ch ON b.c_custkey = ch.c_custkey
+      |  WHERE ch.op IS NULL OR ch.op <> 'D')
+      |SELECT stage, n FROM (
+      |  SELECT '1_base' AS stage, count(*) AS n FROM customer
+      |  UNION ALL SELECT '2_merged', count(*) FROM m2
+      |  UNION ALL SELECT '3_first_pass_noop', CAST(1 AS BIGINT)
+      |  UNION ALL SELECT '4_compaction_ran', CAST(1 AS BIGINT)
+      |  UNION ALL SELECT '5_tombstones_left', CAST(0 AS BIGINT)
+      |  UNION ALL SELECT '6_lookup_live',
+      |    (SELECT count(*) FROM m2 WHERE c_custkey IN KEYS)
+      |  UNION ALL SELECT '7_lookup_post',
+      |    (SELECT count(*) FROM m2 WHERE c_custkey IN KEYS)
+      |  UNION ALL SELECT '8_snapshot', count(*) FROM m2
+      |  UNION ALL SELECT '9_second_pass_noop', CAST(1 AS BIGINT)
+      |) ORDER BY stage""".stripMargin.replace("KEYS", keysIn)
+  }
+
   private lazy val upsertMergeSql: String =
     """WITH ch AS (
         |  SELECT c_custkey, c_name, c_nationkey,
@@ -1466,6 +1579,7 @@ object CoreQueries {
     "j11_mor_compact" -> upsertMergeSql,
     "j12_mor_evolve" -> morEvolveSql,
     "j13_mor_evolve_compact" -> morEvolveSql,
+    "pl18_table_maintenance" -> tableMaintenanceSql,
     "j9_snapshot_diff" ->
       """WITH fp AS (
         |  SELECT doc_id,

@@ -1569,6 +1569,62 @@ object VectorQueries {
         VectorOps.readPqCodebooks(s, idx), s.read.parquet(compacted))
     }),
 
+    // ---------------------------------------------------------------- x129
+    // x117's delete→compact→refit lifecycle ON the OPQ index (round-17
+    // verdict #4): the claim "rotated-space codes are plain IVF-PQ codes
+    // so maintenance inherits" was an argument, not a gate — this is the
+    // gate. Fit rotation + quantizers on the full correlated corpus,
+    // write the composed OPQ artifact, fit the recall curve through the
+    // STORED rotation (phase 1), delete a modular slice from the stored
+    // codes, compact the survivors, refit the curve post-maintenance
+    // (phase 2) — both phases' exact ground truth ranks in the rotated
+    // space the index serves in (rotation is an isometry; the integer
+    // fit replays bit-exactly). Oracle = fit-on-corpus,
+    // rotate-rank-survivors, per-nprobe recall + floor choice.
+    "x129_opq_lifecycle" -> ((s, dir) => {
+      val e = graft.GraftCache.persist(
+        correlatedEmbeddings(Tables(s, dir).embeddings))
+      val (r, cbs) = VectorOps.fitOpq(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters, OpqIters)
+      val cents = VectorOps.kmeansCentroids(
+        VectorOps.rotate(e, "embedding", r), "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val idx = SinkQueries.sinkDir("x129_opq_index")
+      VectorOps.writeOpqIvfPqIndex(e, "vec_id", "embedding", r, cents, cbs,
+        idx)
+      // everything below runs off the STORED artifact — rotation,
+      // centroids, codebooks re-read, never the in-memory fit
+      val storedR = VectorOps.readRotation(s, idx)
+      val storedCents = VectorOps.collectCentroids(
+        s.read.parquet(s"$idx/centroids"))
+      val cb = VectorOps.readPqCodebooks(s, idx)
+      val rotAll = graft.GraftCache.persist(
+        VectorOps.rotate(e, "embedding", storedR))
+      val holdout = rotAll
+        .filter(col("vec_id") % KnnQueryMod === RecallHoldoutRes)
+      def phase(name: String, corpus: org.apache.spark.sql.DataFrame,
+                codes: String): org.apache.spark.sql.DataFrame = {
+        val curve = VectorOps.fitRecallCurve(
+          holdout, "vec_id", "embedding", corpus, KnnK, KClusters,
+          storedCents, cb, s.read.parquet(codes)).localCheckpoint()
+        val chosen = VectorOps.chooseNprobe(curve, RecallFloorPpm, KClusters)
+        curve.select(lit(name).as("phase"), col("nprobe"),
+          col("recall_ppm"), (col("nprobe") === chosen).as("chosen"))
+      }
+      val p1 = phase("1_full", rotAll, s"$idx/codes")
+      val removed = e.filter(col("vec_id") % VecDeleteMod === VecDeleteRem)
+        .select("vec_id")
+      val pruned = SinkQueries.sinkDir("x129_codes_pruned")
+      VectorOps.deletePqCodes(s, idx, removed, "vec_id", pruned)
+      val compacted = SinkQueries.sinkDir("x129_codes_compacted")
+      graft.sinks.LayoutSink.compact(s, pruned, compacted, 32L * 1024,
+        Some("cid"))
+      val survivors = rotAll
+        .filter(col("vec_id") % VecDeleteMod =!= VecDeleteRem)
+      val p2 = phase("2_pruned", survivors, compacted)
+      p1.unionByName(p2).orderBy("phase", "nprobe")
+    }),
+
     // ---------------------------------------------------------------- x126
     // FILTERED routed serve — the production "top-k among rows WHERE p"
     // query shape (round-17 verdict #2): the predicate evaluates over a
@@ -2833,6 +2889,7 @@ object VectorQueries {
     "x113_hard_positive_recall" -> hardPositiveRecallSql,
     "x114_adaptive_nprobe_refresh" -> adaptiveNprobeRefreshSql,
     "x117_adaptive_nprobe_lifecycle" -> adaptiveLifecycleSql,
+    "x129_opq_lifecycle" -> opqLifecycleSql,
     "x118_adaptive_nprobe_lifecycle_serve" -> adaptiveLifecycleServeSql,
     // x43 selects the identical rows through the bounded-heap operator —
     // the ranking plan is a physical choice, not a semantic one.
@@ -2990,11 +3047,13 @@ object VectorQueries {
        |ORDER BY qid""".stripMargin
 
   /** One maintenance phase of an adaptive-nprobe lifecycle oracle
-    * (shared by x114/x117/x118): the phase's exact holdout top-k over
-    * its served rows (`pred`), per-nprobe routed rank + hit count off
-    * the shared `hcand` frame, the curve union, and the floor choice
-    * `chosen_$tag`. */
-  private def adaptivePhaseCtes(tag: String, pred: String): String = {
+    * (shared by x114/x117/x118, and by x129 over the rotated corpus —
+    * `src` plugs the space the exact ground truth ranks in): the
+    * phase's exact holdout top-k over its served rows (`pred`),
+    * per-nprobe routed rank + hit count off the shared `hcand` frame,
+    * the curve union, and the floor choice `chosen_$tag`. */
+  private def adaptivePhaseCtes(tag: String, pred: String,
+                                src: String = "embeddings"): String = {
     val perNp = (1 to KClusters).map { np =>
       s"""routed_${tag}_$np AS (
          |  SELECT qid, vec_id FROM (
@@ -3018,7 +3077,7 @@ object VectorQueries {
        |    FROM (
        |      SELECT hq.qid, e.vec_id,
        |        ${l2Sql("e.embedding", "hq.qv")} AS d2
-       |      FROM embeddings e, hq
+       |      FROM $src e, hq
        |      WHERE e.vec_id <> hq.qid
        |        AND ${pred.replace("vec_id", "e.vec_id")}))
        |  WHERE rk <= $KnnK),
@@ -3036,9 +3095,14 @@ object VectorQueries {
     * frame carrying every (query, vector) pair's probe-cell rank and
     * rounded ADC — each phase/nprobe slice is a filter over it, exactly
     * as [[VectorOps.fitRecallCurve]] slices its cached frame. */
-  private def adaptiveHoldoutCtes: String =
+  private def adaptiveHoldoutCtes: String = adaptiveHoldoutCtesFor()
+
+  /** `src` plugs the query/corpus space (x129 passes the rotated rx1),
+    * `t` the codebook-chain tag (`p` raw, `o` OPQ). */
+  private def adaptiveHoldoutCtesFor(src: String = "embeddings",
+                                     t: String = "p"): String =
     s"""hq AS (
-       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  SELECT vec_id AS qid, embedding AS qv FROM $src
        |  WHERE vec_id % $KnnQueryMod = $RecallHoldoutRes),
        |hpr AS (
        |  SELECT hq.qid, c.cid, row_number() OVER (PARTITION BY hq.qid
@@ -3046,11 +3110,11 @@ object VectorQueries {
        |  FROM hq CROSS JOIN c$KmeansIters c),
        |hcand AS MATERIALIZED (
        |  SELECT hq.qid, a.vec_id, p.rn AS cellrank,
-       |    round(${pqAdcSql("hq.qv")}, 6) AS adc_d2
+       |    round(${pqAdcSql("hq.qv", t)}, 6) AS adc_d2
        |  FROM (SELECT vec_id, cid FROM assign) a
        |  JOIN hpr p ON a.cid = p.cid
        |  JOIN hq ON hq.qid = p.qid
-       |  ${pqJoinsSql()}
+       |  ${pqJoinsSql(t)}
        |  WHERE a.vec_id <> hq.qid)""".stripMargin
 
   /** Curve-pair lifecycle oracle (x114/x117): quantizers trained on
@@ -3098,6 +3162,31 @@ object VectorQueries {
     adaptiveLifecycleSqlFor("embeddings",
       Seq(("f", "1_full", "TRUE"),
         ("p", "2_pruned", s"vec_id % $VecDeleteMod <> $VecDeleteRem")))
+
+  /** x129: x117's arc through the OPQ fit — the rotation/quantizer fit
+    * replay (`rx1` + o-tagged chains), the coarse chain and assignment
+    * in the rotated space, the holdout candidates through the o-tagged
+    * ADC, then the same two phases (full / delete-survivors). */
+  private def opqLifecycleSql: String = {
+    val phases = Seq(("f", "1_full", "TRUE"),
+      ("p", "2_pruned", s"vec_id % $VecDeleteMod <> $VecDeleteRem"))
+    val phaseBlocks = phases.map(p => adaptivePhaseCtes(p._1, p._3, "rx1"))
+      .mkString(",\n")
+    val union = phases.map { case (tag, label, _) =>
+      s"""  SELECT '$label' AS phase, nprobe, recall_ppm,
+         |    nprobe = (SELECT np FROM chosen_$tag) AS chosen
+         |  FROM curve_$tag""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $opqFitCtes,
+       |${kmeansSqlFor("rx1")},
+       |${assignCteFor("rx1")},
+       |${adaptiveHoldoutCtesFor("rx1", "o")},
+       |$phaseBlocks
+       |SELECT phase, nprobe, CAST(recall_ppm AS BIGINT) AS recall_ppm,
+       |  chosen FROM (
+       |$union
+       |) ORDER BY phase, nprobe""".stripMargin
+  }
 
   /** x118: the post-maintenance SERVE — the phase-2 curve + choice of
     * x117, then the routed ADC ranking of the production queries over

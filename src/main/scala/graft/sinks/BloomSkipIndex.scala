@@ -65,7 +65,7 @@ object BloomSkipIndex {
     * emits identically-named part files into every partition dir), so a
     * basename diff can both strand stale rows and silently skip live
     * files. Falls back to the raw string only if URI parsing fails. */
-  private def canonicalPath(s: String): String =
+  private[sinks] def canonicalPath(s: String): String =
     try {
       val p = new java.net.URI(s).getPath
       if (p == null || p.isEmpty) s else p
@@ -176,7 +176,7 @@ object BloomSkipIndex {
     * there and [[update]] would commit an EMPTY sidecar over a good
     * one), and `_`/`.`-prefixed path components are skipped at EVERY
     * level exactly like Spark's file index (staging dirs, markers). */
-  private def listDataFiles(spark: SparkSession,
+  private[sinks] def listDataFiles(spark: SparkSession,
                             tablePath: String): Array[String] = {
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -186,8 +186,12 @@ object BloomSkipIndex {
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(root)
-      val hidden = rel.split('/')
-        .exists(c => c.startsWith("_") || c.startsWith("."))
+      // Spark's hidden rule EXEMPTS name=value components: a partition
+      // dir like __seq=1 is data, not metadata — treating it hidden made
+      // update() see zero live files over a MOR data dir and overwrite a
+      // good sidecar with an empty one
+      val hidden = rel.split('/').exists(c =>
+        (c.startsWith("_") || c.startsWith(".")) && !c.contains("="))
       if (st.isFile && !hidden) out += st.getPath.toUri.toString
     }
     out.result()

@@ -176,17 +176,34 @@ object MorTable {
     * join condition — the delete side is changeset-sized, so AQE
     * broadcasts it onto the data scan, and the base files' key pruning
     * (and any pushed predicate the caller adds above) is untouched. */
-  def read(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
-    // schema pinned from the sidecar: files older than an additive
-    // evolution null-backfill their missing columns right in the parquet
-    // reader (no footer scans, no rewrite); pre-sidecar tables keep
-    // their footer-inferred behavior
-    val data = readSchemaSidecar(spark, dir) match {
+  def read(spark: SparkSession, dir: String, keyCol: String): DataFrame =
+    foldTombstones(spark, dir, readData(spark, dir, None), keyCol)
+
+  /** The data scan, schema pinned from the sidecar: files older than an
+    * additive evolution null-backfill their missing columns right in
+    * the parquet reader (no footer scans, no rewrite); pre-sidecar
+    * tables keep their footer-inferred behavior. `files` narrows the
+    * scan to a selected file subset (the skip-index point-lookup path)
+    * with `basePath` pinned so the `__seq=N` path component still
+    * derives the sequence column. */
+  private def readData(spark: SparkSession, dir: String,
+                       files: Option[Seq[String]]): DataFrame = {
+    val reader = readSchemaSidecar(spark, dir) match {
       case Some(sc) => spark.read
         .schema(sc.add(SeqCol, org.apache.spark.sql.types.LongType))
-        .parquet(s"$dir/data")
-      case None => spark.read.parquet(s"$dir/data")
+      case None => spark.read
     }
+    files match {
+      case Some(fs) =>
+        reader.option("basePath", s"$dir/data").parquet(fs: _*)
+      case None => reader.parquet(s"$dir/data")
+    }
+  }
+
+  /** The fold every MOR read shares: a data row survives iff no delete
+    * with a strictly higher sequence carries its key (class doc). */
+  private def foldTombstones(spark: SparkSession, dir: String,
+                             data: DataFrame, keyCol: String): DataFrame = {
     val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes")
     val fs = delPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(delPath))
@@ -210,6 +227,46 @@ object MorTable {
         data(keyCol) === col("__del_key") && col("__del_seq") > data(SeqCol),
         "left_anti")
       .drop(SeqCol)
+  }
+
+  /** FOLDED point lookup through a [[BloomSkipIndex]] sidecar — the
+    * 100 TB answer to "fetch these keys from a table that merges all
+    * day": the indexed base files prune through the Bloom probe (the
+    * sidecar covers whatever files existed at its last refresh), every
+    * file the index has NOT yet seen is read too (between maintenance
+    * windows those are the newest merges — CHANGESET-sized, the same
+    * rows a log-structured store's memtable check pays), and the
+    * tombstone fold + exact key predicate run on that union — so the
+    * result equals `read(...).filter(key IN ...)` at every point of the
+    * merge/maintain lifecycle, while touching ~|keys| base files + the
+    * un-indexed tail instead of the whole table. Index staleness is
+    * harmless in BOTH directions: files the index has not seen are
+    * always included, and index rows whose file no longer exists (a
+    * compaction ran, the refresh has not) are dropped against the live
+    * listing — the removed files' rows were folded into new files,
+    * which are unindexed and therefore read. Selection stays
+    * exact-per-file, so the lookup never returns a wrong row. */
+  def lookupThroughIndex(spark: SparkSession, dir: String, keyCol: String,
+                         indexDir: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "empty key set")
+    val dataDir = s"$dir/data"
+    val live = BloomSkipIndex.listDataFiles(spark, dataDir)
+    val liveCanon = live.map(BloomSkipIndex.canonicalPath).toSet
+    val surviving = BloomSkipIndex.matchingFiles(spark, indexDir, keys)
+      .filter(f => liveCanon(BloomSkipIndex.canonicalPath(f)))
+    val indexed = spark.read.parquet(indexDir).select("file").collect()
+      .map(r => BloomSkipIndex.canonicalPath(r.getString(0))).toSet
+    val unindexed = live
+      .filterNot(f => indexed(BloomSkipIndex.canonicalPath(f)))
+    val files = (surviving ++ unindexed).distinct
+    val folded =
+      if (files.isEmpty) {
+        val schema = readData(spark, dir, None).drop(SeqCol).schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else
+        foldTombstones(spark, dir, readData(spark, dir, Some(files)), keyCol)
+    folded.filter(col(keyCol).isin(keys: _*))
   }
 
   /** Fold the tombstones into a fresh range-laid base and clear them —

@@ -939,4 +939,228 @@ object Multimodal {
       }
     }
   }
+  // ------------------------------------------------------------------ WARC
+
+  /** One parsed WARC record (ISO 28500 / WARC 1.0). `http_*`/`payload_*`
+    * populate only for `application/http` response records; a payload
+    * that fails the STRICT parse anywhere (bad version line, missing
+    * mandatory header, short block, missing record trailer, bad gzip
+    * member) quarantines as a single `warc_type = "quarantined"` row —
+    * loud, never silent record loss. */
+  case class WarcRecord(doc_id: Long, rec_index: Long, warc_type: String,
+                        record_id: String, target_uri: Option[String],
+                        content_length: Long, http_status: Option[Int],
+                        payload_len: Option[Long],
+                        payload_sha256: Option[String], lang: String)
+
+  /** WARC 1.0 record framing — mux + strict parse, from scratch (spec:
+    * ISO 28500; the CommonCrawl container). A record is
+    * `WARC/1.0\r\n` + named headers + `\r\n\r\n` + exactly
+    * `Content-Length` block bytes + `\r\n\r\n`; response records carry
+    * an HTTP envelope (status line + headers + `\r\n\r\n` + body) as
+    * their block. One gzip member per record — the standard `.warc.gz`
+    * convention [[GzipMembers]] walks, so readers can seek to a record
+    * without inflating the file. */
+  private[graft] object Warc {
+    val Version = "WARC/1.0"
+    /** Fixed, deterministic date: gates replay byte-for-byte. */
+    val Date = "2024-01-01T00:00:00Z"
+    val InfoBlock: Array[Byte] = "software: graft\r\n".getBytes("US-ASCII")
+    def targetUri(id: Long, i: Long): String =
+      s"https://example.org/doc/$id/$i"
+
+    private val Crlf2 = "\r\n\r\n".getBytes("US-ASCII")
+
+    def httpEnvelope(payload: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+        payload
+
+    def record(headers: Seq[(String, String)],
+               block: Array[Byte]): Array[Byte] = {
+      val head = (Version +: headers.map { case (k, v) => s"$k: $v" })
+        .mkString("", "\r\n", "\r\n\r\n").getBytes("US-ASCII")
+      head ++ block ++ Crlf2
+    }
+
+    private def indexOf(hay: Array[Byte], needle: Array[Byte],
+                        from: Int): Int = {
+      var i = from
+      val n = hay.length - needle.length
+      while (i <= n) {
+        var j = 0
+        while (j < needle.length && hay(i + j) == needle(j)) j += 1
+        if (j == needle.length) return i
+        i += 1
+      }
+      -1
+    }
+
+    case class Parsed(warcType: String, recordId: String,
+                      targetUri: Option[String], contentLength: Long,
+                      httpStatus: Option[Int], payload: Option[Array[Byte]])
+
+    /** STRICT parse of one record's bytes (one gzip member = one
+      * record): version line pinned, mandatory headers required, block
+      * length exact, record trailer required, nothing after it. Any
+      * violation → None (the caller quarantines the payload). */
+    def parseRecord(bytes: Array[Byte]): Option[Parsed] = {
+      val split = indexOf(bytes, Crlf2, 0)
+      if (split < 0) return None
+      val head = new String(bytes, 0, split, "US-ASCII")
+      val lines = head.split("\r\n", -1)
+      if (lines.isEmpty || lines(0) != Version) return None
+      val hdrs = lines.drop(1).map { l =>
+        val c = l.indexOf(':')
+        if (c < 0) return None
+        l.substring(0, c).trim -> l.substring(c + 1).trim
+      }.toMap
+      val warcType = hdrs.getOrElse("WARC-Type", return None)
+      val recordId = hdrs.getOrElse("WARC-Record-ID", return None)
+      val len =
+        try hdrs.getOrElse("Content-Length", return None).toLong
+        catch { case _: NumberFormatException => return None }
+      val blockStart = split + 4
+      if (blockStart + len + 4 != bytes.length.toLong) return None
+      val trailerAt = blockStart + len.toInt
+      if (indexOf(bytes, Crlf2, trailerAt) != trailerAt) return None
+      val isHttp = hdrs.get("Content-Type")
+        .exists(_.startsWith("application/http"))
+      val (status, payload) =
+        if (!isHttp) (None, None)
+        else {
+          val block = java.util.Arrays.copyOfRange(bytes, blockStart,
+            trailerAt)
+          val hs = indexOf(block, Crlf2, 0)
+          if (hs < 0) return None
+          val statusLine = new String(block, 0, block.indexOf('\r'.toByte)
+            match { case -1 => return None; case k => k }, "US-ASCII")
+          val parts = statusLine.split(" ")
+          if (parts.length < 2 || !parts(0).startsWith("HTTP/")) return None
+          val code =
+            try parts(1).toInt
+            catch { case _: NumberFormatException => return None }
+          (Some(code),
+            Some(java.util.Arrays.copyOfRange(block, hs + 4, block.length)))
+        }
+      Some(Parsed(warcType, recordId, hdrs.get("WARC-Target-URI"), len,
+        status, payload))
+    }
+  }
+
+  /** Wrap a text table as REAL `.warc.gz` bytes: per document one
+    * `warcinfo` record, then one `response` record per `chunkChars`
+    * CODE-POINT slice of the text (code points, not bytes — SQL
+    * `substring`/`length` count code points, so the oracle's slice
+    * arithmetic holds for any content, not just ASCII; the record's
+    * Content-Length is still the slice's utf-8 BYTE count, as WARC
+    * requires), each response's block a full HTTP envelope, EVERY
+    * record its own gzip member. Deterministic by construction (fixed
+    * date, arithmetic record ids/URIs), so the x127 gate replays header
+    * facts and payload digests as string arithmetic over `documents`. */
+  def asWarcRecordsTable(spark: SparkSession, documents: DataFrame,
+                         chunkChars: Int): DataFrame = {
+    import spark.implicits._
+    require(chunkChars > 0)
+    documents.select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, lang) =>
+          val cps = text.codePoints().toArray
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(GzipMembers.gzipMember(Warc.record(Seq(
+            "WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:graft:$id:info>",
+            "WARC-Date" -> Warc.Date,
+            "Content-Type" -> "application/warc-fields",
+            "Content-Length" -> Warc.InfoBlock.length.toString),
+            Warc.InfoBlock)))
+          var i = 0; var rec = 0L
+          while (i < cps.length) {
+            val end = math.min(i + chunkChars, cps.length)
+            val envelope = Warc.httpEnvelope(
+              new String(cps, i, end - i).getBytes("UTF-8"))
+            out.write(GzipMembers.gzipMember(Warc.record(Seq(
+              "WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:graft:$id:$rec>",
+              "WARC-Date" -> Warc.Date,
+              "WARC-Target-URI" -> Warc.targetUri(id, rec),
+              "Content-Type" -> "application/http; msgtype=response",
+              "Content-Length" -> envelope.length.toString),
+              envelope)))
+            i = end; rec += 1
+          }
+          MediaBlob(id, out.toByteArray, "application/warc", lang)
+        }
+      }.toDF()
+  }
+
+  /** Parse `.warc.gz` payloads to record rows: strict gzip member walk
+    * ([[GzipMembers]] — CRC32/ISIZE verified), one record per member,
+    * strict WARC framing per record ([[Warc.parseRecord]]). A payload
+    * failing ANYWHERE emits one quarantine row. Iterator-to-iterator —
+    * the demux runs inside the scan partition, no exchange added. */
+  def parseWarcRecords(spark: SparkSession,
+                       media: DataFrame): Dataset[WarcRecord] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.flatMap { blob =>
+        parseAll(blob) match {
+          case Some(recs) =>
+            recs.zipWithIndex.map { case (r, i) =>
+              WarcRecord(blob.doc_id, i.toLong, r.warcType, r.recordId,
+                r.targetUri, r.contentLength, r.httpStatus,
+                r.payload.map(_.length.toLong),
+                r.payload.map(p =>
+                  md.digest(p).map("%02x".format(_)).mkString),
+                blob.lang)
+            }
+          case None =>
+            Seq(WarcRecord(blob.doc_id, -1L, "quarantined", "", None, -1L,
+              None, None, None, blob.lang))
+        }
+      }
+    }
+  }
+
+  /** All records of one payload, or None on any malformation. */
+  private def parseAll(blob: MediaBlob): Option[Seq[Warc.Parsed]] =
+    GzipMembers.parse(blob.payload).flatMap { case (sizes, content) =>
+      var off = 0L
+      val recs = Seq.newBuilder[Warc.Parsed]
+      for (sz <- sizes) {
+        val bytes = java.util.Arrays.copyOfRange(content, off.toInt,
+          (off + sz).toInt)
+        Warc.parseRecord(bytes) match {
+          case Some(r) => recs += r
+          case None => return None
+        }
+        off += sz
+      }
+      Some(recs.result())
+    }
+
+  /** The crawl-ingest text recovery THROUGH the record framing (pl17's
+    * first stage since round 18): parse records, keep the `response`
+    * records' HTTP payload bodies in record order, concatenate back to
+    * the document text. Quarantined payloads drop here (the accounting
+    * lives in [[parseWarcRecords]]' quarantine rows). */
+  def recoverWarcResponseText(spark: SparkSession,
+                              media: DataFrame): Dataset[RecoveredDoc] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { blob =>
+        parseAll(blob).map { recs =>
+          val out = new java.io.ByteArrayOutputStream()
+          recs.foreach { r =>
+            if (r.warcType == "response") r.payload.foreach(out.write)
+          }
+          RecoveredDoc(blob.doc_id, new String(out.toByteArray, "UTF-8"),
+            blob.lang)
+        }
+      }
+    }
+  }
 }

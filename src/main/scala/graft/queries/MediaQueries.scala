@@ -141,19 +141,23 @@ object MediaQueries {
     }),
 
     // ---------------------------------------------------------------- pl17
-    // Crawl-ingest pipeline: WARC-shaped payloads (x125's container) →
-    // strict inflate back to text → the curation ladder (x2 quality
-    // gate, x0 exact dedup with canonical keepers) → one funnel report.
-    // The recovery is oracle-invisible by construction (inflate ∘ mux =
-    // id), so the DuckDB replay runs the ladder straight on documents —
-    // a wrong member walk, a dropped record, or a mis-decoded byte
-    // anywhere surfaces as a funnel-count or token-mass mismatch. Every
-    // stage is scan-local or keyed aggregation; the inflate runs inside
-    // the scan partition (no exchange added to the 100 TB read path).
+    // Crawl-ingest pipeline, since round 18 through FULL WARC record
+    // framing (x127's layer, not just x125's gzip members): real
+    // .warc.gz payloads (warcinfo + per-chunk HTTP response records,
+    // one gzip member each) → strict member walk + record parse + HTTP
+    // envelope split → response bodies concatenated back to text → the
+    // curation ladder (x2 quality gate, x0 exact dedup with canonical
+    // keepers) → one funnel report. The recovery is oracle-invisible by
+    // construction (parse ∘ mux = id), so the DuckDB replay runs the
+    // ladder straight on documents — a wrong member walk, a dropped or
+    // misframed record, or a mis-split envelope anywhere surfaces as a
+    // funnel-count or token-mass mismatch. Every stage is scan-local or
+    // keyed aggregation; the demux runs inside the scan partition (no
+    // exchange added to the 100 TB read path).
     "pl17_warc_ingest" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val recovered = Multimodal.inflateWarcText(s,
-        Multimodal.asWarcTable(s, t.documents, WarcChunkLen)).toDF()
+      val recovered = Multimodal.recoverWarcResponseText(s,
+        Multimodal.asWarcRecordsTable(s, t.documents, WarcChunkLen)).toDF()
       val q = graft.operators.TextOps.qualityMetrics(recovered, "text")
         .select("doc_id", "n_tokens", "quality_ok")
       val fp = recovered.select(col("doc_id"),
@@ -190,6 +194,29 @@ object MediaQueries {
         .select(col("doc_id"), col("n_members"), col("total_bytes"),
           col("content_sha256"))
         .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- x127
+    // WARC RECORD framing over the gzip member walk (round-17 verdict
+    // #6 — x125 stops at the member layer; real CommonCrawl ingestion
+    // parses WARC headers and the HTTP envelope to reach the payload):
+    // real .warc.gz bytes (warcinfo + response records, one member
+    // each), strictly parsed — version line pinned, mandatory headers
+    // required, Content-Length framing exact, record trailer required,
+    // HTTP status/headers/body split — and replayed as pure byte/string
+    // arithmetic over documents: record ids, target URIs, envelope
+    // lengths (78 + digits(len) + len), and per-record payload sha256
+    // over the exact byte slice. Malformed payloads quarantine loudly
+    // (spec-gated with constructed corruption).
+    "x127_warc_records" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.parseWarcRecords(s,
+          Multimodal.asWarcRecordsTable(s, t.documents, WarcChunkLen))
+        .toDF()
+        .select(col("doc_id"), col("rec_index"), col("warc_type"),
+          col("record_id"), col("target_uri"), col("content_length"),
+          col("http_status"), col("payload_len"), col("payload_sha256"))
+        .orderBy("doc_id", "rec_index")
     })
   )
 
@@ -339,6 +366,46 @@ object MediaQueries {
          |    // $WarcChunkLen AS BIGINT) AS n_members,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes,
          |  sha256(text) AS content_sha256
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // x127: the whole record-framing chain replayed arithmetically —
+    // one warcinfo (block = "software: graft\r\n", 17 bytes) + one
+    // response per 256-byte slice; the response's Content-Length is the
+    // HTTP envelope (fixed 78 header bytes + the Content-Length value's
+    // digits + the body), and the payload digest is sha256 over the
+    // exact byte slice — a misframed record, an off-by-one in the
+    // Content-Length consumption, or a wrong envelope split all shift a
+    // row here.
+    "x127_warc_records" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text, length(text) AS n FROM documents),
+         |info AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS rec_index,
+         |    'warcinfo' AS warc_type,
+         |    '<urn:graft:' || doc_id || ':info>' AS record_id,
+         |    CAST(NULL AS VARCHAR) AS target_uri,
+         |    CAST(17 AS BIGINT) AS content_length,
+         |    CAST(NULL AS INT) AS http_status,
+         |    CAST(NULL AS BIGINT) AS payload_len,
+         |    CAST(NULL AS VARCHAR) AS payload_sha256
+         |  FROM m),
+         |sl AS (
+         |  SELECT doc_id, u.i,
+         |    substring(text, CAST(u.i * $WarcChunkLen + 1 AS BIGINT),
+         |      $WarcChunkLen) AS s
+         |  FROM m, UNNEST(range(0,
+         |    (n + ${WarcChunkLen - 1}) // $WarcChunkLen)) u(i)),
+         |resp AS (
+         |  SELECT doc_id, CAST(i + 1 AS BIGINT) AS rec_index,
+         |    'response' AS warc_type,
+         |    '<urn:graft:' || doc_id || ':' || i || '>' AS record_id,
+         |    'https://example.org/doc/' || doc_id || '/' || i AS target_uri,
+         |    CAST(78 + length(CAST(octet_length(encode(s)) AS VARCHAR))
+         |      + octet_length(encode(s)) AS BIGINT) AS content_length,
+         |    200 AS http_status,
+         |    CAST(octet_length(encode(s)) AS BIGINT) AS payload_len,
+         |    sha256(s) AS payload_sha256
+         |  FROM sl)
+         |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)
+         |ORDER BY doc_id, rec_index""".stripMargin
   )
 }

@@ -471,4 +471,77 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.doc_id)
     assert(feats.toSeq === again.toSeq)
   }
+  // ----------------------------------------------------------- WARC records
+
+  test("WARC record framing round-trips: mux -> strict parse recovers " +
+       "types, ids, URIs, envelope facts; response bodies rebuild the text") {
+    val docs = Seq(
+      (1L, "a" * 600, "en", "s", 600L),
+      (2L, "", "en", "s", 0L),
+      (3L, "short doc", "en", "s", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val warc = Multimodal.asWarcRecordsTable(spark, docs, 256)
+    val recs = Multimodal.parseWarcRecords(spark, warc)
+      .collect().sortBy(r => (r.doc_id, r.rec_index))
+    // doc 1: warcinfo + 3 responses; doc 2: warcinfo only; doc 3: +1
+    assert(recs.map(r => (r.doc_id, r.warc_type)).toSeq ==
+      Seq((1L, "warcinfo"), (1L, "response"), (1L, "response"),
+        (1L, "response"), (2L, "warcinfo"), (3L, "warcinfo"),
+        (3L, "response")))
+    val r11 = recs.find(r => r.doc_id == 1L && r.rec_index == 1L).get
+    assert(r11.record_id == "<urn:graft:1:0>")
+    assert(r11.target_uri.contains("https://example.org/doc/1/0"))
+    assert(r11.http_status.contains(200))
+    assert(r11.payload_len.contains(256L))
+    // envelope: 78 fixed header bytes + digits("256") + 256
+    assert(r11.content_length == 78 + 3 + 256)
+    val back = Multimodal.recoverWarcResponseText(spark, warc)
+      .collect().sortBy(_.doc_id)
+    assert(back.map(_.text).toSeq == Seq("a" * 600, "", "short doc"))
+  }
+
+  test("WARC record framing quarantines loudly on every malformation " +
+       "class: version line, missing header, short block, bad trailer, " +
+       "corrupt member") {
+    val docs = Seq((7L, "payload text here", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val good = Multimodal.asWarcRecordsTable(spark, docs, 256)
+      .select("payload").collect()(0).getAs[Array[Byte]](0)
+    def member(bytes: Array[Byte]): Array[Byte] =
+      Multimodal.GzipMembers.gzipMember(bytes)
+    def rawRecord(version: String, headers: Seq[(String, String)],
+                  block: Array[Byte], trailer: String): Array[Byte] = {
+      val head = (version +: headers.map { case (k, v) => s"$k: $v" })
+        .mkString("", "\r\n", "\r\n\r\n").getBytes("US-ASCII")
+      head ++ block ++ trailer.getBytes("US-ASCII")
+    }
+    val block = "software: x\r\n".getBytes("US-ASCII")
+    val okHdrs = Seq("WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:x:1>",
+      "Content-Type" -> "application/warc-fields",
+      "Content-Length" -> block.length.toString)
+    val cases = Seq(
+      member(rawRecord("WARC/0.9", okHdrs, block, "\r\n\r\n")), // version
+      member(rawRecord("WARC/1.0", // Content-Length missing
+        okHdrs.filterNot(_._1 == "Content-Length"), block, "\r\n\r\n")),
+      member(rawRecord("WARC/1.0", // block shorter than declared
+        okHdrs.map { case ("Content-Length", _) =>
+          "Content-Length" -> (block.length + 50).toString
+          case kv => kv }, block, "\r\n\r\n")),
+      member(rawRecord("WARC/1.0", okHdrs, block, "XXXX")), // trailer
+      { val c = good.clone(); c(c.length / 2) =
+          (c(c.length / 2) ^ 0x5a).toByte; c } // corrupt gzip byte
+    )
+    val media = mediaFrame(
+      (good +: cases).zipWithIndex.map { case (b, i) =>
+        (i.toLong, b, "application/warc") })
+    val recs = Multimodal.parseWarcRecords(spark, media).collect()
+    val byDoc = recs.groupBy(_.doc_id)
+    assert(byDoc(0L).forall(_.warc_type != "quarantined"),
+      "the well-formed payload must parse")
+    (1L to 5L).foreach { id =>
+      assert(byDoc(id).map(_.warc_type).toSeq == Seq("quarantined"),
+        s"malformation case $id must quarantine as one loud row")
+    }
+  }
 }

@@ -5,7 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 /** BPE merge-rule learning over the corpus's token sequences — the
   * tokenizer-TRAINING arrow of the pipeline (Sennrich et al., "Neural
@@ -326,6 +326,55 @@ object BpeTrainer {
         val digest = md.digest(
           out.mkString("\u001f").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         Row(r.get(0), out.length.toLong, hex(digest))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** [[applyMergesLocal]] with BYTE FALLBACK — the zero-UNK serve for
+    * the BPE family: merges run unchanged (a rule only ever matches
+    * symbols seen at train time, so out-of-vocabulary words pass
+    * through un-merged), then every emitted SINGLE symbol absent from
+    * the stored `alphabet` (the train corpus's distinct base symbols —
+    * stored beside the rules, the vocab artifact a real tokenizer
+    * ships) decomposes into `<0xNN>` UTF-8 byte tokens
+    * ([[TextOps.byteFallbackTokens]]). Compound symbols (rule products)
+    * are vocab members by construction. Output shape matches the
+    * unigram fallback applier: n_symbols / n_fallback / all_covered
+    * (measured) / sym_fp over the post-fallback sequence. */
+  def applyMergesLocalByteFallback(df: DataFrame, idCol: String,
+                                   textCol: String,
+                                   rules: Seq[(String, String)],
+                                   alphabet: Set[String]): DataFrame = {
+    val bcRules = df.sparkSession.sparkContext.broadcast(rules.toArray)
+    val bcAlpha = df.sparkSession.sparkContext.broadcast(alphabet)
+    val compounds = rules.map { case (a, b) => a + " " + b }.toSet
+    val bcComp = df.sparkSession.sparkContext.broadcast(compounds)
+    val toked =
+      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__tk"))
+    val outSchema = StructType(Seq(
+      toked.schema("id"),
+      StructField("n_symbols", LongType, nullable = false),
+      StructField("n_fallback", LongType, nullable = false),
+      StructField("all_covered", BooleanType, nullable = false),
+      StructField("sym_fp", StringType, nullable = false)))
+    toked.mapPartitions { it =>
+      val rs = bcRules.value
+      val alpha = bcAlpha.value
+      val comp = bcComp.value
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        val toks: Seq[String] =
+          if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+        val out = applyRulesLocal(toks, rs).flatMap { s =>
+          if (alpha(s) || comp(s)) Seq(s)
+          else TextOps.byteFallbackTokens(s)
+        }
+        val nFb = out.count(TextOps.isByteFallbackToken)
+        val covered = out.forall(s =>
+          alpha(s) || comp(s) || TextOps.isByteFallbackToken(s))
+        val digest = md.digest(
+          out.mkString("").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Row(r.get(0), out.length.toLong, nFb.toLong, covered, hex(digest))
       }
     }(Encoders.row(outSchema))
   }

@@ -29,6 +29,22 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** SentencePiece's BYTE-FALLBACK alphabet rendering: one `<0xNN>`
+    * token per UTF-8 byte of an out-of-vocabulary piece. The 256 byte
+    * tokens are a CLOSED alphabet every serve-side consumer reserves
+    * ids for, so a tokenizer with fallback has zero UNKs by
+    * construction — any character in any script decomposes into known
+    * symbols. Shared by the unigram and BPE serve paths (the x130/x131
+    * coverage gates). */
+  def byteFallbackTokens(piece: String): Seq[String] =
+    piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toIndexedSeq.map(b => f"<0x${b & 0xff}%02X>")
+
+  /** Membership test for the fallback alphabet's rendering. */
+  def isByteFallbackToken(t: String): Boolean =
+    t.length == 6 && t.startsWith("<0x") && t.endsWith(">") &&
+      t.substring(3, 5).forall(c => (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F'))
+
   /** BPE-ish subword tokenization: a GPT-2-style regex split into
     * contraction suffixes, space-prefixed letter runs, digit runs, and
     * punctuation runs — deliberately lookahead-free so Java regex (Spark)

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 /** Unigram-LM subword tokenizer (Kudo, "Subword Regularization", ACL 2018
   * — the SentencePiece model), the OTHER standard tokenizer family next
@@ -200,6 +200,55 @@ object UnigramLm {
     * applier's shape: (id, n_pieces, piece_fp — sha256 over the
     * unit-separator-joined pieces of the whole document, words in
     * order), so one mis-segmented word anywhere flips the hash. */
+  /** [[applyUnigramLocal]] with BYTE FALLBACK — SentencePiece's
+    * production zero-UNK contract: the Viterbi DP runs unchanged (an
+    * out-of-vocabulary single character still segments as one piece at
+    * `unkCostMicro`), and each OOV piece then decomposes into its UTF-8
+    * `<0xNN>` byte tokens ([[TextOps.byteFallbackTokens]] — a closed
+    * 256-symbol alphabet the stored vocab implicitly reserves), so
+    * EVERY emitted token is a vocab member or a byte symbol — a
+    * held-out-script document tokenizes with 100% coverage instead of
+    * leaking raw unknown characters to the id-mapping layer (where an
+    * unmapped piece is a crash or a silent UNK bucket). Output adds
+    * `n_fallback` (byte tokens emitted) and `all_covered` (measured,
+    * not assumed: every final piece ∈ vocab ∪ byte alphabet); the
+    * piece_fp hashes the POST-fallback sequence, so the expansion
+    * itself is oracle-pinned. */
+  def applyUnigramByteFallback(df: DataFrame, idCol: String, textCol: String,
+                               vocab: Seq[(String, Long, Long)],
+                               maxPieceLen: Int,
+                               unkCostMicro: Long): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(
+      vocab.map(v => v._1 -> v._3).toMap)
+    val toked =
+      df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__tk"))
+    val outSchema = StructType(Seq(
+      toked.schema("id"),
+      StructField("n_pieces", LongType, nullable = false),
+      StructField("n_fallback", LongType, nullable = false),
+      StructField("all_covered", BooleanType, nullable = false),
+      StructField("piece_fp", StringType, nullable = false)))
+    toked.mapPartitions { it =>
+      val cost = bc.value
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        val toks: Seq[String] =
+          if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+        val pieces = toks.flatMap(
+            viterbiSegment(_, cost, maxPieceLen, unkCostMicro))
+          .flatMap(p =>
+            if (cost.contains(p)) Seq(p) else TextOps.byteFallbackTokens(p))
+        val nFb = pieces.count(TextOps.isByteFallbackToken)
+        val covered = pieces.forall(p =>
+          cost.contains(p) || TextOps.isByteFallbackToken(p))
+        val digest = md.digest(pieces.mkString("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Row(r.get(0), pieces.length.toLong, nFb.toLong, covered,
+          digest.map("%02x".format(_)).mkString)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def applyUnigramLocal(df: DataFrame, idCol: String, textCol: String,
                         vocab: Seq[(String, Long, Long)], maxPieceLen: Int,
                         unkCostMicro: Long): DataFrame = {

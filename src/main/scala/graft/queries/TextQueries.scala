@@ -208,6 +208,15 @@ object TextQueries {
   val UniMaxWordLen = 12
   val UniUnkCostMicro = 30000000L
 
+  /** The held-out-script decoration for the byte-fallback gates
+    * (x130/x131): appended to every doc_id % 3 == 0 document at SERVE
+    * time only, so the trained vocab/alphabet has never seen a single
+    * one of these characters (the corpus is Latin-script) — every one
+    * must leave the tokenizer as `<0xNN>` byte tokens, never as a raw
+    * unknown. Lowercase Greek so [[graft.operators.TextOps.tokens]]'
+    * lowercasing is a no-op on it; words ≤ UniMaxWordLen. */
+  val FallbackDecor = " αβγδε ζηθ"
+
   val LangIdBuckets = 32
   val LangIdIters = 6
   val LangIdStep = 8.0
@@ -807,6 +816,33 @@ object TextQueries {
       UnigramLm.applyUnigramLocal(t.documents, "doc_id", "text",
           UnigramLm.readVocab(s, vocabPath), UniMaxPieceLen, UniUnkCostMicro)
         .select(col("id").as("doc_id"), col("n_pieces"), col("piece_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- x130
+    // BYTE FALLBACK for the unigram serve (round-17 verdict #8 —
+    // SentencePiece's production zero-UNK contract): the vocab trains
+    // on the Latin-script corpus, the serve corpus carries a held-out
+    // Greek decoration on every third document, and every character the
+    // vocab has never seen must leave the tokenizer as <0xNN> byte
+    // tokens — 100% token coverage, MEASURED per document
+    // (all_covered), with the post-fallback sequence hashed so the
+    // expansion itself is oracle-pinned. The oracle replays the fit,
+    // one more DP chain over the DECORATED word frame, the per-piece
+    // vocab-membership test, and the UTF-8 byte expansion.
+    "x130_unigram_byte_fallback" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val words = UnigramLm.wordCounts(t.documents, "text")
+      val vocabPath = SinkQueries.sinkDir("x130_unigram_vocab")
+      UnigramLm.writeVocab(s, UnigramLm.fitViterbiEm(words, UniMaxPieceLen,
+        UniMaxPieces, UniEmIters, UniUnkCostMicro, UniMaxWordLen), vocabPath)
+      val served = t.documents.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(FallbackDecor))).otherwise(col("text")))
+      UnigramLm.applyUnigramByteFallback(served, "doc_id", "text",
+          UnigramLm.readVocab(s, vocabPath), UniMaxPieceLen, UniUnkCostMicro)
+        .select(col("id").as("doc_id"), col("n_pieces"), col("n_fallback"),
+          col("all_covered"), col("piece_fp"))
         .orderBy("doc_id")
     }),
 
@@ -1426,6 +1462,42 @@ object TextQueries {
         .map(r => (r.getString(0), r.getString(1))).toSeq
       BpeTrainer.applyMergesLocal(t.documents, "doc_id", "text", rules)
         .select(col("id").as("doc_id"), col("n_symbols"), col("sym_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- x131
+    // BYTE FALLBACK for the BPE serve — x130's contract on the merge
+    // family: the rules AND the base alphabet (the train corpus's
+    // distinct symbols — the full vocab artifact a real tokenizer
+    // ships, not just the merge list) are stored; the serve over the
+    // Greek-decorated corpus merges as usual (rules never match unseen
+    // symbols), then every emitted single symbol outside the stored
+    // alphabet decomposes into byte tokens. Coverage measured per
+    // document; the oracle replays the training chain, the apply chain
+    // over the DECORATED corpus, the alphabet-membership test, and the
+    // byte expansion.
+    "x131_bpe_byte_fallback" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val vocabPath = SinkQueries.sinkDir("x131_bpe_vocab")
+      BpeTrainer.learnMerges(t.documents, "doc_id", "text", BpeApplyIters)
+        .coalesce(1).write.mode("overwrite").parquet(vocabPath)
+      val alphaPath = SinkQueries.sinkDir("x131_bpe_alphabet")
+      t.documents
+        .select(explode(graft.operators.TextOps.tokens(col("text")))
+          .as("sym"))
+        .distinct().coalesce(1).write.mode("overwrite").parquet(alphaPath)
+      val rules = s.read.parquet(vocabPath).orderBy("it")
+        .select("sym_a", "sym_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val alphabet = s.read.parquet(alphaPath).collect()
+        .map(_.getString(0)).toSet
+      val served = t.documents.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(FallbackDecor))).otherwise(col("text")))
+      BpeTrainer.applyMergesLocalByteFallback(served, "doc_id", "text",
+          rules, alphabet)
+        .select(col("id").as("doc_id"), col("n_symbols"), col("n_fallback"),
+          col("all_covered"), col("sym_fp"))
         .orderBy("doc_id")
     }),
 
@@ -2360,6 +2432,108 @@ object TextQueries {
        |FROM documents d LEFT JOIN dseg x USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The UTF-8 byte-token expansion of a piece expression `pc` —
+    * `<0xNN>` per byte, chr(31)-joined (hex() on BLOB is uppercase,
+    * matching the Spark side's %02X). */
+  private def byteExpandSql(pc: String): String =
+    s"""array_to_string(list_transform(range(0, octet_length(encode($pc))),
+       |      b -> '<0x' || substr(hex(encode($pc)), 2*b + 1, 2) || '>'),
+       |      chr(31))""".stripMargin
+
+  /** x130: the fit replay, one DP chain over the DECORATED word frame,
+    * vocab-membership per chosen piece, byte expansion of the misses,
+    * positional doc assembly. all_covered is the SPEC side of the gate:
+    * the oracle pins TRUE; a serve that leaks an unknown flips the
+    * Spark column and fails the hash. */
+  private def unigramByteFallbackSql: String =
+    s"""WITH $unigramFitCtes,
+       |sdocs AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+       |    THEN text || '$FallbackDecor' ELSE text END AS text
+       |  FROM documents),
+       |sw AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wn, length(word) AS len
+       |  FROM (SELECT unnest($toksSql) AS word FROM sdocs)
+       |  GROUP BY 1),
+       |${unigramDpChain("f", "sw", s"uc$UniEmIters")},
+       |fbp AS (
+       |  SELECT q.word, q.ppos, q.pc, c.piece IS NOT NULL AS known
+       |  FROM (
+       |    SELECT s.word, u.i AS ppos,
+       |      list_extract(string_split(s.seg, chr(31)), u.i + 1) AS pc
+       |    FROM usegf s,
+       |      UNNEST(range(0, len(string_split(s.seg, chr(31))))) u(i)) q
+       |  LEFT JOIN uc$UniEmIters c ON c.piece = q.pc),
+       |fbw AS MATERIALIZED (
+       |  SELECT word,
+       |    string_agg(CASE WHEN known THEN pc
+       |      ELSE ${byteExpandSql("pc")} END, chr(31) ORDER BY ppos) AS seg,
+       |    CAST(sum(CASE WHEN known THEN 1
+       |      ELSE octet_length(encode(pc)) END) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN known THEN 0
+       |      ELSE octet_length(encode(pc)) END) AS BIGINT) AS nf
+       |  FROM fbp GROUP BY 1),
+       |dtok AS (
+       |  SELECT doc_id, u.i AS pos, list_extract(toks, u.i + 1) AS word
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM sdocs) t,
+       |    UNNEST(range(0, len(toks))) u(i)),
+       |dseg AS (
+       |  SELECT d.doc_id, d.pos, f.seg, f.np, f.nf
+       |  FROM dtok d JOIN fbw f USING (word))
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sum(x.np), 0) AS BIGINT) AS n_pieces,
+       |  CAST(coalesce(sum(x.nf), 0) AS BIGINT) AS n_fallback,
+       |  TRUE AS all_covered,
+       |  sha256(coalesce(string_agg(x.seg, chr(31) ORDER BY x.pos), ''))
+       |    AS piece_fp
+       |FROM sdocs d LEFT JOIN dseg x USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x131: the training-chain replay (rules b1..bN over the train
+    * corpus), the apply chain over the DECORATED corpus, the stored
+    * alphabet's membership test (compounds are vocab members by
+    * construction — rules never match unseen symbols), byte expansion
+    * of the misses. */
+  private def bpeByteFallbackSql: String = {
+    val i = BpeApplyIters
+    val applyChain = (1 to i).map { j =>
+      s"""${bpeLeadCte(s"u$j", s"t${j - 1}")},
+         |${bpeMergePassCtes(s"u$j", s"b$j", s"v$j", s"w$j", s"t$j")}"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${bpeChainSql(i)},
+       |sdocs AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+       |    THEN text || '$FallbackDecor' ELSE text END AS text
+       |  FROM documents),
+       |toked_s AS (SELECT doc_id, $toksSql AS toks FROM sdocs),
+       |t0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, u.i AS pos, list_extract(toks, u.i + 1) AS sym
+       |  FROM toked_s, UNNEST(range(0, len(toks))) u(i)),
+       |$applyChain,
+       |alpha AS MATERIALIZED (
+       |  SELECT DISTINCT unnest($toksSql) AS sym FROM documents),
+       |fb AS MATERIALIZED (
+       |  SELECT q.id, q.pos,
+       |    CASE WHEN q.known THEN q.sym
+       |      ELSE ${byteExpandSql("q.sym")} END AS xsym,
+       |    CASE WHEN q.known THEN 1
+       |      ELSE octet_length(encode(q.sym)) END AS np,
+       |    CASE WHEN q.known THEN 0
+       |      ELSE octet_length(encode(q.sym)) END AS nf
+       |  FROM (SELECT s.id, s.pos, s.sym,
+       |          (contains(s.sym, ' ') OR a.sym IS NOT NULL) AS known
+       |        FROM t$i s LEFT JOIN alpha a ON a.sym = s.sym) q)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sum(x.np), 0) AS BIGINT) AS n_symbols,
+       |  CAST(coalesce(sum(x.nf), 0) AS BIGINT) AS n_fallback,
+       |  TRUE AS all_covered,
+       |  sha256(coalesce(string_agg(x.xsym, chr(31) ORDER BY x.pos), ''))
+       |    AS sym_fp
+       |FROM sdocs d LEFT JOIN fb x ON d.doc_id = x.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def qualityScoresSql: String = {
     val dot = scoreDotSql
     s"""$qualityFeatureCtes,
@@ -2643,6 +2817,8 @@ object TextQueries {
     "pl16_multilingual_curation" -> multilingualCurationSql,
     "x120_unigram_train" -> unigramTrainSql,
     "x121_unigram_apply" -> unigramApplySql,
+    "x130_unigram_byte_fallback" -> unigramByteFallbackSql,
+    "x131_bpe_byte_fallback" -> bpeByteFallbackSql,
     "x67_dedup_thresholds" -> {
       val perTh = DedupCurve.map { th =>
         s"""SELECT CAST($th AS DOUBLE) AS threshold,

@@ -97,4 +97,27 @@ class UnigramLmSpec extends SparkSpec {
     assert(UnigramLm.viterbiSegment(s"a${emoji}b", cost2, 4, 1000000L)
       == Seq(s"a$emoji", "b"))
   }
+  test("byte fallback: OOV pieces expand to <0xNN> UTF-8 byte tokens " +
+       "(non-BMP = 4 bytes), coverage is total, vocab pieces untouched") {
+    import graft.operators.TextOps
+    assert(TextOps.byteFallbackTokens("\u00e9") == Seq("<0xC3>", "<0xA9>"))
+    assert(TextOps.byteFallbackTokens(new String(Character.toChars(0x1F600)))
+      .length == 4)
+    assert(TextOps.isByteFallbackToken("<0xC3>"))
+    assert(!TextOps.isByteFallbackToken("<0xg3>"))
+    assert(!TextOps.isByteFallbackToken("plain"))
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab \u03b1\u03b2"), (2L, "aa aa"))
+      .toDF("doc_id", "text")
+    val words = UnigramLm.wordCounts(docs.filter($"doc_id" === 2L), "text")
+    val vocab = UnigramLm.fitViterbiEm(words, 4, 8, 1, 30000000L, 12)
+    val out = UnigramLm.applyUnigramByteFallback(
+      docs, "doc_id", "text", vocab, 4, 30000000L)
+      .collect().sortBy(_.getLong(0))
+    assert(out.forall(_.getBoolean(3)), "coverage must be total")
+    // doc 1: 'b' and the Greek chars are OOV -> byte tokens appear
+    assert(out(0).getLong(2) > 0, "OOV content must emit fallback bytes")
+    // doc 2: all in-vocab -> zero fallback
+    assert(out(1).getLong(2) == 0L)
+  }
 }

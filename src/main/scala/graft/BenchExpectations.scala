@@ -49,6 +49,30 @@ object BenchExpectations {
     * (0.3s → 1.0s flags: 3.3x, +0.7s, and above the floor). */
   val MinFlagSec = 0.75
 
+  /** CONTENTION-AWARE flagging (round-17 verdict task 7 — that round's
+    * driver run started at loadavg 13.8 and produced 22 flags, every one
+    * adjudicated to box contention): before thresholding, each
+    * measurement is divided by the run's own SUITE INFLATION — the
+    * MEDIAN of measured/expected over every query with an expectation.
+    * A loaded box inflates the whole suite roughly uniformly, which is
+    * exactly what a median ratio captures and exactly what per-query
+    * thresholds cannot see; a genuine plan regression is localized, so
+    * it cannot move the median of a 200+-query suite and still flags at
+    * full strength after normalization. The min-rule expectation floors
+    * stay the recorded truth — normalization changes only the FLAGGING
+    * arithmetic, never the snapshot.
+    *
+    * Division of labor: a SUITE-WIDE real regression (shared code on
+    * every path) would be normalized away here BY DESIGN — that failure
+    * class is owned by the totals the judge reads (total vs expectation
+    * sum), and the contract line carries `suite_inflation` explicitly so
+    * a clean-env run with inflation ≫ 1 reads as "uniform slowdown:
+    * investigate", never as silence. The cap bounds how much a
+    * catastrophic uniform slowdown can self-excuse; the minimum sample
+    * keeps targeted dev-subset runs on the raw thresholds. */
+  val InflationCap = 3.0
+  val InflationMinQueries = 20
+
   val secondsAtSf01: Map[String, Double] = Map(
     "a10_reconcile" -> 0.3023,  // min rule: quiet-box prior
     "a11_percentiles" -> 0.832,  // min rule: quiet-box prior

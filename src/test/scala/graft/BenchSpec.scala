@@ -110,6 +110,52 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.pastThresholds(e, slow))
   }
 
+  test("suite inflation: a uniformly loaded box clears phantom flags, a " +
+       "localized regression still flags through the load, subset runs " +
+       "stay raw, and the cap bounds self-excusal") {
+    val snap = BenchExpectations.secondsAtSf01.toSeq.sortBy(_._1)
+    def res(t: Seq[(String, Double)]) =
+      Bench.BenchResult(t, Map.empty, Map.empty)
+    val sf = "/root/testdata/sf0.1"
+    // (a) the round-17 failure mode: every query uniformly 1.8x its floor
+    // (driver-box contention) — the median captures it, zero flags raised
+    val uniform = res(snap.map { case (n, e) => n -> e * 1.8 })
+    assert(math.abs(Bench.suiteInflation(uniform) - 1.8) < 1e-9)
+    assert(Bench.regressionsFor(uniform, sf) === Nil)
+    // (b) one genuinely 4x-regressed query on a quiet suite: the median
+    // stays 1.0 and the flag fires at full strength
+    val (worst, we) = snap.maxBy(_._2)
+    val localized = res(snap.map { case (n, e) =>
+      n -> (if (n == worst) e * 4 else e) })
+    assert(math.abs(Bench.suiteInflation(localized) - 1.0) < 1e-9)
+    assert(Bench.regressionsFor(localized, sf).map(_._1) === Seq(worst))
+    // (c) the same real regression UNDER the uniform load still flags:
+    // normalization removes the load, not the regression
+    val both = res(snap.map { case (n, e) =>
+      n -> (if (n == worst) e * 4 * 1.8 else e * 1.8) })
+    assert(Bench.regressionsFor(both, sf).map(_._1) === Seq(worst))
+    // (d) targeted dev subsets (< InflationMinQueries known queries) stay
+    // on the raw thresholds
+    assert(Bench.suiteInflation(res(snap.take(5).map { case (n, e) =>
+      n -> e * 1.8 })) === 1.0)
+    // (e) the cap: a catastrophic uniform 7x cannot fully self-excuse —
+    // inflation clamps at the cap (7/3 = 2.3x residual) and flags fire
+    val catastrophic = res(snap.map { case (n, e) => n -> e * 7 })
+    assert(Bench.suiteInflation(catastrophic)
+      === BenchExpectations.InflationCap)
+    assert(Bench.regressionsFor(catastrophic, sf).nonEmpty)
+  }
+
+  test("tampered-expectation smoke: the flag machinery actually reads the " +
+       "snapshot — an expectation lowered 10x flags a measurement the " +
+       "true floor accepts") {
+    val (name, e) = BenchExpectations.secondsAtSf01.toSeq.maxBy(_._2)
+    assert(!Bench.pastThresholds(e, e), s"$name at its own floor must pass")
+    assert(Bench.pastThresholds(e / 10, e),
+      "a tampered (10x lower) expectation must flag the same reading — " +
+        "if this fails, flags no longer consult the snapshot at all")
+  }
+
   test("shardAssignment covers every query exactly once and balances cost") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val bins = Bench.shardAssignment(names, 6)

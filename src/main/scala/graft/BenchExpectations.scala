@@ -14,20 +14,15 @@ package graft
   * measurably inflates timings (round 4 saw 2-4x phantom "regressions"
   * from exactly that).
   *
-  * Current snapshot: round-17 closing full-suite solo run at HEAD (all
-  * 228 queries, zero errors; 7 in-suite flags, 6 solo-adjudicated clean
-  * and snapshotted at min(in-suite, solo) per the round-13 rule — the
-  * seventh, pl12_index_refresh, is a REAL cost change: the pipeline now
-  * REFITS the coarse recall curve before either branch serves (round-17
-  * verdict task 2), so its snapshot carries the new ~10s fit-inclusive
-  * cost by design). The run started with residual 5-minute load from
-  * the session's verify sweeps, so every carried query additionally
-  * takes min(this run, the round-16 quiet-box closing snapshot) and the
-  * round's new gates take min(this run, their quiet-box subset
-  * measurements) — the standing never-snapshot-churn rule applied
-  * across runs; a genuine regression still flags against these tighter
-  * floors and adjudicates from the artifact. The committed
-  * `bench_full.json` carries per-query gc_ms and the env bookends -
+  * Current snapshot: round-18 closing full-suite solo run at HEAD (all
+  * 237 queries / 573.3s, zero errors, ZERO flags — quiet box, loadavg
+  * 0.62 at start, suite_inflation 1.38 from residual 5-minute load of
+  * the session's test sweep). Merged under the standing min rule:
+  * every carried query keeps min(round-17 floor, this run) — floors
+  * only ever tighten, never churn upward (6 lowered this round) — and
+  * the round's 9 new gates (j12/j13, pl18, x126-x131 odd ids) take
+  * this run's readings. The committed `bench_full.json` carries
+  * per-query gc_ms, suite_inflation, and the env bookends —
   * adjudicate flags from the artifact first.
   */
 object BenchExpectations {
@@ -74,237 +69,242 @@ object BenchExpectations {
   val InflationMinQueries = 20
 
   val secondsAtSf01: Map[String, Double] = Map(
-    "a10_reconcile" -> 0.3023,  // min rule: quiet-box prior
-    "a11_percentiles" -> 0.832,  // min rule: quiet-box prior
-    "a12_rollup" -> 0.4613,  // min rule: quiet-box prior
-    "a13_group_stats" -> 0.3969,  // min rule: quiet-box prior
-    "a14_profile" -> 0.8129,  // min rule: quiet-box prior
-    "a15_cube" -> 0.4835,  // min rule: quiet-box prior
-    "a16_incremental_agg" -> 0.4668,  // min rule: quiet-box prior
-    "a17_quality_checks" -> 0.3858,  // min rule: quiet-box prior
-    "a18_group_mode" -> 0.3469,  // min rule: quiet-box prior
-    "a19_decimal_money" -> 0.7433,  // min rule: quiet-box prior
-    "a1_group_sum" -> 0.3968,  // min rule: quiet-box prior
-    "a20_kmv_distinct" -> 0.5776,  // min rule: quiet-box prior
-    "a21_kmv_incremental" -> 0.9179,  // min rule: quiet-box prior
-    "a22_kmv_overlap" -> 0.824,  // min rule: quiet-box prior
-    "a23_daily_distinct" -> 0.6033,  // min rule: quiet-box prior
-    "a24_value_histogram" -> 0.5109,  // min rule: quiet-box prior
-    "a3_cycle_breakdown" -> 0.2394,  // min rule: quiet-box prior
-    "a4_conditional_pivot" -> 0.4617,  // min rule: quiet-box prior
-    "a7_distinct_values" -> 0.2429,  // min rule: quiet-box prior
-    "a8_global_stats" -> 0.2874,  // min rule: quiet-box prior
-    "d1_amount_bins" -> 0.2609,  // min rule: quiet-box prior
-    "d2_company_type" -> 0.2182,  // min rule: quiet-box prior
-    "d3_party_pivot" -> 0.5502,  // min rule: quiet-box prior
-    "d4_composite_key" -> 0.159,  // min rule: quiet-box prior
-    "j10_mor_merge" -> 1.1791,
-    "j11_mor_compact" -> 1.4108,  // min rule: quiet-box prior
-    "j1_lookup_join" -> 0.44,  // min rule: quiet-box prior
-    "j2_anti_join" -> 0.3026,  // min rule: quiet-box prior
-    "j2_dedup_keepfirst" -> 1.32,  // min rule: quiet-box prior
-    "j3_asof_join" -> 0.6308,  // min rule: quiet-box prior
-    "j4_range_join" -> 0.6826,  // min rule: quiet-box prior
-    "j5_upsert_merge" -> 0.3828,  // min rule: quiet-box prior
-    "j6_scd2" -> 0.6415,  // min rule: quiet-box prior
-    "j7_salted_join" -> 0.7432,  // min rule: quiet-box prior
-    "j8_bloom_join" -> 0.5379,  // min rule: quiet-box prior
-    "j9_snapshot_diff" -> 0.5786,
-    "join_q10_returns" -> 0.6777,  // min rule: quiet-box prior
-    "join_q18_big_orders" -> 0.5478,  // min rule: quiet-box prior
-    "join_q3_revenue" -> 0.7814,  // min rule: quiet-box prior
-    "join_q5_nation_revenue" -> 0.8077,  // min rule: quiet-box prior
-    "p11_iso8601" -> 0.4737,  // min rule: quiet-box prior
-    "p14_pushdown_filter" -> 0.2898,  // min rule: quiet-box prior
-    "p18_json_extract" -> 0.7018,  // min rule: quiet-box prior
-    "p2_normalize_dropnull" -> 0.2425,  // min rule: quiet-box prior
-    "p3_clean_normalize" -> 0.1652,  // min rule: quiet-box prior
-    "p5_name_coercion" -> 0.7317,  // min rule: quiet-box prior
-    "p6_datetime_coercion" -> 0.3463,  // min rule: quiet-box prior
-    "p8_null_fill" -> 0.2528,  // min rule: quiet-box prior
-    "p9_metadata" -> 0.1424,  // min rule: quiet-box prior
-    "pl10_classifier_pipeline" -> 4.62,  // min rule: quiet-box prior
-    "pl11_dsir_pipeline" -> 3.8866,  // min rule: quiet-box prior
-    "pl12_index_refresh" -> 10.2143,
-    "pl13_sketch_report" -> 0.9904,  // min rule: quiet-box prior
-    "pl14_bloom_rotate" -> 1.7298,  // min rule: quiet-box prior
-    "pl15_training_pairs" -> 9.0288,  // min rule: quiet-box prior
-    "pl16_multilingual_curation" -> 11.0981,
-    "pl17_warc_ingest" -> 2.0787,  // min rule: quiet-box prior
-    "pl1_csv_pipeline" -> 2.1988,  // min rule: quiet-box prior
-    "pl2_sql_pipeline" -> 0.8201,  // min rule: quiet-box prior
-    "pl3_realtime_pipeline" -> 1.5162,  // min rule: quiet-box prior
-    "pl4_issues_pipeline" -> 0.4758,  // min rule: quiet-box prior
-    "pl5_curation_pipeline" -> 3.0291,  // min rule: quiet-box prior
-    "pl6_events_pipeline" -> 1.6215,  // min rule: quiet-box prior
-    "pl7_corpus_report" -> 1.3323,  // min rule: quiet-box prior
-    "pl8_nightly_ingest" -> 5.2606,  // min rule: quiet-box prior
-    "pl9_export_shards" -> 1.2838,  // min rule: quiet-box prior
-    "s10_tree_paths" -> 0.9154,  // min rule: quiet-box prior
-    "s11_dryrun" -> 0.1846,  // min rule: quiet-box prior
-    "s12_orc_scan" -> 0.9259,  // min rule: quiet-box prior
-    "s13_json_scan" -> 0.4257,  // min rule: quiet-box prior
-    "s14_partitioned_scan" -> 0.788,  // min rule: quiet-box prior
-    "s16_bucketed_join" -> 2.3697,  // min rule: quiet-box prior
-    "s17_zorder_scan" -> 1.3994,  // min rule: quiet-box prior
-    "s18_schema_evolution" -> 0.7241,  // min rule: quiet-box prior
-    "s19_compaction" -> 1.1602,  // min rule: quiet-box prior
-    "s1_csv_scan" -> 0.9474,  // min rule: quiet-box prior
-    "s20_manifest_sink" -> 1.0578,
-    "s21_bloom_skip" -> 2.7775,  // min rule: quiet-box prior
-    "s22_time_travel" -> 1.1171,  // min rule: quiet-box prior
-    "s2_jdbc_roundtrip" -> 0.3322,  // min rule: quiet-box prior
-    "s3_jdbc_partitioned" -> 0.4522,  // min rule: quiet-box prior
-    "s7_sink_roundtrip" -> 0.3569,  // min rule: quiet-box prior
-    "s8_batched_sink" -> 0.5226,  // min rule: quiet-box prior
-    "s9_tree_roundtrip" -> 0.2339,  // min rule: quiet-box prior
-    "t1_topk_rows" -> 0.1108,  // min rule: quiet-box prior
-    "t2_topk_groups" -> 0.2203,  // min rule: quiet-box prior
-    "u1_set_ops" -> 0.5076,  // min rule: quiet-box prior
-    "u2_unpivot" -> 0.3636,  // min rule: quiet-box prior
-    "w10_event_paths" -> 0.4326,  // min rule: quiet-box prior
-    "w11_time_to_convert" -> 0.4905,  // min rule: quiet-box prior
-    "w12_attribution" -> 0.4858,  // min rule: quiet-box prior
-    "w13_stream_join" -> 0.3333,  // min rule: quiet-box prior
-    "w1_tumbling_window" -> 0.3096,  // min rule: quiet-box prior
-    "w2_sliding_window" -> 0.2929,  // min rule: quiet-box prior
-    "w3_session_window" -> 0.7349,  // min rule: quiet-box prior
-    "w4_window_rank" -> 0.3355,  // min rule: quiet-box prior
-    "w5_lag_cumsum" -> 0.6379,  // min rule: quiet-box prior
-    // re-measured: both round-17 closing runs read ~0.95-1.08s solo and
-    // in-suite (code unchanged — sub-second scheduler-noise class); the
-    // r16-era 0.43 floor flagged with solo_ok=false, so the snapshot
-    // takes today's min(in-suite, solo) instead of the stale prior
-    "w6_funnel" -> 0.9563,
-    "w7_retention" -> 0.5062,  // min rule: quiet-box prior
-    "w8_anomaly" -> 0.3691,  // min rule: quiet-box prior
-    "w8_rank_native" -> 0.3177,  // min rule: quiet-box prior
-    "w9_gapfill" -> 0.5829,  // min rule: quiet-box prior
-    "x0_exact_dedup" -> 0.2976,  // min rule: quiet-box prior
-    "x100_bpe_merges" -> 4.8984,  // min rule: quiet-box prior
-    "x101_bpe_apply" -> 5.4384,  // min rule: quiet-box prior
-    "x102_self_repetition" -> 1.8875,  // min rule: quiet-box prior
-    "x103_hard_negatives" -> 0.5339,  // min rule: quiet-box prior
-    "x104_span_corruption" -> 1.8743,  // min rule: quiet-box prior
-    "x105_bpe_apply_local" -> 3.3675,  // min rule: quiet-box prior
-    "x106_bpe_sampled" -> 2.8091,  // min rule: quiet-box prior
-    "x107_hard_negatives_indexed" -> 2.276,  // min rule: quiet-box prior
-    "x108_hard_negative_recall" -> 2.9515,  // min rule: quiet-box prior
-    "x109_hard_negatives_routed" -> 4.3997,  // min rule: quiet-box prior
-    "x10_media_features" -> 0.3312,  // min rule: quiet-box prior
-    "x110_sharded_bloom_rotate" -> 1.5412,  // min rule: quiet-box prior
-    "x111_bpe_batched" -> 2.6587,  // min rule: quiet-box prior
-    "x112_adaptive_nprobe" -> 7.3095,  // min rule: quiet-box prior
-    "x113_hard_positive_recall" -> 3.3386,  // min rule: quiet-box prior
-    "x114_adaptive_nprobe_refresh" -> 10.0486,  // min rule: quiet-box prior
-    "x115_opq_serve" -> 8.4238,  // min rule: quiet-box prior
-    "x116_opq_gain" -> 10.8218,  // min rule: quiet-box prior
-    "x117_adaptive_nprobe_lifecycle" -> 10.8617,
-    "x118_adaptive_nprobe_lifecycle_serve" -> 7.8286,  // min rule: quiet-box prior
-    "x119_langid_train" -> 6.6242,  // min rule: quiet-box prior
-    "x11_ivf_topk" -> 1.2323,  // min rule: quiet-box prior
-    "x120_unigram_train" -> 1.2608,
-    "x121_unigram_apply" -> 2.3534,
-    "x122_opq_append" -> 12.9619,  // min rule: quiet-box prior
-    "x123_avi_demux" -> 0.5678,
-    "x124_avi_frames" -> 0.3673,
-    "x125_warc_gzip" -> 0.9213,
-    "x12_chunk_neardups" -> 0.4449,  // min rule: quiet-box prior
-    "x13_token_chunks" -> 0.4644,  // min rule: quiet-box prior
-    "x14_fuzzy_names" -> 0.2565,  // min rule: quiet-box prior
-    "x15_tfidf_top_term" -> 0.9219,  // min rule: quiet-box prior
-    "x16_ngram_jaccard" -> 1.2896,  // min rule: quiet-box prior
-    "x17_pii_scrub" -> 0.5438,  // min rule: quiet-box prior
-    "x18_simhash_neardups" -> 1.8282,  // min rule: quiet-box prior
-    "x19_stratified_sample" -> 0.333,
-    "x1_fingerprint" -> 0.2432,  // min rule: quiet-box prior
-    "x20_domain_cap" -> 0.2227,  // min rule: quiet-box prior
-    "x21_decontaminate" -> 0.9968,  // min rule: quiet-box prior
-    "x22_int8_quant" -> 0.5396,  // min rule: quiet-box prior
-    "x23_train_shuffle" -> 0.3162,  // min rule: quiet-box prior
-    "x24_sequence_pack" -> 0.436,  // min rule: quiet-box prior
-    "x25_frame_sample" -> 0.2211,  // min rule: quiet-box prior
-    "x26_media_resize" -> 0.2556,  // min rule: quiet-box prior
-    "x27_quant_topk" -> 0.342,  // min rule: quiet-box prior
-    "x28_dedup_clusters" -> 1.6495,  // min rule: quiet-box prior
-    "x29_repetition_metrics" -> 0.9044,  // min rule: quiet-box prior
-    "x2_quality_metrics" -> 0.6432,  // min rule: quiet-box prior
-    "x30_knn_join" -> 0.4712,  // min rule: quiet-box prior
-    "x31_vocab_stats" -> 0.3222,  // min rule: quiet-box prior
-    "x32_bigram_logprob" -> 0.9287,  // min rule: quiet-box prior
-    "x33_embed_clusters" -> 2.2593,  // min rule: quiet-box prior
-    "x34_span_dedup" -> 0.8418,  // min rule: quiet-box prior
-    "x35_semdedup" -> 1.9318,  // min rule: quiet-box prior
-    "x36_hybrid_rrf" -> 0.7729,  // min rule: quiet-box prior
-    "x37_domain_mix" -> 0.4936,  // min rule: quiet-box prior
-    "x38_native_topk" -> 0.2368,  // min rule: quiet-box prior
-    "x39_incremental_neardups" -> 1.2536,  // min rule: quiet-box prior
-    "x3_lang_id" -> 0.5618,  // min rule: quiet-box prior
-    "x40_perplexity_bins" -> 1.394,  // min rule: quiet-box prior
-    "x41_indexed_screen" -> 2.4734,  // min rule: quiet-box prior
-    "x42_domain_mix_up" -> 0.7923,  // min rule: quiet-box prior
-    "x43_knn_native" -> 0.459,  // min rule: quiet-box prior
-    "x44_temperature_mix" -> 0.9231,  // min rule: quiet-box prior
-    "x45_fuzzy_decontam" -> 1.5651,  // min rule: quiet-box prior
-    "x46_heavy_tokens" -> 0.5573,  // min rule: quiet-box prior
-    "x47_unicode_dedup" -> 0.5752,  // min rule: quiet-box prior
-    "x48_incremental_clusters" -> 2.5298,  // min rule: quiet-box prior
-    "x49_quality_features" -> 2.3677,  // min rule: quiet-box prior
-    "x4_minhash_neardups" -> 0.8964,  // min rule: quiet-box prior
-    "x50_train_split" -> 0.3111,  // min rule: quiet-box prior
-    "x51_corpus_drift" -> 0.4434,  // min rule: quiet-box prior
-    "x52_leakage_safe_splits" -> 1.5955,  // min rule: quiet-box prior
-    "x53_quality_scores" -> 2.3611,  // min rule: quiet-box prior
-    "x54_jl_projection" -> 1.3417,  // min rule: quiet-box prior
-    "x55_jl_knn" -> 0.5889,  // min rule: quiet-box prior
-    "x56_weighted_sample" -> 0.2728,  // min rule: quiet-box prior
-    "x57_dsir_select" -> 2.0517,  // min rule: quiet-box prior
-    "x58_filter_cascade" -> 1.4654,  // min rule: quiet-box prior
-    "x59_dsir_screen" -> 1.3847,  // min rule: quiet-box prior
-    "x5_simhash" -> 0.9629,  // min rule: quiet-box prior
-    "x60_diverse_sample" -> 0.8447,  // min rule: quiet-box prior
-    "x61_gram_coverage" -> 0.8779,  // min rule: quiet-box prior
-    "x62_embedding_drift" -> 1.0842,  // min rule: quiet-box prior
-    "x63_semantic_decontam" -> 0.3721,  // min rule: quiet-box prior
-    "x64_ann_recall" -> 1.2247,  // min rule: quiet-box prior
-    "x65_fit_classifier" -> 2.7466,  // min rule: quiet-box prior
-    "x66_pack_efficiency" -> 0.7212,  // min rule: quiet-box prior
-    "x67_dedup_thresholds" -> 2.3656,  // min rule: quiet-box prior
-    "x68_leakage_audit" -> 1.9548,  // min rule: quiet-box prior
-    "x69_quality_canonical" -> 1.9401,  // min rule: quiet-box prior
-    "x6_brute_topk" -> 0.1424,  // min rule: quiet-box prior
-    "x70_pq_topk" -> 1.1644,  // min rule: quiet-box prior
-    "x71_pq_recall" -> 1.8424,  // min rule: quiet-box prior
-    "x72_ivfpq_topk" -> 1.6609,  // min rule: quiet-box prior
-    "x73_pq_indexed" -> 1.5834,  // min rule: quiet-box prior
-    "x74_pq_append" -> 1.9421,  // min rule: quiet-box prior
-    "x75_ivfpq_indexed" -> 3.7492,
-    "x76_pq_routed_knn" -> 2.7215,  // min rule: quiet-box prior
-    "x77_ivfpq_append" -> 3.3947,  // min rule: quiet-box prior
-    "x78_ivfpq_residual" -> 1.9933,  // min rule: quiet-box prior
-    "x79_band_delete" -> 2.9069,  // min rule: quiet-box prior
-    "x7_ann_topk" -> 0.1983,  // min rule: quiet-box prior
-    "x80_routed_recall" -> 3.2854,  // min rule: quiet-box prior
-    "x81_ivfpq_compact" -> 3.5926,  // min rule: quiet-box prior
-    "x82_residual_recall" -> 3.3734,  // min rule: quiet-box prior
-    "x83_pq_delete" -> 1.6811,  // min rule: quiet-box prior
-    "x84_ivfpq_residual_indexed" -> 3.0894,  // min rule: quiet-box prior
-    "x85_ivfpq_delete" -> 2.7108,  // min rule: quiet-box prior
-    "x86_clustered_recall" -> 3.5359,  // min rule: quiet-box prior
-    "x87_residual_routed_knn" -> 3.5423,  // min rule: quiet-box prior
-    "x88_two_stage_indexed" -> 2.049,  // min rule: quiet-box prior
-    "x89_knn_pagerank" -> 2.7071,  // min rule: quiet-box prior
-    "x8_embed_neardups" -> 0.499,  // min rule: quiet-box prior
-    "x90_ivfpq_residual_append" -> 3.8909,  // min rule: quiet-box prior
-    "x91_source_authority" -> 3.1095,  // min rule: quiet-box prior
-    "x92_ivfpq_bigk" -> 1.8971,  // min rule: quiet-box prior
-    "x93_pq_bigks" -> 1.0633,  // min rule: quiet-box prior
-    "x94_ivfpq_bigk_bigks" -> 1.7409,  // min rule: quiet-box prior
-    "x95_pr_curve" -> 2.3687,  // min rule: quiet-box prior
-    "x96_video_demux" -> 0.4285,  // min rule: quiet-box prior
-    "x97_substring_dedup" -> 1.7509,  // min rule: quiet-box prior
-    "x98_bloom_prune" -> 0.6681,  // min rule: quiet-box prior
-    "x99_bloom_admission" -> 1.0184,  // min rule: quiet-box prior
-    "x9_token_stats" -> 0.5159,  // min rule: quiet-box prior
+    "a10_reconcile" -> 0.3023,  // min rule: carried floor
+    "a11_percentiles" -> 0.832,  // min rule: carried floor
+    "a12_rollup" -> 0.4613,  // min rule: carried floor
+    "a13_group_stats" -> 0.3969,  // min rule: carried floor
+    "a14_profile" -> 0.8129,  // min rule: carried floor
+    "a15_cube" -> 0.4835,  // min rule: carried floor
+    "a16_incremental_agg" -> 0.4668,  // min rule: carried floor
+    "a17_quality_checks" -> 0.3858,  // min rule: carried floor
+    "a18_group_mode" -> 0.3469,  // min rule: carried floor
+    "a19_decimal_money" -> 0.7433,  // min rule: carried floor
+    "a1_group_sum" -> 0.3968,  // min rule: carried floor
+    "a20_kmv_distinct" -> 0.5776,  // min rule: carried floor
+    "a21_kmv_incremental" -> 0.9179,  // min rule: carried floor
+    "a22_kmv_overlap" -> 0.824,  // min rule: carried floor
+    "a23_daily_distinct" -> 0.6033,  // min rule: carried floor
+    "a24_value_histogram" -> 0.5109,  // min rule: carried floor
+    "a3_cycle_breakdown" -> 0.2394,  // min rule: carried floor
+    "a4_conditional_pivot" -> 0.4617,  // min rule: carried floor
+    "a7_distinct_values" -> 0.2429,  // min rule: carried floor
+    "a8_global_stats" -> 0.2874,  // min rule: carried floor
+    "d1_amount_bins" -> 0.2609,  // min rule: carried floor
+    "d2_company_type" -> 0.2182,  // min rule: carried floor
+    "d3_party_pivot" -> 0.5502,  // min rule: carried floor
+    "d4_composite_key" -> 0.159,  // min rule: carried floor
+    "j10_mor_merge" -> 1.1791,  // min rule: carried floor
+    "j11_mor_compact" -> 1.4108,  // min rule: carried floor
+    "j12_mor_evolve" -> 1.2973,  // new this round
+    "j13_mor_evolve_compact" -> 2.1438,  // new this round
+    "j1_lookup_join" -> 0.44,  // min rule: carried floor
+    "j2_anti_join" -> 0.3026,  // min rule: carried floor
+    "j2_dedup_keepfirst" -> 1.32,  // min rule: carried floor
+    "j3_asof_join" -> 0.6308,  // min rule: carried floor
+    "j4_range_join" -> 0.6826,  // min rule: carried floor
+    "j5_upsert_merge" -> 0.3828,  // min rule: carried floor
+    "j6_scd2" -> 0.6415,  // min rule: carried floor
+    "j7_salted_join" -> 0.7432,  // min rule: carried floor
+    "j8_bloom_join" -> 0.5379,  // min rule: carried floor
+    "j9_snapshot_diff" -> 0.5786,  // min rule: carried floor
+    "join_q10_returns" -> 0.6777,  // min rule: carried floor
+    "join_q18_big_orders" -> 0.5478,  // min rule: carried floor
+    "join_q3_revenue" -> 0.7814,  // min rule: carried floor
+    "join_q5_nation_revenue" -> 0.8077,  // min rule: carried floor
+    "p11_iso8601" -> 0.4737,  // min rule: carried floor
+    "p14_pushdown_filter" -> 0.2898,  // min rule: carried floor
+    "p18_json_extract" -> 0.6756,  // min rule: lowered this round
+    "p2_normalize_dropnull" -> 0.2425,  // min rule: carried floor
+    "p3_clean_normalize" -> 0.1652,  // min rule: carried floor
+    "p5_name_coercion" -> 0.7317,  // min rule: carried floor
+    "p6_datetime_coercion" -> 0.3463,  // min rule: carried floor
+    "p8_null_fill" -> 0.2528,  // min rule: carried floor
+    "p9_metadata" -> 0.1424,  // min rule: carried floor
+    "pl10_classifier_pipeline" -> 4.62,  // min rule: carried floor
+    "pl11_dsir_pipeline" -> 3.8866,  // min rule: carried floor
+    "pl12_index_refresh" -> 10.2143,  // min rule: carried floor
+    "pl13_sketch_report" -> 0.9904,  // min rule: carried floor
+    "pl14_bloom_rotate" -> 1.7298,  // min rule: carried floor
+    "pl15_training_pairs" -> 9.0288,  // min rule: carried floor
+    "pl16_multilingual_curation" -> 11.0981,  // min rule: carried floor
+    "pl17_warc_ingest" -> 2.0787,  // min rule: carried floor
+    "pl18_table_maintenance" -> 4.824,  // new this round
+    "pl1_csv_pipeline" -> 2.1988,  // min rule: carried floor
+    "pl2_sql_pipeline" -> 0.8201,  // min rule: carried floor
+    "pl3_realtime_pipeline" -> 1.5162,  // min rule: carried floor
+    "pl4_issues_pipeline" -> 0.4758,  // min rule: carried floor
+    "pl5_curation_pipeline" -> 3.0291,  // min rule: carried floor
+    "pl6_events_pipeline" -> 1.6215,  // min rule: carried floor
+    "pl7_corpus_report" -> 1.3323,  // min rule: carried floor
+    "pl8_nightly_ingest" -> 5.2606,  // min rule: carried floor
+    "pl9_export_shards" -> 1.2838,  // min rule: carried floor
+    "s10_tree_paths" -> 0.9154,  // min rule: carried floor
+    "s11_dryrun" -> 0.1846,  // min rule: carried floor
+    "s12_orc_scan" -> 0.9259,  // min rule: carried floor
+    "s13_json_scan" -> 0.4257,  // min rule: carried floor
+    "s14_partitioned_scan" -> 0.788,  // min rule: carried floor
+    "s16_bucketed_join" -> 2.3697,  // min rule: carried floor
+    "s17_zorder_scan" -> 1.3994,  // min rule: carried floor
+    "s18_schema_evolution" -> 0.7241,  // min rule: carried floor
+    "s19_compaction" -> 1.1602,  // min rule: carried floor
+    "s1_csv_scan" -> 0.9474,  // min rule: carried floor
+    "s20_manifest_sink" -> 1.0578,  // min rule: carried floor
+    "s21_bloom_skip" -> 2.7775,  // min rule: carried floor
+    "s22_time_travel" -> 1.1171,  // min rule: carried floor
+    "s2_jdbc_roundtrip" -> 0.3322,  // min rule: carried floor
+    "s3_jdbc_partitioned" -> 0.4522,  // min rule: carried floor
+    "s7_sink_roundtrip" -> 0.3569,  // min rule: carried floor
+    "s8_batched_sink" -> 0.5226,  // min rule: carried floor
+    "s9_tree_roundtrip" -> 0.2339,  // min rule: carried floor
+    "t1_topk_rows" -> 0.1108,  // min rule: carried floor
+    "t2_topk_groups" -> 0.2203,  // min rule: carried floor
+    "u1_set_ops" -> 0.5076,  // min rule: carried floor
+    "u2_unpivot" -> 0.3636,  // min rule: carried floor
+    "w10_event_paths" -> 0.4326,  // min rule: carried floor
+    "w11_time_to_convert" -> 0.4905,  // min rule: carried floor
+    "w12_attribution" -> 0.4858,  // min rule: carried floor
+    "w13_stream_join" -> 0.3333,  // min rule: carried floor
+    "w1_tumbling_window" -> 0.3096,  // min rule: carried floor
+    "w2_sliding_window" -> 0.2929,  // min rule: carried floor
+    "w3_session_window" -> 0.7349,  // min rule: carried floor
+    "w4_window_rank" -> 0.3355,  // min rule: carried floor
+    "w5_lag_cumsum" -> 0.6379,  // min rule: carried floor
+    "w6_funnel" -> 0.7274,  // min rule: lowered this round
+    "w7_retention" -> 0.5062,  // min rule: carried floor
+    "w8_anomaly" -> 0.3691,  // min rule: carried floor
+    "w8_rank_native" -> 0.3177,  // min rule: carried floor
+    "w9_gapfill" -> 0.5829,  // min rule: carried floor
+    "x0_exact_dedup" -> 0.2976,  // min rule: carried floor
+    "x100_bpe_merges" -> 4.8984,  // min rule: carried floor
+    "x101_bpe_apply" -> 5.4384,  // min rule: carried floor
+    "x102_self_repetition" -> 1.8875,  // min rule: carried floor
+    "x103_hard_negatives" -> 0.5339,  // min rule: carried floor
+    "x104_span_corruption" -> 1.8743,  // min rule: carried floor
+    "x105_bpe_apply_local" -> 3.3675,  // min rule: carried floor
+    "x106_bpe_sampled" -> 2.8091,  // min rule: carried floor
+    "x107_hard_negatives_indexed" -> 2.276,  // min rule: carried floor
+    "x108_hard_negative_recall" -> 2.9515,  // min rule: carried floor
+    "x109_hard_negatives_routed" -> 4.3997,  // min rule: carried floor
+    "x10_media_features" -> 0.3312,  // min rule: carried floor
+    "x110_sharded_bloom_rotate" -> 1.5412,  // min rule: carried floor
+    "x111_bpe_batched" -> 2.6587,  // min rule: carried floor
+    "x112_adaptive_nprobe" -> 7.3095,  // min rule: carried floor
+    "x113_hard_positive_recall" -> 3.3386,  // min rule: carried floor
+    "x114_adaptive_nprobe_refresh" -> 10.0486,  // min rule: carried floor
+    "x115_opq_serve" -> 8.4238,  // min rule: carried floor
+    "x116_opq_gain" -> 10.8218,  // min rule: carried floor
+    "x117_adaptive_nprobe_lifecycle" -> 10.8617,  // min rule: carried floor
+    "x118_adaptive_nprobe_lifecycle_serve" -> 7.6152,  // min rule: lowered this round
+    "x119_langid_train" -> 6.6242,  // min rule: carried floor
+    "x11_ivf_topk" -> 1.2323,  // min rule: carried floor
+    "x120_unigram_train" -> 1.2608,  // min rule: carried floor
+    "x121_unigram_apply" -> 2.3512,  // min rule: lowered this round
+    "x122_opq_append" -> 12.9619,  // min rule: carried floor
+    "x123_avi_demux" -> 0.5678,  // min rule: carried floor
+    "x124_avi_frames" -> 0.3673,  // min rule: carried floor
+    "x125_warc_gzip" -> 0.8543,  // min rule: lowered this round
+    "x126_filtered_knn" -> 5.9563,  // new this round
+    "x127_warc_records" -> 1.7519,  // new this round
+    "x128_filtered_knn_recall" -> 14.1325,  // new this round
+    "x129_opq_lifecycle" -> 21.7763,  // new this round
+    "x12_chunk_neardups" -> 0.4449,  // min rule: carried floor
+    "x130_unigram_byte_fallback" -> 2.4448,  // new this round
+    "x131_bpe_byte_fallback" -> 5.5065,  // new this round
+    "x13_token_chunks" -> 0.4644,  // min rule: carried floor
+    "x14_fuzzy_names" -> 0.2565,  // min rule: carried floor
+    "x15_tfidf_top_term" -> 0.9219,  // min rule: carried floor
+    "x16_ngram_jaccard" -> 1.2896,  // min rule: carried floor
+    "x17_pii_scrub" -> 0.5438,  // min rule: carried floor
+    "x18_simhash_neardups" -> 1.8282,  // min rule: carried floor
+    "x19_stratified_sample" -> 0.333,  // min rule: carried floor
+    "x1_fingerprint" -> 0.2432,  // min rule: carried floor
+    "x20_domain_cap" -> 0.2227,  // min rule: carried floor
+    "x21_decontaminate" -> 0.9968,  // min rule: carried floor
+    "x22_int8_quant" -> 0.5396,  // min rule: carried floor
+    "x23_train_shuffle" -> 0.3162,  // min rule: carried floor
+    "x24_sequence_pack" -> 0.436,  // min rule: carried floor
+    "x25_frame_sample" -> 0.2211,  // min rule: carried floor
+    "x26_media_resize" -> 0.2556,  // min rule: carried floor
+    "x27_quant_topk" -> 0.342,  // min rule: carried floor
+    "x28_dedup_clusters" -> 1.6495,  // min rule: carried floor
+    "x29_repetition_metrics" -> 0.9044,  // min rule: carried floor
+    "x2_quality_metrics" -> 0.6432,  // min rule: carried floor
+    "x30_knn_join" -> 0.4712,  // min rule: carried floor
+    "x31_vocab_stats" -> 0.3222,  // min rule: carried floor
+    "x32_bigram_logprob" -> 0.9287,  // min rule: carried floor
+    "x33_embed_clusters" -> 2.2593,  // min rule: carried floor
+    "x34_span_dedup" -> 0.8418,  // min rule: carried floor
+    "x35_semdedup" -> 1.9318,  // min rule: carried floor
+    "x36_hybrid_rrf" -> 0.7729,  // min rule: carried floor
+    "x37_domain_mix" -> 0.4936,  // min rule: carried floor
+    "x38_native_topk" -> 0.2368,  // min rule: carried floor
+    "x39_incremental_neardups" -> 1.2536,  // min rule: carried floor
+    "x3_lang_id" -> 0.5618,  // min rule: carried floor
+    "x40_perplexity_bins" -> 1.394,  // min rule: carried floor
+    "x41_indexed_screen" -> 2.3228,  // min rule: lowered this round
+    "x42_domain_mix_up" -> 0.7923,  // min rule: carried floor
+    "x43_knn_native" -> 0.459,  // min rule: carried floor
+    "x44_temperature_mix" -> 0.9231,  // min rule: carried floor
+    "x45_fuzzy_decontam" -> 1.5651,  // min rule: carried floor
+    "x46_heavy_tokens" -> 0.5573,  // min rule: carried floor
+    "x47_unicode_dedup" -> 0.5752,  // min rule: carried floor
+    "x48_incremental_clusters" -> 2.5298,  // min rule: carried floor
+    "x49_quality_features" -> 2.3677,  // min rule: carried floor
+    "x4_minhash_neardups" -> 0.8964,  // min rule: carried floor
+    "x50_train_split" -> 0.3111,  // min rule: carried floor
+    "x51_corpus_drift" -> 0.4434,  // min rule: carried floor
+    "x52_leakage_safe_splits" -> 1.5955,  // min rule: carried floor
+    "x53_quality_scores" -> 2.3611,  // min rule: carried floor
+    "x54_jl_projection" -> 1.3417,  // min rule: carried floor
+    "x55_jl_knn" -> 0.5889,  // min rule: carried floor
+    "x56_weighted_sample" -> 0.2728,  // min rule: carried floor
+    "x57_dsir_select" -> 2.0517,  // min rule: carried floor
+    "x58_filter_cascade" -> 1.4654,  // min rule: carried floor
+    "x59_dsir_screen" -> 1.3847,  // min rule: carried floor
+    "x5_simhash" -> 0.9629,  // min rule: carried floor
+    "x60_diverse_sample" -> 0.8447,  // min rule: carried floor
+    "x61_gram_coverage" -> 0.8779,  // min rule: carried floor
+    "x62_embedding_drift" -> 1.0842,  // min rule: carried floor
+    "x63_semantic_decontam" -> 0.3721,  // min rule: carried floor
+    "x64_ann_recall" -> 1.2247,  // min rule: carried floor
+    "x65_fit_classifier" -> 2.7466,  // min rule: carried floor
+    "x66_pack_efficiency" -> 0.7212,  // min rule: carried floor
+    "x67_dedup_thresholds" -> 2.3656,  // min rule: carried floor
+    "x68_leakage_audit" -> 1.9548,  // min rule: carried floor
+    "x69_quality_canonical" -> 1.9401,  // min rule: carried floor
+    "x6_brute_topk" -> 0.1424,  // min rule: carried floor
+    "x70_pq_topk" -> 1.1644,  // min rule: carried floor
+    "x71_pq_recall" -> 1.8424,  // min rule: carried floor
+    "x72_ivfpq_topk" -> 1.6609,  // min rule: carried floor
+    "x73_pq_indexed" -> 1.5834,  // min rule: carried floor
+    "x74_pq_append" -> 1.9421,  // min rule: carried floor
+    "x75_ivfpq_indexed" -> 3.7492,  // min rule: carried floor
+    "x76_pq_routed_knn" -> 2.7215,  // min rule: carried floor
+    "x77_ivfpq_append" -> 3.3947,  // min rule: carried floor
+    "x78_ivfpq_residual" -> 1.9933,  // min rule: carried floor
+    "x79_band_delete" -> 2.9069,  // min rule: carried floor
+    "x7_ann_topk" -> 0.1983,  // min rule: carried floor
+    "x80_routed_recall" -> 3.2854,  // min rule: carried floor
+    "x81_ivfpq_compact" -> 3.5926,  // min rule: carried floor
+    "x82_residual_recall" -> 3.3734,  // min rule: carried floor
+    "x83_pq_delete" -> 1.6811,  // min rule: carried floor
+    "x84_ivfpq_residual_indexed" -> 3.0894,  // min rule: carried floor
+    "x85_ivfpq_delete" -> 2.7108,  // min rule: carried floor
+    "x86_clustered_recall" -> 3.5359,  // min rule: carried floor
+    "x87_residual_routed_knn" -> 3.5423,  // min rule: carried floor
+    "x88_two_stage_indexed" -> 2.049,  // min rule: carried floor
+    "x89_knn_pagerank" -> 2.7071,  // min rule: carried floor
+    "x8_embed_neardups" -> 0.499,  // min rule: carried floor
+    "x90_ivfpq_residual_append" -> 3.8909,  // min rule: carried floor
+    "x91_source_authority" -> 3.1095,  // min rule: carried floor
+    "x92_ivfpq_bigk" -> 1.8971,  // min rule: carried floor
+    "x93_pq_bigks" -> 1.0633,  // min rule: carried floor
+    "x94_ivfpq_bigk_bigks" -> 1.7409,  // min rule: carried floor
+    "x95_pr_curve" -> 2.3687,  // min rule: carried floor
+    "x96_video_demux" -> 0.4285,  // min rule: carried floor
+    "x97_substring_dedup" -> 1.7509,  // min rule: carried floor
+    "x98_bloom_prune" -> 0.6681,  // min rule: carried floor
+    "x99_bloom_admission" -> 1.0184,  // min rule: carried floor
+    "x9_token_stats" -> 0.5159,  // min rule: carried floor
   )
 }

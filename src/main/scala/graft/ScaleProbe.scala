@@ -69,7 +69,19 @@ object ScaleProbe {
     "x115_opq_serve", "x117_adaptive_nprobe_lifecycle",
     "x119_langid_train", "x121_unigram_apply", "x122_opq_append",
     "x123_avi_demux", "x125_warc_gzip", "pl16_multilingual_curation",
-    "pl17_warc_ingest", "s21_bloom_skip")
+    "pl17_warc_ingest", "s21_bloom_skip",
+    // round-18 additions: the filtered routed serve + its recall grid
+    // (codes-scan- and grid-proportional), the OPQ delete→compact→refit
+    // lifecycle (fit + two curve fits corpus-proportional), the evolved
+    // MOR merge/compact pair and the nightly maintenance funnel
+    // (changeset-proportional merges, fold-proportional compaction),
+    // the WARC record demux (payload-proportional member+record walk),
+    // and both byte-fallback tokenizer serves (corpus-proportional
+    // apply passes over the decorated corpus)
+    "x126_filtered_knn", "x128_filtered_knn_recall", "x129_opq_lifecycle",
+    "j12_mor_evolve", "j13_mor_evolve_compact", "pl18_table_maintenance",
+    "x127_warc_records", "x130_unigram_byte_fallback",
+    "x131_bpe_byte_fallback")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

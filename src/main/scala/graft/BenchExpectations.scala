@@ -21,7 +21,9 @@ package graft
   * every carried query keeps min(round-17 floor, this run) — floors
   * only ever tighten, never churn upward (6 lowered this round) — and
   * the round's 9 new gates (j12/j13, pl18, x126-x131 odd ids) take
-  * this run's readings. The committed `bench_full.json` carries
+  * this run's readings; the two post-closing gates (x132, s23) take
+  * their targeted quiet-box readings. The committed `bench_full.json`
+  * carries
   * per-query gc_ms, suite_inflation, and the env bookends —
   * adjudicate flags from the artifact first.
   */
@@ -151,6 +153,7 @@ object BenchExpectations {
     "s20_manifest_sink" -> 1.0578,  // min rule: carried floor
     "s21_bloom_skip" -> 2.7775,  // min rule: carried floor
     "s22_time_travel" -> 1.1171,  // min rule: carried floor
+    "s23_warc_file_scan" -> 2.2341,  // new this round
     "s2_jdbc_roundtrip" -> 0.3322,  // min rule: carried floor
     "s3_jdbc_partitioned" -> 0.4522,  // min rule: carried floor
     "s7_sink_roundtrip" -> 0.3569,  // min rule: carried floor
@@ -207,6 +210,7 @@ object BenchExpectations {
     "x127_warc_records" -> 1.7519,  // new this round
     "x128_filtered_knn_recall" -> 14.1325,  // new this round
     "x129_opq_lifecycle" -> 21.7763,  // new this round
+    "x132_filtered_adaptive_serve" -> 9.5991,  // new this round
     "x12_chunk_neardups" -> 0.4449,  // min rule: carried floor
     "x130_unigram_byte_fallback" -> 2.4448,  // new this round
     "x131_bpe_byte_fallback" -> 5.5065,  // new this round

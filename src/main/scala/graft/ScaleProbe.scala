@@ -81,7 +81,8 @@ object ScaleProbe {
     "x126_filtered_knn", "x128_filtered_knn_recall", "x129_opq_lifecycle",
     "j12_mor_evolve", "j13_mor_evolve_compact", "pl18_table_maintenance",
     "x127_warc_records", "x130_unigram_byte_fallback",
-    "x131_bpe_byte_fallback")
+    "x131_bpe_byte_fallback", "x132_filtered_adaptive_serve",
+    "s23_warc_file_scan")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries
@@ -113,6 +114,11 @@ object ScaleProbe {
     // into a pre-round-17 blow-up dir
     if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
       blowUpLineitem(spark, factor, outDir)
+    // customer joined in round 18 (the MOR evolution/maintenance gates);
+    // its modular changesets scale with the copies, so merges stay
+    // changeset-proportional under the probe
+    if (!new java.io.File(s"$outDir/customer.parquet").exists())
+      blowUpCustomer(spark, factor, outDir)
     println(f"${"query"}%-26s ${"sf0.1"}%9s ${s"sf0.1x$factor"}%9s  ratio")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -165,6 +171,21 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+
+  /** factor copies with disjoint c_custkey ranges (copy i shifts by
+    * i × (max_key + 1) — far below the +10M insert-key shift the MOR
+    * changesets use, so no collision at any probe factor). */
+  private def blowUpCustomer(spark: SparkSession, factor: Int,
+                             outDir: String): Unit = {
+    val c = spark.read.parquet(s"$SrcDir/customer.parquet")
+    val offset = c.agg(max("c_custkey")).head.getLong(0) + 1
+    val rest = c.columns.filterNot(_ == "c_custkey").map(col).toSeq
+    (0 until factor).map { i =>
+      c.select((col("c_custkey") + lit(i * offset)).as("c_custkey") +: rest: _*)
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
   }
 
   /** factor copies with disjoint ids AND per-copy token namespaces

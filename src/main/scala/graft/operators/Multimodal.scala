@@ -1142,6 +1142,50 @@ object Multimodal {
       Some(recs.result())
     }
 
+  /** Write the payloads as `.warc.gz` FILES, ONE PER PARTITION — the
+    * real crawl-archive layout (a CommonCrawl file is ~1 GB of MANY
+    * documents' records; per-document files drown in create/close
+    * overhead — measured 46s for 5k docs at sf0.1, 4.6× at 10×, versus
+    * per-partition files amortizing to the partition count). Gzip
+    * members concatenate trivially, so a partition's payloads append
+    * into one strict `.warc.gz`; document identity travels IN the
+    * records (WARC-Record-ID), never in file names. Distributed — each
+    * partition writes its own file through the Hadoop FS API (local FS
+    * here; HDFS/S3 in production), nothing through the driver. */
+  def writeWarcFiles(media: DataFrame, dir: String): Unit =
+    media.select(col("payload")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val p = new org.apache.hadoop.fs.Path(
+            f"$dir/part-$pid%05d.warc.gz")
+          val fs = p.getFileSystem(conf)
+          val out = fs.create(p, true)
+          try it.foreach(r => out.write(r.getAs[Array[Byte]](0)))
+          finally out.close()
+        }
+    }
+
+  /** Scan a directory of `.warc.gz` FILES back to the media-blob shape —
+    * the CommonCrawl ingestion source: Spark's `binaryFile` reader
+    * (whole-file rows, glob-filtered, driver never touches payload
+    * bytes). A file is an opaque multi-document container; per-record
+    * identity comes from the parsed WARC-Record-IDs downstream
+    * (`doc_id` here is the file ordinal, a debugging handle only). With
+    * one gzip member per record ([[asWarcRecordsTable]]'s layout), a
+    * production reader can also range-request individual records; here
+    * the demuxers consume whole payloads. */
+  def readWarcFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(dir)
+      .select(
+        regexp_extract(col("path"), "part-([0-9]+)\\.warc\\.gz$", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"),
+        lit("application/warc").as("media_type"),
+        lit("").as("lang"))
+
   /** The crawl-ingest text recovery THROUGH the record framing (pl17's
     * first stage since round 18): parse records, keep the `response`
     * records' HTTP payload bodies in record order, concatenate back to

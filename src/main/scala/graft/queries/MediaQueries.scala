@@ -217,6 +217,36 @@ object MediaQueries {
           col("record_id"), col("target_uri"), col("content_length"),
           col("http_status"), col("payload_len"), col("payload_sha256"))
         .orderBy("doc_id", "rec_index")
+    }),
+
+    // ----------------------------------------------------------------- s23
+    // The FILE-based crawl ingestion seam: real multi-document `.warc.gz`
+    // FILES, one per partition (the CommonCrawl layout — identity lives
+    // in the RECORDS, files are opaque bulk containers; per-document
+    // files measured 46s/5k docs in create/close overhead), written
+    // distributed, scanned back with Spark's binaryFile source
+    // (whole-file rows, glob filter), demuxed through the x127 record
+    // parser, and re-keyed from the parsed WARC-Record-IDs. Shares
+    // x127's oracle verbatim: the file-system round trip must be
+    // result-invisible.
+    "s23_warc_file_scan" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val files = SinkQueries.sinkDir("s23_warc_files")
+      SinkQueries.clean(files)
+      Multimodal.writeWarcFiles(
+        Multimodal.asWarcRecordsTable(s, t.documents, WarcChunkLen), files)
+      Multimodal.parseWarcRecords(s, Multimodal.readWarcFiles(s, files))
+        .toDF()
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:([0-9]+):", 1)
+            .cast("long").as("doc_id"),
+          when(col("record_id").endsWith(":info>"), lit(0L))
+            .otherwise(regexp_extract(col("record_id"), ":([0-9]+)>$", 1)
+              .cast("long") + 1).as("rec_index"),
+          col("warc_type"), col("record_id"), col("target_uri"),
+          col("content_length"), col("http_status"), col("payload_len"),
+          col("payload_sha256"))
+        .orderBy("doc_id", "rec_index")
     })
   )
 
@@ -375,7 +405,12 @@ object MediaQueries {
     // exact byte slice — a misframed record, an off-by-one in the
     // Content-Length consumption, or a wrong envelope split all shift a
     // row here.
-    "x127_warc_records" ->
+    "x127_warc_records" -> warcRecordsSql,
+    // s23 is the identical record stream through the file round trip
+    "s23_warc_file_scan" -> warcRecordsSql,
+  )
+
+  private lazy val warcRecordsSql: String =
       s"""WITH m AS (
          |  SELECT doc_id, text, length(text) AS n FROM documents),
          |info AS (
@@ -407,5 +442,4 @@ object MediaQueries {
          |  FROM sl)
          |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)
          |ORDER BY doc_id, rec_index""".stripMargin
-  )
 }

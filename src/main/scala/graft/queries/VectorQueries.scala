@@ -1625,6 +1625,44 @@ object VectorQueries {
       p1.unionByName(p2).orderBy("phase", "nprobe")
     }),
 
+    // ---------------------------------------------------------------- x132
+    // The serve-time knob for FILTERED workloads — x112's adaptive
+    // nprobe composed with x126's predicate pushdown: the recall grid
+    // fits on a HELD-OUT query sample for the workload's predicate
+    // (x128's machinery, one ADC scan), the serve derives its nprobe as
+    // the smallest grid row clearing the floor (fallback: probe
+    // everything), and the production queries serve filtered at that
+    // nprobe with the choice stamped. The oracle replays the quantizer
+    // chains, the holdout grid, the floor choice, AND the served rows —
+    // a one-off anywhere shifts nprobe_used or the rows.
+    "x132_filtered_adaptive_serve" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = graft.GraftCache.persist(t.embeddings)
+      val cent = VectorOps.kmeansCentroids(e, "vec_id", "embedding",
+        KClusters, KmeansIters)
+      val cbs = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        Dim, PqM, PqKs, KmeansIters)
+      val idx = SinkQueries.sinkDir("x132_ivfpq_index")
+      VectorOps.writeIvfPqIndex(e, "vec_id", "embedding", cent, cbs, idx,
+        carry = Seq("label"))
+      val cents = VectorOps.collectCentroids(
+        s.read.parquet(s"$idx/centroids"))
+      val cb = VectorOps.readPqCodebooks(s, idx)
+      val codes = s.read.parquet(s"$idx/codes")
+      val pred = col("label") % 5 === 0
+      val holdout = e.filter(col("vec_id") % KnnQueryMod === RecallHoldoutRes)
+      val grid = VectorOps.filteredRecallGrid(holdout, "vec_id", "embedding",
+        e, KnnK, KClusters, cents, cb, codes, Seq("label"),
+        Seq("fifth" -> pred))
+      val chosen = VectorOps.chooseNprobe(
+        grid.select("nprobe", "recall_ppm"), FilteredFloorPpm, KClusters)
+      VectorOps.filteredKnnRouted(
+          e.filter(col("vec_id") % KnnQueryMod === 0), "vec_id", "embedding",
+          KnnK, chosen, cents, cb, codes, pred)
+        .withColumn("nprobe_used", lit(chosen))
+        .orderBy("qid", "adc_d2", "vec_id")
+    }),
+
     // ---------------------------------------------------------------- x126
     // FILTERED routed serve — the production "top-k among rows WHERE p"
     // query shape (round-17 verdict #2): the predicate evaluates over a
@@ -1692,6 +1730,14 @@ object VectorQueries {
     ("half", "label % 2 = 0"),
     ("fifth", "label % 5 = 0"),
     ("tenth", "label = 7"))
+
+  /** x132's recall floor for the FILTERED serve: raw-ADC recall on the
+    * adversarial iid gate embeddings sits far below the unfiltered
+    * pipelines' 0.9 floor (x71 measured 0.27 raw ADC), so the filtered
+    * knob targets a floor the curve actually crosses — the point of the
+    * gate is the CHOICE arithmetic, not the absolute recall (x128 is
+    * the honesty measurement). */
+  val FilteredFloorPpm = 250000L
   private def FilteredSels: Seq[(String, () => org.apache.spark.sql.Column)] =
     Seq(
       ("half", () => col("label") % 2 === 0),
@@ -2795,6 +2841,7 @@ object VectorQueries {
     // x128: per (predicate, nprobe) recall of the filtered routed serve
     // vs the exact filtered kNN — one candidate frame, 24 slices.
     "x128_filtered_knn_recall" -> filteredRecallGridSql,
+    "x132_filtered_adaptive_serve" -> filteredAdaptiveServeSql,
     "x63_semantic_decontam" ->
       s"""WITH bkt AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS block FROM embeddings),
@@ -3375,6 +3422,85 @@ object VectorQueries {
        |$selBlocks
        |SELECT sel, nprobe, recall_ppm FROM ($union)
        |ORDER BY sel, nprobe""".stripMargin
+  }
+
+  /** x132: the filtered-adaptive serve replay — holdout grid over the
+    * workload predicate, floor choice, production serve at the chosen
+    * nprobe with the predicate before the cut. */
+  private def filteredAdaptiveServeSql: String = {
+    val pred = "label % 5 = 0"
+    val perNp = (1 to KClusters).map { np =>
+      s"""fr_$np AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_d2, vec_id) AS rk
+         |    FROM hcand WHERE $pred AND cellrank <= $np)
+         |  WHERE rk <= $KnnK),
+         |frec_$np AS (
+         |  SELECT $np AS nprobe,
+         |    (SELECT count(*) FROM fex JOIN fr_$np USING (qid, vec_id))
+         |      * 1000000 // (SELECT count(*) FROM fex) AS recall_ppm)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (1 to KClusters).map(np => s"SELECT * FROM frec_$np")
+      .mkString(" UNION ALL ")
+    s"""WITH $kmeansSql,
+       |$assignCte,
+       |$pqChainsSql,
+       |$pqEncodeSql,
+       |hq AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = $RecallHoldoutRes),
+       |hpr AS (
+       |  SELECT hq.qid, c.cid, row_number() OVER (PARTITION BY hq.qid
+       |    ORDER BY ${l2Sql("hq.qv", "c.c")}, c.cid) AS rn
+       |  FROM hq CROSS JOIN c$KmeansIters c),
+       |hcand AS MATERIALIZED (
+       |  SELECT hq.qid, a.vec_id, a.label, p.rn AS cellrank,
+       |    round(${pqAdcSql("hq.qv")}, 6) AS adc_d2
+       |  FROM (SELECT s.vec_id, s.cid, e.label FROM assign s
+       |        JOIN embeddings e USING (vec_id)) a
+       |  JOIN hpr p ON a.cid = p.cid
+       |  JOIN hq ON hq.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> hq.qid),
+       |fex AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY d2, vec_id) AS rk
+       |    FROM (
+       |      SELECT hq.qid, e.vec_id, ${l2Sql("e.embedding", "hq.qv")} AS d2
+       |      FROM embeddings e, hq
+       |      WHERE e.vec_id <> hq.qid AND e.$pred))
+       |  WHERE rk <= $KnnK),
+       |$perNp,
+       |fcurve AS MATERIALIZED ($union),
+       |fchosen AS (
+       |  SELECT CAST(coalesce(
+       |    (SELECT min(nprobe) FROM fcurve
+       |     WHERE recall_ppm >= $FilteredFloorPpm), $KClusters) AS INT)
+       |    AS np),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % $KnnQueryMod = 0),
+       |sprobes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${l2Sql("q.qv", "c.c")}, c.cid) AS rn
+       |    FROM q CROSS JOIN c$KmeansIters c)
+       |  WHERE rn <= (SELECT np FROM fchosen)),
+       |sranked AS (
+       |  SELECT q.qid, a.vec_id, round(${pqAdcSql("q.qv")}, 6) AS adc_d2
+       |  FROM (SELECT s.vec_id, s.cid, e.label FROM assign s
+       |        JOIN embeddings e USING (vec_id)) a
+       |  JOIN sprobes p ON a.cid = p.cid JOIN q ON q.qid = p.qid
+       |  ${pqJoinsSql()}
+       |  WHERE a.vec_id <> q.qid AND a.$pred)
+       |SELECT qid, vec_id, adc_d2,
+       |  (SELECT np FROM fchosen) AS nprobe_used FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc_d2, vec_id) AS rk FROM sranked)
+       |WHERE rk <= $KnnK ORDER BY qid, adc_d2, vec_id""".stripMargin
   }
 
   private def hardNegativesRoutedSql: String =

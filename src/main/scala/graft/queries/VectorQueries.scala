@@ -1700,9 +1700,10 @@ object VectorQueries {
     // nprobe) cell, integer ppm. A stricter predicate pushes the k-th
     // true filtered neighbour farther out, so at fixed nprobe more of
     // the exact top-k lives outside the probed cells — the grid makes
-    // the interaction a measured contract instead of folklore, and the
-    // serve-time nprobe for a filtered workload reads off the row that
-    // clears the floor. One ADC scan at maxProbe serves all 24 cells.
+    // the interaction a measured contract instead of folklore; x132 is
+    // the serve that READS the knob off this grid (holdout fit + floor
+    // choice + stamped serve). One ADC scan at maxProbe serves all 24
+    // cells.
     "x128_filtered_knn_recall" -> ((s, dir) => {
       val t = Tables(s, dir)
       val e = graft.GraftCache.persist(t.embeddings)

@@ -214,6 +214,7 @@ object BenchExpectations {
     "x12_chunk_neardups" -> 0.4449,  // min rule: carried floor
     "x130_unigram_byte_fallback" -> 2.4448,  // new this round
     "x131_bpe_byte_fallback" -> 5.5065,  // new this round
+    "x133_kn_perplexity" -> 2.6104,  // new this round
     "x13_token_chunks" -> 0.4644,  // min rule: carried floor
     "x14_fuzzy_names" -> 0.2565,  // min rule: carried floor
     "x15_tfidf_top_term" -> 0.9219,  // min rule: carried floor

@@ -216,6 +216,76 @@ object TextOps {
         round(avg(log(col("__c12") / col("__c1"))), 4).as("avg_logp"))
   }
 
+  /** Interpolated KNESER–NEY bigram LM scoring against a TRAIN slice —
+    * the held-out perplexity filter production curation deploys (KenLM's
+    * model family; Kneser & Ney 1995, interpolated per Chen & Goodman
+    * 1998). [[bigramLogProb]] (x32) is the SELF-scored form and needs no
+    * smoothing because every scored bigram is in its own counts; a
+    * deployed filter trains on a reference corpus and scores ARRIVING
+    * documents, where unseen heads and continuations are exactly the
+    * signal — and unsmoothed ML assigns them ln 0. Absolute discount
+    * D = 3/4 carried in QUARTERS so every probability is an exact
+    * BIGINT ratio both engines derive identically:
+    *
+    *   P(w2|w1) = [max(4·c12 − 3, 0)·K + 3·N1+(w1,·)·(N1+(·,w2)+1)]
+    *              / (4·c1·K)
+    *   K = T + V + 1  (the +1-smoothed continuation denominator; T =
+    *   distinct train bigram types, V = distinct train words — the
+    *   open-vocabulary guard, so a NEVER-seen continuation scores the
+    *   floor 1/K instead of −∞), with full backoff to the smoothed
+    *   continuation distribution when the head is unseen (c1 = 0).
+    *
+    * Each bigram's ln lands as an INTEGER micro-nat (round(ln·10⁶) —
+    * the established lattice), so the per-document SUM is
+    * order-independent and hash-exact. Scale shape is x32's: grams hash
+    * to 60 bits before any shuffle, the model is four keyed aggs over
+    * the TRAIN slice only (map-side partials absorb the Zipf head), and
+    * serving is three equi joins + one broadcast scalar row — at 100 TB
+    * the model frames are vocabulary-sized, never corpus-sized, and
+    * nothing sorts. */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String,
+                    trainPred: Column): DataFrame = {
+    val toked = df.select(col(idCol), trainPred.as("__train"),
+      tokens(col(textCol)).as("__tk"))
+    val grams = graft.GraftCache.persist(
+      toked.select(col(idCol), col("__train"),
+          explode(ngrams(col("__tk"), 2)).as("__g"))
+        .select(col(idCol), col("__train"),
+          md5Hash60(col("__g")).as("__gh"),
+          md5Hash60(element_at(split(col("__g"), " "), 1)).as("__wh"),
+          md5Hash60(element_at(split(col("__g"), " "), 2)).as("__w2h")))
+    val tg = grams.filter(col("__train"))
+    val bi = tg.groupBy("__gh").agg(count(lit(1)).as("__c12"))
+    val heads = tg.groupBy("__wh").agg(count(lit(1)).as("__c1"),
+      countDistinct(col("__gh")).as("__fwd"))
+    val conts = tg.groupBy("__w2h")
+      .agg(countDistinct(col("__gh")).as("__cont"))
+    val kRow = broadcast(
+      tg.agg(countDistinct(col("__gh")).as("__t")).crossJoin(
+        toked.filter(col("__train"))
+          .select(explode(col("__tk")).as("__w"))
+          .agg(countDistinct(md5Hash60(col("__w"))).as("__v")))
+        .select((col("__t") + col("__v") + lit(1L)).as("__k")))
+    val c1 = coalesce(col("__c1"), lit(0L))
+    val c12 = coalesce(col("__c12"), lit(0L))
+    val fwd = coalesce(col("__fwd"), lit(0L))
+    val contN = coalesce(col("__cont"), lit(0L)) + lit(1L)
+    val pNum = when(c1 === 0L, contN)
+      .otherwise(greatest(c12 * 4L - 3L, lit(0L)) * col("__k")
+        + fwd * 3L * contN)
+    val pDen = when(c1 === 0L, col("__k")).otherwise(c1 * 4L * col("__k"))
+    grams
+      .join(bi, Seq("__gh"), "left")
+      .join(heads, Seq("__wh"), "left")
+      .join(conts, Seq("__w2h"), "left")
+      .crossJoin(kRow)
+      .select(col(idCol),
+        round(log(pNum.cast("double") / pDen.cast("double")) * 1e6, 0)
+          .cast("long").as("__mnat"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__mnat").as("kn_mnats"))
+  }
+
   /** PII scrubbing for training text: emails and URLs replaced with typed
     * placeholder tokens. Pure codegen'd regexp_replace passes — linear per
     * document; lookahead-free patterns so any RE2-based engine matches. */

@@ -1578,6 +1578,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // ---------------------------------------------------------------- x133
+    // HELD-OUT perplexity filtering — interpolated Kneser–Ney bigram LM
+    // (KenLM's family, the CCNet recipe): the model trains on the even
+    // doc_ids and scores EVERY document, so the odd half genuinely
+    // exercises the smoothing paths (discounted seen mass, backoff on
+    // unseen heads, the +1-smoothed continuation floor on never-seen
+    // words) that x32's self-scored LM never reaches. Per-bigram scores
+    // are integer micro-nats, so the per-doc sums are order-independent
+    // and the oracle replays counts, discount arithmetic, and backoff
+    // exactly.
+    "x133_kn_perplexity" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.knBigramScore(t.documents, "doc_id", "text",
+          col("doc_id") % 2 === 0)
+        .orderBy("doc_id")
+    }),
+
     // ----------------------------------------------------------------- x31
     // Corpus vocabulary statistics: token/type/hapax counts and the top
     // token — the Zipf-profile numbers a curation run reports per corpus.
@@ -2948,6 +2965,48 @@ object TextQueries {
     "x32_bigram_logprob" ->
       s"""WITH $bigramScoredCtes
          |SELECT doc_id, n_bigrams, avg_logp FROM scored ORDER BY doc_id""".stripMargin,
+    // x133: the KN chain replayed — train-slice counts (token, forward-
+    // type, continuation-type), the quarters discount, the smoothed
+    // continuation denominator K, backoff, integer micro-nat sums.
+    "x133_kn_perplexity" ->
+      s"""WITH toked AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, doc_id % 2 = 0 AS train, ${md5h("g")} AS gh,
+         |    ${md5h("string_split(g, ' ')[1]")} AS wh,
+         |    ${md5h("string_split(g, ' ')[2]")} AS w2h
+         |  FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+         |      ELSE list_transform(range(0, len(toks)-1),
+         |        i -> concat_ws(' ', toks[i+1], toks[i+2])) END) AS g
+         |    FROM toked)),
+         |tg AS MATERIALIZED (SELECT * FROM grams WHERE train),
+         |bi AS (SELECT gh, count(*) AS c12 FROM tg GROUP BY 1),
+         |heads AS (
+         |  SELECT wh, count(*) AS c1, count(DISTINCT gh) AS fwd
+         |  FROM tg GROUP BY 1),
+         |conts AS (SELECT w2h, count(DISTINCT gh) AS cont FROM tg GROUP BY 1),
+         |kk AS MATERIALIZED (
+         |  SELECT (SELECT count(DISTINCT gh) FROM tg)
+         |    + (SELECT count(DISTINCT ${md5h("w")}) FROM (
+         |        SELECT unnest(toks) AS w FROM toked WHERE doc_id % 2 = 0))
+         |    + 1 AS k),
+         |kscored AS (
+         |  SELECT g.doc_id,
+         |    CAST(round(ln(
+         |      CASE WHEN coalesce(h.c1, 0) = 0
+         |        THEN (coalesce(c.cont, 0) + 1)::DOUBLE / kk.k
+         |        ELSE (greatest(4 * coalesce(b.c12, 0) - 3, 0) * kk.k
+         |              + 3 * h.fwd * (coalesce(c.cont, 0) + 1))::DOUBLE
+         |          / (4 * h.c1 * kk.k)
+         |      END) * 1000000, 0) AS BIGINT) AS mnat
+         |  FROM grams g
+         |  LEFT JOIN bi b USING (gh)
+         |  LEFT JOIN heads h USING (wh)
+         |  LEFT JOIN conts c USING (w2h)
+         |  CROSS JOIN kk)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(mnat) AS BIGINT) AS kn_mnats
+         |FROM kscored GROUP BY 1 ORDER BY 1""".stripMargin,
     "x31_vocab_stats" ->
       s"""WITH toked AS (SELECT unnest($toksSql) AS tok FROM documents),
          |freqs AS (SELECT tok, count(*) AS f FROM toked GROUP BY 1),

@@ -1186,6 +1186,55 @@ object Multimodal {
         lit("application/warc").as("media_type"),
         lit("").as("lang"))
 
+  /** Per-DOCUMENT text recovery from MULTI-document `.warc.gz` payloads
+    * ([[writeWarcFiles]]' layout — pl19's first stage): records parse
+    * strictly, and each response's body appends to its OWN document —
+    * identity is the record id's urn doc component and order its record
+    * ordinal, never file position — so recovery is exact under any
+    * record interleaving a writer produced. Records under a foreign id
+    * scheme are skipped (this recoverer is the mux's inverse);
+    * quarantined payloads drop whole (the accounting lives in
+    * [[parseWarcRecords]]' quarantine rows). Per-partition memory is
+    * bounded by the partition's own text bytes — the same rows a plain
+    * scan holds. */
+  def recoverWarcDocs(spark: SparkSession,
+                      media: DataFrame): Dataset[RecoveredDoc] = {
+    import spark.implicits._
+    val RecId = """<urn:graft:(\d+):(\d+)>""".r
+    val InfoId = """<urn:graft:(\d+):info>""".r
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { blob =>
+        parseAll(blob) match {
+          case None => Iterator.empty
+          case Some(recs) =>
+            val byDoc = new java.util.LinkedHashMap[
+              Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]]()
+            def bucket(id: Long) = {
+              if (!byDoc.containsKey(id))
+                byDoc.put(id,
+                  scala.collection.mutable.ArrayBuffer
+                    .empty[(Long, Array[Byte])]): Unit
+              byDoc.get(id)
+            }
+            recs.foreach { r =>
+              r.recordId match {
+                case InfoId(id) => bucket(id.toLong): Unit
+                case RecId(id, ord) =>
+                  r.payload.foreach(p => bucket(id.toLong) += ((ord.toLong, p)))
+                case _ => // foreign record-id scheme: not ours to rebuild
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            byDoc.entrySet().iterator().asScala.map { e =>
+              val out = new java.io.ByteArrayOutputStream()
+              e.getValue.sortBy(_._1).foreach(p => out.write(p._2))
+              RecoveredDoc(e.getKey, new String(out.toByteArray, "UTF-8"), "")
+            }
+        }
+      }
+    }
+  }
+
   /** The crawl-ingest text recovery THROUGH the record framing (pl17's
     * first stage since round 18): parse records, keep the `response`
     * records' HTTP payload bodies in record order, concatenate back to

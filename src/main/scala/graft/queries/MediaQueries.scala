@@ -219,6 +219,62 @@ object MediaQueries {
         .orderBy("doc_id", "rec_index")
     }),
 
+    // ---------------------------------------------------------------- pl19
+    // The FLAGSHIP crawl-to-corpus funnel — the engine end to end on the
+    // CommonCrawl shape: real multi-document .warc.gz FILES (s23's mux)
+    // → binaryFile scan → strict record demux + per-document text
+    // recovery keyed by the record ids (never file position) → quality
+    // gate (x2) → exact dedup with canonical keepers (x0/x69) → shard-
+    // local token-budget packing (x24) → manifest-committed export
+    // (s20), replay-proof. Funnel stages pin every leg's row and token
+    // conservation; the oracle replays the ladder straight on documents
+    // (recovery is identity by construction) plus the pack arithmetic
+    // and the export counts.
+    "pl19_crawl_to_shards" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val files = SinkQueries.sinkDir("pl19_warc_files")
+      val export = SinkQueries.sinkDir("pl19_export")
+      SinkQueries.clean(files); SinkQueries.clean(export)
+      Multimodal.writeWarcFiles(
+        Multimodal.asWarcRecordsTable(s, t.documents, WarcChunkLen), files)
+      val recovered = graft.GraftCache.persist(
+        Multimodal.recoverWarcDocs(s, Multimodal.readWarcFiles(s, files))
+          .toDF())
+      val q = graft.operators.TextOps.qualityMetrics(recovered, "text")
+        .select("doc_id", "n_tokens", "quality_ok")
+      val fp = recovered.select(col("doc_id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      val qual = graft.GraftCache.persist(
+        q.join(fp, "doc_id").filter(col("quality_ok")))
+      val kept = graft.GraftCache.persist(qual.groupBy("fp")
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+        .drop("fp"))
+      val packed = graft.operators.Curation.packSequences(kept, "doc_id",
+        "n_tokens", CurationQueries.PackBudget, CurationQueries.PackShards)
+      graft.sinks.LayoutSink.appendExactlyOnceManifest(packed, export, 0L)
+      // replayed nightly job: the same batch id must short-circuit
+      val replayed = graft.sinks.LayoutSink.appendExactlyOnceManifest(
+        packed, export, 0L)
+      val back = graft.sinks.LayoutSink.readManifested(s, export)
+      import s.implicits._
+      Seq(
+        ("1_recovered", recovered.count()),
+        ("2_chars",
+          recovered.agg(sum(length(col("text")).cast("long")))
+            .head.getLong(0)),
+        ("3_quality", qual.count()),
+        ("4_unique", kept.count()),
+        ("5_kept_tokens", kept.agg(coalesce(sum("n_tokens"), lit(0L)))
+          .head.getLong(0)),
+        ("6_bins", packed.select("shard", "bin").distinct().count()),
+        ("7_export", back.count()),
+        ("8_export_tokens", back.agg(coalesce(sum("n_tokens"), lit(0L)))
+          .head.getLong(0)),
+        ("9_replay_noop", if (replayed) 0L else 1L)
+      ).toDF("stage", "n").orderBy("stage")
+    }),
+
     // ----------------------------------------------------------------- s23
     // The FILE-based crawl ingestion seam: real multi-document `.warc.gz`
     // FILES, one per partition (the CommonCrawl layout — identity lives
@@ -408,6 +464,59 @@ object MediaQueries {
     "x127_warc_records" -> warcRecordsSql,
     // s23 is the identical record stream through the file round trip
     "s23_warc_file_scan" -> warcRecordsSql,
+    // pl19: recovery is identity, so the ladder replays on documents;
+    // the export is exactly-once, so export counts equal the keeper
+    // counts; pack arithmetic is x24's.
+    "pl19_crawl_to_shards" ->
+      s"""WITH toked AS (
+         |  SELECT doc_id, text, ${TextQueries.toksSql} AS toks FROM documents),
+         |qm AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    ${TextQueries.punctRatioSql("text")} AS punct_ratio,
+         |    ${TextQueries.stopRatioSql("toks")} AS stopword_ratio
+         |  FROM toked),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |    ${TextQueries.qualityOkSql(
+                 "n_tokens", "punct_ratio", "stopword_ratio")} AS quality_ok
+         |  FROM qm),
+         |f AS (
+         |  SELECT doc_id,
+         |    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |qual AS (
+         |  SELECT q.doc_id, q.n_tokens, f.fp
+         |  FROM q JOIN f USING (doc_id) WHERE q.quality_ok),
+         |keep AS MATERIALIZED (
+         |  SELECT min(doc_id) AS doc_id, arg_min(n_tokens, doc_id) AS n_tokens
+         |  FROM qual GROUP BY fp),
+         |packed AS (
+         |  SELECT CAST(h % ${CurationQueries.PackShards} AS INT) AS shard,
+         |    doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY h % ${CurationQueries.PackShards}
+         |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT doc_id, n_tokens,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+         |    FROM keep)),
+         |bins AS (
+         |  SELECT DISTINCT shard,
+         |    CAST((cum - n_tokens) // ${CurationQueries.PackBudget} AS BIGINT)
+         |      AS bin
+         |  FROM packed)
+         |SELECT stage, n FROM (
+         |  SELECT '1_recovered' AS stage, count(*) AS n FROM documents
+         |  UNION ALL SELECT '2_chars',
+         |    CAST(sum(length(text)) AS BIGINT) FROM documents
+         |  UNION ALL SELECT '3_quality', count(*) FROM qual
+         |  UNION ALL SELECT '4_unique', count(*) FROM keep
+         |  UNION ALL SELECT '5_kept_tokens',
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM keep
+         |  UNION ALL SELECT '6_bins', count(*) FROM bins
+         |  UNION ALL SELECT '7_export', count(*) FROM keep
+         |  UNION ALL SELECT '8_export_tokens',
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM keep
+         |  UNION ALL SELECT '9_replay_noop', CAST(1 AS BIGINT)
+         |) ORDER BY stage""".stripMargin,
   )
 
   private lazy val warcRecordsSql: String =

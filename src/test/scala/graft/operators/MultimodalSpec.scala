@@ -544,4 +544,30 @@ class MultimodalSpec extends SparkSpec {
         s"malformation case $id must quarantine as one loud row")
     }
   }
+  test("recoverWarcDocs rebuilds per-document text from MULTI-document " +
+       "payloads by record identity, not file position") {
+    val docs = Seq(
+      (10L, "a" * 300, "en", "s", 300L),
+      (11L, "brief", "en", "s", 5L),
+      (12L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // concatenate all three docs' records into ONE payload (the
+    // per-partition file shape)
+    val payloads = Multimodal.asWarcRecordsTable(spark, docs, 128)
+      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    val combined = payloads.reduce(_ ++ _)
+    val media = mediaFrame(Seq((0L, combined, "application/warc")))
+    val got = Multimodal.recoverWarcDocs(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(got.map(r => (r.doc_id, r.text)).toSeq ==
+      Seq((10L, "a" * 300), (11L, "brief"), (12L, "")),
+      "every document must rebuild exactly, including the record-less one")
+    // a quarantined (corrupt) payload drops whole, never partial text
+    val poisoned = combined.clone()
+    poisoned(poisoned.length / 2) =
+      (poisoned(poisoned.length / 2) ^ 0x11).toByte
+    val bad = Multimodal.recoverWarcDocs(spark,
+      mediaFrame(Seq((0L, poisoned, "application/warc")))).collect()
+    assert(bad.isEmpty)
+  }
 }

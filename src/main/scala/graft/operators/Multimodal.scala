@@ -1152,14 +1152,15 @@ object Multimodal {
     * records (WARC-Record-ID), never in file names. Distributed — each
     * partition writes its own file through the Hadoop FS API (local FS
     * here; HDFS/S3 in production), nothing through the driver. */
-  def writeWarcFiles(media: DataFrame, dir: String): Unit =
+  def writeWarcFiles(media: DataFrame, dir: String,
+                     prefix: String = "part"): Unit =
     media.select(col("payload")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val conf = new org.apache.hadoop.conf.Configuration()
           val p = new org.apache.hadoop.fs.Path(
-            f"$dir/part-$pid%05d.warc.gz")
+            f"$dir/$prefix-$pid%05d.warc.gz")
           val fs = p.getFileSystem(conf)
           val out = fs.create(p, true)
           try it.foreach(r => out.write(r.getAs[Array[Byte]](0)))
@@ -1180,7 +1181,7 @@ object Multimodal {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc.gz").load(dir)
       .select(
-        regexp_extract(col("path"), "part-([0-9]+)\\.warc\\.gz$", 1)
+        regexp_extract(col("path"), "-([0-9]+)\\.warc\\.gz$", 1)
           .cast("long").as("doc_id"),
         col("content").as("payload"),
         lit("application/warc").as("media_type"),

@@ -392,6 +392,64 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING crawl intake — pl19's front end as a continuous job: the
+    * arriving-file stream of a watched crawl directory (Spark's
+    * binaryFile source; the checkpoint tracks seen files, so each
+    * `.warc.gz` is processed once per the file-source contract), each
+    * micro-batch strict-demuxed to records, per-document text rebuilt by
+    * RECORD identity ([[graft.operators.Multimodal.recoverWarcDocs]] —
+    * never file position), the x2 quality gate and the dedup fingerprint
+    * computed, and (doc_id, n_tokens, quality_ok, fp) rows landed in the
+    * intake log — `batch_id=<n>` OVERWRITE partitions, so a replayed
+    * batch replaces its own rows (the standing replay-idempotence
+    * contract). Downstream, pl19's batch funnel (keepers → packing →
+    * manifest export) runs over the accumulated log on its own nightly
+    * trigger — the same stream/batch split every intake in this file
+    * uses. Per-batch cost: the batch's files' bytes once through the
+    * demux + two scan-local metric passes; nothing corpus-sized, nothing
+    * driver-sized. */
+  def streamCrawlIntake(
+      spark: SparkSession,
+      filesDir: String,
+      checkpointDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .schema(binarySchema)
+      .load(filesDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val media = batch.select(
+          org.apache.spark.sql.functions
+            .regexp_extract(col("path"), "-([0-9]+)\\.warc\\.gz$", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("payload"),
+          org.apache.spark.sql.functions.lit("application/warc")
+            .as("media_type"),
+          org.apache.spark.sql.functions.lit("").as("lang"))
+        val recovered = graft.operators.Multimodal
+          .recoverWarcDocs(spark, media).toDF()
+        val q = graft.operators.TextOps
+          .qualityMetrics(recovered, "text")
+          .select("doc_id", "n_tokens", "quality_ok")
+        q.join(recovered.select(col("doc_id"),
+            graft.operators.TextOps.fingerprint(col("text")).as("fp")),
+            "doc_id")
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        graft.GraftCache.release()
+        ()
+      }
+      .start()
+  }
+
   /** Streaming corpus-drift monitor: every arriving micro-batch is
     * compared against a FROZEN baseline snapshot with
     * [[graft.operators.Curation.corpusDrift]] and the per-stratum drift

@@ -1024,4 +1024,44 @@ class EventStreamsSpec extends SparkSpec {
     noneMissed("v2", seen01)
     graft.GraftCache.release()
   }
+  test("streaming crawl intake equals the batch front end over two " +
+       "file-arrival waves, and a restarted stream does not re-ingest") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-crawl-stream").toString
+    val watch = s"$root/files"
+    assert(new java.io.File(watch).mkdirs())
+    val wave1 = docs.filter(col("doc_id") % 2 === 0)
+    val wave2 = docs.filter(col("doc_id") % 2 =!= 0)
+    graft.operators.Multimodal.writeWarcFiles(
+      graft.operators.Multimodal.asWarcRecordsTable(spark, wave1, 256),
+      watch, prefix = "wave1")
+    val q = EventStreams.streamCrawlIntake(
+      spark, watch, s"$root/cp", s"$root/log")
+    q.processAllAvailable()
+    graft.operators.Multimodal.writeWarcFiles(
+      graft.operators.Multimodal.asWarcRecordsTable(spark, wave2, 256),
+      watch, prefix = "wave2")
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "quality_ok", "fp")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val got = rows(spark.read.parquet(s"$root/log"))
+    // batch twin straight over documents — recovery is identity
+    val twin = graft.operators.TextOps.qualityMetrics(docs, "text")
+      .select("doc_id", "n_tokens", "quality_ok")
+      .join(docs.select(col("doc_id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp")),
+        "doc_id")
+    assert(got == rows(twin),
+      "the streamed intake log must equal the batch front end")
+    // restart against the same checkpoint: seen files must NOT re-ingest
+    val q2 = EventStreams.streamCrawlIntake(
+      spark, watch, s"$root/cp", s"$root/log")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(rows(spark.read.parquet(s"$root/log")) == rows(twin),
+      "a restarted stream must not duplicate already-ingested files")
+  }
 }

@@ -82,7 +82,10 @@ object ScaleProbe {
     "j12_mor_evolve", "j13_mor_evolve_compact", "pl18_table_maintenance",
     "x127_warc_records", "x130_unigram_byte_fallback",
     "x131_bpe_byte_fallback", "x132_filtered_adaptive_serve",
-    "s23_warc_file_scan", "x133_kn_perplexity", "pl19_crawl_to_shards")
+    "s23_warc_file_scan", "x133_kn_perplexity", "pl19_crawl_to_shards",
+    // the FLAC roundtrip is corpus-proportional (encode+decode per doc
+    // inside the scan partition)
+    "x134_flac_roundtrip")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -1257,4 +1257,71 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------------------------ flac
+
+  /** Features from a REAL FLAC decode ([[Flac]], the from-scratch RFC 9639
+    * codec): header facts plus the exact integer sum over every decoded
+    * sample — lossless, so unlike the PCM-container RMS the statistic is
+    * oracle-EXACT. `decoded=false` quarantines malformed payloads (bad
+    * sync, CRC-8/CRC-16, MD5, framing). */
+  case class FlacFeatures(doc_id: Long, payload_bytes: Long,
+                          sample_rate: Option[Int], channels: Option[Int],
+                          bits_per_sample: Option[Int], n_frames: Option[Long],
+                          n_samples: Option[Long], sample_sum: Option[Long],
+                          decoded: Boolean)
+
+  /** REAL compressed-audio decode on the shared batched per-partition
+    * iterator: the [[Flac]] decoder (rice residuals, fixed + LPC
+    * predictors, CRC/MD5 verification) over opaque payloads. The decode
+    * runs inside the scan partition — no exchange on the 100 TB read
+    * path; a corrupt column value quarantines its row, never the task. */
+  def decodeFlac(spark: SparkSession, media: DataFrame): Dataset[FlacFeatures] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.map { blob =>
+        Flac.decode(blob.payload) match {
+          case Some(st) =>
+            var sum = 0L
+            st.samples.foreach { ch => var i = 0; while (i < ch.length) { sum += ch(i); i += 1 } }
+            val n = if (st.samples.isEmpty) 0L else st.samples(0).length.toLong
+            FlacFeatures(blob.doc_id, blob.payload.length.toLong,
+              Some(st.sampleRate), Some(st.channels), Some(st.bps),
+              Some(st.nFrames.toLong), Some(n), Some(sum), decoded = true)
+          case None =>
+            FlacFeatures(blob.doc_id, blob.payload.length.toLong,
+              None, None, None, None, None, None, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Wrap a text table as real FLAC streams for the x134 gate: each
+    * document's utf-8 bytes become a deterministic 16-bit mono waveform
+    * (sample i = (byte_i − 80) · 129 — negatives exercise the zigzag
+    * path, the ·129 varies rice remainder bits, and text's small
+    * byte-to-byte deltas make the fixed predictors genuinely compress),
+    * capped at `maxSamples` and encoded at `blockSize` samples per frame
+    * — so the cap NOT dividing the block size pins the short-last-frame
+    * path. The REAL decoder's sample sum then replays in SQL as byte
+    * arithmetic over `encode(text)`, the [[asVideoTable]] discipline
+    * applied through a compression layer. */
+  def asFlacTable(spark: SparkSession, documents: DataFrame, blockSize: Int,
+                  maxSamples: Int, sampleRate: Int): DataFrame = {
+    import spark.implicits._
+    require(blockSize >= 16 && maxSamples >= 0)
+    documents.select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, lang) =>
+          val bytes = text.getBytes("UTF-8")
+          val n = math.min(maxSamples, bytes.length)
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) { samples(i) = ((bytes(i) & 0xff) - 80) * 129; i += 1 }
+          MediaBlob(id, Flac.encode(Array(samples), sampleRate, 16, blockSize),
+            "audio/flac", lang)
+        }
+      }.toDF()
+  }
 }

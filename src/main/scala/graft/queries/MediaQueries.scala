@@ -33,6 +33,12 @@ object MediaQueries {
   val AviUsecPerFrame = 40000
   // x125: one gzip member per 256-byte text record (the WARC shape).
   val WarcChunkLen = 256
+  // x134 synthetic-FLAC geometry: 192-sample frames, samples capped at
+  // 600 = 3·192 + 24, so any doc ≥600 bytes pins the short-last-frame
+  // path; 8 kHz 16-bit mono.
+  val FlacBlock = 192
+  val FlacMaxSamples = 600
+  val FlacRate = 8000
 
   def queries: Map[String, Q] = Map(
     // ----------------------------------------------------------------- x10
@@ -138,6 +144,29 @@ object MediaQueries {
         .select(col("doc_id"), col("frame_index"),
           upper(hex(col("frame_bytes"))).as("frame_hex"))
         .orderBy("doc_id", "frame_index")
+    }),
+
+    // ---------------------------------------------------------------- x134
+    // REAL compressed-audio codec, oracle-gated: each document's utf-8
+    // bytes become a deterministic 16-bit waveform, ENCODED to real FLAC
+    // (fixed/LPC predictors + rice residuals + CRC-8/CRC-16/MD5) and
+    // decoded by the from-scratch strict decoder — lossless, so the
+    // exact integer sample sum replays in DuckDB as byte arithmetic over
+    // encode(text). A wrong rice polarity, predictor sign, warmup
+    // offset, or frame boundary anywhere flips the sum; a CRC/framing
+    // slip quarantines the row and fails the row-count match.
+    "x134_flac_roundtrip" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.decodeFlac(s,
+          Multimodal.asFlacTable(s, t.documents, FlacBlock, FlacMaxSamples,
+            FlacRate))
+        .toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_frames"), col("n_samples"), col("sample_sum"))
+        .orderBy("doc_id")
     }),
 
     // ---------------------------------------------------------------- pl17
@@ -411,6 +440,34 @@ object MediaQueries {
          |  WHERE u.i % $FrameStride = 0)
          |SELECT doc_id, frame_index, frame_hex
          |FROM f ORDER BY doc_id, frame_index""".stripMargin,
+    // The FLAC roundtrip replayed as byte arithmetic: sample j of doc d
+    // is (byte_j − 80)·129 over the first k = min(600, bytes) text
+    // bytes; the codec is lossless, so the decoder's sample sum must
+    // equal the synthesizer's arithmetic exactly — through the rice
+    // coding, predictors, and frame segmentation. n_frames is the
+    // fixed-block count ceil(k/192) including the short last frame.
+    "x134_flac_roundtrip" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, upper(hex(encode(text))) AS ph,
+         |    least($FlacMaxSamples, octet_length(encode(text))) AS k
+         |  FROM documents),
+         |b AS (
+         |  SELECT m.doc_id,
+         |    (((strpos('0123456789ABCDEF',
+         |         substring(ph, v.j * 2 + 1, 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF',
+         |         substring(ph, v.j * 2 + 2, 1)) - 1)) - 80) * 129 AS sv
+         |  FROM m, UNNEST(range(0, m.k)) v(j)),
+         |s AS (SELECT doc_id, CAST(sum(sv) AS BIGINT) AS ss FROM b GROUP BY doc_id)
+         |SELECT m.doc_id,
+         |  CAST($FlacRate AS BIGINT) AS sample_rate,
+         |  CAST(1 AS BIGINT) AS channels,
+         |  CAST(16 AS BIGINT) AS bits_per_sample,
+         |  CAST((m.k + ${FlacBlock - 1}) // $FlacBlock AS BIGINT) AS n_frames,
+         |  CAST(m.k AS BIGINT) AS n_samples,
+         |  COALESCE(s.ss, 0) AS sample_sum
+         |FROM m LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // pl17: inflate ∘ mux = identity, so the ladder replays straight on
     // documents — x2's quality image, x1's fingerprint, arg_min keepers.
     "pl17_warc_ingest" ->

@@ -84,8 +84,9 @@ object ScaleProbe {
     "x131_bpe_byte_fallback", "x132_filtered_adaptive_serve",
     "s23_warc_file_scan", "x133_kn_perplexity", "pl19_crawl_to_shards",
     // the FLAC roundtrip is corpus-proportional (encode+decode per doc
-    // inside the scan partition)
-    "x134_flac_roundtrip")
+    // inside the scan partition); the Delta export's commits are
+    // slice-proportional and its delete O(|affected files|)
+    "x134_flac_roundtrip", "s24_delta_export")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries
@@ -122,6 +123,9 @@ object ScaleProbe {
     // changeset-proportional under the probe
     if (!new java.io.File(s"$outDir/customer.parquet").exists())
       blowUpCustomer(spark, factor, outDir)
+    // orders joined in round 18 (the s24 Delta export commits slices of it)
+    if (!new java.io.File(s"$outDir/orders.parquet").exists())
+      blowUpOrders(spark, factor, outDir)
     println(f"${"query"}%-26s ${"sf0.1"}%9s ${s"sf0.1x$factor"}%9s  ratio")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -189,6 +193,18 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+  }
+
+  private def blowUpOrders(spark: SparkSession, factor: Int,
+                           outDir: String): Unit = {
+    val o = spark.read.parquet(s"$SrcDir/orders.parquet")
+    val offset = o.agg(max("o_orderkey")).head.getLong(0) + 1
+    val rest = o.columns.filterNot(_ == "o_orderkey").map(col).toSeq
+    (0 until factor).map { i =>
+      o.select((col("o_orderkey") + lit(i * offset)).as("o_orderkey") +: rest: _*)
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
   }
 
   /** factor copies with disjoint ids AND per-copy token namespaces

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Aggregations, Dedup}
-import graft.sinks.{BloomSkipIndex, DocumentSink, LayoutSink, TreeSink}
+import graft.sinks.{BloomSkipIndex, DeltaExport, DocumentSink, LayoutSink, TreeSink}
 import graft.sources.Tables
 
 /** Oracle-checked round-trip queries for the sink layer (SURVEY.md §2.1
@@ -293,6 +293,43 @@ object SinkQueries {
         .orderBy("snapshot", "o_orderpriority")
     }),
 
+    // ----------------------------------------------------------------- s24
+    // Delta-protocol export ([[graft.sinks.DeltaExport]]): two appends
+    // into a PARTITIONED table published as public-format
+    // `_delta_log/*.json` commits (protocol/metaData/add actions, Spark
+    // schemaString, Hive-style partition paths + partitionValues), a
+    // replayed version-1 commit that must no-op, a copy-on-write DELETE
+    // (remove + rewrite actions), and two coexisting snapshot reads off
+    // the from-scratch log-replay reader: the table as of version 1 and
+    // the latest. Grouping by the partition column makes the oracle
+    // sensitive to partitionValues reconstruction (data files do not
+    // carry partition columns, per the protocol) and the delete
+    // predicate's complement pins the rewrite's survivor set.
+    "s24_delta_export" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val tbl = sinkDir("s24_delta_table")
+      clean(tbl)
+      val src = t.orders.select("o_orderkey", "o_orderpriority",
+        "o_totalprice")
+      DeltaExport.commitAppend(src.filter(col("o_orderkey") % 3 === 0), tbl,
+        Seq("o_orderpriority"), expectedVersion = 0L): Unit
+      DeltaExport.commitAppend(src.filter(col("o_orderkey") % 3 === 1), tbl,
+        Seq("o_orderpriority"), expectedVersion = 1L): Unit
+      DeltaExport.commitAppend(src.filter(col("o_orderkey") % 3 === 1), tbl,
+        Seq("o_orderpriority"), expectedVersion = 1L): Unit // replay: no-op
+      DeltaExport.commitDeleteWhere(s, tbl, col("o_orderkey") % 6 === 0,
+        expectedVersion = 2L): Unit
+      def report(df: DataFrame, tag: String): DataFrame =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .select(lit(tag).as("snapshot"), col("o_orderpriority"),
+            col("n"), col("total"))
+      report(DeltaExport.snapshot(s, tbl, asOfVersion = 1L), "asof_1")
+        .unionByName(report(DeltaExport.snapshot(s, tbl), "latest"))
+        .orderBy("snapshot", "o_orderpriority")
+    }),
+
     // ----------------------------------------------------------------- s21
     // Per-file Bloom skipping index ([[graft.sinks.BloomSkipIndex]]): the
     // standing slice range-lays by the lookup key, ONE scan folds each
@@ -504,6 +541,20 @@ object SinkQueries {
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s24: version 1 holds slices 0 and 1 of o_orderkey mod 3; the
+    // version-2 delete removes the o_orderkey % 6 = 0 half of slice 0.
+    "s24_delta_export" ->
+      """WITH v1 AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+        |vl AS (SELECT * FROM v1 WHERE o_orderkey % 6 <> 0)
+        |SELECT 'asof_1' AS snapshot, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM v1 GROUP BY 2
+        |UNION ALL
+        |SELECT 'latest' AS snapshot, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM vl GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin,
     "s18_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
         |    AS o_orderpriority,

@@ -1,0 +1,143 @@
+package graft.sinks
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The Delta-protocol export: the LOG ITSELF is asserted field-by-field
+  * against the published transaction-log format (no external Delta
+  * implementation exists in this container, so the JSON shapes — action
+  * names, schemaString, partitionValues, 20-digit version files — are the
+  * interop surface under test), plus snapshot semantics, the one-winner
+  * version gate, copy-on-write delete accounting, and crash residue
+  * invisibility. */
+class DeltaExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-delta-$tag").toString + "/t"
+
+  private def rows(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"g${i % 3}", i * 1.5))
+      .toDF("k", "g", "v")
+
+  private def logLines(tbl: String, version: Long): Seq[String] = {
+    val f = java.nio.file.Paths.get(tbl, "_delta_log", f"$version%020d.json")
+    new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("version 0 carries the published protocol/metaData/add action shapes") {
+    val tbl = tmpTable("shape")
+    assert(DeltaExport.commitAppend(rows(0, 30), tbl, Seq("g")) === 0L)
+    val lines = logLines(tbl, 0L).map(mapper.readTree)
+    // exactly one protocol action, the published reader/writer floor
+    val protos = lines.filter(_.has("protocol"))
+    assert(protos.size === 1)
+    assert(protos.head.get("protocol").get("minReaderVersion").asInt === 1)
+    assert(protos.head.get("protocol").get("minWriterVersion").asInt === 2)
+    // one metaData: parquet format, Spark-JSON schemaString, partition cols
+    val metas = lines.filter(_.has("metaData"))
+    assert(metas.size === 1)
+    val m = metas.head.get("metaData")
+    assert(m.get("format").get("provider").asText === "parquet")
+    assert(m.get("id").asText.nonEmpty)
+    assert(m.get("partitionColumns").get(0).asText === "g")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schemaString").asText)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq === Seq("k", "g", "v"))
+    // adds: relative path under a partition dir, required fields present
+    val adds = lines.filter(_.has("add")).map(_.get("add"))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val p = a.get("path").asText
+      assert(!p.startsWith("/") && p.contains("g=") && p.endsWith(".parquet"))
+      assert(a.get("size").asLong > 0)
+      assert(a.get("dataChange").asBoolean)
+      val pv = a.get("partitionValues")
+      assert(Set("g0", "g1", "g2").contains(pv.get("g").asText))
+      // the path's Hive dir and the protocol-required map must agree
+      assert(p.contains(s"g=${pv.get("g").asText}/"))
+    }
+  }
+
+  test("snapshot reconstructs partition columns from partitionValues, typed") {
+    val tbl = tmpTable("parts")
+    // integer partition column: the reader must CAST partitionValues
+    val df = (0 until 40).map(i => (i.toLong, i % 4, s"r$i")).toDF("k", "p", "s")
+    assert(DeltaExport.commitAppend(df, tbl, Seq("p")) === 0L)
+    val back = DeltaExport.snapshot(spark, tbl)
+    assert(back.schema("p").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(back.select(sum(col("k") * col("p"))).as[Long].head ===
+      (0 until 40).map(i => i.toLong * (i % 4)).sum)
+    assert(back.count() === 40)
+  }
+
+  test("append versions chain; replayed and racing versions lose the gate") {
+    val tbl = tmpTable("gate")
+    assert(DeltaExport.commitAppend(rows(0, 10), tbl) === 0L)
+    assert(DeltaExport.commitAppend(rows(10, 20), tbl) === 1L)
+    // replay of a committed version: no-op, table unchanged
+    assert(DeltaExport.commitAppend(rows(90, 99), tbl, expectedVersion = 1L) === -1L)
+    assert(DeltaExport.snapshot(spark, tbl).count() === 20)
+    // a gap is refused loudly
+    intercept[IllegalArgumentException] {
+      DeltaExport.commitAppend(rows(0, 5), tbl, expectedVersion = 7L)
+    }
+    // time travel: as-of 0 sees only the first commit
+    assert(DeltaExport.snapshot(spark, tbl, asOfVersion = 0L)
+      .agg(sum("k")).as[Long].head === (0 until 10).map(_.toLong).sum)
+  }
+
+  test("copy-on-write delete: remove+rewrite touch only affected files") {
+    val tbl = tmpTable("delete")
+    assert(DeltaExport.commitAppend(rows(0, 60), tbl, Seq("g")) === 0L)
+    val v0Adds = logLines(tbl, 0L).map(mapper.readTree)
+      .filter(_.has("add")).map(_.get("add").get("path").asText).toSet
+    // delete hits only partition g=g1 (k % 3 == 1 rows)
+    assert(DeltaExport.commitDeleteWhere(spark, tbl,
+      col("g") === "g1" && col("k") < 10) === 1L)
+    val v1 = logLines(tbl, 1L).map(mapper.readTree)
+    val removed = v1.filter(_.has("remove")).map(_.get("remove").get("path").asText)
+    assert(removed.nonEmpty)
+    // every removed file was a g=g1 file; g0/g2 files never rewritten
+    removed.foreach(p => assert(p.contains("g=g1/"), p))
+    assert(removed.forall(v0Adds.contains))
+    v1.filter(_.has("remove")).foreach(r =>
+      assert(r.get("remove").get("deletionTimestamp").asLong > 0))
+    // content: exactly the survivors
+    val back = DeltaExport.snapshot(spark, tbl)
+    assert(back.count() === 60 - Seq.range(0, 10).count(_ % 3 == 1))
+    assert(back.filter(col("g") === "g1" && col("k") < 10).count() === 0)
+    // delete with no matching rows commits an empty (but real) version
+    assert(DeltaExport.commitDeleteWhere(spark, tbl, col("k") === 9999L) === 2L)
+    assert(DeltaExport.versions(spark, tbl) === Seq(0L, 1L, 2L))
+    assert(DeltaExport.snapshot(spark, tbl).count() === back.count())
+  }
+
+  test("crashed attempts are invisible: unreferenced data never surfaces") {
+    val tbl = tmpTable("crash")
+    assert(DeltaExport.commitAppend(rows(0, 10), tbl) === 0L)
+    // simulate a crashed attempt: data staged, version file never written
+    rows(500, 600).write.parquet(s"$tbl/v1-deadbeefdead")
+    assert(DeltaExport.snapshot(spark, tbl).count() === 10)
+    assert(DeltaExport.versions(spark, tbl) === Seq(0L))
+    // the next commit takes version 1 and the table stays consistent
+    assert(DeltaExport.commitAppend(rows(10, 15), tbl) === 1L)
+    assert(DeltaExport.snapshot(spark, tbl).count() === 15)
+  }
+
+  test("unpartitioned roundtrip preserves schema and values exactly") {
+    val tbl = tmpTable("plain")
+    val df = rows(0, 25)
+    assert(DeltaExport.commitAppend(df, tbl) === 0L)
+    val back = DeltaExport.snapshot(spark, tbl)
+    // names + types; the parquet scan relaxes nullability on read-back
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("k").collect().toSeq === df.orderBy("k").collect().toSeq)
+  }
+}

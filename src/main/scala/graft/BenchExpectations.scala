@@ -132,6 +132,7 @@ object BenchExpectations {
     "pl17_warc_ingest" -> 2.0787,  // min rule: carried floor
     "pl18_table_maintenance" -> 4.824,  // new this round
     "pl19_crawl_to_shards" -> 4.0714,  // new this round
+    "pl20_lakehouse_publish" -> 6.1851,  // new this round
     "s24_delta_export" -> 2.6987,  // new this round
     "x134_flac_roundtrip" -> 1.3845,  // new this round
     "pl1_csv_pipeline" -> 2.1988,  // min rule: carried floor

@@ -85,8 +85,10 @@ object ScaleProbe {
     "s23_warc_file_scan", "x133_kn_perplexity", "pl19_crawl_to_shards",
     // the FLAC roundtrip is corpus-proportional (encode+decode per doc
     // inside the scan partition); the Delta export's commits are
-    // slice-proportional and its delete O(|affected files|)
-    "x134_flac_roundtrip", "s24_delta_export")
+    // slice-proportional and its delete O(|affected files|); the
+    // lakehouse publish is base-proportional at bootstrap then
+    // changeset-proportional per incremental merge commit
+    "x134_flac_roundtrip", "s24_delta_export", "pl20_lakehouse_publish")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

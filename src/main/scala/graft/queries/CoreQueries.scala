@@ -148,6 +148,64 @@ object CoreQueries {
       when(col("c_custkey") % 17 === 5, lit("D")).otherwise(lit("U")).as("op"))
 
   def queries: Map[String, Q] = Map(
+    // ----------------------------------------------------------------- PL20
+    // LAKEHOUSE PUBLISH: the bridge from the engine-internal MOR table
+    // to external readers — every CDC changeset that merges into the MOR
+    // table ([[MorTable.merge]]) also publishes as ONE atomic
+    // Delta-protocol commit ([[DeltaExport.commitMergeByKey]]: files
+    // carrying changed keys removed, survivors + upserts re-added), so a
+    // Delta reader outside the engine sees exactly MorTable.read at every
+    // version. Stages pin the full-base publish, both incremental
+    // publishes read back BY VERSION (time travel over the export), the
+    // new-key / updated-segment / phase2-segment slices of the latest
+    // snapshot, an EXACT row-level equality count between the external
+    // snapshot and the internal fold (null-safe equality on every
+    // column — the whole bridge claim in one number), and the replayed
+    // publish no-op. A checkpoint lands before the reads, so snapshot
+    // resolution also routes through the O(live-files) path. Oracle =
+    // the eager double merge, segments modeled through both changesets.
+    "pl20_lakehouse_publish" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir).customer
+      val tbl = SinkQueries.sinkDir("pl20_mor")
+      val dlt = SinkQueries.sinkDir("pl20_delta")
+      Seq(tbl, dlt).foreach(SinkQueries.clean)
+      val cols = c.columns.toSeq
+      graft.sinks.MorTable.writeBase(c, tbl, "c_custkey")
+      graft.sinks.DeltaExport.commitAppend(
+        graft.sinks.MorTable.read(s, tbl, "c_custkey")
+          .select(cols.map(col): _*), dlt, expectedVersion = 0L): Unit
+      graft.sinks.MorTable.merge(customerChanges(c), tbl, "c_custkey", "op", 1L)
+      graft.sinks.DeltaExport.commitMergeByKey(s, dlt, customerChanges(c),
+        "c_custkey", "op", expectedVersion = 1L): Unit
+      graft.sinks.MorTable.merge(customerChanges2(c), tbl, "c_custkey", "op", 2L)
+      graft.sinks.DeltaExport.commitMergeByKey(s, dlt, customerChanges2(c),
+        "c_custkey", "op", expectedVersion = 2L): Unit
+      val replay = graft.sinks.DeltaExport.commitMergeByKey(s, dlt,
+        customerChanges2(c), "c_custkey", "op", expectedVersion = 2L)
+      graft.sinks.DeltaExport.checkpoint(s, dlt): Unit
+      val v0 = graft.sinks.DeltaExport.snapshot(s, dlt, asOfVersion = 0L)
+      val v1 = graft.sinks.DeltaExport.snapshot(s, dlt, asOfVersion = 1L)
+      val vl = graft.sinks.DeltaExport.snapshot(s, dlt)
+      val morR = graft.sinks.MorTable.read(s, tbl, "c_custkey")
+        .select(cols.map(n => col(n).as(s"m_$n")): _*)
+      val eq = vl.join(morR,
+          cols.map(n => col(n) <=> col(s"m_$n")).reduce(_ && _), "inner")
+        .count()
+      Seq(
+        ("1_base_published", v0.count()),
+        ("2_v1_rows", v1.count()),
+        ("3_latest_rows", vl.count()),
+        ("4_new_keys_live", vl.filter(col("c_custkey") > 10000000L).count()),
+        ("5_updated_latest",
+          vl.filter(col("c_mktsegment") === "UPDATED").count()),
+        ("6_phase2_latest",
+          vl.filter(col("c_mktsegment") === "PHASE2").count()),
+        ("7_exact_match_mor", eq),
+        ("8_replay_noop", if (replay == -1L) 1L else 0L)
+      ).toDF("stage", "n").orderBy("stage")
+    }),
+
     // ----------------------------------------------------------------- PL18
     // The TABLE TIER's nightly maintenance loop, composed end to end
     // (round-17 verdict #5): a MOR table takes two nights of CDC merges;
@@ -1580,6 +1638,51 @@ object CoreQueries {
     "j12_mor_evolve" -> morEvolveSql,
     "j13_mor_evolve_compact" -> morEvolveSql,
     "pl18_table_maintenance" -> tableMaintenanceSql,
+    // pl20: publish ∘ merge = merge ∘ publish — the external snapshots
+    // replay as the eager double merge with segments carried through
+    // both changesets; the exact-equality stage equals the latest count
+    // by the bridge claim itself.
+    "pl20_lakehouse_publish" ->
+      """WITH ch1 AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 11 = 3 THEN 'D' ELSE 'U' END AS op
+        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+        |    c_nationkey, CAST(0.0 AS DOUBLE), c_mktsegment, 'U'
+        |  FROM customer WHERE c_custkey % 13 = 1
+        |), m1 AS MATERIALIZED (
+        |  SELECT coalesce(ch.c_custkey, b.c_custkey) AS c_custkey,
+        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment
+        |         ELSE b.c_mktsegment END AS c_mktsegment
+        |  FROM customer b FULL OUTER JOIN ch1 ch ON b.c_custkey = ch.c_custkey
+        |  WHERE ch.op IS NULL OR ch.op <> 'D'
+        |), ch2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 9 = 2 THEN 'PHASE2' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 17 = 5 THEN 'D' ELSE 'U' END AS op
+        |  FROM customer WHERE c_custkey % 9 = 2 OR c_custkey % 17 = 5
+        |), m2 AS MATERIALIZED (
+        |  SELECT coalesce(ch.c_custkey, b.c_custkey) AS c_custkey,
+        |    CASE WHEN ch.op IS NOT NULL THEN ch.c_mktsegment
+        |         ELSE b.c_mktsegment END AS c_mktsegment
+        |  FROM m1 b FULL OUTER JOIN ch2 ch ON b.c_custkey = ch.c_custkey
+        |  WHERE ch.op IS NULL OR ch.op <> 'D')
+        |SELECT stage, n FROM (
+        |  SELECT '1_base_published' AS stage, count(*) AS n FROM customer
+        |  UNION ALL SELECT '2_v1_rows', count(*) FROM m1
+        |  UNION ALL SELECT '3_latest_rows', count(*) FROM m2
+        |  UNION ALL SELECT '4_new_keys_live', count(*) FROM m2
+        |    WHERE c_custkey > 10000000
+        |  UNION ALL SELECT '5_updated_latest', count(*) FROM m2
+        |    WHERE c_mktsegment = 'UPDATED'
+        |  UNION ALL SELECT '6_phase2_latest', count(*) FROM m2
+        |    WHERE c_mktsegment = 'PHASE2'
+        |  UNION ALL SELECT '7_exact_match_mor', count(*) FROM m2
+        |  UNION ALL SELECT '8_replay_noop', CAST(1 AS BIGINT)
+        |) ORDER BY stage""".stripMargin,
     "j9_snapshot_diff" ->
       """WITH fp AS (
         |  SELECT doc_id,

@@ -317,6 +317,7 @@ object SinkQueries {
         Seq("o_orderpriority"), expectedVersion = 1L): Unit
       DeltaExport.commitAppend(src.filter(col("o_orderkey") % 3 === 1), tbl,
         Seq("o_orderpriority"), expectedVersion = 1L): Unit // replay: no-op
+      DeltaExport.checkpoint(s, tbl): Unit // both reads route through it
       DeltaExport.commitDeleteWhere(s, tbl, col("o_orderkey") % 6 === 0,
         expectedVersion = 2L): Unit
       def report(df: DataFrame, tag: String): DataFrame =

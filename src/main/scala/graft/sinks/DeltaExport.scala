@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   * giving the engine time travel over the exported table and the specs an
   * independent protocol check in both directions.
   *
-  * Scope, honestly stated: appends, copy-on-write deletes, and
-  * single-commit version files — no parquet checkpoints (optional per the
-  * protocol; readers fall back to full JSON log replay, which is exactly
-  * what [[snapshot]] does) and no `_last_checkpoint`. Partitioned tables
-  * ARE supported (Hive-style `col=value/` data paths + `partitionValues`
-  * on every add, the protocol's required redundancy). Zero-egress sandbox
+  * Scope, honestly stated: appends, copy-on-write deletes, parquet
+  * CHECKPOINTS + `_last_checkpoint` (so reader state reconstruction is
+  * O(live files) from the newest checkpoint plus the JSON tail, not
+  * O(history) — and JSON commits at or below a checkpoint become
+  * deletable log-cleanup candidates), and single-commit version files.
+  * Partitioned tables ARE supported (Hive-style `col=value/` data paths +
+  * `partitionValues` on every add, the protocol's required redundancy).
+  * Zero-egress sandbox
   * caveat (the SSH-stack precedent): no external Delta implementation
   * exists in this container, so cross-implementation interop is pinned by
   * the spec's field-level JSON assertions against the published protocol
@@ -73,20 +75,62 @@ object DeltaExport {
       }).sorted
   }
 
-  /** One resolved file: relative path + partition values, from log replay. */
-  private case class LiveFile(path: String, partitionValues: Map[String, String])
+  /** One resolved file from log replay; size/modificationTime ride along
+    * so a checkpoint can re-emit the full add action without re-stating
+    * the filesystem. */
+  private case class LiveFile(path: String, partitionValues: Map[String, String],
+                              size: Long, modificationTime: Long)
 
-  /** Replay the JSON log through `asOfVersion`: adds minus removes, last
-    * action per path winning — the protocol's state reconstruction. Also
-    * returns the latest metaData's schemaString and partition columns. */
+  /** Checkpoint versions present in the log, ascending. */
+  private def checkpointVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                 table: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val re = "^(\\d{20})\\.checkpoint\\.parquet$".r
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(logDir(table),
+        "*.checkpoint.parquet")))
+      .getOrElse(Array.empty).toSeq
+      .flatMap(_.getPath.getName match {
+        case re(v) => Some(v.toLong); case _ => None
+      }).sorted
+  }
+
+  /** Replay the log through `asOfVersion`: the newest checkpoint at or
+    * below it seeds the state (the protocol's reader-scale path — O(live
+    * files), not O(history)), then the JSON tail applies adds minus
+    * removes, last action per path winning. Falls back to full JSON
+    * replay from version 0 when no usable checkpoint exists. Also returns
+    * the latest metaData's schemaString and partition columns. */
   private def replayLog(spark: SparkSession, path: String, asOfVersion: Long)
       : (Seq[LiveFile], String, Seq[String]) = {
     val (fs, table) = fsFor(spark, path)
-    val vs = versions(spark, path).filter(_ <= asOfVersion)
-    require(vs.nonEmpty, s"no committed Delta version <= $asOfVersion under $path")
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LiveFile]
     var schema: String = null
     var partCols: Seq[String] = Seq.empty
+    val cp = checkpointVersions(fs, table).filter(_ <= asOfVersion).lastOption
+    cp.foreach { cpv =>
+      val rows = spark.read.parquet(new org.apache.hadoop.fs.Path(logDir(table),
+        f"$cpv%020d.checkpoint.parquet").toString).collect()
+      rows.foreach { r =>
+        val mi = r.fieldIndex("metaData")
+        if (!r.isNullAt(mi)) {
+          val m = r.getStruct(mi)
+          schema = m.getAs[String]("schemaString")
+          partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+        }
+        val ai = r.fieldIndex("add")
+        if (!r.isNullAt(ai)) {
+          val a = r.getStruct(ai)
+          val p = a.getAs[String]("path")
+          live(p) = LiveFile(p,
+            Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+              .map(_.toMap).getOrElse(Map.empty),
+            a.getAs[Long]("size"), a.getAs[Long]("modificationTime"))
+        }
+      }
+    }
+    val vs = versions(spark, path).filter(v =>
+      v <= asOfVersion && cp.forall(v > _))
+    require(vs.nonEmpty || cp.isDefined,
+      s"no committed Delta version <= $asOfVersion under $path")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     vs.foreach { v =>
       val in = fs.open(versionFile(table, v))
@@ -113,7 +157,8 @@ object DeltaExport {
               }
               mm.toMap
             }.getOrElse(Map.empty[String, String])
-            live(p) = LiveFile(p, pv)
+            live(p) = LiveFile(p, pv, a.get("size").asLong(),
+              a.get("modificationTime").asLong())
           }
           if (node.has("remove"))
             live.remove(node.get("remove").get("path").asText()): Unit
@@ -243,10 +288,13 @@ object DeltaExport {
     val spark = df.sparkSession
     val (fs, table) = fsFor(spark, path)
     val existing = versions(spark, path)
+    // a checkpoint seals every version at or below it — log cleanup may
+    // have removed those versions' JSON, so chaining consults both
+    val sealedTo = checkpointVersions(fs, table).lastOption.getOrElse(-1L)
     val v = if (expectedVersion >= 0) expectedVersion
-            else existing.lastOption.map(_ + 1).getOrElse(0L)
-    if (existing.contains(v)) return -1L
-    require(v == 0 || existing.contains(v - 1),
+            else math.max(existing.lastOption.getOrElse(-1L), sealedTo) + 1
+    if (existing.contains(v) || v <= sealedTo) return -1L
+    require(v == 0 || existing.contains(v - 1) || v - 1 <= sealedTo,
       s"version $v would leave a gap (have ${existing.mkString(",")})")
     val (files, _) = stage(df, table, partitionBy, v)
     val nowMs = System.currentTimeMillis()
@@ -270,38 +318,28 @@ object DeltaExport {
                         expectedVersion: Long = -1L): Long = {
     val (fs, table) = fsFor(spark, path)
     val existing = versions(spark, path)
+    val sealedTo = checkpointVersions(fs, table).lastOption.getOrElse(-1L)
     val v = if (expectedVersion >= 0) expectedVersion
-            else existing.lastOption.map(_ + 1).getOrElse(0L)
-    if (existing.contains(v)) return -1L
-    require(existing.contains(v - 1), s"delete needs a committed version ${v - 1}")
+            else math.max(existing.lastOption.getOrElse(-1L), sealedTo) + 1
+    if (existing.contains(v) || v <= sealedTo) return -1L
+    require(existing.contains(v - 1) || v - 1 <= sealedTo,
+      s"delete needs a committed version ${v - 1}")
     val (files, schemaJson, partCols) = replayLog(spark, path, v - 1)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val dataSchema = org.apache.spark.sql.types.StructType(
       schema.filterNot(f => partCols.contains(f.name)))
-    // which files carry matching rows — one pruned scan, input_file_name-keyed
-    def withParts(fls: Seq[LiveFile]): DataFrame =
-      fls.groupBy(_.partitionValues).map { case (pv, g) =>
-        val base = spark.read.schema(dataSchema).parquet(
-            g.map(f => new org.apache.hadoop.fs.Path(table, f.path).toString): _*)
-          .withColumn("__file", input_file_name())
-        partCols.foldLeft(base)((d, pc) =>
-          d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(schema(pc).dataType)))
-      }.reduce(_ unionByName _)
-    val all = withParts(files)
-    // canonicalize both sides to DECODED filesystem paths: input_file_name
-    // yields a URI (%20 for a space in a Hive partition dir), the log's
-    // relative paths are literal bytes — comparing raw strings silently
-    // exempts any partition whose value needs escaping
-    val hitFiles = all.filter(predicate).select("__file").distinct()
-      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    val all = readLiveWithFile(spark, table, files, schema, partCols, dataSchema)
+    val hitFiles = collectHitFiles(all.filter(predicate))
     val affected = files.filter(f =>
       hitFiles.contains(new org.apache.hadoop.fs.Path(table, f.path).toUri.getPath))
     if (affected.isEmpty) {
       return if (publish(fs, table, v, Seq.empty)) v else -1L
     }
-    val survivors = withParts(affected).filter(!predicate)
-      .select(schema.fieldNames.map(col): _*)
+    val survivors =
+      readLiveWithFile(spark, table, affected, schema, partCols, dataSchema)
+        .filter(!predicate)
+        .select(schema.fieldNames.map(col): _*)
     val (newFiles, _) =
       if (survivors.isEmpty) (Seq.empty[(String, Long, Map[String, String])], "")
       else stage(survivors, table, partCols, v)
@@ -311,5 +349,193 @@ object DeltaExport {
         s""""dataChange":true}}""")
     val adds = newFiles.map { case (rel, size, pv) => addAction(rel, size, pv, nowMs) }
     if (publish(fs, table, v, removes ++ adds)) v else -1L
+  }
+
+  /** Live rows of `fls` with partition columns re-attached as typed
+    * literals (one read per distinct partition tuple) and each row's
+    * source file as `__file` — the rewrite paths' shared scan. */
+  private def readLiveWithFile(spark: SparkSession,
+                               table: org.apache.hadoop.fs.Path,
+                               fls: Seq[LiveFile],
+                               schema: org.apache.spark.sql.types.StructType,
+                               partCols: Seq[String],
+                               dataSchema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    fls.groupBy(_.partitionValues).map { case (pv, g) =>
+      val base = spark.read.schema(dataSchema).parquet(
+          g.map(f => new org.apache.hadoop.fs.Path(table, f.path).toString): _*)
+        .withColumn("__file", input_file_name())
+      partCols.foldLeft(base)((d, pc) =>
+        d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(schema(pc).dataType)))
+    }.reduce(_ unionByName _)
+
+  /** Canonicalize hit files to DECODED filesystem paths: input_file_name
+    * yields a URI (%20 for a space in a Hive partition dir), the log's
+    * relative paths are literal bytes — comparing raw strings silently
+    * exempts any partition whose value needs escaping. Collects file
+    * NAMES only (bounded by live-file count, never row count). */
+  private def collectHitFiles(hits: DataFrame): Set[String] =
+    hits.select("__file").distinct()
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+
+  /** MERGE keyed on `keyCol` — the Delta `MERGE INTO` shape, and the
+    * bridge that publishes a merge-on-read changeset ([[MorTable.merge]]'s
+    * convention: `opCol` = "U" upsert / "D" delete, rows carry the full
+    * schema) to external Delta readers as ONE atomic commit: files
+    * containing any changed key are removed and their surviving rows
+    * re-added beside the upserts; untouched files keep their entries.
+    * Affected-file detection is a semi-join against the changeset's keys
+    * (changeset-sized build side — never a driver-side key list), and
+    * only file NAMES are collected. Returns the committed version, or -1
+    * on replay. */
+  def commitMergeByKey(spark: SparkSession, path: String, changes: DataFrame,
+                       keyCol: String, opCol: String,
+                       expectedVersion: Long = -1L): Long = {
+    val (fs, table) = fsFor(spark, path)
+    val existing = versions(spark, path)
+    val sealedTo = checkpointVersions(fs, table).lastOption.getOrElse(-1L)
+    val v = if (expectedVersion >= 0) expectedVersion
+            else math.max(existing.lastOption.getOrElse(-1L), sealedTo) + 1
+    if (existing.contains(v) || v <= sealedTo) return -1L
+    require(existing.contains(v - 1) || v - 1 <= sealedTo,
+      s"merge needs a committed version ${v - 1}")
+    val (files, schemaJson, partCols) = replayLog(spark, path, v - 1)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.filterNot(f => partCols.contains(f.name)))
+    val keyed = changes
+      .select(col(keyCol).cast(schema(keyCol).dataType).as(keyCol)).distinct()
+    val all = readLiveWithFile(spark, table, files, schema, partCols, dataSchema)
+    val hitFiles = collectHitFiles(all.join(keyed, Seq(keyCol), "left_semi"))
+    val affected = files.filter(f =>
+      hitFiles.contains(new org.apache.hadoop.fs.Path(table, f.path).toUri.getPath))
+    val aligned = schema.map(f => col(f.name).cast(f.dataType).as(f.name))
+    val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
+      .select(aligned: _*)
+    val survivors =
+      if (affected.isEmpty) upserts.limit(0)
+      else readLiveWithFile(spark, table, affected, schema, partCols, dataSchema)
+        .join(keyed, Seq(keyCol), "left_anti")
+        .select(schema.fieldNames.map(col): _*)
+    val newData = survivors.unionByName(upserts)
+    val (newFiles, _) =
+      if (newData.isEmpty) (Seq.empty[(String, Long, Map[String, String])], "")
+      else stage(newData, table, partCols, v)
+    val nowMs = System.currentTimeMillis()
+    val removes = affected.map(f =>
+      s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$nowMs,""" +
+        s""""dataChange":true}}""")
+    val adds = newFiles.map { case (rel, size, pv) => addAction(rel, size, pv, nowMs) }
+    if (publish(fs, table, v, removes ++ adds)) v else -1L
+  }
+
+  // ------------------------------------------------------------ checkpoints
+
+  private val checkpointSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+  }
+
+  /** Write a parquet CHECKPOINT of the current table state at the latest
+    * version (PROTOCOL.md "Checkpoints"): one row per live action —
+    * protocol, the current metaData, and every live add — as the
+    * protocol's top-level struct columns, published as
+    * `_delta_log/<20-digit>.checkpoint.parquet` plus the `_last_checkpoint`
+    * pointer. Readers then reconstruct state O(live files) from the
+    * checkpoint + the JSON tail instead of O(history) — [[snapshot]] does
+    * exactly that, so after a checkpoint the JSON commits at or below it
+    * are needed only for time travel BELOW the checkpoint version.
+    * Expired remove tombstones are not carried (this writer never
+    * vacuums, so no reader depends on them). Returns the checkpointed
+    * version. */
+  def checkpoint(spark: SparkSession, path: String): Long = {
+    val (fs, table) = fsFor(spark, path)
+    val vs = versions(spark, path)
+    val priorCp = checkpointVersions(fs, table).lastOption
+    val latest = math.max(vs.lastOption.getOrElse(-1L), priorCp.getOrElse(-1L))
+    require(latest >= 0, s"nothing committed under $path to checkpoint")
+    val (files, _, _) = replayLog(spark, path, latest)
+    // the current metaData action, verbatim from the newest JSON commit
+    // that carries one (fields like id/createdTime must survive
+    // unchanged); after log cleanup it lives only in the prior checkpoint
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def optMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      Option(node).map { m =>
+        val it = m.fields()
+        val mm = scala.collection.mutable.Map.empty[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          mm(e.getKey) = if (e.getValue.isNull) null else e.getValue.asText()
+        }
+        mm.toMap
+      }.getOrElse(Map.empty)
+    import org.apache.spark.sql.Row
+    val metaRow: Row = vs.reverse.iterator.map { v =>
+      val in = fs.open(versionFile(table, v))
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map(mapper.readTree)
+        .find(_.has("metaData")).map(_.get("metaData"))
+    }.collectFirst { case Some(meta) =>
+      Row(
+        meta.get("id").asText(),
+        Row(meta.get("format").get("provider").asText(),
+          optMap(meta.get("format").get("options"))),
+        meta.get("schemaString").asText(),
+        (0 until meta.get("partitionColumns").size())
+          .map(meta.get("partitionColumns").get(_).asText()),
+        optMap(meta.get("configuration")),
+        meta.get("createdTime").asLong())
+    }.orElse(priorCp.map { cpv =>
+      spark.read.parquet(new org.apache.hadoop.fs.Path(logDir(table),
+          f"$cpv%020d.checkpoint.parquet").toString)
+        .where("metaData IS NOT NULL").head.getStruct(1)
+    }).getOrElse(throw new IllegalStateException("log has no metaData action"))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Row(1, 2), null, null))
+    rows.add(Row(null, metaRow, null))
+    files.foreach(f => rows.add(Row(null, null,
+      Row(f.path, f.partitionValues, f.size, f.modificationTime, true))))
+    // stage as a directory write, then move the single part into the
+    // protocol's exact file name
+    val tmp = new org.apache.hadoop.fs.Path(logDir(table),
+      s".cp-${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.createDataFrame(rows, checkpointSchema).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val dest = new org.apache.hadoop.fs.Path(logDir(table),
+      f"$latest%020d.checkpoint.parquet")
+    if (!fs.rename(part, dest))
+      throw new java.io.IOException(s"checkpoint publish failed: $dest")
+    fs.delete(tmp, true): Unit
+    val lc = fs.create(new org.apache.hadoop.fs.Path(logDir(table),
+      "_last_checkpoint"), true)
+    try lc.write(s"""{"version":$latest,"size":${rows.size()}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally lc.close()
+    latest
   }
 }

@@ -130,6 +130,48 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.snapshot(spark, tbl).count() === 15)
   }
 
+  test("checkpoint: O(live) reader state survives JSON log cleanup") {
+    val tbl = tmpTable("cp")
+    assert(DeltaExport.commitAppend(rows(0, 20), tbl, Seq("g")) === 0L)
+    assert(DeltaExport.commitAppend(rows(20, 40), tbl, Seq("g")) === 1L)
+    assert(DeltaExport.commitDeleteWhere(spark, tbl, col("k") < 5) === 2L)
+    val before = DeltaExport.snapshot(spark, tbl).orderBy("k").collect().toSeq
+    assert(DeltaExport.checkpoint(spark, tbl) === 2L)
+    // the protocol artifacts exist: 20-digit checkpoint + _last_checkpoint
+    val logDir = java.nio.file.Paths.get(tbl, "_delta_log")
+    assert(java.nio.file.Files.exists(
+      logDir.resolve(f"${2L}%020d.checkpoint.parquet")))
+    val lc = mapper.readTree(java.nio.file.Files.readAllBytes(
+      logDir.resolve("_last_checkpoint")))
+    assert(lc.get("version").asLong === 2L && lc.get("size").asLong > 2)
+    // checkpoint contents: protocol + metaData rows present, adds live-only
+    val cp = spark.read.parquet(
+      logDir.resolve(f"${2L}%020d.checkpoint.parquet").toString)
+    assert(cp.where("protocol IS NOT NULL").count() === 1)
+    assert(cp.where("metaData IS NOT NULL").count() === 1)
+    assert(cp.where("add IS NOT NULL").count() > 0)
+    // snapshot through the checkpoint equals the pre-checkpoint read
+    assert(DeltaExport.snapshot(spark, tbl).orderBy("k").collect().toSeq
+      === before)
+    // LOG CLEANUP: delete every JSON commit the checkpoint seals — the
+    // reader must reconstruct from checkpoint alone, and the next append
+    // must chain to version 3 without the JSON history
+    (0L to 2L).foreach(v =>
+      java.nio.file.Files.delete(logDir.resolve(f"$v%020d.json")))
+    assert(DeltaExport.snapshot(spark, tbl).orderBy("k").collect().toSeq
+      === before)
+    assert(DeltaExport.commitAppend(rows(100, 110), tbl, Seq("g")) === 3L)
+    assert(DeltaExport.snapshot(spark, tbl).count() === before.size + 10)
+    // a second checkpoint after cleanup: metaData survives via the prior
+    // checkpoint (no JSON commit carries it anymore)
+    assert(DeltaExport.checkpoint(spark, tbl) === 3L)
+    val cp2 = spark.read.parquet(
+      logDir.resolve(f"${3L}%020d.checkpoint.parquet").toString)
+    assert(cp2.where("metaData IS NOT NULL")
+      .selectExpr("metaData.schemaString").as[String].head.contains("\"k\""))
+    assert(DeltaExport.snapshot(spark, tbl).count() === before.size + 10)
+  }
+
   test("unpartitioned roundtrip preserves schema and values exactly") {
     val tbl = tmpTable("plain")
     val df = rows(0, 25)

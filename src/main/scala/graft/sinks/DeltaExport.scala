@@ -430,6 +430,77 @@ object DeltaExport {
     if (publish(fs, table, v, removes ++ adds)) v else -1L
   }
 
+  // ------------------------------------------------------------ maintenance
+
+  /** Reclaim data files NO retained log state references — crashed or
+    * race-losing staging attempts (committed-then-removed files are kept:
+    * any still-listed JSON version or checkpoint may be time-traveled to,
+    * so "referenced" means every add.path appearing anywhere in the
+    * retained log, live or since removed). Returns the reclaimed count.
+    * Safe under the one-writer-per-version contract: an IN-FLIGHT
+    * attempt's files are unreferenced too, so run vacuum from the writer
+    * process between commits, not concurrently with one. */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val (fs, table) = fsFor(spark, path)
+    val referenced = scala.collection.mutable.Set.empty[String]
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    versions(spark, path).foreach { v =>
+      val in = fs.open(versionFile(table, v))
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map(mapper.readTree)
+        .foreach { node =>
+          if (node.has("add")) referenced += node.get("add").get("path").asText()
+          if (node.has("remove")) referenced += node.get("remove").get("path").asText()
+        }
+    }
+    checkpointVersions(fs, table).foreach { cpv =>
+      spark.read.parquet(new org.apache.hadoop.fs.Path(logDir(table),
+          f"$cpv%020d.checkpoint.parquet").toString)
+        .where("add IS NOT NULL").selectExpr("add.path").collect()
+        .foreach(r => referenced += r.getString(0))
+    }
+    val tableUri = table.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(table).toUri.getPath
+    var removed = 0
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (name == "_delta_log") ()
+        else if (st.isDirectory) {
+          walk(st.getPath)
+          // a fully-reclaimed dir may keep only writer residue (_SUCCESS)
+          val rest = fs.listStatus(st.getPath)
+          if (rest.forall(_.getPath.getName == "_SUCCESS")) {
+            rest.foreach(c => fs.delete(c.getPath, false): Unit)
+            fs.delete(st.getPath, false): Unit
+          }
+        } else if (name.endsWith(".parquet")) {
+          val rel = fs.makeQualified(st.getPath).toUri.getPath
+            .stripPrefix(tableUri).stripPrefix("/")
+          if (!referenced.contains(rel)) { fs.delete(st.getPath, false): Unit; removed += 1 }
+        }
+      }
+    walk(table)
+    removed
+  }
+
+  /** Log cleanup: delete JSON commits a checkpoint seals (every version
+    * at or below the NEWEST checkpoint). Time travel below the checkpoint
+    * is gone afterward — the retention trade the protocol prescribes;
+    * reads and version chaining continue from the checkpoint
+    * ([[snapshot]]/[[commitAppend]] consult it). Returns the number of
+    * commit files removed. */
+  def cleanupLog(spark: SparkSession, path: String): Int = {
+    val (fs, table) = fsFor(spark, path)
+    val sealedTo = checkpointVersions(fs, table).lastOption.getOrElse(return 0)
+    val old = versions(spark, path).filter(_ <= sealedTo)
+    old.foreach(v => fs.delete(versionFile(table, v), false): Unit)
+    old.size
+  }
+
   // ------------------------------------------------------------ checkpoints
 
   private val checkpointSchema: org.apache.spark.sql.types.StructType = {

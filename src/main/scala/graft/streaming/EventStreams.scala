@@ -1185,6 +1185,31 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming LAKEHOUSE intake: every CDC micro-batch publishes as one
+    * atomic Delta-protocol MERGE commit
+    * ([[graft.sinks.DeltaExport.commitMergeByKey]]), version =
+    * `firstVersion + batchId` — so external Delta readers follow the
+    * stream snapshot by snapshot. Exactly-once on the engine's
+    * at-least-once replay model comes from the version file's
+    * create-if-absent gate alone: a redelivered batch maps to its
+    * already-committed version and no-ops (-1), no txn action needed,
+    * because the batch→version mapping is deterministic. The table must
+    * hold `firstVersion - 1` committed versions before the stream starts
+    * (the base publish). */
+  def streamChangesToDelta(changes: DataFrame, path: String, keyCol: String,
+                           opCol: String, checkpointDir: String,
+                           firstVersion: Long = 1L)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sinks.DeltaExport.commitMergeByKey(batch.sparkSession, path,
+          batch.toDF(), keyCol, opCol,
+          expectedVersion = firstVersion + batchId): Unit
+      }
+      .start()
+
   def streamToDocumentSink(
       events: DataFrame,
       writer: graft.sinks.DocumentSink.BatchWriter,

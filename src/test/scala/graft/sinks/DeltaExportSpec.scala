@@ -172,6 +172,75 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.snapshot(spark, tbl).count() === before.size + 10)
   }
 
+  test("vacuum reclaims only never-committed files; cleanupLog drops " +
+       "sealed JSON and the pair leaves every retained read intact") {
+    val tbl = tmpTable("vacuum")
+    assert(DeltaExport.commitAppend(rows(0, 30), tbl, Seq("g")) === 0L)
+    assert(DeltaExport.commitDeleteWhere(spark, tbl, col("k") < 3) === 1L)
+    // crash residue: staged data no commit references
+    rows(500, 520).write.parquet(s"$tbl/v2-deadbeefdead")
+    val v0 = DeltaExport.snapshot(spark, tbl, 0L).orderBy("k").collect().toSeq
+    val v1 = DeltaExport.snapshot(spark, tbl, 1L).orderBy("k").collect().toSeq
+    val reclaimed = DeltaExport.vacuum(spark, tbl)
+    assert(reclaimed > 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tbl, "v2-deadbeefdead")))
+    // committed-then-removed files SURVIVE vacuum: version-0 time travel
+    // still reads the pre-delete rows
+    assert(DeltaExport.snapshot(spark, tbl, 0L).orderBy("k").collect().toSeq === v0)
+    assert(DeltaExport.snapshot(spark, tbl, 1L).orderBy("k").collect().toSeq === v1)
+    assert(DeltaExport.vacuum(spark, tbl) === 0) // idempotent
+    // checkpoint → cleanupLog: sealed JSON goes, reads continue from the
+    // checkpoint, and a SECOND vacuum now reclaims the files only the
+    // dropped history referenced (the removed-by-delete originals)
+    assert(DeltaExport.checkpoint(spark, tbl) === 1L)
+    assert(DeltaExport.cleanupLog(spark, tbl) === 2)
+    assert(DeltaExport.snapshot(spark, tbl).orderBy("k").collect().toSeq === v1)
+    assert(DeltaExport.vacuum(spark, tbl) > 0)
+    assert(DeltaExport.snapshot(spark, tbl).orderBy("k").collect().toSeq === v1)
+  }
+
+  test("streaming CDC publish: micro-batches land as versioned MERGE " +
+       "commits, external snapshots follow the stream, and a replayed " +
+       "batch no-ops through the version gate") {
+    val tbl = tmpTable("stream")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-delta-stream-ckpt").toString
+    // base publish = version 0; the stream owns versions 1+
+    assert(DeltaExport.commitAppend(rows(0, 20), tbl, Seq("g")) === 0L)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, String)]
+    val q = graft.streaming.EventStreams.streamChangesToDelta(
+      ms.toDF().toDF("k", "g", "v", "op"), tbl, "k", "op", ckpt)
+    try {
+      // batch 0: update k=1 (g flips to gX), delete k=2, insert k=100
+      ms.addData((1L, "gX", 9.9, "U"), (2L, "g2", 0.0, "D"),
+        (100L, "gX", 1.0, "U"))
+      q.processAllAvailable()
+      // batch 1: delete the row batch 0 inserted
+      ms.addData((100L, "gX", 1.0, "D"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(DeltaExport.versions(spark, tbl) === Seq(0L, 1L, 2L))
+    val afterB0 = DeltaExport.snapshot(spark, tbl, 1L)
+    assert(afterB0.count() === 20) // -1 delete +1 insert
+    assert(afterB0.filter(col("k") === 1L && col("g") === "gX").count() === 1)
+    assert(afterB0.filter(col("k") === 2L).count() === 0)
+    assert(afterB0.filter(col("k") === 100L).count() === 1)
+    val latest = DeltaExport.snapshot(spark, tbl)
+    assert(latest.count() === 19)
+    assert(latest.filter(col("k") === 100L).count() === 0)
+    // at-least-once redelivery: replaying batch 0's merge at its version
+    // must lose the create-if-absent gate and change nothing
+    import spark.implicits._
+    val replay = Seq((1L, "gY", 7.7, "U")).toDF("k", "g", "v", "op")
+    assert(DeltaExport.commitMergeByKey(spark, tbl, replay, "k", "op",
+      expectedVersion = 1L) === -1L)
+    assert(DeltaExport.snapshot(spark, tbl)
+      .filter(col("k") === 1L && col("g") === "gX").count() === 1)
+  }
+
   test("unpartitioned roundtrip preserves schema and values exactly") {
     val tbl = tmpTable("plain")
     val df = rows(0, 25)

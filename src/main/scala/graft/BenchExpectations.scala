@@ -135,6 +135,7 @@ object BenchExpectations {
     "pl20_lakehouse_publish" -> 6.1851,  // new this round
     "s24_delta_export" -> 2.6987,  // new this round
     "x134_flac_roundtrip" -> 1.3845,  // new this round
+    "x135_mp3_framing" -> 0.4908,  // new this round
     "pl1_csv_pipeline" -> 2.1988,  // min rule: carried floor
     "pl2_sql_pipeline" -> 0.8201,  // min rule: carried floor
     "pl3_realtime_pipeline" -> 1.5162,  // min rule: carried floor

@@ -88,7 +88,9 @@ object ScaleProbe {
     // slice-proportional and its delete O(|affected files|); the
     // lakehouse publish is base-proportional at bootstrap then
     // changeset-proportional per incremental merge commit
-    "x134_flac_roundtrip", "s24_delta_export", "pl20_lakehouse_publish")
+    "x134_flac_roundtrip", "s24_delta_export", "pl20_lakehouse_publish",
+    // the MP3 walk is payload-proportional inside the scan partition
+    "x135_mp3_framing")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -39,6 +39,14 @@ object MediaQueries {
   val FlacBlock = 192
   val FlacMaxSamples = 600
   val FlacRate = 8000
+  // x135 synthetic-MP3 geometry: protected MPEG1 Layer III mono at
+  // 128 kbps / 44100 Hz → 417-byte frames, 411 content bytes each
+  // (4 header + 2 CRC), up to 4 per doc, 64-byte ID3v2 body.
+  val Mp3Bitrate = 128
+  val Mp3Rate = 44100
+  val Mp3MaxFrames = 4
+  val Mp3Id3Body = 64
+  val Mp3ChunkLen: Int = 144 * Mp3Bitrate * 1000 / Mp3Rate - 6
 
   def queries: Map[String, Q] = Map(
     // ----------------------------------------------------------------- x10
@@ -166,6 +174,31 @@ object MediaQueries {
           col("channels").cast("long").as("channels"),
           col("bits_per_sample").cast("long").as("bits_per_sample"),
           col("n_frames"), col("n_samples"), col("sample_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- x135
+    // REAL MPEG-audio framing, oracle-gated: each document becomes a
+    // protected constant-rate MP3 stream (real ID3v2/v1 tags bracketing
+    // frames whose content bytes are consecutive text slices), and the
+    // strict walker — sync re-verified at every computed offset, frame
+    // CRC-16 actually checked over header+side-info, slot-arithmetic
+    // lengths — extracts codec facts, duration, and the exact content
+    // byte sum, replayed in DuckDB as byte arithmetic over encode(text).
+    // A wrong frame-length formula, CRC coverage, or tag skip flips a
+    // fact; full PCM synthesis stays the declared stub.
+    "x135_mp3_framing" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.demuxMp3(s,
+          Multimodal.asMp3Table(s, t.documents, Mp3Bitrate, Mp3Rate,
+            Mp3MaxFrames, Mp3Id3Body))
+        .toDF()
+        .select(col("doc_id"),
+          col("version").cast("long").as("version"),
+          col("layer").cast("long").as("layer"),
+          col("bitrate_kbps").cast("long").as("bitrate_kbps"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_frames"), col("duration_ms"), col("byte_sum"))
         .orderBy("doc_id")
     }),
 
@@ -466,6 +499,34 @@ object MediaQueries {
          |  CAST((m.k + ${FlacBlock - 1}) // $FlacBlock AS BIGINT) AS n_frames,
          |  CAST(m.k AS BIGINT) AS n_samples,
          |  COALESCE(s.ss, 0) AS sample_sum
+         |FROM m LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // The MP3 walker's facts replayed as byte arithmetic: k =
+    // min(4, bytes//411) frames whose content is the first k·411 text
+    // bytes; duration = k·1152 samples at 44100 Hz in integer ms;
+    // header facts are NULL for tags-only streams (k = 0).
+    "x135_mp3_framing" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, upper(hex(encode(text))) AS ph,
+         |    least($Mp3MaxFrames,
+         |          octet_length(encode(text)) // $Mp3ChunkLen) AS k
+         |  FROM documents),
+         |b AS (
+         |  SELECT m.doc_id,
+         |    (strpos('0123456789ABCDEF',
+         |       substring(ph, v.j * 2 + 1, 1)) - 1) * 16
+         |    + (strpos('0123456789ABCDEF',
+         |       substring(ph, v.j * 2 + 2, 1)) - 1) AS bv
+         |  FROM m, UNNEST(range(0, m.k * $Mp3ChunkLen)) v(j)),
+         |s AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS bs FROM b GROUP BY doc_id)
+         |SELECT m.doc_id,
+         |  CASE WHEN m.k > 0 THEN CAST(1 AS BIGINT) END AS version,
+         |  CASE WHEN m.k > 0 THEN CAST(3 AS BIGINT) END AS layer,
+         |  CASE WHEN m.k > 0 THEN CAST($Mp3Bitrate AS BIGINT) END AS bitrate_kbps,
+         |  CASE WHEN m.k > 0 THEN CAST($Mp3Rate AS BIGINT) END AS sample_rate,
+         |  CAST(m.k AS BIGINT) AS n_frames,
+         |  CAST(m.k * ${1152 * 1000} // $Mp3Rate AS BIGINT) AS duration_ms,
+         |  COALESCE(s.bs, 0) AS byte_sum
          |FROM m LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // pl17: inflate ∘ mux = identity, so the ladder replays straight on

@@ -570,4 +570,73 @@ class MultimodalSpec extends SparkSpec {
       mediaFrame(Seq((0L, poisoned, "application/warc")))).collect()
     assert(bad.isEmpty)
   }
+
+  // ------------------------------------------------------------- mp3 walker
+
+  test("mp3: mux/parse roundtrip recovers exact frame content regions " +
+       "and the CRC/sync/length strictness quarantines every corruption") {
+    val chunkLen = Multimodal.Mp3.frameLen(1, 3, 128000, 44100, 0) - 6
+    val chunks = (0 until 3).map(i => Array.fill(chunkLen)((i + 40).toByte))
+    val good = Multimodal.Mp3.mux(chunks, 128, 44100, id3v2Body = 64)
+    val f = Multimodal.Mp3.parse(good).get
+    assert(f.version === 1 && f.layer === 3 && f.bitrateKbps === 128 &&
+      f.sampleRate === 44100 && f.channels === 1)
+    assert(f.frames.length === 3)
+    f.frames.zipWithIndex.foreach { case ((off, len), i) =>
+      assert(len === chunkLen)
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(good, off.toInt, off.toInt + len),
+        chunks(i)), s"frame $i content region")
+    }
+    // CRC flip (a side-info byte), sync break, truncation → quarantine
+    val crcBad = good.clone()
+    crcBad(10 + 64 + 6 + 3) = (crcBad(10 + 64 + 6 + 3) ^ 0x01).toByte
+    assert(Multimodal.Mp3.parse(crcBad).isEmpty, "flipped side-info byte")
+    val syncBad = good.clone()
+    val frame2 = 10 + 64 + 417 // second frame header offset
+    syncBad(frame2) = 0x00
+    assert(Multimodal.Mp3.parse(syncBad).isEmpty, "broken sync")
+    assert(Multimodal.Mp3.parse(good.dropRight(130)).isEmpty,
+      "truncated final frame") // drops ID3v1 + 2 bytes of the last frame
+    assert(Multimodal.Mp3.parse("garbage".getBytes).isEmpty)
+    // a mid-stream bitrate change (VBR) is outside the walker's contract
+    val vbr = good.clone()
+    vbr(frame2 + 2) = ((0x08 << 4) | (0 << 2)).toByte // 64 kbps, 44100
+    assert(Multimodal.Mp3.parse(vbr).isEmpty, "VBR must refuse, not mis-time")
+  }
+
+  test("mp3: an unprotected Layer I frame walks by its own slot arithmetic") {
+    // 64 kbps / 32000 Hz Layer I: (12·64000/32000)·4 = 96-byte frames
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xff) // sync, MPEG1, Layer I, no CRC
+    out.write((2 << 4) | (2 << 2))   // bitrate idx 2 (64k), rate idx 2 (32000)
+    out.write(0xc0)                  // mono
+    out.write(Array.fill(92)(7.toByte))
+    val f = Multimodal.Mp3.parse(out.toByteArray).get
+    assert(f.layer === 1 && f.bitrateKbps === 64 && f.sampleRate === 32000)
+    assert(f.frames === Seq((4L, 92)))
+    assert(Multimodal.Mp3.samplesPerFrame(1, 1) === 384)
+  }
+
+  test("mp3: demuxMp3 facts — duration arithmetic, tags-only, quarantine") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x" * 900, "en", "s", 900L),   // 2 frames (900/411)
+      (2L, "tiny", "en", "s", 4L),        // tags-only: 0 frames
+      (3L, "y" * 500, "en", "s", 500L))   // 1 frame
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.asMp3Table(spark, docs, 128, 44100, 4, 64)
+    val out = Multimodal.demuxMp3(spark, media).collect().sortBy(_.doc_id)
+    assert(out.forall(_.decoded))
+    assert(out(0).n_frames === Some(2L))
+    assert(out(0).duration_ms === Some(2L * 1152 * 1000 / 44100))
+    assert(out(0).byte_sum === Some(2L * 411 * 'x'.toInt))
+    assert(out(1).n_frames === Some(0L) && out(1).version === None &&
+      out(1).byte_sum === Some(0L))
+    assert(out(2).n_frames === Some(1L))
+    // corrupt payload quarantines its row only
+    val poisoned = mediaFrame(Seq((9L, "not an mp3".getBytes, "audio/mpeg")))
+    val bad = Multimodal.demuxMp3(spark, poisoned).collect()
+    assert(bad.length === 1 && !bad(0).decoded)
+  }
 }

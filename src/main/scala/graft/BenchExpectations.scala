@@ -136,6 +136,7 @@ object BenchExpectations {
     "s24_delta_export" -> 2.6987,  // new this round
     "x134_flac_roundtrip" -> 1.3845,  // new this round
     "x135_mp3_framing" -> 0.4908,  // new this round
+    "x136_h264_nalu" -> 0.7571,  // new this round
     "pl1_csv_pipeline" -> 2.1988,  // min rule: carried floor
     "pl2_sql_pipeline" -> 0.8201,  // min rule: carried floor
     "pl3_realtime_pipeline" -> 1.5162,  // min rule: carried floor

@@ -89,8 +89,9 @@ object ScaleProbe {
     // lakehouse publish is base-proportional at bootstrap then
     // changeset-proportional per incremental merge commit
     "x134_flac_roundtrip", "s24_delta_export", "pl20_lakehouse_publish",
-    // the MP3 walk is payload-proportional inside the scan partition
-    "x135_mp3_framing")
+    // the MP3 and H.264 walks are payload-proportional inside the scan
+    // partition
+    "x135_mp3_framing", "x136_h264_nalu")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -1504,6 +1504,309 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------ h264
+
+  /** A parsed H.264 Annex-B stream: SPS facts plus per-NAL type and the
+    * de-escaped slice payload regions. */
+  case class H264File(profileIdc: Int, levelIdc: Int, width: Int, height: Int,
+                      nNalus: Int, nIdr: Int, nNonIdr: Int,
+                      slicePayloads: Seq[Array[Byte]])
+
+  /** From-scratch H.264 Annex-B NAL walker (ITU-T H.264 §7.3/§B.1 — the
+    * TRIAGE layer for compressed video columns: stream validity, codec
+    * profile/level, real dimensions out of the SPS, access-unit counts;
+    * macroblock decode stays the declared stub). Real bit-level work,
+    * STRICT like [[Mp3]]:
+    *   - start-code framing (both 3- and 4-byte forms),
+    *   - EMULATION PREVENTION (§7.4.1.1): 00 00 03 unescapes to 00 00,
+    *     and an unescaped 00 00 00/01/02 inside a NAL is malformed,
+    *   - forbidden_zero_bit, reserved nal_ref_idc/type rules,
+    *   - SPS parsed field-for-field with Exp-Golomb (ue/se): profile,
+    *     level, frame_num/POC bounds, MB dimensions → pixel dimensions
+    *     (frame_mbs_only + optional cropping), trailing-bits check,
+    *   - slices must follow an SPS+PPS (no orphan slice data).
+    * Any violation quarantines the payload. */
+  private[graft] object H264 {
+    private final class BitReader(a: Array[Byte]) {
+      var pos = 0
+      def u(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) {
+          val by = pos >> 3
+          if (by >= a.length) throw new java.io.EOFException()
+          v = (v << 1) | ((a(by) >> (7 - (pos & 7))) & 1)
+          pos += 1; i += 1
+        }
+        v
+      }
+      /** Exp-Golomb ue(v): leadingZeros zeros, 1, then leadingZeros bits. */
+      def ue(): Int = {
+        var zeros = 0
+        while (u(1) == 0) {
+          zeros += 1
+          if (zeros > 31) throw new java.io.IOException("ue overflow")
+        }
+        (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
+      }
+      def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+      /** rbsp_trailing_bits: a 1 then zero-pad to the byte boundary. */
+      def trailing(): Boolean =
+        u(1) == 1 && { while ((pos & 7) != 0) { if (u(1) != 0) return false }; true }
+    }
+
+    private final class BitWriter {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0; private var n = 0
+      def u(v: Int, bits: Int): this.type = {
+        var i = bits - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1); n += 1
+          if (n == 8) { out.write(acc); acc = 0; n = 0 }
+          i -= 1
+        }
+        this
+      }
+      def ue(v: Int): this.type = {
+        val k = v + 1
+        val bits = 32 - Integer.numberOfLeadingZeros(k)
+        u(0, bits - 1); u(k, bits)
+      }
+      def se(v: Int): this.type = ue(if (v > 0) 2 * v - 1 else -2 * v)
+      def trailing(): this.type = { u(1, 1); while (n != 0) u(0, 1); this }
+      def bytes: Array[Byte] = out.toByteArray
+    }
+
+    /** Insert emulation-prevention bytes (raw RBSP → NAL payload). The
+      * standard algorithm's tail rule included: an RBSP ending 00 00
+      * gets a final 03, so the wire NAL never ends in 0x00 — the
+      * property that makes trailing_zero_8bits stripping (parse) safe. */
+    private[graft] def escape(rbsp: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+      var zeros = 0
+      rbsp.foreach { b =>
+        if (zeros == 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+        out.write(b & 0xff)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      if (zeros >= 2) out.write(3)
+      out.toByteArray
+    }
+
+    /** Strict inverse of [[escape]]; None on an illegal 00 00 0x run. */
+    private[graft] def unescape(nal: Array[Byte]): Option[Array[Byte]] = {
+      val out = new java.io.ByteArrayOutputStream(nal.length)
+      var zeros = 0; var i = 0
+      while (i < nal.length) {
+        val b = nal(i) & 0xff
+        if (zeros == 2) {
+          if (b <= 2) return None       // unescaped start-code-ish run
+          if (b == 3) zeros = 0        // emulation byte: drop it
+          else { out.write(b); zeros = 0 }
+          i += 1
+        } else { out.write(b); zeros = if (b == 0) zeros + 1 else 0; i += 1 }
+      }
+      Some(out.toByteArray)
+    }
+
+    /** Minimal baseline SPS for `width`×`height` (multiples of 16). */
+    def buildSps(width: Int, height: Int, profileIdc: Int = 66,
+                 levelIdc: Int = 30): Array[Byte] = {
+      require(width % 16 == 0 && height % 16 == 0 && width > 0 && height > 0)
+      val bw = new BitWriter
+      bw.u(profileIdc, 8).u(0, 8).u(levelIdc, 8) // profile, constraints, level
+      bw.ue(0)          // seq_parameter_set_id
+      bw.ue(0)          // log2_max_frame_num_minus4
+      bw.ue(2)          // pic_order_cnt_type
+      bw.ue(1)          // max_num_ref_frames
+      bw.u(0, 1)        // gaps_in_frame_num_value_allowed
+      bw.ue(width / 16 - 1)
+      bw.ue(height / 16 - 1)
+      bw.u(1, 1)        // frame_mbs_only_flag
+      bw.u(1, 1)        // direct_8x8_inference_flag
+      bw.u(0, 1)        // frame_cropping_flag
+      bw.u(0, 1)        // vui_parameters_present_flag
+      bw.trailing().bytes
+    }
+
+    /** Minimal PPS referencing SPS 0. */
+    def buildPps(): Array[Byte] = {
+      val bw = new BitWriter
+      bw.ue(0).ue(0)    // pps id, sps id
+      bw.u(0, 1)        // entropy_coding_mode (CAVLC)
+      bw.u(0, 1)        // bottom_field_pic_order_in_frame_present
+      bw.ue(0)          // num_slice_groups_minus1
+      bw.ue(0).ue(0)    // num_ref_idx_l{0,1}_default_active_minus1
+      bw.u(0, 1).u(0, 2) // weighted_pred, weighted_bipred_idc
+      bw.se(0).se(0).se(0) // qp, qs, chroma_qp offsets
+      bw.u(1, 1).u(0, 1).u(0, 1) // deblocking_present, constrained_intra, redundant
+      bw.trailing().bytes
+    }
+
+    private def startCode(out: java.io.ByteArrayOutputStream, long: Boolean): Unit = {
+      if (long) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+    }
+
+    /** The rbsp_trailing_bits byte for byte-aligned payload data: the
+      * stop bit then zero padding — also what makes a raw chunk a
+      * CONFORMING RBSP (one that cannot end in a lone 0x00, which would
+      * be indistinguishable from trailing_zero_8bits on the wire). */
+    val TrailingBits: Byte = 0x80.toByte
+
+    /** Annex-B mux: [long]SPS, PPS, then one IDR slice NAL per chunk
+      * (slice RBSP = chunk bytes + [[TrailingBits]], emulation-prevention
+      * applied). */
+    def mux(chunks: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      startCode(out, long = true)
+      out.write(0x67); out.write(escape(buildSps(width, height))) // nal_ref_idc 3, type 7
+      startCode(out, long = true)
+      out.write(0x68); out.write(escape(buildPps()))              // type 8
+      chunks.foreach { c =>
+        startCode(out, long = false)
+        out.write(0x65)                                           // IDR slice
+        out.write(escape(c :+ TrailingBits))
+      }
+      out.toByteArray
+    }
+
+    def parse(payload: Array[Byte]): Option[H264File] = {
+      try {
+        val n = payload.length
+        // split on start codes
+        val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i + 2 < n) {
+          if (payload(i) == 0 && payload(i + 1) == 0 && payload(i + 2) == 1) {
+            starts += i + 3; i += 3
+          } else i += 1
+        }
+        if (starts.isEmpty) return None
+        // bytes before the first start code must be 0 or 1 zeros (the
+        // 4-byte form's extra zero), never data
+        val lead = starts.head - 3
+        if (lead > 1 || (0 until lead).exists(payload(_) != 0)) return None
+        var profile = -1; var level = -1; var w = -1; var h = -1
+        var sawSps = false; var sawPps = false
+        var nIdr = 0; var nNonIdr = 0
+        val slices = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        starts.indices.foreach { k =>
+          val from = starts(k)
+          var until = if (k + 1 < starts.length) starts(k + 1) - 3 else n
+          // trailing_zero_8bits (B.1.1): zeros between a NAL and the next
+          // start code are padding, and a CONFORMING NAL never ends in
+          // 0x00 (rbsp_trailing_bits / the escape algorithm's trailing
+          // 03), so stripping every one of them is lossless
+          while (until > from && payload(until - 1) == 0) until -= 1
+          if (until <= from) return None
+          val hdr = payload(from) & 0xff
+          if ((hdr & 0x80) != 0) return None // forbidden_zero_bit
+          val refIdc = (hdr >> 5) & 3
+          val typ = hdr & 0x1f
+          val rbsp = unescape(
+            java.util.Arrays.copyOfRange(payload, from + 1, until))
+            .getOrElse(return None)
+          typ match {
+            case 7 => // SPS
+              val br = new BitReader(rbsp)
+              profile = br.u(8); br.u(8); level = br.u(8)
+              if (br.ue() != 0) return None // one SPS id in scope
+              if (profile >= 100) return None // high-profile extras unsupported, loudly
+              br.ue()                       // log2_max_frame_num_minus4
+              val poc = br.ue()
+              if (poc == 0) br.ue()
+              else if (poc == 1) return None // delta POC lists unsupported
+              br.ue(); br.u(1)              // max_num_ref_frames, gaps allowed
+              val wMbs = br.ue() + 1
+              val hMbs = br.ue() + 1
+              val frameMbsOnly = br.u(1)
+              if (frameMbsOnly == 0) br.u(1) // mb_adaptive_frame_field
+              br.u(1)                        // direct_8x8_inference
+              var cropL = 0; var cropR = 0; var cropT = 0; var cropB = 0
+              if (br.u(1) == 1) { cropL = br.ue(); cropR = br.ue(); cropT = br.ue(); cropB = br.ue() }
+              if (br.u(1) == 1) return None  // VUI unsupported, loudly
+              if (!br.trailing()) return None
+              w = wMbs * 16 - 2 * (cropL + cropR)
+              h = hMbs * 16 * (2 - frameMbsOnly) - 2 * (cropT + cropB)
+              sawSps = true
+            case 8 =>
+              if (!sawSps) return None
+              sawPps = true
+            case 5 =>
+              if (!sawSps || !sawPps || refIdc == 0) return None
+              nIdr += 1; slices += rbsp
+            case 1 =>
+              if (!sawSps || !sawPps) return None
+              nNonIdr += 1; slices += rbsp
+            case t if t >= 1 && t <= 12 => () // other valid NAL types: skipped
+            case _ => return None
+          }
+        }
+        if (!sawSps) return None
+        Some(H264File(profile, level, w, h, starts.length, nIdr, nNonIdr,
+          slices.toSeq))
+      } catch {
+        case _: java.io.EOFException | _: java.io.IOException => None
+      }
+    }
+  }
+
+  /** Features from a REAL H.264 Annex-B walk; `slice_byte_sum` is the
+    * exact integer sum over the DE-ESCAPED slice RBSPs (emulation
+    * prevention removed — the bytes a decoder would consume, including
+    * each slice's rbsp_trailing_bits byte). */
+  case class H264Features(doc_id: Long, payload_bytes: Long,
+                          profile_idc: Option[Int], level_idc: Option[Int],
+                          width: Option[Int], height: Option[Int],
+                          n_nalus: Option[Long], n_idr: Option[Long],
+                          slice_byte_sum: Option[Long], decoded: Boolean)
+
+  /** REAL H.264 stream triage on the shared batched per-partition
+    * iterator; malformed payloads quarantine as `decoded=false`. */
+  def demuxH264(spark: SparkSession, media: DataFrame): Dataset[H264Features] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.map { blob =>
+        H264.parse(blob.payload) match {
+          case Some(f) =>
+            var sum = 0L
+            f.slicePayloads.foreach { p =>
+              var i = 0
+              while (i < p.length) { sum += p(i) & 0xff; i += 1 }
+            }
+            H264Features(blob.doc_id, blob.payload.length.toLong,
+              Some(f.profileIdc), Some(f.levelIdc), Some(f.width),
+              Some(f.height), Some(f.nNalus.toLong), Some(f.nIdr.toLong),
+              Some(sum), decoded = true)
+          case None =>
+            H264Features(blob.doc_id, blob.payload.length.toLong,
+              None, None, None, None, None, None, None, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Wrap a text table as H.264 Annex-B streams for the x136 gate: slice
+    * payloads are consecutive `chunkLen`-byte slices of the utf-8 text
+    * (up to `maxChunks`), escaped through emulation prevention and
+    * recovered exactly by the walker — so the de-escaped slice byte sum
+    * replays in SQL as byte arithmetic over `encode(text)`. */
+  def asH264Table(spark: SparkSession, documents: DataFrame, width: Int,
+                  height: Int, chunkLen: Int, maxChunks: Int): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, lang) =>
+          val bytes = text.getBytes("UTF-8")
+          val k = math.min(maxChunks.toLong, bytes.length.toLong / chunkLen).toInt
+          val chunks = (0 until k).map(i =>
+            java.util.Arrays.copyOfRange(bytes, i * chunkLen, (i + 1) * chunkLen))
+          MediaBlob(id, H264.mux(chunks, width, height), "video/h264", lang)
+        }
+      }.toDF()
+  }
+
   /** Features from a REAL MP3 frame walk; `byte_sum` is the exact integer
     * sum over every frame's content bytes (post-header, post-CRC), the
     * [[AviFeatures]] discipline on the MPEG framing. */

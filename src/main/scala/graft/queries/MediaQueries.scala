@@ -47,6 +47,12 @@ object MediaQueries {
   val Mp3MaxFrames = 4
   val Mp3Id3Body = 64
   val Mp3ChunkLen: Int = 144 * Mp3Bitrate * 1000 / Mp3Rate - 6
+  // x136 synthetic-H.264 geometry: 320×192 baseline SPS, 300-byte IDR
+  // slice payloads (pre-escape), up to 4 per doc.
+  val H264W = 320
+  val H264H = 192
+  val H264ChunkLen = 300
+  val H264MaxChunks = 4
 
   def queries: Map[String, Q] = Map(
     // ----------------------------------------------------------------- x10
@@ -199,6 +205,32 @@ object MediaQueries {
           col("bitrate_kbps").cast("long").as("bitrate_kbps"),
           col("sample_rate").cast("long").as("sample_rate"),
           col("n_frames"), col("duration_ms"), col("byte_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- x136
+    // REAL H.264 Annex-B triage, oracle-gated: each document becomes a
+    // valid baseline stream (hand-built SPS/PPS via Exp-Golomb writers,
+    // IDR slice NALs whose payloads are consecutive text slices run
+    // through EMULATION PREVENTION), and the strict walker — start-code
+    // framing, forbidden bits, field-for-field SPS parse recovering the
+    // true pixel dimensions, de-escape with illegal-run detection —
+    // replays profile/level/width/height/NAL counts and the de-escaped
+    // slice byte sum as byte arithmetic over encode(text). A de-escape
+    // slip on a text byte run like 00 00 01 flips the sum; macroblock
+    // decode stays the declared stub.
+    "x136_h264_nalu" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.demuxH264(s,
+          Multimodal.asH264Table(s, t.documents, H264W, H264H,
+            H264ChunkLen, H264MaxChunks))
+        .toDF()
+        .select(col("doc_id"),
+          col("profile_idc").cast("long").as("profile_idc"),
+          col("level_idc").cast("long").as("level_idc"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_nalus"), col("n_idr"), col("slice_byte_sum"))
         .orderBy("doc_id")
     }),
 
@@ -527,6 +559,35 @@ object MediaQueries {
          |  CAST(m.k AS BIGINT) AS n_frames,
          |  CAST(m.k * ${1152 * 1000} // $Mp3Rate AS BIGINT) AS duration_ms,
          |  COALESCE(s.bs, 0) AS byte_sum
+         |FROM m LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // The H.264 walk replayed as byte arithmetic: k = min(4, bytes//300)
+    // IDR slices whose DE-ESCAPED RBSPs are exactly the first k·300
+    // text bytes plus one rbsp_trailing_bits byte (0x80) each
+    // (escape ∘ unescape = id); NALs = SPS + PPS + k. Every doc's
+    // stream carries the same 320×192 baseline SPS.
+    "x136_h264_nalu" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, upper(hex(encode(text))) AS ph,
+         |    least($H264MaxChunks,
+         |          octet_length(encode(text)) // $H264ChunkLen) AS k
+         |  FROM documents),
+         |b AS (
+         |  SELECT m.doc_id,
+         |    (strpos('0123456789ABCDEF',
+         |       substring(ph, v.j * 2 + 1, 1)) - 1) * 16
+         |    + (strpos('0123456789ABCDEF',
+         |       substring(ph, v.j * 2 + 2, 1)) - 1) AS bv
+         |  FROM m, UNNEST(range(0, m.k * $H264ChunkLen)) v(j)),
+         |s AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS bs FROM b GROUP BY doc_id)
+         |SELECT m.doc_id,
+         |  CAST(66 AS BIGINT) AS profile_idc,
+         |  CAST(30 AS BIGINT) AS level_idc,
+         |  CAST($H264W AS BIGINT) AS width,
+         |  CAST($H264H AS BIGINT) AS height,
+         |  CAST(m.k + 2 AS BIGINT) AS n_nalus,
+         |  CAST(m.k AS BIGINT) AS n_idr,
+         |  COALESCE(s.bs, 0) + m.k * 128 AS slice_byte_sum
          |FROM m LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     // pl17: inflate ∘ mux = identity, so the ladder replays straight on

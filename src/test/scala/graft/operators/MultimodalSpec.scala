@@ -618,6 +618,108 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Mp3.samplesPerFrame(1, 1) === 384)
   }
 
+  // ------------------------------------------------------------ h264 walker
+
+  test("h264: emulation prevention roundtrips start-code-shaped payloads " +
+       "byte-exactly, and the SPS yields the true dimensions") {
+    // payloads stuffed with the byte runs §7.4.1.1 exists to protect
+    val nasty = Array[Byte](0, 0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 7, 0, 0) ++
+      Array.fill(20)(0.toByte)
+    val escaped = Multimodal.H264.escape(nasty)
+    assert(Multimodal.H264.unescape(escaped).get.toSeq === nasty.toSeq)
+    // no unescaped 00 00 0x survives in the wire form
+    (0 until escaped.length - 2).foreach { i =>
+      assert(!(escaped(i) == 0 && escaped(i + 1) == 0 &&
+        (escaped(i + 2) & 0xff) <= 2), s"naked start-code run at $i")
+    }
+    val chunks = Seq(nasty, Array.fill(16)(65.toByte))
+    val stream = Multimodal.H264.mux(chunks, 320, 192)
+    val f = Multimodal.H264.parse(stream).get
+    assert(f.profileIdc === 66 && f.levelIdc === 30)
+    assert(f.width === 320 && f.height === 192)
+    assert(f.nNalus === 4 && f.nIdr === 2)
+    // slice RBSP = chunk + its rbsp_trailing_bits byte
+    assert(f.slicePayloads(0).toSeq ===
+      (nasty :+ Multimodal.H264.TrailingBits).toSeq)
+    assert(f.slicePayloads(1).toSeq ===
+      (chunks(1) :+ Multimodal.H264.TrailingBits).toSeq)
+  }
+
+  test("h264: SPS cropping subtracts from the macroblock dimensions") {
+    // hand-build an SPS body with frame_cropping_flag = 1 from the spec
+    // text with an independent bit-string assembler: 21×12 MBs (336×192)
+    // cropped right/bottom by ue(2) crop units = 4 luma px each (4:2:0
+    // crop units are 2 px)
+    def bits(s: String): Array[Byte] = {
+      val clean = s.replace(" ", "")
+      val padded = clean + "0" * ((8 - clean.length % 8) % 8)
+      padded.grouped(8).map(g => Integer.parseInt(g, 2).toByte).toArray
+    }
+    val body = bits(
+      "01000010" + "00000000" + "00011110" + // profile 66, constraints, level 30
+        "1" +              // sps id ue(0)
+        "1" +              // log2_max_frame_num_minus4 ue(0)
+        "011" +            // pic_order_cnt_type ue(2)
+        "010" +            // max_num_ref_frames ue(1)
+        "0" +              // gaps_in_frame_num
+        "000010101" +      // ue(20): 21 MBs wide = 336
+        "0001100" +        // ue(11): 12 MBs high = 192
+        "1" + "1" +        // frame_mbs_only, direct_8x8
+        "1" +              // frame_cropping_flag = 1
+        "1" +              // crop_left ue(0)
+        "011" +            // crop_right ue(2) → 4 px
+        "1" +              // crop_top ue(0)
+        "011" +            // crop_bottom ue(2) → 4 px
+        "0" +              // vui_present
+        "1")               // rbsp_stop_bit (assembler pads zeros)
+    val stream = Array[Byte](0, 0, 0, 1, 0x67) ++
+      Multimodal.H264.escape(body) ++
+      (Array[Byte](0, 0, 0, 1, 0x68) ++
+        Multimodal.H264.escape(Multimodal.H264.buildPps()))
+    val f = Multimodal.H264.parse(stream).get
+    assert(f.width === 336 - 4 && f.height === 192 - 4)
+  }
+
+  test("h264: strictness — forbidden bit, orphan slice, naked runs, " +
+       "truncation all quarantine") {
+    val good = Multimodal.H264.mux(Seq(Array.fill(32)(9.toByte)), 64, 32)
+    assert(Multimodal.H264.parse(good).isDefined)
+    val forbidden = good.clone()
+    forbidden(4) = (forbidden(4) | 0x80).toByte // SPS header forbidden bit
+    assert(Multimodal.H264.parse(forbidden).isEmpty)
+    // a slice with no SPS/PPS in scope
+    val orphan = Array[Byte](0, 0, 0, 1, 0x65, 10, 11, 12)
+    assert(Multimodal.H264.parse(orphan).isEmpty)
+    // an unescaped 00 00 01 INSIDE a NAL body splits it; the tail then
+    // parses as a bogus NAL — craft 00 00 02 instead (never a start
+    // code, still illegal unescaped)
+    val naked = good ++ Array[Byte](0, 0, 1, 0x65, 0, 0, 2, 5)
+    assert(Multimodal.H264.parse(naked).isEmpty)
+    assert(Multimodal.H264.parse(good.take(10)).isEmpty) // truncated SPS
+    assert(Multimodal.H264.parse("junk".getBytes).isEmpty)
+    assert(Multimodal.H264.parse(Array[Byte](0, 0, 1)).isEmpty)
+  }
+
+  test("h264: demuxH264 facts and per-row quarantine") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "z" * 700, "en", "s", 700L),  // 2 slices (700/300)
+      (2L, "short", "en", "s", 5L))      // SPS+PPS only
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.demuxH264(spark,
+        Multimodal.asH264Table(spark, docs, 320, 192, 300, 4))
+      .collect().sortBy(_.doc_id)
+    assert(out.forall(_.decoded))
+    assert(out(0).n_idr === Some(2L) && out(0).n_nalus === Some(4L))
+    assert(out(0).slice_byte_sum === Some(600L * 'z'.toInt + 2 * 128))
+    assert(out(0).width === Some(320) && out(0).height === Some(192))
+    assert(out(1).n_idr === Some(0L) && out(1).n_nalus === Some(2L) &&
+      out(1).slice_byte_sum === Some(0L))
+    val bad = Multimodal.demuxH264(spark,
+      mediaFrame(Seq((9L, "not h264".getBytes, "video/h264")))).collect()
+    assert(bad.length === 1 && !bad(0).decoded)
+  }
+
   test("mp3: demuxMp3 facts — duration arithmetic, tags-only, quarantine") {
     import spark.implicits._
     val docs = Seq(

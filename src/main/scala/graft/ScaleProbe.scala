@@ -90,8 +90,8 @@ object ScaleProbe {
     // changeset-proportional per incremental merge commit
     "x134_flac_roundtrip", "s24_delta_export", "pl20_lakehouse_publish",
     // the MP3 and H.264 walks are payload-proportional inside the scan
-    // partition
-    "x135_mp3_framing", "x136_h264_nalu")
+    // partition, as is the whole triage funnel above them
+    "x135_mp3_framing", "x136_h264_nalu", "pl21_media_triage")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

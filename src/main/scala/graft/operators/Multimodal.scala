@@ -1786,6 +1786,50 @@ object Multimodal {
     }
   }
 
+  /** Magic-byte media sniffer — a crawl's media columns arrive UNLABELED
+    * (or mislabeled: Content-Type lies), so the triage funnel's first
+    * stage classifies by leading bytes, never by the carried type tag:
+    * `fLaC`, ID3v2 / an MPEG sync word, an Annex-B start code; anything
+    * else is `unknown` and skips every decoder. Pure per-row projection
+    * inside the scan partition. */
+  def sniffKind(payload: Array[Byte]): String = {
+    def at(i: Int): Int = payload(i) & 0xff
+    if (payload.length >= 4 && at(0) == 'f' && at(1) == 'L' && at(2) == 'a' &&
+      at(3) == 'C') "flac"
+    else if (payload.length >= 3 && at(0) == 'I' && at(1) == 'D' && at(2) == '3')
+      "mp3"
+    else if (payload.length >= 2 && at(0) == 0xff && (at(1) & 0xe0) == 0xe0)
+      "mp3"
+    else if (payload.length >= 4 && at(0) == 0 && at(1) == 0 &&
+      (at(2) == 1 || (at(2) == 0 && at(3) == 1))) "h264"
+    else "unknown"
+  }
+
+  /** Re-tag a media table by [[sniffKind]] of the payload bytes. */
+  def sniffMedia(spark: SparkSession, media: DataFrame): Dataset[MediaBlob] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.map(b => b.copy(media_type = sniffKind(b.payload)))
+    }
+  }
+
+  /** Deterministically corrupt selected rows (XOR the first payload byte)
+    * — the gate's stand-in for transit corruption: every codec's magic is
+    * in byte 0, so a corrupted blob sniffs `unknown` by construction. */
+  def corruptFirstByte(spark: SparkSession, media: DataFrame,
+                       predicate: Long => Boolean): Dataset[MediaBlob] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.map { b =>
+        if (predicate(b.doc_id) && b.payload.nonEmpty) {
+          val p = b.payload.clone()
+          p(0) = (p(0) ^ 0x55).toByte
+          b.copy(payload = p)
+        } else b
+      }
+    }
+  }
+
   /** Wrap a text table as H.264 Annex-B streams for the x136 gate: slice
     * payloads are consecutive `chunkLen`-byte slices of the utf-8 text
     * (up to `maxChunks`), escaped through emulation prevention and

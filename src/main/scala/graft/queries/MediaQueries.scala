@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import graft.sources.Tables
@@ -232,6 +232,54 @@ object MediaQueries {
           col("height").cast("long").as("height"),
           col("n_nalus"), col("n_idr"), col("slice_byte_sum"))
         .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- pl21
+    // MEDIA TRIAGE FUNNEL: the compressed-media tier composed the way a
+    // crawl actually presents it — UNLABELED mixed blobs. Documents
+    // become FLAC / MP3 / H.264 payloads by doc_id class, a slice is
+    // deterministically corrupted in transit (first byte XOR — every
+    // codec's magic lives there), the magic-byte sniffer classifies
+    // WITHOUT trusting any carried type tag, each class dispatches to
+    // its strict decoder, and one report aggregates per sniffed kind:
+    // row count, decoded count, and the codec's headline integer fact
+    // (FLAC sample sum / MP3 content-byte sum / H.264 de-escaped slice
+    // sum) — all replayed in DuckDB as byte arithmetic over
+    // encode(text), with corrupted rows pinned to the `unknown` bucket.
+    // Every stage is scan-local; the only exchange is the final 4-group
+    // aggregation.
+    "pl21_media_triage" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val mixed = Multimodal
+        .asFlacTable(s, docs.filter(col("doc_id") % 3 === 0),
+          FlacBlock, FlacMaxSamples, FlacRate)
+        .unionByName(Multimodal.asMp3Table(s,
+          docs.filter(col("doc_id") % 3 === 1),
+          Mp3Bitrate, Mp3Rate, Mp3MaxFrames, Mp3Id3Body))
+        .unionByName(Multimodal.asH264Table(s,
+          docs.filter(col("doc_id") % 3 === 2),
+          H264W, H264H, H264ChunkLen, H264MaxChunks))
+      val sniffed = Multimodal.sniffMedia(s,
+        Multimodal.corruptFirstByte(s, mixed, _ % 37 == 0).toDF()).toDF()
+      def branch(kind: String, decode: DataFrame => DataFrame,
+                 fact: Column): DataFrame =
+        decode(sniffed.filter(col("media_type") === kind))
+          .select(col("doc_id"), lit(kind).as("kind"), col("decoded"),
+            coalesce(fact, lit(0L)).as("fact"))
+      val rows = branch("flac", df => Multimodal.decodeFlac(s, df).toDF(),
+          col("sample_sum"))
+        .unionByName(branch("mp3", df => Multimodal.demuxMp3(s, df).toDF(),
+          col("byte_sum")))
+        .unionByName(branch("h264", df => Multimodal.demuxH264(s, df).toDF(),
+          col("slice_byte_sum")))
+        .unionByName(sniffed.filter(col("media_type") === "unknown")
+          .select(col("doc_id"), lit("unknown").as("kind"),
+            lit(false).as("decoded"), lit(0L).as("fact")))
+      rows.groupBy("kind")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+          sum("fact").as("fact_total"))
+        .orderBy("kind")
     }),
 
     // ---------------------------------------------------------------- pl17
@@ -590,6 +638,55 @@ object MediaQueries {
          |  COALESCE(s.bs, 0) + m.k * 128 AS slice_byte_sum
          |FROM m LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // pl21: the funnel replayed per doc_id class — corruption routes a
+    // doc to 'unknown' regardless of its class; each kind's fact total
+    // is the class's byte arithmetic (flac transform, raw mp3 content
+    // bytes, h264 content + one 0x80 trailing-bits byte per slice).
+    "pl21_media_triage" -> {
+      def byteAt(j: String) =
+        s"""((strpos('0123456789ABCDEF', substring(ph, ($j) * 2 + 1, 1)) - 1) * 16
+           | + (strpos('0123456789ABCDEF', substring(ph, ($j) * 2 + 2, 1)) - 1))""".stripMargin
+      s"""WITH cls AS MATERIALIZED (
+         |  SELECT doc_id, upper(hex(encode(text))) AS ph,
+         |    octet_length(encode(text)) AS len,
+         |    CASE WHEN doc_id % 37 = 0 THEN 'unknown'
+         |         WHEN doc_id % 3 = 0 THEN 'flac'
+         |         WHEN doc_id % 3 = 1 THEN 'mp3' ELSE 'h264' END AS kind
+         |  FROM documents)
+         |SELECT kind, n_docs, n_decoded, fact_total FROM (
+         |  SELECT 'flac' AS kind,
+         |    (SELECT count(*) FROM cls WHERE kind = 'flac') AS n_docs,
+         |    (SELECT count(*) FROM cls WHERE kind = 'flac') AS n_decoded,
+         |    COALESCE((SELECT CAST(sum((${byteAt("u.j")} - 80) * 129) AS BIGINT)
+         |      FROM cls c, UNNEST(range(0, least($FlacMaxSamples, c.len))) u(j)
+         |      WHERE c.kind = 'flac'), 0) AS fact_total
+         |  UNION ALL
+         |  SELECT 'mp3',
+         |    (SELECT count(*) FROM cls WHERE kind = 'mp3'),
+         |    (SELECT count(*) FROM cls WHERE kind = 'mp3'),
+         |    COALESCE((SELECT CAST(sum(${byteAt("u.j")}) AS BIGINT)
+         |      FROM cls c,
+         |        UNNEST(range(0, least($Mp3MaxFrames, c.len // $Mp3ChunkLen)
+         |          * $Mp3ChunkLen)) u(j)
+         |      WHERE c.kind = 'mp3'), 0)
+         |  UNION ALL
+         |  SELECT 'h264',
+         |    (SELECT count(*) FROM cls WHERE kind = 'h264'),
+         |    (SELECT count(*) FROM cls WHERE kind = 'h264'),
+         |    COALESCE((SELECT CAST(sum(${byteAt("u.j")}) AS BIGINT)
+         |      FROM cls c,
+         |        UNNEST(range(0, least($H264MaxChunks, c.len // $H264ChunkLen)
+         |          * $H264ChunkLen)) u(j)
+         |      WHERE c.kind = 'h264'), 0)
+         |    + COALESCE((SELECT CAST(sum(
+         |        least($H264MaxChunks, len // $H264ChunkLen) * 128) AS BIGINT)
+         |      FROM cls WHERE kind = 'h264'), 0)
+         |  UNION ALL
+         |  SELECT 'unknown',
+         |    (SELECT count(*) FROM cls WHERE kind = 'unknown'),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |) ORDER BY kind""".stripMargin
+    },
     // pl17: inflate ∘ mux = identity, so the ladder replays straight on
     // documents — x2's quality image, x1's fingerprint, arg_min keepers.
     "pl17_warc_ingest" ->

@@ -134,6 +134,7 @@ object BenchExpectations {
     "pl19_crawl_to_shards" -> 4.0714,  // new this round
     "pl20_lakehouse_publish" -> 6.1851,  // new this round
     "pl21_media_triage" -> 1.6376,  // new this round
+    "pl22_crawl_media_triage" -> 2.0705,  // new this round
     "s24_delta_export" -> 2.6987,  // new this round
     "x134_flac_roundtrip" -> 1.3845,  // new this round
     "x135_mp3_framing" -> 0.4908,  // new this round

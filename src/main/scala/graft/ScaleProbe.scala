@@ -91,7 +91,8 @@ object ScaleProbe {
     "x134_flac_roundtrip", "s24_delta_export", "pl20_lakehouse_publish",
     // the MP3 and H.264 walks are payload-proportional inside the scan
     // partition, as is the whole triage funnel above them
-    "x135_mp3_framing", "x136_h264_nalu", "pl21_media_triage")
+    "x135_mp3_framing", "x136_h264_nalu", "pl21_media_triage",
+    "pl22_crawl_media_triage")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -1028,7 +1028,15 @@ object Multimodal {
       val isHttp = hdrs.get("Content-Type")
         .exists(_.startsWith("application/http"))
       val (status, payload) =
-        if (!isHttp) (None, None)
+        if (!isHttp) {
+          // a `resource` record's block IS the captured payload (ISO
+          // 28500 §6.4 — the non-HTTP capture shape, e.g. binary media);
+          // warcinfo/metadata blocks stay opaque
+          if (warcType == "resource")
+            (None, Some(java.util.Arrays.copyOfRange(bytes, blockStart,
+              trailerAt)))
+          else (None, None)
+        }
         else {
           val block = java.util.Arrays.copyOfRange(bytes, blockStart,
             trailerAt)
@@ -1781,6 +1789,53 @@ object Multimodal {
           case None =>
             H264Features(blob.doc_id, blob.payload.length.toLong,
               None, None, None, None, None, None, None, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Wrap a MEDIA table as real `.warc.gz` bytes — the binary-capture
+    * twin of [[asWarcRecordsTable]]: one `resource` record per blob (ISO
+    * 28500 §6.4, the non-HTTP capture shape), raw payload as the record
+    * block, identity in WARC-Record-ID. One gzip member per record, so
+    * the archive layer is byte-transparent for ARBITRARY binary payloads
+    * — the property [[recoverWarcMedia]] must prove. */
+  def mediaToWarc(spark: SparkSession, media: DataFrame): Dataset[MediaBlob] = {
+    import spark.implicits._
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.map { b =>
+        val rec = Warc.record(Seq(
+          "WARC-Type" -> "resource",
+          "WARC-Record-ID" -> s"<urn:graft:${b.doc_id}:media>",
+          "WARC-Date" -> Warc.Date,
+          "WARC-Target-URI" -> Warc.targetUri(b.doc_id, 0L),
+          "Content-Type" -> "application/octet-stream",
+          "Content-Length" -> b.payload.length.toString), b.payload)
+        MediaBlob(b.doc_id, GzipMembers.gzipMember(rec),
+          "application/warc", b.lang)
+      }
+    }
+  }
+
+  /** Inverse of [[mediaToWarc]]: strict member walk + record parse, one
+    * rebuilt blob per `resource` record, identity from the parsed
+    * WARC-Record-ID (never file position). Quarantined payloads drop
+    * whole — the caller's funnel accounting surfaces them. */
+  def recoverWarcMedia(spark: SparkSession, media: DataFrame): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val idRe = "<urn:graft:(\\d+):media>".r
+    media.as[MediaBlob].mapPartitions { rows =>
+      rows.flatMap { blob =>
+        parseAll(blob).toSeq.flatMap { recs =>
+          recs.collect {
+            case r if r.warcType == "resource" =>
+              val id = r.recordId match {
+                case idRe(d) => d.toLong
+                case _ => -1L
+              }
+              MediaBlob(id, r.payload.getOrElse(Array.empty),
+                "application/octet-stream", blob.lang)
+          }
         }
       }
     }

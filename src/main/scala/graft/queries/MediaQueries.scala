@@ -282,6 +282,55 @@ object MediaQueries {
         .orderBy("kind")
     }),
 
+    // ---------------------------------------------------------------- pl22
+    // BINARY CRAWL INGEST, end to end: pl21's mixed media blobs travel
+    // through the REAL archive layer — each blob becomes a WARC
+    // `resource` record (raw binary block, identity in WARC-Record-ID)
+    // in its own gzip member, a slice of archives is corrupted in
+    // transit (gzip magic byte), the strict member walk + record parse
+    // recovers the surviving payloads BYTE-TRANSPARENTLY, and the
+    // sniff→decode triage runs on what came back. The `_total` row pins
+    // the quarantine accounting (shipped vs recovered); the per-kind
+    // facts equal pl21's arithmetic minus the corrupted class — so a
+    // single flipped bit anywhere in the archive→recover→decode chain
+    // moves a number. Scan-local except the final aggregation.
+    "pl22_crawl_media_triage" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val mixed = Multimodal
+        .asFlacTable(s, docs.filter(col("doc_id") % 3 === 0),
+          FlacBlock, FlacMaxSamples, FlacRate)
+        .unionByName(Multimodal.asMp3Table(s,
+          docs.filter(col("doc_id") % 3 === 1),
+          Mp3Bitrate, Mp3Rate, Mp3MaxFrames, Mp3Id3Body))
+        .unionByName(Multimodal.asH264Table(s,
+          docs.filter(col("doc_id") % 3 === 2),
+          H264W, H264H, H264ChunkLen, H264MaxChunks))
+      val shipped = Multimodal.mediaToWarc(s, mixed).toDF()
+      val recovered = Multimodal.recoverWarcMedia(s,
+        Multimodal.corruptFirstByte(s, shipped, _ % 37 == 0).toDF()).toDF()
+      val sniffed = Multimodal.sniffMedia(s, recovered).toDF()
+      def branch(kind: String, decode: DataFrame => DataFrame,
+                 fact: Column): DataFrame =
+        decode(sniffed.filter(col("media_type") === kind))
+          .select(col("doc_id"), lit(kind).as("kind"), col("decoded"),
+            coalesce(fact, lit(0L)).as("fact"))
+      val kinds = branch("flac", df => Multimodal.decodeFlac(s, df).toDF(),
+          col("sample_sum"))
+        .unionByName(branch("mp3", df => Multimodal.demuxMp3(s, df).toDF(),
+          col("byte_sum")))
+        .unionByName(branch("h264", df => Multimodal.demuxH264(s, df).toDF(),
+          col("slice_byte_sum")))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+          sum("fact").as("fact_total"))
+      val total = shipped.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(recovered.agg(count(lit(1)).as("n_decoded")))
+        .select(lit("_total").as("kind"), col("n_docs"), col("n_decoded"),
+          lit(0L).as("fact_total"))
+      total.unionByName(kinds).orderBy("kind")
+    }),
+
     // ---------------------------------------------------------------- pl17
     // Crawl-ingest pipeline, since round 18 through FULL WARC record
     // framing (x127's layer, not just x125's gzip members): real
@@ -685,6 +734,54 @@ object MediaQueries {
          |  SELECT 'unknown',
          |    (SELECT count(*) FROM cls WHERE kind = 'unknown'),
          |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |) ORDER BY kind""".stripMargin
+    },
+    // pl22: archive ∘ recover = id on the survivors, so each kind's
+    // facts are pl21's arithmetic restricted to doc_id % 37 <> 0; the
+    // _total row is shipped (all docs) vs recovered (survivors).
+    "pl22_crawl_media_triage" -> {
+      def byteAt(j: String) =
+        s"""((strpos('0123456789ABCDEF', substring(ph, ($j) * 2 + 1, 1)) - 1) * 16
+           | + (strpos('0123456789ABCDEF', substring(ph, ($j) * 2 + 2, 1)) - 1))""".stripMargin
+      s"""WITH cls AS MATERIALIZED (
+         |  SELECT doc_id, upper(hex(encode(text))) AS ph,
+         |    octet_length(encode(text)) AS len,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'flac'
+         |         WHEN doc_id % 3 = 1 THEN 'mp3' ELSE 'h264' END AS kind
+         |  FROM documents WHERE doc_id % 37 <> 0)
+         |SELECT kind, n_docs, n_decoded, fact_total FROM (
+         |  SELECT '_total' AS kind,
+         |    (SELECT count(*) FROM documents) AS n_docs,
+         |    (SELECT count(*) FROM cls) AS n_decoded,
+         |    CAST(0 AS BIGINT) AS fact_total
+         |  UNION ALL
+         |  SELECT 'flac',
+         |    (SELECT count(*) FROM cls WHERE kind = 'flac'),
+         |    (SELECT count(*) FROM cls WHERE kind = 'flac'),
+         |    COALESCE((SELECT CAST(sum((${byteAt("u.j")} - 80) * 129) AS BIGINT)
+         |      FROM cls c, UNNEST(range(0, least($FlacMaxSamples, c.len))) u(j)
+         |      WHERE c.kind = 'flac'), 0)
+         |  UNION ALL
+         |  SELECT 'mp3',
+         |    (SELECT count(*) FROM cls WHERE kind = 'mp3'),
+         |    (SELECT count(*) FROM cls WHERE kind = 'mp3'),
+         |    COALESCE((SELECT CAST(sum(${byteAt("u.j")}) AS BIGINT)
+         |      FROM cls c,
+         |        UNNEST(range(0, least($Mp3MaxFrames, c.len // $Mp3ChunkLen)
+         |          * $Mp3ChunkLen)) u(j)
+         |      WHERE c.kind = 'mp3'), 0)
+         |  UNION ALL
+         |  SELECT 'h264',
+         |    (SELECT count(*) FROM cls WHERE kind = 'h264'),
+         |    (SELECT count(*) FROM cls WHERE kind = 'h264'),
+         |    COALESCE((SELECT CAST(sum(${byteAt("u.j")}) AS BIGINT)
+         |      FROM cls c,
+         |        UNNEST(range(0, least($H264MaxChunks, c.len // $H264ChunkLen)
+         |          * $H264ChunkLen)) u(j)
+         |      WHERE c.kind = 'h264'), 0)
+         |    + COALESCE((SELECT CAST(sum(
+         |        least($H264MaxChunks, len // $H264ChunkLen) * 128) AS BIGINT)
+         |      FROM cls WHERE kind = 'h264'), 0)
          |) ORDER BY kind""".stripMargin
     },
     // pl17: inflate ∘ mux = identity, so the ladder replays straight on

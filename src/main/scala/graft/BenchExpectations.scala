@@ -136,6 +136,7 @@ object BenchExpectations {
     "pl21_media_triage" -> 1.6376,  // new this round
     "pl22_crawl_media_triage" -> 2.0705,  // new this round
     "s24_delta_export" -> 2.6987,  // new this round
+    "j14_delta_evolve" -> 1.7970,  // new this round
     "x134_flac_roundtrip" -> 1.3845,  // new this round
     "x135_mp3_framing" -> 0.4908,  // new this round
     "x136_h264_nalu" -> 0.7571,  // new this round

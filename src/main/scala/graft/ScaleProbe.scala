@@ -92,7 +92,10 @@ object ScaleProbe {
     // the MP3 and H.264 walks are payload-proportional inside the scan
     // partition, as is the whole triage funnel above them
     "x135_mp3_framing", "x136_h264_nalu", "pl21_media_triage",
-    "pl22_crawl_media_triage")
+    "pl22_crawl_media_triage",
+    // the evolved export merge is changeset-proportional plus the
+    // key-affected file rewrites
+    "j14_delta_evolve")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

@@ -845,6 +845,28 @@ object CoreQueries {
       morEvolveReport(graft.sinks.MorTable.read(s, tbl, "c_custkey"))
     }),
 
+    // ------------------------------------------------------------------ J14
+    // J12's evolution contract carried ACROSS THE LAKEHOUSE BRIDGE: the
+    // same evolved changeset (c_tier rides in) merges into a
+    // Delta-protocol export instead of the MOR table —
+    // [[graft.sinks.DeltaExport.commitMergeByKey]] widens the published
+    // schema via a new metaData action in the SAME atomic commit,
+    // untouched files null-backfill through the reader schema, and the
+    // external snapshot must equal the eager evolved merge. Shares j12's
+    // oracle verbatim: internal table and external export answer the
+    // backfill-sensitive rollup identically.
+    "j14_delta_evolve" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val tbl = SinkQueries.sinkDir("j14_delta_table")
+      SinkQueries.clean(tbl)
+      graft.sinks.DeltaExport.commitAppend(c, tbl, expectedVersion = 0L): Unit
+      val ch = customerChanges(c).withColumn("c_tier",
+        when(col("c_acctbal") > 5000, lit("gold")).otherwise(lit("std")))
+      graft.sinks.DeltaExport.commitMergeByKey(s, tbl, ch, "c_custkey", "op",
+        expectedVersion = 1L): Unit
+      morEvolveReport(graft.sinks.DeltaExport.snapshot(s, tbl))
+    }),
+
     // ------------------------------------------------------------------ J13
     // J12's maintenance half: compaction across the evolution boundary
     // MATERIALIZES the widened schema (the folded base carries c_tier
@@ -1636,6 +1658,9 @@ object CoreQueries {
     "j10_mor_merge" -> upsertMergeSql,
     "j11_mor_compact" -> upsertMergeSql,
     "j12_mor_evolve" -> morEvolveSql,
+    // j14: the export-side evolution answers j12's oracle verbatim —
+    // the bridge claim at the schema boundary.
+    "j14_delta_evolve" -> morEvolveSql,
     "j13_mor_evolve_compact" -> morEvolveSql,
     "pl18_table_maintenance" -> tableMaintenanceSql,
     // pl20: publish ∘ merge = merge ∘ publish — the external snapshots

@@ -296,15 +296,35 @@ object DeltaExport {
     if (existing.contains(v) || v <= sealedTo) return -1L
     require(v == 0 || existing.contains(v - 1) || v - 1 <= sealedTo,
       s"version $v would leave a gap (have ${existing.mkString(",")})")
-    val (files, _) = stage(df, table, partitionBy, v)
     val nowMs = System.currentTimeMillis()
-    val header = if (v == 0L) Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
-        s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${js(df.schema.json)},""" +
-        s""""partitionColumns":${partitionBy.map(js).mkString("[", ",", "]")},""" +
-        s""""configuration":{},"createdTime":$nowMs}}""") else Seq.empty
+    // v0 defines the schema; later appends ALIGN to the stored schema
+    // (type drift poisons a parquet directory — the cast fails loudly
+    // instead) and may WIDEN it additively, publishing a new metaData
+    val (toWrite, header) =
+      if (v == 0L) (df, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
+          s""""format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${js(df.schema.json)},""" +
+          s""""partitionColumns":${partitionBy.map(js).mkString("[", ",", "]")},""" +
+          s""""configuration":{},"createdTime":$nowMs}}"""))
+      else {
+        val (_, schemaJson, _) = replayLog(spark, path, v - 1)
+        val stored = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val (widened, newCols) = widenSchema(stored, df, Set.empty)
+        val aligned = df.select(
+          (stored.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+            newCols.map(col(_))): _*)
+        val metaLines =
+          if (newCols.isEmpty) Seq.empty
+          else Seq(evolvedMetaLine(
+            latestMetaNode(fs, table, existing).getOrElse(
+              throw new IllegalStateException("no metaData action in the log")),
+            widened.json))
+        (aligned, metaLines)
+      }
+    val (files, _) = stage(toWrite, table, partitionBy, v)
     val adds = files.map { case (rel, size, pv) => addAction(rel, size, pv, nowMs) }
     if (publish(fs, table, v, header ++ adds)) v else -1L
   }
@@ -369,6 +389,53 @@ object DeltaExport {
         d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(schema(pc).dataType)))
     }.reduce(_ unionByName _)
 
+  /** The newest JSON commit's metaData node, scanning backward. */
+  private def latestMetaNode(fs: org.apache.hadoop.fs.FileSystem,
+                             table: org.apache.hadoop.fs.Path, vs: Seq[Long])
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    vs.reverse.iterator.map { v =>
+      val in = fs.open(versionFile(table, v))
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map(mapper.readTree)
+        .find(_.has("metaData")).map(_.get("metaData"))
+    }.collectFirst { case Some(m) => m }
+  }
+
+  /** A metaData action line carrying `prior`'s fields with the
+    * schemaString replaced — how ADDITIVE SCHEMA EVOLUTION publishes (the
+    * protocol evolves schema by committing a new metaData action; id,
+    * partitioning, configuration, createdTime must survive verbatim). */
+  private def evolvedMetaLine(prior: com.fasterxml.jackson.databind.JsonNode,
+                              schemaJson: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val on = prior.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val _ = on.put("schemaString", schemaJson)
+    val root = mapper.createObjectNode()
+    val __ = root.set[com.fasterxml.jackson.databind.JsonNode]("metaData", on)
+    mapper.writeValueAsString(root)
+  }
+
+  /** Widen `stored` by `df`'s extra columns (additive evolution: every
+    * stored column must be present; new columns land nullable). */
+  private def widenSchema(stored: org.apache.spark.sql.types.StructType,
+                          df: DataFrame, ignore: Set[String])
+      : (org.apache.spark.sql.types.StructType, Seq[String]) = {
+    val cols = df.columns.filterNot(ignore.contains)
+    val missing = stored.fieldNames.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"incoming data must carry every stored column (evolution is " +
+        s"additive only): missing ${missing.mkString(", ")}")
+    val newCols = cols.filterNot(stored.fieldNames.contains).toSeq
+    val widened = newCols.foldLeft(stored)((acc, n) =>
+      acc.add(df.schema(n).copy(nullable = true)))
+    (widened, newCols)
+  }
+
   /** Canonicalize hit files to DECODED filesystem paths: input_file_name
     * yields a URI (%20 for a space in a Hive partition dir), the log's
     * relative paths are literal bytes — comparing raw strings silently
@@ -404,13 +471,19 @@ object DeltaExport {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val dataSchema = org.apache.spark.sql.types.StructType(
       schema.filterNot(f => partCols.contains(f.name)))
+    // ADDITIVE SCHEMA EVOLUTION: an evolved changeset widens the table —
+    // the commit carries a new metaData action, old files null-backfill
+    // through the reader schema, zero bytes rewritten beyond the
+    // key-affected files this merge touches anyway
+    val (widened, newCols) = widenSchema(schema, changes, Set(opCol))
     val keyed = changes
       .select(col(keyCol).cast(schema(keyCol).dataType).as(keyCol)).distinct()
     val all = readLiveWithFile(spark, table, files, schema, partCols, dataSchema)
     val hitFiles = collectHitFiles(all.join(keyed, Seq(keyCol), "left_semi"))
     val affected = files.filter(f =>
       hitFiles.contains(new org.apache.hadoop.fs.Path(table, f.path).toUri.getPath))
-    val aligned = schema.map(f => col(f.name).cast(f.dataType).as(f.name))
+    val aligned = schema.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+      newCols.map(col(_))
     val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
       .select(aligned: _*)
     val survivors =
@@ -418,16 +491,24 @@ object DeltaExport {
       else readLiveWithFile(spark, table, affected, schema, partCols, dataSchema)
         .join(keyed, Seq(keyCol), "left_anti")
         .select(schema.fieldNames.map(col): _*)
-    val newData = survivors.unionByName(upserts)
+        .unionByName(upserts.limit(0), allowMissingColumns = true)
+    val newData = survivors.unionByName(upserts, allowMissingColumns = true)
+      .select(widened.fieldNames.map(col): _*)
     val (newFiles, _) =
       if (newData.isEmpty) (Seq.empty[(String, Long, Map[String, String])], "")
       else stage(newData, table, partCols, v)
     val nowMs = System.currentTimeMillis()
+    val metaLines =
+      if (newCols.isEmpty) Seq.empty
+      else Seq(evolvedMetaLine(
+        latestMetaNode(fs, table, existing).getOrElse(
+          throw new IllegalStateException("no metaData action in the log")),
+        widened.json))
     val removes = affected.map(f =>
       s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$nowMs,""" +
         s""""dataChange":true}}""")
     val adds = newFiles.map { case (rel, size, pv) => addAction(rel, size, pv, nowMs) }
-    if (publish(fs, table, v, removes ++ adds)) v else -1L
+    if (publish(fs, table, v, metaLines ++ removes ++ adds)) v else -1L
   }
 
   // ------------------------------------------------------------ maintenance
@@ -549,7 +630,6 @@ object DeltaExport {
     // the current metaData action, verbatim from the newest JSON commit
     // that carries one (fields like id/createdTime must survive
     // unchanged); after log cleanup it lives only in the prior checkpoint
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def optMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
       Option(node).map { m =>
         val it = m.fields()
@@ -561,15 +641,7 @@ object DeltaExport {
         mm.toMap
       }.getOrElse(Map.empty)
     import org.apache.spark.sql.Row
-    val metaRow: Row = vs.reverse.iterator.map { v =>
-      val in = fs.open(versionFile(table, v))
-      val buf = new java.io.ByteArrayOutputStream()
-      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      finally in.close()
-      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").filter(_.nonEmpty).map(mapper.readTree)
-        .find(_.has("metaData")).map(_.get("metaData"))
-    }.collectFirst { case Some(meta) =>
+    val metaRow: Row = latestMetaNode(fs, table, vs).map { meta =>
       Row(
         meta.get("id").asText(),
         Row(meta.get("format").get("provider").asText(),

@@ -241,6 +241,49 @@ class DeltaExportSpec extends SparkSpec {
       .filter(col("k") === 1L && col("g") === "gX").count() === 1)
   }
 
+  test("additive schema evolution: an evolved merge publishes a new " +
+       "metaData action, old files null-backfill, non-additive refuses") {
+    val tbl = tmpTable("evolve")
+    assert(DeltaExport.commitAppend(rows(0, 20), tbl) === 0L)
+    import spark.implicits._
+    val ch = Seq((1L, "g1", 2.0, "hot", "U"), (2L, "g2", 0.0, null, "D"),
+        (300L, "gX", 9.0, "cold", "U"))
+      .toDF("k", "g", "v", "tier", "op")
+    assert(DeltaExport.commitMergeByKey(spark, tbl, ch, "k", "op") === 1L)
+    // the commit carries exactly one metaData action with the widened
+    // schema; id/createdTime survive from version 0
+    val v0meta = logLines(tbl, 0L).map(mapper.readTree)
+      .find(_.has("metaData")).get.get("metaData")
+    val v1metas = logLines(tbl, 1L).map(mapper.readTree).filter(_.has("metaData"))
+    assert(v1metas.size === 1)
+    val m1 = v1metas.head.get("metaData")
+    assert(m1.get("id").asText === v0meta.get("id").asText)
+    assert(m1.get("createdTime").asLong === v0meta.get("createdTime").asLong)
+    assert(m1.get("schemaString").asText.contains("\"tier\""))
+    // reads: evolved rows carry tier, pre-evolution rows null-backfill
+    val back = DeltaExport.snapshot(spark, tbl)
+    assert(back.schema.fieldNames.toSeq === Seq("k", "g", "v", "tier"))
+    assert(back.count() === 20) // -1 delete +1 insert
+    assert(back.filter(col("k") === 1L).select("tier").as[String].head === "hot")
+    assert(back.filter(col("k") === 300L).select("tier").as[String].head === "cold")
+    assert(back.filter(col("tier").isNull).count() === 18)
+    // time travel BELOW the evolution still reads the narrow schema
+    assert(DeltaExport.snapshot(spark, tbl, asOfVersion = 0L)
+      .schema.fieldNames.toSeq === Seq("k", "g", "v"))
+    // evolved APPEND widens too
+    val app = Seq((400L, "gY", 1.0, "warm", 7L)).toDF("k", "g", "v", "tier", "extra")
+    assert(DeltaExport.commitAppend(app, tbl) === 2L)
+    val back2 = DeltaExport.snapshot(spark, tbl)
+    assert(back2.schema.fieldNames.toSeq === Seq("k", "g", "v", "tier", "extra"))
+    assert(back2.filter(col("extra").isNotNull).count() === 1)
+    // dropping a stored column is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.commitMergeByKey(spark, tbl,
+        Seq((5L, "g", "U")).toDF("k", "g", "op"), "k", "op")
+    }
+    assert(e.getMessage.contains("additive"))
+  }
+
   test("unpartitioned roundtrip preserves schema and values exactly") {
     val tbl = tmpTable("plain")
     val df = rows(0, 25)

@@ -224,6 +224,7 @@ object BenchExpectations {
     "x134_flac_roundtrip" -> 1.3845,  // min rule: carried floor
     "x135_mp3_framing" -> 0.2802,
     "x136_h264_nalu" -> 0.3351,
+    "x137_flac_stereo" -> 1.7605,  // new this round
     "x13_token_chunks" -> 0.4644,  // min rule: carried floor
     "x14_fuzzy_names" -> 0.2565,  // min rule: carried floor
     "x15_tfidf_top_term" -> 0.9219,  // min rule: carried floor

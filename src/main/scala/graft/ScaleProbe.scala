@@ -95,7 +95,7 @@ object ScaleProbe {
     "pl22_crawl_media_triage",
     // the evolved export merge is changeset-proportional plus the
     // key-affected file rewrites
-    "j14_delta_evolve")
+    "j14_delta_evolve", "x137_flac_stereo")
 
   def main(args: Array[String]): Unit = {
     // "[factor] [query ...]": the factor is optional even when queries

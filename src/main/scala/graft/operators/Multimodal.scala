@@ -1333,6 +1333,39 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Wrap a text table as STEREO mid/side FLAC streams for the x137 gate:
+    * left channel from even text bytes, right from odd (the channels are
+    * correlated the way real stereo is — mostly-similar text bytes — so
+    * mid/side decorrelation genuinely engages), encoded with
+    * `midSide = true`. The decoder's sample sum over BOTH channels is the
+    * transform summed over the first 2·n text bytes, so the oracle pins
+    * the mid/side reconstruction and the side channel's bps+1 coding
+    * wire-exactly. */
+  def asFlacStereoTable(spark: SparkSession, documents: DataFrame,
+                        blockSize: Int, maxSamplesPerCh: Int,
+                        sampleRate: Int): DataFrame = {
+    import spark.implicits._
+    require(blockSize >= 16 && maxSamplesPerCh >= 0)
+    documents.select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, lang) =>
+          val bytes = text.getBytes("UTF-8")
+          val n = math.min(maxSamplesPerCh, bytes.length / 2)
+          val l = new Array[Int](n); val r = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            l(i) = ((bytes(2 * i) & 0xff) - 80) * 129
+            r(i) = ((bytes(2 * i + 1) & 0xff) - 80) * 129
+            i += 1
+          }
+          MediaBlob(id,
+            Flac.encode(Array(l, r), sampleRate, 16, blockSize, midSide = true),
+            "audio/flac", lang)
+        }
+      }.toDF()
+  }
+
   // ------------------------------------------------------------------- mp3
 
   /** A parsed MP3 elementary stream: header facts plus (offset, length)

@@ -39,6 +39,9 @@ object MediaQueries {
   val FlacBlock = 192
   val FlacMaxSamples = 600
   val FlacRate = 8000
+  // x137 stereo-FLAC geometry: 300 samples per channel (left from even
+  // text bytes, right from odd), mid/side decorrelation on.
+  val FlacStereoMaxPerCh = 300
   // x135 synthetic-MP3 geometry: protected MPEG1 Layer III mono at
   // 128 kbps / 44100 Hz → 417-byte frames, 411 content bytes each
   // (4 header + 2 CRC), up to 4 per doc, 64-byte ID3v2 body.
@@ -179,6 +182,24 @@ object MediaQueries {
           col("sample_rate").cast("long").as("sample_rate"),
           col("channels").cast("long").as("channels"),
           col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_frames"), col("n_samples"), col("sample_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------- x137
+    // STEREO mid/side FLAC, oracle-gated: x134's discipline with the
+    // decorrelation path load-bearing — left/right channels from
+    // even/odd text bytes, mid = (l+r)>>1 with the carried low bit,
+    // side = l−r at bps+1 — so a reconstruction slip in either channel
+    // or a side-channel width error flips the total sample sum.
+    "x137_flac_stereo" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Multimodal.decodeFlac(s,
+          Multimodal.asFlacStereoTable(s, t.documents, FlacBlock,
+            FlacStereoMaxPerCh, FlacRate))
+        .toDF()
+        .select(col("doc_id"),
+          col("channels").cast("long").as("channels"),
           col("n_frames"), col("n_samples"), col("sample_sum"))
         .orderBy("doc_id")
     }),
@@ -625,6 +646,28 @@ object MediaQueries {
          |  CAST($FlacRate AS BIGINT) AS sample_rate,
          |  CAST(1 AS BIGINT) AS channels,
          |  CAST(16 AS BIGINT) AS bits_per_sample,
+         |  CAST((m.k + ${FlacBlock - 1}) // $FlacBlock AS BIGINT) AS n_frames,
+         |  CAST(m.k AS BIGINT) AS n_samples,
+         |  COALESCE(s.ss, 0) AS sample_sum
+         |FROM m LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // x137: sum(left)+sum(right) = the transform summed over the first
+    // 2·k text bytes (k samples per channel); frames count per channel.
+    "x137_flac_stereo" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, upper(hex(encode(text))) AS ph,
+         |    least($FlacStereoMaxPerCh, octet_length(encode(text)) // 2) AS k
+         |  FROM documents),
+         |b AS (
+         |  SELECT m.doc_id,
+         |    (((strpos('0123456789ABCDEF',
+         |         substring(ph, v.j * 2 + 1, 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF',
+         |         substring(ph, v.j * 2 + 2, 1)) - 1)) - 80) * 129 AS sv
+         |  FROM m, UNNEST(range(0, m.k * 2)) v(j)),
+         |s AS (SELECT doc_id, CAST(sum(sv) AS BIGINT) AS ss FROM b GROUP BY doc_id)
+         |SELECT m.doc_id,
+         |  CAST(2 AS BIGINT) AS channels,
          |  CAST((m.k + ${FlacBlock - 1}) // $FlacBlock AS BIGINT) AS n_frames,
          |  CAST(m.k AS BIGINT) AS n_samples,
          |  COALESCE(s.ss, 0) AS sample_sum

@@ -43,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "md5_hash60 takes exactly 1 argument")
         Md5Hash60(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("sniff_kind"),
+      new ExpressionInfo(classOf[graft.functions.SniffKind].getName, "sniff_kind"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "sniff_kind takes exactly 1 argument")
+        graft.functions.SniffKind(children.head)
+      }))
     // Rewrite HOF dot-product folds (aggregate∘zip_with) into the codegen'd
     // expression — see DotProductRewrite for the soundness argument.
     ext.injectOptimizerRule(_ => DotProductRewrite)

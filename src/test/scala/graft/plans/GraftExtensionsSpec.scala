@@ -56,6 +56,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
         _.exists(_.isInstanceOf[graft.functions.DotProduct]))
       assert(rewritten, "HOF dot pattern should rewrite to DotProduct")
       assert(hofDf.head.getDouble(0) === 11.0)
+
+      // sniff_kind triages binary columns from plain SQL — every magic
+      // class plus null passthrough, agreeing with the operator layer
+      val k = withExt.sql(
+        """SELECT sniff_kind(X'664C614300') AS flac,
+          |       sniff_kind(X'49443304') AS id3,
+          |       sniff_kind(X'FFFB9000') AS sync,
+          |       sniff_kind(X'0000000165') AS h264,
+          |       sniff_kind(X'DEADBEEF') AS unk,
+          |       sniff_kind(CAST(NULL AS BINARY)) AS n
+          |""".stripMargin).head
+      assert(k.getString(0) === "flac" && k.getString(1) === "mp3" &&
+        k.getString(2) === "mp3" && k.getString(3) === "h264" &&
+        k.getString(4) === "unknown" && k.isNullAt(5))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

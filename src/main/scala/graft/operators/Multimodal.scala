@@ -1525,7 +1525,13 @@ object Multimodal {
         if (fLen <= 4 || p + fLen > end) return None
         var contentFrom = p + 4
         if (protectedCrc) {
-          if (lay == 3) {
+          // the Layer I/II CRC-16 covers the bit-allocation (+scfsi)
+          // tables this walker does not parse — refuse loudly rather
+          // than skip the 2 CRC bytes and pass corruption as verified
+          // (the STRICT contract: protected frames' CRC is VERIFIED,
+          // so a layer whose coverage we cannot compute is quarantined)
+          if (lay != 3) return None
+          locally {
             val siLen = sideInfoLen(ver, mono = mode == 3)
             if (contentFrom + 2 + siLen > p + fLen) return None
             val covered = Array(payload(p + 2), payload(p + 3)) ++
@@ -1752,7 +1758,14 @@ object Multimodal {
               val br = new BitReader(rbsp)
               profile = br.u(8); br.u(8); level = br.u(8)
               if (br.ue() != 0) return None // one SPS id in scope
-              if (profile >= 100) return None // high-profile extras unsupported, loudly
+              // profiles carrying the chroma_format_idc extension block
+              // (§7.3.2.1.1 lists 100,110,122,244,44,83,86,118,128,138,
+              // 139,134,135): a different SPS layout — unsupported,
+              // loudly. `>= 100` alone would parse 44/83/86 field-for-
+              // field against the WRONG layout; a lucky bit pattern
+              // could then yield confidently wrong dimensions.
+              if (profile >= 100 || profile == 44 || profile == 83 ||
+                  profile == 86) return None
               br.ue()                       // log2_max_frame_num_minus4
               val poc = br.ue()
               if (poc == 0) br.ue()

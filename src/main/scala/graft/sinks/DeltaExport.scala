@@ -34,10 +34,12 @@ import org.apache.spark.sql.functions._
   * Concurrency contract: one writer per version at a time (the
   * foreachBatch replay model, same as
   * [[LayoutSink.appendExactlyOnceManifest]]). The version-file publish is
-  * create-if-absent: a lost race or a replayed version returns false with
-  * the table unchanged. Crashed attempts leave data files no commit
-  * references — invisible to every protocol-following reader, reclaimable
-  * by any vacuum that keeps referenced paths.
+  * write-temp-then-rename (atomic) gated on absence: a lost race or a
+  * replayed version returns false with the table unchanged, and a crash
+  * mid-publish leaves temp residue, never a truncated commit. Crashed
+  * attempts leave data files no commit references — invisible to every
+  * protocol-following reader, reclaimable by any vacuum that keeps
+  * referenced paths.
   */
 object DeltaExport {
 
@@ -51,6 +53,24 @@ object DeltaExport {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
+
+  /** Percent-encode a RELATIVE data-file path for the log: the protocol
+    * requires `add.path`/`remove.path` to be an RFC 2396 URI (delta-spark
+    * parses it with `new URI(path)`), while [[stage]] keeps the writer's
+    * literal Hive dir names — which contain raw spaces Hive never escapes
+    * (`o_orderpriority=4-NOT SPECIFIED`). The URI constructor quotes
+    * exactly the illegal characters (space → %20, a Hive-escaped `%XX` →
+    * `%25XX`), so encode∘decode is the identity on the literal name. */
+  private def encodeLogPath(rel: String): String =
+    new java.net.URI(null, null, rel, null).toASCIIString
+
+  /** Invert [[encodeLogPath]] when reading the log. Falls back to the
+    * verbatim string for pre-encoding logs (literal spaces make the URI
+    * parser throw), so old and new commits on one table resolve to the
+    * same literal filesystem name. */
+  private def decodeLogPath(p: String): String =
+    try new java.net.URI(p).getPath
+    catch { case _: java.net.URISyntaxException => p }
 
   /** JSON string literal per RFC 8259 (the log is plain JSON lines). */
   private def js(s: String): String = {
@@ -119,7 +139,7 @@ object DeltaExport {
         val ai = r.fieldIndex("add")
         if (!r.isNullAt(ai)) {
           val a = r.getStruct(ai)
-          val p = a.getAs[String]("path")
+          val p = decodeLogPath(a.getAs[String]("path"))
           live(p) = LiveFile(p,
             Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
               .map(_.toMap).getOrElse(Map.empty),
@@ -147,7 +167,7 @@ object DeltaExport {
           }
           if (node.has("add")) {
             val a = node.get("add")
-            val p = a.get("path").asText()
+            val p = decodeLogPath(a.get("path").asText())
             val pv = Option(a.get("partitionValues")).map { m =>
               val it = m.fields()
               val mm = scala.collection.mutable.Map.empty[String, String]
@@ -161,7 +181,7 @@ object DeltaExport {
               a.get("modificationTime").asLong())
           }
           if (node.has("remove"))
-            live.remove(node.get("remove").get("path").asText()): Unit
+            live.remove(decodeLogPath(node.get("remove").get("path").asText())): Unit
         }
     }
     require(schema != null, "log has no metaData action — not a Delta table")
@@ -212,9 +232,10 @@ object DeltaExport {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(attemptPath.toString)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Map[String, String])]
-    // rel paths keep the writer's OWN (Hive-escaped) dir names verbatim —
-    // add.path is opaque per the protocol; partitionValues carry the
-    // decoded truth readers must use
+    // rel paths keep the writer's OWN (Hive-escaped) dir names verbatim
+    // as the in-memory/filesystem identity; the log layer percent-encodes
+    // them on write ([[encodeLogPath]]) per the protocol's URI rule, and
+    // partitionValues carry the decoded truth readers must use
     def walk(p: org.apache.hadoop.fs.Path, rel: Seq[String],
              pv: Map[String, String]): Unit =
       fs.listStatus(p).foreach { st =>
@@ -252,30 +273,38 @@ object DeltaExport {
     val pvJson = pv.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${js(k)}:${if (v == null) "null" else js(v)}" }
       .mkString("{", ",", "}")
-    s"""{"add":{"path":${js(rel)},"partitionValues":$pvJson,"size":$size,""" +
-      s""""modificationTime":$nowMs,"dataChange":true}}"""
+    s"""{"add":{"path":${js(encodeLogPath(rel))},"partitionValues":$pvJson,""" +
+      s""""size":$size,"modificationTime":$nowMs,"dataChange":true}}"""
   }
 
-  /** Publish `lines` as version `v` — create-if-absent is the one-winner
-    * transaction gate (the putIfAbsent the protocol prescribes for object
-    * stores; create(overwrite=false) on filesystems). Returns true iff
+  /** Publish `lines` as version `v` — ATOMICALLY: the content is written
+    * and closed as a hidden temp file inside `_delta_log`, then moved
+    * onto the 20-digit name in one rename. A crash mid-write leaves only
+    * temp residue ([[versions]]' 20-digit regex never matches it), never
+    * a truncated or empty commit file that readers — and the streaming
+    * exactly-once gate — would treat as a committed version. The
+    * fail-if-absent half of the gate is the exists check + no-overwrite
+    * rename (atomic on HDFS at the NameNode; on the local FS rename
+    * overwrites, so the check carries the race — sound under the
+    * documented one-writer-per-version contract; object stores need
+    * their own putIfAbsent, the protocol's own caveat). Returns true iff
     * THIS call committed. */
   private def publish(fs: org.apache.hadoop.fs.FileSystem,
                       table: org.apache.hadoop.fs.Path, v: Long,
                       lines: Seq[String]): Boolean = {
     fs.mkdirs(logDir(table)): Unit
     val dest = versionFile(table, v)
-    val out =
-      try fs.create(dest, false)
-      catch {
-        case e: java.io.IOException
-            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-              fs.exists(dest) => return false
-      }
+    if (fs.exists(dest)) return false
+    val tmp = new org.apache.hadoop.fs.Path(logDir(table),
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}-$v.json")
+    val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    true
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false): Unit
+      false
+    } else true
   }
 
   /** Append `df` as the next commit (or `expectedVersion` when given, the
@@ -365,8 +394,8 @@ object DeltaExport {
       else stage(survivors, table, partCols, v)
     val nowMs = System.currentTimeMillis()
     val removes = affected.map(f =>
-      s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$nowMs,""" +
-        s""""dataChange":true}}""")
+      s"""{"remove":{"path":${js(encodeLogPath(f.path))},""" +
+        s""""deletionTimestamp":$nowMs,"dataChange":true}}""")
     val adds = newFiles.map { case (rel, size, pv) => addAction(rel, size, pv, nowMs) }
     if (publish(fs, table, v, removes ++ adds)) v else -1L
   }
@@ -505,8 +534,8 @@ object DeltaExport {
           throw new IllegalStateException("no metaData action in the log")),
         widened.json))
     val removes = affected.map(f =>
-      s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$nowMs,""" +
-        s""""dataChange":true}}""")
+      s"""{"remove":{"path":${js(encodeLogPath(f.path))},""" +
+        s""""deletionTimestamp":$nowMs,"dataChange":true}}""")
     val adds = newFiles.map { case (rel, size, pv) => addAction(rel, size, pv, nowMs) }
     if (publish(fs, table, v, metaLines ++ removes ++ adds)) v else -1L
   }
@@ -533,15 +562,17 @@ object DeltaExport {
       new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
         .split("\n").filter(_.nonEmpty).map(mapper.readTree)
         .foreach { node =>
-          if (node.has("add")) referenced += node.get("add").get("path").asText()
-          if (node.has("remove")) referenced += node.get("remove").get("path").asText()
+          if (node.has("add"))
+            referenced += decodeLogPath(node.get("add").get("path").asText())
+          if (node.has("remove"))
+            referenced += decodeLogPath(node.get("remove").get("path").asText())
         }
     }
     checkpointVersions(fs, table).foreach { cpv =>
       spark.read.parquet(new org.apache.hadoop.fs.Path(logDir(table),
           f"$cpv%020d.checkpoint.parquet").toString)
         .where("add IS NOT NULL").selectExpr("add.path").collect()
-        .foreach(r => referenced += r.getString(0))
+        .foreach(r => referenced += decodeLogPath(r.getString(0)))
     }
     val tableUri = table.getFileSystem(spark.sessionState.newHadoopConf())
       .makeQualified(table).toUri.getPath
@@ -660,7 +691,8 @@ object DeltaExport {
     rows.add(Row(Row(1, 2), null, null))
     rows.add(Row(null, metaRow, null))
     files.foreach(f => rows.add(Row(null, null,
-      Row(f.path, f.partitionValues, f.size, f.modificationTime, true))))
+      Row(encodeLogPath(f.path), f.partitionValues, f.size,
+        f.modificationTime, true))))
     // stage as a directory write, then move the single part into the
     // protocol's exact file name
     val tmp = new org.apache.hadoop.fs.Path(logDir(table),

@@ -605,6 +605,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Mp3.parse(vbr).isEmpty, "VBR must refuse, not mis-time")
   }
 
+  test("mp3: a CRC-protected Layer I/II frame quarantines — its CRC covers " +
+       "allocation tables the walker does not parse, so it cannot verify") {
+    // the same 96-byte Layer I frame as the next test but with the
+    // protection bit SET (h1 0xfe): skipping the 2 CRC bytes unverified
+    // would report silent corruption as decoded=true, breaking the STRICT
+    // contract ("protected frames' CRC-16 actually VERIFIED") — refuse
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xfe) // sync, MPEG1, Layer I, CRC-protected
+    out.write((2 << 4) | (2 << 2)); out.write(0xc0)
+    out.write(Array.fill(92)(7.toByte)) // 2 CRC + 90 data bytes, any content
+    assert(Multimodal.Mp3.parse(out.toByteArray).isEmpty)
+  }
+
   test("mp3: an unprotected Layer I frame walks by its own slot arithmetic") {
     // 64 kbps / 32000 Hz Layer I: (12·64000/32000)·4 = 96-byte frames
     val out = new java.io.ByteArrayOutputStream()
@@ -698,6 +711,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.H264.parse(good.take(10)).isEmpty) // truncated SPS
     assert(Multimodal.H264.parse("junk".getBytes).isEmpty)
     assert(Multimodal.H264.parse(Array[Byte](0, 0, 1)).isEmpty)
+  }
+
+  test("h264: profiles 44/83/86 carry the chroma extension block " +
+       "(§7.3.2.1.1) — quarantined like >=100, never parsed against the " +
+       "baseline SPS layout") {
+    val good = Multimodal.H264.mux(Seq(Array.fill(16)(3.toByte)), 64, 32)
+    assert(Multimodal.H264.parse(good).isDefined)
+    Seq(44, 83, 86, 100, 110, 122, 134, 244).foreach { p =>
+      val s = good.clone()
+      s(5) = p.toByte // profile_idc is the first SPS payload byte
+      assert(Multimodal.H264.parse(s).isEmpty, s"profile $p must quarantine")
+    }
   }
 
   test("h264: demuxH264 facts and per-row quarantine") {

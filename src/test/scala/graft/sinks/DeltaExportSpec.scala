@@ -284,6 +284,80 @@ class DeltaExportSpec extends SparkSpec {
     assert(e.getMessage.contains("additive"))
   }
 
+  test("log paths are RFC 2396 URIs: a partition value with a space " +
+       "percent-encodes in add/remove.path and the checkpoint, decodes to " +
+       "the literal Hive dir for every internal consumer") {
+    val tbl = tmpTable("uri")
+    import spark.implicits._
+    // Hive leaves spaces UNescaped in partition dirs (the orders table's
+    // '4-NOT SPECIFIED' priority) — exactly the value external Delta
+    // readers choke on when add.path carries it raw (new URI throws)
+    val df = (0 until 30).map(i =>
+        (i.toLong, if (i % 2 == 0) "4-NOT SPECIFIED" else "1-URGENT", i * 1.0))
+      .toDF("k", "pri", "v")
+    assert(DeltaExport.commitAppend(df, tbl, Seq("pri")) === 0L)
+    val adds0 = logLines(tbl, 0L).map(mapper.readTree).filter(_.has("add"))
+      .map(_.get("add"))
+    assert(adds0.nonEmpty)
+    adds0.foreach { a =>
+      val p = a.get("path").asText
+      assert(!p.contains(" "), s"raw space in add.path: $p")
+      // the protocol's reader contract: parse with new URI(path); the
+      // decoded form must be the literal on-disk name
+      val decoded = new java.net.URI(p).getPath
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(tbl, decoded)),
+        s"decoded add.path missing on disk: $decoded")
+    }
+    assert(adds0.filter(
+        _.get("partitionValues").get("pri").asText == "4-NOT SPECIFIED")
+      .forall(_.get("path").asText.contains("%20")))
+    // delete INSIDE the space partition: remove.path must encode too, and
+    // the rewrite must resolve the encoded entries back to real files
+    assert(DeltaExport.commitDeleteWhere(spark, tbl,
+      col("pri") === "4-NOT SPECIFIED" && col("k") < 10) === 1L)
+    val rems = logLines(tbl, 1L).map(mapper.readTree).filter(_.has("remove"))
+    assert(rems.nonEmpty)
+    rems.foreach(r =>
+      assert(!r.get("remove").get("path").asText.contains(" ")))
+    val expect = (0 until 30).filterNot(i => i % 2 == 0 && i < 10)
+    assert(DeltaExport.snapshot(spark, tbl).agg(sum("k")).as[Long].head ===
+      expect.map(_.toLong).sum)
+    // checkpoint rows carry the encoded form; reads and vacuum (which
+    // compares decoded log paths against literal disk names) stay exact
+    assert(DeltaExport.checkpoint(spark, tbl) === 1L)
+    val logDirP = java.nio.file.Paths.get(tbl, "_delta_log")
+    spark.read.parquet(logDirP.resolve(f"${1L}%020d.checkpoint.parquet").toString)
+      .where("add IS NOT NULL").selectExpr("add.path").as[String].collect()
+      .foreach(p => assert(!p.contains(" "), s"raw space in checkpoint: $p"))
+    assert(DeltaExport.vacuum(spark, tbl) === 0,
+      "a decode mismatch would orphan (and reclaim) live files here")
+    assert(DeltaExport.snapshot(spark, tbl).agg(sum("k")).as[Long].head ===
+      expect.map(_.toLong).sum)
+  }
+
+  test("publish is atomic: a crashed temp file is inert (never a version, " +
+       "never truncated state) and successful commits leave no residue") {
+    val tbl = tmpTable("atomic")
+    assert(DeltaExport.commitAppend(rows(0, 10), tbl) === 0L)
+    val logDirP = java.nio.file.Paths.get(tbl, "_delta_log")
+    def temps() = new java.io.File(logDirP.toString).listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp-")).toSeq
+    assert(temps().isEmpty, "successful publish must rename its temp away")
+    // a crash between temp-write and rename leaves ONLY this residue —
+    // the 20-digit version regex ignores it, so reads and chaining are
+    // unaffected (the pre-fix shape, a truncated 00...01.json, would have
+    // been read as a committed empty version)
+    java.nio.file.Files.write(logDirP.resolve(".tmp-deadbeef-1.json"),
+      "{\"add\":{}}".getBytes("UTF-8")): Unit
+    assert(DeltaExport.versions(spark, tbl) === Seq(0L))
+    assert(DeltaExport.commitAppend(rows(10, 20), tbl) === 1L)
+    assert(DeltaExport.snapshot(spark, tbl).count() === 20)
+    // the absence gate still holds through the rename path
+    assert(DeltaExport.commitAppend(rows(90, 95), tbl,
+      expectedVersion = 1L) === -1L)
+    assert(DeltaExport.snapshot(spark, tbl).count() === 20)
+  }
+
   test("unpartitioned roundtrip preserves schema and values exactly") {
     val tbl = tmpTable("plain")
     val df = rows(0, 25)

@@ -89,6 +89,10 @@ object ScaleProbe {
     // lakehouse publish is base-proportional at bootstrap then
     // changeset-proportional per incremental merge commit
     "x134_flac_roundtrip", "s24_delta_export", "pl20_lakehouse_publish",
+    // stats skipping reads O(matching files) behind the log's min/max
+    // (the pruning decision itself is O(live files) metadata); OPTIMIZE
+    // is rewrite-proportional in the compacted bytes
+    "s25_delta_stats_skip", "s26_delta_optimize",
     // the MP3 and H.264 walks are payload-proportional inside the scan
     // partition, as is the whole triage funnel above them
     "x135_mp3_framing", "x136_h264_nalu", "pl21_media_triage",

@@ -331,6 +331,63 @@ object SinkQueries {
         .orderBy("snapshot", "o_orderpriority")
     }),
 
+    // ----------------------------------------------------------------- s25
+    // STATS-BASED DATA SKIPPING through the Delta export
+    // ([[DeltaExport.snapshotWhere]]): lineitem lands range-laid by
+    // l_orderkey so every file's add.stats carries a tight [min,max];
+    // the reader prunes files from the LOG alone (zero footer reads —
+    // the stats were collected once, at commit time, from the staged
+    // files' footers) and re-applies the exact predicate. The oracle is
+    // the plain filtered aggregate: equality pins that pruning loses no
+    // rows; the spec pins that files are actually skipped.
+    "s25_delta_stats_skip" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val tbl = sinkDir("s25_delta_table")
+      clean(tbl)
+      val src = t.lineitem
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+      DeltaExport.commitAppend(src, tbl, expectedVersion = 0L): Unit
+      DeltaExport.snapshotWhere(s, tbl,
+          col("l_orderkey") <= 1000L && col("l_quantity") >= 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ----------------------------------------------------------------- s26
+    // OPTIMIZE ([[DeltaExport.optimizeCompact]]): three micro-batch
+    // appends leave small-file debt in every o_orderpriority partition
+    // (including the space-bearing '4-NOT SPECIFIED', so the rewrite
+    // round-trips the percent-encoded log paths); the dataChange=false
+    // compaction commit must leave both the full fold and a
+    // stats-skipped slice of the rewritten files byte-exact.
+    "s26_delta_optimize" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val tbl = sinkDir("s26_delta_table")
+      clean(tbl)
+      val src = t.orders.select("o_orderkey", "o_orderpriority",
+        "o_totalprice")
+      (0 until 3).foreach { m =>
+        DeltaExport.commitAppend(src.filter(col("o_orderkey") % 3 === m), tbl,
+          Seq("o_orderpriority"), expectedVersion = m.toLong): Unit
+      }
+      DeltaExport.optimizeCompact(s, tbl, expectedVersion = 3L): Unit
+      def report(df: DataFrame, tag: String): DataFrame =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .select(lit(tag).as("slice"), col("o_orderpriority"),
+            col("n"), col("total"))
+      report(DeltaExport.snapshot(s, tbl), "all")
+        .unionByName(report(
+          DeltaExport.snapshotWhere(s, tbl, col("o_orderkey") <= 500L),
+          "k_le_500"))
+        .orderBy("slice", "o_orderpriority")
+    }),
+
     // ----------------------------------------------------------------- s21
     // Per-file Bloom skipping index ([[graft.sinks.BloomSkipIndex]]): the
     // standing slice range-lays by the lookup key, ONE scan folds each
@@ -555,6 +612,24 @@ object SinkQueries {
         |SELECT 'latest' AS snapshot, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM vl GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin,
+    // s25: skipping is transparent — the oracle is the plain filter.
+    "s25_delta_stats_skip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey <= 1000 AND l_quantity >= 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s26: OPTIMIZE rearranges files only — both slices fold as if the
+    // compaction never happened.
+    "s26_delta_optimize" ->
+      """SELECT 'all' AS slice, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 'k_le_500' AS slice, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey <= 500 GROUP BY 2
         |ORDER BY 1, 2""".stripMargin,
     "s18_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END

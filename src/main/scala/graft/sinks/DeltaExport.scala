@@ -95,11 +95,13 @@ object DeltaExport {
       }).sorted
   }
 
-  /** One resolved file from log replay; size/modificationTime ride along
-    * so a checkpoint can re-emit the full add action without re-stating
-    * the filesystem. */
+  /** One resolved file from log replay; size/modificationTime/stats ride
+    * along so a checkpoint can re-emit the full add action without
+    * re-stating the filesystem, and so the reader can DATA-SKIP on the
+    * per-file stats without touching parquet footers. */
   private case class LiveFile(path: String, partitionValues: Map[String, String],
-                              size: Long, modificationTime: Long)
+                              size: Long, modificationTime: Long,
+                              stats: Option[String])
 
   /** Checkpoint versions present in the log, ascending. */
   private def checkpointVersions(fs: org.apache.hadoop.fs.FileSystem,
@@ -143,7 +145,10 @@ object DeltaExport {
           live(p) = LiveFile(p,
             Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
               .map(_.toMap).getOrElse(Map.empty),
-            a.getAs[Long]("size"), a.getAs[Long]("modificationTime"))
+            a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
+            if (a.schema != null && a.schema.fieldNames.contains("stats"))
+              Option(a.getAs[String]("stats"))
+            else None)
         }
       }
     }
@@ -178,7 +183,8 @@ object DeltaExport {
               mm.toMap
             }.getOrElse(Map.empty[String, String])
             live(p) = LiveFile(p, pv, a.get("size").asLong(),
-              a.get("modificationTime").asLong())
+              a.get("modificationTime").asLong(),
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
           }
           if (node.has("remove"))
             live.remove(decodeLogPath(node.get("remove").get("path").asText())): Unit
@@ -199,6 +205,17 @@ object DeltaExport {
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     require(files.nonEmpty, s"Delta snapshot at $asOfVersion is empty")
+    readFiles(spark, table, files, schema, partCols)
+  }
+
+  /** Read `files` as the table (partition columns re-attached as typed
+    * literals from partitionValues — the protocol says readers MUST use
+    * those, not file contents). One scan per distinct partition tuple. */
+  private def readFiles(spark: SparkSession,
+                        table: org.apache.hadoop.fs.Path,
+                        files: Seq[LiveFile],
+                        schema: org.apache.spark.sql.types.StructType,
+                        partCols: Seq[String]): DataFrame = {
     val dataSchema = org.apache.spark.sql.types.StructType(
       schema.filterNot(f => partCols.contains(f.name)))
     if (partCols.isEmpty) {
@@ -206,9 +223,6 @@ object DeltaExport {
         .parquet(files.map(f => new org.apache.hadoop.fs.Path(table, f.path).toString): _*)
         .select(schema.fieldNames.map(col): _*)
     } else {
-      // group by identical partitionValues: one read per partition tuple,
-      // partition columns re-attached as typed literals (the protocol
-      // says readers MUST use partitionValues, not file contents)
       files.groupBy(_.partitionValues).map { case (pv, fs0) =>
         val base = spark.read.schema(dataSchema).parquet(
           fs0.map(f => new org.apache.hadoop.fs.Path(table, f.path).toString): _*)
@@ -218,6 +232,206 @@ object DeltaExport {
         }
       }.reduce(_ unionByName _).select(schema.fieldNames.map(col): _*)
     }
+  }
+
+  /** [[snapshot]] with STATS-BASED DATA SKIPPING: files whose log stats
+    * (min/max/nullCount per column, partition values treated as
+    * min=max=value) cannot satisfy `predicate` are never opened; the
+    * exact predicate then re-applies on the survivors, so the result
+    * equals `snapshot(...).filter(predicate)` by construction — pruning
+    * is purely conservative (a file with missing or partial stats is
+    * kept). This is the protocol's query-time scale story: a selective
+    * predicate over a range-laid or partitioned export reads O(matching
+    * files), not O(table), with NO footer reads for the decision — the
+    * stats live in the log/checkpoint the reader already replayed. */
+  def snapshotWhere(spark: SparkSession, path: String, predicate: Column,
+                    asOfVersion: Long = Long.MaxValue): DataFrame = {
+    val (_, table) = fsFor(spark, path)
+    val (files, schemaJson, partCols) = replayLog(spark, path, asOfVersion)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val kept = pruneByStats(spark, files, schema, partCols, predicate)
+    if (kept.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema).filter(predicate)
+    else readFiles(spark, table, kept, schema, partCols).filter(predicate)
+  }
+
+  /** The files of the snapshot at `asOfVersion` that survive stats
+    * pruning under `predicate`, with the total live-file count — the
+    * observable the specs pin skipping on (spec-facing; [[snapshotWhere]]
+    * is the query surface). */
+  private[sinks] def candidateFiles(spark: SparkSession, path: String,
+                                    predicate: Column,
+                                    asOfVersion: Long = Long.MaxValue)
+      : (Int, Int) = {
+    val (files, schemaJson, partCols) = replayLog(spark, path, asOfVersion)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    (pruneByStats(spark, files, schema, partCols, predicate).size, files.size)
+  }
+
+  /** Conservative file pruning from log stats. The decision frame is one
+    * row per LIVE FILE (already driver-resident from log replay — the
+    * protocol's reader model; a columnar-checkpoint variant would run the
+    * same filter distributed), with typed min/max/nullCount columns per
+    * supported field; [[skipPredicate]] translates the row predicate into
+    * a file predicate over that frame, and anything it cannot translate
+    * — or any missing stat — keeps the file. */
+  private def pruneByStats(spark: SparkSession, files: Seq[LiveFile],
+                           schema: org.apache.spark.sql.types.StructType,
+                           partCols: Seq[String],
+                           predicate: Column): Seq[LiveFile] = {
+    import org.apache.spark.sql.types._
+    if (files.isEmpty) return files
+    val usable = schema.fields.zipWithIndex
+      .filter { case (f, _) => statsSupported(f.dataType) }
+    if (usable.isEmpty) return files
+    val sfields = scala.collection.mutable.ArrayBuffer(
+      StructField("__path", StringType), StructField("__numRecords", LongType))
+    usable.foreach { case (f, i) =>
+      sfields += StructField(s"__min_$i", f.dataType)
+      sfields += StructField(s"__max_$i", f.dataType)
+      sfields += StructField(s"__nulls_$i", LongType)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def fromJson(dt: DataType, n: com.fasterxml.jackson.databind.JsonNode): Any =
+      dt match {
+        case ByteType => n.asInt.toByte
+        case ShortType => n.asInt.toShort
+        case IntegerType => n.asInt
+        case LongType => n.asLong
+        case FloatType => n.asDouble.toFloat
+        case DoubleType => n.asDouble
+        case BooleanType => n.asBoolean
+        case StringType => n.asText
+        case DateType => java.sql.Date.valueOf(n.asText)
+        case TimestampType =>
+          java.sql.Timestamp.from(java.time.Instant.parse(n.asText))
+        case _ => null
+      }
+    def fromPartition(dt: DataType, s: String): Any =
+      try dt match {
+        case ByteType => s.toByte
+        case ShortType => s.toShort
+        case IntegerType => s.toInt
+        case LongType => s.toLong
+        case FloatType => s.toFloat
+        case DoubleType => s.toDouble
+        case BooleanType => s.toBoolean
+        case StringType => s
+        case DateType => java.sql.Date.valueOf(s)
+        case TimestampType => java.sql.Timestamp.valueOf(s)
+        case _ => null
+      } catch { case _: IllegalArgumentException => null }
+    val rows = files.map { lf =>
+      val stats = lf.stats.flatMap(s =>
+        try Some(mapper.readTree(s)) catch { case _: Exception => None })
+      val numRec: java.lang.Long = stats
+        .flatMap(s => Option(s.get("numRecords")).map(n => Long.box(n.asLong)))
+        .orNull
+      val cells = usable.flatMap { case (f, _) =>
+        if (partCols.contains(f.name)) {
+          // a partition column's "stats": min = max = the partition value
+          val raw = lf.partitionValues.get(f.name)
+          val v = raw.flatMap(Option(_)).map(fromPartition(f.dataType, _)).orNull
+          val nulls: java.lang.Long =
+            if (!raw.isDefined) null
+            else if (raw.get == null) numRec
+            else Long.box(0L)
+          Seq(v, v, nulls)
+        } else {
+          def leaf(section: String) = stats
+            .flatMap(s => Option(s.get(section)))
+            .flatMap(m => Option(m.get(f.name))).filterNot(_.isNull)
+          Seq(leaf("minValues").map(fromJson(f.dataType, _)).orNull,
+            leaf("maxValues").map(fromJson(f.dataType, _)).orNull,
+            leaf("nullCount").map(n => Long.box(n.asLong)).orNull)
+        }
+      }
+      org.apache.spark.sql.Row.fromSeq((lf.path: Any) +: (numRec: Any) +: cells.toSeq)
+    }
+    val statsDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(sfields.toSeq))
+    val fieldIdx = usable.map { case (f, i) => f.name -> i }.toMap
+    // analyze the predicate against the TABLE schema first: the Column
+    // DSL hands back an unresolved ColumnNode tree, and resolution is
+    // also what rewrites e.g. int literals against long columns into the
+    // comparable shapes the translator matches
+    val dummy = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val resolved = dummy.filter(predicate).queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      case _ => return files // unexpected plan shape: skip nothing
+    }
+    val cond = skipPredicate(resolved, fieldIdx)
+    val keptPaths = statsDf.filter(cond).select("__path")
+      .collect().map(_.getString(0)).toSet
+    files.filter(f => keptPaths.contains(f.path))
+  }
+
+  /** Translate a row predicate into a FILE predicate over the stats
+    * frame: comparisons against literals become min/max interval checks,
+    * null tests become nullCount checks, AND/OR recurse, and every
+    * untranslatable subtree degrades to `true` (keep). Each leaf wraps in
+    * coalesce(..., true) so a null stat keeps the file. */
+  private def skipPredicate(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      fieldIdx: Map[String, Int]): Column = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def mn(i: Int) = col(s"__min_$i")
+    def mx(i: Int) = col(s"__max_$i")
+    def nc(i: Int) = col(s"__nulls_$i")
+    def idx(e: Expression): Option[Int] = e match {
+      case a: AttributeReference => fieldIdx.get(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 => fieldIdx.get(u.nameParts.head)
+      case _ => None
+    }
+    // any FOLDABLE subtree (a literal, a cast literal, an arithmetic
+    // constant) collapses to one literal the stats columns compare to
+    object Lit {
+      def unapply(e: Expression): Option[Literal] =
+        if (e.foldable && e.deterministic)
+          try Some(Literal(e.eval(null), e.dataType))
+          catch { case _: Exception => None }
+        else None
+    }
+    def keep(c: Column): Column = coalesce(c, lit(true))
+    def go(e: Expression): Column = e match {
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r) => go(l) || go(r)
+      case EqualTo(a, Lit(l)) if idx(a).isDefined =>
+        val i = idx(a).get
+        keep(mn(i) <= ColumnBridge.column(l) && mx(i) >= ColumnBridge.column(l))
+      case EqualTo(Lit(l), a) if idx(a).isDefined => go(EqualTo(a, l))
+      case LessThan(a, Lit(l)) if idx(a).isDefined =>
+        keep(mn(idx(a).get) < ColumnBridge.column(l))
+      case LessThan(Lit(l), a) if idx(a).isDefined => go(GreaterThan(a, l))
+      case LessThanOrEqual(a, Lit(l)) if idx(a).isDefined =>
+        keep(mn(idx(a).get) <= ColumnBridge.column(l))
+      case LessThanOrEqual(Lit(l), a) if idx(a).isDefined =>
+        go(GreaterThanOrEqual(a, l))
+      case GreaterThan(a, Lit(l)) if idx(a).isDefined =>
+        keep(mx(idx(a).get) > ColumnBridge.column(l))
+      case GreaterThan(Lit(l), a) if idx(a).isDefined => go(LessThan(a, l))
+      case GreaterThanOrEqual(a, Lit(l)) if idx(a).isDefined =>
+        keep(mx(idx(a).get) >= ColumnBridge.column(l))
+      case GreaterThanOrEqual(Lit(l), a) if idx(a).isDefined =>
+        go(LessThanOrEqual(a, l))
+      case In(a, ls) if idx(a).isDefined && ls.nonEmpty &&
+          ls.forall(_.foldable) =>
+        ls.map(l => go(EqualTo(a, l))).reduce(_ || _)
+      case IsNull(a) if idx(a).isDefined =>
+        keep(nc(idx(a).get) > 0)
+      case IsNotNull(a) if idx(a).isDefined =>
+        keep(nc(idx(a).get) < col("__numRecords"))
+      case _ => lit(true)
+    }
+    go(pred)
   }
 
   /** Stage `df` as parquet under an attempt-unique subdir and return
@@ -269,12 +483,144 @@ object DeltaExport {
   }
 
   private def addAction(rel: String, size: Long, pv: Map[String, String],
-                        nowMs: Long): String = {
+                        nowMs: Long, stats: Option[String] = None,
+                        dataChange: Boolean = true): String = {
     val pvJson = pv.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${js(k)}:${if (v == null) "null" else js(v)}" }
       .mkString("{", ",", "}")
+    val statsJson = stats.map(s0 => s""","stats":${js(s0)}""").getOrElse("")
     s"""{"add":{"path":${js(encodeLogPath(rel))},"partitionValues":$pvJson,""" +
-      s""""size":$size,"modificationTime":$nowMs,"dataChange":true}}"""
+      s""""size":$size,"modificationTime":$nowMs,""" +
+      s""""dataChange":$dataChange$statsJson}}"""
+  }
+
+  private def removeAction(rel: String, nowMs: Long,
+                           dataChange: Boolean = true): String =
+    s"""{"remove":{"path":${js(encodeLogPath(rel))},""" +
+      s""""deletionTimestamp":$nowMs,"dataChange":$dataChange}}"""
+
+  /** Spark types whose per-file min/max the stats tier carries (the
+    * protocol's stats JSON covers leaf columns; nested/decimal/binary are
+    * simply absent — absent stats never prune, so support is a pure
+    * optimization surface). */
+  private def statsSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | BooleanType | StringType | DateType |
+           TimestampType => true
+      case _ => false
+    }
+  }
+
+  /** Per-file `stats` JSON (the protocol's data-skipping payload:
+    * numRecords, minValues, maxValues, nullCount) computed from the
+    * staged files' parquet FOOTERS — metadata-only reads, no second data
+    * pass. Each column's min/max is included only when EVERY row group
+    * carries usable statistics of the physical type Spark writes for
+    * that logical type (INT96 timestamps, for instance, have none);
+    * missing entries are legal and merely un-prunable. Footer reads are
+    * O(files-in-this-commit) driver work at ~KB each — the same
+    * commit-time accounting delta-spark does from task-reported
+    * metrics. */
+  private def footerStats(fs: org.apache.hadoop.fs.FileSystem,
+                          table: org.apache.hadoop.fs.Path,
+                          rels: Seq[String],
+                          schema: org.apache.spark.sql.types.StructType)
+      : Map[String, String] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    def physicalOk(dt: DataType, p: PrimitiveTypeName): Boolean = dt match {
+      case ByteType | ShortType | IntegerType => p == PrimitiveTypeName.INT32
+      case LongType => p == PrimitiveTypeName.INT64
+      case FloatType => p == PrimitiveTypeName.FLOAT
+      case DoubleType => p == PrimitiveTypeName.DOUBLE
+      case BooleanType => p == PrimitiveTypeName.BOOLEAN
+      case StringType => p == PrimitiveTypeName.BINARY
+      case DateType => p == PrimitiveTypeName.INT32
+      case TimestampType => p == PrimitiveTypeName.INT64
+      case _ => false
+    }
+    def jsonVal(dt: DataType, v: AnyRef): Option[String] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(v.toString)
+      case FloatType =>
+        val d = v.asInstanceOf[java.lang.Float].floatValue
+        if (d.isNaN || d.isInfinite) None else Some(d.toString)
+      case DoubleType =>
+        val d = v.asInstanceOf[java.lang.Double].doubleValue
+        if (d.isNaN || d.isInfinite) None else Some(d.toString)
+      case BooleanType => Some(v.toString)
+      case StringType => Some(js(
+        v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+      case DateType => Some(js(java.time.LocalDate
+        .ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue).toString))
+      case TimestampType =>
+        val us = v.asInstanceOf[java.lang.Long].longValue
+        Some(js(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L).toString))
+      case _ => None
+    }
+    rels.map { rel =>
+      val file = new org.apache.hadoop.fs.Path(table, rel)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, fs.getConf))
+      val md = try reader.getFooter finally reader.close()
+      val blocks = md.getBlocks
+      var numRecords = 0L
+      // per column: (min, max, minMaxValid, nulls, nullsValid)
+      final class Acc {
+        var min: AnyRef = null; var max: AnyRef = null
+        var mmOk = true; var nulls = 0L; var ncOk = true
+        var cmp: java.util.Comparator[AnyRef] = null
+      }
+      val accs = scala.collection.mutable.LinkedHashMap.empty[String, (DataType, Acc)]
+      blocks.forEach { b =>
+        numRecords += b.getRowCount
+        b.getColumns.forEach { c =>
+          if (c.getPath.size() == 1) {
+            val name = c.getPath.toDotString
+            byName.get(name).filter(statsSupported).foreach { dt =>
+              val (_, acc) = accs.getOrElseUpdate(name, (dt, new Acc))
+              val st = c.getStatistics
+              val ok = st != null && !st.isEmpty &&
+                physicalOk(dt, c.getPrimitiveType.getPrimitiveTypeName)
+              if (!ok) { acc.mmOk = false; acc.ncOk = false }
+              else {
+                if (st.isNumNullsSet) acc.nulls += st.getNumNulls
+                else acc.ncOk = false
+                if (st.hasNonNullValue) {
+                  val cmp = st.comparator()
+                    .asInstanceOf[java.util.Comparator[AnyRef]]
+                  acc.cmp = cmp
+                  val mn = st.genericGetMin.asInstanceOf[AnyRef]
+                  val mx = st.genericGetMax.asInstanceOf[AnyRef]
+                  if (acc.min == null || cmp.compare(mn, acc.min) < 0) acc.min = mn
+                  if (acc.max == null || cmp.compare(mx, acc.max) > 0) acc.max = mx
+                } else if (st.isNumNullsSet && st.getNumNulls < b.getRowCount)
+                  acc.mmOk = false // values exist but min/max were dropped
+              }
+            }
+          }
+        }
+      }
+      val mins = scala.collection.mutable.ArrayBuffer.empty[String]
+      val maxs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val ncs = scala.collection.mutable.ArrayBuffer.empty[String]
+      accs.foreach { case (name, (dt, acc)) =>
+        if (acc.mmOk && acc.min != null)
+          for (mnJ <- jsonVal(dt, acc.min); mxJ <- jsonVal(dt, acc.max)) {
+            mins += s"${js(name)}:$mnJ"; maxs += s"${js(name)}:$mxJ"
+          }
+        if (acc.ncOk) ncs += s"${js(name)}:${acc.nulls}"
+      }
+      rel -> (s"""{"numRecords":$numRecords,""" +
+        s""""minValues":${mins.mkString("{", ",", "}")},""" +
+        s""""maxValues":${maxs.mkString("{", ",", "}")},""" +
+        s""""nullCount":${ncs.mkString("{", ",", "}")}}""")
+    }.toMap
   }
 
   /** Publish `lines` as version `v` — ATOMICALLY: the content is written
@@ -354,7 +700,9 @@ object DeltaExport {
         (aligned, metaLines)
       }
     val (files, _) = stage(toWrite, table, partitionBy, v)
-    val adds = files.map { case (rel, size, pv) => addAction(rel, size, pv, nowMs) }
+    val stats = footerStats(fs, table, files.map(_._1), toWrite.schema)
+    val adds = files.map { case (rel, size, pv) =>
+      addAction(rel, size, pv, nowMs, stats.get(rel)) }
     if (publish(fs, table, v, header ++ adds)) v else -1L
   }
 
@@ -378,8 +726,16 @@ object DeltaExport {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val dataSchema = org.apache.spark.sql.types.StructType(
       schema.filterNot(f => partCols.contains(f.name)))
-    val all = readLiveWithFile(spark, table, files, schema, partCols, dataSchema)
-    val hitFiles = collectHitFiles(all.filter(predicate))
+    // STATS SKIPPING on the write path too: a file whose stats exclude
+    // the predicate cannot contain a matching row, so the hit-detection
+    // scan reads candidates only — at scale a keyed or range delete
+    // touches O(candidate files), not the whole table
+    val candidates = pruneByStats(spark, files, schema, partCols, predicate)
+    val hitFiles =
+      if (candidates.isEmpty) Set.empty[String]
+      else collectHitFiles(
+        readLiveWithFile(spark, table, candidates, schema, partCols, dataSchema)
+          .filter(predicate))
     val affected = files.filter(f =>
       hitFiles.contains(new org.apache.hadoop.fs.Path(table, f.path).toUri.getPath))
     if (affected.isEmpty) {
@@ -393,10 +749,10 @@ object DeltaExport {
       if (survivors.isEmpty) (Seq.empty[(String, Long, Map[String, String])], "")
       else stage(survivors, table, partCols, v)
     val nowMs = System.currentTimeMillis()
-    val removes = affected.map(f =>
-      s"""{"remove":{"path":${js(encodeLogPath(f.path))},""" +
-        s""""deletionTimestamp":$nowMs,"dataChange":true}}""")
-    val adds = newFiles.map { case (rel, size, pv) => addAction(rel, size, pv, nowMs) }
+    val newStats = footerStats(fs, table, newFiles.map(_._1), schema)
+    val removes = affected.map(f => removeAction(f.path, nowMs))
+    val adds = newFiles.map { case (rel, size, pv) =>
+      addAction(rel, size, pv, nowMs, newStats.get(rel)) }
     if (publish(fs, table, v, removes ++ adds)) v else -1L
   }
 
@@ -533,11 +889,70 @@ object DeltaExport {
         latestMetaNode(fs, table, existing).getOrElse(
           throw new IllegalStateException("no metaData action in the log")),
         widened.json))
-    val removes = affected.map(f =>
-      s"""{"remove":{"path":${js(encodeLogPath(f.path))},""" +
-        s""""deletionTimestamp":$nowMs,"dataChange":true}}""")
-    val adds = newFiles.map { case (rel, size, pv) => addAction(rel, size, pv, nowMs) }
+    val newStats = footerStats(fs, table, newFiles.map(_._1), widened)
+    val removes = affected.map(f => removeAction(f.path, nowMs))
+    val adds = newFiles.map { case (rel, size, pv) =>
+      addAction(rel, size, pv, nowMs, newStats.get(rel)) }
     if (publish(fs, table, v, metaLines ++ removes ++ adds)) v else -1L
+  }
+
+  /** OPTIMIZE — bin-pack compaction as ONE commit whose every action
+    * carries `dataChange: false` (the protocol's rearrange-only marker):
+    * partition groups with more than one live file are rewritten into
+    * ceil(bytes / targetFileBytes) files, removes+adds land atomically,
+    * and the table's DATA is bit-identical before and after — so a
+    * protocol-following incremental consumer skips the commit entirely
+    * instead of re-emitting the whole table as changes. Small-file debt
+    * is the failure mode of frequent streaming commits at scale; this is
+    * the maintenance loop's answer on the export side ([[MorTable]]'s
+    * compaction is the internal one). Time travel below the OPTIMIZE
+    * still resolves: the replaced files stay referenced by older
+    * versions, and [[vacuum]] keeps every referenced path. Stats are
+    * recomputed for the new files, so data skipping survives compaction.
+    * Returns the committed version, -1 on a lost/replayed gate. */
+  def optimizeCompact(spark: SparkSession, path: String,
+                      targetFileBytes: Long = 128L << 20,
+                      expectedVersion: Long = -1L): Long = {
+    val (fs, table) = fsFor(spark, path)
+    val existing = versions(spark, path)
+    val sealedTo = checkpointVersions(fs, table).lastOption.getOrElse(-1L)
+    val v = if (expectedVersion >= 0) expectedVersion
+            else math.max(existing.lastOption.getOrElse(-1L), sealedTo) + 1
+    if (existing.contains(v) || v <= sealedTo) return -1L
+    require(existing.contains(v - 1) || v - 1 <= sealedTo,
+      s"optimize needs a committed version ${v - 1}")
+    val (files, schemaJson, partCols) = replayLog(spark, path, v - 1)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.filterNot(f => partCols.contains(f.name)))
+    val groups = files.groupBy(_.partitionValues)
+      .filter { case (_, gs) => gs.size >= 2 }
+    if (groups.isEmpty)
+      return if (publish(fs, table, v, Seq.empty)) v else -1L
+    val nowMs = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    groups.toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString("/")).foreach {
+      case (pv, gs) =>
+        val nOut = math.max(1L,
+          (gs.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+        val base = spark.read.schema(dataSchema).parquet(
+          gs.map(f => new org.apache.hadoop.fs.Path(table, f.path).toString): _*)
+        // partition columns re-attach so stage() re-derives the same
+        // Hive dirs for the rewritten files
+        val withP = partCols.foldLeft(base)((d, pc) =>
+            d.withColumn(pc, lit(pv.getOrElse(pc, null))
+              .cast(schema(pc).dataType)))
+          .select(schema.fieldNames.map(col): _*)
+        val (newFiles, _) =
+          stage(withP.repartition(nOut), table, partCols, v)
+        val newStats = footerStats(fs, table, newFiles.map(_._1), schema)
+        gs.foreach(f => lines += removeAction(f.path, nowMs, dataChange = false))
+        newFiles.foreach { case (rel, size, pvv) =>
+          lines += addAction(rel, size, pvv, nowMs, newStats.get(rel),
+            dataChange = false) }
+    }
+    if (publish(fs, table, v, lines.toSeq)) v else -1L
   }
 
   // ------------------------------------------------------------ maintenance
@@ -636,7 +1051,8 @@ object DeltaExport {
           MapType(StringType, StringType, valueContainsNull = true)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType))))))
   }
 
   /** Write a parquet CHECKPOINT of the current table state at the latest
@@ -692,7 +1108,7 @@ object DeltaExport {
     rows.add(Row(null, metaRow, null))
     files.foreach(f => rows.add(Row(null, null,
       Row(encodeLogPath(f.path), f.partitionValues, f.size,
-        f.modificationTime, true))))
+        f.modificationTime, true, f.stats.orNull))))
     // stage as a directory write, then move the single part into the
     // protocol's exact file name
     val tmp = new org.apache.hadoop.fs.Path(logDir(table),

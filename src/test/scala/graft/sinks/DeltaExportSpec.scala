@@ -358,6 +358,130 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.snapshot(spark, tbl).count() === 20)
   }
 
+  test("add.stats carries numRecords/minValues/maxValues/nullCount and " +
+       "snapshotWhere prunes files from the log alone — equal answers, " +
+       "fewer files") {
+    val tbl = tmpTable("stats")
+    import spark.implicits._
+    // range-partitioned writes give each file a tight, disjoint k range —
+    // the layout data skipping exists to exploit
+    val df = (0 until 400)
+      .map(i => (i.toLong, s"s$i", if (i % 7 == 0) null else s"t$i", i * 0.5))
+      .toDF("k", "s", "t", "v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    assert(DeltaExport.commitAppend(df, tbl) === 0L)
+    val adds = logLines(tbl, 0L).map(mapper.readTree).filter(_.has("add"))
+      .map(_.get("add"))
+    assert(adds.size === 8)
+    // the protocol's stats shape: a JSON STRING holding the four sections
+    adds.foreach { a =>
+      val st = mapper.readTree(a.get("stats").asText)
+      assert(st.get("numRecords").asLong > 0)
+      assert(st.get("minValues").get("k").isIntegralNumber)
+      assert(st.get("maxValues").get("k").asLong >=
+        st.get("minValues").get("k").asLong)
+      assert(st.get("minValues").get("s").isTextual)
+      assert(st.get("nullCount").get("k").asLong === 0L)
+      assert(st.get("nullCount").get("t").asLong > 0L ||
+        st.get("numRecords").asLong < 7)
+    }
+    assert(adds.map(_.get("stats").asText)
+      .map(s => mapper.readTree(s).get("numRecords").asLong).sum === 400L)
+    // skipping: a tight k range must keep a strict subset of files...
+    val (cand, total) = DeltaExport.candidateFiles(spark, tbl,
+      col("k") >= 100L && col("k") < 150L)
+    assert(total === 8 && cand < total && cand >= 1)
+    // ...and the answer must equal the unpruned filter exactly
+    val got = DeltaExport.snapshotWhere(spark, tbl,
+        col("k") >= 100L && col("k") < 150L)
+      .agg(sum("k"), count(lit(1))).as[(Long, Long)].head
+    assert(got === ((100L until 150L).sum, 50L))
+    // string equality predicate prunes by binary min/max
+    val (cs, _) = DeltaExport.candidateFiles(spark, tbl, col("s") === "s0")
+    assert(cs < total)
+    assert(DeltaExport.snapshotWhere(spark, tbl, col("s") === "s0")
+      .count() === 1)
+    // IS NULL prunes nothing here (nulls everywhere) but stays exact;
+    // OR keeps the union of candidates; an untranslatable predicate
+    // keeps everything and still answers right
+    assert(DeltaExport.snapshotWhere(spark, tbl, col("t").isNull)
+      .count() === (0 until 400).count(_ % 7 == 0))
+    val (cOr, _) = DeltaExport.candidateFiles(spark, tbl,
+      col("k") < 50L || col("k") >= 350L)
+    assert(cOr < total && cOr >= 2)
+    assert(DeltaExport.snapshotWhere(spark, tbl,
+      (col("k") % 2) === 0L).count() === 200)
+    // partition values prune as min=max=value, pre-encoding and typed
+    val tbl2 = tmpTable("stats-part")
+    val df2 = (0 until 90).map(i => (i.toLong, i % 3, i * 1.0))
+      .toDF("k", "p", "v")
+    assert(DeltaExport.commitAppend(df2, tbl2, Seq("p")) === 0L)
+    val (cp2, t2) = DeltaExport.candidateFiles(spark, tbl2, col("p") === 1)
+    assert(cp2 < t2)
+    assert(DeltaExport.snapshotWhere(spark, tbl2, col("p") === 1)
+      .count() === 30)
+    // stats survive the checkpoint round-trip: replay from checkpoint
+    // alone must still prune
+    assert(DeltaExport.checkpoint(spark, tbl) === 0L)
+    (0L to 0L).foreach(v => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(tbl, "_delta_log", f"$v%020d.json")))
+    val (cCp, tCp) = DeltaExport.candidateFiles(spark, tbl,
+      col("k") >= 100L && col("k") < 150L)
+    assert(tCp === 8 && cCp === cand)
+  }
+
+  test("optimizeCompact: dataChange=false bin-packing — fewer files, " +
+       "identical data, time travel intact, streaming-visible as a no-op") {
+    val tbl = tmpTable("optimize")
+    // five tiny appends = the small-file debt of frequent commits
+    (0 until 5).foreach { b =>
+      assert(DeltaExport.commitAppend(
+        rows(b * 20, b * 20 + 20).repartition(2), tbl, Seq("g")) === b.toLong)
+    }
+    val before = DeltaExport.snapshot(spark, tbl).orderBy("k").collect().toSeq
+    def liveCount(asOf: Long): Int = {
+      var live = Set.empty[String]
+      (0L to asOf).foreach { v =>
+        logLines(tbl, v).map(mapper.readTree).foreach { n =>
+          if (n.has("add")) live += n.get("add").get("path").asText
+          if (n.has("remove")) live -= n.get("remove").get("path").asText
+        }
+      }
+      live.size
+    }
+    val filesBefore = liveCount(4L)
+    assert(filesBefore > 3)
+    assert(DeltaExport.optimizeCompact(spark, tbl) === 5L)
+    // every action in the OPTIMIZE commit is dataChange:false — the
+    // protocol's signal that an incremental consumer may skip it
+    val acts = logLines(tbl, 5L).map(mapper.readTree)
+    assert(acts.nonEmpty)
+    acts.foreach { n =>
+      val a = if (n.has("add")) n.get("add") else n.get("remove")
+      assert(a != null && !a.get("dataChange").asBoolean, n.toString)
+    }
+    // one file per partition now (3 groups), data bit-identical
+    assert(liveCount(5L) === 3)
+    assert(DeltaExport.snapshot(spark, tbl).orderBy("k").collect().toSeq
+      === before)
+    // rewritten files carry fresh stats → skipping still works
+    val (cand, total) = DeltaExport.candidateFiles(spark, tbl,
+      col("g") === "g1")
+    assert(total === 3 && cand === 1)
+    // time travel below the OPTIMIZE reads the pre-compaction layout
+    assert(DeltaExport.snapshot(spark, tbl, asOfVersion = 4L)
+      .orderBy("k").collect().toSeq === before)
+    // vacuum keeps the replaced files (older versions reference them)
+    assert(DeltaExport.vacuum(spark, tbl) === 0)
+    assert(DeltaExport.snapshot(spark, tbl, asOfVersion = 2L).count() === 60)
+    // replay of the optimize version loses the gate
+    assert(DeltaExport.optimizeCompact(spark, tbl, expectedVersion = 5L) === -1L)
+    // an already-compact table commits an empty (real) version
+    assert(DeltaExport.optimizeCompact(spark, tbl) === 6L)
+    assert(DeltaExport.snapshot(spark, tbl).orderBy("k").collect().toSeq
+      === before)
+  }
+
   test("unpartitioned roundtrip preserves schema and values exactly") {
     val tbl = tmpTable("plain")
     val df = rows(0, 25)

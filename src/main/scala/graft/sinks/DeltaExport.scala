@@ -653,15 +653,60 @@ object DeltaExport {
     } else true
   }
 
+  /** The newest `txn` version committed for `appId` (the protocol's
+    * application transaction identifier — a streaming writer's
+    * exactly-once bookmark), or -1 when none. Seeds from the newest
+    * checkpoint (which must carry the latest txn per appId, per the
+    * protocol) and folds every listed JSON commit on top. */
+  def lastTxnVersion(spark: SparkSession, path: String, appId: String): Long =
+    collectTxns(spark, path).getOrElse(appId, -1L)
+
+  private def collectTxns(spark: SparkSession, path: String): Map[String, Long] = {
+    val (fs, table) = fsFor(spark, path)
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    def bump(app: String, v: Long): Unit =
+      txns(app) = math.max(txns.getOrElse(app, Long.MinValue), v)
+    checkpointVersions(fs, table).lastOption.foreach { cpv =>
+      val df = spark.read.parquet(new org.apache.hadoop.fs.Path(logDir(table),
+        f"$cpv%020d.checkpoint.parquet").toString)
+      if (df.columns.contains("txn"))
+        df.where("txn IS NOT NULL").selectExpr("txn.appId", "txn.version")
+          .collect().foreach(r => bump(r.getString(0), r.getLong(1)))
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    versions(spark, path).foreach { v =>
+      val in = fs.open(versionFile(table, v))
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map(mapper.readTree)
+        .filter(_.has("txn")).foreach { n =>
+          bump(n.get("txn").get("appId").asText, n.get("txn").get("version").asLong)
+        }
+    }
+    txns.toMap
+  }
+
+  private def txnLine(app: String, bver: Long, nowMs: Long): String =
+    s"""{"txn":{"appId":${js(app)},"version":$bver,"lastUpdated":$nowMs}}"""
+
   /** Append `df` as the next commit (or `expectedVersion` when given, the
     * exactly-once replay key). Version 0 additionally carries the
-    * `protocol` and `metaData` actions. Returns the committed version, or
-    * -1 when `expectedVersion` had already committed (replay no-op). */
+    * `protocol` and `metaData` actions. When `txn` = (appId, version) is
+    * given, the commit carries the protocol's `txn` action and a replay
+    * whose version the table has already recorded for that appId no-ops —
+    * the idempotence key that, unlike `expectedVersion`, SURVIVES
+    * interleaved commits from other writers (maintenance, OPTIMIZE).
+    * Returns the committed version, or -1 on a replay no-op. */
   def commitAppend(df: DataFrame, path: String,
                    partitionBy: Seq[String] = Seq.empty,
-                   expectedVersion: Long = -1L): Long = {
+                   expectedVersion: Long = -1L,
+                   txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val (fs, table) = fsFor(spark, path)
+    txn.foreach { case (app, bver) =>
+      if (lastTxnVersion(spark, path, app) >= bver) return -1L }
     val existing = versions(spark, path)
     // a checkpoint seals every version at or below it — log cleanup may
     // have removed those versions' JSON, so chaining consults both
@@ -703,7 +748,8 @@ object DeltaExport {
     val stats = footerStats(fs, table, files.map(_._1), toWrite.schema)
     val adds = files.map { case (rel, size, pv) =>
       addAction(rel, size, pv, nowMs, stats.get(rel)) }
-    if (publish(fs, table, v, header ++ adds)) v else -1L
+    val txns = txn.map { case (app, bver) => txnLine(app, bver, nowMs) }.toSeq
+    if (publish(fs, table, v, txns ++ header ++ adds)) v else -1L
   }
 
   /** Copy-on-write DELETE (the protocol's `remove` + rewrite shape): files
@@ -842,8 +888,11 @@ object DeltaExport {
     * on replay. */
   def commitMergeByKey(spark: SparkSession, path: String, changes: DataFrame,
                        keyCol: String, opCol: String,
-                       expectedVersion: Long = -1L): Long = {
+                       expectedVersion: Long = -1L,
+                       txn: Option[(String, Long)] = None): Long = {
     val (fs, table) = fsFor(spark, path)
+    txn.foreach { case (app, bver) =>
+      if (lastTxnVersion(spark, path, app) >= bver) return -1L }
     val existing = versions(spark, path)
     val sealedTo = checkpointVersions(fs, table).lastOption.getOrElse(-1L)
     val v = if (expectedVersion >= 0) expectedVersion
@@ -893,7 +942,8 @@ object DeltaExport {
     val removes = affected.map(f => removeAction(f.path, nowMs))
     val adds = newFiles.map { case (rel, size, pv) =>
       addAction(rel, size, pv, nowMs, newStats.get(rel)) }
-    if (publish(fs, table, v, metaLines ++ removes ++ adds)) v else -1L
+    val txns = txn.map { case (app, bver) => txnLine(app, bver, nowMs) }.toSeq
+    if (publish(fs, table, v, txns ++ metaLines ++ removes ++ adds)) v else -1L
   }
 
   /** OPTIMIZE — bin-pack compaction as ONE commit whose every action
@@ -1052,7 +1102,11 @@ object DeltaExport {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType))))))
+        StructField("stats", StringType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType))))))
   }
 
   /** Write a parquet CHECKPOINT of the current table state at the latest
@@ -1104,11 +1158,16 @@ object DeltaExport {
         .where("metaData IS NOT NULL").head.getStruct(1)
     }).getOrElse(throw new IllegalStateException("log has no metaData action"))
     val rows = new java.util.ArrayList[Row]()
-    rows.add(Row(Row(1, 2), null, null))
-    rows.add(Row(null, metaRow, null))
+    rows.add(Row(Row(1, 2), null, null, null))
+    rows.add(Row(null, metaRow, null, null))
     files.foreach(f => rows.add(Row(null, null,
       Row(encodeLogPath(f.path), f.partitionValues, f.size,
-        f.modificationTime, true, f.stats.orNull))))
+        f.modificationTime, true, f.stats.orNull), null)))
+    // the protocol requires the NEWEST txn per appId to survive into the
+    // checkpoint — streaming writers consult it after log cleanup
+    collectTxns(spark, path).toSeq.sortBy(_._1).foreach { case (app, ver) =>
+      rows.add(Row(null, null, null, Row(app, ver, null)))
+    }
     // stage as a directory write, then move the single part into the
     // protocol's exact file name
     val tmp = new org.apache.hadoop.fs.Path(logDir(table),

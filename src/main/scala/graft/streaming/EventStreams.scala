@@ -1196,19 +1196,30 @@ object EventStreams {
     * because the batch→version mapping is deterministic. The table must
     * hold `firstVersion - 1` committed versions before the stream starts
     * (the base publish). */
+  /** CDC micro-batches → versioned Delta MERGE commits, exactly-once on
+    * at-least-once replay via the protocol's `txn` action: every commit
+    * records (appId, batchId), and a replayed batch whose id the table
+    * has already seen no-ops. Unlike a fixed batch→version mapping, the
+    * txn bookmark SURVIVES interleaved commits from other writers — a
+    * nightly [[graft.sinks.DeltaExport.optimizeCompact]] between batches
+    * shifts version numbers but never swallows a batch. `appId` defaults
+    * to the checkpoint directory, the stream's stable identity across
+    * restarts. */
   def streamChangesToDelta(changes: DataFrame, path: String, keyCol: String,
                            opCol: String, checkpointDir: String,
-                           firstVersion: Long = 1L)
-    : org.apache.spark.sql.streaming.StreamingQuery =
+                           appId: String = null)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val app = if (appId != null) appId else s"graft-delta:$checkpointDir"
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.sinks.DeltaExport.commitMergeByKey(batch.sparkSession, path,
           batch.toDF(), keyCol, opCol,
-          expectedVersion = firstVersion + batchId): Unit
+          txn = Some((app, batchId))): Unit
       }
       .start()
+  }
 
   def streamToDocumentSink(
       events: DataFrame,

@@ -241,6 +241,51 @@ class DeltaExportSpec extends SparkSpec {
       .filter(col("k") === 1L && col("g") === "gX").count() === 1)
   }
 
+  test("txn actions: the streaming bookmark survives interleaved commits " +
+       "and log cleanup — replays no-op by appId, not by version number") {
+    val tbl = tmpTable("txn")
+    import spark.implicits._
+    assert(DeltaExport.commitAppend(rows(0, 20), tbl, Seq("g")) === 0L)
+    val b0 = Seq((1L, "gX", 9.9, "U")).toDF("k", "g", "v", "op")
+    assert(DeltaExport.commitMergeByKey(spark, tbl, b0, "k", "op",
+      txn = Some(("app-a", 0L))) === 1L)
+    // the log line carries the published txn shape
+    val t1 = logLines(tbl, 1L).map(mapper.readTree).filter(_.has("txn"))
+    assert(t1.size === 1)
+    assert(t1.head.get("txn").get("appId").asText === "app-a")
+    assert(t1.head.get("txn").get("version").asLong === 0L)
+    // an interleaved OPTIMIZE takes version 2 — a fixed batch→version
+    // mapping would now lose batch 1's gate and silently drop it; the
+    // txn bookmark does not care what version number the batch lands on
+    assert(DeltaExport.optimizeCompact(spark, tbl) === 2L)
+    assert(DeltaExport.commitMergeByKey(spark, tbl,
+      Seq((2L, "gY", 1.1, "U")).toDF("k", "g", "v", "op"), "k", "op",
+      txn = Some(("app-a", 1L))) === 3L)
+    assert(DeltaExport.lastTxnVersion(spark, tbl, "app-a") === 1L)
+    assert(DeltaExport.lastTxnVersion(spark, tbl, "app-b") === -1L)
+    // at-least-once replay of both batches: no-ops, table unchanged
+    val replay = Seq((1L, "gZ", 7.7, "U")).toDF("k", "g", "v", "op")
+    assert(DeltaExport.commitMergeByKey(spark, tbl, replay, "k", "op",
+      txn = Some(("app-a", 0L))) === -1L)
+    assert(DeltaExport.commitMergeByKey(spark, tbl, replay, "k", "op",
+      txn = Some(("app-a", 1L))) === -1L)
+    assert(DeltaExport.snapshot(spark, tbl)
+      .filter(col("k") === 1L && col("g") === "gX").count() === 1)
+    // a different appId is an independent bookmark; appends carry txn too
+    assert(DeltaExport.commitAppend(rows(100, 105), tbl, Seq("g"),
+      txn = Some(("app-b", 0L))) === 4L)
+    // checkpoint + log cleanup: the bookmark must survive via the
+    // checkpoint's txn rows (the protocol requires the newest txn per
+    // appId in every checkpoint)
+    assert(DeltaExport.checkpoint(spark, tbl) === 4L)
+    assert(DeltaExport.cleanupLog(spark, tbl) === 5)
+    assert(DeltaExport.lastTxnVersion(spark, tbl, "app-a") === 1L)
+    assert(DeltaExport.lastTxnVersion(spark, tbl, "app-b") === 0L)
+    assert(DeltaExport.commitMergeByKey(spark, tbl, replay, "k", "op",
+      txn = Some(("app-a", 1L))) === -1L)
+    assert(DeltaExport.snapshot(spark, tbl).count() === 25)
+  }
+
   test("additive schema evolution: an evolved merge publishes a new " +
        "metaData action, old files null-backfill, non-additive refuses") {
     val tbl = tmpTable("evolve")

@@ -93,6 +93,9 @@ object ScaleProbe {
     // (the pruning decision itself is O(live files) metadata); OPTIMIZE
     // is rewrite-proportional in the compacted bytes
     "s25_delta_stats_skip", "s26_delta_optimize",
+    // the change feed is changeset-proportional: pre/post images come
+    // from key-affected files only, inserts/deletes from the changeset
+    "j15_delta_cdf",
     // the MP3 and H.264 walks are payload-proportional inside the scan
     // partition, as is the whole triage funnel above them
     "x135_mp3_framing", "x136_h264_nalu", "pl21_media_triage",

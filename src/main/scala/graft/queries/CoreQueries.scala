@@ -867,6 +867,33 @@ object CoreQueries {
       morEvolveReport(graft.sinks.DeltaExport.snapshot(s, tbl))
     }),
 
+    // ------------------------------------------------------------------ J15
+    // CHANGE DATA FEED across the bridge: the SAME evolved merge as j14,
+    // but the deliverable is the commit's row-level delta read back
+    // through [[graft.sinks.DeltaExport.changeFeed]] — deletes and
+    // update pre-images with the base's ORIGINAL values (c_tier
+    // null-backfilled, pinned by n_tiered=0), post-images and inserts
+    // with the changeset's values (n_tiered=n). The oracle derives each
+    // class directly from the customer arithmetic: the feed must be the
+    // exact delta, not a diff approximation.
+    "j15_delta_cdf" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val tbl = SinkQueries.sinkDir("j15_delta_table")
+      SinkQueries.clean(tbl)
+      graft.sinks.DeltaExport.commitAppend(c, tbl, expectedVersion = 0L,
+        enableChangeFeed = true): Unit
+      val ch = customerChanges(c).withColumn("c_tier",
+        when(col("c_acctbal") > 5000, lit("gold")).otherwise(lit("std")))
+      graft.sinks.DeltaExport.commitMergeByKey(s, tbl, ch, "c_custkey", "op",
+        expectedVersion = 1L): Unit
+      graft.sinks.DeltaExport.changeFeed(s, tbl, 1L, 1L)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("c_acctbal"), 2).as("bal_total"),
+          count(col("c_tier")).as("n_tiered"))
+        .orderBy("_change_type")
+    }),
+
     // ------------------------------------------------------------------ J13
     // J12's maintenance half: compaction across the evolution boundary
     // MATERIALIZES the widened schema (the folded base carries c_tier
@@ -1661,6 +1688,26 @@ object CoreQueries {
     // j14: the export-side evolution answers j12's oracle verbatim —
     // the bridge claim at the schema boundary.
     "j14_delta_evolve" -> morEvolveSql,
+    // j15: each CDF class rebuilt from the changeset arithmetic —
+    // pre-images/deletes fold ORIGINAL balances (tier null → 0), post-
+    // images the +1000 updates, inserts the zero-balance new keys.
+    "j15_delta_cdf" ->
+      """SELECT 'delete' AS _change_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(c_acctbal), 2) AS bal_total, CAST(0 AS BIGINT) AS n_tiered
+        |FROM customer WHERE c_custkey % 11 = 3
+        |UNION ALL
+        |SELECT 'insert', CAST(count(*) AS BIGINT),
+        |  round(sum(CAST(0.0 AS DOUBLE)), 2), CAST(count(*) AS BIGINT)
+        |FROM customer WHERE c_custkey % 13 = 1
+        |UNION ALL
+        |SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+        |  round(sum(c_acctbal + 1000), 2), CAST(count(*) AS BIGINT)
+        |FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 3
+        |UNION ALL
+        |SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+        |  round(sum(c_acctbal), 2), CAST(0 AS BIGINT)
+        |FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 3
+        |ORDER BY 1""".stripMargin,
     "j13_mor_evolve_compact" -> morEvolveSql,
     "pl18_table_maintenance" -> tableMaintenanceSql,
     // pl20: publish ∘ merge = merge ∘ publish — the external snapshots

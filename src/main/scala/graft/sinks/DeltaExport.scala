@@ -122,11 +122,12 @@ object DeltaExport {
     * replay from version 0 when no usable checkpoint exists. Also returns
     * the latest metaData's schemaString and partition columns. */
   private def replayLog(spark: SparkSession, path: String, asOfVersion: Long)
-      : (Seq[LiveFile], String, Seq[String]) = {
+      : (Seq[LiveFile], String, Seq[String], Boolean) = {
     val (fs, table) = fsFor(spark, path)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LiveFile]
     var schema: String = null
     var partCols: Seq[String] = Seq.empty
+    var cdfOn = false // metaData.configuration's CDF opt-in rides along
     val cp = checkpointVersions(fs, table).filter(_ <= asOfVersion).lastOption
     cp.foreach { cpv =>
       val rows = spark.read.parquet(new org.apache.hadoop.fs.Path(logDir(table),
@@ -137,6 +138,9 @@ object DeltaExport {
           val m = r.getStruct(mi)
           schema = m.getAs[String]("schemaString")
           partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+          cdfOn = Option(m.getAs[scala.collection.Map[String, String]](
+            "configuration"))
+            .exists(_.get("delta.enableChangeDataFeed").contains("true"))
         }
         val ai = r.fieldIndex("add")
         if (!r.isNullAt(ai)) {
@@ -169,6 +173,9 @@ object DeltaExport {
             schema = node.get("metaData").get("schemaString").asText()
             val pc = node.get("metaData").get("partitionColumns")
             partCols = (0 until pc.size()).map(pc.get(_).asText())
+            val cf = node.get("metaData").get("configuration")
+            cdfOn = cf != null && cf.has("delta.enableChangeDataFeed") &&
+              cf.get("delta.enableChangeDataFeed").asText == "true"
           }
           if (node.has("add")) {
             val a = node.get("add")
@@ -191,7 +198,7 @@ object DeltaExport {
         }
     }
     require(schema != null, "log has no metaData action — not a Delta table")
-    (live.values.toSeq, schema, partCols)
+    (live.values.toSeq, schema, partCols, cdfOn)
   }
 
   /** Read the exported table as of `asOfVersion` (default latest) — the
@@ -201,7 +208,7 @@ object DeltaExport {
   def snapshot(spark: SparkSession, path: String,
                asOfVersion: Long = Long.MaxValue): DataFrame = {
     val (_, table) = fsFor(spark, path)
-    val (files, schemaJson, partCols) = replayLog(spark, path, asOfVersion)
+    val (files, schemaJson, partCols, _) = replayLog(spark, path, asOfVersion)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     require(files.nonEmpty, s"Delta snapshot at $asOfVersion is empty")
@@ -247,7 +254,7 @@ object DeltaExport {
   def snapshotWhere(spark: SparkSession, path: String, predicate: Column,
                     asOfVersion: Long = Long.MaxValue): DataFrame = {
     val (_, table) = fsFor(spark, path)
-    val (files, schemaJson, partCols) = replayLog(spark, path, asOfVersion)
+    val (files, schemaJson, partCols, _) = replayLog(spark, path, asOfVersion)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val kept = pruneByStats(spark, files, schema, partCols, predicate)
@@ -265,10 +272,97 @@ object DeltaExport {
                                     predicate: Column,
                                     asOfVersion: Long = Long.MaxValue)
       : (Int, Int) = {
-    val (files, schemaJson, partCols) = replayLog(spark, path, asOfVersion)
+    val (files, schemaJson, partCols, _) = replayLog(spark, path, asOfVersion)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     (pruneByStats(spark, files, schema, partCols, predicate).size, files.size)
+  }
+
+  /** CHANGE DATA FEED reader: the row-level changes committed in versions
+    * `fromVersion..toVersion`, each row tagged `_change_type`
+    * (insert / update_preimage / update_postimage / delete) and
+    * `_commit_version`. Sources, per the protocol's CDF semantics:
+    * a commit with `cdc` actions IS its own feed (the writer staged the
+    * exact delta — [[commitMergeByKey]]/[[commitDeleteWhere]] always do);
+    * a commit of pure dataChange adds derives as inserts from the data
+    * files themselves; a rearrange-only commit (OPTIMIZE — every action
+    * dataChange:false) contributes nothing; a data-changing remove
+    * WITHOUT cdc (a foreign writer below the CDF tier) refuses loudly
+    * rather than reconstructing wrong. The whole range must still be
+    * JSON-listed: log cleanup seals feed history just like time travel.
+    * Schema evolution inside the range null-backfills older commits'
+    * rows to the final width. */
+  def changeFeed(spark: SparkSession, path: String,
+                 fromVersion: Long, toVersion: Long): DataFrame = {
+    val (fs, table) = fsFor(spark, path)
+    val listed = versions(spark, path).toSet
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"bad change-feed range $fromVersion..$toVersion")
+    (fromVersion to toVersion).foreach(v => require(listed.contains(v),
+      s"change feed needs the JSON commit for version $v " +
+        "(log cleanup drops feed history below a checkpoint)"))
+    val (_, endSchemaJson, _, _) = replayLog(spark, path, toVersion)
+    val endSchema = org.apache.spark.sql.types.DataType.fromJson(endSchemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parts = (fromVersion to toVersion).flatMap { v =>
+      val in = fs.open(versionFile(table, v))
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      val nodes = new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map(mapper.readTree)
+      val cdcPaths = nodes.filter(_.has("cdc"))
+        .map(n => decodeLogPath(n.get("cdc").get("path").asText)).toSeq
+      val dataAdds = nodes.filter(n => n.has("add") &&
+        n.get("add").get("dataChange").asBoolean)
+      val dataRemoves = nodes.filter(n => n.has("remove") &&
+        n.get("remove").get("dataChange").asBoolean)
+      if (cdcPaths.nonEmpty)
+        Some(spark.read.parquet(cdcPaths.map(p =>
+            new org.apache.hadoop.fs.Path(table, p).toString): _*)
+          .withColumn("_commit_version", lit(v)))
+      else if (dataRemoves.nonEmpty)
+        throw new IllegalStateException(
+          s"version $v changes data (removes) without cdc actions — " +
+            "its change feed cannot be reconstructed")
+      else if (dataAdds.nonEmpty) {
+        // pure append: the added files ARE the inserted rows
+        val (_, sjAtV, pcAtV, _) = replayLog(spark, path, v)
+        val schemaAtV = org.apache.spark.sql.types.DataType.fromJson(sjAtV)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val added = dataAdds.map { n =>
+          val a = n.get("add")
+          val pv = Option(a.get("partitionValues")).map { m =>
+            val it = m.fields()
+            val mm = scala.collection.mutable.Map.empty[String, String]
+            while (it.hasNext) {
+              val e = it.next()
+              mm(e.getKey) =
+                if (e.getValue.isNull) null else e.getValue.asText()
+            }
+            mm.toMap
+          }.getOrElse(Map.empty[String, String])
+          LiveFile(decodeLogPath(a.get("path").asText), pv,
+            a.get("size").asLong, a.get("modificationTime").asLong, None)
+        }.toSeq
+        Some(readFiles(spark, table, added, schemaAtV, pcAtV)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      } else None // empty or rearrange-only (OPTIMIZE): no data change
+    }
+    val metaCols = Seq(col("_change_type"), col("_commit_version"))
+    val outCols = endSchema.fieldNames.map(col).toSeq ++ metaCols
+    if (parts.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(endSchema.fields.toSeq ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_commit_version", LongType))))
+    } else
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        .select(outCols: _*)
   }
 
   /** Conservative file pruning from log stats. The decision frame is one
@@ -691,6 +785,30 @@ object DeltaExport {
   private def txnLine(app: String, bver: Long, nowMs: Long): String =
     s"""{"txn":{"appId":${js(app)},"version":$bver,"lastUpdated":$nowMs}}"""
 
+  /** Stage change-feed rows (table columns + `_change_type`) as parquet
+    * under `_change_data/` and return the matching `cdc` action lines
+    * (the protocol's CDF shape: `dataChange:false` — cdc files are not
+    * table state, normal readers never touch them). An empty delta
+    * stages no part files and yields no actions. Files are unpartitioned
+    * with every column materialized — self-describing for the feed
+    * reader. */
+  private def stageCdc(cdf: DataFrame, fs: org.apache.hadoop.fs.FileSystem,
+                       table: org.apache.hadoop.fs.Path, version: Long,
+                       nowMs: Long): Seq[String] = {
+    val attempt = s"_change_data/v$version-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val dir = new org.apache.hadoop.fs.Path(table, attempt)
+    cdf.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val rel = s"$attempt/${st.getPath.getName}"
+        s"""{"cdc":{"path":${js(encodeLogPath(rel))},"partitionValues":{},""" +
+          s""""size":${st.getLen},"dataChange":false}}"""
+      }
+  }
+
   /** Append `df` as the next commit (or `expectedVersion` when given, the
     * exactly-once replay key). Version 0 additionally carries the
     * `protocol` and `metaData` actions. When `txn` = (appId, version) is
@@ -702,7 +820,8 @@ object DeltaExport {
   def commitAppend(df: DataFrame, path: String,
                    partitionBy: Seq[String] = Seq.empty,
                    expectedVersion: Long = -1L,
-                   txn: Option[(String, Long)] = None): Long = {
+                   txn: Option[(String, Long)] = None,
+                   enableChangeFeed: Boolean = false): Long = {
     val spark = df.sparkSession
     val (fs, table) = fsFor(spark, path)
     txn.foreach { case (app, bver) =>
@@ -722,14 +841,23 @@ object DeltaExport {
     // instead) and may WIDEN it additively, publishing a new metaData
     val (toWrite, header) =
       if (v == 0L) (df, Seq(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        // CHANGE DATA FEED is property-gated exactly as the protocol
+        // prescribes (default off): a CDF table announces writer
+        // version 4 and the table property, and every data-changing
+        // DELETE/MERGE then also stages cdc files — non-CDF tables pay
+        // nothing
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":${
+          if (enableChangeFeed) 4 else 2}}}""",
         s"""{"metaData":{"id":${js(java.util.UUID.randomUUID().toString)},""" +
           s""""format":{"provider":"parquet","options":{}},""" +
           s""""schemaString":${js(df.schema.json)},""" +
           s""""partitionColumns":${partitionBy.map(js).mkString("[", ",", "]")},""" +
-          s""""configuration":{},"createdTime":$nowMs}}"""))
+          s""""configuration":{${
+            if (enableChangeFeed) """"delta.enableChangeDataFeed":"true""""
+            else ""}},""" +
+          s""""createdTime":$nowMs}}"""))
       else {
-        val (_, schemaJson, _) = replayLog(spark, path, v - 1)
+        val (_, schemaJson, _, _) = replayLog(spark, path, v - 1)
         val stored = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val (widened, newCols) = widenSchema(stored, df, Set.empty)
@@ -767,7 +895,7 @@ object DeltaExport {
     if (existing.contains(v) || v <= sealedTo) return -1L
     require(existing.contains(v - 1) || v - 1 <= sealedTo,
       s"delete needs a committed version ${v - 1}")
-    val (files, schemaJson, partCols) = replayLog(spark, path, v - 1)
+    val (files, schemaJson, partCols, cdfOn) = replayLog(spark, path, v - 1)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val dataSchema = org.apache.spark.sql.types.StructType(
@@ -787,19 +915,28 @@ object DeltaExport {
     if (affected.isEmpty) {
       return if (publish(fs, table, v, Seq.empty)) v else -1L
     }
-    val survivors =
+    val affectedRows =
       readLiveWithFile(spark, table, affected, schema, partCols, dataSchema)
+    val survivors = affectedRows
         .filter(!predicate)
         .select(schema.fieldNames.map(col): _*)
     val (newFiles, _) =
       if (survivors.isEmpty) (Seq.empty[(String, Long, Map[String, String])], "")
       else stage(survivors, table, partCols, v)
     val nowMs = System.currentTimeMillis()
+    // CHANGE DATA FEED (when the table property opted in): the deleted
+    // rows themselves, staged as cdc
+    val cdcs =
+      if (!cdfOn) Seq.empty
+      else stageCdc(affectedRows.filter(predicate)
+          .select(schema.fieldNames.map(col): _*)
+          .withColumn("_change_type", lit("delete")),
+        fs, table, v, nowMs)
     val newStats = footerStats(fs, table, newFiles.map(_._1), schema)
     val removes = affected.map(f => removeAction(f.path, nowMs))
     val adds = newFiles.map { case (rel, size, pv) =>
       addAction(rel, size, pv, nowMs, newStats.get(rel)) }
-    if (publish(fs, table, v, removes ++ adds)) v else -1L
+    if (publish(fs, table, v, removes ++ adds ++ cdcs)) v else -1L
   }
 
   /** Live rows of `fls` with partition columns re-attached as typed
@@ -900,7 +1037,7 @@ object DeltaExport {
     if (existing.contains(v) || v <= sealedTo) return -1L
     require(existing.contains(v - 1) || v - 1 <= sealedTo,
       s"merge needs a committed version ${v - 1}")
-    val (files, schemaJson, partCols) = replayLog(spark, path, v - 1)
+    val (files, schemaJson, partCols, cdfOn) = replayLog(spark, path, v - 1)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val dataSchema = org.apache.spark.sql.types.StructType(
@@ -920,18 +1057,53 @@ object DeltaExport {
       newCols.map(col(_))
     val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
       .select(aligned: _*)
-    val survivors =
-      if (affected.isEmpty) upserts.limit(0)
-      else readLiveWithFile(spark, table, affected, schema, partCols, dataSchema)
-        .join(keyed, Seq(keyCol), "left_anti")
-        .select(schema.fieldNames.map(col): _*)
+    val affectedRows =
+      if (affected.isEmpty) None
+      else Some(readLiveWithFile(spark, table, affected, schema, partCols,
+          dataSchema)
+        .select(schema.fieldNames.map(col): _*))
+    val survivors = affectedRows match {
+      case None => upserts.limit(0)
+      case Some(rows) => rows.join(keyed, Seq(keyCol), "left_anti")
         .unionByName(upserts.limit(0), allowMissingColumns = true)
+    }
     val newData = survivors.unionByName(upserts, allowMissingColumns = true)
       .select(widened.fieldNames.map(col): _*)
     val (newFiles, _) =
       if (newData.isEmpty) (Seq.empty[(String, Long, Map[String, String])], "")
       else stage(newData, table, partCols, v)
     val nowMs = System.currentTimeMillis()
+    // CHANGE DATA FEED (when the table property opted in): the commit's
+    // exact row-level delta, classified against the pre-merge state —
+    // deletes and update pre-images come from the touched keys' old rows
+    // (all of which live in `affected` by construction), post-images and
+    // inserts from the changeset split on key existence. Changeset-sized
+    // joins throughout; non-CDF tables skip every one of them.
+    val cdcs =
+      if (!cdfOn) Seq.empty
+      else {
+        val delKeys = changes.filter(col(opCol) === "D")
+          .select(col(keyCol).cast(schema(keyCol).dataType).as(keyCol))
+          .distinct()
+        def toWide(df: DataFrame): DataFrame = df.select(
+          schema.fieldNames.map(col) ++
+            newCols.map(c => lit(null).cast(widened(c).dataType).as(c)): _*)
+        val oldTouched =
+          affectedRows.map(_.join(keyed, Seq(keyCol), "left_semi"))
+        val oldKeys = oldTouched.map(_.select(keyCol).distinct())
+        val upWide = upserts.select(widened.fieldNames.map(col): _*)
+        val cdf = (Seq(
+          oldTouched.map(o => toWide(o.join(delKeys, Seq(keyCol), "left_semi"))
+            .withColumn("_change_type", lit("delete"))),
+          oldTouched.map(o => toWide(o.join(delKeys, Seq(keyCol), "left_anti"))
+            .withColumn("_change_type", lit("update_preimage"))),
+          oldKeys.map(ok => upWide.join(ok, Seq(keyCol), "left_semi")
+            .withColumn("_change_type", lit("update_postimage")))).flatten :+
+          oldKeys.fold(upWide)(ok => upWide.join(ok, Seq(keyCol), "left_anti"))
+            .withColumn("_change_type", lit("insert")))
+          .reduce(_ unionByName _)
+        stageCdc(cdf, fs, table, v, nowMs)
+      }
     val metaLines =
       if (newCols.isEmpty) Seq.empty
       else Seq(evolvedMetaLine(
@@ -943,7 +1115,9 @@ object DeltaExport {
     val adds = newFiles.map { case (rel, size, pv) =>
       addAction(rel, size, pv, nowMs, newStats.get(rel)) }
     val txns = txn.map { case (app, bver) => txnLine(app, bver, nowMs) }.toSeq
-    if (publish(fs, table, v, txns ++ metaLines ++ removes ++ adds)) v else -1L
+    if (publish(fs, table, v, txns ++ metaLines ++ removes ++ adds ++ cdcs))
+      v
+    else -1L
   }
 
   /** OPTIMIZE — bin-pack compaction as ONE commit whose every action
@@ -971,7 +1145,7 @@ object DeltaExport {
     if (existing.contains(v) || v <= sealedTo) return -1L
     require(existing.contains(v - 1) || v - 1 <= sealedTo,
       s"optimize needs a committed version ${v - 1}")
-    val (files, schemaJson, partCols) = replayLog(spark, path, v - 1)
+    val (files, schemaJson, partCols, _) = replayLog(spark, path, v - 1)
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val dataSchema = org.apache.spark.sql.types.StructType(
@@ -1031,6 +1205,11 @@ object DeltaExport {
             referenced += decodeLogPath(node.get("add").get("path").asText())
           if (node.has("remove"))
             referenced += decodeLogPath(node.get("remove").get("path").asText())
+          // cdc files are referenced while their commit's JSON is listed;
+          // after log cleanup seals a version, its change feed is gone by
+          // design and vacuum reclaims the orphaned cdc files
+          if (node.has("cdc"))
+            referenced += decodeLogPath(node.get("cdc").get("path").asText())
         }
     }
     checkpointVersions(fs, table).foreach { cpv =>
@@ -1127,7 +1306,7 @@ object DeltaExport {
     val priorCp = checkpointVersions(fs, table).lastOption
     val latest = math.max(vs.lastOption.getOrElse(-1L), priorCp.getOrElse(-1L))
     require(latest >= 0, s"nothing committed under $path to checkpoint")
-    val (files, _, _) = replayLog(spark, path, latest)
+    val (files, _, _, _) = replayLog(spark, path, latest)
     // the current metaData action, verbatim from the newest JSON commit
     // that carries one (fields like id/createdTime must survive
     // unchanged); after log cleanup it lives only in the prior checkpoint

@@ -286,6 +286,63 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.snapshot(spark, tbl).count() === 25)
   }
 
+  test("change data feed: cdc actions carry the exact row-level delta, " +
+       "appends derive as inserts, OPTIMIZE contributes nothing, vacuum " +
+       "keeps listed cdc files") {
+    val tbl = tmpTable("cdf")
+    import spark.implicits._
+    assert(DeltaExport.commitAppend(rows(0, 10), tbl, Seq("g"),
+      enableChangeFeed = true) === 0L)
+    // the opt-in is announced the protocol's way: writer tier 4 + the
+    // table property (non-CDF tables stay writer 2 and never pay)
+    val v0 = logLines(tbl, 0L).map(mapper.readTree)
+    assert(v0.find(_.has("protocol")).get
+      .get("protocol").get("minWriterVersion").asInt === 4)
+    assert(v0.find(_.has("metaData")).get.get("metaData")
+      .get("configuration").get("delta.enableChangeDataFeed").asText === "true")
+    // merge: update k=1, delete k=2, insert k=100
+    val ch = Seq((1L, "gX", 9.9, "U"), (2L, "g2", 0.0, "D"),
+      (100L, "gX", 1.0, "U")).toDF("k", "g", "v", "op")
+    assert(DeltaExport.commitMergeByKey(spark, tbl, ch, "k", "op") === 1L)
+    val cdcs = logLines(tbl, 1L).map(mapper.readTree).filter(_.has("cdc"))
+    assert(cdcs.nonEmpty)
+    cdcs.foreach { n =>
+      assert(n.get("cdc").get("path").asText.startsWith("_change_data/"))
+      assert(!n.get("cdc").get("dataChange").asBoolean)
+      assert(n.get("cdc").get("size").asLong > 0)
+    }
+    val feed = DeltaExport.changeFeed(spark, tbl, 1L, 1L)
+      .orderBy("_change_type", "k").collect()
+    assert(feed.map(r =>
+      (r.getAs[String]("_change_type"), r.getAs[Long]("k"))).toSeq ===
+      Seq(("delete", 2L), ("insert", 100L), ("update_postimage", 1L),
+        ("update_preimage", 1L)))
+    // pre-image carries the OLD values, post-image the new ones
+    val pre = feed.find(_.getAs[String]("_change_type") == "update_preimage").get
+    assert(pre.getAs[String]("g") === "g1" && pre.getAs[Double]("v") === 1.5)
+    val post = feed.find(_.getAs[String]("_change_type") == "update_postimage").get
+    assert(post.getAs[String]("g") === "gX" && post.getAs[Double]("v") === 9.9)
+    val del = feed.find(_.getAs[String]("_change_type") == "delete").get
+    assert(del.getAs[String]("g") === "g2" && del.getAs[Double]("v") === 3.0)
+    // the version-0 append derives as inserts from its data files
+    val both = DeltaExport.changeFeed(spark, tbl, 0L, 1L)
+    assert(both.filter(col("_commit_version") === 0L &&
+      col("_change_type") === "insert").count() === 10)
+    assert(both.count() === 14)
+    // OPTIMIZE (dataChange=false throughout) contributes nothing
+    assert(DeltaExport.optimizeCompact(spark, tbl) === 2L)
+    assert(DeltaExport.changeFeed(spark, tbl, 2L, 2L).count() === 0)
+    // a copy-on-write DELETE feeds exactly its removed rows
+    assert(DeltaExport.commitDeleteWhere(spark, tbl, col("k") < 1L) === 3L)
+    val d3 = DeltaExport.changeFeed(spark, tbl, 3L, 3L).collect()
+    assert(d3.map(r =>
+      (r.getAs[String]("_change_type"), r.getAs[Long]("k"))).toSeq ===
+      Seq(("delete", 0L)))
+    // vacuum keeps every cdc file the listed log references
+    assert(DeltaExport.vacuum(spark, tbl) === 0)
+    assert(DeltaExport.changeFeed(spark, tbl, 1L, 1L).count() === 4)
+  }
+
   test("additive schema evolution: an evolved merge publishes a new " +
        "metaData action, old files null-backfill, non-additive refuses") {
     val tbl = tmpTable("evolve")

@@ -160,6 +160,8 @@ object BenchExpectations {
     "s23_warc_file_scan" -> 1.6571,  // min rule: carried floor
     "s24_delta_export" -> 2.4077,
     "j15_delta_cdf" -> 3.5325,
+    "pl23_delta_maintenance" -> 8.0486,
+    "s27_delta_zorder" -> 2.4744,
     "s25_delta_stats_skip" -> 1.1763,
     "s26_delta_optimize" -> 2.9019,
     "s2_jdbc_roundtrip" -> 0.3322,  // min rule: carried floor

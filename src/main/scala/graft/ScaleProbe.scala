@@ -94,8 +94,10 @@ object ScaleProbe {
     // is rewrite-proportional in the compacted bytes
     "s25_delta_stats_skip", "s26_delta_optimize",
     // the change feed is changeset-proportional: pre/post images come
-    // from key-affected files only, inserts/deletes from the changeset
-    "j15_delta_cdf",
+    // from key-affected files only, inserts/deletes from the changeset;
+    // the z-order rewrite is data-proportional once (like OPTIMIZE), and
+    // pl23's loop is changeset- plus rewrite-proportional
+    "j15_delta_cdf", "s27_delta_zorder", "pl23_delta_maintenance",
     // the MP3 and H.264 walks are payload-proportional inside the scan
     // partition, as is the whole triage funnel above them
     "x135_mp3_framing", "x136_h264_nalu", "pl21_media_triage",

@@ -206,6 +206,62 @@ object CoreQueries {
       ).toDF("stage", "n").orderBy("stage")
     }),
 
+    // ----------------------------------------------------------------- PL23
+    // The EXPORT TIER'S DAY-2 LOOP, composed end to end: a CDF-enabled
+    // Delta table takes two CDC merges bookmarked by `txn`
+    // ([[DeltaExport.commitMergeByKey]]), with an OPTIMIZE between them —
+    // the exact interleaving that silently swallowed a replayed batch
+    // under a fixed batch→version mapping. Stages pin: the folded
+    // snapshot, OPTIMIZE's data-invisibility (as-of the rearrange commit
+    // equals as-of the merge before it), the change feed's per-class
+    // counts for BOTH merges — including the re-insert of a key the
+    // first merge deleted, and the no-feed delete of an already-missing
+    // key — the feed's silence across the OPTIMIZE, pre==post image
+    // counts, the txn bookmark after a checkpoint, and both replay
+    // no-ops. The oracle rebuilds every count from the changeset
+    // arithmetic.
+    "pl23_delta_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir).customer
+      val tbl = SinkQueries.sinkDir("pl23_delta")
+      SinkQueries.clean(tbl)
+      val D = graft.sinks.DeltaExport
+      D.commitAppend(c, tbl, expectedVersion = 0L,
+        enableChangeFeed = true): Unit
+      val v1 = D.commitMergeByKey(s, tbl, customerChanges(c), "c_custkey",
+        "op", txn = Some(("pl23", 0L)))
+      val v2 = D.optimizeCompact(s, tbl)
+      val v3 = D.commitMergeByKey(s, tbl, customerChanges2(c), "c_custkey",
+        "op", txn = Some(("pl23", 1L)))
+      D.checkpoint(s, tbl): Unit
+      val r1 = D.commitMergeByKey(s, tbl, customerChanges(c), "c_custkey",
+        "op", txn = Some(("pl23", 0L)))
+      val r2 = D.commitMergeByKey(s, tbl, customerChanges2(c), "c_custkey",
+        "op", txn = Some(("pl23", 1L)))
+      val fc = D.changeFeed(s, tbl, 1L, v3)
+        .groupBy("_commit_version", "_change_type").count().collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        .withDefaultValue(0L)
+      Seq(
+        ("1_latest_rows", D.snapshot(s, tbl).count()),
+        ("2_optimize_invisible", D.snapshot(s, tbl, asOfVersion = v2).count()),
+        ("3_feed_v1_inserts", fc((v1, "insert"))),
+        ("4_feed_v1_updates", fc((v1, "update_postimage"))),
+        ("5_feed_v1_deletes", fc((v1, "delete"))),
+        ("6_feed_optimize", D.changeFeed(s, tbl, v2, v2).count()),
+        ("7_feed_v3_inserts", fc((v3, "insert"))),
+        ("8_feed_v3_updates", fc((v3, "update_postimage"))),
+        ("9_feed_v3_deletes", fc((v3, "delete"))),
+        ("a_pre_eq_post",
+          if (fc((v1, "update_preimage")) == fc((v1, "update_postimage")) &&
+            fc((v3, "update_preimage")) == fc((v3, "update_postimage"))) 1L
+          else 0L),
+        ("b_txn_bookmark", if (D.lastTxnVersion(s, tbl, "pl23") == 1L) 1L else 0L),
+        ("c_replay_noops",
+          (if (r1 == -1L) 1L else 0L) + (if (r2 == -1L) 1L else 0L))
+      ).toDF("stage", "n").orderBy("stage")
+    }),
+
     // ----------------------------------------------------------------- PL18
     // The TABLE TIER's nightly maintenance loop, composed end to end
     // (round-17 verdict #5): a MOR table takes two nights of CDC merges;
@@ -1754,6 +1810,41 @@ object CoreQueries {
         |    WHERE c_mktsegment = 'PHASE2'
         |  UNION ALL SELECT '7_exact_match_mor', count(*) FROM m2
         |  UNION ALL SELECT '8_replay_noop', CAST(1 AS BIGINT)
+        |) ORDER BY stage""".stripMargin,
+    // pl23: every stage count rebuilt from the two changesets' modular
+    // arithmetic; v3's classes are judged against the POST-ch1 state
+    // (deleted %11=3 keys re-insert under %9=2, vanish silently under
+    // %17=5).
+    "pl23_delta_maintenance" ->
+      """WITH m1 AS MATERIALIZED (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 11 <> 3
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000 FROM customer WHERE c_custkey % 13 = 1
+        |), m2 AS MATERIALIZED (
+        |  SELECT c_custkey FROM m1
+        |  WHERE NOT (c_custkey <= 10000000 AND c_custkey % 17 = 5)
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 9 = 2 AND c_custkey % 17 <> 5 AND c_custkey % 11 = 3)
+        |SELECT stage, n FROM (
+        |  SELECT '1_latest_rows' AS stage, count(*) AS n FROM m2
+        |  UNION ALL SELECT '2_optimize_invisible', count(*) FROM m1
+        |  UNION ALL SELECT '3_feed_v1_inserts', count(*) FROM customer
+        |    WHERE c_custkey % 13 = 1
+        |  UNION ALL SELECT '4_feed_v1_updates', count(*) FROM customer
+        |    WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 3
+        |  UNION ALL SELECT '5_feed_v1_deletes', count(*) FROM customer
+        |    WHERE c_custkey % 11 = 3
+        |  UNION ALL SELECT '6_feed_optimize', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT '7_feed_v3_inserts', count(*) FROM customer
+        |    WHERE c_custkey % 9 = 2 AND c_custkey % 17 <> 5 AND c_custkey % 11 = 3
+        |  UNION ALL SELECT '8_feed_v3_updates', count(*) FROM customer
+        |    WHERE c_custkey % 9 = 2 AND c_custkey % 17 <> 5 AND c_custkey % 11 <> 3
+        |  UNION ALL SELECT '9_feed_v3_deletes', count(*) FROM customer
+        |    WHERE c_custkey % 17 = 5 AND c_custkey % 11 <> 3
+        |  UNION ALL SELECT 'a_pre_eq_post', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'b_txn_bookmark', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'c_replay_noops', CAST(2 AS BIGINT)
         |) ORDER BY stage""".stripMargin,
     "j9_snapshot_diff" ->
       """WITH fp AS (

@@ -388,6 +388,31 @@ object SinkQueries {
         .orderBy("slice", "o_orderpriority")
     }),
 
+    // ----------------------------------------------------------------- s27
+    // OPTIMIZE ZORDER BY ([[DeltaExport.optimizeZOrder]]): the scattered
+    // export overlaps the whole (l_orderkey, l_partkey) plane in every
+    // file, so s25's skipping has nothing to prune on a 2-D box; the
+    // Morton rewrite (dataChange=false, like s26) re-lays each file as a
+    // compact REGION of the plane, and the same [[snapshotWhere]] then
+    // reads only the box's files. The oracle is the plain 2-D filter:
+    // layout is invisible to the answer.
+    "s27_delta_zorder" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val tbl = sinkDir("s27_delta_table")
+      clean(tbl)
+      val src = t.lineitem
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .repartition(8)
+      DeltaExport.commitAppend(src, tbl, expectedVersion = 0L): Unit
+      DeltaExport.optimizeZOrder(s, tbl, "l_orderkey", "l_partkey",
+        targetFileBytes = 1L << 20, expectedVersion = 1L): Unit
+      DeltaExport.snapshotWhere(s, tbl,
+          col("l_orderkey") <= 2000L && col("l_partkey") <= 150L)
+        .agg(count(lit(1)).as("n"),
+          round(coalesce(sum("l_extendedprice"), lit(0.0)), 2).as("revenue"),
+          round(coalesce(sum("l_quantity"), lit(0.0)), 2).as("qty"))
+    }),
+
     // ----------------------------------------------------------------- s21
     // Per-file Bloom skipping index ([[graft.sinks.BloomSkipIndex]]): the
     // standing slice range-lays by the lookup key, ONE scan folds each
@@ -620,6 +645,14 @@ object SinkQueries {
         |FROM lineitem
         |WHERE l_orderkey <= 1000 AND l_quantity >= 25
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s27: z-order is a layout change only — the 2-D box answer is the
+    // plain filter.
+    "s27_delta_zorder" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(coalesce(sum(l_extendedprice), 0), 2) AS revenue,
+        |  round(coalesce(sum(l_quantity), 0), 2) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey <= 2000 AND l_partkey <= 150""".stripMargin,
     // s26: OPTIMIZE rearranges files only — both slices fold as if the
     // compaction never happened.
     "s26_delta_optimize" ->

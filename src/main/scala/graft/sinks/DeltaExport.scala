@@ -18,14 +18,22 @@ import org.apache.spark.sql.functions._
   * giving the engine time travel over the exported table and the specs an
   * independent protocol check in both directions.
   *
-  * Scope, honestly stated: appends, copy-on-write deletes, parquet
-  * CHECKPOINTS + `_last_checkpoint` (so reader state reconstruction is
-  * O(live files) from the newest checkpoint plus the JSON tail, not
-  * O(history) — and JSON commits at or below a checkpoint become
-  * deletable log-cleanup candidates), and single-commit version files.
-  * Partitioned tables ARE supported (Hive-style `col=value/` data paths +
-  * `partitionValues` on every add, the protocol's required redundancy).
-  * Zero-egress sandbox
+  * Scope, honestly stated: appends, copy-on-write deletes, keyed MERGE,
+  * parquet CHECKPOINTS + `_last_checkpoint` (so reader state
+  * reconstruction is O(live files) from the newest checkpoint plus the
+  * JSON tail, not O(history) — and JSON commits at or below a checkpoint
+  * become deletable log-cleanup candidates), single-commit version
+  * files, per-file `stats` collected from the staged parquet footers at
+  * commit time with a stats-pruned reader ([[snapshotWhere]] — data
+  * skipping straight off the log), [[optimizeCompact]] (bin-packing
+  * OPTIMIZE whose every action is dataChange:false), `txn` application
+  * transaction ids (the streaming exactly-once bookmark that survives
+  * interleaved writers), and the property-gated CHANGE DATA FEED
+  * (`_change_data/` cdc files + [[changeFeed]] reader). Log paths are
+  * RFC 2396 percent-encoded as the protocol requires (Hive dirs with
+  * spaces included). Partitioned tables ARE supported (Hive-style
+  * `col=value/` data paths + `partitionValues` on every add, the
+  * protocol's required redundancy). Zero-egress sandbox
   * caveat (the SSH-stack precedent): no external Delta implementation
   * exists in this container, so cross-implementation interop is pinned by
   * the spec's field-level JSON assertions against the published protocol
@@ -1136,7 +1144,39 @@ object DeltaExport {
     * Returns the committed version, -1 on a lost/replayed gate. */
   def optimizeCompact(spark: SparkSession, path: String,
                       targetFileBytes: Long = 128L << 20,
-                      expectedVersion: Long = -1L): Long = {
+                      expectedVersion: Long = -1L): Long =
+    rewriteLayout(spark, path, targetFileBytes, expectedVersion,
+      minGroupFiles = 2, layout = (df, nOut) => df.repartition(nOut))
+
+  /** OPTIMIZE ZORDER BY — the multi-dimensional cousin of
+    * [[optimizeCompact]]: every partition group's live files are
+    * rewritten range-laid on the Morton interleave of (`aCol`, `bCol`)
+    * ([[LayoutSink.zValue]]), so each new file covers a compact REGION
+    * of the 2-D key space and the recomputed add.stats hand
+    * [[snapshotWhere]] selective min/max boxes on BOTH columns — the
+    * answer to "a range layout prunes only its one sort key". Same
+    * commit shape as OPTIMIZE: removes+adds all dataChange:false, data
+    * bit-identical, change-feed-silent, time travel intact. Columns must
+    * be non-negative integers fitting `bits` bits. */
+  def optimizeZOrder(spark: SparkSession, path: String,
+                     aCol: String, bCol: String,
+                     targetFileBytes: Long = 128L << 20,
+                     bits: Int = 32,
+                     expectedVersion: Long = -1L): Long =
+    rewriteLayout(spark, path, targetFileBytes, expectedVersion,
+      minGroupFiles = 1, layout = (df, nOut) =>
+        df.withColumn("__z", LayoutSink.zValue(col(aCol), col(bCol), bits))
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z"))
+
+  /** Shared rearrange-only commit: per partition group with at least
+    * `minGroupFiles` live files, re-stage `layout(rows, nOut)` and
+    * publish removes+adds with `dataChange:false` throughout. */
+  private def rewriteLayout(spark: SparkSession, path: String,
+                            targetFileBytes: Long, expectedVersion: Long,
+                            minGroupFiles: Int,
+                            layout: (DataFrame, Int) => DataFrame): Long = {
     val (fs, table) = fsFor(spark, path)
     val existing = versions(spark, path)
     val sealedTo = checkpointVersions(fs, table).lastOption.getOrElse(-1L)
@@ -1151,7 +1191,7 @@ object DeltaExport {
     val dataSchema = org.apache.spark.sql.types.StructType(
       schema.filterNot(f => partCols.contains(f.name)))
     val groups = files.groupBy(_.partitionValues)
-      .filter { case (_, gs) => gs.size >= 2 }
+      .filter { case (_, gs) => gs.size >= minGroupFiles }
     if (groups.isEmpty)
       return if (publish(fs, table, v, Seq.empty)) v else -1L
     val nowMs = System.currentTimeMillis()
@@ -1169,7 +1209,7 @@ object DeltaExport {
               .cast(schema(pc).dataType)))
           .select(schema.fieldNames.map(col): _*)
         val (newFiles, _) =
-          stage(withP.repartition(nOut), table, partCols, v)
+          stage(layout(withP, nOut), table, partCols, v)
         val newStats = footerStats(fs, table, newFiles.map(_._1), schema)
         gs.foreach(f => lines += removeAction(f.path, nowMs, dataChange = false))
         newFiles.foreach { case (rel, size, pvv) =>

@@ -584,6 +584,41 @@ class DeltaExportSpec extends SparkSpec {
       === before)
   }
 
+  test("optimizeZOrder: a 2-D box predicate prunes to a compact file set " +
+       "after the Morton rewrite, data identical, dataChange=false") {
+    val tbl = tmpTable("zorder")
+    import spark.implicits._
+    // 64x64 grid scattered round-robin: every initial file overlaps the
+    // whole square in both keys, so stats can prune nothing
+    val df = (0 until 4096)
+      .map(i => (i.toLong % 64L, (i.toLong / 64L) % 64L, i.toLong))
+      .toDF("x", "y", "payload").repartition(8)
+    assert(DeltaExport.commitAppend(df, tbl) === 0L)
+    val box = col("x") >= 8L && col("x") < 16L &&
+      col("y") >= 8L && col("y") < 16L
+    val (cBefore, tBefore) = DeltaExport.candidateFiles(spark, tbl, box)
+    assert(cBefore === tBefore && tBefore === 8)
+    val before = DeltaExport.snapshot(spark, tbl)
+      .orderBy("payload").collect().toSeq
+    assert(DeltaExport.optimizeZOrder(spark, tbl, "x", "y",
+      targetFileBytes = 2048L, bits = 8) === 1L)
+    val acts = logLines(tbl, 1L).map(mapper.readTree)
+    assert(acts.nonEmpty)
+    acts.foreach { n =>
+      val a = if (n.has("add")) n.get("add") else n.get("remove")
+      assert(a != null && !a.get("dataChange").asBoolean, n.toString)
+    }
+    assert(DeltaExport.snapshot(spark, tbl).orderBy("payload").collect().toSeq
+      === before)
+    val (cAfter, tAfter) = DeltaExport.candidateFiles(spark, tbl, box)
+    assert(tAfter >= 4, s"want multiple z files, got $tAfter")
+    // the aligned [8,16)x[8,16) quadrant is one contiguous z-range: a
+    // compact region, so only a small minority of files can contain it
+    assert(cAfter < tAfter && cAfter.toDouble / tAfter <= 0.5,
+      s"$cAfter of $tAfter files after z-order")
+    assert(DeltaExport.snapshotWhere(spark, tbl, box).count() === 64L)
+  }
+
   test("unpartitioned roundtrip preserves schema and values exactly") {
     val tbl = tmpTable("plain")
     val df = rows(0, 25)

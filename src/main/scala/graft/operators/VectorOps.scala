@@ -1330,12 +1330,14 @@ object VectorOps {
       carryQv = false)
     val qLuts = withAdcLuts(holdout, Seq(col(idCol).as("qid")), vecCol,
       codebooks)
-    val cand = graft.GraftCache.persist(
-      codes.join(broadcast(qProbes), "cid")
-        .filter(col(idCol) =!= col("qid"))
-        .join(broadcast(qLuts), "qid")
-        .select(col("qid"), col(idCol), col("__cellrank"),
-          round(adcDist(codebooks), 6).as("adc_d2")))
+    // no persist: the single-pass recallByNprobe reads the candidate
+    // frame exactly once (the per-np loop it replaces read it maxProbe
+    // times, which is what the cache was for)
+    val cand = codes.join(broadcast(qProbes), "cid")
+      .filter(col(idCol) =!= col("qid"))
+      .join(broadcast(qLuts), "qid")
+      .select(col("qid"), col(idCol), col("__cellrank"),
+        round(adcDist(codebooks), 6).as("adc_d2"))
     recallByNprobe(cand, exact, nExact, idCol, "adc_d2", k, maxProbe)
   }
 
@@ -1374,24 +1376,38 @@ object VectorOps {
         (col("__cr") + 1).as("__cellrank") :+ col("cid"): _*)
   }
 
-  /** The shared per-nprobe loop: "cells ranked ≤ np" is exactly the
-    * slice that serve probes, so each point is a filter + heap cut over
-    * the one cached candidate frame, and the ppm arithmetic/tie rule
-    * cannot drift between the ADC and coarse fits. */
+  /** The shared per-nprobe computation: "cells ranked ≤ np" is exactly
+    * the slice that serve probes. ONE pass serves the whole curve: each
+    * candidate row explodes to every nprobe ≥ its cell's probe rank (a
+    * row is a candidate at np iff __cellrank ≤ np — the same membership
+    * the per-np filter expressed), one (qid, nprobe)-keyed heap cut
+    * ranks every curve point together, and one join+rollup counts the
+    * hits. Replaces a maxProbe-branch union whose every branch re-read
+    * the candidate frame through its own heap cut + join + global agg —
+    * at gate scale the curve's cost was maxProbe-plan orchestration,
+    * not data (optimization round 19; bit-identical points: per (qid,
+    * np) group the candidate SET and the (distCol, idCol) order are
+    * unchanged, and the ppm arithmetic is the same integer div). The
+    * left join against the 1..maxProbe spine keeps zero-hit points as
+    * rows, exactly as the old per-np global agg did. */
   private def recallByNprobe(cand: DataFrame, exact: DataFrame,
                              nExact: DataFrame, idCol: String,
                              distCol: String, k: Int,
-                             maxProbe: Int): DataFrame =
-    (1 to maxProbe).map { np =>
-      val routed = graft.plans.TopKPerKey.topKPerKey(
-        cand.filter(col("__cellrank") <= np), Seq("qid"),
-        Seq(col(distCol), col(idCol)), k).select("qid", idCol)
-      exact.join(routed, Seq("qid", idCol))
-        .agg(count(lit(1)).as("n_hit"))
-        .crossJoin(nExact)
-        .select(lit(np).as("nprobe"),
-          expr("n_hit * 1000000 div n_exact").as("recall_ppm"))
-    }.reduce(_ unionByName _)
+                             maxProbe: Int): DataFrame = {
+    val perNp = graft.plans.TopKPerKey.topKPerKey(
+      cand.select(col("qid"), col(idCol), col(distCol),
+        explode(sequence(col("__cellrank").cast("int"), lit(maxProbe)))
+          .as("nprobe")),
+      Seq("qid", "nprobe"), Seq(col(distCol), col(idCol)), k)
+    val hits = perNp.join(exact, Seq("qid", idCol))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hit"))
+    nExact
+      .select(explode(sequence(lit(1), lit(maxProbe))).as("nprobe"),
+        col("n_exact"))
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        expr("coalesce(n_hit, 0) * 1000000 div n_exact").as("recall_ppm"))
+  }
 
   /** The serve-time half of the adaptive knob: the SMALLEST nprobe whose
     * held-out recall clears the floor, falling back to maxProbe when the
@@ -1434,11 +1450,11 @@ object VectorOps {
     val qProbes = probeRankFrame(holdout, idCol, vecCol, cents, maxProbe,
       carryQv = true)
     val assigned = argminAssign(full, idCol, vecCol, cents)
-    val cand = graft.GraftCache.persist(
-      assigned.join(broadcast(qProbes), "cid")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as(idCol), col("__cellrank"),
-          l2sq(col("v"), col("__qv")).as("d2")))
+    // no persist: single-pass recallByNprobe reads the frame once
+    val cand = assigned.join(broadcast(qProbes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as(idCol), col("__cellrank"),
+        l2sq(col("v"), col("__qv")).as("d2"))
     recallByNprobe(cand, exact, nExact, idCol, "d2", k, maxProbe)
   }
 

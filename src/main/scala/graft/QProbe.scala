@@ -40,8 +40,14 @@ object QProbe {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (recording) {
-          val site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          // SQL-triggered jobs carry no callSite property; the action's
+          // identity lives in the RDD-derived stage names (e.g. "collect
+          // at VectorOps.scala:233", "parquet at LayoutSink.scala:40").
+          val names = js.stageInfos.map(_.name).distinct
+          val site = (Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .toSeq ++ Seq(s"${js.stageInfos.size}st " +
+              names.takeRight(2).mkString(" | "))).mkString("; ")
           jobs.put(js.jobId, Job(js.jobId, site))
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {

@@ -2078,25 +2078,43 @@ object VectorOps {
       .select(posexplode(col("__y")).as(Seq("i", "yi")), col("__x"))
       .select(col("i"), col("yi"), posexplode(col("__x")).as(Seq("j", "xj")))
       .select(col("i"), col("j"),
-        round(col("yi") * CrossScale, 0).cast("long").as("yl"),
-        round(col("xj") * CrossScale, 0).cast("long").as("xl"))
+        (round(col("yi") * CrossScale, 0).cast("long") *
+          round(col("xj") * CrossScale, 0).cast("long")).as("p"))
+      // EXACT >64-bit summation on two LONG halves: each product |p| ≤
+      // (max|coord|·1e6)² ≲ 1e15 is exact in a long; p splits as
+      // p = (p div 1e9)·1e9 + (p % 1e9) (truncating div/% pair — the
+      // identity Spark's IntegralDivide/Remainder satisfy), the halves
+      // sum independently (|hi| ≲ 1e6 ⇒ exact to ~1e13 rows; |lo| < 1e9
+      // ⇒ exact to ~9e9 rows, and Spark 4's ANSI sum ABORTS loudly past
+      // long range rather than wrapping), and the driver recombines in
+      // BigInteger. Replaces a DECIMAL(38,0) sum of DECIMAL(19,0)
+      // products — precision 19 leaves Spark's compact-long Decimal
+      // representation, so every one of the dim²·n exploded rows paid a
+      // BigDecimal multiply+add; the long halves stay in whole-stage
+      // codegen (optimization r19: this one scan was ~5 s of the ~16 s
+      // x129 solo, 2.8× faster as longs). The recombined total is
+      // bit-identical, so the oracle's hugeint replay is untouched.
+      .select(col("i"), col("j"),
+        expr(s"p div $HalfSplit").as("ph"),
+        (col("p") % HalfSplit).as("pl"))
       .groupBy("i", "j")
-      // DECIMAL(38,0) sum: a LongType sum of 1e12-magnitude products
-      // silently wraps past ~1e6 rows, corrupting the cross-matrix while
-      // the chain still claims exactness; decimal keeps the sum exact to
-      // 1e38 (the DuckDB replay's hugeint sum is exact to the same
-      // order), at a cost only this one build-time scan pays
-      .agg(sum(col("yl").cast("decimal(19,0)") *
-        col("xl").cast("decimal(19,0)")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("ph")).as("sh"), sum(col("pl")).as("sl"),
+        count(lit(1)).as("n"))
       .collect()
     val m = Array.ofDim[Long](dim, dim)
     rows.foreach { r =>
-      val sum = r.getDecimal(2).toBigInteger
-      val den = java.math.BigInteger.valueOf(r.getLong(3) * CrossScale)
+      val sum = java.math.BigInteger.valueOf(r.getLong(2))
+        .multiply(java.math.BigInteger.valueOf(HalfSplit))
+        .add(java.math.BigInteger.valueOf(r.getLong(3)))
+      val den = java.math.BigInteger.valueOf(r.getLong(4) * CrossScale)
       m(r.getInt(0))(r.getInt(1)) = rdivBig(sum, den)
     }
     m.map(_.toSeq).toSeq
   }
+
+  /** Split base of the exact two-long summation in
+    * [[procrustesCrossInt]]. */
+  private val HalfSplit = 1000000000L
 
   /** [[rdiv]] in BigInteger — the cross-matrix sums exceed 64 bits at
     * scale. BigInteger divide truncates toward zero like Scala Long. */

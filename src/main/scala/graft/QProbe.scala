@@ -1,23 +1,22 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
 
-/** Dev-only per-JOB attribution probe (optimization rounds): runs named
+/** Dev-only per-ACTION attribution probe (optimization rounds): runs named
   * queries exactly as Bench does (warmup pass, then a timed pass through
-  * the noop sink) with a listener that records every Spark job's wall
-  * time and call site, then prints the timed pass's job ledger sorted by
-  * cost. A 10s query that is 40 jobs of 250ms is an orchestration
-  * problem; one 8s job is a compute problem — this tells them apart,
-  * which DIAG-mode byte counters cannot. Driver-side gaps (planning,
-  * collect decode, file IO between jobs) show up as the difference
-  * between the job-time sum and the wall clock, printed last.
-  * Usage: runMain graft.QProbe <query> [query ...] [--sf <dir>]
+  * the noop sink) while aggregating every Spark job's wall time onto its
+  * SQL EXECUTION (jobs carry `spark.sql.execution.id`, including the
+  * broadcast-exchange jobs submitted from the thread pool, which plain
+  * stage names cannot attribute), then prints the timed pass's execution
+  * ledger sorted by cost with each execution's call site. A 10s query
+  * that is 40 executions of 250ms is an orchestration problem; one 8s
+  * execution is a compute problem. Driver-side gaps (planning, collect
+  * decode, file IO between jobs) show up as wall − jobSum, printed per
+  * query. Usage: runMain graft.QProbe <query> [query ...] [--sf <dir>]
   * Not part of the library surface. */
 object QProbe {
-  private final case class Job(id: Int, site: String, var ms: Long = -1,
-                               start: Long = System.nanoTime())
-
   def main(args: Array[String]): Unit = {
     val sfDir = {
       val i = args.indexOf("--sf")
@@ -35,24 +34,35 @@ object QProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.sources.Tables.configure(spark)
 
-    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val execMs = new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicLong]()
+    val execJobs = new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicLong]()
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
     @volatile var recording = false
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case e: SparkListenerSQLExecutionStart =>
+          execDesc.put(e.executionId, e.description.linesIterator
+            .find(_.trim.nonEmpty).getOrElse("?").take(120))
+        case _ =>
+      }
       override def onJobStart(js: SparkListenerJobStart): Unit =
         if (recording) {
-          // SQL-triggered jobs carry no callSite property; the action's
-          // identity lives in the RDD-derived stage names (e.g. "collect
-          // at VectorOps.scala:233", "parquet at LayoutSink.scala:40").
-          val names = js.stageInfos.map(_.name).distinct
-          val site = (Option(js.properties)
-            .flatMap(p => Option(p.getProperty("spark.job.description")))
-            .toSeq ++ Seq(s"${js.stageInfos.size}st " +
-              names.takeRight(2).mkString(" | "))).mkString("; ")
-          jobs.put(js.jobId, Job(js.jobId, site))
+          val eid = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .flatMap(_.toLongOption).getOrElse(-1L)
+          jobStart.put(js.jobId, (eid, System.nanoTime()))
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        val j = jobs.get(je.jobId)
-        if (j != null) j.ms = (System.nanoTime() - j.start) / 1000000
+        val s = jobStart.get(je.jobId)
+        if (s != null) {
+          val (eid, t0) = s
+          execMs.computeIfAbsent(eid,
+            _ => new java.util.concurrent.atomic.AtomicLong())
+            .addAndGet((System.nanoTime() - t0) / 1000000)
+          execJobs.computeIfAbsent(eid,
+            _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+        }
       }
     })
 
@@ -65,7 +75,7 @@ object QProbe {
 
     names.foreach { name =>
       materialize(name) // warmup: codegen + JIT, off the ledger
-      jobs.clear()
+      jobStart.clear(); execMs.clear(); execJobs.clear()
       recording = true
       val t0 = System.nanoTime()
       materialize(name)
@@ -73,11 +83,15 @@ object QProbe {
       recording = false
       Thread.sleep(300) // listener bus drain
       import scala.jdk.CollectionConverters._
-      val ledger = jobs.values.asScala.toSeq.sortBy(-_.ms)
-      val jobSum = ledger.map(_.ms.max(0L)).sum
-      println(s"=== $name  wall=${wallMs}ms  jobs=${ledger.size}  " +
+      val ledger = execMs.asScala.toSeq.map { case (eid, ms) =>
+        (ms.get, execJobs.get(eid).get, execDesc.getOrDefault(eid, "?"), eid)
+      }.sortBy(-_._1)
+      val jobSum = ledger.map(_._1).sum
+      println(s"=== $name  wall=${wallMs}ms  execs=${ledger.size}  " +
         s"jobSum=${jobSum}ms  driverGap=${wallMs - jobSum}ms ===")
-      ledger.take(200).foreach(j => println(f"  ${j.ms}%6dms  job=${j.id}%-4d ${j.site}"))
+      ledger.take(60).foreach { case (ms, nj, desc, eid) =>
+        println(f"  $ms%6dms ($nj%2d jobs) exec=$eid%-4d $desc")
+      }
     }
     spark.stop()
   }

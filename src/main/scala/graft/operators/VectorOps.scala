@@ -216,13 +216,22 @@ object VectorOps {
     // falls out of whole-stage codegen.)
     for (_ <- 1 to iters) {
       val assigned = argminAssign(embeddings, idCol, vecCol, cents)
-      cents = collectCentroids(assigned
+      // collect the k×dim (cid, pos, mean) scalars and assemble the
+      // centroid arrays on the driver: the former collect_list reshape
+      // was a SECOND keyed shuffle per iteration whose only product was
+      // k rows the driver was about to materialize anyway (optimization
+      // r19 — one exchange per Lloyd iteration, not two; identical
+      // round-6 means, identical cid/pos ordering, same k×dim driver
+      // bound)
+      val rows = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "e")))
         .groupBy("cid", "pos")
         .agg(round(avg(col("e").cast("double")), 6).as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), s => s.getField("m")).as("c")))
+        .collect()
+      cents = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+        case (cid, rs) =>
+          (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
     }
     spark.createDataFrame(cents).toDF("cid", "c")
   }

@@ -21,9 +21,22 @@ object LayoutSink {
   def writeRangeLayout(df: DataFrame, keyCol: String, numFiles: Int,
                        path: String): Unit = {
     require(numFiles > 0)
-    df.repartitionByRange(numFiles, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    // Persist across the TWO scans repartitionByRange makes: the range
+    // partitioner first runs the whole child plan to reservoir-sample
+    // the key bounds, then runs it again for the shuffle — so an
+    // un-cached index build paid its upstream (signature aggregation,
+    // PQ encode) twice per write (optimization r19: QProbe showed pl8's
+    // band-index write as 29 jobs / 3.7 s, the signature pipeline run
+    // once for bounds and once for data). The persisted frame is the
+    // index's own rows (bytes-per-key compact by construction), the
+    // cache lives only for the write, and MEMORY_AND_DISK degrades
+    // gracefully when a build exceeds executor storage.
+    val p = df.persist()
+    try {
+      p.repartitionByRange(numFiles, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    } finally p.unpersist(blocking = false)
   }
 
   /** Append `df` to a flat parquet table with EXACTLY-ONCE semantics keyed

@@ -868,7 +868,12 @@ object TextQueries {
         .select("doc_id", "n_tokens", "quality_ok")
       val fp = marked.select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))
-      val per = pred.join(q, "doc_id").join(fp, "doc_id")
+      // persisted: three report branches (per-lang counts, the quality
+      // slice, and the keep-unique rollup) otherwise each recompute the
+      // lang-ID serve + quality metrics + fingerprint join chain —
+      // Spark does not share the subtree across the union's branches
+      // (optimization r19: pl16's final action was 3× this chain)
+      val per = GraftCache.persist(pred.join(q, "doc_id").join(fp, "doc_id"))
       val qual = per.filter(col("quality_ok"))
       val keep = qual.groupBy("pred_lang", "fp")
         .agg(min_by(col("n_tokens"), col("doc_id")).as("kt"))

@@ -14,17 +14,18 @@ package graft
   * measurably inflates timings (round 4 saw 2-4x phantom "regressions"
   * from exactly that).
   *
-  * Current snapshot: round-18 SECOND-PASS closing ritual — three
-  * consecutive full-suite solo runs at HEAD, min-rule-merged in order:
-  * 249/528.0s (one scheduler-noise flag, self-adjudicated clean
-  * in-artifact), the zero-flag confirming run 249/458.8s, and the FINAL
-  * 250-query run (x137 included) 250/494.2s, ZERO flags, ZERO errors,
-  * suite_inflation 1.18, loadavg 0.93 at start. Floors only ever
-  * tighten, never churn upward (206 carried, 44 lowered in the final
-  * merge); the pass's 9 new gates keep their quiet-box solo readings
-  * where those are lower. The committed `bench_full.json` is the final
-  * run (per-query gc_ms, suite_inflation, env bookends — adjudicate
-  * flags from the artifact first).
+  * Current snapshot: round-18 second-pass floors, min-rule-merged with
+  * the ROUND-19 OPTIMIZATION closing run — full suite 255/525.2s, ZERO
+  * flags, ZERO errors, suite_inflation 1.334 (the r19 grading box reads
+  * uniformly ~1.35× above the r18 snapshot box, so only genuinely
+  * faster queries could lower floors there): 22 lowered, 233 carried.
+  * The large drops are the round's optimizations (single-pass recall
+  * curves — x128 12.21→5.71, x117 10.22→6.91, x114 9.97→6.65, x112
+  * 7.31→6.24, pl12 8.65→6.36; codegen'd OPQ cross-matrix — x129
+  * 16.73→12.90, x122 9.63→8.20); see OPTIMIZATION_r19.md for the
+  * same-box A/B evidence. The committed `bench_full.json` is that
+  * closing run (per-query gc_ms, suite_inflation, env bookends —
+  * adjudicate flags from the artifact first).
   */
 object BenchExpectations {
   val RegressionFactor = 2.0
@@ -98,14 +99,14 @@ object BenchExpectations {
     "j11_mor_compact" -> 1.4108,  // min rule: carried floor
     "j12_mor_evolve" -> 0.9901,  // min rule: carried floor
     "j13_mor_evolve_compact" -> 1.3502,
-    "j14_delta_evolve" -> 1.6317,  // min rule: carried floor
+    "j14_delta_evolve" -> 1.5221, // r19 closing run (was 1.6317)
     "j1_lookup_join" -> 0.44,  // min rule: carried floor
     "j2_anti_join" -> 0.3026,  // min rule: carried floor
     "j2_dedup_keepfirst" -> 1.32,  // min rule: carried floor
     "j3_asof_join" -> 0.6308,  // min rule: carried floor
     "j4_range_join" -> 0.6826,  // min rule: carried floor
     "j5_upsert_merge" -> 0.3828,  // min rule: carried floor
-    "j6_scd2" -> 0.6306,
+    "j6_scd2" -> 0.6305, // r19 closing run (was 0.6306)
     "j7_salted_join" -> 0.7432,  // min rule: carried floor
     "j8_bloom_join" -> 0.5379,  // min rule: carried floor
     "j9_snapshot_diff" -> 0.5206,
@@ -113,7 +114,7 @@ object BenchExpectations {
     "join_q18_big_orders" -> 0.5478,  // min rule: carried floor
     "join_q3_revenue" -> 0.7814,  // min rule: carried floor
     "join_q5_nation_revenue" -> 0.8077,  // min rule: carried floor
-    "p11_iso8601" -> 0.4737,  // min rule: carried floor
+    "p11_iso8601" -> 0.4535, // r19 closing run (was 0.4737)
     "p14_pushdown_filter" -> 0.2898,  // min rule: carried floor
     "p18_json_extract" -> 0.4892,
     "p2_normalize_dropnull" -> 0.2425,  // min rule: carried floor
@@ -124,11 +125,11 @@ object BenchExpectations {
     "p9_metadata" -> 0.1424,  // min rule: carried floor
     "pl10_classifier_pipeline" -> 4.62,  // min rule: carried floor
     "pl11_dsir_pipeline" -> 3.8866,  // min rule: carried floor
-    "pl12_index_refresh" -> 8.647,  // min rule: carried floor
+    "pl12_index_refresh" -> 6.3596, // r19 closing run (was 8.647)
     "pl13_sketch_report" -> 0.9904,  // min rule: carried floor
     "pl14_bloom_rotate" -> 1.7298,  // min rule: carried floor
     "pl15_training_pairs" -> 9.0288,  // min rule: carried floor
-    "pl16_multilingual_curation" -> 10.8682,
+    "pl16_multilingual_curation" -> 10.8011, // r19 closing run (was 10.8682)
     "pl17_warc_ingest" -> 2.0787,  // min rule: carried floor
     "pl18_table_maintenance" -> 4.1532,
     "pl19_crawl_to_shards" -> 4.0714,  // min rule: carried floor
@@ -153,17 +154,17 @@ object BenchExpectations {
     "s17_zorder_scan" -> 1.2127,  // min rule: carried floor
     "s18_schema_evolution" -> 0.7241,  // min rule: carried floor
     "s19_compaction" -> 1.1602,  // min rule: carried floor
-    "s1_csv_scan" -> 0.9474,  // min rule: carried floor
+    "s1_csv_scan" -> 0.8489, // r19 closing run (was 0.9474)
     "s20_manifest_sink" -> 0.728,
     "s21_bloom_skip" -> 2.6088,  // min rule: carried floor
     "s22_time_travel" -> 1.0096,  // min rule: carried floor
-    "s23_warc_file_scan" -> 1.6571,  // min rule: carried floor
+    "s23_warc_file_scan" -> 1.5545, // r19 closing run (was 1.6571)
     "s24_delta_export" -> 2.4077,
-    "j15_delta_cdf" -> 3.5325,
-    "pl23_delta_maintenance" -> 8.0486,
-    "s27_delta_zorder" -> 2.4744,
+    "j15_delta_cdf" -> 2.9944, // r19 closing run (was 3.5325)
+    "pl23_delta_maintenance" -> 6.0876, // r19 closing run (was 8.0486)
+    "s27_delta_zorder" -> 2.3651, // r19 closing run (was 2.4744)
     "s25_delta_stats_skip" -> 1.1763,
-    "s26_delta_optimize" -> 2.9019,
+    "s26_delta_optimize" -> 2.8006, // r19 closing run (was 2.9019)
     "s2_jdbc_roundtrip" -> 0.3322,  // min rule: carried floor
     "s3_jdbc_partitioned" -> 0.4522,  // min rule: carried floor
     "s7_sink_roundtrip" -> 0.3569,  // min rule: carried floor
@@ -201,29 +202,29 @@ object BenchExpectations {
     "x10_media_features" -> 0.3312,  // min rule: carried floor
     "x110_sharded_bloom_rotate" -> 1.5412,  // min rule: carried floor
     "x111_bpe_batched" -> 2.6587,  // min rule: carried floor
-    "x112_adaptive_nprobe" -> 7.3095,  // min rule: carried floor
+    "x112_adaptive_nprobe" -> 6.2421, // r19 closing run (was 7.3095)
     "x113_hard_positive_recall" -> 3.3386,  // min rule: carried floor
-    "x114_adaptive_nprobe_refresh" -> 9.9671,
+    "x114_adaptive_nprobe_refresh" -> 6.648, // r19 closing run (was 9.9671)
     "x115_opq_serve" -> 8.4238,  // min rule: carried floor
     "x116_opq_gain" -> 10.8218,  // min rule: carried floor
-    "x117_adaptive_nprobe_lifecycle" -> 10.2172,
-    "x118_adaptive_nprobe_lifecycle_serve" -> 7.6152,  // min rule: carried floor
+    "x117_adaptive_nprobe_lifecycle" -> 6.9066, // r19 closing run (was 10.2172)
+    "x118_adaptive_nprobe_lifecycle_serve" -> 6.471, // r19 closing run (was 7.6152)
     "x119_langid_train" -> 6.6242,  // min rule: carried floor
     "x11_ivf_topk" -> 1.213,
     "x120_unigram_train" -> 1.0944,  // min rule: carried floor
     "x121_unigram_apply" -> 1.8249,  // min rule: carried floor
-    "x122_opq_append" -> 9.633,
+    "x122_opq_append" -> 8.1959, // r19 closing run (was 9.633)
     "x123_avi_demux" -> 0.4849,  // min rule: carried floor
     "x124_avi_frames" -> 0.2897,  // min rule: carried floor
     "x125_warc_gzip" -> 0.8301,
-    "x126_filtered_knn" -> 3.6564,
+    "x126_filtered_knn" -> 3.5694, // r19 closing run (was 3.6564)
     "x127_warc_records" -> 1.4092,  // min rule: carried floor
-    "x128_filtered_knn_recall" -> 12.2092,
-    "x129_opq_lifecycle" -> 16.7333,
+    "x128_filtered_knn_recall" -> 5.7103, // r19 closing run (was 12.2092)
+    "x129_opq_lifecycle" -> 12.8957, // r19 closing run (was 16.7333)
     "x12_chunk_neardups" -> 0.4449,  // min rule: carried floor
     "x130_unigram_byte_fallback" -> 2.4448,  // min rule: carried floor
     "x131_bpe_byte_fallback" -> 4.7541,
-    "x132_filtered_adaptive_serve" -> 7.4641,  // min rule: carried floor
+    "x132_filtered_adaptive_serve" -> 6.2529, // r19 closing run (was 7.4641)
     "x133_kn_perplexity" -> 2.0508,
     "x134_flac_roundtrip" -> 1.3845,  // min rule: carried floor
     "x135_mp3_framing" -> 0.2802,  // min rule: carried floor
@@ -233,7 +234,7 @@ object BenchExpectations {
     "x14_fuzzy_names" -> 0.2565,  // min rule: carried floor
     "x15_tfidf_top_term" -> 0.9219,  // min rule: carried floor
     "x16_ngram_jaccard" -> 1.2896,  // min rule: carried floor
-    "x17_pii_scrub" -> 0.5353,
+    "x17_pii_scrub" -> 0.5295, // r19 closing run (was 0.5353)
     "x18_simhash_neardups" -> 1.6038,
     "x19_stratified_sample" -> 0.333,  // min rule: carried floor
     "x1_fingerprint" -> 0.2432,  // min rule: carried floor
@@ -264,7 +265,7 @@ object BenchExpectations {
     "x42_domain_mix_up" -> 0.7923,  // min rule: carried floor
     "x43_knn_native" -> 0.459,  // min rule: carried floor
     "x44_temperature_mix" -> 0.9231,  // min rule: carried floor
-    "x45_fuzzy_decontam" -> 1.4425,  // min rule: carried floor
+    "x45_fuzzy_decontam" -> 1.3503, // r19 closing run (was 1.4425)
     "x46_heavy_tokens" -> 0.5573,  // min rule: carried floor
     "x47_unicode_dedup" -> 0.5112,  // min rule: carried floor
     "x48_incremental_clusters" -> 2.5298,  // min rule: carried floor

@@ -1176,6 +1176,47 @@ object VectorOps {
     refineMined(cands, queries, idCol, vecCol, full, k, labelOut)
   }
 
+  /** BOTH mining sides off ONE ADC candidate scan (optimization r19 —
+    * pl15 runs the positive and the negative miner over the same query
+    * batch, same index, same probe fan-out; the only difference is the
+    * row-local label predicate applied before each heap cut, so two
+    * label-filtered cuts over a shared scanned frame produce candidate
+    * sets identical by construction to two independent
+    * [[routedLabelMatchedKnn]] scans — which the x108/x113 recall gates
+    * keep gating individually). Returns (positives at kPos, negatives at
+    * kNeg) with exactly [[hardPositivesRouted]]/[[hardNegativesRouted]]'s
+    * columns and ranking. The shared frame persists through GraftCache
+    * (two consumers; the harness releases it per query). */
+  def minedPairsRouted(queries: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, full: DataFrame, kPos: Int,
+                       kNeg: Int, candidates: Int, nprobe: Int,
+                       cents: Seq[(Long, Seq[Double])],
+                       codebooks: Seq[Seq[(Long, Seq[Double])]],
+                       codes: DataFrame): (DataFrame, DataFrame) = {
+    require(candidates >= math.max(kPos, kNeg), "candidate pool must cover k")
+    require(cents.nonEmpty, "routed mining requires centroids")
+    val v = col(vecCol)
+    val qProbes = withCellsCol(queries, cents).select(col(idCol).as("qid"),
+      explode(transform(slice(array_sort(probeCandsCol(v, cents)), 1, nprobe),
+        p => p.getField("cid"))).as("cid"))
+    val qLuts = withAdcLuts(queries,
+      Seq(col(idCol).as("qid"), col(labelCol).as("__ql")), vecCol, codebooks)
+    val scanned = graft.GraftCache.persist(
+      codes.join(broadcast(qProbes), "cid")
+        .join(broadcast(qLuts), "qid")
+        .filter(col(idCol) =!= col("qid"))
+        .select(col("qid"), col(idCol), col(labelCol), col("__ql"),
+          round(adcDist(codebooks), 6).as("adc_d2")))
+    def side(pred: Column, labelOut: String, k: Int): DataFrame = {
+      val cands = graft.plans.TopKPerKey.topKPerKey(scanned.filter(pred),
+          Seq("qid"), Seq(col("adc_d2"), col(idCol)), candidates)
+        .select(col("qid"), col(idCol), col(labelCol).as(labelOut))
+      refineMined(cands, queries, idCol, vecCol, full, k, labelOut)
+    }
+    (side(col(labelCol) === col("__ql"), "pos_label", kPos),
+      side(col(labelCol) =!= col("__ql"), "neg_label", kNeg))
+  }
+
   /** Stage 2 of every indexed miner: exact cosine re-rank of the
     * shortlist on the full vectors (id equi join, candidate-pool-sized),
     * same rounded metric and tie order as the exact [[hardNegatives]] /

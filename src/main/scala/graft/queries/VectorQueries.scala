@@ -1154,16 +1154,16 @@ object VectorQueries {
         s.read.parquet(s"$idx/centroids"))
       val cb = VectorOps.readPqCodebooks(s, idx)
       val codes = s.read.parquet(s"$idx/codes")
+      // fused mining pass (optimization r19): both sides off ONE ADC
+      // candidate scan — identical candidates/ranking to the two
+      // independent routed miners (x108/x113 keep gating those)
+      val (posAll, negAll) = VectorOps.minedPairsRouted(
+        e.filter(anchorPred), "vec_id", "embedding", "label", e,
+        1, KnnK, PqCandidates, NProbe, cents, cb, codes)
       val positives = graft.GraftCache.persist(
-        VectorOps.hardPositivesRouted(e.filter(anchorPred), "vec_id",
-            "embedding", "label", e, 1, PqCandidates, NProbe,
-            cents, cb, codes)
-          .select(col("qid"), col("vec_id").as("pos_id")))
+        posAll.select(col("qid"), col("vec_id").as("pos_id")))
       val negatives = graft.GraftCache.persist(
-        VectorOps.hardNegativesRouted(e.filter(anchorPred), "vec_id",
-            "embedding", "label", e, KnnK, PqCandidates, NProbe,
-            cents, cb, codes)
-          .select(col("qid"), col("vec_id").as("neg_id")))
+        negAll.select(col("qid"), col("vec_id").as("neg_id")))
       val units = positives.join(
         negatives.groupBy("qid").agg(count(lit(1)).as("n_negs")), Seq("qid"))
       val edges = positives

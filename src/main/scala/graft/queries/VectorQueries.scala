@@ -171,20 +171,23 @@ object VectorQueries {
         VectorOps.l2sq(col("__v"), col("__qv")).as("d2"))
     val exact = graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
       Seq(col("d2"), col("vec_id")), KnnK).select("qid", "vec_id")
-    def overlap(approx: DataFrame, name: String) =
-      exact.join(approx, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as(name))
-    val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-    nExact
-      .join(overlap(raw, "n_raw"), Seq("qid"), "left")
-      .join(overlap(res, "n_res"), Seq("qid"), "left")
+    // ONE pass over the ground truth (optimization r19): hit-flag left
+    // joins against both serves, then a single per-qid aggregation —
+    // the former n_exact + two overlap-join consumers each re-ran the
+    // full exact-kNN scan (served ids are unique per (qid, vec_id), so
+    // the left joins keep multiplicity 1 and count/sum land exactly
+    // where the inner-join counts did).
+    exact
+      .join(raw.withColumn("__hr", lit(1L)), Seq("qid", "vec_id"), "left")
+      .join(res.withColumn("__hs", lit(1L)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid").agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hr"), lit(0L))).as("__nraw"),
+        sum(coalesce(col("__hs"), lit(0L))).as("__nres"))
       .select(col("qid"), col("n_exact"),
-        coalesce(col("n_raw"), lit(0L)).as("n_raw"),
-        round(coalesce(col("n_raw"), lit(0L)) / col("n_exact"), 4)
-          .as("raw_recall"),
-        coalesce(col("n_res"), lit(0L)).as("n_res"),
-        round(coalesce(col("n_res"), lit(0L)) / col("n_exact"), 4)
-          .as("res_recall"))
+        col("__nraw").as("n_raw"),
+        round(col("__nraw") / col("n_exact"), 4).as("raw_recall"),
+        col("__nres").as("n_res"),
+        round(col("__nres") / col("n_exact"), 4).as("res_recall"))
       .orderBy("qid")
   }
 
@@ -381,14 +384,18 @@ object VectorQueries {
         pred, KnnK).select("qid", "vec_id")
       val approx = VectorOps.ivfKnnJoin(t.embeddings, "vec_id", "embedding",
         pred, KnnK, cent, NProbe).select("qid", "vec_id")
-      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-      val nHit = exact.join(approx, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
-      nExact.join(nHit, Seq("qid"), "left")
+      // ONE pass over the ground truth (optimization r19): a hit-flag
+      // left join + single per-qid aggregation replaces the n_exact +
+      // overlap-join pair that each re-ran the exact-kNN scan (approx
+      // ids are unique per (qid, vec_id) — multiplicity 1).
+      exact
+        .join(approx.withColumn("__h", lit(1L)), Seq("qid", "vec_id"),
+          "left")
+        .groupBy("qid").agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__h"), lit(0L))).as("__nh"))
         .select(col("qid"), col("n_exact"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          round(coalesce(col("n_overlap"), lit(0L)) / col("n_exact"), 4)
-            .as("recall"))
+          col("__nh").as("n_overlap"),
+          round(col("__nh") / col("n_exact"), 4).as("recall"))
         .orderBy("qid")
     }),
 
@@ -762,14 +769,18 @@ object VectorQueries {
           s.read.parquet(s"$idx/centroids"),
           VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
         .select("qid", "vec_id")
-      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-      val nHit = exact.join(routed, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("n_routed"))
-      nExact.join(nHit, Seq("qid"), "left")
+      // ONE pass over the ground truth (optimization r19): hit-flag left
+      // join + single per-qid aggregation — the n_exact + overlap pair
+      // each re-ran the brute-force pair scan (routed ids unique per
+      // (qid, vec_id) — multiplicity 1).
+      exact
+        .join(routed.withColumn("__h", lit(1L)), Seq("qid", "vec_id"),
+          "left")
+        .groupBy("qid").agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__h"), lit(0L))).as("__nh"))
         .select(col("qid"), col("n_exact"),
-          coalesce(col("n_routed"), lit(0L)).as("n_routed"),
-          round(coalesce(col("n_routed"), lit(0L)) / col("n_exact"), 4)
-            .as("recall"))
+          col("__nh").as("n_routed"),
+          round(col("__nh") / col("n_exact"), 4).as("recall"))
         .orderBy("qid")
     }),
 
@@ -798,7 +809,13 @@ object VectorQueries {
     // within-cell remainder — the recall gap the MSE spec predicts
     // becomes measurable, as an oracle-checked artifact.
     "x86_clustered_recall" -> ((s, dir) =>
-      residualRecallReport(clusteredEmbeddings(Tables(s, dir).embeddings))),
+      // The clustered DERIVATION (per-coordinate group-center adds) is
+      // re-paid on each of the report's ~10 corpus scans without the
+      // persist; x82's raw-parquet corpus stays unpersisted — re-scanning
+      // the page-cached file is cheaper than the cache round-trip
+      // (optimization r19, measured).
+      residualRecallReport(graft.GraftCache.persist(
+        clusteredEmbeddings(Tables(s, dir).embeddings)))),
 
     // ----------------------------------------------------------------- x88
     // The deployed HIGH-RECALL serve off the stored index — x71 measures
@@ -869,14 +886,18 @@ object VectorQueries {
           "embedding", "label", e, KnnK, PqCandidates,
           VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
         .select("qid", "vec_id")
-      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-      val nHit = exact.join(indexed, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("n_indexed"))
-      nExact.join(nHit, Seq("qid"), "left")
+      // ONE pass over the ground truth (optimization r19): hit-flag left
+      // join + single per-qid aggregation — the n_exact + overlap pair
+      // each re-ran the exact mining scan (indexed ids unique per
+      // (qid, vec_id) — multiplicity 1).
+      exact
+        .join(indexed.withColumn("__h", lit(1L)), Seq("qid", "vec_id"),
+          "left")
+        .groupBy("qid").agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__h"), lit(0L))).as("__nh"))
         .select(col("qid"), col("n_exact"),
-          coalesce(col("n_indexed"), lit(0L)).as("n_indexed"),
-          round(coalesce(col("n_indexed"), lit(0L)) / col("n_exact"), 4)
-            .as("recall"))
+          col("__nh").as("n_indexed"),
+          round(col("__nh") / col("n_exact"), 4).as("recall"))
         .orderBy("qid")
     }),
 
@@ -1109,14 +1130,18 @@ object VectorQueries {
           VectorOps.collectCentroids(s.read.parquet(s"$idx/centroids")),
           VectorOps.readPqCodebooks(s, idx), s.read.parquet(s"$idx/codes"))
         .select("qid", "vec_id")
-      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-      val nHit = exact.join(routed, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("n_routed"))
-      nExact.join(nHit, Seq("qid"), "left")
+      // ONE pass over the ground truth (optimization r19): hit-flag left
+      // join + single per-qid aggregation — the n_exact + overlap pair
+      // each re-ran the exact mining scan (routed ids unique per
+      // (qid, vec_id) — multiplicity 1).
+      exact
+        .join(routed.withColumn("__h", lit(1L)), Seq("qid", "vec_id"),
+          "left")
+        .groupBy("qid").agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__h"), lit(0L))).as("__nh"))
         .select(col("qid"), col("n_exact"),
-          coalesce(col("n_routed"), lit(0L)).as("n_routed"),
-          round(coalesce(col("n_routed"), lit(0L)) / col("n_exact"), 4)
-            .as("recall"))
+          col("__nh").as("n_routed"),
+          round(col("__nh") / col("n_exact"), 4).as("recall"))
         .orderBy("qid")
     }),
 
@@ -1442,20 +1467,24 @@ object VectorQueries {
         KnnK, cbs).select("qid", "vec_id")
       val refined = VectorOps.pqKnnJoinRefined(e, "vec_id", "embedding",
         pred, KnnK, PqCandidates, cbs).select("qid", "vec_id")
-      def overlap(approx: DataFrame, name: String) =
-        exact.join(approx, Seq("qid", "vec_id"))
-          .groupBy("qid").agg(count(lit(1)).as(name))
-      val nExact = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-      nExact
-        .join(overlap(adc, "n_adc"), Seq("qid"), "left")
-        .join(overlap(refined, "n_refined"), Seq("qid"), "left")
+      // ONE pass over the ground truth (optimization r19): hit-flag left
+      // joins against both serves + a single per-qid aggregation — the
+      // former n_exact + two overlap-join consumers each re-ran the
+      // brute-force pair scan (served ids unique per (qid, vec_id) —
+      // multiplicity 1).
+      exact
+        .join(adc.withColumn("__ha", lit(1L)), Seq("qid", "vec_id"),
+          "left")
+        .join(refined.withColumn("__hf", lit(1L)), Seq("qid", "vec_id"),
+          "left")
+        .groupBy("qid").agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__ha"), lit(0L))).as("__nadc"),
+          sum(coalesce(col("__hf"), lit(0L))).as("__nref"))
         .select(col("qid"), col("n_exact"),
-          coalesce(col("n_adc"), lit(0L)).as("n_adc"),
-          round(coalesce(col("n_adc"), lit(0L)) / col("n_exact"), 4)
-            .as("adc_recall"),
-          coalesce(col("n_refined"), lit(0L)).as("n_refined"),
-          round(coalesce(col("n_refined"), lit(0L)) / col("n_exact"), 4)
-            .as("refined_recall"))
+          col("__nadc").as("n_adc"),
+          round(col("__nadc") / col("n_exact"), 4).as("adc_recall"),
+          col("__nref").as("n_refined"),
+          round(col("__nref") / col("n_exact"), 4).as("refined_recall"))
         .orderBy("qid")
     }),
 
@@ -1470,14 +1499,24 @@ object VectorQueries {
     // rotated-space chains — then the probe cut and ADC, so the learned
     // rotation itself is the verified contract, not just the serve.
     "x115_opq_serve" -> ((s, dir) => {
-      val e = correlatedEmbeddings(Tables(s, dir).embeddings)
+      // Persist the correlated corpus (scanned by the OPQ fit, the
+      // rotate, and the serve) and the final-rotation frame: without the
+      // persists rotate(e) — a dim×dim matmul per row on top of the
+      // correlated derivation — re-ran once per Lloyd iteration of the
+      // coarse fit PLUS once for the index write (optimization r19: one
+      // rotate pass; writeOpqIvfPqIndex inlined to its two steps so the
+      // write reads the same persisted frame — identical artifacts).
+      val e = graft.GraftCache.persist(
+        correlatedEmbeddings(Tables(s, dir).embeddings))
       val (r, cbs) = VectorOps.fitOpq(e, "vec_id", "embedding",
         Dim, PqM, PqKs, KmeansIters, OpqIters)
-      val cents = VectorOps.kmeansCentroids(
-        VectorOps.rotate(e, "embedding", r), "vec_id", "embedding",
+      val rotE = graft.GraftCache.persist(
+        VectorOps.rotate(e, "embedding", r))
+      val cents = VectorOps.kmeansCentroids(rotE, "vec_id", "embedding",
         KClusters, KmeansIters)
       val idx = SinkQueries.sinkDir("x115_opq_index")
-      VectorOps.writeOpqIvfPqIndex(e, "vec_id", "embedding", r, cents, cbs, idx)
+      VectorOps.writeIvfPqIndex(rotE, "vec_id", "embedding", cents, cbs, idx)
+      VectorOps.writeRotation(s, r, idx)
       VectorOps.opqTopKOverIndex(e, "vec_id", "embedding", QueryVecId, K,
         NProbe, VectorOps.readRotation(s, idx),
         s.read.parquet(s"$idx/centroids"),
@@ -1493,7 +1532,11 @@ object VectorQueries {
     // values; the oracle replays both branches — the identity lattice IS
     // the PQ branch, so the fit replay is shared, not doubled.
     "x116_opq_gain" -> ((s, dir) => {
-      val e = correlatedEmbeddings(Tables(s, dir).embeddings)
+      // The correlated derivation feeds two full OPQ fits, two rotates
+      // and the exact pair scan — persist it once (optimization r19;
+      // x129 already does this).
+      val e = graft.GraftCache.persist(
+        correlatedEmbeddings(Tables(s, dir).embeddings))
       val qpred = col("vec_id") % KnnQueryMod === 0
       val q = e.filter(qpred)
         .select(col("vec_id").as("qid"), col("embedding").as("__qv"))
@@ -1503,12 +1546,6 @@ object VectorQueries {
           VectorOps.l2sq(col("__v"), col("__qv")).as("d2"))
       val exact = graft.plans.TopKPerKey.topKPerKey(exactP, Seq("qid"),
         Seq(col("d2"), col("vec_id")), KnnK).select("qid", "vec_id")
-      def meanRecall(served: DataFrame, alias: String): DataFrame =
-        exact.groupBy("qid").agg(count(lit(1)).as("nx"))
-          .join(exact.join(served, Seq("qid", "vec_id"))
-            .groupBy("qid").agg(count(lit(1)).as("nh")), Seq("qid"), "left")
-          .agg(round(avg(coalesce(col("nh"), lit(0L)) / col("nx")), 4)
-            .as(alias))
       // opqIters = 0 degenerates to plain PQ on the same round-6 lattice
       // the rotated branch trains on — the controlled baseline.
       def branch(opqIters: Int, t: String): (DataFrame, DataFrame) = {
@@ -1526,12 +1563,27 @@ object VectorQueries {
         val served = VectorOps.pqKnnAgainstCodesRouted(rot.filter(qpred),
           "vec_id", "embedding", KnnK, NProbe, cents, cbs, codes)
           .select("qid", "vec_id")
-        (mse, meanRecall(served, s"${t}_recall"))
+        (mse, served)
       }
-      val (msePq, recPq) = branch(0, "pq")
-      val (mseOpq, recOpq) = branch(OpqIters, "opq")
-      msePq.crossJoin(broadcast(mseOpq))
-        .crossJoin(broadcast(recPq)).crossJoin(broadcast(recOpq))
+      val (msePq, servedPq) = branch(0, "pq")
+      val (mseOpq, servedOpq) = branch(OpqIters, "opq")
+      // ONE pass over the ground truth for BOTH branches' recalls
+      // (optimization r19): hit-flag left joins + one per-qid
+      // aggregation replace the former four consumers (nx + hits per
+      // branch), each of which re-ran the brute-force pair scan
+      // (served ids unique per (qid, vec_id) — multiplicity 1; per-qid
+      // nh/nx values identical, so the rounded averages match).
+      val recs = exact
+        .join(servedPq.withColumn("__hp", lit(1L)), Seq("qid", "vec_id"),
+          "left")
+        .join(servedOpq.withColumn("__ho", lit(1L)), Seq("qid", "vec_id"),
+          "left")
+        .groupBy("qid").agg(count(lit(1)).as("nx"),
+          sum(coalesce(col("__hp"), lit(0L))).as("nhp"),
+          sum(coalesce(col("__ho"), lit(0L))).as("nho"))
+        .agg(round(avg(col("nhp") / col("nx")), 4).as("pq_recall"),
+          round(avg(col("nho") / col("nx")), 4).as("opq_recall"))
+      msePq.crossJoin(broadcast(mseOpq)).crossJoin(broadcast(recs))
     }),
 
     // ---------------------------------------------------------------- x122
@@ -1548,17 +1600,24 @@ object VectorQueries {
     // (rotated-space codes are plain IVF-PQ codes — x85/x117's passes
     // operate on the same artifact shape).
     "x122_opq_append" -> ((s, dir) => {
-      val e = correlatedEmbeddings(Tables(s, dir).embeddings)
+      // Same persists as x115 (optimization r19): the correlated corpus
+      // once, and the rotated BASE once instead of per-Lloyd-iteration
+      // plus per index write (writeOpqIvfPqIndex inlined to its two
+      // steps — identical artifacts).
+      val e = graft.GraftCache.persist(
+        correlatedEmbeddings(Tables(s, dir).embeddings))
       val base = e.filter(col("vec_id") % PqAppendMod =!= 0)
       val batch = e.filter(col("vec_id") % PqAppendMod === 0)
       val (r, cbs) = VectorOps.fitOpq(base, "vec_id", "embedding",
         Dim, PqM, PqKs, KmeansIters, OpqIters)
-      val cents = VectorOps.kmeansCentroids(
-        VectorOps.rotate(base, "embedding", r), "vec_id", "embedding",
+      val rotBase = graft.GraftCache.persist(
+        VectorOps.rotate(base, "embedding", r))
+      val cents = VectorOps.kmeansCentroids(rotBase, "vec_id", "embedding",
         KClusters, KmeansIters)
       val idx = SinkQueries.sinkDir("x122_opq_index")
-      VectorOps.writeOpqIvfPqIndex(base, "vec_id", "embedding", r, cents,
-        cbs, idx)
+      VectorOps.writeIvfPqIndex(rotBase, "vec_id", "embedding", cents, cbs,
+        idx)
+      VectorOps.writeRotation(s, r, idx)
       VectorOps.appendOpqIvfPqIndex(batch, "vec_id", "embedding", idx)
       val compacted = SinkQueries.sinkDir("x122_opq_codes_compacted")
       graft.sinks.LayoutSink.compact(s, s"$idx/codes", compacted,
@@ -1586,12 +1645,18 @@ object VectorQueries {
         correlatedEmbeddings(Tables(s, dir).embeddings))
       val (r, cbs) = VectorOps.fitOpq(e, "vec_id", "embedding",
         Dim, PqM, PqKs, KmeansIters, OpqIters)
-      val cents = VectorOps.kmeansCentroids(
-        VectorOps.rotate(e, "embedding", r), "vec_id", "embedding",
+      // Fit-phase persist (optimization r19, same as x115/x122): the
+      // rotated corpus once instead of per-Lloyd-iteration plus the index
+      // write (writeOpqIvfPqIndex inlined — identical artifacts). The
+      // serve phases below still rotate through the STORED rotation.
+      val rotFit = graft.GraftCache.persist(
+        VectorOps.rotate(e, "embedding", r))
+      val cents = VectorOps.kmeansCentroids(rotFit, "vec_id", "embedding",
         KClusters, KmeansIters)
       val idx = SinkQueries.sinkDir("x129_opq_index")
-      VectorOps.writeOpqIvfPqIndex(e, "vec_id", "embedding", r, cents, cbs,
+      VectorOps.writeIvfPqIndex(rotFit, "vec_id", "embedding", cents, cbs,
         idx)
+      VectorOps.writeRotation(s, r, idx)
       // everything below runs off the STORED artifact — rotation,
       // centroids, codebooks re-read, never the in-memory fit
       val storedR = VectorOps.readRotation(s, idx)

@@ -653,16 +653,31 @@ object TextQueries {
       val pairs = GraftCache.persist(
         TextOps.minhashNearDups(t.documents, "doc_id", "text",
           DedupCurveFloor))
-      DedupCurve.map { th =>
-        val p = pairs.filter(col("jaccard") >= th)
-        p.agg(count(lit(1)).as("n_pairs"))
-          .crossJoin(
-            p.select(col("id_a").as("id"))
-              .unionByName(p.select(col("id_b").as("id")))
-              .agg(countDistinct("id").as("n_docs_flagged")))
-          .select(lit(th).as("threshold"), col("n_pairs"),
-            col("n_docs_flagged"))
-      }.reduce(_ unionByName _).orderBy("threshold")
+      // ONE pass over the pair frame (optimization r19): each pair
+      // explodes to every curve threshold it clears (membership
+      // identical to the per-threshold filter by construction — the
+      // x95/recall-curve spine shape), one aggregation per report
+      // branch instead of a count + distinct pair PER threshold (8
+      // scans + 4 crossJoins before). The spine left-join keeps
+      // zero-pair thresholds at (th, 0, 0), exactly where the former
+      // global aggregates landed them.
+      import s.implicits._
+      val byTh = pairs.select(col("id_a"), col("id_b"), col("jaccard"),
+          explode(array(DedupCurve.map(lit): _*)).as("threshold"))
+        .filter(col("jaccard") >= col("threshold"))
+      val nPairs = byTh.groupBy("threshold")
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = byTh.select(col("threshold"),
+          explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("threshold")
+        .agg(countDistinct("id").as("n_docs_flagged"))
+      DedupCurve.toDF("threshold")
+        .join(nPairs, Seq("threshold"), "left")
+        .join(nDocs, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
+        .orderBy("threshold")
     }),
 
     // ----------------------------------------------------------------- x65

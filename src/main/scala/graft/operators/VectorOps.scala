@@ -2122,42 +2122,40 @@ object VectorOps {
   private def procrustesCrossInt(encoded: DataFrame, latticeXCol: String,
                                  codebooks: Seq[Seq[(Long, Seq[Double])]],
                                  dim: Int): Seq[Seq[Long]] = {
-    val rows = encoded
+    // EXACT >64-bit summation on two LONG halves inside ONE un-exploded
+    // native aggregate ([[graft.functions.CrossMatrixSum]], optimization
+    // r19): the former double posexplode amplified every corpus row to
+    // dim² rows through two Generates and a dim²-key hash aggregate —
+    // measured as the single biggest job of every OPQ fit (2.4 s of
+    // x129's ~9 s even after the decimal→long change this replaces in
+    // turn). The aggregate replicates the exploded form's arithmetic
+    // bit-for-bit: identical round(v·1e6)→long lattice images, products
+    // summed per cell as (p div 1e9, p % 1e9) halves whose driver
+    // recombination sh·1e9 + sl equals Σp per cell by the division
+    // identity, and Math.multiplyExact/addExact abort loudly on overflow
+    // exactly where ANSI arithmetic did. Integer sums are order-free, so
+    // the oracle's hugeint replay is untouched.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = encoded
       .join(broadcast(codebooksFrame(encoded, codebooks)))
       .select(reconstructCol.as("__y"), col(latticeXCol).as("__x"))
-      .select(posexplode(col("__y")).as(Seq("i", "yi")), col("__x"))
-      .select(col("i"), col("yi"), posexplode(col("__x")).as(Seq("j", "xj")))
-      .select(col("i"), col("j"),
-        (round(col("yi") * CrossScale, 0).cast("long") *
-          round(col("xj") * CrossScale, 0).cast("long")).as("p"))
-      // EXACT >64-bit summation on two LONG halves: each product |p| ≤
-      // (max|coord|·1e6)² ≲ 1e15 is exact in a long; p splits as
-      // p = (p div 1e9)·1e9 + (p % 1e9) (truncating div/% pair — the
-      // identity Spark's IntegralDivide/Remainder satisfy), the halves
-      // sum independently (|hi| ≲ 1e6 ⇒ exact to ~1e13 rows; |lo| < 1e9
-      // ⇒ exact to ~9e9 rows, and Spark 4's ANSI sum ABORTS loudly past
-      // long range rather than wrapping), and the driver recombines in
-      // BigInteger. Replaces a DECIMAL(38,0) sum of DECIMAL(19,0)
-      // products — precision 19 leaves Spark's compact-long Decimal
-      // representation, so every one of the dim²·n exploded rows paid a
-      // BigDecimal multiply+add; the long halves stay in whole-stage
-      // codegen (optimization r19: this one scan was ~5 s of the ~16 s
-      // x129 solo, 2.8× faster as longs). The recombined total is
-      // bit-identical, so the oracle's hugeint replay is untouched.
-      .select(col("i"), col("j"),
-        expr(s"p div $HalfSplit").as("ph"),
-        (col("p") % HalfSplit).as("pl"))
-      .groupBy("i", "j")
-      .agg(sum(col("ph")).as("sh"), sum(col("pl")).as("sl"),
-        count(lit(1)).as("n"))
-      .collect()
+      .agg(ColumnBridge.column(graft.functions.CrossMatrixSum(
+        ColumnBridge.expression(col("__y")),
+        ColumnBridge.expression(col("__x")),
+        dim, CrossScale, HalfSplit).toAggregateExpression()).as("m"))
+      .head().getSeq[Long](0)
+    val dimSq = dim * dim
+    val n = agg(2 * dimSq)
     val m = Array.ofDim[Long](dim, dim)
-    rows.foreach { r =>
-      val sum = java.math.BigInteger.valueOf(r.getLong(2))
-        .multiply(java.math.BigInteger.valueOf(HalfSplit))
-        .add(java.math.BigInteger.valueOf(r.getLong(3)))
-      val den = java.math.BigInteger.valueOf(r.getLong(4) * CrossScale)
-      m(r.getInt(0))(r.getInt(1)) = rdivBig(sum, den)
+    if (n != 0L) {
+      val den = java.math.BigInteger.valueOf(n * CrossScale)
+      for (i <- 0 until dim; j <- 0 until dim) {
+        val cell = i * dim + j
+        val sum = java.math.BigInteger.valueOf(agg(cell))
+          .multiply(java.math.BigInteger.valueOf(HalfSplit))
+          .add(java.math.BigInteger.valueOf(agg(dimSq + cell)))
+        m(i)(j) = rdivBig(sum, den)
+      }
     }
     m.map(_.toSeq).toSeq
   }

@@ -128,45 +128,82 @@ object Dedup {
         // already checkpointed, so nothing lazily shuffles after restore.
         withShufflePartitions(edges.sparkSession, n)(
           ccLoop(edges, srcCol, dstCol, maxIter, persistEdges = false))
-      case None => ccLoop(edges, srcCol, dstCol, maxIter, persistEdges = true)
+      case None => ccLoop(edges, srcCol, dstCol, maxIter, persistEdges = true,
+        deriveWidth = true)
     }
 
+  /** Edges per round-shuffle partition when the loop derives its own
+    * width (~16 MB of 16-byte edge rows — small for the guide's
+    * 100 MB–1 GB band, but the label/message frames a CC round shuffles
+    * are several times the edge count, and a round is many aggregations
+    * of the same keys, so the effective partition is larger). */
+  private val CcEdgesPerPartition = 1L << 20
+
   private def ccLoop(edges: DataFrame, srcCol: String, dstCol: String,
-                     maxIter: Int, persistEdges: Boolean): DataFrame = {
+                     maxIter: Int, persistEdges: Boolean,
+                     deriveWidth: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
     val symRaw = e.union(e.select(col("d").as("s"), col("s").as("d"))).distinct()
     val sym =
       if (persistEdges) graft.GraftCache.persist(symRaw)
       else symRaw.localCheckpoint()
-    // Seed with round 1 for free: least(id, min(neighbor)) is exactly what
-    // one propagation round over comp=id would produce, and the groupBy
-    // costs the same keyed shuffle the old `distinct()` init paid anyway.
-    var labels = sym.groupBy(col("s").as("id")).agg(min(col("d")).as("__mn"))
-      .select(col("id"), least(col("id"), col("__mn")).as("comp"))
-      .localCheckpoint()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxIter) {
-      // Old labels ride through the min-aggregation under a flag column, so
-      // convergence is a scan of the (tiny, checkpointed) round result —
-      // not a second keyed shuffle joining `next` back to `labels`.
-      val msgs = sym.join(labels, sym("s") === labels("id"))
-        .select(col("d").as("id"), col("comp"), lit(false).as("__old"))
-      // eager localCheckpoint: materializes the round AND flattens its plan
-      val next = labels.select(col("id"), col("comp"), lit(true).as("__old"))
-        .union(msgs)
-        .groupBy("id")
-        .agg(min("comp").as("comp"),
-          min(when(col("__old"), col("comp"))).as("__prev"))
+
+    def run(): DataFrame = {
+      // Seed with round 1 for free: least(id, min(neighbor)) is exactly what
+      // one propagation round over comp=id would produce, and the groupBy
+      // costs the same keyed shuffle the old `distinct()` init paid anyway.
+      var labels = sym.groupBy(col("s").as("id")).agg(min(col("d")).as("__mn"))
+        .select(col("id"), least(col("id"), col("__mn")).as("comp"))
         .localCheckpoint()
-      converged = next.filter(col("comp") =!= col("__prev")).isEmpty
-      labels = next.select("id", "comp")
-      rounds += 1
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxIter) {
+        // Old labels ride through the min-aggregation under a flag column, so
+        // convergence is a scan of the (tiny, checkpointed) round result —
+        // not a second keyed shuffle joining `next` back to `labels`.
+        val msgs = sym.join(labels, sym("s") === labels("id"))
+          .select(col("d").as("id"), col("comp"), lit(false).as("__old"))
+        // eager localCheckpoint: materializes the round AND flattens its plan
+        val next = labels.select(col("id"), col("comp"), lit(true).as("__old"))
+          .union(msgs)
+          .groupBy("id")
+          .agg(min("comp").as("comp"),
+            min(when(col("__old"), col("comp"))).as("__prev"))
+          .localCheckpoint()
+        converged = next.filter(col("comp") =!= col("__prev")).isEmpty
+        labels = next.select("id", "comp")
+        rounds += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component labels would be incomplete; raise maxIter")
+      labels.withColumnRenamed("comp", "component")
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "component labels would be incomplete; raise maxIter")
-    labels.withColumnRenamed("comp", "component")
+
+    if (!deriveWidth) run()
+    else {
+      // Scale-ADAPTIVE round width (optimization r19, guide §2.2): the
+      // loop's per-round exchanges run at min(session default, edge
+      // count / [[CcEdgesPerPartition]] + 1) partitions — derived from
+      // the materialized symmetric edge frame, never a constant. The
+      // near-dup component graph is a vanishing fraction of the corpus
+      // (pl15's mined graph at sf0.1 is ~10² edges), so session-default
+      // 32-way shuffles per round were pure task-scheduling overhead —
+      // the incrementalComponents merge loop had this cap hard-wired
+      // (Some(4)); this derives it, and a production-sized graph keeps
+      // the session default untouched (min(), never a raise). Counting
+      // the edge frame costs one action over data the seed round was
+      // about to materialize anyway; labels are component-count bounded
+      // (≤ edge endpoints), so the derived width fits them a fortiori.
+      // Partitioning cannot perturb results: min-label propagation is
+      // a commutative/associative fold per key.
+      val spark = edges.sparkSession
+      val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val width = math.min(default.toLong,
+        sym.count() / CcEdgesPerPartition + 1L).toInt
+      if (width >= default) run()
+      else withShufflePartitions(spark, width)(run())
+    }
   }
 
   /** [[connectedComponents]] by alternating star contraction — the
